@@ -1,0 +1,396 @@
+"""Registry of oracle-checked queries — one per SURVEY.md §2 operator.
+
+Each entry pairs a Spark plan built from the bi_utils_spark operator
+library with the ANSI-SQL DuckDB oracle the driver runs side-by-side.
+Determinism rules (FIXTURES.md §3): no wall-clock, explicit aliases,
+timestamps as epoch-µs BIGINT or fixed-format strings, float sums
+via exact DECIMAL accumulation cast back to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bi_utils_spark.functions import scalars as S
+from bi_utils_spark.operators import relational as R
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    from bi_utils_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, table)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (SURVEY.md §7.0): watermark (A1) + top-1-per-key (W1)
+# + hash (F1) + JSON path (F4) composed on `events`.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_latest_event_per_user",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 7 DAY AS wm FROM events),
+    f AS (SELECT e.* FROM events e, wm WHERE e.ts >= wm.wm),
+    r AS (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM f)
+    SELECT sha256(CAST(user_id AS VARCHAR)) AS user_hash,
+           user_id,
+           event_type,
+           value AS last_value,
+           epoch_us(ts) AS ts_us,
+           coalesce(json_extract_string(props, '$.k'), 'empty') AS prop_k
+    FROM r WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    recent = R.watermark_filter(events, "ts", "7 days")
+    latest = R.latest_per_key(recent, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return latest.select(
+        S.hash_id_sha2("user_id").alias("user_hash"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("last_value"),
+        F.unix_micros("ts").alias("ts_us"),
+        S.check_for_key_json("props", "k").alias("prop_k"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_latest_event_per_user(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# F1 hash_id — null/empty guard contract (utils.py:46-55)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_hash_id",
+    """
+    SELECT user_id,
+           sha256(CASE WHEN user_id % 11 = 0 THEN NULL
+                       WHEN user_id % 7 = 0 THEN NULL   -- '' guard → NULL
+                       ELSE CAST(user_id AS VARCHAR) END) AS user_hash
+    FROM events
+    """,
+)
+def q_hash_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Synthesize NULL and '' inputs from user_id to exercise both guards
+    # of hash_id (reference utils.py:52: None and '' both → None).
+    events = load(spark, sf_dir, "events")
+    raw = (
+        F.when(F.col("user_id") % 11 == 0, F.lit(None).cast("string"))
+        .when(F.col("user_id") % 7 == 0, F.lit(""))
+        .otherwise(F.col("user_id").cast("string"))
+    )
+    return events.select(
+        F.col("user_id"), S.hash_id_sha2(raw).alias("user_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 parse_timestamp — ISO-8601 'T…Z' → 'date time' string surgery
+# (utils.py:428-440)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_parse_timestamp",
+    """
+    WITH iso AS (
+      SELECT event_id,
+             strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso_ts
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN iso_ts IS NULL OR length(iso_ts) < 5 THEN NULL
+                ELSE substr(iso_ts, 1, 10) || ' ' ||
+                     substr(iso_ts, 12, length(iso_ts) - 12) END AS parsed_ts
+    FROM iso
+    """,
+)
+def q_parse_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z"))
+    return events.select(
+        F.col("event_id"), S.parse_timestamp(iso).alias("parsed_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/F5 extract_key / check_for_key — JSON path with default
+# (utils.py:417-425, :443-453)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_extract_key",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_value,
+           coalesce(json_extract_string(props, '$.missing'), 'empty') AS k_missing
+    FROM events
+    """,
+)
+def q_extract_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        F.col("event_id"),
+        S.json_path("props", "k").alias("k_value"),
+        S.check_for_key_json("props", "missing").alias("k_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 watermark filter — delta-load semantics (ct_utils.py:19-37)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_watermark",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 3 DAY FROM events)
+    """,
+)
+def q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    recent = R.watermark_filter(events, "ts", "3 days")
+    return recent.select(F.col("event_id"), F.unix_micros("ts").alias("ts_us"))
+
+
+# ---------------------------------------------------------------------------
+# W1 top-1 per key (utils.py:210-224)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_alert_top1",
+    """
+    SELECT event_type, user_id, value AS last_value, epoch_us(ts) AS ts_us
+    FROM (SELECT *, row_number() OVER (
+             PARTITION BY event_type, user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_alert_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    latest = R.latest_per_key(
+        events, ["event_type", "user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    return latest.select(
+        "event_type",
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2/F6 threshold-gated resend decision (utils.py:225-234):
+# per key, compare latest value vs previous; no history → send.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_alert_should_send",
+    """
+    WITH h AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type, user_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             lead(value) OVER (
+               PARTITION BY event_type, user_id
+               ORDER BY ts DESC, event_id DESC) AS prev_value
+      FROM events
+    )
+    SELECT event_type, user_id, value AS current_value, prev_value,
+           CASE WHEN prev_value IS NULL THEN TRUE
+                ELSE abs(value - prev_value) >= 5.0 END AS should_send
+    FROM h WHERE rn = 1
+    """,
+)
+def q_alert_should_send(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    h = events.withColumn("rn", F.row_number().over(w)).withColumn(
+        "prev_value", F.lead("value").over(w)
+    )
+    return h.filter(F.col("rn") == 1).select(
+        "event_type",
+        "user_id",
+        F.col("value").alias("current_value"),
+        "prev_value",
+        S.abs_threshold("value", "prev_value", 5.0).alias("should_send"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/A2 same-day count — parameterized pivot date for determinism
+# (utils.py:293-294)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_daily_count",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_daily_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        F.to_date("ts").cast("string").alias("event_date")
+    ).agg(F.count("*").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# P9 grouped agg + HAVING (utils.py:322-323 contract)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_group_having",
+    """
+    SELECT user_id,
+           count(*) AS total_requests,
+           count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           100.0 * count(*) FILTER (WHERE event_type = 'error') / count(*)
+             AS error_percent
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > 50
+       AND 100.0 * count(*) FILTER (WHERE event_type = 'error') / count(*) > 10.0
+    """,
+)
+def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    n_errors = F.count(F.when(F.col("event_type") == "error", 1))
+    return R.grouped_having(
+        events,
+        ["user_id"],
+        [
+            F.count("*").alias("total_requests"),
+            n_errors.alias("n_errors"),
+            (F.lit(100.0) * n_errors / F.count("*")).alias("error_percent"),
+        ],
+        having=(F.col("total_requests") > 50) & (F.col("error_percent") > 10.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 union of page batches (ct_utils.py:258)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_union_pages",
+    "SELECT o_orderkey, o_orderpriority FROM orders",
+)
+def q_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    # Split into "pages" by priority (like per-request REST batches),
+    # then union back — the multiset must equal the original scan.
+    priorities = [r[0] for r in orders.select("o_orderpriority").distinct().collect()]
+    pages = [
+        orders.filter(F.col("o_orderpriority") == p).select(
+            "o_orderkey", "o_orderpriority"
+        )
+        for p in sorted(priorities)
+    ]
+    return R.union_pages(pages)
+
+
+# ---------------------------------------------------------------------------
+# O2 top-k (utils.py:217-218)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 projection ∩ existing (ct_utils.py:116-118)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_project_existing",
+    "SELECT c_name, c_acctbal FROM customer",
+)
+def q_project_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return R.project_existing(customer, ["c_name", "c_acctbal", "not_a_column"])
+
+
+# ---------------------------------------------------------------------------
+# P7 IN-list predicate (utils.py:510-511)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_in_list",
+    """
+    SELECT n_nationkey, n_name
+    FROM nation
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    """,
+)
+def q_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    return R.in_list(nation, "n_name", ["NATION_3", "NATION_7", "NATION_11"]).select(
+        "n_nationkey", "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 per-column max stringified length, one pass (utils.py:518-522)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_schema_maxlen",
+    """
+    SELECT 'p_name' AS column_name,
+           max(length(CAST(p_name AS VARCHAR))) AS new_max_length FROM part
+    UNION ALL
+    SELECT 'p_brand', max(length(CAST(p_brand AS VARCHAR))) FROM part
+    UNION ALL
+    SELECT 'p_type', max(length(CAST(p_type AS VARCHAR))) FROM part
+    """,
+)
+def q_schema_maxlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    out = R.column_max_lengths(part, ["p_name", "p_brand", "p_type"])
+    return out.select(
+        "column_name", F.col("new_max_length").cast("long").alias("new_max_length")
+    )

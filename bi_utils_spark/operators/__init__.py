@@ -1,0 +1,12 @@
+"""Operator library (SURVEY.md §2) — DataFrame -> DataFrame functions.
+
+Submodules:
+- ``relational``   : filters, watermarks, top-1-per-key, unions, HAVING
+- ``nested``       : recursive flatten of arrays/structs (the N-ops)
+- ``merge``        : join-based MERGE upsert with timestamp semantics
+- ``schema_drift`` : schema diff / max-length drift reports
+- ``dedup``        : exact + MinHash/SimHash/Jaccard near-dup
+- ``similarity``   : cosine top-k, LSH ANN over embedding columns
+- ``textstats``    : token counts, language-ID, quality scores
+- ``multimodal``   : binary media columns with typed metadata
+"""

@@ -1,0 +1,121 @@
+"""SparkSession factory + engine configuration.
+
+Replaces the reference's connection factory + logging/env plumbing
+(``utils.py:299-309`` return_exa_conn, ``utils.py:25-43`` set_logging,
+``utils.py:58-114`` deployment gating): instead of a remote Exasol
+websocket connection, the "connection" is a SparkSession whose
+Catalyst engine plans and executes every query that the reference
+shipped to Exasol as SQL strings.
+
+Scale notes (100 TB target)
+---------------------------
+The defaults below are written for local[N] testing but every knob is
+overridable via ``extra_conf`` for a real cluster:
+
+- AQE on: runtime coalescing + skew-join splitting replaces manual
+  partition tuning when the input is 1000× larger.
+- ``spark.sql.shuffle.partitions`` should be ~2-3× total executor
+  cores on a cluster (driver sets it explicitly); locally = cores.
+- Arrow enabled: every pandas_udf / toPandas boundary is columnar.
+- UTC session timezone: deterministic timestamp semantics across
+  engines (the reference's Exasol was implicitly UTC).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import warnings
+
+from pyspark.sql import SparkSession
+
+_LOGGERS: dict[str, logging.Logger] = {}
+
+
+def set_logging(name: str = "bi_utils_spark") -> logging.Logger:
+    """Memoized stdout logger (reference: utils.py:25-43 set_logging).
+
+    Same contract: repeated calls with the same name return the same
+    logger and never stack duplicate handlers.
+    """
+    if name in _LOGGERS:
+        return _LOGGERS[name]
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    if not logger.handlers:
+        handler = logging.StreamHandler(sys.stdout)
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s [%(levelname)s] - %(message)s")
+        )
+        logger.addHandler(handler)
+    _LOGGERS[name] = logger
+    return logger
+
+
+def deployment(env: str | None = None, prod: bool = True, dev: bool = True) -> bool:
+    """Environment run-gate (reference: utils.py:58-114 deployment).
+
+    Returns True when the current ``env`` is enabled by the
+    (prod, dev) flags; ``env=None`` runs everywhere. Unlike the
+    reference this returns a bool instead of calling sys.exit so
+    callers (and tests) stay in control.
+    """
+    log = set_logging()
+    if env is None:
+        return True
+    env = env.lower()
+    if env == "prod" and not prod:
+        log.info("deployment(): script disabled for prod — skipping")
+        return False
+    if env == "dev" and not dev:
+        log.info("deployment(): script disabled for dev — skipping")
+        return False
+    return True
+
+
+def deprecation(message: str) -> None:
+    """Deprecation signal (reference: utils.py:117-123)."""
+    warnings.warn(message, DeprecationWarning, stacklevel=2)
+
+
+def get_spark(
+    app_name: str = "bi_utils_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Defaults pin the settings every operator in this library assumes:
+    UTC timestamps, AQE, Arrow. ``master`` defaults to
+    ``local[$SPARK_GRAFT_CPUS]`` (env, fallback ``local[*]``) so the
+    same code runs unmodified under a cluster spark-submit, where
+    master is injected externally.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    # Only force master when no live session exists (spark-submit wins).
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
