@@ -394,3 +394,186 @@ def q_schema_maxlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "column_name", F.col("new_max_length").cast("long").alias("new_max_length")
     )
+
+
+# ---------------------------------------------------------------------------
+# N1-N3 recursive flatten — nested frame built in-query from the star
+# schema so the oracle sees the same bytes (FIXTURES.md §2.5). The
+# Spark side really does build array<struct> and flatten it; the
+# DuckDB oracle states the equivalent relational identity
+# (explode_outer ∘ collect_list == LEFT JOIN).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_flatten_lineitems",
+    """
+    SELECT o.o_orderkey,
+           o.o_totalprice,
+           l.l_partkey  AS "lineItems__l_partkey",
+           l.l_quantity AS "lineItems__l_quantity",
+           l.l_extendedprice AS "lineItems__l_extendedprice"
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def q_flatten_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators import nested as N
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_partkey", "l_quantity", "l_extendedprice")
+        ).alias("lineItems")
+    )
+    nested = (
+        orders.join(items, orders.o_orderkey == items.l_orderkey, "left")
+        .drop("l_orderkey")
+        .select("o_orderkey", "o_totalprice", "lineItems")
+    )
+    return N.flatten(nested)
+
+
+@register(
+    "q_flatten_depth2",
+    """
+    SELECT o.o_orderkey,
+           l.l_partkey AS "lineItems__keys__l_partkey",
+           l.l_suppkey AS "lineItems__keys__l_suppkey",
+           l.l_quantity AS "lineItems__l_quantity"
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def q_flatten_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # struct-inside-struct-inside-array: two fixpoint iterations
+    from bi_utils_spark.operators import nested as N
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    items = lineitem.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.struct("l_partkey", "l_suppkey").alias("keys"),
+                F.col("l_quantity"),
+            )
+        ).alias("lineItems")
+    )
+    nested = (
+        orders.join(items, orders.o_orderkey == items.l_orderkey, "left")
+        .select("o_orderkey", "lineItems")
+    )
+    return N.flatten(nested)
+
+
+@register(
+    "q_json_normalize_props",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS props__k
+    FROM events
+    """,
+)
+def q_json_normalize_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # N4 over a JSON-string column with schema supplied (production path)
+    from bi_utils_spark.operators import nested as N
+
+    events = load(spark, sf_dir, "events").select("event_id", "props")
+    return N.from_json_normalized(events, "props", schema="k BIGINT")
+
+
+# ---------------------------------------------------------------------------
+# M1 MERGE upsert — orders split into target/source (FIXTURES.md §2.4):
+# matched keys take source values + restamped update_ts, keep target
+# insert_ts; unmatched source keys are inserted with both stamped.
+# Oracle states the FULL OUTER JOIN + CASE identity.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_merge_upsert",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             '2020-01-01 00:00:00' AS insert_timestamp,
+             '2020-01-01 00:00:00' AS update_timestamp
+      FROM orders WHERE o_orderdate < DATE '1998-01-01'
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+                ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NOT NULL THEN t.insert_timestamp
+                ELSE '2024-06-01 00:00:00' END AS insert_timestamp,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN '2024-06-01 00:00:00'
+                ELSE t.update_timestamp END AS update_timestamp
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.merge import merge_upsert
+
+    orders = load(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit("2020-01-01 00:00:00").alias("insert_timestamp"),
+        F.lit("2020-01-01 00:00:00").alias("update_timestamp"),
+    )
+    source = orders.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    )
+    return merge_upsert(
+        target, source, ["o_orderkey"], now=F.lit("2024-06-01 00:00:00")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3 schema-length drift — measured vs declared catalog (utils.py:496-538)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_schema_drift",
+    """
+    WITH measured AS (
+      SELECT 'p_name' AS column_name,
+             CAST(max(length(CAST(p_name AS VARCHAR))) AS BIGINT)
+               AS new_max_length FROM part
+      UNION ALL
+      SELECT 'p_brand', CAST(max(length(CAST(p_brand AS VARCHAR))) AS BIGINT)
+      FROM part
+      UNION ALL
+      SELECT 'p_type', CAST(max(length(CAST(p_type AS VARCHAR))) AS BIGINT)
+      FROM part
+    ),
+    declared AS (
+      SELECT * FROM (VALUES ('p_name', CAST(5 AS BIGINT)),
+                            ('p_brand', CAST(50 AS BIGINT)),
+                            ('p_type', CAST(3 AS BIGINT)))
+        AS d(column_name, declared_max_length)
+    )
+    SELECT m.column_name,
+           d.declared_max_length,
+           m.new_max_length
+    FROM measured m JOIN declared d USING (column_name)
+    WHERE m.new_max_length > d.declared_max_length
+    """,
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.schema_drift import length_drift
+
+    part = load(spark, sf_dir, "part")
+    declared = spark.createDataFrame(
+        [("p_name", 5), ("p_brand", 50), ("p_type", 3)],
+        "column_name string, declared_max_length long",
+    )
+    drift = length_drift(part, declared, ["p_name", "p_brand", "p_type"])
+    return drift.select(
+        "column_name",
+        F.col("declared_max_length").cast("long").alias("declared_max_length"),
+        F.col("new_max_length").cast("long").alias("new_max_length"),
+    )

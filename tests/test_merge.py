@@ -1,0 +1,112 @@
+"""Unit tests for MERGE upsert + schema drift (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.merge import merge_plan_explain, merge_upsert
+from bi_utils_spark.operators.schema_drift import (
+    format_schema_change_messages,
+    length_drift,
+    schema_diff,
+    widen_ddl,
+)
+
+T0, T1 = "2020-01-01 00:00:00", "2024-06-01 00:00:00"
+
+
+@pytest.fixture()
+def target(spark):
+    return spark.createDataFrame(
+        [(1, "old-a", T0, T0), (2, "old-b", T0, T0)],
+        ["id", "payload", "insert_timestamp", "update_timestamp"],
+    )
+
+
+@pytest.fixture()
+def source(spark):
+    return spark.createDataFrame(
+        [(2, "new-b"), (3, "new-c")], ["id", "payload"]
+    )
+
+
+def test_merge_matched_updated_unmatched_inserted(target, source):
+    out = merge_upsert(target, source, ["id"], now=F.lit(T1)).orderBy("id")
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    # row 1: untouched target row
+    assert rows[0]["payload"] == "old-a"
+    assert rows[0]["update_timestamp"] == T0
+    # row 2: matched — source payload, update_ts restamped, insert_ts kept
+    assert rows[1]["payload"] == "new-b"
+    assert rows[1]["insert_timestamp"] == T0       # utils.py:273 exclusion
+    assert rows[1]["update_timestamp"] == T1
+    # row 3: inserted — both timestamps stamped (utils.py:283-290)
+    assert rows[2]["payload"] == "new-c"
+    assert rows[2]["insert_timestamp"] == T1
+    assert rows[2]["update_timestamp"] == T1
+
+
+def test_merge_accepts_comma_separated_pks(target, source):
+    # the reference took pk_columns as a comma-separated string (utils.py:246)
+    out = merge_upsert(target, source, "id", now=F.lit(T1))
+    assert out.count() == 3
+
+
+def test_merge_idempotent(target, source):
+    once = merge_upsert(target, source, ["id"], now=F.lit(T1))
+    twice = merge_upsert(once, source, ["id"], now=F.lit(T1))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_composite_pk(spark):
+    t = spark.createDataFrame([(1, "x", 10.0)], ["k1", "k2", "v"])
+    s = spark.createDataFrame([(1, "x", 99.0), (1, "y", 7.0)], ["k1", "k2", "v"])
+    out = merge_upsert(t, s, ["k1", "k2"]).orderBy("k1", "k2")
+    assert [(r["k1"], r["k2"], r["v"]) for r in out.collect()] == [
+        (1, "x", 99.0),
+        (1, "y", 7.0),
+    ]
+
+
+def test_merge_missing_pk_raises(target, source):
+    with pytest.raises(ValueError, match="missing"):
+        merge_upsert(target, source, ["nope"])
+
+
+def test_merge_source_missing_data_column_keeps_target(spark):
+    t = spark.createDataFrame([(1, "a", "extra")], ["id", "v", "only_t"])
+    s = spark.createDataFrame([(1, "b")], ["id", "v"])
+    row = merge_upsert(t, s, ["id"]).first()
+    assert row["v"] == "b" and row["only_t"] == "extra"
+
+
+def test_merge_plan_explain_is_dry_run(target, source):
+    text = merge_plan_explain(target, source, ["id"])
+    assert "Physical Plan" in text
+
+
+def test_length_drift(spark):
+    incoming = spark.createDataFrame(
+        [("abcdef", 123456)], ["name", "code"]
+    )
+    declared = spark.createDataFrame(
+        [("name", 4), ("code", 10)], ["column_name", "declared_max_length"]
+    )
+    out = length_drift(incoming, declared).collect()
+    assert len(out) == 1
+    assert out[0]["column_name"] == "name"
+    assert out[0]["new_max_length"] == 6
+    ddl = widen_ddl(length_drift(incoming, declared), "S", "T")
+    assert ddl == ["ALTER TABLE S.T MODIFY COLUMN name VARCHAR(6)"]
+
+
+def test_schema_diff_events(spark):
+    old = spark.createDataFrame([(1, "a")], ["id", "v"]).schema
+    new = spark.createDataFrame([(1, 2.0, True)], ["id", "v", "flag"]).schema
+    events = schema_diff(old, new)
+    changes = {(e["column"], e["change"]) for e in events}
+    assert changes == {("v", "type_changed"), ("flag", "added")}
+    msgs = format_schema_change_messages("t", events)
+    assert any("flag" in m and "added" in m for m in msgs)
