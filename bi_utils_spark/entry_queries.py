@@ -577,3 +577,63 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("declared_max_length").cast("long").alias("declared_max_length"),
         F.col("new_max_length").cast("long").alias("new_max_length"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 alert state machine, batch mode (utils.py:159-234 composed):
+# history = events before a pivot; current = latest event per key after
+# it; decision joins last history value with the W2 threshold gate.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_alert_decide_batch",
+    """
+    WITH history AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    current_raw AS (
+      SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    current AS (
+      SELECT event_type, user_id, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type, user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM current_raw) WHERE rn = 1
+    ),
+    last_hist AS (
+      SELECT event_type, user_id, value AS last_value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type, user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM history) WHERE rn = 1
+    )
+    SELECT c.event_type, c.user_id, c.value, h.last_value,
+           CASE WHEN h.last_value IS NULL THEN TRUE
+                ELSE abs(c.value - h.last_value) >= 5.0 END AS should_send
+    FROM current c LEFT JOIN last_hist h
+      ON c.event_type = h.event_type AND c.user_id = h.user_id
+    """,
+)
+def q_alert_decide_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.streaming.alerts import decide_alerts_batch
+
+    events = load(spark, sf_dir, "events")
+    pivot = "2024-01-20 00:00:00"
+    history = events.filter(F.col("ts") < pivot)
+    current = R.latest_per_key(
+        events.filter(F.col("ts") >= pivot),
+        ["event_type", "user_id"],
+        "ts",
+        tiebreak_cols=["event_id"],
+    ).select("event_type", "user_id", "value")
+    return decide_alerts_batch(
+        current,
+        history,
+        ["event_type", "user_id"],
+        "value",
+        "value",
+        "ts",
+        resend_threshold=5.0,
+        history_tiebreak_cols=["event_id"],
+    )

@@ -1,0 +1,52 @@
+"""Streaming watermark / window helpers (SURVEY.md §2.12).
+
+The reference's delta-load lookback — ``MAX(ts) − INTERVAL n`` to
+tolerate late or clock-skewed records (`ct_utils.py:19-37` 3 s;
+`commercetools_utils.py:29` 60 min) — is exactly Structured
+Streaming's event-time watermark. These helpers name that mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_lookback_watermark(
+    stream: DataFrame, ts_col: str, lookback: str = "60 minutes"
+) -> DataFrame:
+    """``withWatermark`` with the reference's lookback semantics."""
+    return stream.withWatermark(ts_col, lookback)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    *group_cols: str,
+) -> DataFrame:
+    """Tumbling/sliding windowed counts + sums over an event stream."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return stream.groupBy(win, *[F.col(c) for c in group_cols]).agg(
+        F.count("*").alias("n"), F.sum("value").alias("total_value")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
+    """Drive a bounded streaming query to completion synchronously
+    (file-source smoke pattern): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,87 @@
+"""Tests for streaming alert dedup + watermark helpers (SURVEY.md §2.12)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bi_utils_spark.streaming.alerts import decide_alerts_batch, decide_alerts_stream
+from bi_utils_spark.streaming.watermark import (
+    run_stream_to_memory,
+    windowed_counts,
+    with_lookback_watermark,
+)
+
+
+def test_decide_alerts_batch(spark):
+    history = spark.createDataFrame(
+        [
+            ("job_a", "errors", 10.0, dt.datetime(2024, 1, 1)),
+            ("job_a", "errors", 50.0, dt.datetime(2024, 1, 2)),  # latest
+        ],
+        ["identifier", "dedup_key", "value", "last_alert"],
+    )
+    current = spark.createDataFrame(
+        [
+            ("job_a", "errors", 52.0),   # |52-50| < 5 → no resend
+            ("job_b", "errors", 1.0),    # no history → send
+        ],
+        ["identifier", "dedup_key", "value"],
+    )
+    out = decide_alerts_batch(
+        current,
+        history,
+        ["identifier", "dedup_key"],
+        "value",
+        "value",
+        "last_alert",
+        resend_threshold=5.0,
+    )
+    got = {r["identifier"]: (r["last_value"], r["should_send"]) for r in out.collect()}
+    assert got == {"job_a": (50.0, False), "job_b": (None, True)}
+
+
+def test_decide_alerts_stream_stateful(spark, tmp_path):
+    # land a keyed stream as files and drive it through the stateful op
+    src = tmp_path / "stream"
+    src.mkdir()
+    rows = [
+        '{"k": "a", "value": 10.0}',
+        '{"k": "a", "value": 12.0}',
+    ]
+    (src / "b0.jsonl").write_text("\n".join(rows))
+    stream = (
+        spark.readStream.schema("k string, value double").json(str(src))
+    )
+    decided = decide_alerts_stream(stream, ["k"], "value", resend_threshold=5.0)
+    run_stream_to_memory(decided, "alert_out")
+    got = {
+        r["key"]: (r["current_value"], r["should_send"])
+        for r in spark.sql("SELECT * FROM alert_out").collect()
+    }
+    # single micro-batch: newest observation (12.0) vs no prior state → send
+    assert got == {"a": (12.0, True)}
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        '{"ts": "2024-01-01T00:01:00.000Z", "event_type": "x", "value": 1.0}\n'
+        '{"ts": "2024-01-01T00:02:00.000Z", "event_type": "x", "value": 2.0}\n'
+        '{"ts": "2024-01-01T00:59:00.000Z", "event_type": "x", "value": 3.0}\n'
+    )
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).json(str(src))
+    agg = windowed_counts(
+        with_lookback_watermark(stream, "ts", "10 minutes"),
+        "ts",
+        "30 minutes",
+        None,
+        "event_type",
+    )
+    run_stream_to_memory(agg, "win_out")
+    rows = spark.sql("SELECT n, total_value FROM win_out ORDER BY n DESC").collect()
+    assert [(r["n"], r["total_value"]) for r in rows] == [(2, 3.0), (1, 3.0)]
