@@ -637,3 +637,342 @@ def q_alert_decide_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         resend_threshold=5.0,
         history_tiebreak_cols=["event_id"],
     )
+
+
+# ===========================================================================
+# LLM-data-pipeline operators (SURVEY.md §2.14) over documents/embeddings
+# ===========================================================================
+
+# --- X1 exact dedup --------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.dedup import dedup_exact
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["text"], "doc_id")
+
+
+# --- X5 text stats ---------------------------------------------------------
+
+@register(
+    "q_text_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             AS n_word_tokens,
+           length(text) AS n_chars_measured,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                          AS DOUBLE) / length(text) END AS punct_ratio,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+    FROM toks
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators import textstats as T
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.word_token_count("text").cast("long").alias("n_word_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.content_fingerprint("text").alias("fingerprint"),
+    )
+
+
+# --- X5 token explode + counts --------------------------------------------
+
+@register(
+    "q_token_counts",
+    r"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 50
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.textstats import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+# --- X5 language-ID heuristic ---------------------------------------------
+
+@register(
+    "q_lang_id",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id,
+             len(list_intersect(t, ['der','die','das','und','ist','nicht'])) AS de,
+             len(list_intersect(t, ['the','and','of','to','a','is'])) AS en,
+             len(list_intersect(t, ['el','la','de','que','y','es'])) AS es,
+             len(list_intersect(t, ['le','la','et','les','des','est'])) AS fr,
+             len(list_intersect(t, ['的','是','不','了','在','我'])) AS zh
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(de, en, es, fr, zh) <= 0 THEN 'und'
+                WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+                WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+                WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+                WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+                ELSE 'zh' END AS lang_guess
+    FROM sc
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.textstats import language_id
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_guess"))
+
+
+# --- X5 quality score ------------------------------------------------------
+
+@register(
+    "q_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 20 THEN 1.0 ELSE 0.0 END AS length_ok,
+             CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                        AS DOUBLE) / length(text) END) <= 0.2
+                  THEN 1.0 ELSE 0.0 END AS punct_ok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks,
+                        x -> list_contains(['the','and','of','to','a','is'], x)))
+                       AS DOUBLE) / len(toks) END AS sw
+      FROM t
+    )
+    SELECT doc_id,
+           (length_ok + punct_ok + least(sw * 5.0, 1.0)) / 3.0 AS quality
+    FROM m
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.textstats import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+# --- X5/X1 doc stats by lang/source ---------------------------------------
+
+@register(
+    "q_doc_stats_by_lang",
+    """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --- X2a exact Jaccard near-dup join --------------------------------------
+
+@register(
+    "q_jaccard_pairs",
+    r"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    inv AS (SELECT doc_id, unnest(sh) AS tok FROM sets),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.dedup import jaccard_similarity_join
+
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=1)
+
+
+# --- X3 exact cosine top-k -------------------------------------------------
+
+TARGET_VEC_SQL = """
+  (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)
+"""
+
+@register(
+    "q_topk_cosine_exact",
+    f"""
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], {TARGET_VEC_SQL}), 9)
+             AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    q = F.array(*[F.lit(float(x)) for x in target])
+    scored = emb.select(
+        "vec_id", F.round(cosine(F.col("embedding"), q), 9).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+# --- X4 cosine similarity self-join with threshold -------------------------
+
+@register(
+    "q_cosine_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 9) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 9) >= 0.45
+    """,
+)
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 9
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= 0.45)
+    )
+
+
+# --- X6 embedding grouped stats (order-free aggregates) --------------------
+
+@register(
+    "q_emb_label_stats",
+    """
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct,
+           round(min(embedding[1]::DOUBLE), 9) AS min_e0,
+           round(max(embedding[1]::DOUBLE), 9) AS max_e0
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e0 = F.element_at("embedding", 1).cast("double")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("vec_id").alias("n_distinct"),
+        F.round(F.min(e0), 9).alias("min_e0"),
+        F.round(F.max(e0), 9).alias("max_e0"),
+    )
+
+
+# --- approximate variants: no SQL oracle (rows-only check; recall is
+# property-tested against the exact baselines in tests/test_llmdata.py) ----
+
+@register("q_minhash_near_dup")
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.dedup import minhash_near_dup_join
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_dup_join(
+        docs, "doc_id", "text", threshold=0.6, num_hashes=64, num_bands=16
+    )
+
+
+@register("q_simhash_near_dup")
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.dedup import simhash_near_dup_join
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_join(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("q_ann_topk")
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.similarity import ann_self_join_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_self_join_topk(emb, k=3, num_planes=16, num_bands=8, dim=64)
+
+
+@register("q_centroids_by_label")
+def q_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.similarity import centroids_by_label
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = centroids_by_label(emb, dim=64)
+    return cents.select(
+        "label", F.round(F.element_at("centroid", 1), 9).alias("c0"), "n"
+    )

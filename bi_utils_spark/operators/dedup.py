@@ -1,0 +1,403 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.14 X1/X2).
+
+Four tiers, cheapest first — a production pipeline runs them in order:
+
+1. :func:`dedup_exact` — content-hash groupBy (one shuffle on the hash).
+2. :func:`jaccard_similarity_join` — exact n-gram/token Jaccard via an
+   inverted-index self-join (the oracle-checkable ground truth).
+3. MinHash + LSH banding — :func:`minhash_signatures` →
+   :func:`minhash_near_dup_join`: sub-quadratic candidate generation,
+   then exact verification of candidates only.
+4. :func:`simhash64` + :func:`simhash_near_dup_join` — 64-bit
+   fingerprints, Hamming-distance banding.
+
+Everything is native Spark SQL expressions (xxhash64, transform,
+aggregate, zip_with) — no Python in the hot path. Scale notes inline
+per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.textstats import tokens
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame,
+    content_cols: list[str],
+    keep_order_col: str,
+    num_bits: int = 256,
+) -> DataFrame:
+    """Keep one deterministic representative per exact-content group.
+
+    Content identity = sha2 over the concatenated columns (with a
+    field separator so ("ab","c") ≠ ("a","bc")); the survivor is the
+    row with the smallest ``keep_order_col`` — deterministic, unlike
+    ``dropDuplicates`` which keeps an arbitrary row per group.
+
+    Scale: one hash-shuffle on the 256-bit digest; map-side partial
+    aggregation dedups within partitions first, so the shuffle volume
+    is ~unique rows, not input rows.
+    """
+    hashed = df.withColumn(
+        "__content_hash",
+        F.sha2(F.concat_ws("", *[F.col(c) for c in content_cols]), num_bits),
+    )
+    w = Window.partitionBy("__content_hash").orderBy(F.asc(keep_order_col))
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def token_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles (''-joined) of a text column.
+
+    Built with transform-over-sequence — the whole shingling runs in
+    codegen. n=1 degrades to the distinct token set.
+    """
+    toks = tokens(c)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, ""))).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(toks, i + 1, n), "")
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2a: exact Jaccard similarity join (ground truth, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 1,
+    max_token_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with token/shingle Jaccard ≥ threshold.
+
+    Inverted-index plan: explode distinct shingles → self-join on the
+    shingle (co-occurrence counting) → group by pair → Jaccard from
+    |A∩B| and precomputed set sizes. This is the exact algorithm —
+    sub-quadratic because only co-occurring pairs materialize.
+
+    Scale: the shuffle key is the shingle; ultra-common shingles are
+    skew + quadratic blowup. ``max_token_doc_freq`` drops shingles in
+    more than that many docs (a standard prefix-filter relaxation —
+    with it the join is a high-recall heuristic; leave None for exact).
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh")
+    )
+    sizes = sets.select("id", F.size("sh").alias("sz"))
+    inv = sets.select("id", F.explode("sh").alias("tok"))
+    if max_token_doc_freq is not None:
+        freq = inv.groupBy("tok").agg(F.count("*").alias("df_tok"))
+        inv = (
+            inv.join(freq.filter(F.col("df_tok") <= max_token_doc_freq), "tok")
+            .drop("df_tok")
+        )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b: MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 31) - 1  # Mersenne-31: a*h stays within int64
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature (array<bigint> of length ``num_hashes``).
+
+    h_i(x) = (a_i * (xxhash64(x) mod M31) + b_i) mod M31, minimized over the
+    doc's shingle set — the standard Broder construction with a
+    universal-hash family derived from one base hash. Entirely
+    codegen'd: transform + array_min per hash function.
+
+    Scale: map-only; signature size is num_hashes * 8 bytes per doc —
+    64 hashes ≈ 512 B regardless of document length, which is the
+    point: the 100 TB corpus becomes a ~GB-scale signature table.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    a_lit = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_lit = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+
+    # Single pass over the shingle set: fold each shingle hash into a
+    # 64-wide running-min state (zip_with least) — one array traversal
+    # total instead of num_hashes traversals.
+    sh = token_shingles(text_col, shingle_n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    init = F.array_repeat(F.lit((1 << 62)).cast("long"), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda cur, i: F.least(
+                cur,
+                F.pmod(
+                    F.element_at(a_lit, i + 1) * h + F.element_at(b_lit, i + 1),
+                    F.lit(_MERSENNE),
+                ),
+            ),
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("minhash"))
+
+
+def minhash_band_buckets(
+    sig_df: DataFrame, num_bands: int = 16
+) -> DataFrame:
+    """Explode signatures into (band_id, bucket_hash) LSH buckets.
+
+    rows_per_band = len(sig)/num_bands; docs sharing a bucket in any
+    band become candidates. Probability of candidacy for Jaccard s is
+    1-(1-s^r)^b — tune (b, r) to the target threshold.
+    """
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda band: F.struct(
+            band.alias("band_id"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(
+                            F.col("minhash"),
+                            band * (F.size("minhash") / num_bands).cast("int") + 1,
+                            (F.size("minhash") / num_bands).cast("int"),
+                        ),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        ),
+    )
+    return sig_df.select("id", F.explode(bands).alias("bb")).select(
+        "id", F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_candidates(sig_df: DataFrame, num_bands: int = 16) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from LSH band buckets.
+
+    Scale: the self-join shuffles on (band_id, bucket) — tiny keys,
+    and only colliding docs meet. Degenerate buckets (e.g. thousands
+    of near-identical boilerplate docs) explode quadratically; cap
+    with a bucket-size filter in a production pipeline.
+    """
+    b1 = minhash_band_buckets(sig_df, num_bands).alias("x")
+    b2 = minhash_band_buckets(sig_df, num_bands).alias("y")
+    return (
+        b1.join(
+            b2,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates verified with *exact* Jaccard on the shingle sets.
+
+    The verify join re-attaches the shingle arrays only for candidate
+    pairs (a tiny fraction of the corpus) and computes
+    |A∩B| / |A∪B| with array_intersect — no false positives in the
+    output; recall is governed by the (bands, rows) choice.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    cand = minhash_candidates(sigs, num_bands)
+    sets = df.select(
+        F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh")
+    )
+    a = sets.alias("sa")
+    b = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = (
+        F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    )
+    return (
+        cand.join(a, F.col("id_a") == F.col("sa.id"))
+        .join(b, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2c: SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(c: Column | str, shingle_n: int = 1) -> Column:
+    """64-bit SimHash of a text column, fully in codegen.
+
+    Charikar's construction: each shingle hash votes ±1 per bit
+    position; the fingerprint takes the sign bit-wise. Implemented as
+    one aggregate over the shingle-hash array maintaining 64 counters
+    (zip_with add), then a second fold assembling the sign bits.
+    """
+    # Bit masks as a literal array — shift amounts must be literals in
+    # Spark, so bit i is tested/set via element_at(masks, i+1) instead
+    # of shiftleft/shiftright by a lambda variable.
+    masks = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    sh = token_shingles(c, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    zero64 = F.array_repeat(F.lit(0), 64)
+    bitvotes = F.aggregate(
+        hashes,
+        zero64,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    h.bitwiseAND(F.element_at(masks, i + 1)) != 0, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bitvotes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(v > 0, F.element_at(masks, i + 1)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Banding trick: split the 64-bit fingerprint into 4 16-bit chunks;
+    any pair within Hamming ≤ 3 must agree exactly on ≥1 chunk
+    (pigeonhole), so the join key is (chunk_idx, chunk_value) —
+    sub-quadratic like MinHash-LSH but with a hard guarantee.
+    """
+    fp = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col, shingle_n).alias("fp")
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("fp"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    keyed = fp.select("id", "fp", F.explode(chunks).alias("c")).select(
+        "id", "fp", F.col("c.chunk_idx").alias("ci"), F.col("c.chunk_val").alias("cv")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

