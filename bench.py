@@ -1,0 +1,78 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query executes to completion through the no-op sink (`format
+("noop")`) so results are fully materialized without driver collect
+overhead polluting the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # relational / window / scalar surface
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_revenue_by_nation",
+    "q_top_suppliers",
+    "q_latest_event_per_user",
+    "q_alert_decide_batch",
+    # nested + merge surface
+    "q_flatten_lineitems",
+    "q_merge_upsert",
+    # LLM-data surface
+    "q_text_stats",
+    "q_dedup_exact",
+    "q_jaccard_pairs",
+    "q_minhash_near_dup",
+    "q_topk_cosine_exact",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from bi_utils_spark import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers out of the timed path.
+    spark.range(1).count()
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -825,10 +825,19 @@ def q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_jaccard_pairs",
     r"""
-    WITH sets AS (
+    WITH toks AS (
       SELECT doc_id,
-             list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS sh
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
       FROM documents
+    ),
+    sets AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, chr(1))]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+2], chr(1))))
+             END AS sh
+      FROM toks
     ),
     sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
     inv AS (SELECT doc_id, unnest(sh) AS tok FROM sets),
@@ -849,7 +858,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.dedup import jaccard_similarity_join
 
     docs = load(spark, sf_dir, "documents")
-    return jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=1)
+    return jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
 
 
 # --- X3 exact cosine top-k -------------------------------------------------
@@ -975,4 +984,180 @@ def q_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = centroids_by_label(emb, dim=64)
     return cents.select(
         "label", F.round(F.element_at("centroid", 1), 9).alias("c0"), "n"
+    )
+
+
+# ===========================================================================
+# Headline analytical queries (the GROUP BY / join / HAVING surface the
+# reference delegated to Exasol via parameterized SQL scripts, S1/P9 —
+# utils.py:312-339, :322-323 — expressed TPC-H-style on the star schema).
+# Float determinism: sums accumulate in exact DECIMAL then cast back to
+# DOUBLE, so accumulation order can't flip bits on either engine.
+# ===========================================================================
+
+@register(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+             AS avg_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > "1997-06-01")
+        .join(
+            orders.filter(F.col("o_orderdate") < "1998-01-01"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    dims = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_top_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS total_revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY total_revenue DESC, s_suppkey ASC
+    LIMIT 5
+    """,
+)
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") >= "1997-01-01")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+        .orderBy(F.desc("total_revenue"), F.asc("s_suppkey"))
+        .limit(5)
     )

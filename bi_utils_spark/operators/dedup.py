@@ -106,11 +106,18 @@ def jaccard_similarity_join(
     more than that many docs (a standard prefix-filter relaxation —
     with it the join is a high-recall heuristic; leave None for exact).
     """
+    # Persist the shingle sets: both sides of the self-join (and the
+    # degenerate single-branch reuse Catalyst can't always detect)
+    # would otherwise re-run the shingling expression per branch.
     sets = df.select(
         F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh")
+    ).persist()
+    # Carry the set size through the explode: the pair-group keys then
+    # already hold both sizes, so no post-aggregation size joins (and
+    # the shingle expression is evaluated once per side, not twice).
+    inv = sets.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
     )
-    sizes = sets.select("id", F.size("sh").alias("sz"))
-    inv = sets.select("id", F.explode("sh").alias("tok"))
     if max_token_doc_freq is not None:
         freq = inv.groupBy("tok").agg(F.count("*").alias("df_tok"))
         inv = (
@@ -121,24 +128,22 @@ def jaccard_similarity_join(
     b = inv.alias("b")
     pairs = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        pairs.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -273,11 +278,13 @@ def minhash_near_dup_join(
     |A∩B| / |A∪B| with array_intersect — no false positives in the
     output; recall is governed by the (bands, rows) choice.
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed
+    ).persist()  # reused by both sides of the bucket self-join
     cand = minhash_candidates(sigs, num_bands)
     sets = df.select(
         F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh")
-    )
+    ).persist()  # reused by both verify branches
     a = sets.alias("sa")
     b = sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
