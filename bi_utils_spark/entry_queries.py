@@ -1161,3 +1161,150 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_revenue"), F.asc("s_suppkey"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 parameterized SQL script (utils.py:312-339) — the engine executes
+# the reference's .sql-file surface via Catalyst instead of Exasol.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sql_script",
+    """
+    SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY CAST(o_orderdate AS DATE)
+    HAVING count(*) > 5
+    """,
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from bi_utils_spark.sources.sql_scripts import (
+        register_tables,
+        return_df_from_sql_script,
+    )
+
+    register_tables(spark, sf_dir, ["orders"])
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "sql", "daily_revenue.sql")
+    return return_df_from_sql_script(
+        spark, script, start_date="1998-01-01 00:00:00", min_orders=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based sessions via lag + running sum (the
+# "common OLAP pattern" the query layer exposes; W-ops generalized).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    g = events.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping sets (the aggregation surface Spark gives for free,
+# SURVEY.md §2.4 "not present in reference ... exposed by the engine")
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_rollup_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — event counts per date × type (expressed as CASE sums in the
+# oracle; Spark uses the native pivot operator).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pivot_events",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.groupBy(F.to_date("ts").cast("string").alias("event_date"))
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot yields NULL for empty cells; the oracle's FILTER yields 0
+    return out.select(
+        "event_date",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6 approximate distinct / quantiles — rows-only (approx answers are
+# engine-specific); accuracy is property-tested against exact values.
+# ---------------------------------------------------------------------------
+
+@register("q_approx_stats")
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )

@@ -244,3 +244,15 @@ def test_media_stats_prunes_payload(media):
     assert got == {"image": 2, "audio": 1}
     sizes = {r["modality"]: r["total_bytes"] for r in payload_sizes(media).collect()}
     assert sizes["image"] == len(b"\x89PNGfake") + len(b"\x89PNGother")
+
+
+def test_approx_stats_accuracy(spark, sf_dir):
+    # X6: approx_count_distinct within 5% of exact on real data
+    from bi_utils_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05

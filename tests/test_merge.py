@@ -110,3 +110,19 @@ def test_schema_diff_events(spark):
     assert changes == {("v", "type_changed"), ("flag", "added")}
     msgs = format_schema_change_messages("t", events)
     assert any("flag" in m and "added" in m for m in msgs)
+
+
+def test_merge_into_path_lifecycle(spark, tmp_path):
+    # M1 end-to-end against a parquet path: read → merge → rewrite
+    from bi_utils_spark.operators.merge import merge_into_path
+
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "old", T0, T0)],
+        ["id", "payload", "insert_timestamp", "update_timestamp"],
+    ).write.parquet(path)
+    source = spark.createDataFrame([(1, "new"), (2, "ins")], ["id", "payload"])
+    merge_into_path(spark, path, source, ["id"], now=F.lit(T1))
+    got = {r["id"]: r for r in spark.read.parquet(path).collect()}
+    assert got[1]["payload"] == "new" and got[1]["insert_timestamp"] == T0
+    assert got[2]["payload"] == "ins" and got[2]["insert_timestamp"] == T1
