@@ -1308,3 +1308,103 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY.md §2.3 "not present in reference"; operators/joins.py)
+# — for each purchase, the user's most recent click at or before it.
+# Oracle uses DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_asof_click_before_purchase",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           c.event_id AS prior_click_id,
+           epoch_us(c.ts) AS prior_click_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.joins import asof_join
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "prior_click_id", "ts": "prior_click_ts"},
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "prior_click_id",
+        F.unix_micros("prior_click_ts").alias("prior_click_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join (bucketed point-in-interval; operators/joins.py) — clicks in
+# the hour before each error, counted per error, zero-click errors kept.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_range_clicks_before_error",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT e.event_id AS err_id,
+           e.user_id,
+           CAST(count(c.ts) AS BIGINT) AS n_clicks_1h
+    FROM e LEFT JOIN c
+      ON c.user_id = e.user_id
+     AND c.ts >  e.ts - INTERVAL 1 HOUR
+     AND c.ts <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q_range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.joins import point_in_interval_join
+
+    events = load(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    hits = point_in_interval_join(
+        clicks,
+        errors,
+        point_ts="click_ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        on=["user_id"],
+        bucket_seconds=3600.0,
+        closed="right",
+    )
+    counts = hits.groupBy("err_id").agg(F.count("*").alias("n_clicks_1h"))
+    return (
+        errors.select("err_id", "user_id")
+        .join(counts, "err_id", "left")
+        .select(
+            "err_id",
+            "user_id",
+            F.coalesce(F.col("n_clicks_1h"), F.lit(0)).alias("n_clicks_1h"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Temporal join operators (operators/joins.py): as-of and range join."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.joins import asof_join, point_in_interval_join
+
+
+def ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(5), 11.0), (2, ts(3), 20.0)],
+        ["k", "qts", "price"],
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, ts(4), "a"), (1, ts(5), "b"), (1, ts(6), "c"), (2, ts(1), "d"), (3, ts(2), "e")],
+        ["k", "tts", "trade"],
+    )
+
+
+def test_asof_backward(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts",
+        right_cols={"price": "price", "qts": "quote_ts"},
+    )
+    got = {r["trade"]: (r["price"], r["quote_ts"]) for r in out.collect()}
+    assert got["a"] == (10.0, ts(0))          # last quote <= 00:04
+    assert got["b"] == (11.0, ts(5))          # exact match included
+    assert got["c"] == (11.0, ts(5))
+    assert got["d"] == (None, None)           # quote at 00:03 is after 00:01
+    assert got["e"] == (None, None)           # key never quoted → left preserved
+
+
+def test_asof_strict_excludes_exact(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts",
+        right_cols={"price": "price"}, allow_exact_matches=False,
+    )
+    got = {r["trade"]: r["price"] for r in out.collect()}
+    assert got["b"] == 10.0                   # 00:05 quote no longer visible
+
+
+def test_asof_forward(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts",
+        right_cols={"price": "price"}, direction="forward",
+    )
+    got = {r["trade"]: r["price"] for r in out.collect()}
+    assert got["a"] == 11.0                   # next quote at 00:05
+    assert got["c"] is None                   # nothing after 00:06
+    assert got["d"] == 20.0
+
+
+def test_asof_tolerance(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts",
+        right_cols={"price": "price"}, tolerance_seconds=120.0,
+    )
+    got = {r["trade"]: r["price"] for r in out.collect()}
+    assert got["a"] is None                   # 4 min gap > 2 min tolerance
+    assert got["b"] == 11.0                   # 0 gap
+
+
+def test_asof_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, ts(9))], ["k", "tts"])
+    right = spark.createDataFrame(
+        [(1, ts(1), "low"), (1, ts(1), "top")], ["k", "qts", "tag"]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="tts", right_ts="qts",
+        right_cols={"tag": "tag"}, right_tiebreak="tag",
+    )
+    assert out.first()["tag"] == "top"        # highest tiebreak wins
+
+
+def test_asof_row_count_preserved(spark, quotes, trades):
+    # left join semantics: exactly one output row per left row
+    out = asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts",
+        right_cols={"price": "price"},
+    )
+    assert out.count() == trades.count()
+
+
+def test_point_in_interval_closed_variants(spark):
+    points = spark.createDataFrame(
+        [(1, ts(0), "p0"), (1, ts(5), "p5"), (1, ts(10), "p10")],
+        ["k", "pts", "pid"],
+    )
+    intervals = spark.createDataFrame([(1, ts(0), ts(10), "iv")], ["k", "s", "e", "iid"])
+    def hit_ids(closed):
+        out = point_in_interval_join(
+            points, intervals, "pts", "s", "e",
+            on=["k"], bucket_seconds=60.0, closed=closed,
+        )
+        return sorted(r["pid"] for r in out.collect())
+    assert hit_ids("both") == ["p0", "p10", "p5"]
+    assert hit_ids("left") == ["p0", "p5"]
+    assert hit_ids("right") == ["p10", "p5"]
+    assert hit_ids("neither") == ["p5"]
+
+
+def test_point_in_interval_bucket_smaller_than_interval(spark):
+    # interval spans many buckets; every covered point still matches once
+    points = spark.createDataFrame(
+        [(1, ts(m), f"p{m}") for m in range(0, 60, 7)], ["k", "pts", "pid"]
+    )
+    intervals = spark.createDataFrame([(1, ts(3), ts(45), "iv")], ["k", "s", "e", "iid"])
+    out = point_in_interval_join(
+        points, intervals, "pts", "s", "e", on=["k"], bucket_seconds=120.0
+    )
+    rows = out.collect()
+    assert sorted(r["pid"] for r in rows) == sorted(
+        f"p{m}" for m in range(0, 60, 7) if 3 <= m <= 45
+    )
+    assert len(rows) == len({r["pid"] for r in rows})  # no duplicate matches
+
+
+def test_asof_plan_has_no_nested_loop(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on=["k"], left_ts="tts", right_ts="qts",
+        right_cols={"price": "price"},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
