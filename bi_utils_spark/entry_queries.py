@@ -1408,3 +1408,147 @@ def q_range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_clicks_1h"), F.lit(0)).alias("n_clicks_1h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X7 multimodal columns (operators/multimodal.py) — a deterministic media
+# frame derived from `documents` (payload = utf-8 text bytes, modality from
+# doc_id, typed metadata struct). Proves the binary-column plumbing:
+# metadata-only stats never scan the payload; feature extraction runs the
+# Arrow-batched mapInPandas path with the registered (fake) codec.
+# ---------------------------------------------------------------------------
+
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        modality.alias("modality"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 1000).cast("int").alias("width"),
+            (F.col("n_chars") % 720).cast("int").alias("height"),
+            (F.col("n_chars") * 7 % 60000).cast("int").alias("duration_ms"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+_MEDIA_CTE = """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             text,
+             octet_length(encode(text)) AS payload_bytes,
+             CAST(n_chars % 1000 AS INT) AS width,
+             CAST(n_chars * 7 % 60000 AS INT) AS duration_ms
+      FROM documents
+    )
+"""
+
+
+@register(
+    "q_media_stats",
+    _MEDIA_CTE
+    + """
+    SELECT modality,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+           CAST(max(payload_bytes) AS BIGINT) AS max_bytes,
+           avg(width) AS avg_width,
+           avg(duration_ms) AS avg_duration_ms
+    FROM m GROUP BY modality
+    """,
+)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_frame(spark, sf_dir)
+    return media.groupBy("modality").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+        F.avg(F.col("meta.width")).alias("avg_width"),
+        F.avg(F.col("meta.duration_ms")).alias("avg_duration_ms"),
+    )
+
+
+@register(
+    "q_media_features",
+    _MEDIA_CTE
+    + """
+    SELECT media_id, modality,
+           CAST(('0x' || substr(sha256(text), 1, 2))  AS INT) / 255.0 AS f0,
+           CAST(('0x' || substr(sha256(text), 3, 2))  AS INT) / 255.0 AS f1,
+           CAST(('0x' || substr(sha256(text), 5, 2))  AS INT) / 255.0 AS f2,
+           CAST(('0x' || substr(sha256(text), 7, 2))  AS INT) / 255.0 AS f3,
+           CAST(('0x' || substr(sha256(text), 9, 2))  AS INT) / 255.0 AS f4,
+           CAST(('0x' || substr(sha256(text), 11, 2)) AS INT) / 255.0 AS f5,
+           CAST(('0x' || substr(sha256(text), 13, 2)) AS INT) / 255.0 AS f6,
+           CAST(('0x' || substr(sha256(text), 15, 2)) AS INT) / 255.0 AS f7
+    FROM m
+    """,
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.multimodal import (
+        DecoderRegistry,
+        deterministic_fake_decoder,
+        extract_features,
+    )
+
+    for modality in ("image", "audio", "video"):
+        DecoderRegistry.register(modality, deterministic_fake_decoder(dim=8))
+    media = _media_frame(spark, sf_dir)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "modality",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(8)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2d embedding-cosine dedup: exact keep-list is oracle-checkable; the
+# IVF-celled pair variant and IVF top-k probe are approximate (rows-only;
+# recall property-tested in tests/test_ivf.py).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_emb_dedup_exact",
+    """
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings a
+      WHERE a.vec_id < e.vec_id
+        AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]), 9) >= 0.45
+    )
+    """,
+)
+def q_emb_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.dedup import embedding_dedup_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_dedup_exact(emb, threshold=0.45).select("vec_id", "label")
+
+
+@register("q_emb_near_dup_ivf")
+def q_emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.dedup import embedding_near_dup_pairs_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_ivf(emb, threshold=0.45, num_cells=8)
+
+
+@register("q_ivf_topk")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = ivf_topk(emb, [float(x) for x in target], k=10, num_cells=8, nprobe=3)
+    return out.select("vec_id", F.round("score", 9).alias("score"))

@@ -408,3 +408,88 @@ def simhash_near_dup_join(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# X2d: embedding-cosine near-duplicate dedup (the semantic tier —
+# catches paraphrases that share no shingles). Exact variant for the
+# oracle; IVF-celled variant for corpora where n² is unpayable.
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """Exact all-pairs (a < b) with cosine ≥ threshold. O(n²) — the
+    correctness baseline; use the celled variant at scale."""
+    from bi_utils_spark.operators.similarity import cosine_self_join_threshold
+
+    pairs = cosine_self_join_threshold(df, 0.0, id_col, vec_col)
+    score = F.round("score", round_digits) if round_digits else F.col("score")
+    return pairs.select("id_a", "id_b", score.alias("score")).filter(
+        F.col("score") >= threshold
+    )
+
+
+def embedding_dedup_exact(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Keep-list: drop every row having a *smaller-id* near-duplicate
+    (star dedup — same keep-first-representative contract as
+    dedup_exact's row_number()==1, applied to the similarity graph)."""
+    pairs = embedding_near_dup_pairs(df, id_col, vec_col, threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+def embedding_near_dup_pairs_ivf(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_cells: int = 16,
+    iters: int = 2,
+    num_assign: int = 3,
+) -> DataFrame:
+    """Celled near-dup pairs: each vector is indexed into its
+    ``num_assign`` nearest IVF cells (multi-assignment — the standard
+    recall fix for boundary pairs), candidates are same-cell rows, and
+    every candidate is scored with *exact* cosine, so the output has no
+    false positives; only recall is approximate (property-tested).
+
+    Pair volume falls from n² to Σ_cell n_cell² and the join shuffles
+    on cell_id — AQE splits skewed (hot) cells. Raise num_assign for
+    recall, num_cells for selectivity.
+    """
+    from bi_utils_spark.operators.similarity import (
+        dot,
+        ivf_assign_multi,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(df, num_cells, id_col, vec_col, iters)
+    assigned = ivf_assign_multi(df, cents, num_assign, id_col, vec_col)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot(F.col("a.u"), F.col("b.u")), 9).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    # multi-assignment can pair the same ids in several shared cells
+    return cand.distinct()

@@ -1,0 +1,76 @@
+"""IVF index + embedding-cosine dedup (operators/similarity.py, dedup.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.dedup import (
+    embedding_dedup_exact,
+    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_ivf,
+)
+from bi_utils_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    kmeans_centroids,
+)
+from bi_utils_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_kmeans_deterministic_and_unit(spark, emb):
+    c1 = kmeans_centroids(emb, num_cells=8, iters=2)
+    c2 = kmeans_centroids(emb, num_cells=8, iters=2)
+    r1 = {r["cell_id"]: r["centroid"] for r in c1.collect()}
+    r2 = {r["cell_id"]: r["centroid"] for r in c2.collect()}
+    assert r1 == r2
+    for v in r1.values():
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+
+def test_ivf_assign_covers_all_rows(spark, emb):
+    cents = kmeans_centroids(emb, num_cells=8, iters=1)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("id").distinct().count() == emb.count()
+    n_cells = assigned.select("cell_id").distinct().count()
+    assert 1 < n_cells <= 8
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    target = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    q = [float(x) for x in target]
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(emb, q, k=10, num_cells=8, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall} too low"
+
+
+def test_embedding_dedup_exact_drops_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1 → dropped
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = sorted(r["vec_id"] for r in embedding_dedup_exact(df, threshold=0.95).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_ivf_pairs_subset_of_exact_with_recall(spark, emb):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_ivf(emb, threshold=0.45, num_cells=8).collect()
+    }
+    assert approx <= exact            # no false positives (exact verify)
+    if exact:
+        assert len(approx) / len(exact) >= 0.3   # cells keep a usable share
