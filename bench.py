@@ -22,8 +22,16 @@ BENCH_QUERIES = [
     "q_shipping_priority",
     "q_revenue_by_nation",
     "q_top_suppliers",
+    "q_forecast_revenue",
+    "q_returned_items",
+    "q_large_orders",
+    "q_promo_share",
     "q_latest_event_per_user",
     "q_alert_decide_batch",
+    # temporal joins
+    "q_asof_click_before_purchase",
+    "q_range_clicks_before_error",
+    "q_sessionize",
     # nested + merge surface
     "q_flatten_lineitems",
     "q_merge_upsert",

@@ -1552,3 +1552,182 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     out = ivf_topk(emb, [float(x) for x in target], k=10, num_cells=8, nprobe=3)
     return out.select("vec_id", F.round("score", 9).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Headline star-schema queries, second batch — the grouped-agg / HAVING /
+# top-k surface (SURVEY.md §2.4 "free in Spark … engine exposes them")
+# exercised across every fixture dimension table. Determinism: money math
+# accumulates in DECIMAL, surfaces as DOUBLE.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6 shape: pure scan-filter-agg — the pushdown showcase. All four
+    # predicates reach the parquet scan (PushedFilters); ReadSchema is
+    # 4 columns of 11.
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q10 shape: fact-fact join shuffles on orderkey; customer/nation
+    # dims broadcast; top-20 is TakeOrderedAndProject.
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1997-07-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+           o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q18 shape: pre-aggregate the fact table to order grain FIRST
+    # (map-side partial agg shrinks the shuffle), then HAVING prunes to
+    # a tiny key set that joins orders/customer.
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey", F.col("qty").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_promo_share",
+    """
+    SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                   ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             * 100.0 AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q14 shape: part is the broadcast dim; ratio of two DECIMAL sums
+    # divides once in DOUBLE (deterministic cross-engine).
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            # exact DECIMAL sums; the only float ops are one divide and
+            # one multiply, in this order on both engines → bit-equal
+            (F.sum(promo).cast("double") / F.sum(rev).cast("double") * F.lit(100.0))
+            .alias("promo_share_pct")
+        )
+    )
