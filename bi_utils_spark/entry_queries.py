@@ -1731,3 +1731,79 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("promo_share_pct")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE and set operations (SURVEY.md §2.4/§2.7 "not present in
+# reference … built-in") — exposed as first-class query-layer entries.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cube_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "q_users_click_not_purchase",
+    """
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+    FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_users_click_not_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (user, day) pairs with a click but no purchase — EXCEPT is set
+    # semantics (Spark: subtract), not exceptAll's multiset difference.
+    events = load(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("string").alias("event_date")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.subtract(buys)
+
+
+@register(
+    "q_users_signup_and_error",
+    """
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+    FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q_users_signup_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("string").alias("event_date")
+    a = events.filter(F.col("event_type") == "signup").select("user_id", day)
+    b = events.filter(F.col("event_type") == "error").select("user_id", day)
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# X2e winnowing fingerprints — rows-only (hash function is engine-
+# specific); the winnowing guarantee is property-tested in tests/.
+# ---------------------------------------------------------------------------
+
+@register("q_winnow_near_dup")
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.dedup import winnowing_near_dup_join
+
+    docs = load(spark, sf_dir, "documents")
+    return winnowing_near_dup_join(docs, "doc_id", "text", min_shared=3)

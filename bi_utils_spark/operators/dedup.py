@@ -85,7 +85,7 @@ _SHINGLE_P = 1_000_003  # combine multiplier for token-hash shingles
 
 
 def shingle_hash_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, keep_pos: bool = False
 ) -> DataFrame:
     """(id, sh) rows of n-token shingle *hashes* — the row-wise
     formulation for when shingle identity, not text, is needed
@@ -114,8 +114,9 @@ def shingle_hash_rows(
     th = toks.select(
         "id", "pos", F.pmod(F.xxhash64("tok"), F.lit(_MERSENNE)).alias("h")
     )
+    out_cols = ["id", "pos", "sh"] if keep_pos else ["id", "sh"]
     if n == 1:
-        return th.select("id", F.col("h").alias("sh"))
+        return th.select("id", "pos", F.col("h").alias("sh")).select(*out_cols)
 
     w = Window.partitionBy("id").orderBy("pos")
     comb = F.col("h")
@@ -132,7 +133,7 @@ def shingle_hash_rows(
     keep = (F.col("pos") <= F.col("n_toks") - n) | (
         (F.col("n_toks") < n) & (F.col("pos") == 0)
     )
-    return staged.filter(keep).select("id", "sh")
+    return staged.filter(keep).select(*out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -566,3 +567,61 @@ def embedding_near_dup_pairs_ivf(
     )
     # multi-assignment can pair the same ids in several shared cells
     return cand.distinct()
+
+
+# ---------------------------------------------------------------------------
+# X2e: winnowing (rolling-hash) document fingerprints — the MOSS
+# construction (Schleimer/Wilkerson/Aiken, SIGMOD 2003).
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowed fingerprint set per document: k-token rolling hashes,
+    then the minimum hash of every ``window`` consecutive k-grams,
+    deduplicated. Guarantee: two documents sharing a token run of
+    length ≥ k + window − 1 share at least one fingerprint.
+
+    Scale: fingerprint count per doc is ~2/(window+1) of its token
+    count — a tunable constant-factor sketch (unlike MinHash it is
+    position-local, so it also powers containment/plagiarism lookups,
+    not just whole-doc similarity). Built entirely from the shared
+    shingle-hash rows: one tokenize, one window, one distinct.
+    """
+    rows = shingle_hash_rows(df, id_col, text_col, k, keep_pos=True)
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        rows.withColumn("fp", F.min("sh").over(w))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def winnowing_near_dup_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Candidate pairs sharing ≥ min_shared winnowing fingerprints —
+    containment-style near-dup detection (catches copied passages in
+    otherwise different documents, which whole-doc MinHash dilutes).
+    The join shuffles on the 8-byte fingerprint; hot boilerplate
+    fingerprints can be capped exactly like jaccard's doc-freq filter.
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

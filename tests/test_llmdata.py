@@ -256,3 +256,38 @@ def test_approx_stats_accuracy(spark, sf_dir):
         F.countDistinct("l_orderkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_winnowing_guarantee_and_rate(spark):
+    # MOSS guarantee: docs sharing a run of >= k+window-1 tokens share
+    # a fingerprint; fully-disjoint docs share none.
+    from bi_utils_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_near_dup_join,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two three {shared} outro alpha beta"),
+            (2, f"completely different preamble {shared} and other words"),
+            (3, "unrelated text about completely other topics entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=4, window=5)
+    sets = {}
+    for r in fps.collect():
+        sets.setdefault(r["id"], set()).add(r["fp"])
+    assert sets[1] & sets[2], "shared passage must share a fingerprint"
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnowing_near_dup_join(df, "doc_id", "text", min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # density: fingerprints per doc ≈ 2/(w+1) of positions, never more
+    # than the k-gram count
+    n_fp = len(sets[1])
+    assert 1 <= n_fp <= 12
