@@ -122,3 +122,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def configure_object_store(
+    spark: SparkSession,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    region: str = "eu-central-1",
+    endpoint: str | None = None,
+) -> SparkSession:
+    """Point the session's Hadoop s3a filesystem at an object store.
+
+    Replaces the reference's per-call boto3 client factory
+    (``establish_boto3_client``, utils.py:389-414): on Spark the store
+    is a *filesystem* — executors stream parquet from ``s3a://`` paths
+    directly, so there is no per-call client and no driver-side byte
+    shuttling. Credentials fall back to the standard provider chain
+    (env/instance profile) when not given — preferred in production.
+    """
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    if access_key and secret_key:
+        hconf.set("fs.s3a.access.key", access_key)
+        hconf.set("fs.s3a.secret.key", secret_key)
+    hconf.set("fs.s3a.endpoint.region", region)
+    if endpoint:
+        hconf.set("fs.s3a.endpoint", endpoint)
+    hconf.set("fs.s3a.fast.upload", "true")
+    return spark

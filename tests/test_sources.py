@@ -155,3 +155,17 @@ def test_notify_rows_per_row_sink(spark):
     out = []
     n = notify_rows(df, lambda d: f"{d['tbl']}.{d['col']}", out.append)
     assert n == 1 and out == ["t1.c1"]
+
+
+def test_configure_object_store_sets_hadoop_conf(spark):
+    # S10 analogue: s3a filesystem config instead of per-call clients
+    from bi_utils_spark.session import configure_object_store
+
+    configure_object_store(
+        spark, access_key="AK", secret_key="SK", region="eu-west-1",
+        endpoint="http://localhost:9000",
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AK"
+    assert hconf.get("fs.s3a.endpoint.region") == "eu-west-1"
+    assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
