@@ -1,0 +1,147 @@
+"""Property-based tests (SURVEY.md §5.2 layer 4, hypothesis).
+
+Each property runs a bounded number of examples — every example spins
+real Spark jobs, so budgets are small but the input space (nested
+shapes, null/empty lists, merge batches) is the part unit fixtures
+under-cover.
+"""
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
+
+from bi_utils_spark.operators.merge import merge_upsert
+from bi_utils_spark.operators.nested import flatten
+from bi_utils_spark.operators.relational import watermark_filter
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# --- nested document strategy ----------------------------------------------
+
+scalars = st.one_of(
+    st.integers(-1000, 1000),
+    st.text("abc", min_size=0, max_size=4),
+    st.none(),
+)
+
+
+def docs_strategy(depth: int):
+    if depth == 0:
+        return st.dictionaries(
+            st.sampled_from(["a", "b", "c"]), scalars, min_size=1, max_size=3
+        )
+    inner = docs_strategy(depth - 1)
+    return st.dictionaries(
+        st.sampled_from(["a", "b", "c", "items", "meta"]),
+        st.one_of(
+            scalars,
+            inner,
+            st.lists(inner, min_size=0, max_size=3),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+
+@SETTINGS
+@given(st.lists(docs_strategy(2), min_size=1, max_size=5))
+def test_flatten_fixpoint_terminates_and_is_flat(spark, docs):
+    payload = [json.dumps({"row_id": i, **d}) for i, d in enumerate(docs)]
+    df = spark.read.json(spark.sparkContext.parallelize(payload, 1))
+    out = flatten(df)
+    for f in out.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, StructType)), (
+            f"column {f.name} still nested: {f.dataType}"
+        )
+
+
+@SETTINGS
+@given(st.lists(docs_strategy(2), min_size=1, max_size=5))
+def test_flatten_preserves_every_parent_row(spark, docs):
+    # explode_outer semantics: null/empty lists must not drop parents
+    payload = [json.dumps({"row_id": i, **d}) for i, d in enumerate(docs)]
+    df = spark.read.json(spark.sparkContext.parallelize(payload, 1))
+    out = flatten(df)
+    parent_ids = {r["row_id"] for r in out.select("row_id").distinct().collect()}
+    assert parent_ids == set(range(len(docs)))
+
+
+# --- merge upsert properties ------------------------------------------------
+
+batch = st.lists(
+    st.tuples(st.integers(0, 5), st.text("xyz", min_size=1, max_size=3)),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-02-01 00:00:00"
+
+
+def _mk(spark, rows, ts):
+    return spark.createDataFrame(
+        [(k, v, ts, ts) for k, v in rows],
+        ["id", "payload", "insert_timestamp", "update_timestamp"],
+    ).withColumn("insert_timestamp", F.col("insert_timestamp").cast("timestamp")) \
+     .withColumn("update_timestamp", F.col("update_timestamp").cast("timestamp"))
+
+
+@SETTINGS
+@given(batch, batch)
+def test_merge_idempotent_and_pk_union(spark, target_rows, source_rows):
+    target = _mk(spark, target_rows, T0)
+    source = spark.createDataFrame(source_rows, ["id", "payload"])
+    once = merge_upsert(target, source, ["id"], now=F.lit(T1).cast("timestamp"))
+    twice = merge_upsert(once, source, ["id"], now=F.lit(T1).cast("timestamp"))
+
+    def snap(df):
+        return {
+            (r["id"], r["payload"], r["insert_timestamp"], r["update_timestamp"])
+            for r in df.collect()
+        }
+
+    assert snap(once) == snap(twice)                       # idempotence
+    assert {r["id"] for r in once.select("id").collect()} == (
+        {k for k, _ in target_rows} | {k for k, _ in source_rows}
+    )                                                      # PK union
+    # matched rows keep the target's insert_timestamp
+    matched = {k for k, _ in target_rows} & {k for k, _ in source_rows}
+    by_id = {r["id"]: r for r in once.collect()}
+    for k in matched:
+        assert str(by_id[k]["insert_timestamp"]).startswith("2024-01-01")
+        assert str(by_id[k]["update_timestamp"]).startswith("2024-02-01")
+
+
+# --- watermark property ------------------------------------------------------
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(0, 10_000),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_watermark_filter_keeps_max_and_window(spark, offsets):
+    df = spark.createDataFrame(
+        [(i, o) for i, o in enumerate(offsets)], ["row_id", "off"]
+    ).select(
+        "row_id",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(
+            secs=F.col("off")
+        )).alias("ts"),
+    )
+    out = watermark_filter(df, "ts", "60 seconds").collect()
+    got_offsets = sorted(offsets[r["row_id"]] for r in out)
+    hi = max(offsets)
+    expected = sorted(o for o in offsets if o >= hi - 60)
+    assert got_offsets == expected
+    assert hi in got_offsets                              # max row always kept
