@@ -85,3 +85,83 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     run_stream_to_memory(agg, "win_out")
     rows = spark.sql("SELECT n, total_value FROM win_out ORDER BY n DESC").collect()
     assert [(r["n"], r["total_value"]) for r in rows] == [(2, 3.0), (1, 3.0)]
+
+
+def test_alert_state_carries_across_batches(spark, tmp_path):
+    # batch 1: no prior state → send; batch 2: |13-12| < 5 → suppressed;
+    # batch 3: |30-12| ≥ 5 → send again. State lives in the query, not
+    # the driver.
+    src = tmp_path / "stream2"
+    src.mkdir()
+    stream = spark.readStream.schema("k string, value double").json(str(src))
+    decided = decide_alerts_stream(stream, ["k"], "value", resend_threshold=5.0)
+    q = (
+        decided.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("alert_multi")
+        .start()
+    )
+    try:
+        (src / "b0.jsonl").write_text('{"k": "a", "value": 12.0}')
+        q.processAllAvailable()
+        (src / "b1.jsonl").write_text('{"k": "a", "value": 13.0}')
+        q.processAllAvailable()
+        (src / "b2.jsonl").write_text('{"k": "a", "value": 30.0}')
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT current_value, should_send FROM alert_multi ORDER BY current_value"
+    ).collect()
+    assert [(r["current_value"], r["should_send"]) for r in rows] == [
+        (12.0, True),
+        (13.0, False),
+        (30.0, True),
+    ]
+
+
+def test_streaming_flatten_of_landed_pages(spark, tmp_path):
+    # §3.1 pipeline, streaming form: landed nested pages → flatten →
+    # sink. flatten() is schema-driven/stateless, so the SAME operator
+    # code runs in both batch and streaming.
+    from bi_utils_spark.operators.nested import flatten
+    from bi_utils_spark.streaming.ingest import stream_landed
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "page0.jsonl").write_text(
+        '{"id": 1, "customer": {"name": "x"}, '
+        '"lineItems": [{"sku": "a", "qty": 2}, {"sku": "b", "qty": 1}]}\n'
+        '{"id": 2, "customer": {"name": "y"}, "lineItems": []}\n'
+    )
+    schema = (
+        "id bigint, customer struct<name: string>, "
+        "lineItems array<struct<sku: string, qty: bigint>>"
+    )
+    stream = stream_landed(spark, str(src), schema, max_files_per_trigger=1)
+    flat = flatten(stream)
+    q = (
+        flat.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("flat_orders")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "page1.jsonl").write_text(
+            '{"id": 3, "customer": {"name": "z"}, "lineItems": [{"sku": "c", "qty": 9}]}\n'
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT id, customer__name, lineItems__sku, lineItems__qty "
+        "FROM flat_orders ORDER BY id, lineItems__sku"
+    ).collect()
+    got = [(r[0], r[1], r[2], r[3]) for r in rows]
+    assert got == [
+        (1, "x", "a", 2),
+        (1, "x", "b", 1),
+        (2, "y", None, None),   # empty list keeps its parent row
+        (3, "z", "c", 9),
+    ]
