@@ -1,0 +1,70 @@
+"""Plan-level assertions for the scale design claims (plans/inspect.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.plans.inspect import (
+    assert_no_nested_loop,
+    assert_pruned_scan,
+    assert_pushed_filter,
+    join_kinds,
+    num_exchanges,
+    scan_pushed_filters,
+)
+from bi_utils_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def sf01():
+    return "/root/testdata/sf0.01"
+
+
+def test_q6_pushdown_and_pruning(spark, sf01):
+    import __spark_entry__ as m
+
+    df = m.queries()["q_forecast_revenue"](spark, sf01)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "l_quantity")
+    # 11-column lineitem read with ≤4 columns
+    assert_pruned_scan(df, table_cols=11, max_read_cols=4)
+
+
+def test_star_join_broadcasts_dims(spark, sf01):
+    import __spark_entry__ as m
+
+    df = m.queries()["q_revenue_by_nation"](spark, sf01)
+    kinds = join_kinds(df)
+    assert kinds.get("BroadcastHashJoin", 0) >= 3
+    assert_no_nested_loop(df)
+
+
+def test_asof_join_plan_is_shuffle_once(spark, sf01):
+    import __spark_entry__ as m
+
+    df = m.queries()["q_asof_click_before_purchase"](spark, sf01)
+    assert_no_nested_loop(df)
+
+
+def test_metadata_only_media_stats_prunes_payload(spark, tmp_path):
+    from bi_utils_spark.operators.multimodal import MEDIA_SCHEMA, media_stats
+    from bi_utils_spark.plans.inspect import scan_read_schemas
+
+    media = spark.createDataFrame(
+        [("m1", "image", "image/png", b"\x89PNG" * 1000, (640, 480, None, None))],
+        MEDIA_SCHEMA,
+    )
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    # media_stats touches modality + meta only — the parquet scan's
+    # ReadSchema must exclude the fat payload column entirely
+    out = media_stats(spark.read.parquet(path))
+    schemas = scan_read_schemas(out)
+    assert schemas and all("payload" not in s for s in schemas)
+
+
+def test_exchange_counts_bounded_for_pricing_summary(spark, sf01):
+    import __spark_entry__ as m
+
+    df = m.queries()["q_pricing_summary"](spark, sf01)
+    # scan → partial agg → single exchange → final agg (+AQE reads)
+    assert num_exchanges(df) <= 2
