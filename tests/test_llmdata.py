@@ -291,3 +291,36 @@ def test_winnowing_guarantee_and_rate(spark):
     # than the k-gram count
     n_fp = len(sets[1])
     assert 1 <= n_fp <= 12
+
+
+def test_resize_media_plumbing(spark, media):
+    from bi_utils_spark.operators.multimodal import (
+        TranscoderRegistry,
+        deterministic_fake_resize,
+        resize_media,
+    )
+
+    TranscoderRegistry.register("resize", deterministic_fake_resize)
+    out = resize_media(media, width=64, height=64).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert len(r["payload"]) == 64 * 64 // 64   # bounded output size
+        assert r["meta"]["width"] == 64 and r["meta"]["height"] == 64
+
+
+def test_sample_frames_plumbing(spark, media):
+    from bi_utils_spark.operators.multimodal import sample_frames
+
+    out = sample_frames(media, n_frames=3).collect()
+    ids = {r["media_id"] for r in out}
+    assert len(out) == media.count() * 3
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_id.items():
+        assert sorted(x["frame_idx"] for x in rows) == [0, 1, 2]
+        assert all(len(x["frame"]) >= 1 for x in rows)
+    # determinism: same input → same frames
+    out2 = sample_frames(media, n_frames=3).collect()
+    assert {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out} == \
+           {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out2}
