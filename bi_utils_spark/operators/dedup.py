@@ -429,6 +429,36 @@ def simhash64(c: Column | str, shingle_n: int = 1) -> Column:
     )
 
 
+def simhash64_rows(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1
+) -> DataFrame:
+    """(id, fp) SimHash fingerprints, row-wise — the fast path.
+
+    Same layout rationale as minhash_signatures: shingle hashes come
+    as rows (one tokenize total), each shingle is re-hashed to 64 bits
+    with one xxhash64, and the per-bit ±1 votes are 64 plain sum-of-
+    bit aggregate lanes (vote_i > 0 ⟺ 2·Σbit_i > n). Zero per-shingle
+    array allocation; map-side partial aggregation ships 64 longs per
+    doc. The column-expression form (simhash64) folds a 64-wide
+    accumulator per shingle — use it only on small frames.
+    """
+    rows = shingle_hash_rows(df, id_col, text_col, shingle_n)
+    h64 = F.xxhash64(F.col("sh"))
+    lanes = [
+        F.sum(F.shiftright(h64, i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = rows.groupBy("id").agg(F.count("*").alias("_n"), *lanes)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(mask).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("id", fp.alias("fp"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -448,9 +478,7 @@ def simhash_near_dup_join(
     (pigeonhole), so the join key is (chunk_idx, chunk_value) —
     sub-quadratic like MinHash-LSH but with a hard guarantee.
     """
-    fp = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col, shingle_n).alias("fp")
-    )
+    fp = simhash64_rows(df, id_col, text_col, shingle_n)
     chunks = F.array(
         *[
             F.struct(
@@ -543,28 +571,40 @@ def embedding_near_dup_pairs_ivf(
     recall, num_cells for selectivity.
     """
     from bi_utils_spark.operators.similarity import (
-        dot,
         ivf_assign_multi,
         kmeans_centroids,
     )
 
     cents = kmeans_centroids(df, num_cells, id_col, vec_col, iters)
     assigned = ivf_assign_multi(df, cents, num_assign, id_col, vec_col)
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(dot(F.col("a.u"), F.col("b.u")), 9).alias("score"),
-        )
-        .filter(F.col("score") >= threshold)
-    )
+    # Pack each cell into one row and score it as a single numpy
+    # matmul (cosine_pairs_blocked's diagonal-block layout): thousands
+    # of SIMD dots per Python call instead of one codegen fold per
+    # candidate pair — measured ~20x on this stage at sf0.1.
+    packed = assigned.groupBy("cell_id").agg(
+        F.collect_list("id").alias("ids"),
+        F.collect_list("u").alias("vecs"),
+    ).repartition(num_cells)
+
+    import pandas as pd  # noqa: PLC0415
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = np.asarray(row.ids)
+                A = np.asarray([list(v) for v in row.vecs])
+                S = np.round(A @ A.T, 9)
+                ia, ib = np.nonzero(S >= threshold)
+                keep = ids[ia] < ids[ib]
+                out_a.extend(ids[ia][keep])
+                out_b.extend(ids[ib][keep])
+                out_s.extend(S[ia, ib][keep])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
+
+    cand = packed.mapInPandas(score, schema="id_a long, id_b long, score double")
     # multi-assignment can pair the same ids in several shared cells
     return cand.distinct()
 

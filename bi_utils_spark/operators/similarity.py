@@ -290,7 +290,12 @@ def kmeans_centroids(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    unit = df.select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("u"))
+    # Persisted: every Lloyd iteration (and the caller's final assign)
+    # re-reads the unit vectors — without this the scan+normalize
+    # lineage re-executes once per iteration.
+    unit = df.select(
+        F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("u")
+    ).persist()
 
     from pyspark.sql import Window
 
@@ -320,17 +325,24 @@ def kmeans_centroids(
 
 def _assign_cells(unit_df: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment via a broadcast cross join; argmax
-    of dot product picked with a struct max (deterministic on ties)."""
+    of dot product picked with a struct max (deterministic on ties).
+
+    Grouping is on the scalar id only — never on the vector column
+    (array group keys hash/compare 64 doubles per row); the vector
+    rides along inside the max struct instead.
+    """
     scored = unit_df.crossJoin(F.broadcast(centroids)).select(
         "id",
-        "u",
         F.struct(
             dot(F.col("u"), F.col("centroid")).alias("score"),
             F.col("cell_id").alias("cell_id"),
+            F.col("u").alias("u"),
         ).alias("sc"),
     )
-    best = scored.groupBy("id", "u").agg(F.max("sc").alias("best"))
-    return best.select("id", "u", F.col("best.cell_id").alias("cell_id"))
+    best = scored.groupBy("id").agg(F.max("sc").alias("best"))
+    return best.select(
+        "id", F.col("best.u").alias("u"), F.col("best.cell_id").alias("cell_id")
+    )
 
 
 def ivf_assign(
@@ -414,3 +426,88 @@ def ivf_assign_multi(
         .filter(F.col("__rn") <= num_assign)
         .select("id", "u", "cell_id")
     )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int | None = None,
+    target_block: int = 1024,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via blocked matrix multiply.
+
+    Same answer as cosine_self_join_threshold, different physics: the
+    corpus is packed into ~``target_block``-row blocks (one row per
+    block carrying an id array + a flattened vector matrix), block
+    PAIRS are joined, and each pair is scored as ONE numpy matmul in
+    an Arrow-batched mapInPandas — thousands of SIMD dot products per
+    Python call instead of one codegen'd fold per pair. Use this when
+    n² scoring is required (ground truth, recall audits); use the IVF/
+    LSH variants when it is not.
+
+    Scale: work is n²/2 dots regardless; this layout spreads block
+    pairs across executors evenly and ships each block once per
+    partner block. Scores may differ from the sequential fold in the
+    last float ulp (SIMD summation order) — exact pair SETS at any
+    sane threshold, but not bit-identical scores: keep oracle-hashed
+    queries on the fold path.
+    """
+    import math as _math
+
+    n = df.count()
+    if num_blocks is None:
+        num_blocks = max(1, _math.ceil(n / target_block))
+
+    unit = df.select(
+        F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("u")
+    ).withColumn("bkt", F.pmod(F.xxhash64(F.col("id")), F.lit(num_blocks)))
+    packed = unit.groupBy("bkt").agg(
+        F.collect_list("id").alias("ids"),
+        F.collect_list("u").alias("vecs"),
+    )
+    pairs = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.bkt") <= F.col("b.bkt"))
+        .select(
+            F.col("a.bkt").alias("bkt_a"),
+            F.col("b.bkt").alias("bkt_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+        # one block pair per task: matmul work spreads evenly
+        .repartition(num_blocks * (num_blocks + 1) // 2)
+    )
+
+    import pandas as pd  # noqa: PLC0415
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a)
+                ids_b = np.asarray(row.ids_b)
+                A = np.asarray([list(v) for v in row.vecs_a])
+                B = np.asarray([list(v) for v in row.vecs_b])
+                S = A @ B.T
+                ia, ib = np.nonzero(S >= threshold)
+                if row.bkt_a == row.bkt_b:
+                    # diagonal block: S holds both (i,j) and (j,i)
+                    keep = ids_a[ia] < ids_b[ib]
+                else:
+                    # off-diagonal: each pair appears once; id order is
+                    # uncorrelated with block order — normalize below
+                    keep = ids_a[ia] != ids_b[ib]
+                lo = np.minimum(ids_a[ia][keep], ids_b[ib][keep])
+                hi = np.maximum(ids_a[ia][keep], ids_b[ib][keep])
+                out_a.extend(lo)
+                out_b.extend(hi)
+                out_s.extend(S[ia, ib][keep])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
+
+    return pairs.mapInPandas(score, schema="id_a long, id_b long, score double")

@@ -74,3 +74,23 @@ def test_ivf_pairs_subset_of_exact_with_recall(spark, emb):
     assert approx <= exact            # no false positives (exact verify)
     if exact:
         assert len(approx) / len(exact) >= 0.3   # cells keep a usable share
+
+
+def test_blocked_pairs_match_fold_pairs(spark, emb):
+    # same pair set as the codegen fold path (scores equal to ~1 ulp)
+    from bi_utils_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        cosine_self_join_threshold,
+    )
+
+    fold = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_self_join_threshold(emb, threshold=0.45).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in cosine_pairs_blocked(emb, threshold=0.45, num_blocks=4).collect()
+    }
+    assert set(fold) == set(blocked)
+    for k in fold:
+        assert abs(fold[k] - blocked[k]) < 1e-9
