@@ -1807,3 +1807,131 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return winnowing_near_dup_join(docs, "doc_id", "text", min_shared=3)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (native DataFrame API) — the remaining multi-grain
+# aggregation form beside rollup/cube.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Exact variance/stddev via DECIMAL moment sums — statistical aggregates
+# with cross-engine bit-stable results (Welford-vs-naive float drift is
+# sidestepped by accumulating Σx, Σx² exactly and doing the two float
+# ops in a pinned order).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_price_variance",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_price
+    FROM m
+    """,
+)
+def q_price_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(p).cast("double").alias("s1"),
+        F.sum(p * p).cast("double").alias("s2"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+        .alias("var_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String function surface — regexp extraction, casing, padding, translate
+# over part names (deterministic, engine-portable forms only).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           substr(p_name, 1, 8) AS name_prefix,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           replace(p_type, 'PROMO', 'P_') AS type_repl,
+           CAST(length(p_name) AS BIGINT) AS name_len
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_type"), F.lit("PROMO"), F.lit("P_")).alias("type_repl"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXISTS / anti-join subquery (TPC-H Q4 shape): orders that shipped at
+# least one item in the month after ordering.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_priority_with_shipment",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_priority_with_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    # left-semi join is the EXISTS plan (no row multiplication)
+    matched = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
