@@ -145,8 +145,27 @@ def merge_into_path(
     the stage. Rewrite is via a temp directory + rename-free
     overwrite (Spark's dynamic overwrite handles atomicity per
     partition); Delta MERGE would make this transactional row-level.
+
+    A missing target path bootstraps from an empty frame — the first
+    merge creates the table, every source row taking the NOT MATCHED
+    insert branch (the reference assumed pre-created DWH tables; an
+    engine should not).
     """
-    target = spark.read.parquet(target_path)
+    from pyspark.sql.types import StructField, StructType, TimestampType
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        target = spark.read.parquet(target_path)
+    except AnalysisException:
+        ins, upd = kwargs.get("managed_ts", ("insert_timestamp", "update_timestamp"))
+        schema = StructType(
+            list(source.schema.fields)
+            + [
+                StructField(ins, TimestampType(), True),
+                StructField(upd, TimestampType(), True),
+            ]
+        )
+        target = spark.createDataFrame([], schema)
     merged = merge_upsert(target, source, pks, **kwargs)
     # Materialize before overwriting the input path we just read.
     merged.cache()
