@@ -307,13 +307,17 @@ def minhash_band_buckets(
 def minhash_candidates(sig_df: DataFrame, num_bands: int = 16) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from LSH band buckets.
 
+    The banded frame is persisted and self-joined — banding (and the
+    signature plan under it) runs once, not once per join side.
+
     Scale: the self-join shuffles on (band_id, bucket) — tiny keys,
     and only colliding docs meet. Degenerate buckets (e.g. thousands
     of near-identical boilerplate docs) explode quadratically; cap
     with a bucket-size filter in a production pipeline.
     """
-    b1 = minhash_band_buckets(sig_df, num_bands).alias("x")
-    b2 = minhash_band_buckets(sig_df, num_bands).alias("y")
+    banded = minhash_band_buckets(sig_df, num_bands).persist()
+    b1 = banded.alias("x")
+    b2 = banded.alias("y")
     return (
         b1.join(
             b2,
@@ -355,8 +359,8 @@ def minhash_near_dup_join(
         for _ in range(num_hashes)
     ]
     rows = shingle_hash_rows(df, id_col, text_col, shingle_n).persist()
-    sigs = _signatures_from_rows(rows, coeffs).persist()
-    cand = minhash_candidates(sigs, num_bands)
+    sigs = _signatures_from_rows(rows, coeffs)
+    cand = minhash_candidates(sigs, num_bands)  # persists its banded frame
     # sets reuses the id-partitioning rows already has — no new shuffle
     sets = rows.groupBy("id").agg(F.collect_set("sh").alias("sh"))
     a = sets.alias("sa")
