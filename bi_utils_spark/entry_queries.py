@@ -1935,3 +1935,50 @@ def q_priority_with_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return matched.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style rollup grain (operators/incremental.py) — the
+# continuous-aggregate SELECT; the incremental fold is property-tested
+# (apply deltas == full recompute) in tests/test_incremental.py.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_hourly_rollup",
+    """
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.incremental import rollup_delta
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    r = rollup_delta(events, "ts", "1 hour", ["event_type"], sum_cols=["value"])
+    return r.select(
+        F.unix_micros("bucket_start").alias("bucket_us"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@register("q_hll_daily_users")
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable-sketch surface: per-day HLL partials unioned to a
+    # 7-day rolling distinct estimate (rows-only; ≤5% error property-
+    # tested against countDistinct)
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy()
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users"))
+    )
