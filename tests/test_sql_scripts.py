@@ -58,3 +58,18 @@ def test_show_full_bounds(spark):
     show_full(df)  # small: prints fine
     with pytest.raises(ValueError, match="max_rows"):
         show_full(spark.range(100), max_rows=10)
+
+
+def test_profile_one_pass(spark, sf_dir):
+    from bi_utils_spark.operators.display import profile
+    from bi_utils_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = {r["column_name"]: r for r in profile(events).collect()}
+    assert set(rows) == set(events.columns)
+    assert rows["event_id"]["n_nulls"] == 0
+    exact_users = events.select("user_id").distinct().count()
+    assert abs(rows["user_id"]["approx_distinct"] - exact_users) / exact_users < 0.1
+    assert rows["value"]["mean"] is not None
+    assert rows["event_type"]["mean"] is None      # non-numeric: no mean
+    assert rows["event_type"]["min_str"] == "click"
