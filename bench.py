@@ -68,6 +68,11 @@ def main() -> None:
     from bi_utils_spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "region").count()
+    # Warm the Python worker pool (Arrow/pandas-UDF path): daemon +
+    # worker startup is one-time session init, not per-query cost.
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).count()
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}

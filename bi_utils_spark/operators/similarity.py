@@ -280,69 +280,54 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     iters: int = 2,
     dim: int | None = None,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Deterministic spherical k-means → (cell_id, centroid[unit]).
 
-    Init: ``num_cells`` corpus vectors picked by hash order of id
-    (pseudo-random but reproducible). Each Lloyd iteration is one
-    broadcast join (assign) + one shuffle of dim-length arrays
-    (recompute) — no Python, no MLlib dependency, linear per pass.
+    Trains on a bounded, hash-ordered sample collected to the driver
+    and runs Lloyd iterations as numpy matmuls — the coarse quantizer
+    is index *metadata*, and its training cost must not grow with the
+    corpus (the FAISS design: train on a sample, assign distributed).
+    The sample is `orderBy(xxhash64(id)) limit n` — a TakeOrdered scan,
+    reproducible for fixed data regardless of partitioning. Only the
+    per-vector *assignment* (ivf_assign*) touches the full corpus.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    # Persisted: every Lloyd iteration (and the caller's final assign)
-    # re-reads the unit vectors — without this the scan+normalize
-    # lineage re-executes once per iteration.
-    unit = df.select(
-        F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("u")
-    ).persist()
+    import numpy as np
 
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.hash(F.col("id")), F.col("id"))
-    cents = (
-        unit.orderBy(F.hash(F.col("id")), F.col("id"))
-        .limit(num_cells)
-        .withColumn("cell_id", F.row_number().over(w) - 1)
-        .select("cell_id", F.col("u").alias("centroid"))
+    if train_sample is None:
+        train_sample = max(num_cells * 256, 4096)
+    sample = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(train_sample)
+        .collect()
     )
-    zero = F.array_repeat(F.lit(0.0), dim)
+    X = np.asarray([list(r["v"]) for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    k = min(num_cells, X.shape[0])
+    C = X[:k].copy()
     for _ in range(iters):
-        assigned = _assign_cells(unit, cents)
-        cents = (
-            assigned.groupBy("cell_id")
-            .agg(
-                F.aggregate(
-                    F.collect_list("u"),
-                    zero,
-                    lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
-                ).alias("s")
-            )
-            .select("cell_id", _unit(F.col("s")).alias("centroid"))
-        )
-    return cents
-
-
-def _assign_cells(unit_df: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment via a broadcast cross join; argmax
-    of dot product picked with a struct max (deterministic on ties).
-
-    Grouping is on the scalar id only — never on the vector column
-    (array group keys hash/compare 64 doubles per row); the vector
-    rides along inside the max struct instead.
-    """
-    scored = unit_df.crossJoin(F.broadcast(centroids)).select(
-        "id",
-        F.struct(
-            dot(F.col("u"), F.col("centroid")).alias("score"),
-            F.col("cell_id").alias("cell_id"),
-            F.col("u").alias("u"),
-        ).alias("sc"),
+        assign = np.argmax(X @ C.T, axis=1)  # ties → lowest cell_id
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                s = members.sum(axis=0)
+                C[c] = s / max(np.linalg.norm(s), 1e-300)
+    return df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(k)],
+        "cell_id int, centroid array<double>",
     )
-    best = scored.groupBy("id").agg(F.max("sc").alias("best"))
-    return best.select(
-        "id", F.col("best.u").alias("u"), F.col("best.cell_id").alias("cell_id")
-    )
+
+
+def _collect_centroid_matrix(centroids: DataFrame):
+    """Centroid table → (cell_id vector, matrix). num_cells rows by
+    design — index metadata, safe to hold on the driver/executors."""
+    import numpy as np
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    ids = np.asarray([int(r["cell_id"]) for r in rows])
+    mat = np.asarray([list(r["centroid"]) for r in rows], dtype=np.float64)
+    return ids, mat
 
 
 def ivf_assign(
@@ -352,9 +337,14 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach cell_id to every vector (the index build output — persist
-    or write partitioned by cell_id for probe-time pruning)."""
-    unit = df.select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("u"))
-    return _assign_cells(unit, centroids)
+    or write partitioned by cell_id for probe-time pruning).
+
+    Map-only: normalize + nearest-centroid argmax happen in ONE
+    Arrow-batched numpy matmul per batch (no cross join, no shuffle) —
+    at 100 TB this is a single pass over the corpus with the centroid
+    matrix shipped in the task closure.
+    """
+    return ivf_assign_multi(df, centroids, 1, id_col, vec_col)
 
 
 def ivf_topk(
@@ -410,22 +400,46 @@ def ivf_assign_multi(
     nearest cells (one output row per (id, cell)). The standard recall
     fix for IVF candidate generation — near-boundary vectors appear in
     all their plausible cells, so near-dup pairs meet in at least one.
-    Index size grows ×num_assign; probe cost is unchanged."""
-    from pyspark.sql import Window
+    Index size grows ×num_assign; probe cost is unchanged.
 
-    unit = df.select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("u"))
-    scored = unit.crossJoin(F.broadcast(centroids)).select(
-        "id",
-        "u",
-        F.col("cell_id"),
-        dot(F.col("u"), F.col("centroid")).alias("score"),
+    Map-only (see ivf_assign): one numpy matmul + stable top-m argsort
+    per Arrow batch; ties break toward the lower cell_id.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+    cell_ids, cent = _collect_centroid_matrix(centroids)
+    m = min(num_assign, len(cell_ids))
+    src = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    out_schema = StructType(
+        [
+            src.schema["id"],
+            StructField("u", ArrayType(DoubleType()), False),
+            StructField("cell_id", IntegerType(), False),
+        ]
     )
-    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("cell_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= num_assign)
-        .select("id", "u", "cell_id")
-    )
+
+    import pandas as pd  # noqa: PLC0415
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+            U /= np.maximum(np.linalg.norm(U, axis=1, keepdims=True), 1e-300)
+            S = U @ cent.T
+            top = np.argsort(-S, axis=1, kind="stable")[:, :m]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(m),
+                    "u": [list(U[i]) for i in range(n) for _ in range(m)],
+                    "cell_id": cell_ids[top].reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(assign, schema=out_schema)
 
 
 def cosine_pairs_blocked(
