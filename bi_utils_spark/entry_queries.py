@@ -861,6 +861,95 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
 
 
+# --- near-dup clusters: connected components over similarity edges --------
+
+_JACCARD_EDGES_CTE = r"""
+    toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, chr(1))]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> array_to_string(t[i:i+2], chr(1))))
+             END AS sh
+      FROM toks
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+    inv AS (SELECT doc_id, unnest(sh) AS tok FROM sets),
+    grouped AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT id_a, id_b
+      FROM grouped
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM jp
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM jp
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    )
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    "WITH RECURSIVE "
+    + _JACCARD_EDGES_CTE
+    + """
+    SELECT node AS doc_id, component FROM comp
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact-Jaccard edges → connected components
+    (component id = min doc_id). The oracle computes the same fixpoint
+    with a recursive transitive-closure CTE."""
+    from bi_utils_spark.operators.dedup import jaccard_similarity_join
+    from bi_utils_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+@register(
+    "q_dedup_canonical",
+    "WITH RECURSIVE "
+    + _JACCARD_EDGES_CTE
+    + """
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level retention: one canonical (min-id) doc survives per
+    near-dup cluster; unpaired docs pass through."""
+    from bi_utils_spark.operators.dedup import jaccard_similarity_join
+    from bi_utils_spark.operators.graph import dedup_near_canonical
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    return dedup_near_canonical(docs, pairs).select("doc_id")
+
+
 # --- X3 exact cosine top-k -------------------------------------------------
 
 TARGET_VEC_SQL = """

@@ -1,0 +1,108 @@
+"""Connected components over similarity edges → near-dup clusters.
+
+The missing last step of every dedup pipeline: pair joins (X2a–X2e,
+operators/dedup.py) emit *edges*; retention decisions need *groups*
+("keep one doc per near-dup cluster"). The reference has no graph
+operators at all — this is a north-star extension grounded in the
+standard web-scale dedup recipe (MinHash pairs → components → keep
+canonical member).
+
+Algorithm: iterative hash-min label propagation. Every node starts
+labeled with itself; each round every node takes the min label among
+itself and its neighbors; converged when no label changes. Rounds
+needed = the longest min-label path in a component — near-dup
+clusters are dense and shallow, so a handful of rounds in practice
+(the large-star/small-star construction of Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014, shortcuts paths for
+adversarially long chains; hash-min is that paper's baseline and is
+the right trade at cluster diameters seen in dedup).
+
+Scale design:
+- per round: one shuffle of the edge list (join on node) + one
+  aggregation — both keyed on node ids, broadcast-free, AQE-skew-safe;
+- ``localCheckpoint`` after every round cuts the lineage so round k
+  does not replay rounds 1..k-1 (iterative-algorithm requirement;
+  on a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+  ``checkpoint()`` for fault tolerance — localCheckpoint trades that
+  for speed, fine where a failed job is simply rerun);
+- convergence test is one count() per round on the changed-label
+  frame — the only driver-side action, O(1) result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id reachable through the edge set.
+
+    Deterministic (min is order-free), undirected (edges are
+    symmetrized), self-loop-safe. Raises if not converged within
+    ``max_iter`` rounds rather than returning silently wrong labels.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter (component diameter exceeds it)"
+    )
+
+
+def dedup_near_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical row per near-dup cluster: the min-id member
+    survives, every other clustered row is dropped, rows in no pair
+    pass through untouched.
+
+    The drop list (clustered nodes that are not their component's
+    min) is a projection of the components frame — typically orders
+    of magnitude smaller than the corpus, so the final filter is a
+    left-anti join on the id, broadcast-eligible when small.
+    """
+    comp = connected_components(pairs, src, dst)
+    losers = comp.filter(F.col("node") != F.col("component")).select("node")
+    return df.join(losers, df[id_col] == losers["node"], "left_anti")

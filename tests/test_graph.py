@@ -1,0 +1,97 @@
+"""Connected components / canonical dedup (operators/graph.py)."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.graph import connected_components, dedup_near_canonical
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical: min node per set
+    comp = {}
+    for n in list(parent):
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    out = {}
+    for members in comp.values():
+        lo = min(members)
+        for n in members:
+            out[n] = lo
+    return out
+
+
+def test_components_chain_and_triangle(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 20)],
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    # self-loop (20,20) contributes no node; chain collapses to min=1
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_diameter_guard(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_components_match_union_find(spark, edge_list):
+    expected = _union_find([e for e in edge_list if e[0] != e[1]])
+    df = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_dedup_near_canonical_keeps_min_and_unpaired(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (3, 4)], ["id_a", "id_b"])
+    kept = sorted(
+        r["doc_id"] for r in dedup_near_canonical(docs, pairs).collect()
+    )
+    # clusters {1,2,5} -> keep 1; {3,4} -> keep 3; 0 and 6 unpaired
+    assert kept == [0, 1, 3, 6]
+
+
+def test_components_on_real_near_dup_pairs(spark, sf_dir):
+    from bi_utils_spark.operators.dedup import jaccard_similarity_join
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    comp = connected_components(pairs)
+    rows = comp.collect()
+    nodes = {r["node"] for r in rows}
+    pair_nodes = set()
+    for r in pairs.collect():
+        pair_nodes |= {r["id_a"], r["id_b"]}
+    assert nodes == pair_nodes                      # every paired doc labeled
+    by_comp = {r["node"]: r["component"] for r in rows}
+    assert all(by_comp[c] == c for c in set(by_comp.values()))  # roots are members
