@@ -861,6 +861,62 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
 
 
+# --- text cleaning / PII redaction ----------------------------------------
+
+@register(
+    "q_clean_text",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '<[^>]{1,500}>', ' ', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '(?:https?://|www\.)[^\s]+', '<URL>', 'g'),
+             '\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup strip + email/URL redaction + whitespace normalization —
+    one codegen'd projection. Phone/IP classes use lookarounds (not
+    RE2-expressible) so they are unit-tested, not oracle-hashed."""
+    from bi_utils_spark.operators import textclean as tc
+
+    docs = load(spark, sf_dir, "documents")
+    cleaned = tc.normalize_whitespace(
+        tc.redact_pii(tc.strip_markup("text"), phone=None, ip=None)
+    )
+    return docs.select("doc_id", cleaned.alias("cleaned"))
+
+
+@register(
+    "q_pii_audit",
+    r"""
+    SELECT
+      CAST(SUM(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS total_emails,
+      CAST(SUM(len(regexp_extract_all(text,
+        '(?:https?://|www\.)[^\s]+'))) AS BIGINT) AS total_urls,
+      CAST(COUNT_IF(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0) AS BIGINT)
+        AS docs_with_email
+    FROM documents
+    """,
+)
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII audit: class counts aggregated in one pass."""
+    from bi_utils_spark.operators.textclean import pii_counts
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = pii_counts("text")
+    return docs.agg(
+        F.sum(cnt["n_emails"]).alias("total_emails"),
+        F.sum(cnt["n_urls"]).alias("total_urls"),
+        F.sum((cnt["n_emails"] > 0).cast("long")).alias("docs_with_email"),
+    )
+
+
 # --- near-dup clusters: connected components over similarity edges --------
 
 _JACCARD_EDGES_CTE = r"""
