@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     # q_emb_dedup_exact stays oracle-only — quadratic by definition)
     "q_emb_near_dup_ivf",
     "q_media_features",
+    # composed end-to-end training-data pipeline (clean → dedup tiers
+    # → near-dup canonical → quality/lang stats)
+    "q_llm_pipeline",
 ]
 
 

@@ -917,6 +917,56 @@ def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- composed LLM training-data pipeline ----------------------------------
+
+@register("q_llm_pipeline")
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline, composed from stages that
+    are each individually oracle-verified: clean (q_clean_text) →
+    exact dedup on cleaned content (q_dedup_exact) → near-dup
+    canonical retention (q_dedup_canonical) → per-language corpus
+    stats gated on quality (q_lang_id / q_quality_score). Rows-only
+    check by design: the composition's value-hash would just re-test
+    the stages; the golden test asserts stage-consistency instead.
+
+    Scale shape: clean is map-only and fuses into the scan; both dedup
+    tiers shuffle on small keys (hash / shingle); the final stats are
+    one partial-aggregated groupBy on a low-cardinality key.
+    """
+    from bi_utils_spark.operators import textclean as tc
+    from bi_utils_spark.operators.dedup import (
+        dedup_exact,
+        jaccard_similarity_join,
+    )
+    from bi_utils_spark.operators.graph import dedup_near_canonical
+    from bi_utils_spark.operators.textstats import (
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", tc.clean_text("text").alias("text")
+    )
+    uniq = dedup_exact(cleaned, ["text"], keep_order_col="doc_id")
+    pairs = jaccard_similarity_join(uniq, "doc_id", "text", threshold=0.5, shingle_n=3)
+    kept = dedup_near_canonical(uniq, pairs)
+    return (
+        kept.select(
+            language_id("text").alias("lang"),
+            quality_score("text").alias("q"),
+            token_count("text").alias("n_toks"),
+        )
+        .filter(F.col("q") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )
+
+
 # --- near-dup clusters: connected components over similarity edges --------
 
 _JACCARD_EDGES_CTE = r"""
