@@ -917,6 +917,58 @@ def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic splits & samples ---------------------------------------
+# Threshold hexes are computed by the SAME module code the Spark side
+# uses, interpolated into the oracle SQL — one source of truth.
+
+def _split_sql_case() -> str:
+    from bi_utils_spark.operators.splits import _thresholds
+
+    ths = _thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    h = "substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 16)"
+    whens = " ".join(
+        f"WHEN {h} < '{bound}' THEN '{name}'" for name, bound in ths[:-1]
+    )
+    return f"CASE {whens} ELSE '{ths[-1][0]}' END"
+
+
+@register(
+    "q_hash_split",
+    f"""
+    SELECT {_split_sql_case()} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment — md5-hex thresholds,
+    identical row→split mapping in Spark and the DuckDB oracle."""
+    from bi_utils_spark.operators.splits import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).groupBy(
+        "split"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "q_det_sample",
+    """
+    SELECT doc_id FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 16)
+          < '4000000000000000'
+    """,
+)
+def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25% deterministic sample — same surviving ids on every run,
+    every partitioning, both engines."""
+    from bi_utils_spark.operators.splits import deterministic_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.25).select("doc_id")
+
+
 # --- composed LLM training-data pipeline ----------------------------------
 
 @register("q_llm_pipeline")
