@@ -2229,3 +2229,38 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy()
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users"))
     )
+
+
+# ===========================================================================
+# Sequence packing (operators/packing.py): the conservation invariant —
+# every doc packed exactly once, token mass preserved — is oracle-checked;
+# the per-sequence FFD layout is deterministic but not SQL-expressible
+# (rows-only check on the sequence-level output).
+# ===========================================================================
+
+@register(
+    "q_pack_conservation",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_tokens
+    FROM documents
+    """,
+)
+def q_pack_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", "n_chars", max_tokens=2048, num_buckets=32)
+    return packed.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+    )
+
+
+@register("q_pack_sequences")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", "n_chars", max_tokens=2048, num_buckets=32)
+    return packing_stats(packed, max_tokens=2048)
