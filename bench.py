@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "q_merge_upsert",
     # LLM-data surface
     "q_text_stats",
+    "q_repetition_stats",
     "q_dedup_exact",
     "q_jaccard_pairs",
     "q_minhash_near_dup",
@@ -48,6 +49,7 @@ BENCH_QUERIES = [
     # q_emb_dedup_exact stays oracle-only — quadratic by definition)
     "q_emb_near_dup_ivf",
     "q_media_features",
+    "q_pack_sequences",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -2231,6 +2231,58 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X5c repetition metrics (Gopher-style quality signals) ----------------
+
+@register(
+    "q_repetition_stats",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    arrs AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(toks)-1),
+                                      i -> toks[i] || ' ' || toks[i+1]) END AS g2,
+             CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+                  ELSE list_transform(generate_series(1, len(toks)-4),
+                                      i -> array_to_string(toks[i:i+4], ' ')) END AS g5
+      FROM base
+    ),
+    top2 AS (
+      SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS tot
+      FROM (SELECT doc_id, gram, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(g2) AS gram FROM arrs)
+            GROUP BY doc_id, gram)
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CASE WHEN len(a.lines) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(a.lines)) AS DOUBLE)
+                         / CAST(len(a.lines) AS DOUBLE) END AS dup_line_frac,
+           CASE WHEN coalesce(list_aggregate(list_transform(a.lines, x -> length(x)), 'sum'), 0) = 0
+                THEN 0.0
+                ELSE 1.0 - CAST(list_aggregate(list_transform(list_distinct(a.lines), x -> length(x)), 'sum') AS DOUBLE)
+                         / CAST(list_aggregate(list_transform(a.lines, x -> length(x)), 'sum') AS DOUBLE)
+           END AS dup_line_char_frac,
+           CASE WHEN len(a.g5) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(a.g5)) AS DOUBLE)
+                         / CAST(len(a.g5) AS DOUBLE) END AS dup_5gram_frac,
+           CASE WHEN coalesce(t.tot, 0) = 0 THEN 0.0
+                ELSE CAST(t.top_cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) END AS top_2gram_frac
+    FROM arrs a LEFT JOIN top2 t USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.textstats import repetition_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
 # ===========================================================================
 # Sequence packing (operators/packing.py): the conservation invariant —
 # every doc packed exactly once, token mass preserved — is oracle-checked;

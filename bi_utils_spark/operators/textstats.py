@@ -155,3 +155,108 @@ def text_stats(
         mean_word_length(text_col).alias("mean_word_len"),
         content_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality signals): duplicate lines,
+# duplicate n-grams, most-frequent-n-gram mass. All map-only codegen
+# expressions over per-document arrays — no shuffle, no Python. The
+# classic explode+groupBy formulation would shuffle the whole token
+# stream (~corpus size × n); folding over per-document sorted arrays
+# keeps repetition analysis embarrassingly parallel at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def grams(toks: Column, n: int, sep: str = " ") -> Column:
+    """Non-distinct n-gram strings of a token-array column; empty array
+    when the document has fewer than ``n`` tokens. (Distinct shingle
+    variant: ``dedup.token_shingles``.)"""
+    last = F.size(toks) - (n - 1)
+    return F.when(last <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), last),
+            lambda i: F.array_join(F.slice(toks, i, n), sep),
+        )
+    )
+
+
+def _dup_frac(arr: Column) -> Column:
+    """1 − |distinct| / |all| (0.0 for empty arrays)."""
+    tot = F.size(arr)
+    return F.when(tot == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(arr)).cast("double") / tot.cast("double")
+    )
+
+
+def _dup_char_frac(arr: Column) -> Column:
+    """1 − chars(distinct) / chars(all): fraction of characters sitting
+    in repeat occurrences (0.0 when the array holds no characters)."""
+    chars = lambda a: F.aggregate(  # noqa: E731
+        F.transform(a, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    tot = chars(arr)
+    return F.when((tot.isNull()) | (tot == 0), F.lit(0.0)).otherwise(
+        F.lit(1.0) - chars(F.array_distinct(arr)).cast("double") / tot.cast("double")
+    )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal neighbours in a sorted array
+    = the count of its most frequent element. Single fold, codegen'd."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(
+            acc.getField("prev").isNotNull() & (x == acc.getField("prev")),
+            acc.getField("run") + 1,
+        ).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc.getField("best"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition panel:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of lines /
+      line-characters that are repeats of an earlier identical line;
+    - ``dup_5gram_frac`` — fraction of token 5-grams that are repeats;
+    - ``top_2gram_frac`` — mass of the most frequent token 2-gram.
+
+    The Gopher filters gate on exactly these (e.g. drop when
+    dup_line_frac > 0.30 or top_2gram_frac > 0.20). Arrays are staged
+    as named columns between selects so tokenization runs once per
+    document (CollapseProject leaves multiply-referenced non-trivial
+    aliases staged)."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("_toks"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+    arrs = staged.select(
+        "doc_id",
+        "_lines",
+        grams(F.col("_toks"), 2).alias("_g2"),
+        grams(F.col("_toks"), 5).alias("_g5"),
+    )
+    g2_tot = F.size(F.col("_g2"))
+    top2 = _max_run(F.array_sort(F.col("_g2")))
+    return arrs.select(
+        "doc_id",
+        _dup_frac(F.col("_lines")).alias("dup_line_frac"),
+        _dup_char_frac(F.col("_lines")).alias("dup_line_char_frac"),
+        _dup_frac(F.col("_g5")).alias("dup_5gram_frac"),
+        F.when(g2_tot == 0, F.lit(0.0))
+        .otherwise(top2.cast("double") / g2_tot.cast("double"))
+        .alias("top_2gram_frac"),
+    )
