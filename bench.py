@@ -80,17 +80,26 @@ def main() -> None:
     ).count()
 
     queries = entry_mod.queries()
+    # Best-of-N per query (default 2): this box is a shared container
+    # with bursty CPU contention — single-shot walls show 3-20x
+    # outlier spikes on queries that are sub-second steady-state. The
+    # min is the capability number; contention is not a plan property.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+            # operators persist intermediates (shingle rows,
+            # signatures); drop them so no run is timed under a
+            # previous run's cache
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
-        # operators persist intermediates (shingle rows, signatures);
-        # drop them so later queries aren't timed under stale cache
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
