@@ -1223,15 +1223,27 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_self_join_topk(emb, k=3, num_planes=16, num_bands=8, dim=64)
 
 
-@register("q_centroids_by_label")
+@register(
+    "q_centroids_by_label",
+    """
+    SELECT label, dim,
+           (SUM(CAST(round(CAST(v AS DOUBLE) * 1e7) AS BIGINT)) / 1e7)
+                / COUNT(*) AS c,
+           COUNT(*) AS n
+    FROM (
+      SELECT label,
+             UNNEST(embedding) AS v,
+             UNNEST(range(1, len(embedding)+1)) AS dim
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
 def q_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bi_utils_spark.operators.similarity import centroids_by_label
+    from bi_utils_spark.operators.similarity import centroid_dims
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = centroids_by_label(emb, dim=64)
-    return cents.select(
-        "label", F.round(F.element_at("centroid", 1), 9).alias("c0"), "n"
-    )
+    return centroid_dims(emb)
 
 
 # ===========================================================================

@@ -256,6 +256,39 @@ def centroids_by_label(
     )
 
 
+def centroid_dims(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Long-form per-label centroids: one row per ``(label, dim)``.
+
+    Deterministic-aggregation variant of :func:`centroids_by_label`:
+    elements are quantized to fixed point (``round(v * 1e7)`` as
+    BIGINT — 1e-7 absolute resolution, below float32's own precision
+    at unit scale) and summed as integers, so the result is
+    bit-identical under any row order or partitioning (double sums
+    are not) — the property the hash-exact oracle gate needs. Note
+    DECIMAL casts don't work here: engines disagree by 1 ulp on
+    double→decimal rounding, while ``v * 1e7`` + half-away rounding
+    is pure double math that agrees everywhere. It is also the shape
+    that scales: ``posexplode`` shards the (label, dim) key space
+    across the cluster with map-side partial aggregation, instead of
+    holding whole-vector state per group.
+    """
+    long = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim0", "v"),
+    )
+    return long.groupBy("label", (F.col("dim0") + 1).alias("dim")).agg(
+        (
+            (F.sum(F.round(F.col("v") * 1e7).cast("long")) / F.lit(1e7))
+            / F.count("*")
+        ).alias("c"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) index — the partition-pruning ANN path (X3 scale
 # variant). Spherical k-means coarse quantizer built with broadcast
