@@ -858,7 +858,13 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.dedup import jaccard_similarity_join
 
     docs = load(spark, sf_dir, "documents")
-    return jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    # prefix_filter=False: at bench scale (5k docs) the one-stage
+    # co-occurrence count beats the candidate/verify plan; the prefix
+    # filter (the operator default) wins once index blowup dominates.
+    # Both are exact — test_llmdata asserts identical pair sets.
+    return jaccard_similarity_join(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3, prefix_filter=False
+    )
 
 
 # --- text cleaning / PII redaction ----------------------------------------
@@ -1002,7 +1008,9 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tc.clean_text("text").alias("text")
     )
     uniq = dedup_exact(cleaned, ["text"], keep_order_col="doc_id")
-    pairs = jaccard_similarity_join(uniq, "doc_id", "text", threshold=0.5, shingle_n=3)
+    pairs = jaccard_similarity_join(
+        uniq, "doc_id", "text", threshold=0.5, shingle_n=3, prefix_filter=False
+    )
     kept = dedup_near_canonical(uniq, pairs)
     return (
         kept.select(
@@ -1082,7 +1090,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    pairs = jaccard_similarity_join(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3, prefix_filter=False
+    )
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
@@ -1104,7 +1114,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.graph import dedup_near_canonical
 
     docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
+    pairs = jaccard_similarity_join(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3, prefix_filter=False
+    )
     return dedup_near_canonical(docs, pairs).select("doc_id")
 
 

@@ -148,54 +148,122 @@ def jaccard_similarity_join(
     threshold: float = 0.7,
     shingle_n: int = 1,
     max_token_doc_freq: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All pairs (a < b) with token/shingle Jaccard ≥ threshold.
 
-    Inverted-index plan: explode distinct shingles → self-join on the
-    shingle (co-occurrence counting) → group by pair → Jaccard from
-    |A∩B| and precomputed set sizes. This is the exact algorithm —
-    sub-quadratic because only co-occurring pairs materialize.
+    Inverted-index plan with PPJoin-style lossless pruning (Bayardo
+    et al. WWW'07 / Vernica et al. SIGMOD'10 for the MapReduce form):
 
-    Scale: the shuffle key is the shingle; ultra-common shingles are
-    skew + quadratic blowup. ``max_token_doc_freq`` drops shingles in
-    more than that many docs (a standard prefix-filter relaxation —
-    with it the join is a high-recall heuristic; leave None for exact).
+    1. prefix filter — order shingles globally rare-first (ascending
+       doc frequency); a pair with Jaccard ≥ t must share a shingle
+       within each set's first ``sz − ceil(t·sz) + 1`` shingles, so
+       only those prefixes are indexed and self-joined;
+    2. length filter — qualifying pairs satisfy ``t·|A| ≤ |B| ≤
+       |A|/t``, applied inside the candidate join;
+    3. verify — exact |A∩B| is counted only for surviving candidate
+       pairs by re-joining their full shingle sets.
+
+    Both filters are exact (no recall loss). ``prefix_filter=False``
+    falls back to the plain one-stage co-occurrence count (joins the
+    full index; cheaper on tiny corpora, strictly worse at scale).
+
+    Scale: the shuffle key of the candidate join is the shingle;
+    ultra-common shingles are skew + quadratic blowup. The prefix
+    filter removes them structurally for large sets (common shingles
+    sort last and fall outside every prefix once t·sz ≫ 1), and cuts
+    index size by a factor ~1/(1−t). ``max_token_doc_freq``
+    additionally drops shingles in more than that many docs (a
+    standard relaxation — with it the join is a high-recall
+    heuristic; leave None for exact).
     """
     # Shingle identity is carried as 64→31-bit hashes (shingle_hash_rows),
     # not strings: the corpus is tokenized once, the inverted index and
     # the self-join shuffle 8-byte keys, and Jaccard over the distinct
     # hash sets equals Jaccard over the string sets up to ~2⁻³¹
-    # collisions. Persisted: both sides of the self-join reuse it.
+    # collisions. Persisted: candidate and verify stages reuse it.
     dist = (
         shingle_hash_rows(df, id_col, text_col, shingle_n)
         .dropDuplicates(["id", "sh"])
         .persist()
     )
-    # Carry the set size through the inverted index: the pair-group keys
+    # Carry the set size alongside every shingle row: pair-group keys
     # then already hold both sizes, so no post-aggregation size joins.
-    inv = dist.select(
-        "id",
-        F.count("*").over(Window.partitionBy("id")).alias("sz"),
-        F.col("sh").alias("tok"),
+    sized = dist.withColumn(
+        "sz", F.count("*").over(Window.partitionBy("id"))
     )
-    if max_token_doc_freq is not None:
-        freq = inv.groupBy("tok").agg(F.count("*").alias("df_tok"))
-        inv = (
-            inv.join(freq.filter(F.col("df_tok") <= max_token_doc_freq), "tok")
-            .drop("df_tok")
+    if not prefix_filter:
+        inv = sized.select("id", "sz", F.col("sh").alias("tok"))
+        if max_token_doc_freq is not None:
+            freq = inv.groupBy("tok").agg(F.count("*").alias("df_tok"))
+            inv = (
+                inv.join(freq.filter(F.col("df_tok") <= max_token_doc_freq), "tok")
+                .drop("df_tok")
+            )
+        a, b = inv.alias("a"), inv.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.sz").alias("sz_a"),
+                F.col("b.sz").alias("sz_b"),
+            )
+            .agg(F.count("*").alias("inter"))
         )
-    a = inv.alias("a")
-    b = inv.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
+        return _jaccard_from_counts(pairs, threshold)
+
+    dfq = dist.groupBy("sh").agg(F.count("*").alias("dfq"))
+    work = sized.join(dfq, "sh")
+    if max_token_doc_freq is not None:
+        work = work.filter(F.col("dfq") <= max_token_doc_freq)
+    # Global order = (doc freq asc, shingle hash) — total and
+    # data-independent, as the prefix lemma requires.
+    wrank = Window.partitionBy("id").orderBy(F.asc("dfq"), F.asc("sh"))
+    prefix = (
+        work.withColumn("rnk", F.row_number().over(wrank))
+        .filter(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("id", "sz", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: t·max(szs) ≤ min(szs) or the pair can't reach t
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz")),
+        )
+        .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    full = dist if max_token_doc_freq is None else (
+        dist.join(dfq.filter(F.col("dfq") <= max_token_doc_freq), "sh").select(
+            "id", "sh"
+        )
+    )
+    pairs = (
+        cand.join(full.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(full.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
+    return _jaccard_from_counts(pairs, threshold)
+
+
+def _jaccard_from_counts(pairs: DataFrame, threshold: float) -> DataFrame:
     return pairs.select(
         "id_a",
         "id_b",

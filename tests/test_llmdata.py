@@ -78,6 +78,39 @@ def test_jaccard_join_exact_small(spark):
     assert rows[0]["jaccard"] == pytest.approx(3 / 5)
 
 
+def test_jaccard_prefix_filter_equals_plain(docs):
+    # the PPJoin prefix+length filters are lossless: both plans must
+    # produce the exact same pair set on the real documents table
+    def pairs(pf):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in D.jaccard_similarity_join(
+                docs, "doc_id", "text", threshold=0.4, shingle_n=3, prefix_filter=pf
+            ).collect()
+        }
+
+    assert pairs(True) == pairs(False)
+
+
+def test_jaccard_prefix_filter_small(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown wolf"),
+            (3, "entirely different words here"),
+            (4, "the"),  # shorter than the length filter allows vs 1/2
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.jaccard_similarity_join(
+        df, "doc_id", "text", threshold=0.5, shingle_n=1, prefix_filter=True
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["id_a"], rows[0]["id_b"]) == (1, 2)
+    assert rows[0]["jaccard"] == pytest.approx(3 / 5)
+
+
 def test_minhash_recall_against_exact(docs):
     # property: LSH with 64 hashes / 16 bands recalls ≥90% of exact
     # near-dup pairs at threshold 0.6 on the real documents table
