@@ -187,12 +187,12 @@ def jaccard_similarity_join(
         .dropDuplicates(["id", "sh"])
         .persist()
     )
-    # Carry the set size alongside every shingle row: pair-group keys
-    # then already hold both sizes, so no post-aggregation size joins.
-    sized = dist.withColumn(
-        "sz", F.count("*").over(Window.partitionBy("id"))
-    )
     if not prefix_filter:
+        # Carry the set size alongside every shingle row: pair-group keys
+        # then already hold both sizes, so no post-aggregation size joins.
+        sized = dist.withColumn(
+            "sz", F.count("*").over(Window.partitionBy("id"))
+        )
         inv = sized.select("id", "sz", F.col("sh").alias("tok"))
         if max_token_doc_freq is not None:
             freq = inv.groupBy("tok").agg(F.count("*").alias("df_tok"))
@@ -217,19 +217,31 @@ def jaccard_similarity_join(
         return _jaccard_from_counts(pairs, threshold)
 
     dfq = dist.groupBy("sh").agg(F.count("*").alias("dfq"))
-    work = sized.join(dfq, "sh")
+    work = dist.join(dfq, "sh")
     if max_token_doc_freq is not None:
         work = work.filter(F.col("dfq") <= max_token_doc_freq)
-    # Global order = (doc freq asc, shingle hash) — total and
-    # data-independent, as the prefix lemma requires.
-    wrank = Window.partitionBy("id").orderBy(F.asc("dfq"), F.asc("sh"))
-    prefix = (
-        work.withColumn("rnk", F.row_number().over(wrank))
-        .filter(
-            F.col("rnk")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # One groupBy(id) produces everything per-doc at once: the shingle
+    # set ordered rare-first (global order = (doc freq asc, shingle
+    # hash) — total and data-independent, as the prefix lemma
+    # requires), its size, and the prefix length. This replaces two
+    # window passes (count + row_number over id) with a single shuffle,
+    # and the ordered array doubles as the verify-stage operand.
+    sets = (
+        work.groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("dfq", "sh"))).alias("arr"))
+        .select(
+            "id",
+            F.transform("arr", lambda x: x["sh"]).alias("shs"),
+            F.size("arr").alias("sz"),
         )
-        .select("id", "sz", "sh")
+        .withColumn(
+            "plen",
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1,
+        )
+        .persist()
+    )
+    prefix = sets.select(
+        "id", "sz", F.explode(F.slice("shs", F.lit(1), F.col("plen"))).alias("sh")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -244,21 +256,33 @@ def jaccard_similarity_join(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    full = dist if max_token_doc_freq is None else (
-        dist.join(dfq.filter(F.col("dfq") <= max_token_doc_freq), "sh").select(
-            "id", "sh"
-        )
+    # Verify joins attach the two ordered shingle arrays (one row per
+    # doc, not one row per shingle) and compute |A∩B| in codegen with
+    # array_intersect — the shuffle carries |candidates| rows instead
+    # of |candidates| × |avg set size| exploded rows.
+    sa = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
     )
     pairs = (
-        cand.join(full.select(F.col("id").alias("id_a"), "sh"), "id_a")
-        .join(full.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count("*").alias("inter"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("inter"),
+        )
     )
     return _jaccard_from_counts(pairs, threshold)
 
