@@ -141,6 +141,15 @@ def shingle_hash_rows(
 # ---------------------------------------------------------------------------
 
 
+# Below this threshold the PPJoin prefix stops pruning: prefix length is
+# sz − ceil(t·sz) + 1 ≈ (1−t)·sz + 1, so at t=0.5 the "pruned" index still
+# holds ~half of every shingle set while the plan pays two extra shuffles
+# (doc-frequency join + candidate dedup). Interleaved A/B at sf0.1
+# (documents, 3-shingles, t=0.5): one-stage 0.80 s vs PPJoin 3.13 s
+# steady-state — the crossover sits near t≈0.7 (see SCALE.md).
+PPJOIN_MIN_THRESHOLD = 0.7
+
+
 def jaccard_similarity_join(
     df: DataFrame,
     id_col: str,
@@ -148,44 +157,61 @@ def jaccard_similarity_join(
     threshold: float = 0.7,
     shingle_n: int = 1,
     max_token_doc_freq: int | None = None,
-    prefix_filter: bool = True,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with token/shingle Jaccard ≥ threshold.
 
-    Inverted-index plan with PPJoin-style lossless pruning (Bayardo
-    et al. WWW'07 / Vernica et al. SIGMOD'10 for the MapReduce form):
+    Two exact plans, chosen by threshold when ``prefix_filter`` is
+    None (the default):
 
-    1. prefix filter — order shingles globally rare-first (ascending
-       doc frequency); a pair with Jaccard ≥ t must share a shingle
-       within each set's first ``sz − ceil(t·sz) + 1`` shingles, so
-       only those prefixes are indexed and self-joined;
-    2. length filter — qualifying pairs satisfy ``t·|A| ≤ |B| ≤
-       |A|/t``, applied inside the candidate join;
-    3. verify — exact |A∩B| is counted only for surviving candidate
-       pairs by re-joining their full shingle sets.
+    - ``prefix_filter=True`` — inverted-index plan with PPJoin-style
+      lossless pruning (Bayardo et al. WWW'07 / Vernica et al.
+      SIGMOD'10 for the MapReduce form):
 
-    Both filters are exact (no recall loss). ``prefix_filter=False``
-    falls back to the plain one-stage co-occurrence count (joins the
-    full index; cheaper on tiny corpora, strictly worse at scale).
+      1. prefix filter — order shingles globally rare-first (ascending
+         doc frequency); a pair with Jaccard ≥ t must share a shingle
+         within each set's first ``sz − ceil(t·sz) + 1`` shingles, so
+         only those prefixes are indexed and self-joined;
+      2. length filter — qualifying pairs satisfy ``t·|A| ≤ |B| ≤
+         |A|/t``, applied inside the candidate join;
+      3. verify — exact |A∩B| via array_intersect on the full ordered
+         shingle sets, for surviving candidates only.
+
+    - ``prefix_filter=False`` — plain one-stage co-occurrence count
+      over the full inverted index (fewer shuffles; wins when the
+      prefix wouldn't prune).
+
+    Plan choice: the prefix indexes a ``(1−t)`` fraction of every set,
+    so it only pays for its extra doc-frequency and candidate-dedup
+    shuffles when ``t`` is high. Auto mode uses PPJoin for
+    ``t ≥ PPJOIN_MIN_THRESHOLD`` (measured crossover, SCALE.md) and
+    the one-stage plan below it.
+
+    ``max_token_doc_freq`` drops shingles occurring in more than that
+    many documents from *candidate generation* (the skew guard for
+    boilerplate shingles at corpus scale). With the cap both plans
+    lose recall but never report a false pair: the prefix plan still
+    verifies exact Jaccard on the full sets, and the one-stage plan's
+    co-occurrence counts can only shrink (its reported ``jaccard`` is
+    a lower bound for capped pairs). Leave None for exact results.
 
     Scale: the shuffle key of the candidate join is the shingle;
     ultra-common shingles are skew + quadratic blowup. The prefix
-    filter removes them structurally for large sets (common shingles
-    sort last and fall outside every prefix once t·sz ≫ 1), and cuts
-    index size by a factor ~1/(1−t). ``max_token_doc_freq``
-    additionally drops shingles in more than that many docs (a
-    standard relaxation — with it the join is a high-recall
-    heuristic; leave None for exact).
+    filter removes them structurally for large sets at high t (common
+    shingles sort last and fall outside every prefix); at low t use
+    ``max_token_doc_freq``.
     """
+    if prefix_filter is None:
+        prefix_filter = threshold >= PPJOIN_MIN_THRESHOLD
     # Shingle identity is carried as 64→31-bit hashes (shingle_hash_rows),
     # not strings: the corpus is tokenized once, the inverted index and
     # the self-join shuffle 8-byte keys, and Jaccard over the distinct
     # hash sets equals Jaccard over the string sets up to ~2⁻³¹
-    # collisions. Persisted: candidate and verify stages reuse it.
-    dist = (
-        shingle_hash_rows(df, id_col, text_col, shingle_n)
-        .dropDuplicates(["id", "sh"])
-        .persist()
+    # collisions. Not persisted: the reused subtrees are identical, so
+    # Catalyst's ReuseExchange dedupes the shuffles within the query and
+    # the operator leaves no cached partitions behind (VERDICT r2 #3).
+    dist = shingle_hash_rows(df, id_col, text_col, shingle_n).dropDuplicates(
+        ["id", "sh"]
     )
     if not prefix_filter:
         # Carry the set size alongside every shingle row: pair-group keys
@@ -218,31 +244,33 @@ def jaccard_similarity_join(
 
     dfq = dist.groupBy("sh").agg(F.count("*").alias("dfq"))
     work = dist.join(dfq, "sh")
-    if max_token_doc_freq is not None:
-        work = work.filter(F.col("dfq") <= max_token_doc_freq)
-    # One groupBy(id) produces everything per-doc at once: the shingle
-    # set ordered rare-first (global order = (doc freq asc, shingle
-    # hash) — total and data-independent, as the prefix lemma
+    # One groupBy(id) produces everything per-doc at once: the FULL
+    # shingle set ordered rare-first (global order = (doc freq asc,
+    # shingle hash) — total and data-independent, as the prefix lemma
     # requires), its size, and the prefix length. This replaces two
     # window passes (count + row_number over id) with a single shuffle,
-    # and the ordered array doubles as the verify-stage operand.
+    # and the ordered array doubles as the verify-stage operand. The
+    # doc-freq cap is applied to the *prefix entries only* (below), so
+    # sz and the verify arrays always reflect the unfiltered sets —
+    # capped runs lose candidates, never report a wrong Jaccard.
     sets = (
         work.groupBy("id")
         .agg(F.sort_array(F.collect_list(F.struct("dfq", "sh"))).alias("arr"))
-        .select(
-            "id",
-            F.transform("arr", lambda x: x["sh"]).alias("shs"),
-            F.size("arr").alias("sz"),
-        )
+        .withColumn("sz", F.size("arr"))
         .withColumn(
             "plen",
             F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1,
         )
-        .persist()
+        .withColumn("shs", F.transform("arr", lambda x: x["sh"]))
     )
+    pref_entries = F.slice("arr", F.lit(1), F.col("plen"))
+    if max_token_doc_freq is not None:
+        pref_entries = F.filter(
+            pref_entries, lambda x: x["dfq"] <= F.lit(max_token_doc_freq)
+        )
     prefix = sets.select(
-        "id", "sz", F.explode(F.slice("shs", F.lit(1), F.col("plen"))).alias("sh")
-    )
+        "id", "sz", F.explode(pref_entries).alias("p")
+    ).select("id", "sz", F.col("p.sh").alias("sh"))
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -260,9 +288,13 @@ def jaccard_similarity_join(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Verify joins attach the two ordered shingle arrays (one row per
-    # doc, not one row per shingle) and compute |A∩B| in codegen with
-    # array_intersect — the shuffle carries |candidates| rows instead
-    # of |candidates| × |avg set size| exploded rows.
+    # doc side, not one row per shingle) and compute |A∩B| in codegen
+    # with array_intersect. Bytes shuffled are still ~|candidates| ×
+    # 2 × avg set size — the win is row count (no per-shingle join +
+    # groupBy over exploded rows), not shuffle volume; a hot doc's
+    # array is duplicated once per candidate it appears in. At 100 TB
+    # bucket `sets` by id (or broadcast the high-fanout docs) so the
+    # verify join co-locates without re-shuffling the arrays.
     sa = sets.select(
         F.col("id").alias("id_a"),
         F.col("shs").alias("shs_a"),
