@@ -80,12 +80,13 @@ def main() -> None:
     ).count()
 
     queries = entry_mod.queries()
-    # Best-of-N per query (default 2): this box is a shared container
+    # Best-of-N per query (default 3): this box is a shared container
     # with bursty CPU contention — single-shot walls show 3-20x
     # outlier spikes on queries that are sub-second steady-state. The
     # min is the capability number; contention is not a plan property.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         best = float("inf")
@@ -99,7 +100,25 @@ def main() -> None:
             # previous run's cache
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+        # Plan fingerprint alongside the wall: shuffle count, physical
+        # join strategies, and filters reaching the scans. Box noise
+        # moves the wall; only a code change moves the fingerprint —
+        # this is how a regression is separated from contention.
+        try:
+            from bi_utils_spark.plans import inspect as pi
+
+            df = fn(spark, sf_dir)
+            plans[name] = {
+                "exchanges": pi.num_exchanges(df),
+                "joins": pi.join_kinds(df),
+                "pushed_filters": sum(
+                    1 for p in pi.scan_pushed_filters(df) if p.strip()
+                ),
+            }
+        except Exception as exc:  # noqa: BLE001 — metrics must not fail the bench
+            plans[name] = {"error": str(exc)[:200]}
+        spark.catalog.clearCache()
+        print(f"  {name}: {timings[name]:.2f}s {plans[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -109,6 +128,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
+                "repeats": repeats,
                 "sf": sf,
             }
         )

@@ -858,13 +858,12 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.dedup import jaccard_similarity_join
 
     docs = load(spark, sf_dir, "documents")
-    # prefix_filter=True (the operator default): the PPJoin prefix-indexed
-    # candidate/verify plan is the one we'd run at 100 TB, so it is the one
-    # the bench measures. Both plans are exact — test_llmdata asserts
-    # identical pair sets against the one-stage co-occurrence variant.
-    return jaccard_similarity_join(
-        docs, "doc_id", "text", threshold=0.5, shingle_n=3, prefix_filter=True
-    )
+    # prefix_filter is left at the auto default: at t=0.5 the PPJoin prefix
+    # is ~half of every shingle set, so the one-stage co-occurrence plan wins
+    # (A/B at sf0.1: 0.80 s vs 3.13 s steady-state); PPJoin kicks in at
+    # t >= PPJOIN_MIN_THRESHOLD. Both plans are exact — test_llmdata asserts
+    # identical pair sets across them.
+    return jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
 
 
 # --- text cleaning / PII redaction ----------------------------------------
@@ -1008,9 +1007,7 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tc.clean_text("text").alias("text")
     )
     uniq = dedup_exact(cleaned, ["text"], keep_order_col="doc_id")
-    pairs = jaccard_similarity_join(
-        uniq, "doc_id", "text", threshold=0.5, shingle_n=3, prefix_filter=True
-    )
+    pairs = jaccard_similarity_join(uniq, "doc_id", "text", threshold=0.5, shingle_n=3)
     kept = dedup_near_canonical(uniq, pairs)
     return (
         kept.select(
@@ -1090,9 +1087,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.graph import connected_components
 
     docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_similarity_join(
-        docs, "doc_id", "text", threshold=0.5, shingle_n=3, prefix_filter=True
-    )
+    pairs = jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
@@ -1114,9 +1109,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.graph import dedup_near_canonical
 
     docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_similarity_join(
-        docs, "doc_id", "text", threshold=0.5, shingle_n=3, prefix_filter=True
-    )
+    pairs = jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3)
     return dedup_near_canonical(docs, pairs).select("doc_id")
 
 

@@ -41,6 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Arrow-written parquet stores naive timestamps (isAdjustedToUTC=false),
+    # which Spark ≥3.4 infers as TIMESTAMP_NTZ by default. The engine's
+    # contract is instant (LTZ) semantics in a UTC session — disabling the
+    # inference reads the stored micros as epoch-UTC micros directly, which
+    # is exactly how DuckDB's epoch_us sees the same bytes, keeping the
+    # oracle comparison exact. Runtime conf: applies per-read, no restart.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
