@@ -317,21 +317,37 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic spherical k-means → (cell_id, centroid[unit]).
 
-    Trains on a bounded, hash-ordered sample collected to the driver
+    Trains on a bounded, hash-selected sample collected to the driver
     and runs Lloyd iterations as numpy matmuls — the coarse quantizer
     is index *metadata*, and its training cost must not grow with the
     corpus (the FAISS design: train on a sample, assign distributed).
-    The sample is `orderBy(xxhash64(id)) limit n` — a TakeOrdered scan,
-    reproducible for fixed data regardless of partitioning. Only the
-    per-vector *assignment* (ivf_assign*) touches the full corpus.
+
+    Sample draw: a hash-threshold filter ``pmod(xxhash64(id), M) <
+    thr`` keeps ~2× the requested rows (thr from a count that is
+    parquet-metadata-cheap on plain scans), then the tiny survivor
+    set is hash-ordered and limited. Data-dependent and
+    partitioning-independent, so reproducible for fixed data — and
+    unlike the previous full-corpus ``orderBy(xxhash64).limit(n)``,
+    the per-partition top-n heaps and the single-reducer merge see
+    ~2n rows, not every embedding in the corpus (at 100 TB the old
+    draw shipped partitions × n rows to one task just to keep 4096).
+    Only the per-vector *assignment* (ivf_assign*) touches the full
+    corpus.
     """
     import numpy as np
 
     if train_sample is None:
         train_sample = max(num_cells * 256, 4096)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n_total = base.count()
+    if n_total > train_sample * 4:
+        # oversample 2x so hash variance can't starve the draw; the
+        # subsequent limit() trims back to exactly train_sample
+        m = 1 << 20
+        thr = -(-(train_sample * 2 * m) // n_total)  # ceil
+        base = base.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(m)) < thr)
     sample = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        base.orderBy(F.xxhash64(F.col("id")), F.col("id"))
         .limit(train_sample)
         .collect()
     )

@@ -326,6 +326,131 @@ def test_winnowing_guarantee_and_rate(spark):
     assert 1 <= n_fp <= 12
 
 
+# --- hot-bucket caps + cache hygiene (100 TB skew guards) --------------------
+
+def test_minhash_cap_subset_and_recall(docs):
+    # capped candidates are a subset of uncapped; with a cap far above
+    # real bucket sizes the result is identical, and with a generous
+    # cap recall vs the exact join stays >= 0.9
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_similarity_join(
+            docs, "doc_id", "text", threshold=0.6, shingle_n=3
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dup_join(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dup_join(
+            docs, "doc_id", "text", threshold=0.6, max_bucket_size=20
+        ).collect()
+    }
+    assert capped <= uncapped
+    if exact:
+        recall = len(capped & exact) / len(exact)
+        assert recall >= 0.9, f"capped minhash recall {recall:.2f} < 0.9"
+
+
+def test_lsh_bucket_stats(docs):
+    sigs = D.minhash_signatures(docs, "doc_id", "text")
+    stats = D.lsh_bucket_stats(sigs).collect()
+    assert stats, "bucket histogram must be non-empty"
+    # total bucket membership equals docs x bands
+    total = sum(r["bucket_size"] * r["num_buckets"] for r in stats)
+    assert total == docs.count() * 16
+
+
+def test_simhash_matches_bruteforce(docs):
+    # the banded join (distinct-fp formulation) must be pair-complete:
+    # identical output to brute-force all-pairs hamming <= 3
+    sample = docs.limit(40)
+    fp = D.simhash64_rows(sample, "doc_id", "text")
+    brute = {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in fp.alias("a")
+        .crossJoin(fp.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            D.hamming64(F.col("a.fp"), F.col("b.fp")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dup_join(sample, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_cap_keeps_identical_fps(spark):
+    # hamming-0 pairs come from the exact fp-equality tier, so even a
+    # cap of 1 distinct fingerprint per chunk bucket cannot lose them
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+        + [(10, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_dup_join(
+            df, "doc_id", "text", max_hamming=3, max_chunk_bucket_size=1
+        ).collect()
+    }
+    expected = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+    assert expected <= pairs
+
+
+def test_winnowing_fp_freq_cap(spark):
+    # a boilerplate passage shared by every doc is exactly what the
+    # doc-frequency cap drops: pairs held together only by it vanish,
+    # while pairs sharing rarer passages survive
+    boiler = "this standard license header appears in every single document"
+    rare = "a genuinely distinctive shared passage of real content here"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} epsilon zeta eta theta"),
+            (3, f"{boiler} {rare} iota kappa"),
+            (4, f"{boiler} {rare} lamda mu"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.winnowing_near_dup_join(
+            df, "doc_id", "text", min_shared=2
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.winnowing_near_dup_join(
+            df, "doc_id", "text", min_shared=2, max_fp_doc_freq=2
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert (3, 4) in capped, "rare-passage pair must survive the cap"
+    assert (1, 2) not in capped, "boilerplate-only pair must drop"
+
+
+def test_dedup_operators_leave_no_cache(spark, docs):
+    # VERDICT r2 #3: operators must not leak cached partitions — the
+    # reused subtrees are deduped by ReuseExchange, not persist()
+    spark.catalog.clearCache()
+    D.minhash_near_dup_join(docs, "doc_id", "text", threshold=0.6).count()
+    D.jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3).count()
+    D.simhash_near_dup_join(docs, "doc_id", "text").count()
+    n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
+    assert n_cached == 0, f"{n_cached} cached RDDs left behind"
+
+
 def test_resize_media_plumbing(spark, media):
     from bi_utils_spark.operators.multimodal import (
         TranscoderRegistry,
