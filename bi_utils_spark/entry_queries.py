@@ -727,9 +727,26 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X5 language-ID heuristic ---------------------------------------------
 
-@register(
-    "q_lang_id",
-    r"""
+def _lang_id_oracle_sql() -> str:
+    """DuckDB oracle for q_lang_id, GENERATED from the same
+    LANG_MARKERS table the Spark expression scores with — profiles
+    and oracle cannot drift. Tie-break mirrors language_id exactly:
+    first language in sorted-code order achieving the max wins; all
+    zeros → 'und'."""
+    from bi_utils_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_lines = ",\n             ".join(
+        "len(list_intersect(t, [{}])) AS l_{}".format(
+            ",".join("'" + w + "'" for w in LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    g = "greatest({})".format(", ".join(f"l_{lang}" for lang in langs))
+    arms = "\n                ".join(
+        f"WHEN l_{lang} = {g} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return rf"""
     WITH s AS (
       SELECT doc_id,
              regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -737,23 +754,18 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sc AS (
       SELECT doc_id,
-             len(list_intersect(t, ['der','die','das','und','ist','nicht'])) AS de,
-             len(list_intersect(t, ['the','and','of','to','a','is'])) AS en,
-             len(list_intersect(t, ['el','la','de','que','y','es'])) AS es,
-             len(list_intersect(t, ['le','la','et','les','des','est'])) AS fr,
-             len(list_intersect(t, ['的','是','不','了','在','我'])) AS zh
+             {score_lines}
       FROM s
     )
     SELECT doc_id,
-           CASE WHEN greatest(de, en, es, fr, zh) <= 0 THEN 'und'
-                WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
-                WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
-                WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
-                WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
-                ELSE 'zh' END AS lang_guess
+           CASE WHEN {g} <= 0 THEN 'und'
+                {arms}
+                ELSE '{langs[-1]}' END AS lang_guess
     FROM sc
-    """,
-)
+    """
+
+
+@register("q_lang_id", _lang_id_oracle_sql())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.textstats import language_id
 

@@ -16,17 +16,175 @@ from pyspark.sql import functions as F
 
 ColumnOrName = Column | str
 
-# Minimal per-language function-word lists for the heuristic
-# language-ID scorer. Deliberately tiny: the operator demonstrates the
-# scoring plumbing; swap in real profiles (e.g. full stopword tables
-# broadcast as a map) for production accuracy.
+# Per-language function-word profiles for the heuristic language-ID
+# scorer: the most frequent closed-class words of each language
+# (articles, pronouns, conjunctions, prepositions, auxiliaries) —
+# standard public stopword knowledge, ~40 words × 21 languages.
+# Function words are the classic language-ID signal (Cavnar &
+# Trenkle's n-gram profiles reduced to whole-word profiles): they are
+# ubiquitous in running text and nearly disjoint across languages.
+# Scoring stays a pure codegen expression — each profile is an array
+# literal intersected with the token set, no broadcast, no shuffle.
+# Space-free scripts (zh/ja) only match where text is pre-segmented;
+# plug a segmenter in front for those corpora.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "a", "is"),
-    "de": ("der", "die", "das", "und", "ist", "nicht"),
-    "es": ("el", "la", "de", "que", "y", "es"),
-    "fr": ("le", "la", "et", "les", "des", "est"),
-    "zh": ("的", "是", "不", "了", "在", "我"),
+    "en": (
+        "the", "and", "of", "to", "a", "is", "in", "it", "you", "that",
+        "he", "was", "for", "on", "are", "with", "as", "his", "they",
+        "at", "be", "this", "have", "from", "or", "had", "by", "not",
+        "but", "what", "some", "we", "can", "out", "were", "all",
+        "there", "when", "your", "how",
+    ),
+    "de": (
+        "der", "die", "das", "und", "ist", "nicht", "ich", "sie", "du",
+        "er", "es", "wir", "ihr", "ein", "eine", "einen", "dem", "den",
+        "des", "im", "auf", "mit", "für", "von", "zu", "aus", "bei",
+        "nach", "über", "aber", "auch", "als", "wenn", "noch", "wie",
+        "war", "sind", "haben", "hat", "werden",
+    ),
+    "es": (
+        "el", "la", "de", "que", "y", "es", "a", "en", "un", "una",
+        "ser", "se", "no", "por", "con", "su", "para", "como", "estar",
+        "tener", "le", "lo", "todo", "pero", "más", "hacer", "o",
+        "poder", "decir", "este", "ir", "otro", "ese", "me", "ya",
+        "ver", "porque", "dar", "cuando", "muy",
+    ),
+    "fr": (
+        "le", "la", "et", "les", "des", "est", "de", "un", "une", "du",
+        "en", "au", "aux", "ce", "cette", "que", "qui", "dans", "pour",
+        "pas", "ne", "sur", "se", "plus", "par", "avec", "tout",
+        "faire", "son", "sont", "autre", "on", "mais", "nous", "comme",
+        "ou", "si", "leur", "y", "dire",
+    ),
+    "it": (
+        "il", "la", "di", "che", "e", "è", "un", "una", "in", "per",
+        "non", "con", "si", "da", "come", "lo", "le", "dei", "delle",
+        "più", "ma", "anche", "sono", "essere", "avere", "questo",
+        "quella", "su", "del", "alla", "nel", "gli", "ci", "io", "tu",
+        "lui", "lei", "noi", "voi", "loro",
+    ),
+    "pt": (
+        "o", "a", "de", "que", "e", "é", "do", "da", "em", "um", "uma",
+        "para", "não", "com", "os", "as", "se", "na", "no", "por",
+        "mais", "dos", "das", "como", "mas", "foi", "ao", "ele", "ela",
+        "são", "sua", "seu", "ou", "quando", "muito", "nos", "já",
+        "está", "eu", "também",
+    ),
+    "nl": (
+        "de", "het", "een", "en", "van", "ik", "te", "dat", "die",
+        "in", "is", "hij", "niet", "zijn", "op", "aan", "met", "als",
+        "voor", "had", "er", "maar", "om", "hem", "dan", "zou", "of",
+        "wat", "mijn", "men", "dit", "zo", "door", "over", "ze",
+        "zich", "bij", "ook", "je", "mij",
+    ),
+    "sv": (
+        "och", "det", "att", "i", "en", "jag", "hon", "som", "han",
+        "på", "den", "med", "var", "sig", "för", "så", "till", "är",
+        "men", "ett", "om", "hade", "vi", "av", "inte", "de", "du",
+        "har", "vad", "ju", "kan", "när", "man", "din", "nu", "sin",
+        "min", "ska", "vara", "där",
+    ),
+    "da": (
+        "og", "i", "jeg", "det", "at", "en", "den", "til", "er",
+        "som", "på", "de", "med", "han", "af", "for", "ikke", "der",
+        "var", "mig", "sig", "men", "et", "har", "om", "vi", "min",
+        "havde", "ham", "hun", "nu", "over", "da", "fra", "du", "ud",
+        "sin", "dem", "os", "op",
+    ),
+    "no": (
+        "og", "i", "jeg", "det", "at", "en", "et", "den", "til",
+        "er", "som", "på", "de", "med", "han", "av", "ikke", "der",
+        "så", "var", "meg", "seg", "men", "har", "om", "vi", "min",
+        "mitt", "ha", "hadde", "hun", "nå", "over", "da", "ved",
+        "fra", "du", "ut", "sin", "mot",
+    ),
+    "pl": (
+        "w", "i", "na", "z", "do", "to", "że", "się", "nie", "jest",
+        "jak", "co", "po", "tak", "o", "ale", "jego", "przez", "dla",
+        "od", "przy", "czy", "tylko", "już", "może", "być", "był",
+        "była", "było", "są", "ja", "ty", "my", "wy", "jej", "ich",
+        "tym", "te", "ten", "która",
+    ),
+    "cs": (
+        "a", "se", "na", "v", "je", "že", "o", "s", "z", "do", "to",
+        "jak", "ale", "co", "pro", "tak", "po", "když", "nebo",
+        "jsem", "jsi", "jsme", "byl", "byla", "bylo", "jsou", "být",
+        "má", "mě", "ho", "mi", "si", "k", "i", "u", "od", "za",
+        "před", "mezi", "podle",
+    ),
+    "ro": (
+        "și", "de", "la", "a", "în", "să", "nu", "ce", "cu", "pe",
+        "este", "un", "o", "mai", "care", "din", "pentru", "dar",
+        "sau", "sunt", "fost", "avea", "el", "ea", "noi", "voi",
+        "ei", "lor", "își", "fi", "era", "când", "cum", "după",
+        "prin", "dacă", "ca", "al", "ale", "unei",
+    ),
+    "tr": (
+        "bir", "ve", "bu", "da", "de", "ne", "için", "ile", "mi",
+        "ama", "ben", "sen", "o", "biz", "siz", "onlar", "çok",
+        "daha", "var", "yok", "gibi", "kadar", "sonra", "ki", "en",
+        "her", "şey", "benim", "senin", "onun", "bizim", "diye",
+        "ise", "değil", "olarak", "olan", "oldu", "olur", "önce",
+        "şu",
+    ),
+    "id": (
+        "yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+        "ini", "dari", "dalam", "akan", "pada", "juga", "saya",
+        "ke", "karena", "tetapi", "ada", "mereka", "sudah", "atau",
+        "seperti", "bisa", "kita", "kami", "dia", "anda", "telah",
+        "oleh", "saat", "harus", "sangat", "lebih", "masih",
+        "hanya", "banyak", "satu", "dua", "bagi", "secara",
+    ),
+    "fi": (
+        "ja", "on", "ei", "se", "että", "en", "oli", "hän", "mutta",
+        "niin", "kun", "minä", "sinä", "me", "te", "he", "ole",
+        "sen", "mitä", "tämä", "joka", "sitä", "kuin", "myös",
+        "jos", "nyt", "vain", "mukaan", "hänen", "sitten", "kaikki",
+        "kanssa", "siitä", "tai", "vielä", "jo", "näin", "koska",
+        "missä", "jotka",
+    ),
+    "hu": (
+        "a", "az", "és", "nem", "hogy", "is", "egy", "ez", "de",
+        "van", "volt", "meg", "ha", "már", "csak", "mint", "el",
+        "még", "ki", "mi", "te", "ő", "mert", "nagyon", "lehet",
+        "vagy", "kell", "itt", "ott", "aki", "ami", "azt", "ezt",
+        "majd", "így", "úgy", "most", "minden", "olyan", "annak",
+    ),
+    "ru": (
+        "и", "в", "не", "на", "я", "быть", "он", "с", "что", "а",
+        "по", "это", "она", "этот", "к", "но", "они", "мы", "как",
+        "из", "у", "который", "то", "за", "свой", "весь", "год",
+        "от", "так", "о", "для", "ты", "же", "все", "тот", "мочь",
+        "вы", "человек", "такой", "его",
+    ),
+    "ar": (
+        "في", "من", "على", "و", "أن", "إلى", "عن", "مع", "هذا",
+        "هذه", "ذلك", "التي", "الذي", "كان", "كانت", "لا", "ما",
+        "هو", "هي", "أو", "ثم", "قد", "كل", "بعد", "غير", "حتى",
+        "إذا", "كما", "لم", "لن", "هناك", "منذ", "بين", "يوم",
+        "أي", "عند", "قبل", "لكن", "ليس", "عليه",
+    ),
+    "zh": (
+        "的", "是", "不", "了", "在", "我", "有", "和", "就", "人",
+        "都", "一", "一个", "上", "也", "很", "到", "说", "要",
+        "去", "你", "会", "着", "没有", "看", "好", "自己", "这",
+        "那", "他", "她", "它", "们", "与", "及", "或", "被",
+        "对", "从", "而",
+    ),
+    "ja": (
+        "の", "に", "は", "を", "た", "が", "で", "て", "と", "し",
+        "れ", "さ", "ある", "いる", "も", "する", "から", "な",
+        "こと", "として", "い", "や", "など", "なっ", "ない",
+        "この", "ため", "その", "あっ", "よう", "また", "もの",
+        "という", "あり", "まで", "られ", "なる", "へ", "か",
+        "だ",
+    ),
 }
+
+# English stopword list for quality gating — kept separate from the
+# (larger) language-ID profiles so quality_score's semantics don't
+# move when profiles are tuned.
+EN_STOPWORDS: tuple[str, ...] = ("the", "and", "of", "to", "a", "is")
 
 
 def _col(c: ColumnOrName) -> Column:
@@ -92,7 +250,7 @@ def quality_score(
     c: ColumnOrName,
     min_tokens: int = 20,
     max_punct_ratio: float = 0.2,
-    stopwords: Sequence[str] = LANG_MARKERS["en"],
+    stopwords: Sequence[str] = EN_STOPWORDS,
 ) -> Column:
     """Composite quality heuristic in [0, 1]: length gate, punctuation
     gate, stopword-presence signal — the C4-style gating used by
@@ -106,8 +264,14 @@ def quality_score(
 
 def language_scores(c: ColumnOrName) -> dict[str, Column]:
     """Per-language marker-hit counts (the n-gram-profile heuristic
-    reduced to function-word profiles)."""
-    toks = tokens(c)
+    reduced to function-word profiles).
+
+    Each profile intersects the DISTINCT token set — intersection is
+    distinct by definition, and deduplicating once shrinks the array
+    all |languages| intersections walk. The identical
+    array_distinct(tokens) subtree is collapsed to one evaluation by
+    codegen subexpression elimination."""
+    toks = F.array_distinct(tokens(c))
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(w) for w in markers])
@@ -120,16 +284,31 @@ def language_id(c: ColumnOrName, default: str = "und") -> Column:
 
     Ties break by language code order (deterministic). Pure Column
     expression — a broadcast-free, shuffle-free classifier.
+
+    Implementation note: argmax is ``array_max`` over (score, −rank,
+    lang) structs — lexicographic struct ordering picks the highest
+    score and, on ties, the earliest language in sorted-code order.
+    A fold of nested when/otherwise accumulators would duplicate the
+    whole prior expression tree at every step (2^|languages| nodes —
+    unplannable beyond ~15 languages); the struct array keeps every
+    profile intersection evaluated exactly once.
     """
     scores = language_scores(c)
-    best_lang: Column = F.lit(default)
-    best_score: Column = F.lit(0)
-    for lang in sorted(scores):  # later greater-than keeps first max
-        s = scores[lang]
-        is_better = s > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, s).otherwise(best_score)
-    return best_lang
+    langs = sorted(scores)
+    entries = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("s"),
+                F.lit(-i).alias("r"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(entries)
+    return F.when(best.getField("s") <= 0, F.lit(default)).otherwise(
+        best.getField("lang")
+    )
 
 
 def content_fingerprint(c: ColumnOrName) -> Column:
