@@ -1786,6 +1786,59 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_media_decode",
+    """
+    WITH m AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+             n_chars
+      FROM documents
+    )
+    SELECT media_id, modality,
+      CASE WHEN modality = 'image' THEN CAST(n_chars % 31 + 1 AS DOUBLE)
+           ELSE CAST(n_chars % 50 + 10 AS DOUBLE) END AS f0,
+      CASE WHEN modality = 'image' THEN CAST(n_chars % 17 + 1 AS DOUBLE)
+           ELSE CAST(8000 + (doc_id % 3) * 4000 AS DOUBLE) END AS f1,
+      CASE WHEN modality = 'image'
+           THEN (doc_id % 200) + (n_chars % 31) / 2.0
+           ELSE CASE WHEN (n_chars % 50 + 10) % 2 = 1
+                     THEN CAST(doc_id % 1000 - 500 AS DOUBLE) / (n_chars % 50 + 10)
+                     ELSE 0.0 END END AS f2,
+      CASE WHEN modality = 'image' THEN CAST(doc_id * 3 % 256 AS DOUBLE)
+           ELSE CAST(doc_id % 1000 - 500 AS DOUBLE) END AS f3
+    FROM m
+    """,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip (X7 non-fake tier): synthesize BMP/WAV
+    test patterns with the pure-python encoders, decode them back
+    through the registered real parsers, and report header- and
+    pixel/PCM-derived features. The oracle recomputes every feature
+    in closed form from (doc_id, n_chars) — a decoder that does not
+    faithfully parse BMP padding/BGR order or RIFF chunks and
+    little-endian int16 PCM cannot hash-match it.
+    """
+    from bi_utils_spark.operators.multimodal import (
+        DecoderRegistry,
+        bmp_feature_decoder,
+        extract_features,
+        synthesize_test_media,
+        wav_feature_decoder,
+    )
+
+    DecoderRegistry.register("image", bmp_feature_decoder())
+    DecoderRegistry.register("audio", wav_feature_decoder())
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = synthesize_test_media(docs)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "modality",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2d embedding-cosine dedup: exact keep-list is oracle-checkable; the
 # IVF-celled pair variant and IVF top-k probe are approximate (rows-only;

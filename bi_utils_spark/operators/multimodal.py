@@ -4,11 +4,14 @@ Images/audio/video ride Spark as opaque ``binary`` columns next to a
 typed metadata struct — the layout used by large-scale multimodal
 training pipelines (and by ``binaryFile``-format datasets). The
 Spark-side plumbing here is real and tested: schemas, Arrow batch
-shape, partition sizing, mapInPandas signatures. The codec layer
-(image decode, resampling, frame extraction) is STUBBED — the
-decode libraries (PIL/ffmpeg/torchaudio) are not in this container —
-behind ``DecoderRegistry``: tests register deterministic fakes; a
-production deployment registers real codecs with the same signature.
+shape, partition sizing, mapInPandas signatures. The codec layer is
+pluggable via ``DecoderRegistry``; two REAL pure-python codecs ship
+in-repo (uncompressed 24-bit BMP and 16-bit PCM WAV — see
+``encode_bmp``/``decode_bmp``/``encode_wav``/``decode_wav``,
+oracle-verified end-to-end by q_media_decode). Compressed formats
+(PNG/JPEG/MP4) need external libs not in this container and stay
+stubbed: tests register deterministic fakes; a production deployment
+registers PIL/ffmpeg decoders with the same signature.
 
 Scale notes: media rows are fat (MBs); the operators below keep them
 out of shuffles entirely (map-only pipelines), and metadata-only
@@ -150,6 +153,201 @@ def payload_sizes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         F.sum(F.length(F.col(payload_col))).alias("total_bytes"),
         F.max(F.length(F.col(payload_col))).alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real pure-python codecs (zero deps): uncompressed 24-bit BMP and
+# 16-bit PCM WAV. These are NOT fakes — they write and parse the
+# actual on-disk formats (struct-packed headers, BGR row order, 4-byte
+# row padding, RIFF chunk walking, little-endian PCM). They exist so
+# the codec layer has at least one genuinely decodable modality in
+# this container; production deployments still register PIL/ffmpeg
+# for compressed formats.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def encode_bmp(width: int, height: int, rows: list[list[tuple[int, int, int]]]) -> bytes:
+    """Write an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB).
+
+    ``rows[y][x]`` is an (r, g, b) tuple with y=0 the TOP row; the
+    file stores rows bottom-up with each row zero-padded to a 4-byte
+    boundary, per the format spec.
+    """
+    if height != len(rows) or any(len(r) != width for r in rows):
+        raise ValueError("rows shape must be height x width")
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    image_size = (row_bytes + pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        for r, g, b in rows[y]:
+            body += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # BGR on disk
+        body += b"\x00" * pad
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed 24-bit BMP → dims + per-channel means.
+
+    Validates magic, header size, bpp and compression; honors the
+    bottom-up row order, BGR byte order and 4-byte row padding. Raises
+    ValueError on anything it cannot faithfully decode.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    if len(payload) < data_offset + stride * height:
+        raise ValueError("truncated BMP payload")
+    sum_r = sum_g = sum_b = 0
+    for stored_row in range(height):
+        off = data_offset + stored_row * stride
+        row = payload[off : off + row_bytes]
+        sum_b += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        sum_r += sum(row[2::3])
+    n_px = width * height
+    return {
+        "width": width,
+        "height": height,
+        "bottom_up": bottom_up,
+        "n_px": n_px,
+        "mean_r": sum_r / n_px,
+        "mean_g": sum_g / n_px,
+        "mean_b": sum_b / n_px,
+    }
+
+
+def encode_wav(samples: list[int], sample_rate: int, num_channels: int = 1) -> bytes:
+    """Write a 16-bit little-endian PCM WAV (RIFF/WAVE, fmt + data)."""
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * num_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, num_channels, sample_rate, byte_rate,
+        num_channels * 2, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff_size = 4 + len(fmt) + len(data)
+    return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + fmt + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a PCM WAV by walking RIFF chunks → rate, channels, stats.
+
+    Handles arbitrary chunk order and ignores unknown chunks (LIST,
+    cue, ...), like a real reader must. Raises ValueError for
+    non-PCM or malformed files.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+            fmt = (n_ch, rate)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    n_ch, rate = fmt
+    samples = list(struct.unpack(f"<{len(pcm) // 2}h", pcm[: len(pcm) // 2 * 2]))
+    n = len(samples) // n_ch
+    return {
+        "num_channels": n_ch,
+        "sample_rate": rate,
+        "n_samples": n,
+        "mean_sample": (sum(samples) / len(samples)) if samples else 0.0,
+        "first_sample": samples[0] if samples else 0,
+    }
+
+
+def bmp_feature_decoder() -> Decoder:
+    """Real image decoder entry: BMP → [width, height, mean_r, mean_g]."""
+
+    def decode(payload: bytes) -> list[float]:
+        d = decode_bmp(payload)
+        return [float(d["width"]), float(d["height"]), d["mean_r"], d["mean_g"]]
+
+    return decode
+
+
+def wav_feature_decoder() -> Decoder:
+    """Real audio decoder entry: WAV → [n_samples, rate, mean, first]."""
+
+    def decode(payload: bytes) -> list[float]:
+        d = decode_wav(payload)
+        return [
+            float(d["n_samples"]),
+            float(d["sample_rate"]),
+            float(d["mean_sample"]),
+            float(d["first_sample"]),
+        ]
+
+    return decode
+
+
+def synthesize_test_media(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Deterministic test-pattern media built with the REAL encoders
+    (the moral equivalent of TV color bars): even ids become BMPs
+    whose red channel ramps along x over a solid green/blue base,
+    odd ids become WAVs of an alternating ±a square wave. Every
+    derived quantity is a closed-form function of (id, size), so a
+    DuckDB oracle can recompute what a faithful decoder must report —
+    a decoder that does not truly parse headers, padding, BGR order
+    and little-endian PCM cannot reproduce them.
+
+    Image (doc_id even): w = size%31+1, h = size%17+1,
+    pixel(x, y) = (r=(doc_id%200)+x, g=doc_id*3%256, b=doc_id*7%256).
+    Audio (doc_id odd): n = size%50+10, rate = 8000+(doc_id%3)*4000,
+    a = doc_id%1000−500, samples = +a, −a, +a, ...
+    """
+    out_schema = "media_id string, modality string, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mods, payloads = [], [], []
+            for doc_id, size in zip(pdf[id_col], pdf[size_col]):
+                doc_id, size = int(doc_id), int(size)
+                if doc_id % 2 == 0:
+                    w, h = size % 31 + 1, size % 17 + 1
+                    base_r, g, b = doc_id % 200, doc_id * 3 % 256, doc_id * 7 % 256
+                    rows = [[(base_r + x, g, b) for x in range(w)] for _ in range(h)]
+                    mods.append("image")
+                    payloads.append(encode_bmp(w, h, rows))
+                else:
+                    n = size % 50 + 10
+                    rate = 8000 + (doc_id % 3) * 4000
+                    a = doc_id % 1000 - 500
+                    samples = [a if i % 2 == 0 else -a for i in range(n)]
+                    mods.append("audio")
+                    payloads.append(encode_wav(samples, rate))
+                ids.append(str(doc_id))
+            yield pd.DataFrame(
+                {"media_id": ids, "modality": mods, "payload": payloads}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 # A transcoder takes raw bytes (+ params) and returns transformed bytes.

@@ -451,6 +451,79 @@ def test_dedup_operators_leave_no_cache(spark, docs):
     assert n_cached == 0, f"{n_cached} cached RDDs left behind"
 
 
+# --- real pure-python codecs (X7 non-fake tier) ------------------------------
+
+def test_bmp_roundtrip_with_padding():
+    from bi_utils_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    # w=3 -> 9-byte rows padded to 12: padding must not leak into pixels
+    rows = [
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(0, 0, 0), (255, 255, 255), (128, 0, 255)],
+    ]
+    payload = encode_bmp(3, 2, rows)
+    d = decode_bmp(payload)
+    assert (d["width"], d["height"]) == (3, 2)
+    flat = [px for r in rows for px in r]
+    assert d["mean_r"] == pytest.approx(sum(p[0] for p in flat) / 6)
+    assert d["mean_g"] == pytest.approx(sum(p[1] for p in flat) / 6)
+    assert d["mean_b"] == pytest.approx(sum(p[2] for p in flat) / 6)
+
+
+def test_bmp_rejects_garbage():
+    from bi_utils_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"\x89PNG not a bmp at all, definitely")
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from bi_utils_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = [300, -300, 301, -299, 12345]
+    payload = encode_wav(samples, 16000)
+    d = decode_wav(payload)
+    assert d["sample_rate"] == 16000
+    assert d["n_samples"] == 5
+    assert d["first_sample"] == 300  # wrong endianness would read 11265
+    assert d["mean_sample"] == pytest.approx(sum(samples) / 5)
+    # chunk walking: an unknown odd-sized chunk before fmt must be skipped
+    import struct as _s
+
+    extra = _s.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # word-aligned
+    hacked = payload[:12] + extra + payload[12:]
+    hacked = _s.pack("<4sI4s", b"RIFF", len(hacked) - 8, b"WAVE") + hacked[12:]
+    assert decode_wav(hacked)["n_samples"] == 5
+
+
+def test_media_decode_end_to_end(spark, sf_dir):
+    from bi_utils_spark.operators.multimodal import (
+        DecoderRegistry,
+        bmp_feature_decoder,
+        extract_features,
+        synthesize_test_media,
+        wav_feature_decoder,
+    )
+
+    DecoderRegistry.register("image", bmp_feature_decoder())
+    DecoderRegistry.register("audio", wav_feature_decoder())
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").limit(20)
+    out = extract_features(synthesize_test_media(docs)).collect()
+    assert len(out) == 20
+    by_id = {int(r["media_id"]): r for r in out}
+    src = {int(r["doc_id"]): int(r["n_chars"]) for r in docs.collect()}
+    for doc_id, n_chars in src.items():
+        f = by_id[doc_id]["features"]
+        if doc_id % 2 == 0:  # image: header dims + red-ramp mean
+            assert f[0] == n_chars % 31 + 1
+            assert f[1] == n_chars % 17 + 1
+            assert f[2] == pytest.approx(doc_id % 200 + (n_chars % 31) / 2.0)
+        else:  # audio: sample count + rate from the parsed header
+            assert f[0] == n_chars % 50 + 10
+            assert f[1] == 8000 + (doc_id % 3) * 4000
+            assert f[3] == doc_id % 1000 - 500
+
+
 def test_resize_media_plumbing(spark, media):
     from bi_utils_spark.operators.multimodal import (
         TranscoderRegistry,
