@@ -172,3 +172,83 @@ def merge_into_path(
     merged.count()
     merged.write.mode("overwrite").parquet(target_path)
     merged.unpersist()
+
+
+def merge_into_partitioned_path(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    pks: Sequence[str] | str,
+    partition_cols: Sequence[str],
+    **kwargs,
+) -> None:
+    """Partition-scoped MERGE: rewrite ONLY the partitions the source
+    batch touches; every other partition's files stay byte-identical.
+
+    The whole-table rewrite of :func:`merge_into_path` is wrong at
+    100 TB — a daily delta against years of history must not rewrite
+    years. Here the touched partition values are collected from the
+    source (bounded: the distinct partition tuples of one delta
+    batch), the target read is FILTERED to those values (partition
+    pruning keeps untouched files out of the scan entirely), and the
+    write uses dynamic partition overwrite so only the merged
+    partitions' directories are replaced.
+
+    Contract (the standard one for partition-pruned merges, same as
+    a Delta MERGE with a partition predicate): ``partition_cols`` ⊆
+    source columns, and a PK never moves between partitions across
+    loads — a source row whose PK lives in a partition the source
+    does not otherwise touch would INSERT a duplicate instead of
+    updating it, because that partition was pruned from the join.
+    """
+    from functools import reduce
+
+    from pyspark.sql.utils import AnalysisException
+
+    if isinstance(pks, str):
+        pks = [c.strip() for c in pks.split(",")]
+    missing = [c for c in partition_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge: partition cols {missing} missing from source")
+
+    touched = source.select(*partition_cols).distinct().collect()
+    try:
+        pred = reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == F.lit(r[c]) for c in partition_cols],
+                )
+                for r in touched
+            ],
+        )
+        target = spark.read.parquet(target_path).filter(pred)
+    except AnalysisException:
+        from pyspark.sql.types import StructField, StructType, TimestampType
+
+        ins = kwargs.get("insert_ts_col", "insert_timestamp")
+        upd = kwargs.get("update_ts_col", "update_timestamp")
+        schema = StructType(
+            list(source.schema.fields)
+            + [
+                StructField(ins, TimestampType(), True),
+                StructField(upd, TimestampType(), True),
+            ]
+        )
+        target = spark.createDataFrame([], schema)
+    merged = merge_upsert(target, source, pks, **kwargs)
+    # Materialize before overwriting partitions we just read from.
+    merged.cache()
+    merged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic overwrite replaces only the partition dirs present in
+        # `merged` (bootstrap simply writes them all)
+        merged.write.partitionBy(*partition_cols).mode("overwrite").parquet(
+            target_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        merged.unpersist()

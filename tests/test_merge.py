@@ -126,3 +126,70 @@ def test_merge_into_path_lifecycle(spark, tmp_path):
     got = {r["id"]: r for r in spark.read.parquet(path).collect()}
     assert got[1]["payload"] == "new" and got[1]["insert_timestamp"] == T0
     assert got[2]["payload"] == "ins" and got[2]["insert_timestamp"] == T1
+
+
+def test_merge_partition_scoped_leaves_untouched_files_byte_identical(
+    spark, tmp_path
+):
+    # the 100 TB contract: merging a delta that touches partition
+    # 2024-01-02 must not rewrite (or even re-encode) 2024-01-01
+    import pathlib
+
+    from bi_utils_spark.operators.merge import merge_into_partitioned_path
+
+    path = str(tmp_path / "ptarget")
+    spark.createDataFrame(
+        [
+            ("2024-01-01", 1, "a-old", T0, T0),
+            ("2024-01-01", 2, "b-old", T0, T0),
+            ("2024-01-02", 3, "c-old", T0, T0),
+        ],
+        ["pdate", "id", "payload", "insert_timestamp", "update_timestamp"],
+    ).write.partitionBy("pdate").parquet(path)
+
+    def snapshot(day):
+        files = sorted(
+            p for p in pathlib.Path(path, f"pdate={day}").rglob("*.parquet")
+        )
+        return [(p.name, p.read_bytes()) for p in files]
+
+    before_day1 = snapshot("2024-01-01")
+
+    source = spark.createDataFrame(
+        [("2024-01-02", 3, "c-new"), ("2024-01-02", 4, "d-ins")],
+        ["pdate", "id", "payload"],
+    )
+    merge_into_partitioned_path(
+        spark, path, source, ["id"], ["pdate"], now=F.lit(T1)
+    )
+
+    got = {r["id"]: r for r in spark.read.parquet(path).collect()}
+    assert got[3]["payload"] == "c-new" and got[3]["insert_timestamp"] == T0
+    assert got[4]["payload"] == "d-ins" and got[4]["insert_timestamp"] == T1
+    assert got[1]["payload"] == "a-old" and got[2]["payload"] == "b-old"
+    assert snapshot("2024-01-01") == before_day1, "untouched partition rewritten"
+
+
+def test_merge_partition_scoped_bootstrap(spark, tmp_path):
+    from bi_utils_spark.operators.merge import merge_into_partitioned_path
+
+    path = str(tmp_path / "pboot")
+    source = spark.createDataFrame(
+        [("2024-01-01", 1, "x")], ["pdate", "id", "payload"]
+    )
+    merge_into_partitioned_path(
+        spark, path, source, ["id"], ["pdate"], now=F.lit(T1)
+    )
+    rows = spark.read.parquet(path).collect()
+    # bootstrap schema types the managed columns as real timestamps
+    assert len(rows) == 1 and str(rows[0]["insert_timestamp"]) == T1
+
+
+def test_merge_partition_scoped_missing_partition_col_raises(spark, tmp_path):
+    from bi_utils_spark.operators.merge import merge_into_partitioned_path
+
+    source = spark.createDataFrame([(1, "x")], ["id", "payload"])
+    with pytest.raises(ValueError, match="partition cols"):
+        merge_into_partitioned_path(
+            spark, str(tmp_path / "none"), source, ["id"], ["pdate"]
+        )
