@@ -80,6 +80,12 @@ def main() -> None:
     ).count()
 
     queries = entry_mod.queries()
+    # Approximate operators are registered as oracle-backed summary
+    # queries (approx + exact ground truth); bench the raw operator
+    # alone so walls stay comparable across rounds.
+    from bi_utils_spark.entry_queries import RAW_QUERIES
+
+    queries.update(RAW_QUERIES)
     # Best-of-N per query (default 3): this box is a shared container
     # with bursty CPU contention — single-shot walls show 3-20x
     # outlier spikes on queries that are sub-second steady-state. The

@@ -834,9 +834,13 @@ def q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X2a exact Jaccard near-dup join --------------------------------------
 
-@register(
-    "q_jaccard_pairs",
-    r"""
+# Shared DuckDB CTE: exact pairwise Jaccard over distinct 3-token
+# shingle sets (chr(1)-joined strings — the same ("ab","c") vs
+# ("a","bc") separation the Spark side gets from its arithmetic hash
+# combine). Parameterized by threshold so the q_jaccard_pairs oracle
+# and the recall-bound summaries stay one definition.
+def _jaccard_pairs_sql(threshold: float, select: str) -> str:
+    return rf"""
     WITH toks AS (
       SELECT doc_id,
              regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -857,14 +861,58 @@ def q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
       FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+            >= {threshold}
     )
-    SELECT id_a, id_b,
-           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
-    """,
+    {select}
+    """
+
+
+def _pair_recall_summary(
+    exact: DataFrame, approx: DataFrame, bound: float, recall_col: str
+) -> DataFrame:
+    """One-row (n_exact, false_positives, <recall_col>) attestation.
+
+    n_exact is cross-engine-checkable ground truth; false_positives
+    (approx pairs outside the exact set) must be 0 because every
+    approximate operator here verifies candidates exactly; the recall
+    flag is 1 iff |approx ∩ exact| ≥ bound · n_exact — computed
+    entirely Spark-side from deterministic (seeded) plans, so the
+    oracle pins it as a constant. A recall regression or a false
+    positive flips an integer and fails the driver's hash match.
+    """
+    keys = ["id_a", "id_b"]
+    e = exact.select(*keys)
+    a = approx.select(*keys)
+    n_exact = e.agg(F.count("*").alias("n_exact"))
+    fp = a.join(e, keys, "left_anti").agg(F.count("*").alias("false_positives"))
+    found = a.join(e, keys, "left_semi").agg(F.count("*").alias("__found"))
+    return (
+        n_exact.crossJoin(fp)
+        .crossJoin(found)
+        .select(
+            "n_exact",
+            "false_positives",
+            (
+                F.col("__found").cast("double")
+                >= F.lit(bound) * F.col("n_exact").cast("double")
+            )
+            .cast("int")
+            .alias(recall_col),
+        )
+    )
+
+
+@register(
+    "q_jaccard_pairs",
+    _jaccard_pairs_sql(0.5, "SELECT id_a, id_b, jaccard FROM jac"),
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.dedup import jaccard_similarity_join
@@ -1214,8 +1262,9 @@ def q_emb_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate variants: no SQL oracle (rows-only check; recall is
 # property-tested against the exact baselines in tests/test_llmdata.py) ----
 
-@register("q_minhash_near_dup")
-def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def raw_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw LSH near-dup pair join (benched; attested by the
+    oracle-backed q_minhash_near_dup summary)."""
     from bi_utils_spark.operators.dedup import minhash_near_dup_join
 
     docs = load(spark, sf_dir, "documents")
@@ -1224,20 +1273,166 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_simhash_near_dup")
-def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "q_minhash_near_dup",
+    _jaccard_pairs_sql(
+        0.6,
+        """
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(0 AS BIGINT) AS false_positives,
+           1 AS recall_ge_090
+    FROM jac
+    """,
+    ),
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-bound oracle row for MinHash LSH (VERDICT r2 #5): the
+    exact Jaccard pair count is ground truth DuckDB recomputes from
+    the raw text; the LSH join (same threshold, seeded) must find
+    ≥ 90% of those pairs and may not report any pair outside them."""
+    from bi_utils_spark.operators.dedup import (
+        jaccard_similarity_join,
+        minhash_near_dup_join,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    exact = jaccard_similarity_join(docs, "doc_id", "text", threshold=0.6, shingle_n=3)
+    approx = minhash_near_dup_join(
+        docs, "doc_id", "text", threshold=0.6, num_hashes=64, num_bands=16
+    )
+    return _pair_recall_summary(exact, approx, 0.9, "recall_ge_090")
+
+
+def raw_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw banded SimHash join (benched; attested by the
+    oracle-backed q_simhash_near_dup summary)."""
     from bi_utils_spark.operators.dedup import simhash_near_dup_join
 
     docs = load(spark, sf_dir, "documents")
     return simhash_near_dup_join(docs, "doc_id", "text", max_hamming=3)
 
 
-@register("q_ann_topk")
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "q_simhash_near_dup",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(lower(text)) AS t FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_text_dup_pairs,
+           CAST(0 AS BIGINT) AS text_dups_missed,
+           CAST(0 AS BIGINT) AS banded_vs_brute_mismatch
+    FROM norm a JOIN norm b ON a.t = b.t AND a.doc_id < b.doc_id
+    """,
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completeness attestation for the banded SimHash join: (1) the
+    pigeonhole banding must return EXACTLY the brute-force
+    hamming ≤ 3 pair set (symmetric difference = 0 — the hard
+    guarantee, checked on the full table, not a sample); (2) every
+    identical-normalized-text pair (ground truth DuckDB recomputes)
+    has identical fingerprints and must be reported."""
+    from bi_utils_spark.operators.dedup import (
+        hamming64,
+        simhash64_rows,
+        simhash_near_dup_join,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    banded = simhash_near_dup_join(docs, "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    fp = simhash64_rows(docs, "doc_id", "text")
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .filter(hamming64(F.col("a.fp"), F.col("b.fp")) <= 3)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    norm = docs.select(
+        "doc_id", F.trim(F.lower(F.col("text"))).alias("t")
+    )
+    na, nb = norm.alias("na"), norm.alias("nb")
+    text_dups = (
+        na.join(
+            nb,
+            (F.col("na.t") == F.col("nb.t"))
+            & (F.col("na.doc_id") < F.col("nb.doc_id")),
+        )
+        .select(
+            F.col("na.doc_id").alias("id_a"), F.col("nb.doc_id").alias("id_b")
+        )
+    )
+    keys = ["id_a", "id_b"]
+    n_text = text_dups.agg(F.count("*").alias("n_text_dup_pairs"))
+    missed = text_dups.join(banded, keys, "left_anti").agg(
+        F.count("*").alias("text_dups_missed")
+    )
+    mismatch = (
+        banded.join(brute, keys, "left_anti")
+        .unionByName(brute.join(banded, keys, "left_anti"))
+        .agg(F.count("*").alias("banded_vs_brute_mismatch"))
+    )
+    return n_text.crossJoin(missed).crossJoin(mismatch)
+
+
+def raw_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw hyperplane-LSH top-k self-join (benched; attested by
+    the oracle-backed q_ann_topk summary)."""
     from bi_utils_spark.operators.similarity import ann_self_join_topk
 
     emb = load(spark, sf_dir, "embeddings")
     return ann_self_join_topk(emb, k=3, num_planes=16, num_bands=8, dim=64)
+
+
+@register(
+    "q_ann_topk",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(3 * count(*) AS BIGINT) AS n_exact_rows,
+           1 AS recall_ge_050
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-bound oracle row for hyperplane-LSH ANN: exact k-NN is
+    computed Spark-side for a deterministic query sample (vec_id %
+    25 = 0 — whose size and k·size DuckDB recomputes), and the ANN
+    join must recall ≥ 50% of those (query, neighbor) edges — the
+    bound the recall property test has enforced since r1."""
+    from bi_utils_spark.operators.similarity import ann_self_join_topk, exact_knn_all
+
+    emb = load(spark, sf_dir, "embeddings")
+    sampled = F.col("query_id") % 25 == 0
+    exact = (
+        exact_knn_all(emb, k=3)
+        .filter(sampled)
+        .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    )
+    ann = (
+        ann_self_join_topk(emb, k=3, num_planes=16, num_bands=8, dim=64)
+        .filter(sampled)
+        .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    )
+    keys = ["id_a", "id_b"]
+    n_q = emb.filter(F.col("vec_id") % 25 == 0).agg(
+        F.count("*").alias("n_queries")
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact_rows"))
+    found = ann.join(exact, keys, "left_semi").agg(F.count("*").alias("__found"))
+    return (
+        n_q.crossJoin(n_exact)
+        .crossJoin(found)
+        .select(
+            "n_queries",
+            "n_exact_rows",
+            (
+                F.col("__found").cast("double")
+                >= 0.5 * F.col("n_exact_rows").cast("double")
+            )
+            .cast("int")
+            .alias("recall_ge_050"),
+        )
+    )
 
 
 @register(
@@ -1865,22 +2060,108 @@ def q_emb_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_exact(emb, threshold=0.45).select("vec_id", "label")
 
 
-@register("q_emb_near_dup_ivf")
-def q_emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def raw_emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw IVF-celled near-dup pair join (benched; attested by the
+    oracle-backed q_emb_near_dup_ivf summary)."""
     from bi_utils_spark.operators.dedup import embedding_near_dup_pairs_ivf
 
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs_ivf(emb, threshold=0.45, num_cells=8)
 
 
-@register("q_ivf_topk")
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "q_emb_near_dup_ivf",
+    """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT CAST((SELECT count(*) FROM sub) AS BIGINT) AS n_subset,
+           CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS false_positives,
+           1 AS recall_ge_080
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+     AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 9) >= 0.45
+    """,
+)
+def q_emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-bound oracle row for IVF-celled embedding near-dup:
+    exact all-pairs cosine over the deterministic vec_id % 5 subset
+    is ground truth DuckDB recomputes; the IVF pairs restricted to
+    that subset may contain no false positive (candidates are scored
+    with exact cosine) and must recall ≥ 80% of the exact pairs."""
+    from bi_utils_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_ivf,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") % 5 == 0)
+    exact = embedding_near_dup_pairs(sub, threshold=0.45)
+    ivf_sub = (
+        embedding_near_dup_pairs_ivf(emb, threshold=0.45, num_cells=8)
+        .filter((F.col("id_a") % 5 == 0) & (F.col("id_b") % 5 == 0))
+    )
+    n_subset = sub.agg(F.count("*").alias("n_subset"))
+    return n_subset.crossJoin(
+        _pair_recall_summary(exact, ivf_sub, 0.8, "recall_ge_080").withColumnRenamed(
+            "n_exact", "n_exact_pairs"
+        )
+    )
+
+
+def raw_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw IVF probe (benched; attested by the oracle-backed
+    q_ivf_topk summary)."""
     from bi_utils_spark.operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     target = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     out = ivf_topk(emb, [float(x) for x in target], k=10, num_cells=8, nprobe=3)
     return out.select("vec_id", F.round("score", 9).alias("score"))
+
+
+@register(
+    "q_ivf_topk",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(least(10, count(*)) AS BIGINT) AS n_exact,
+           1 AS recall_ge_050
+    FROM embeddings
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-bound oracle row for the IVF top-k probe: exact top-10
+    for the same query vector is computed Spark-side (one scan +
+    TakeOrdered); the nprobe=3 probe must recall ≥ 50% of it (the
+    recall floor that holds across all fixture scales: measured 0.5
+    at sf0.001, 0.6 at sf0.01, 0.8 at sf0.1 — near-random synthetic
+    embeddings scatter true neighbors across cells, the documented
+    IVF weakness on unclustered data). Corpus size anchors the row
+    to the data."""
+    from bi_utils_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probe = ivf_topk(emb, target, k=10, num_cells=8, nprobe=3).select("vec_id")
+    exact = cosine_topk(emb, target, k=10).select("vec_id")
+    n_corpus = emb.agg(F.count("*").alias("n_corpus"))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    found = probe.join(exact, "vec_id", "left_semi").agg(
+        F.count("*").alias("__found")
+    )
+    return (
+        n_corpus.crossJoin(n_exact)
+        .crossJoin(found)
+        .select(
+            "n_corpus",
+            "n_exact",
+            (
+                F.col("__found").cast("double")
+                >= 0.5 * F.col("n_exact").cast("double")
+            )
+            .cast("int")
+            .alias("recall_ge_050"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2130,12 +2411,76 @@ def q_users_signup_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # specific); the winnowing guarantee is property-tested in tests/.
 # ---------------------------------------------------------------------------
 
-@register("q_winnow_near_dup")
-def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def raw_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw winnowing pair join (benched; attested by the
+    oracle-backed q_winnow_near_dup summary)."""
     from bi_utils_spark.operators.dedup import winnowing_near_dup_join
 
     docs = load(spark, sf_dir, "documents")
     return winnowing_near_dup_join(docs, "doc_id", "text", min_shared=3)
+
+
+@register(
+    "q_winnow_near_dup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    g8 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 7),
+               i -> array_to_string(t[i:i+7], chr(1))))) AS g
+      FROM toks WHERE len(t) >= 8
+    ),
+    guaranteed AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g8 a JOIN g8 b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_guaranteed_pairs,
+           CAST(0 AS BIGINT) AS guaranteed_missed
+    FROM guaranteed
+    """,
+)
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-guarantee oracle row (MOSS, SIGMOD'03): any two
+    documents sharing a run of ≥ k + window − 1 = 8 consecutive
+    tokens MUST share a fingerprint. DuckDB recomputes the set of
+    pairs sharing an 8-gram from raw text (ground truth); the
+    winnowing join at min_shared=1 may miss none of them."""
+    from bi_utils_spark.operators.dedup import winnowing_near_dup_join
+    from bi_utils_spark.operators.textstats import grams, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    g8 = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(
+                F.array_distinct(grams(tokens(F.col("text")), 8, sep="\x01"))
+            ).alias("g"),
+        )
+    )
+    a, b = g8.alias("a"), g8.alias("b")
+    guaranteed = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    found = winnowing_near_dup_join(
+        docs, "doc_id", "text", min_shared=1, k=4, window=5
+    ).select("id_a", "id_b")
+    n_g = guaranteed.agg(F.count("*").alias("n_guaranteed_pairs"))
+    missed = guaranteed.join(found, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("guaranteed_missed")
+    )
+    return n_g.crossJoin(missed)
 
 
 # ---------------------------------------------------------------------------
@@ -2401,40 +2746,74 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Registration-order priority (round 2).
+# Registration-order priority (round 3).
 #
-# The driver's correctness run evaluates queries in dict order and r01
-# covered only the first 50 of 74 — the 24 below (all locally verified,
-# 19 of them oracle-backed) got no official CORRECTNESS row. Promote them
-# to the front of the dict so CORRECTNESS_r02 records them; the demoted
-# queries already carry green r01 rows and unchanged implementations.
+# The driver's correctness run evaluates the first 50 queries in dict
+# order. Standing rule (VERDICT r2 #2): every query whose
+# implementation changed since its last official CORRECTNESS row is
+# promoted into the window. Tiers below: (1) changed/new this round —
+# the 6 recall-bound summaries, the generated-oracle q_lang_id, the
+# real-codec q_media_decode, and the 4 queries whose Jaccard plan
+# changed in r2 without an official row; (2) queries whose only
+# official row is r1 (unchanged, re-attested for freshness);
+# (3) r2-green queries in modules this round touched. The 25 demoted
+# queries are all r2-green with implementations untouched since.
 # ===========================================================================
 
 _PROMOTED: list[str] = [
-    "q_asof_click_before_purchase",
-    "q_range_clicks_before_error",
+    # tier 1: changed or new this round (plus r2 plan changes)
+    "q_media_decode",
+    "q_lang_id",
+    "q_quality_score",
+    "q_jaccard_pairs",
+    "q_dedup_clusters",
+    "q_dedup_canonical",
+    "q_llm_pipeline",
+    "q_minhash_near_dup",
+    "q_simhash_near_dup",
+    "q_winnow_near_dup",
+    "q_ann_topk",
+    "q_ivf_topk",
+    "q_emb_near_dup_ivf",
+    # tier 2: only-official-row-is-r1, unchanged — refresh
+    "q_clean_text",
+    "q_pii_audit",
+    "q_hash_split",
+    "q_det_sample",
+    "q_topk_cosine_exact",
+    "q_cosine_pairs",
+    "q_emb_label_stats",
+    "q_centroids_by_label",
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_revenue_by_nation",
+    "q_top_suppliers",
+    "q_sql_script",
+    "q_sessionize",
+    "q_rollup_flags",
+    "q_pivot_events",
+    "q_approx_stats",
+    # tier 3: r2-green, module touched this round or adjacent
+    "q_merge_upsert",
+    "q_doc_stats_by_lang",
+    "q_text_stats",
+    "q_token_counts",
+    "q_repetition_stats",
     "q_media_stats",
     "q_media_features",
+    "q_dedup_exact",
     "q_emb_dedup_exact",
-    "q_emb_near_dup_ivf",
-    "q_ivf_topk",
-    "q_forecast_revenue",
-    "q_returned_items",
-    "q_large_orders",
-    "q_promo_share",
-    "q_cube_flags",
-    "q_users_click_not_purchase",
-    "q_users_signup_and_error",
-    "q_winnow_near_dup",
+    "q_pack_conservation",
+    "q_pack_sequences",
+    "q_hll_daily_users",
+    "q_asof_click_before_purchase",
+    "q_range_clicks_before_error",
+    "q_flatten_lineitems",
     "q_grouping_sets",
     "q_price_variance",
     "q_string_funcs",
-    "q_priority_with_shipment",
     "q_hourly_rollup",
-    "q_hll_daily_users",
-    "q_repetition_stats",
-    "q_pack_conservation",
-    "q_pack_sequences",
+    "q_watermark",
 ]
 
 
@@ -2447,3 +2826,20 @@ def _reorder() -> None:
 
 
 _reorder()
+
+
+# ===========================================================================
+# Raw approximate operators for the bench. The registry entries of the
+# same names are oracle-backed recall/completeness SUMMARIES (they run
+# the approximate operator AND its exact ground truth); the bench
+# times the raw operator alone so walls stay comparable across rounds.
+# ===========================================================================
+
+RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_minhash_near_dup": raw_minhash_near_dup,
+    "q_simhash_near_dup": raw_simhash_near_dup,
+    "q_winnow_near_dup": raw_winnow_near_dup,
+    "q_ann_topk": raw_ann_topk,
+    "q_ivf_topk": raw_ivf_topk,
+    "q_emb_near_dup_ivf": raw_emb_near_dup_ivf,
+}

@@ -442,13 +442,16 @@ def test_winnowing_fp_freq_cap(spark):
 
 def test_dedup_operators_leave_no_cache(spark, docs):
     # VERDICT r2 #3: operators must not leak cached partitions — the
-    # reused subtrees are deduped by ReuseExchange, not persist()
+    # reused subtrees are deduped by ReuseExchange, not persist().
+    # Delta-based: other tests in the shared session may hold
+    # localCheckpoint RDDs that clearCache does not release.
     spark.catalog.clearCache()
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
     D.minhash_near_dup_join(docs, "doc_id", "text", threshold=0.6).count()
     D.jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3).count()
     D.simhash_near_dup_join(docs, "doc_id", "text").count()
     n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
-    assert n_cached == 0, f"{n_cached} cached RDDs left behind"
+    assert n_cached == base, f"{n_cached - base} cached RDDs left behind"
 
 
 # --- real pure-python codecs (X7 non-fake tier) ------------------------------
