@@ -41,8 +41,11 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_jaccard_pairs",
     "q_minhash_near_dup",
+    "q_minhash_near_dup_capped",
     "q_simhash_near_dup",
+    "q_simhash_near_dup_capped",
     "q_winnow_near_dup",
+    "q_winnow_near_dup_capped",
     "q_topk_cosine_exact",
     "q_ivf_topk",
     # the scale path for embedding near-dup (the exact O(n²) variant

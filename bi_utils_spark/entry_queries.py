@@ -2835,6 +2835,38 @@ _reorder()
 # times the raw operator alone so walls stay comparable across rounds.
 # ===========================================================================
 
+def raw_minhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped MinHash join — the 100 TB production config
+    (recall under caps property-tested in tests/test_llmdata.py)."""
+    from bi_utils_spark.operators.dedup import minhash_near_dup_join
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_near_dup_join(
+        docs, "doc_id", "text", threshold=0.6, num_hashes=64, num_bands=16,
+        max_bucket_size=50,
+    )
+
+
+def raw_simhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-chunk-capped SimHash join (hamming-0 tier stays exact)."""
+    from bi_utils_spark.operators.dedup import simhash_near_dup_join
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dup_join(
+        docs, "doc_id", "text", max_hamming=3, max_chunk_bucket_size=200
+    )
+
+
+def raw_winnow_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-frequency-capped winnowing join."""
+    from bi_utils_spark.operators.dedup import winnowing_near_dup_join
+
+    docs = load(spark, sf_dir, "documents")
+    return winnowing_near_dup_join(
+        docs, "doc_id", "text", min_shared=3, max_fp_doc_freq=50
+    )
+
+
 RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_near_dup": raw_minhash_near_dup,
     "q_simhash_near_dup": raw_simhash_near_dup,
@@ -2842,4 +2874,7 @@ RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_topk": raw_ann_topk,
     "q_ivf_topk": raw_ivf_topk,
     "q_emb_near_dup_ivf": raw_emb_near_dup_ivf,
+    "q_minhash_near_dup_capped": raw_minhash_near_dup_capped,
+    "q_simhash_near_dup_capped": raw_simhash_near_dup_capped,
+    "q_winnow_near_dup_capped": raw_winnow_near_dup_capped,
 }

@@ -328,6 +328,31 @@ def test_winnowing_guarantee_and_rate(spark):
 
 # --- hot-bucket caps + cache hygiene (100 TB skew guards) --------------------
 
+def test_jaccard_doc_freq_cap_semantics(docs):
+    # ADVICE r2: with max_token_doc_freq set, BOTH plans must stay
+    # sound — capped outputs are subsets of the exact pair set, and
+    # the prefix plan (which verifies on FULL sets) must report the
+    # exact jaccard value for every pair it keeps
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.jaccard_similarity_join(
+            docs, "doc_id", "text", threshold=0.5, shingle_n=3
+        ).collect()
+    }
+    for pf in (True, False):
+        capped = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.jaccard_similarity_join(
+                docs, "doc_id", "text", threshold=0.5, shingle_n=3,
+                max_token_doc_freq=20, prefix_filter=pf,
+            ).collect()
+        }
+        assert set(capped) <= set(exact), f"false pair under cap (prefix={pf})"
+        if pf:  # full-set verify → values must be the exact jaccard
+            for pair, j in capped.items():
+                assert j == exact[pair], f"wrong jaccard under cap for {pair}"
+
+
 def test_minhash_cap_subset_and_recall(docs):
     # capped candidates are a subset of uncapped; with a cap far above
     # real bucket sizes the result is identical, and with a generous
