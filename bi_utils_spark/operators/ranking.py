@@ -1,0 +1,95 @@
+"""Keyword search / relevance ranking over a document corpus — BM25
+(Robertson–Spärck Jones probabilistic model, the Okapi BM25 form) as
+native Spark SQL expressions.
+
+Shape at 100 TB:
+- corpus statistics (N, avgdl, per-term document frequency) are ONE
+  aggregate pass producing a single row — broadcast back to the
+  scoring projection, so scoring is map-side over the document scan
+  with zero shuffle of document data;
+- per-term term frequencies are codegen'd ``size(filter(tokens))``
+  expressions — no explode of the token stream (the classic
+  explode+groupBy inverted-index build shuffles ~corpus-size rows;
+  for a FIXED query, scoring needs none of it);
+- for repeated ad-hoc queries at scale, materialize an inverted
+  index once (explode → (term, doc, tf) table bucketed by term) and
+  score by joining the query terms against it; this module's direct
+  path is the one-shot / streaming-friendly form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.textstats import tokens
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(doc_id, score) for every document matching ≥ 1 query term.
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)  (the non-negative
+    Lucene variant). Returning the full match set (tf > 0 is an
+    integer property) keeps the result deterministic across engines;
+    rank with :func:`bm25_topk` when only the head is needed.
+    """
+    terms = list(dict.fromkeys(w.lower() for w in query_terms))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    )
+    tf_cols = [
+        F.size(F.filter(F.col("__t"), lambda x: x == F.lit(t))).alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = staged.select("doc_id", F.size("__t").alias("__dl"), *tf_cols)
+    stats = base.agg(
+        F.count("*").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (
+        F.col("__dl").cast("double") / F.col("__avgdl")
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = F.log(
+            (F.col("__n").cast("double") - F.col(f"__df{i}") + 0.5)
+            / (F.col(f"__df{i}") + 0.5)
+            + 1.0
+        )
+        score = score + idf * tf * (k1 + 1.0) / (tf + F.lit(k1) * norm)
+    tfs = [F.col(f"__tf{i}") for i in range(len(terms))]
+    matched = (F.greatest(*tfs) if len(tfs) > 1 else tfs[0]) > 0
+    return joined.filter(matched).select(
+        "doc_id", F.round(score, round_digits).alias("score")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Top-k matches by BM25 (TakeOrdered — no full sort), ties broken
+    by doc id for determinism."""
+    scored = bm25_scores(df, query_terms, id_col, text_col, **kwargs)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -93,6 +93,50 @@ def deterministic_sample(
     return df.filter(_bucket_hex(idc, salt) < F.lit(bound))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-balancing
+    operator (e.g. downsample the dominant language to a fraction
+    while keeping rare strata whole). Each stratum gets its own keep
+    fraction; strata not listed keep ``default_fraction``.
+
+    Same md5-threshold mechanics as :func:`deterministic_sample`
+    (map-only, repartition-stable, superset-stable), with the stratum
+    mixed into the hash so changing one stratum's fraction never
+    reshuffles another's kept set.
+    """
+    for k, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1]")
+    top = (1 << (4 * _HEX_DIGITS)) - 1
+
+    def hex_bound(f: float) -> str:
+        return format(min(int(f * (top + 1)), top), f"0{_HEX_DIGITS}x")
+
+    bound = None
+    for k, f in fractions.items():
+        cond = F.col(stratum_col).cast("string") == k
+        lit = F.lit(hex_bound(f))
+        bound = F.when(cond, lit) if bound is None else bound.when(cond, lit)
+    bound = (
+        F.lit(hex_bound(default_fraction))
+        if bound is None
+        else bound.otherwise(F.lit(hex_bound(default_fraction)))
+    )
+    idc = F.concat(
+        F.col(id_col).cast("string"), F.lit("\x1f"), F.col(stratum_col).cast("string")
+    )
+    return df.filter(_bucket_hex(idc, salt) < bound)
+
+
 def stratified_hash_split(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,65 @@
+"""Tests for BM25 keyword search (operators/ranking.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bi_utils_spark.operators.ranking import bm25_scores, bm25_topk
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark query engine with fast query plans"),
+            (2, "query"),
+            (3, "unrelated text about other things entirely"),
+            (4, "fast fast fast"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_bm25_matches_hand_math(corpus):
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(corpus, ["query"]).collect()}
+    assert set(got) == {1, 2}  # only docs containing the term
+    # hand-computed: N=4, df=2, idf=ln((4-2+0.5)/(2+0.5)+1)=ln(2)
+    # avgdl=(7+1+6+3)/4=4.25
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1)
+    for doc_id, tf, dl in [(1, 2, 7), (2, 1, 1)]:
+        expected = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 4.25))
+        assert got[doc_id] == pytest.approx(expected, abs=1e-6)
+    # doc 1 has tf=2 but is longer; doc 2 is one pure hit — shorter doc
+    # with saturating tf must not dominate unboundedly
+    assert got[1] > 0 and got[2] > 0
+
+
+def test_bm25_multi_term_additive(corpus):
+    single_q = {r["doc_id"]: r["score"] for r in bm25_scores(corpus, ["query"]).collect()}
+    single_f = {r["doc_id"]: r["score"] for r in bm25_scores(corpus, ["fast"]).collect()}
+    both = {r["doc_id"]: r["score"] for r in bm25_scores(corpus, ["query", "fast"]).collect()}
+    assert set(both) == {1, 2, 4}
+    assert both[1] == pytest.approx(single_q[1] + single_f[1], abs=1e-5)
+
+
+def test_bm25_topk_order_deterministic(corpus):
+    top = bm25_topk(corpus, ["fast", "query"], k=2).collect()
+    assert len(top) == 2
+    assert top[0]["score"] >= top[1]["score"]
+
+
+def test_bm25_no_matches(corpus):
+    assert bm25_scores(corpus, ["zzzzz"]).count() == 0
+
+
+def test_bm25_stats_broadcast_plan(corpus):
+    from bi_utils_spark.plans.inspect import join_kinds
+
+    plan_joins = join_kinds(bm25_scores(corpus, ["query"]))
+    # the one-row stats frame must come in as a broadcast, never a shuffle
+    assert plan_joins.get("BroadcastNestedLoopJoin", 0) + plan_joins.get(
+        "BroadcastHashJoin", 0
+    ) >= 1
+    assert "SortMergeJoin" not in plan_joins

@@ -64,3 +64,39 @@ def test_stratified_split_balances_within_strata(spark):
     for lang in range(4):
         tr = per.get((lang, "train"), 0)
         assert abs(tr - 1500) < 150, f"stratum {lang} train={tr}"
+
+
+def test_stratified_sample_fractions_and_stability(spark, sf_dir):
+    from bi_utils_spark.operators.splits import stratified_sample
+    from bi_utils_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 1.0)
+    by_lang_in = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    by_lang_out = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # non-listed strata kept whole; 'en' roughly halved (hash variance)
+    for lang, n in by_lang_in.items():
+        if lang == "en":
+            assert 0.25 * n <= by_lang_out.get(lang, 0) <= 0.75 * n
+        else:
+            assert by_lang_out.get(lang, 0) == n
+    # repartition-stability: same kept ids regardless of layout
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(13), "doc_id", "lang", {"en": 0.5}, 1.0
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_stratified_sample_validates_fraction(spark):
+    from bi_utils_spark.operators.splits import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stratified_sample(df, "doc_id", "lang", {"en": 1.5})
