@@ -569,6 +569,97 @@ def minhash_near_dup_join(
     )
 
 
+def minhash_estimated_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard estimate from two MinHash signatures: the fraction of
+    agreeing lanes (unbiased, stderr ≈ 1/√num_hashes)."""
+    agree = F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda v: v)
+    )
+    return agree.cast("double") / F.size(a).cast("double")
+
+
+def minhash_near_dup_incremental(
+    corpus_sigs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a DELTA against an existing corpus without touching the
+    corpus text — the production nightly-load pattern. The corpus is
+    represented ONLY by its signature table (512 B/doc); each new
+    batch is signed once and banded against corpus ∪ batch.
+
+    Returns ``(pairs, new_sigs)``: pairs (id_a, id_b, est_jaccard ≥
+    threshold) where at least one side is a new doc (new×new and
+    new×corpus edges — exactly the full-corpus LSH candidate set
+    restricted to pairs touching the delta, batch-invariance tested);
+    append ``new_sigs`` to the signature table afterwards. Similarity
+    here is the signature ESTIMATE (stderr ≈ 1/√num_hashes) — exact
+    verification would need corpus text; keep shingle rows around if
+    exactness is required.
+
+    Scale: the banded delta is tiny (batch × bands rows) — Spark
+    broadcasts it against the corpus banding, so a nightly delta
+    against a 10¹¹-doc signature table is one map-side join over the
+    banded signatures, never a corpus shuffle.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n, seed
+    )
+    all_sigs = corpus_sigs.unionByName(new_sigs)
+    banded_new = minhash_band_buckets(new_sigs, num_bands)
+    banded_all = minhash_band_buckets(all_sigs, num_bands)
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_id", "bucket")
+        banded_all = (
+            banded_all.withColumn("__bsz", F.count("*").over(bw))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+        banded_new = banded_new.join(
+            banded_all.select("id", "band_id", "bucket").distinct(),
+            ["id", "band_id", "bucket"],
+            "left_semi",
+        )
+    n = banded_new.alias("n")
+    o = banded_all.alias("o")
+    cand = (
+        F.broadcast(n)
+        .join(
+            o,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            & (F.col("n.id") != F.col("o.id")),
+        )
+        .select(
+            F.least(F.col("n.id"), F.col("o.id")).alias("id_a"),
+            F.greatest(F.col("n.id"), F.col("o.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = all_sigs.select(F.col("id").alias("id_a"), F.col("minhash").alias("__ma"))
+    sb = all_sigs.select(F.col("id").alias("id_b"), F.col("minhash").alias("__mb"))
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            minhash_estimated_jaccard(F.col("__ma"), F.col("__mb")).alias(
+                "est_jaccard"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return pairs, new_sigs
+
+
 # ---------------------------------------------------------------------------
 # X2c: SimHash
 # ---------------------------------------------------------------------------

@@ -583,3 +583,49 @@ def test_sample_frames_plumbing(spark, media):
     out2 = sample_frames(media, n_frames=3).collect()
     assert {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out} == \
            {(r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out2}
+
+
+# --- incremental (delta-vs-corpus) dedup -------------------------------------
+
+def test_minhash_incremental_batch_invariance(docs):
+    # processing (corpus + delta) incrementally must produce exactly
+    # the full-corpus LSH candidate pairs restricted to delta-touching
+    # pairs (same banding, same seed)
+    from pyspark.sql import functions as F
+
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus_sigs = D.minhash_signatures(corpus, "doc_id", "text")
+    pairs, new_sigs = D.minhash_near_dup_incremental(
+        corpus_sigs, delta, "doc_id", "text", threshold=0.0
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    full_sigs = D.minhash_signatures(docs, "doc_id", "text")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidates(full_sigs).collect()
+    }
+    delta_ids = {r["doc_id"] for r in delta.collect()}
+    expected = {
+        (a, b) for a, b in full if a in delta_ids or b in delta_ids
+    }
+    assert got == expected
+    assert new_sigs.count() == len(delta_ids)
+
+
+def test_minhash_incremental_finds_cross_batch_dup(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different content about other topics here")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "nothing like anything else in this corpus at all")],
+        ["doc_id", "text"],
+    )
+    sigs = D.minhash_signatures(corpus, "doc_id", "text")
+    pairs, _ = D.minhash_near_dup_incremental(sigs, delta, "doc_id", "text", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (1, 10) in got and got[(1, 10)] == 1.0  # identical text
+    assert all(11 not in pair for pair in got)
