@@ -1710,6 +1710,50 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
 
 
+@register(
+    "q_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` (the streaming-ready session
+    mechanism — same expression works under ``readStream`` +
+    watermark, see streaming/watermark.py::session_counts). The
+    oracle rebuilds sessions with the classic gaps-and-islands
+    construction; Spark's session end = last event + gap."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ROLLUP / grouping sets (the aggregation surface Spark gives for free,
 # SURVEY.md §2.4 "not present in reference ... exposed by the engine")
@@ -2844,6 +2888,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stratified_sample",
+    "q_session_windows",
     """
     SELECT doc_id, lang
     FROM documents
@@ -2881,6 +2926,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROMOTED: list[str] = [
     # tier 1: changed or new this round (plus r2 plan changes)
     "q_media_decode",
+    "q_chunk_documents",
+    "q_bm25_search",
+    "q_stratified_sample",
+    "q_session_windows",
     "q_lang_id",
     "q_quality_score",
     "q_jaccard_pairs",
@@ -2928,10 +2977,6 @@ _PROMOTED: list[str] = [
     "q_range_clicks_before_error",
     "q_flatten_lineitems",
     "q_grouping_sets",
-    "q_price_variance",
-    "q_string_funcs",
-    "q_hourly_rollup",
-    "q_watermark",
 ]
 
 

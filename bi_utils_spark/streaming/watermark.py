@@ -37,6 +37,34 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "60 minutes",
+    *group_cols: str,
+) -> DataFrame:
+    """Session-window aggregation over an event stream: events of the
+    same keys within ``gap`` of each other merge into one session
+    (session end = last event + gap). The watermark bounds state:
+    sessions whose end falls behind it are finalized and evicted —
+    without it, session state grows forever. Identical expression
+    works on a batch frame (q_session_windows is the oracle-checked
+    batch form)."""
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *group_cols,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str) -> None:
     """Drive a bounded streaming query to completion synchronously
     (file-source smoke pattern): memory sink + processAllAvailable."""

@@ -165,3 +165,43 @@ def test_streaming_flatten_of_landed_pages(spark, tmp_path):
         (2, "y", None, None),   # empty list keeps its parent row
         (3, "z", "c", 9),
     ]
+
+
+def test_session_counts_streaming(spark, tmp_path):
+    # two bursts for user a separated by > gap -> two sessions; the
+    # streaming session_window output must match the batch semantics
+    # (session end = last event + gap)
+    from bi_utils_spark.streaming.watermark import session_counts
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    rows = [
+        '{"user": "a", "ts": "2024-01-01T10:00:00"}',
+        '{"user": "a", "ts": "2024-01-01T10:10:00"}',
+        '{"user": "a", "ts": "2024-01-01T12:00:00"}',
+        '{"user": "b", "ts": "2024-01-01T10:05:00"}',
+    ]
+    (src / "b0.jsonl").write_text("\n".join(rows))
+    stream = spark.readStream.schema("user string, ts timestamp").json(str(src))
+    out = session_counts(stream, "ts", "30 minutes", "2 hours", "user")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (
+            (r["user"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        )
+    )
+    assert got == [
+        ("a", "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2),
+        ("a", "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1),
+        ("b", "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1),
+    ]
