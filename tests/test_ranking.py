@@ -63,3 +63,38 @@ def test_bm25_stats_broadcast_plan(corpus):
         "BroadcastHashJoin", 0
     ) >= 1
     assert "SortMergeJoin" not in plan_joins
+
+
+def test_bm25_index_path_matches_direct(spark, sf_dir):
+    from bi_utils_spark.operators.ranking import (
+        bm25_from_index,
+        bm25_scores,
+        build_inverted_index,
+    )
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["vector", "merge", "stream"]
+    direct = {r["doc_id"]: r["score"] for r in bm25_scores(docs, terms).collect()}
+    postings, stats = build_inverted_index(docs)
+    via_index = {
+        r["doc_id"]: r["score"]
+        for r in bm25_from_index(postings, stats, terms).collect()
+    }
+    assert set(direct) == set(via_index)  # match set identical
+    for doc_id, s in direct.items():
+        assert via_index[doc_id] == pytest.approx(s, abs=1e-9)
+
+
+def test_inverted_index_shape(spark):
+    from bi_utils_spark.operators.ranking import build_inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], ["doc_id", "text"]
+    )
+    postings, stats = build_inverted_index(df)
+    rows = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in postings.collect()}
+    assert rows[("a", 1)] == (2, 3)
+    assert rows[("b", 1)] == (1, 3) and rows[("b", 2)] == (1, 2)
+    st = stats.first()
+    assert st["n_docs"] == 2 and st["avgdl"] == pytest.approx(2.5)
