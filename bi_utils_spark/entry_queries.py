@@ -2888,7 +2888,6 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stratified_sample",
-    "q_session_windows",
     """
     SELECT doc_id, lang
     FROM documents
@@ -2906,6 +2905,41 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "doc_id", "lang", {"en": 0.5, "zh": 0.8}, default_fraction=1.0
     ).select("doc_id", "lang")
+
+
+# ===========================================================================
+# Unigram LM quality scoring (operators/lm.py): avg token log-prob under
+# a corpus unigram model — per-token log-probs quantized to fixed point
+# before summing so the oracle hash-matches exactly.
+# ===========================================================================
+
+@register(
+    "q_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    model AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    consts AS (SELECT sum(c) AS total, count(*) AS v FROM model),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln((CAST(m.c AS DOUBLE) + 1.0)
+                           / CAST(total + v AS DOUBLE)) * 1e7) AS BIGINT) AS q
+      FROM toks t JOIN model m USING (term), consts
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           (CAST(sum(q) AS DOUBLE) / 1e7) / count(*) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.lm import unigram_logprob_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs)
 
 
 # ===========================================================================
@@ -2930,6 +2964,7 @@ _PROMOTED: list[str] = [
     "q_bm25_search",
     "q_stratified_sample",
     "q_session_windows",
+    "q_unigram_logprob",
     "q_lang_id",
     "q_quality_score",
     "q_jaccard_pairs",
@@ -2976,7 +3011,6 @@ _PROMOTED: list[str] = [
     "q_asof_click_before_purchase",
     "q_range_clicks_before_error",
     "q_flatten_lineitems",
-    "q_grouping_sets",
 ]
 
 

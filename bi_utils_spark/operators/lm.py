@@ -1,0 +1,80 @@
+"""Corpus language-model scoring — the CCNet/Gopher-style quality
+signal: score every document by its average token log-probability
+under a unigram model of the corpus itself (gibberish, boilerplate
+and OCR noise score low; fluent text scores near the corpus mode).
+
+Shape at 100 TB:
+- the model is one explode + groupBy over the token stream (the same
+  shuffle an inverted-index build pays) producing |vocab| rows —
+  small enough to broadcast for the scoring join;
+- scoring joins each token against the model and aggregates per doc.
+  Per-token log-probs are quantized to fixed point (round(x·1e7) as
+  BIGINT) before summing, so document scores are bit-identical under
+  any row order or partitioning — the property the hash-exact oracle
+  gate needs (same trick as similarity.centroid_dims).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.textstats import tokens
+
+
+def unigram_model(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, c) corpus token counts — the unigram model table."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) with add-one smoothing:
+    logp(t) = ln((c_t + 1) / (total + |V|)). ``model`` defaults to a
+    model of ``df`` itself (self-scoring, the CCNet setup); pass a
+    reference-corpus model to score a candidate set against clean
+    text instead."""
+    if model is None:
+        model = unigram_model(df, id_col, text_col)
+    consts = model.agg(
+        F.sum("c").alias("total"), F.count("*").alias("v")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    logp = F.log(
+        (F.col("c").cast("double") + 1.0)
+        / (F.col("total") + F.col("v")).cast("double")
+    )
+    # unseen terms (cross-corpus scoring): c -> 0
+    scored = (
+        toks.join(F.broadcast(model), "term", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.round(
+                F.when(F.col("c").isNull(),
+                       F.log(F.lit(1.0) / (F.col("total") + F.col("v")).cast("double")))
+                .otherwise(logp)
+                * 1e7
+            )
+            .cast("long")
+            .alias("__q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (
+            (F.sum("__q").cast("double") / F.lit(1e7)) / F.count("*")
+        ).alias("avg_logprob"),
+    )
