@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "q_emb_near_dup_ivf",
     "q_media_features",
     "q_pack_sequences",
+    # r3 additions: chunking / search / LM-quality / session surface
+    "q_chunk_documents",
+    "q_bm25_search",
+    "q_unigram_logprob",
+    "q_session_windows",
+    "q_stratified_sample",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",
