@@ -68,3 +68,43 @@ def test_exchange_counts_bounded_for_pricing_summary(spark, sf01):
     df = m.queries()["q_pricing_summary"](spark, sf01)
     # scan → partial agg → single exchange → final agg (+AQE reads)
     assert num_exchanges(df) <= 2
+
+
+def test_chunking_is_shuffle_free(spark, sf01):
+    # chunking is a map-side projection: split + slice + explode must
+    # fuse into the document scan with zero Exchange at any scale
+    from bi_utils_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf01, "documents")
+    df = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    assert num_exchanges(df) == 0
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf01):
+    from bi_utils_spark.operators.splits import stratified_sample
+
+    docs = load_table(spark, sf01, "documents")
+    df = stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
+    assert num_exchanges(df) == 0
+
+
+def test_unigram_scoring_broadcasts_model(spark, sf01):
+    # the vocab model and the one-row constants must come in as
+    # broadcasts — the token stream is never shuffled for the join
+    from bi_utils_spark.operators.lm import unigram_logprob_scores
+
+    docs = load_table(spark, sf01, "documents")
+    df = unigram_logprob_scores(docs)
+    kinds = join_kinds(df)
+    assert kinds.get("BroadcastHashJoin", 0) >= 1
+    assert "SortMergeJoin" not in kinds and "ShuffledHashJoin" not in kinds
+
+
+def test_session_windows_single_shuffle(spark, sf01):
+    import __spark_entry__ as m
+
+    df = m.queries()["q_session_windows"](spark, sf01)
+    # one exchange on user_id; session merging happens inside the
+    # aggregation, never via a self-join
+    assert num_exchanges(df) <= 1
+    assert_no_nested_loop(df)
