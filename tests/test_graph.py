@@ -46,11 +46,43 @@ def test_components_chain_and_triangle(spark):
 
 
 def test_components_diameter_guard(spark):
+    # the convergence guard belongs to the distributed loop — force it
     edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(edges, max_iter=1)
-    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+        connected_components(edges, max_iter=1, driver_max_edges=0)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
     assert set(got.values()) == {0}
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (7, 7), (5, 4)],
+        ["id_a", "id_b"],
+    )
+    fast = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    # schema/type parity (bigint nodes in, bigint labels out of both)
+    assert (
+        connected_components(edges).dtypes
+        == connected_components(edges, driver_max_edges=0).dtypes
+    )
+
+
+def test_driver_path_string_ids(spark):
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 @settings(max_examples=10, deadline=None)
