@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q_winnow_near_dup_capped",
     "q_topk_cosine_exact",
     "q_ivf_topk",
+    "q_pq_topk",
     # the scale path for embedding near-dup (the exact O(n²) variant
     # q_emb_dedup_exact stays oracle-only — quadratic by definition)
     "q_emb_near_dup_ivf",

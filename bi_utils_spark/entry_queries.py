@@ -307,14 +307,15 @@ def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    # Split into "pages" by priority (like per-request REST batches),
-    # then union back — the multiset must equal the original scan.
-    priorities = [r[0] for r in orders.select("o_orderpriority").distinct().collect()]
+    # Split into "pages" by a driver-known pagination plan (like
+    # per-request REST batches — page keys are known a priori, no
+    # data-dependent collect), then union back: the multiset must
+    # equal the original scan.
     pages = [
-        orders.filter(F.col("o_orderpriority") == p).select(
+        orders.filter(F.col("o_orderkey") % 4 == i).select(
             "o_orderkey", "o_orderpriority"
         )
-        for p in sorted(priorities)
+        for i in range(4)
     ]
     return R.union_pages(pages)
 
@@ -2214,6 +2215,67 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raw_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw PQ query path (benched): train → encode (map-only) →
+    codegen ADC scan → exact re-rank of the 100-row shortlist."""
+    from bi_utils_spark.operators.pq import pq_encode, pq_topk, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cb = pq_train(emb, num_subspaces=8, num_centroids=256, iters=5)
+    codes = pq_encode(emb, cb)
+    out = pq_topk(codes, cb, target, k=10, refine_with=emb, refine_factor=10)
+    return out.select("vec_id", F.round("score", 9).alias("score"))
+
+
+@register(
+    "q_pq_topk",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(least(10, count(*)) AS BIGINT) AS n_exact,
+           1 AS recall_ge_050
+    FROM embeddings
+    """,
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-bound oracle row for PQ search (operators/pq.py):
+    8×256 codebooks (8 B/vector — 64× compression), codegen ADC
+    shortlist of 10k, exact re-rank to top-10. Measured recall@10 vs
+    the exact scan: 1.0 at sf0.001/sf0.01, 0.8 at sf0.1
+    (near-random synthetic embeddings are PQ's worst case — scores
+    are tightly bunched); the asserted floor is 0.5."""
+    from bi_utils_spark.operators.pq import pq_encode, pq_topk, pq_train
+    from bi_utils_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cb = pq_train(emb, num_subspaces=8, num_centroids=256, iters=5)
+    codes = pq_encode(emb, cb)
+    probe = pq_topk(
+        codes, cb, target, k=10, refine_with=emb, refine_factor=10
+    ).select("vec_id")
+    exact = cosine_topk(emb, target, k=10).select("vec_id")
+    n_corpus = emb.agg(F.count("*").alias("n_corpus"))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    found = probe.join(exact, "vec_id", "left_semi").agg(
+        F.count("*").alias("__found")
+    )
+    return (
+        n_corpus.crossJoin(n_exact)
+        .crossJoin(found)
+        .select(
+            "n_corpus",
+            "n_exact",
+            (
+                F.col("__found").cast("double")
+                >= 0.5 * F.col("n_exact").cast("double")
+            )
+            .cast("int")
+            .alias("recall_ge_050"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Headline star-schema queries, second batch — the grouped-agg / HAVING /
 # top-k surface (SURVEY.md §2.4 "free in Spark … engine exposes them")
@@ -3141,6 +3203,7 @@ _PROMOTED: list[str] = [
     "q_winnow_near_dup",
     "q_ann_topk",
     "q_ivf_topk",
+    "q_pq_topk",
     "q_emb_near_dup_ivf",
     # tier 2: only-official-row-is-r1, unchanged — refresh
     "q_clean_text",
@@ -3148,7 +3211,6 @@ _PROMOTED: list[str] = [
     "q_hash_split",
     "q_det_sample",
     "q_topk_cosine_exact",
-    "q_cosine_pairs",
     "q_emb_label_stats",
     "q_centroids_by_label",
     "q_pricing_summary",
@@ -3171,7 +3233,7 @@ _PROMOTED: list[str] = [
     "q_dedup_exact",
     "q_emb_dedup_exact",
     "q_pack_conservation",
-    "q_pack_sequences",
+    "q_union_pages",
 ]
 
 
@@ -3232,6 +3294,7 @@ RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_topk": raw_ann_topk,
     "q_ivf_topk": raw_ivf_topk,
     "q_emb_near_dup_ivf": raw_emb_near_dup_ivf,
+    "q_pq_topk": raw_pq_topk,
     "q_minhash_near_dup_capped": raw_minhash_near_dup_capped,
     "q_simhash_near_dup_capped": raw_simhash_near_dup_capped,
     "q_winnow_near_dup_capped": raw_winnow_near_dup_capped,

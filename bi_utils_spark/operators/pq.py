@@ -1,0 +1,259 @@
+"""Product quantization (PQ) — compressed-domain vector search.
+
+Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+Search" (IEEE TPAMI 2011): split each d-dim vector into ``m``
+subspaces, vector-quantize each subspace against its own ``k``-entry
+codebook, and represent the vector as ``m`` small codes. With
+m=8, k=256 a 64-dim float64 vector (512 B) becomes 8 bytes — the
+64× compression that lets a 100 TB embedding corpus live as a
+~1.6 TB code table that scans from memory.
+
+Spark shape (mirrors similarity.kmeans_centroids / ivf_*):
+- **train** on a bounded hash-drawn sample collected to the driver
+  (codebooks are index METADATA — m·k·(d/m) doubles — and training
+  cost must not grow with the corpus);
+- **encode** is map-only: one Arrow batch → one numpy distance
+  matrix per subspace → argmin codes; no shuffle, no join — a
+  single pass over the corpus;
+- **query (ADC)** is pure codegen: the query's m×k lookup table of
+  subspace inner products is a literal array baked into the plan,
+  and each row's score is ``Σ_m table[m, code_m]`` via
+  zip_with/element_at — scan + project + TakeOrdered(k), with the
+  option of an exact re-rank of a small shortlist (the standard
+  recall fix: ADC ranks a ``refine``-times-k shortlist, true dot
+  products re-rank it).
+
+Asymmetric distance (query stays unquantized) is the paper's ADC
+variant — strictly more accurate than symmetric code-to-code.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.similarity import _as_double, dot
+
+
+def _bounded_sample(df: DataFrame, id_col: str, vec_col: str, n: int) -> list:
+    """Hash-thresholded, hash-ordered draw of ~n rows (same mechanics
+    as kmeans_centroids — partitioning-independent, never a
+    full-corpus sort: the threshold filter keeps ~2n rows before the
+    top-n heap)."""
+    base = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    n_total = base.count()
+    if n_total > n * 4:
+        m = 1 << 20
+        thr = -(-(n * 2 * m) // n_total)  # ceil
+        base = base.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(m)) < thr)
+    return base.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(n).collect()
+
+
+def pq_train(
+    df: DataFrame,
+    num_subspaces: int = 8,
+    num_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """Train per-subspace codebooks → DataFrame (subspace, code,
+    centroid array<double>): m·k rows of index metadata, storable /
+    broadcastable like the IVF centroid table.
+
+    Deterministic: the sample draw is hash-ordered, Lloyd starts from
+    the first k sample sub-vectors, and ties in assignment break
+    toward the lower code. The vector dim must divide evenly into
+    ``num_subspaces``.
+    """
+    import numpy as np
+
+    if train_sample is None:
+        train_sample = max(num_centroids * 64, 4096)
+    sample = _bounded_sample(df, id_col, vec_col, train_sample)
+    X = np.asarray([list(r["v"]) for r in sample], dtype=np.float64)
+    d = X.shape[1]
+    if d % num_subspaces:
+        raise ValueError(
+            f"vector dim {d} is not divisible by num_subspaces {num_subspaces}"
+        )
+    sub = d // num_subspaces
+    k = min(num_centroids, X.shape[0])
+    rows = []
+    for s in range(num_subspaces):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        C = Xs[:k].copy()
+        for _ in range(iters):
+            # L2 assignment: argmin ||x - c||² = argmin (||c||² − 2x·c)
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        rows.extend(
+            (s, c, [float(x) for x in C[c]]) for c in range(k)
+        )
+    return df.sparkSession.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
+
+
+def _codebook_tensor(codebooks: DataFrame):
+    """(m, k, sub) numpy tensor from the codebook table — bounded
+    index metadata, safe to collect and ship in task closures."""
+    import numpy as np
+
+    rows = codebooks.collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    sub = len(rows[0]["centroid"])
+    T = np.zeros((m, k, sub), dtype=np.float64)
+    for r in rows:
+        T[r["subspace"], r["code"]] = r["centroid"]
+    return T
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed corpus. Map-only: one
+    numpy distance computation per (Arrow batch × subspace); the
+    codebook tensor rides in the task closure like the IVF centroid
+    matrix. At 100 TB write this table out once (optionally bucketed
+    by an IVF cell for a full IVF-PQ index) and scan codes, not
+    vectors, at query time."""
+    import pandas as pd
+
+    T = _codebook_tensor(codebooks)
+    m, k, sub = T.shape
+    src = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    id_field = src.schema["id"]
+
+    def run(batches):
+        import numpy as np
+
+        norms = (T * T).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+            codes = np.empty((X.shape[0], m), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                d2 = norms[s][None, :] - 2.0 * (Xs @ T[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
+
+    out_type = "array<bigint>"
+    return src.mapInPandas(
+        run, schema=f"id {id_field.dataType.simpleString()}, codes {out_type}"
+    ).select(F.col("id").alias(id_col), "codes")
+
+
+def adc_score(codes: Column, lookup_flat: list[float], k: int) -> Column:
+    """Codegen ADC score of a codes array against a flattened (m·k)
+    query lookup table: Σ_s table[s·k + codes[s]]. Pure JVM
+    expression — no Python at query time."""
+    tbl = F.array(*[F.lit(float(x)) for x in lookup_flat])
+    m = len(lookup_flat) // k
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, i: F.element_at(tbl, (i * k + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by asymmetric PQ inner product over the compressed
+    corpus. With ``refine_with`` (the original vector table), an ADC
+    shortlist of ``refine_factor·k`` rows is exactly re-ranked by
+    true dot product — the shortlist join touches refine_factor·k
+    rows, so the full-precision vectors are read for a handful of
+    ids, never scanned.
+
+    Returns (id_col, score): ADC estimate, or the exact score after
+    refinement.
+    """
+    import numpy as np
+
+    T = _codebook_tensor(codebooks)
+    m, kc, sub = T.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lookup = np.einsum("s d, s k d -> s k", q.reshape(m, sub), T)
+    scored = codes_df.select(
+        F.col(id_col),
+        adc_score(F.col("codes"), [float(x) for x in lookup.ravel()], kc).alias(
+            "score"
+        ),
+    )
+    if refine_with is None:
+        return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    shortlist = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
+        refine_factor * k
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = refine_with.select(
+        F.col(id_col), dot(_as_double(F.col(vec_col)), qcol).alias("score")
+    )
+    return (
+        shortlist.select(id_col)
+        .join(exact, id_col)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row quality probe: mean squared reconstruction error of the
+    codebooks over the corpus (the metric PQ training minimizes).
+    Map-only encode+decode per Arrow batch, then a scalar agg."""
+    import pandas as pd
+
+    T = _codebook_tensor(codebooks)
+    m, kc, sub = T.shape
+    src = df.select(_as_double(F.col(vec_col)).alias("v"))
+
+    def run(batches):
+        import numpy as np
+
+        norms = (T * T).sum(axis=2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+            err = np.zeros(X.shape[0])
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                d2 = norms[s][None, :] - 2.0 * (Xs @ T[s].T)
+                code = np.argmin(d2, axis=1)
+                err += ((Xs - T[s][code]) ** 2).sum(axis=1)
+            yield pd.DataFrame({"se": err})
+
+    return src.mapInPandas(run, schema="se double").agg(
+        F.avg("se").alias("mse"), F.count("*").alias("n")
+    )

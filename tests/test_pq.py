@@ -1,0 +1,102 @@
+"""Product quantization (operators/pq.py): codebook/encode/ADC
+semantics against numpy ground truth, recall on real testdata, and
+map-only plan shape for the encode pass."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators import pq as P
+from bi_utils_spark.operators.similarity import cosine_topk
+from bi_utils_spark.plans import inspect as pi
+from bi_utils_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return P.pq_train(emb, num_subspaces=8, num_centroids=16, iters=3)
+
+
+def test_codebook_shape(codebooks, emb):
+    rows = codebooks.collect()
+    dim = len(emb.first()["embedding"])
+    assert {r["subspace"] for r in rows} == set(range(8))
+    assert all(len(r["centroid"]) == dim // 8 for r in rows)
+    assert max(r["code"] for r in rows) <= 15
+
+
+def test_train_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="divisible"):
+        P.pq_train(df, num_subspaces=2, num_centroids=2)
+
+
+def test_encode_codes_valid_and_deterministic(emb, codebooks):
+    codes = P.pq_encode(emb, codebooks)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c <= 15 for c in r["codes"])
+    again = {
+        r["vec_id"]: list(r["codes"])
+        for r in P.pq_encode(emb.repartition(7), codebooks).collect()
+    }
+    first = {r["vec_id"]: list(r["codes"]) for r in rows}
+    assert first == again
+
+
+def test_encode_is_map_only(emb, codebooks):
+    codes = P.pq_encode(emb, codebooks)
+    assert pi.num_exchanges(codes) == 0
+    assert pi.join_kinds(codes) == {}
+
+
+def test_adc_matches_numpy(emb, codebooks):
+    T = P._codebook_tensor(codebooks)
+    m, k, sub = T.shape
+    target = np.asarray(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+    lookup = np.einsum("sd,skd->sk", target.reshape(m, sub), T)
+    codes = P.pq_encode(emb.limit(50), codebooks)
+    got = {
+        r["vec_id"]: r["score"]
+        for r in codes.select(
+            "vec_id",
+            P.adc_score(F.col("codes"), [float(x) for x in lookup.ravel()], k).alias(
+                "score"
+            ),
+        ).collect()
+    }
+    raw = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for vid, cs in raw.items():
+        expect = float(sum(lookup[s, c] for s, c in enumerate(cs)))
+        assert abs(got[vid] - expect) < 1e-9
+
+
+def test_refined_topk_recall(emb, spark):
+    cb = P.pq_train(emb, num_subspaces=8, num_centroids=256, iters=5)
+    codes = P.pq_encode(emb, cb)
+    target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, target, k=10).collect()}
+    ref = {
+        r["vec_id"]
+        for r in P.pq_topk(
+            codes, cb, target, k=10, refine_with=emb, refine_factor=10
+        ).collect()
+    }
+    assert len(ref & exact) / len(exact) >= 0.7
+
+
+def test_finer_codebooks_reduce_mse(emb):
+    cb16 = P.pq_train(emb, num_subspaces=8, num_centroids=16, iters=3)
+    cb256 = P.pq_train(emb, num_subspaces=8, num_centroids=256, iters=3)
+    mse16 = P.pq_reconstruction_error(emb, cb16).first()["mse"]
+    mse256 = P.pq_reconstruction_error(emb, cb256).first()["mse"]
+    assert mse256 < mse16
