@@ -1,0 +1,63 @@
+"""Streaming deduplication (SURVEY.md §2.12 extension) — the ingest
+tier of the dedup ladder (operators/dedup.py) for continuous loads.
+
+A landing stream re-delivers records: at-least-once sources, webhook
+retries, replayed pages. Batch `dedup_exact` can't run on an
+unbounded frame; the streaming form keys state by a content hash and
+BOUNDS it with the event-time watermark —
+``dropDuplicatesWithinWatermark`` keeps a key's state only until the
+watermark passes it, so state size is (arrival rate × watermark
+horizon), not corpus size. That is the correct contract for ingest
+dedup: duplicates arrive close together (retries, replays), and the
+exact batch tiers downstream catch anything farther apart than the
+horizon.
+
+Scale: state lives in the state store keyed by the 256-bit hash —
+one shuffle on the hash per micro-batch, partials dedup map-side
+first; no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_stream_keys(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Drop re-deliveries of the same business key within the
+    watermark horizon. First occurrence wins (its row passes through
+    unchanged); later arrivals of the same key are discarded until
+    the watermark evicts the key's state."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def dedup_stream_content(
+    stream: DataFrame,
+    content_cols: list[str],
+    ts_col: str,
+    watermark: str = "60 minutes",
+    num_bits: int = 256,
+) -> DataFrame:
+    """Content-identity streaming dedup: same sha2-with-separator
+    identity as the batch ``dedup_exact`` (("ab","c") ≠ ("a","bc")),
+    so a record re-delivered with a different key but identical
+    content is still dropped. State is keyed by the fixed-width
+    digest, never the payload."""
+    hashed = stream.withColumn(
+        "__content_hash",
+        F.sha2(
+            F.concat_ws("\x01", *[F.col(c) for c in content_cols]), num_bits
+        ),
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__content_hash"])
+        .drop("__content_hash")
+    )

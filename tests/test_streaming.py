@@ -205,3 +205,69 @@ def test_session_counts_streaming(spark, tmp_path):
         ("a", "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1),
         ("b", "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1),
     ]
+
+
+def test_dedup_stream_content_drops_redelivery(spark, tmp_path):
+    from bi_utils_spark.streaming.dedup import dedup_stream_content
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    # same content re-delivered under a different event id; one clean row
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            [
+                '{"id": 1, "ts": "2024-01-01T10:00:00", "payload": "hello world"}',
+                '{"id": 2, "ts": "2024-01-01T10:00:05", "payload": "hello world"}',
+                '{"id": 3, "ts": "2024-01-01T10:01:00", "payload": "other"}',
+            ]
+        )
+    )
+    stream = spark.readStream.schema("id long, ts timestamp, payload string").json(
+        str(src)
+    )
+    deduped = dedup_stream_content(stream, ["payload"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM dedup_out ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 3]
+    assert "payload" in rows[0].asDict() and "__content_hash" not in rows[0].asDict()
+
+
+def test_dedup_stream_keys_across_batches(spark, tmp_path):
+    from bi_utils_spark.streaming.dedup import dedup_stream_keys
+
+    src = tmp_path / "dedup_keys_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        '{"k": "a", "ts": "2024-01-01T10:00:00", "v": 1}\n'
+        '{"k": "b", "ts": "2024-01-01T10:00:01", "v": 2}'
+    )
+    stream = spark.readStream.schema("k string, ts timestamp, v long").json(str(src))
+    deduped = dedup_stream_keys(stream, ["k"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_keys_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second delivery of key "a" inside the watermark horizon
+        (src / "b1.jsonl").write_text(
+            '{"k": "a", "ts": "2024-01-01T10:00:30", "v": 99}\n'
+            '{"k": "c", "ts": "2024-01-01T10:00:31", "v": 3}'
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM dedup_keys_out").collect()}
+    # first occurrence of "a" wins across micro-batches; "c" passes
+    assert got == {"a": 1, "b": 2, "c": 3}
