@@ -223,6 +223,113 @@ def pq_topk(
     )
 
 
+def ivfpq_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id, codes) — the IVF-PQ index build as ONE map-only
+    pass: each Arrow batch computes the nearest coarse cell (spherical,
+    matching similarity.ivf_assign) and the PQ codes together, so the
+    corpus is read once and never shuffled. At 100 TB write this out
+    ``partitionBy(cell_id)``: a probe then reads nprobe partitions of
+    8-byte codes — partition pruning × 64 B→8 B compression stacked.
+
+    This quantizes raw vectors (shared codebooks across cells); the
+    per-cell residual refinement of Jégou et al. §IV is a drop-in
+    follow-up — swap the encode input for (x − centroid[cell]) and
+    train codebooks on residual samples.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from bi_utils_spark.operators.similarity import _collect_centroid_matrix
+
+    _, cent = _collect_centroid_matrix(centroids)
+    T = _codebook_tensor(codebooks)
+    m, kc, sub = T.shape
+    src = df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    id_field = src.schema["id"]
+
+    def run(batches):
+        norms = (T * T).sum(axis=2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([list(v) for v in pdf["v"]], dtype=np.float64)
+            U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            cells = np.argmax(U @ cent.T, axis=1)
+            codes = np.empty((X.shape[0], m), dtype=np.int64)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                d2 = norms[s][None, :] - 2.0 * (Xs @ T[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "cell_id": cells.astype("int32"), "codes": list(codes)}
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"id {id_field.dataType.simpleString()}, cell_id int, codes array<bigint>"
+        ),
+    ).select(F.col("id").alias(id_col), "cell_id", "codes")
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_cells: int = 8,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_factor: int = 10,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-pruned ADC search: rank cells against the query on the
+    driver (centroid table = index metadata), filter the code table to
+    the ``nprobe`` nearest cells, ADC-score the survivors in codegen,
+    exact-re-rank the shortlist. Pass a prebuilt ``index`` (from
+    :func:`ivfpq_index`, ideally written partitioned by cell_id) to
+    skip the build — the query itself then touches
+    ~(nprobe/num_cells) of the corpus at 8 B/vector."""
+    from bi_utils_spark.operators.similarity import kmeans_centroids
+
+    if centroids is None:
+        centroids = kmeans_centroids(df, num_cells, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(df, num_subspaces, num_centroids, id_col, vec_col)
+    if index is None:
+        index = ivfpq_index(df, centroids, codebooks, id_col, vec_col)
+
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qu = [float(x) / qn for x in query_vec]
+    cells = centroids.collect()
+    ranked = sorted(
+        cells,
+        key=lambda r: (-sum(a * b for a, b in zip(qu, r["centroid"])), r["cell_id"]),
+    )
+    probe = [r["cell_id"] for r in ranked[:nprobe]]
+    pruned = index.filter(F.col("cell_id").isin(probe)).select(id_col, "codes")
+    return pq_topk(
+        pruned,
+        codebooks,
+        query_vec,
+        k,
+        id_col,
+        refine_with=df,
+        refine_factor=refine_factor,
+        vec_col=vec_col,
+    )
+
+
 def pq_reconstruction_error(
     df: DataFrame,
     codebooks: DataFrame,

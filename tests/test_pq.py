@@ -100,3 +100,34 @@ def test_finer_codebooks_reduce_mse(emb):
     mse16 = P.pq_reconstruction_error(emb, cb16).first()["mse"]
     mse256 = P.pq_reconstruction_error(emb, cb256).first()["mse"]
     assert mse256 < mse16
+
+
+def test_ivfpq_index_single_pass_and_consistency(emb, codebooks, spark):
+    from bi_utils_spark.operators.similarity import ivf_assign, kmeans_centroids
+
+    cents = kmeans_centroids(emb, num_cells=4)
+    idx = P.ivfpq_index(emb, cents, codebooks)
+    assert pi.num_exchanges(idx) == 0 and pi.join_kinds(idx) == {}
+    # cell assignment must agree with the IVF operator's own
+    via_ivf = {r["id"]: r["cell_id"] for r in ivf_assign(emb, cents).collect()}
+    via_idx = {r["vec_id"]: r["cell_id"] for r in idx.collect()}
+    assert via_idx == via_ivf
+    # codes must agree with the plain PQ encoder
+    via_pq = {r["vec_id"]: list(r["codes"]) for r in P.pq_encode(emb, codebooks).collect()}
+    assert {k: list(v) for k, v in
+            ((r["vec_id"], r["codes"]) for r in idx.collect())} == via_pq
+
+
+def test_ivfpq_topk_recall(emb):
+    from pyspark.sql import functions as FF
+
+    target = [float(x) for x in emb.filter(FF.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, target, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in P.ivfpq_topk(
+            emb, target, k=10, num_cells=4, nprobe=3,
+            num_subspaces=8, num_centroids=64, refine_factor=10,
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.5
