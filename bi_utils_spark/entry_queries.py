@@ -3011,6 +3011,41 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# OOV-rate / vocabulary-coverage scoring (operators/lm.py): fraction of
+# each doc's tokens outside the corpus top-200 vocabulary. Vocabulary is
+# deterministic (count desc, term asc), so the exact per-doc rates are
+# oracle-checkable.
+# ===========================================================================
+
+@register(
+    "q_oov_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    model AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    vocab AS (SELECT term FROM model ORDER BY c DESC, term ASC LIMIT 200)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.lm import oov_rate, top_vocab, unigram_model
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = top_vocab(unigram_model(docs), 200)
+    return oov_rate(docs, vocab)
+
+
+# ===========================================================================
 # Benchmark decontamination (operators/decontam.py): GPT-3-style n-gram
 # overlap against a held-out eval set, plus Lee-et-al duplicated-span
 # diagnostics. Benchmark split for the fixture: doc_id % 10 == 0 plays
@@ -3192,6 +3227,7 @@ _PROMOTED: list[str] = [
     "q_stratified_sample",
     "q_session_windows",
     "q_unigram_logprob",
+    "q_oov_rate",
     "q_lang_id",
     "q_quality_score",
     "q_jaccard_pairs",
@@ -3220,7 +3256,6 @@ _PROMOTED: list[str] = [
     "q_sql_script",
     "q_sessionize",
     "q_rollup_flags",
-    "q_pivot_events",
     "q_approx_stats",
     # tier 3: r2-green, module touched this round or adjacent
     "q_merge_upsert",

@@ -78,3 +78,45 @@ def unigram_logprob_scores(
             (F.sum("__q").cast("double") / F.lit(1e7)) / F.count("*")
         ).alias("avg_logprob"),
     )
+
+
+def top_vocab(model: DataFrame, v: int) -> DataFrame:
+    """Top-``v`` terms of a unigram model by count (ties broken by
+    term, so the vocabulary is deterministic and engine-portable) —
+    TakeOrdered over the |corpus vocab| model rows, never the token
+    stream."""
+    return model.orderBy(F.desc("c"), F.asc("term")).limit(v)
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate) — the fraction of each
+    document's tokens outside a fixed vocabulary. The tokenizer-fit
+    signal used to triage corpora before subword training: high OOV
+    flags encoding damage, the wrong language, or gibberish that
+    per-token quality heuristics miss.
+
+    Scale: the vocabulary (top-V of a unigram model — bounded by
+    construction) broadcasts; the token stream is probed map-side and
+    one groupBy(id) aggregates — the same one-shuffle shape as
+    unigram scoring."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.select("term").withColumn("__in", F.lit(1))),
+        "term",
+        "left",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        (
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("oov_rate"),
+    )

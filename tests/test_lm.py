@@ -54,3 +54,28 @@ def test_unigram_deterministic_under_repartition(spark, sf_dir):
     a = sorted(map(tuple, unigram_logprob_scores(docs).collect()))
     b = sorted(map(tuple, unigram_logprob_scores(docs.repartition(17)).collect()))
     assert a == b  # fixed-point sums are order-independent
+
+
+def test_top_vocab_deterministic_ties(spark):
+    from bi_utils_spark.operators.lm import top_vocab, unigram_model
+
+    df = spark.createDataFrame(
+        [(1, "b a a c b z")], ["doc_id", "text"]
+    )
+    vocab = [r["term"] for r in top_vocab(unigram_model(df), 3).collect()]
+    # counts: a=2 b=2 c=1 z=1 -> ties break alphabetically
+    assert vocab == ["a", "b", "c"]
+
+
+def test_oov_rate_exact(spark):
+    from bi_utils_spark.operators.lm import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a b qq"), (2, "a a a"), (3, "zz yy")], ["doc_id", "text"]
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], ["term"])
+    got = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (3, 1)
+    assert got[2]["n_oov"] == 0
+    assert got[3]["oov_rate"] == 1.0
+    assert abs(got[1]["oov_rate"] - 1 / 3) < 1e-12
