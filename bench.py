@@ -58,8 +58,13 @@ BENCH_QUERIES = [
     "q_chunk_documents",
     "q_bm25_search",
     "q_unigram_logprob",
+    "q_oov_rate",
     "q_session_windows",
     "q_stratified_sample",
+    # r3 additions: decontamination / span diagnostics / quantile filter
+    "q_contamination",
+    "q_dup_spans",
+    "q_quality_tophalf",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",
