@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     # r3 additions: decontamination / span diagnostics / quantile filter
     "q_contamination",
     "q_dup_spans",
+    "q_remove_dup_spans",
     "q_quality_tophalf",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

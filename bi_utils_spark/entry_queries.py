@@ -3169,6 +3169,55 @@ def q_quality_tophalf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_remove_dup_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(a) AS tok, unnest(range(1, len(a) + 1)) AS pos
+      FROM t
+    ),
+    ng AS (
+      SELECT doc_id,
+             unnest([array_to_string(a[i:i+7], ' ')
+                     for i in range(1, len(a) - 6)]) AS ng,
+             unnest(range(1, len(a) - 6)) AS pos
+      FROM t WHERE len(a) >= 8
+    ),
+    freq AS (SELECT ng, count(DISTINCT doc_id) AS ddf FROM ng GROUP BY ng),
+    dupstart AS (
+      SELECT doc_id, pos,
+             CASE WHEN ddf >= 2 THEN 1 ELSE 0 END AS dup
+      FROM ng JOIN freq USING (ng)
+    ),
+    cov AS (
+      SELECT tok.doc_id, tok.pos, tok.tok,
+             max(coalesce(d.dup, 0)) OVER (
+               PARTITION BY tok.doc_id ORDER BY tok.pos
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+      FROM tok LEFT JOIN dupstart d
+        ON tok.doc_id = d.doc_id AND tok.pos = d.pos
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list(tok ORDER BY pos) FILTER (WHERE covered = 0), ' '), '')
+             AS text_deduped,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(covered) AS BIGINT) AS n_removed
+    FROM cov
+    GROUP BY doc_id
+    """,
+)
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.decontam import remove_duplicated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, "doc_id", "text", k=8)
+
+
+@register(
     "q_dup_spans",
     r"""
     WITH t AS (
@@ -3220,6 +3269,7 @@ _PROMOTED: list[str] = [
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
+    "q_remove_dup_spans",
     "q_quality_tophalf",
     "q_media_decode",
     "q_chunk_documents",
@@ -3256,7 +3306,6 @@ _PROMOTED: list[str] = [
     "q_sql_script",
     "q_sessionize",
     "q_rollup_flags",
-    "q_approx_stats",
     # tier 3: r2-green, module touched this round or adjacent
     "q_merge_upsert",
     "q_doc_stats_by_lang",

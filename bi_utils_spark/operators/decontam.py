@@ -132,6 +132,62 @@ def decontaminate(
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Span-level exact dedup (the Lee et al. 2022 procedure proper):
+    delete every token covered by a k-gram that occurs in ≥
+    ``min_doc_freq`` distinct documents, keeping the rest of each
+    document intact. Returns (``id_col``, text_deduped, n_tokens,
+    n_removed); documents shorter than ``k`` tokens pass through
+    unchanged (they contain no k-gram).
+
+    A token at position j is covered iff some duplicated gram starts
+    in [j−k+1, j] — computed as a per-doc running ``max`` over the
+    dense position order (rows frame of k−1 preceding), so coverage
+    is one window pass, and reconstruction is one ordered
+    ``collect_list`` per doc. Shuffle budget = duplicated_span_stats
+    plus the per-doc window/groupBy pair, all keyed on id or gram —
+    still no pair enumeration anywhere.
+    """
+    spans = ngram_hash_rows(df, id_col, text_col, k, keep_pos=True)
+    docfreq = (
+        spans.dropDuplicates(["id", "sh"])
+        .groupBy("sh")
+        .agg(F.count("*").alias("__df"))
+    )
+    dup_starts = spans.join(docfreq, "sh").select(
+        "id", "pos", (F.col("__df") >= min_doc_freq).cast("int").alias("__dup")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    flagged = toks.join(dup_starts, ["id", "pos"], "left").withColumn(
+        "__dupz", F.coalesce("__dup", F.lit(0))
+    )
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
+    cov = flagged.withColumn("__cov", F.max("__dupz").over(w))
+    kept = F.sort_array(
+        F.collect_list(
+            F.when(F.col("__cov") == 0, F.struct("pos", "tok"))
+        )
+    )
+    return cov.groupBy("id").agg(
+        F.array_join(F.transform(kept, lambda x: x["tok"]), " ").alias(
+            "text_deduped"
+        ),
+        F.count("*").alias("n_tokens"),
+        F.sum("__cov").alias("n_removed"),
+    ).select(
+        F.col("id").alias(id_col), "text_deduped", "n_tokens", "n_removed"
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",

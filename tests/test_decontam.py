@@ -109,3 +109,45 @@ def test_decontam_no_pair_join_shape(spark):
     df = _docs(spark, [(i, f"t{i} a b c d") for i in range(20)])
     out = X.duplicated_span_stats(df, "doc_id", "text", k=3)
     assert pi.num_exchanges(out) <= 6, pi.executed_plan(out)
+
+
+def test_remove_duplicated_spans_exact(spark):
+    # "c1 c2 c3" is the shared trigram; with k=3 it covers tokens
+    # c1..c3 in both docs; doc 3 is untouched; doc 4 is shorter than k
+    df = _docs(
+        spark,
+        [
+            (1, "u1 u2 c1 c2 c3 u3"),
+            (2, "c1 c2 c3 w1 w2"),
+            (3, "x1 x2 x3 x4"),
+            (4, "s1 s2"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in X.remove_duplicated_spans(df, "doc_id", "text", k=3).collect()
+    }
+    assert got[1]["text_deduped"] == "u1 u2 u3"
+    assert (got[1]["n_tokens"], got[1]["n_removed"]) == (6, 3)
+    assert got[2]["text_deduped"] == "w1 w2"
+    assert got[3]["text_deduped"] == "x1 x2 x3 x4"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["text_deduped"] == "s1 s2"  # < k tokens: untouched
+
+
+def test_remove_duplicated_spans_full_coverage_empty(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    got = {
+        r["doc_id"]: r
+        for r in X.remove_duplicated_spans(df, "doc_id", "text", k=3).collect()
+    }
+    assert got[1]["text_deduped"] == "" and got[1]["n_removed"] == 3
+    assert got[2]["text_deduped"] == ""
+
+
+def test_remove_duplicated_spans_within_doc_repeat_kept(spark):
+    # the trigram repeats WITHIN one doc only -> doc frequency 1 -> kept
+    df = _docs(spark, [(1, "a b c a b c"), (2, "q r s t")])
+    got = X.remove_duplicated_spans(df, "doc_id", "text", k=3).collect()
+    by = {r["doc_id"]: r for r in got}
+    assert by[1]["n_removed"] == 0
