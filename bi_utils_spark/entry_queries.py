@@ -3218,6 +3218,34 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_boilerplate_grams",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    ng AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(a[i:i+4], ' ')
+                     for i in range(1, len(a) - 3)]) AS gram
+      FROM t WHERE len(a) >= 5
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ng
+    GROUP BY gram
+    HAVING count(*) >= 2
+    ORDER BY n_docs DESC, gram ASC
+    LIMIT 20
+    """,
+)
+def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.decontam import top_duplicated_grams
+
+    docs = load(spark, sf_dir, "documents")
+    return top_duplicated_grams(docs, "doc_id", "text", k=5, top=20)
+
+
+@register(
     "q_dup_spans",
     r"""
     WITH t AS (
@@ -3270,6 +3298,7 @@ _PROMOTED: list[str] = [
     "q_decontaminate",
     "q_dup_spans",
     "q_remove_dup_spans",
+    "q_boilerplate_grams",
     "q_quality_tophalf",
     "q_media_decode",
     "q_chunk_documents",
@@ -3305,7 +3334,6 @@ _PROMOTED: list[str] = [
     "q_top_suppliers",
     "q_sql_script",
     "q_sessionize",
-    "q_rollup_flags",
     # tier 3: r2-green, module touched this round or adjacent
     "q_merge_upsert",
     "q_doc_stats_by_lang",

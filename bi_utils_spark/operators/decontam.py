@@ -188,6 +188,46 @@ def remove_duplicated_spans(
     )
 
 
+def top_duplicated_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    top: int = 20,
+) -> DataFrame:
+    """(gram, n_docs) — the ``top`` k-grams occurring in the most
+    distinct documents: the boilerplate miner that tells you WHAT the
+    duplication is (license headers, template chrome, OCR banners)
+    before you pick caps and thresholds for the dedup tiers. Keeps
+    gram TEXT (this is a reporting operator); identity dedup happens
+    on the (id, gram) pair, the count shuffles small (gram, 1)
+    partials, and the top slice is a TakeOrdered — never a full sort.
+    Deterministic tie-break: gram ascending."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    if k == 1:
+        grams = toks.select("id", F.col("tok").alias("gram"))
+    else:
+        w = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+        staged = toks.withColumn("gram", F.concat_ws(" ", *parts)).withColumn(
+            "n_toks", F.count("*").over(Window.partitionBy("id"))
+        )
+        grams = staged.filter(F.col("pos") <= F.col("n_toks") - k).select(
+            "id", "gram"
+        )
+    return (
+        grams.dropDuplicates(["id", "gram"])
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(top)
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -151,3 +151,19 @@ def test_remove_duplicated_spans_within_doc_repeat_kept(spark):
     got = X.remove_duplicated_spans(df, "doc_id", "text", k=3).collect()
     by = {r["doc_id"]: r for r in got}
     assert by[1]["n_removed"] == 0
+
+
+def test_top_duplicated_grams(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the same header text one"),
+            (2, "the same header text two"),
+            (3, "the same header text three"),
+            (4, "entirely different body here"),
+        ],
+    )
+    got = X.top_duplicated_grams(df, "doc_id", "text", k=4, top=5).collect()
+    assert got[0]["gram"] == "the same header text" and got[0]["n_docs"] == 3
+    # singletons (n_docs < 2) never appear
+    assert all(r["n_docs"] >= 2 for r in got)
