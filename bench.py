@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "q_oov_rate",
     "q_session_windows",
     "q_stratified_sample",
+    # r3 additions: DSIR importance resampling / Zipf / global shuffle
+    "q_importance_weights",
+    "q_importance_sample",
+    "q_head_coverage",
+    "q_global_shuffle",
     # r3 additions: decontamination / span diagnostics / quantile filter
     "q_contamination",
     "q_dup_spans",

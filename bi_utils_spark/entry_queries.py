@@ -3277,6 +3277,186 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# DSIR-style importance weighting + resampling (operators/importance.py):
+# hashed unigram+bigram features (md5 → 4096 buckets, engine-portable),
+# add-one-smoothed target/raw bucket distributions (target = lang='en'
+# docs, raw = whole corpus), per-doc Σ log-ratio weights, Gumbel-top-k
+# selection. Every number is fixed-point-quantized, so the full DSIR
+# pipeline is oracle-checkable end to end.
+# ===========================================================================
+
+_DSIR_CTE = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    fb AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(feat), 1, 13) AS BIGINT) % 4096 AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest(CASE WHEN len(a) <= 1 THEN a
+                          ELSE a || list_transform(
+                                 generate_series(1, len(a) - 1),
+                                 i -> a[i] || ' ' || a[i+1]) END) AS feat
+            FROM t)
+    ),
+    tc AS (SELECT bucket, count(*) AS ct FROM fb WHERE lang = 'en'
+           GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY bucket),
+    buckets AS (SELECT range AS bucket FROM range(4096)),
+    j AS (SELECT b.bucket, coalesce(tc.ct, 0) AS ct, coalesce(rc.cr, 0) AS cr
+          FROM buckets b LEFT JOIN tc USING (bucket)
+                         LEFT JOIN rc USING (bucket)),
+    consts AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM j),
+    lr AS (SELECT bucket,
+                  CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+                              / (CAST(cr + 1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE)))
+                             * 1e7) AS BIGINT) AS lr_q
+           FROM j, consts),
+    w AS (SELECT fb.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(lr.lr_q) AS DOUBLE) / 1e7 AS weight
+          FROM fb JOIN lr USING (bucket)
+          GROUP BY fb.doc_id)
+"""
+
+
+@register(
+    "q_importance_weights",
+    _DSIR_CTE + "SELECT doc_id, n_feats, weight FROM w",
+)
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.importance import (
+        bucket_logratio,
+        importance_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    lr = bucket_logratio(docs.filter(F.col("lang") == "en"), docs)
+    return importance_weights(docs, lr)
+
+
+@register(
+    "q_importance_sample",
+    _DSIR_CTE
+    + r"""
+    SELECT doc_id, n_feats, weight,
+           CAST(round((weight + -ln(-ln(
+                 (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'gumbel'),
+                                      1, 13) AS BIGINT) + 0.5)
+                 / 4503599627370496.0))) * 1e7) AS BIGINT) AS key_q
+    FROM w
+    ORDER BY key_q DESC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.importance import (
+        bucket_logratio,
+        importance_resample,
+        importance_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    lr = bucket_logratio(docs.filter(F.col("lang") == "en"), docs)
+    return importance_resample(importance_weights(docs, lr), k=100)
+
+
+# ===========================================================================
+# Zipf diagnostics (operators/lm.py): term rank table and head coverage —
+# sizes tokenizer vocabularies from the model table, never the stream.
+# ===========================================================================
+
+_MODEL_CTE = r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    model AS (SELECT term, count(*) AS c FROM toks GROUP BY term)
+"""
+
+
+@register(
+    "q_zipf_topk",
+    _MODEL_CTE
+    + r"""
+    , r AS (SELECT term, c,
+                   row_number() OVER (ORDER BY c DESC, term ASC) AS rk
+            FROM model)
+    SELECT term, CAST(c AS BIGINT) AS c, CAST(rk AS INTEGER) AS rank
+    FROM r WHERE rk <= 50
+    """,
+)
+def q_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.lm import term_ranks, unigram_model
+
+    docs = load(spark, sf_dir, "documents")
+    return term_ranks(unigram_model(docs)).filter(F.col("rank") <= 50)
+
+
+@register(
+    "q_head_coverage",
+    _MODEL_CTE
+    + r"""
+    , head AS (SELECT c FROM model ORDER BY c DESC, term ASC LIMIT 100)
+    SELECT 100 AS k,
+           CAST((SELECT sum(c) FROM head) AS BIGINT) AS head_tokens,
+           CAST((SELECT sum(c) FROM model) AS BIGINT) AS total_tokens,
+           CAST((SELECT sum(c) FROM head) AS DOUBLE)
+             / CAST((SELECT sum(c) FROM model) AS DOUBLE) AS coverage
+    """,
+)
+def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.lm import head_coverage, unigram_model
+
+    docs = load(spark, sf_dir, "documents")
+    return head_coverage(unigram_model(docs), 100)
+
+
+# ===========================================================================
+# Deterministic global shuffle (operators/importance.py::shard_positions):
+# (shard, pos) addresses forming a pseudorandom permutation — training
+# shard layout with no rand() and no global sort (each shard sorts
+# ~n/num_shards rows after one hash shuffle).
+# ===========================================================================
+
+def _shard_case_sql(num_shards: int) -> str:
+    top = (1 << 64)
+    whens = []
+    for i in range(num_shards - 1):
+        bound = format((i + 1) * top // num_shards, "016x")
+        whens.append(f"WHEN hx < '{bound}' THEN {i}")
+    return "CASE " + " ".join(whens) + f" ELSE {num_shards - 1} END"
+
+
+@register(
+    "q_global_shuffle",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 16) AS hx
+      FROM documents
+    ),
+    s AS (SELECT doc_id, hx, """
+    + _shard_case_sql(8)
+    + r""" AS shard FROM h)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY hx, doc_id) AS INTEGER) AS pos
+    FROM s
+    """,
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.importance import shard_positions
+
+    docs = load(spark, sf_dir, "documents")
+    return shard_positions(docs, "doc_id", num_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+# ===========================================================================
 # Registration-order priority (round 3).
 #
 # The driver's correctness run evaluates the first 50 queries in dict
@@ -3294,6 +3474,11 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROMOTED: list[str] = [
     # tier 1: changed or new this round (plus r2 plan changes)
+    "q_importance_weights",
+    "q_importance_sample",
+    "q_zipf_topk",
+    "q_head_coverage",
+    "q_global_shuffle",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3340,12 +3525,10 @@ _PROMOTED: list[str] = [
     "q_text_stats",
     "q_token_counts",
     "q_repetition_stats",
-    "q_media_stats",
     "q_media_features",
-    "q_dedup_exact",
-    "q_emb_dedup_exact",
-    "q_pack_conservation",
-    "q_union_pages",
+    # (q_media_stats / q_dedup_exact / q_emb_dedup_exact /
+    # q_pack_conservation / q_union_pages demoted below the window this
+    # round: r2-green official rows, implementations untouched since.)
 ]
 
 

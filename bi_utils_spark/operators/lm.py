@@ -16,7 +16,7 @@ Shape at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bi_utils_spark.operators.textstats import tokens
@@ -119,4 +119,43 @@ def oov_rate(
             F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).cast("double")
             / F.count("*")
         ).alias("oov_rate"),
+    )
+
+
+def term_ranks(model: DataFrame) -> DataFrame:
+    """(term, c, rank) — Zipf rank table of a unigram model, rank 1 =
+    most frequent, ties broken by term so the ranking is total and
+    engine-portable.
+
+    Scale: one window over the MODEL (|vocab| rows), never the token
+    stream; the single-partition window is fine up to ~10⁸ vocab rows
+    — beyond that, rank via sort + zipWithIndex-style shard offsets.
+    """
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    return model.select("term", "c", F.row_number().over(w).alias("rank"))
+
+
+def head_coverage(model: DataFrame, k: int) -> DataFrame:
+    """One row (k, head_tokens, total_tokens, coverage): the fraction
+    of all token OCCURRENCES covered by the ``k`` most frequent
+    terms — the Zipf-head diagnostic that sizes a tokenizer
+    vocabulary (coverage(k) flattening ⇒ bigger V buys nothing).
+
+    Scale: aggregates the model table (|vocab| rows), not the corpus;
+    the top-k head is a TakeOrdered inside the same plan.
+    """
+    head = top_vocab(model, k)
+    tot = model.agg(F.sum("c").alias("total_tokens"))
+    return (
+        head.agg(F.sum("c").alias("head_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(k).alias("k"),
+            "head_tokens",
+            "total_tokens",
+            (
+                F.col("head_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
     )
