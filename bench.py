@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q_importance_sample",
     "q_head_coverage",
     "q_global_shuffle",
+    "q_bigram_logprob",
+    "q_mixture_sample",
     # r3 additions: decontamination / span diagnostics / quantile filter
     "q_contamination",
     "q_dup_spans",

@@ -3415,6 +3415,84 @@ def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Interpolated bigram LM scoring (operators/lm.py): CCNet-style
+# perplexity one order deeper than unigram — p(w2|w1) = λ·MLE +
+# (1−λ)·add-one-unigram backoff. λ literal is written as (1.0 - 0.7)
+# on the SQL side so both engines compute the identical double.
+# ===========================================================================
+
+@register(
+    "q_bigram_logprob",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    um AS (SELECT term, count(*) AS c
+           FROM (SELECT unnest(a) AS term FROM t) GROUP BY term),
+    uc AS (SELECT sum(c) AS total, count(*) AS v FROM um),
+    bp AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+           FROM t, unnest(generate_series(1, len(a) - 1)) AS u(i)
+           WHERE len(a) >= 2),
+    bm AS (SELECT w1, w2, count(*) AS c12 FROM bp GROUP BY w1, w2),
+    cx AS (SELECT w1, sum(c12) AS c1 FROM bm GROUP BY w1),
+    scored AS (
+      SELECT bp.doc_id,
+             CAST(round(ln(0.7 * (CAST(bm.c12 AS DOUBLE) / CAST(cx.c1 AS DOUBLE))
+                           + (1.0 - 0.7) * ((CAST(um.c AS DOUBLE) + 1.0)
+                                            / CAST(total + v AS DOUBLE)))
+                        * 1e7) AS BIGINT) AS q
+      FROM bp JOIN bm USING (w1, w2) JOIN cx USING (w1)
+              JOIN um ON um.term = bp.w2, uc
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           (CAST(sum(q) AS DOUBLE) / 1e7) / count(*) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.lm import bigram_logprob_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs)
+
+
+# ===========================================================================
+# Source-mixture quota sampling (operators/mixing.py): per-source token
+# quotas (equal shares of a 10k-token budget here) filled by the
+# hash-ordered document prefix — deterministic data mixing.
+# ===========================================================================
+
+@register(
+    "q_mixture_sample",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 16) AS h
+      FROM documents
+    ),
+    ng AS (SELECT count(DISTINCT source) AS n FROM d),
+    r AS (SELECT d.*, coalesce(sum(nt) OVER (
+                PARTITION BY source ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_before
+          FROM d)
+    SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens
+    FROM r, ng
+    WHERE cum_before < 10000.0 / ng.n
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.mixing import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, "doc_id", "source", budget_tokens=10_000
+    ).select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+# ===========================================================================
 # Deterministic global shuffle (operators/importance.py::shard_positions):
 # (shard, pos) addresses forming a pseudorandom permutation — training
 # shard layout with no rand() and no global sort (each shard sorts
@@ -3479,6 +3557,8 @@ _PROMOTED: list[str] = [
     "q_zipf_topk",
     "q_head_coverage",
     "q_global_shuffle",
+    "q_bigram_logprob",
+    "q_mixture_sample",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3522,13 +3602,12 @@ _PROMOTED: list[str] = [
     # tier 3: r2-green, module touched this round or adjacent
     "q_merge_upsert",
     "q_doc_stats_by_lang",
-    "q_text_stats",
-    "q_token_counts",
     "q_repetition_stats",
     "q_media_features",
     # (q_media_stats / q_dedup_exact / q_emb_dedup_exact /
-    # q_pack_conservation / q_union_pages demoted below the window this
-    # round: r2-green official rows, implementations untouched since.)
+    # q_pack_conservation / q_union_pages / q_text_stats /
+    # q_token_counts demoted below the window this round: r2-green
+    # official rows, implementations untouched since.)
 ]
 
 

@@ -159,3 +159,104 @@ def head_coverage(model: DataFrame, k: int) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+def bigram_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, w1, w2) rows — one row per adjacent token pair.
+
+    Built row-wise (posexplode + window lead, the shingle_hash_rows
+    layout): tokenization runs once per token, never per pair — an
+    array formulation indexing the token array inside a lambda
+    re-evaluates the split per element (Catalyst CSE stops at lambda
+    boundaries). One shuffle on doc_id; docs under 2 tokens emit no
+    rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+
+
+def bigram_model(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(w1, w2, c12) adjacent-pair counts — the bigram model table.
+
+    Scale: groupBy on the pair — same shuffle class as an inverted
+    index. The table is heavy-tailed; downstream scoring joins on
+    (w1, w2) and should stay a shuffle join (bigram vocab is usually
+    too big to broadcast, unlike the unigram model).
+    """
+    return bigram_pairs(df, id_col, text_col).groupBy("w1", "w2").agg(
+        F.count("*").alias("c12")
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    model: DataFrame | None = None,
+    unigram: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) under an interpolated bigram
+    model — the CCNet-style perplexity filter one order deeper than
+    unigram scoring (catches shuffled-word salad that unigram scoring
+    rates fluent):
+
+        p(w2 | w1) = λ · c(w1,w2)/c(w1,·) + (1−λ) · p_uni(w2)
+
+    with add-one-smoothed unigram backoff p_uni(w2) = (c+1)/(total+V).
+    c(w1,·) is the margin of the bigram table itself (Σ_w2 c12), so
+    the MLE term is a proper conditional; unseen bigrams (cross-corpus
+    scoring) fall back to the backoff term alone. Documents with < 2
+    tokens emit no row.
+
+    Determinism: per-pair log-probs quantized to 1e-7 fixed point and
+    summed as BIGINTs — bit-identical under any partitioning, exact
+    against the DuckDB oracle.
+
+    Scale: pair rows join the bigram model on (w1, w2) — a shuffle
+    join keyed by the pair (broadcast only the unigram model and the
+    scalar totals). Stop-word pairs are hot keys; AQE skew-join
+    handles them, or pre-salt w1 for pathological corpora.
+    """
+    pairs = bigram_pairs(df, id_col, text_col)
+    if model is None:
+        model = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    if unigram is None:
+        unigram = unigram_model(df, id_col, text_col)
+    consts = unigram.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
+    uni2 = unigram.select(F.col("term").alias("w2"), F.col("c").alias("cu2"))
+    p_mle = F.coalesce(
+        F.col("c12").cast("double") / F.col("c1").cast("double"), F.lit(0.0)
+    )
+    p_uni = (F.coalesce(F.col("cu2"), F.lit(0)).cast("double") + 1.0) / (
+        F.col("total") + F.col("v")
+    ).cast("double")
+    q = F.round(
+        F.log(F.lit(lam) * p_mle + F.lit(1.0 - lam) * p_uni) * 1e7
+    ).cast("long")
+    scored = (
+        pairs.join(model, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(F.broadcast(uni2), "w2", "left")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", q.alias("__q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        ((F.sum("__q").cast("double") / F.lit(1e7)) / F.count("*")).alias(
+            "avg_logprob"
+        ),
+    )

@@ -1,0 +1,108 @@
+"""Source-mixture sampling — data mixing for pretraining corpora.
+
+A training mix is specified as token quotas per source/domain (the
+DoReMi / Pile recipe: "X% of tokens from web, Y% from code, …").
+Given per-source mixture weights and a total token budget, select a
+deterministic subset of documents whose per-source token mass meets
+each source's quota — without ``rand()`` (irreproducible) and without
+materializing per-source tables.
+
+Selection rule: within each source, order documents by
+md5(id‖salt) (the splits.py portable-hash discipline) and keep every
+document whose RUNNING token total before it is below the source's
+quota — i.e. the shortest hash-ordered prefix covering the quota
+(the last kept doc may overshoot; quotas are met, never undershot
+while data remains). Deterministic in (id, salt), stable under
+repartitioning, oracle-checkable.
+
+Scale: one shuffle on the source key; each task computes a running
+sum over its own source's rows. Group count is small (sources/
+domains), so per-group sequential prefix sums are the right trade; a
+source too large for one task's sort should use the two-level form:
+hash-bucket the source, aggregate bucket token sums, prefix over the
+(tiny) bucket table, then keep whole buckets below the quota and
+recurse only into the boundary bucket.
+
+No reference counterpart; north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.splits import _bucket_hex
+from bi_utils_spark.operators.textstats import token_count
+
+
+def source_token_counts(
+    df: DataFrame, group_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(group, n_docs, n_tokens) per-source inventory — the input to
+    quota planning. One shuffle on the group key with map-side
+    partials."""
+    return df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    weights: Mapping[str, float] | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic quota sample: keep, per source, the hash-ordered
+    document prefix whose preceding token total is below the source's
+    share of ``budget_tokens``.
+
+    ``weights`` maps group value → mixture weight (normalized over the
+    mapping; groups absent from the mapping get quota 0). ``None``
+    means equal shares across the groups PRESENT in the data —
+    computed inside the plan (a broadcast one-row count), so the
+    default needs no driver action.
+
+    Output: input columns + ``n_tokens`` (the doc's token count).
+    Every source's kept token mass ≥ its quota whenever the source has
+    that much data (prefix rule: the boundary doc is kept).
+    """
+    nt = token_count(text_col)
+    h = _bucket_hex(F.col(id_col), salt)
+    staged = df.withColumn("__nt", nt).withColumn("__h", h)
+    if weights is None:
+        ngroups = staged.select(group_col).distinct().agg(
+            F.count("*").alias("__ng")
+        )
+        staged = staged.crossJoin(F.broadcast(ngroups)).withColumn(
+            "__quota", F.lit(float(budget_tokens)) / F.col("__ng")
+        )
+    else:
+        total_w = float(sum(weights.values()))
+        if total_w <= 0:
+            raise ValueError("weights must sum to a positive number")
+        expr = None
+        for g, wv in weights.items():
+            q = budget_tokens * float(wv) / total_w
+            cond = F.col(group_col) == g
+            expr = F.when(cond, F.lit(q)) if expr is None else expr.when(
+                cond, F.lit(q)
+            )
+        staged = staged.withColumn("__quota", expr.otherwise(F.lit(0.0)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        staged.withColumn("__cum_before", F.coalesce(F.sum("__nt").over(w), F.lit(0)))
+        .filter(F.col("__cum_before") < F.col("__quota"))
+        .withColumn("n_tokens", F.col("__nt"))
+        .drop("__nt", "__h", "__quota", "__cum_before", "__ng")
+    )
+    return out

@@ -1,0 +1,131 @@
+"""Tests for bigram LM scoring (operators/lm.py) and source-mixture
+quota sampling (operators/mixing.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.lm import (
+    bigram_logprob_scores,
+    bigram_model,
+    bigram_pairs,
+)
+from bi_utils_spark.operators.mixing import mixture_sample, source_token_counts
+
+
+def test_bigram_pairs_adjacency(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "x")], ["doc_id", "text"])
+    got = {(r["doc_id"], r["w1"], r["w2"]) for r in bigram_pairs(df).collect()}
+    assert got == {(1, "a", "b"), (1, "b", "c")}  # 1-token doc: no rows
+
+
+def test_bigram_hand_math(spark):
+    # corpus "a b" ×2 + "a c": c(a,b)=2, c(a,c)=1, c(a,·)=3;
+    # unigrams a:3 b:2 c:1 -> total 6, V 3
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(df, lam=0.7).collect()}
+    p_ab = 0.7 * (2 / 3) + (1.0 - 0.7) * ((2 + 1) / (6 + 3))
+    p_ac = 0.7 * (1 / 3) + (1.0 - 0.7) * ((1 + 1) / (6 + 3))
+    q = lambda p: round(math.log(p) * 1e7) / 1e7  # noqa: E731
+    assert got[1]["n_bigrams"] == 1
+    assert got[1]["avg_logprob"] == pytest.approx(q(p_ab), abs=1e-9)
+    assert got[3]["avg_logprob"] == pytest.approx(q(p_ac), abs=1e-9)
+    # the rarer continuation scores lower
+    assert got[3]["avg_logprob"] < got[1]["avg_logprob"]
+
+
+def test_bigram_cross_corpus_unseen_backoff(spark):
+    ref = spark.createDataFrame([(1, "the cat sat")], ["doc_id", "text"])
+    model = bigram_model(ref)
+    from bi_utils_spark.operators.lm import unigram_model
+
+    uni = unigram_model(ref)
+    cand = spark.createDataFrame(
+        [(10, "the cat"), (11, "cat the")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["avg_logprob"] for r in
+           bigram_logprob_scores(cand, model=model, unigram=uni).collect()}
+    # seen bigram ("the cat") must outscore the reversed unseen one,
+    # which only gets backoff mass — the word-salad detector property
+    assert got[10] > got[11]
+
+
+def test_bigram_word_salad_scores_lower_than_original(spark, sf_dir):
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_logprob_scores(docs)
+    row = scores.agg(F.min("avg_logprob").alias("lo"),
+                     F.max("avg_logprob").alias("hi")).first()
+    assert row["lo"] < row["hi"] < 0.0
+
+
+def test_bigram_deterministic_under_repartition(spark, sf_dir):
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r["doc_id"], r["avg_logprob"])
+         for r in bigram_logprob_scores(docs).collect()}
+    b = {(r["doc_id"], r["avg_logprob"])
+         for r in bigram_logprob_scores(docs.repartition(11)).collect()}
+    assert a == b
+
+
+def test_mixture_quota_met_not_undershot(spark, sf_dir):
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 2000
+    sel = mixture_sample(docs, "doc_id", "source", budget_tokens=budget)
+    inv = {r["group"]: r["n_tokens"] for r in
+           source_token_counts(docs, "source").collect()}
+    quota = budget / len(inv)
+    per = {r["source"]: r["tot"] for r in
+           sel.groupBy("source").agg(F.sum("n_tokens").alias("tot")).collect()}
+    for src, avail in inv.items():
+        if avail >= quota:
+            # prefix rule: kept mass reaches the quota (boundary doc kept)
+            assert per.get(src, 0) >= quota
+        else:
+            assert per.get(src, 0) == avail
+
+
+def test_mixture_deterministic_and_prefix_stable(spark, sf_dir):
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in
+         mixture_sample(docs, "doc_id", "source", 3000).collect()}
+    b = {r["doc_id"] for r in
+         mixture_sample(docs.repartition(17), "doc_id", "source", 3000).collect()}
+    assert a == b
+    # a bigger budget strictly extends each source's prefix
+    big = {r["doc_id"] for r in
+           mixture_sample(docs, "doc_id", "source", 6000).collect()}
+    assert a <= big
+
+
+def test_mixture_explicit_weights(spark):
+    rows = [(i, "w " * 10, "a") for i in range(20)] + [
+        (100 + i, "w " * 10, "b") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    sel = mixture_sample(
+        df, "doc_id", "source", budget_tokens=100,
+        weights={"a": 3.0, "b": 1.0},
+    )
+    per = {r["source"]: r["tot"] for r in
+           sel.groupBy("source").agg(F.sum("n_tokens").alias("tot")).collect()}
+    # quotas 75/25 over 10-token docs -> 80/30 after boundary overshoot
+    assert per["a"] == 80
+    assert per["b"] == 30
+    # a group with zero weight is excluded entirely
+    sel0 = mixture_sample(
+        df, "doc_id", "source", budget_tokens=100, weights={"a": 1.0}
+    )
+    assert sel0.filter(F.col("source") == "b").count() == 0
