@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_global_shuffle",
     "q_bigram_logprob",
     "q_mixture_sample",
+    "q_semantic_contamination",
     # r3 additions: decontamination / span diagnostics / quantile filter
     "q_contamination",
     "q_dup_spans",

@@ -3415,6 +3415,56 @@ def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Semantic decontamination (operators/decontam.py): embedding-tier
+# benchmark overlap — catches paraphrased eval items the n-gram tier
+# misses. Benchmark = vec_id % 10 == 0 plays the eval suite (same
+# fixture convention as q_contamination).
+# ===========================================================================
+
+@register(
+    "q_semantic_contamination",
+    """
+    SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+           round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 9) AS score
+    FROM embeddings c, embeddings b
+    WHERE c.vec_id % 10 != 0 AND b.vec_id % 10 = 0
+      AND round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 9) >= 0.45
+    """,
+)
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.decontam import semantic_contamination_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    return semantic_contamination_pairs(corpus, bench, threshold=0.45)
+
+
+@register(
+    "q_semantic_decontam",
+    """
+    SELECT c.vec_id, c.label FROM embeddings c
+    WHERE c.vec_id % 10 != 0 AND NOT EXISTS (
+      SELECT 1 FROM embeddings b
+      WHERE b.vec_id % 10 = 0
+        AND round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 9) >= 0.45)
+    """,
+)
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.decontam import semantic_decontaminate
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.45).select(
+        "vec_id", "label"
+    )
+
+
+# ===========================================================================
 # Interpolated bigram LM scoring (operators/lm.py): CCNet-style
 # perplexity one order deeper than unigram — p(w2|w1) = λ·MLE +
 # (1−λ)·add-one-unigram backoff. λ literal is written as (1.0 - 0.7)
@@ -3559,6 +3609,8 @@ _PROMOTED: list[str] = [
     "q_global_shuffle",
     "q_bigram_logprob",
     "q_mixture_sample",
+    "q_semantic_contamination",
+    "q_semantic_decontam",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3601,13 +3653,12 @@ _PROMOTED: list[str] = [
     "q_sessionize",
     # tier 3: r2-green, module touched this round or adjacent
     "q_merge_upsert",
-    "q_doc_stats_by_lang",
     "q_repetition_stats",
-    "q_media_features",
-    # (q_media_stats / q_dedup_exact / q_emb_dedup_exact /
-    # q_pack_conservation / q_union_pages / q_text_stats /
-    # q_token_counts demoted below the window this round: r2-green
-    # official rows, implementations untouched since.)
+    # (q_media_stats / q_media_features / q_dedup_exact /
+    # q_emb_dedup_exact / q_pack_conservation / q_union_pages /
+    # q_text_stats / q_token_counts / q_doc_stats_by_lang demoted
+    # below the window this round: r2-green official rows,
+    # implementations untouched since.)
 ]
 
 

@@ -266,3 +266,63 @@ def duplicated_span_stats(
             (F.col("n_dup_spans") / F.col("n_spans")).alias("dup_frac"),
         )
     )
+
+
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "vec_id",
+    bench_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_digits: int = 9,
+) -> DataFrame:
+    """(corpus_id, bench_id, score) — corpus embeddings whose cosine
+    to ANY benchmark embedding reaches ``threshold``: the semantic
+    tier of decontamination. The n-gram tier (:func:`contamination_
+    report`) catches verbatim leakage; this tier catches paraphrased
+    eval items that share no grams with their source.
+
+    Plan shape mirrors the lexical tier: the benchmark side is tiny
+    by definition, so it is **broadcast** and the corpus side never
+    shuffles — a BroadcastNestedLoopJoin evaluating the codegen
+    cosine fold per (corpus, bench) pair, i.e. a map-only corpus scan
+    doing |bench| dot products per row. At 10⁹ corpus × 10⁴ bench
+    vectors that is the same work as one ANN probe sweep but with
+    zero recall risk; for benchmark sets too big to broadcast, run
+    :func:`bi_utils_spark.operators.similarity.ivf_topk` per bench
+    item instead and verify candidates exactly.
+
+    Scores stay on the deterministic codegen fold (not the SIMD
+    blocked path), rounded to ``round_digits`` — oracle-exact.
+    """
+    from bi_utils_spark.operators.similarity import cosine
+
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"), F.col(vec_col).alias("__cv")
+    )
+    b = benchmark.select(
+        F.col(bench_id).alias("bench_id"), F.col(vec_col).alias("__bv")
+    )
+    score = F.round(cosine(F.col("__cv"), F.col("__bv")), round_digits)
+    return (
+        c.join(F.broadcast(b), score >= F.lit(threshold))
+        .select("corpus_id", "bench_id", score.alias("score"))
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "vec_id",
+    bench_id: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Corpus rows with NO benchmark embedding at cosine ≥ threshold —
+    the drop step. Same broadcast map-only shape; the anti-join keeps
+    the corpus unshuffled."""
+    hits = semantic_contamination_pairs(
+        corpus, benchmark, corpus_id, bench_id, vec_col, threshold
+    ).select(F.col("corpus_id").alias(corpus_id)).distinct()
+    return corpus.join(hits, corpus_id, "left_anti")

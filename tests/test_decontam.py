@@ -167,3 +167,43 @@ def test_top_duplicated_grams(spark):
     assert got[0]["gram"] == "the same header text" and got[0]["n_docs"] == 3
     # singletons (n_docs < 2) never appear
     assert all(r["n_docs"] >= 2 for r in got)
+
+
+# --- semantic (embedding-tier) decontamination ----------------------------
+
+
+def test_semantic_contamination_finds_exact_copy(spark):
+    from bi_utils_spark.operators.decontam import (
+        semantic_contamination_pairs,
+        semantic_decontaminate,
+    )
+
+    v1 = [1.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(1, v1), (2, v2)], ["vec_id", "embedding"]
+    )
+    bench = spark.createDataFrame([(100, v1)], ["vec_id", "embedding"])
+    hits = semantic_contamination_pairs(corpus, bench, threshold=0.9).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in hits] == [(1, 100)]
+    assert hits[0]["score"] == 1.0
+    kept = semantic_decontaminate(corpus, bench, threshold=0.9)
+    assert [r["vec_id"] for r in kept.collect()] == [2]
+
+
+def test_semantic_contamination_broadcast_plan(spark, sf_dir):
+    # the corpus side must not shuffle: benchmark broadcast, BNLJ only
+    from bi_utils_spark.operators.decontam import semantic_contamination_pairs
+    from bi_utils_spark.plans.inspect import join_kinds, num_exchanges
+    from bi_utils_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_contamination_pairs(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        threshold=0.45,
+    )
+    kinds = join_kinds(pairs)
+    assert any("BroadcastNestedLoopJoin" in k for k in kinds)
+    assert num_exchanges(pairs) <= 1  # the broadcast side only
