@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q_bigram_logprob",
     "q_mixture_sample",
     "q_semantic_contamination",
+    "q_bpe_top_pairs",
     # r3 additions: decontamination / span diagnostics / quantile filter
     "q_contamination",
     "q_dup_spans",

@@ -3543,6 +3543,36 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# BPE merge statistics (operators/lm.py): corpus-weighted adjacent
+# char-pair counts over the vocabulary — the first tokenizer-training
+# merge step, costed by |vocab|, never the token stream.
+# ===========================================================================
+
+@register(
+    "q_bpe_top_pairs",
+    _MODEL_CTE
+    + r"""
+    , pc AS (
+      SELECT substr(term, i, 2) AS pair, sum(c) AS cnt
+      FROM model, unnest(generate_series(1, length(term) - 1)) AS u(i)
+      WHERE length(term) >= 2
+      GROUP BY pair
+    ),
+    r AS (SELECT pair, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+          FROM pc)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS INTEGER) AS rank
+    FROM r WHERE rk <= 20
+    """,
+)
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.lm import bpe_top_pairs, unigram_model
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_top_pairs(unigram_model(docs), 20)
+
+
+# ===========================================================================
 # Deterministic global shuffle (operators/importance.py::shard_positions):
 # (shard, pos) addresses forming a pseudorandom permutation — training
 # shard layout with no rand() and no global sort (each shard sorts
@@ -3611,6 +3641,7 @@ _PROMOTED: list[str] = [
     "q_mixture_sample",
     "q_semantic_contamination",
     "q_semantic_decontam",
+    "q_bpe_top_pairs",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3653,12 +3684,11 @@ _PROMOTED: list[str] = [
     "q_sessionize",
     # tier 3: r2-green, module touched this round or adjacent
     "q_merge_upsert",
-    "q_repetition_stats",
     # (q_media_stats / q_media_features / q_dedup_exact /
     # q_emb_dedup_exact / q_pack_conservation / q_union_pages /
-    # q_text_stats / q_token_counts / q_doc_stats_by_lang demoted
-    # below the window this round: r2-green official rows,
-    # implementations untouched since.)
+    # q_text_stats / q_token_counts / q_doc_stats_by_lang /
+    # q_repetition_stats demoted below the window this round:
+    # r2-green official rows, implementations untouched since.)
 ]
 
 

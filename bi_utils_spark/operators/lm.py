@@ -260,3 +260,92 @@ def bigram_logprob_scores(
             "avg_logprob"
         ),
     )
+
+
+def bpe_pair_counts(model: DataFrame) -> DataFrame:
+    """(pair, cnt) — corpus-weighted adjacent character-pair counts,
+    the statistic the first BPE merge step maximizes (Sennrich et al.,
+    ACL 2016): for every distinct word, each adjacent char pair
+    contributes the word's corpus frequency.
+
+    Input is the unigram model table (term, c), NOT the token stream —
+    pair counting is O(|vocab| · word_len), so a 100 TB corpus costs
+    the same as its (bounded) vocabulary. The per-term pair transform
+    references only the row's ``term`` attribute (no expensive subtree
+    inside the lambda), then one groupBy(pair) with map-side partials.
+    """
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("term") - 1),
+        lambda i: F.col("term").substr(i, F.lit(2)),
+    )
+    return (
+        model.filter(F.length("term") >= 2)
+        .select(F.explode(pairs).alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def bpe_top_pairs(model: DataFrame, k: int) -> DataFrame:
+    """Top-``k`` merge candidates (pair, cnt, rank), ties broken by
+    pair — the deterministic BPE merge queue head."""
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        bpe_pair_counts(model)
+        .select("pair", "cnt", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def apply_model_delta(
+    spark,
+    target_path: str,
+    delta_model: DataFrame,
+    num_buckets: int = 64,
+) -> None:
+    """Fold a delta unigram model (e.g. ``unigram_model(new_batch)``)
+    into the persisted model table at ``target_path`` — the nightly
+    corpus-growth pattern: the historical corpus is NEVER re-tokenized;
+    only its (vocab-sized) count table is touched.
+
+    Layout: parquet partitioned by ``term_bucket`` =
+    pmod(xxhash64(term), num_buckets). Only buckets containing delta
+    terms are read (partition pruning) and rewritten
+    (partitionOverwriteMode=dynamic) — a small delta touching few
+    distinct terms rewrites few buckets; untouched bucket files never
+    move. Counts merge by summation, so the result equals a from-
+    scratch model of the concatenated corpora (associativity of
+    counts; asserted in tests).
+    """
+    d = delta_model.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets))
+    ).persist()
+    touched = [r["term_bucket"] for r in d.select("term_bucket").distinct().collect()]
+
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        existing = spark.read.parquet(target_path).filter(
+            F.col("term_bucket").isin(touched)
+        )
+        combined = (
+            existing.unionByName(d)
+            .groupBy("term", "term_bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+    except AnalysisException:
+        combined = d
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        combined.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            target_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        d.unpersist()
+
+
+def read_model(spark, target_path: str) -> DataFrame:
+    """The persisted unigram model as a plain (term, c) frame."""
+    return spark.read.parquet(target_path).select("term", "c")

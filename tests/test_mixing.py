@@ -129,3 +129,77 @@ def test_mixture_explicit_weights(spark):
         df, "doc_id", "source", budget_tokens=100, weights={"a": 1.0}
     )
     assert sel0.filter(F.col("source") == "b").count() == 0
+
+
+# --- BPE pair statistics (lm.py) ------------------------------------------
+
+
+def test_bpe_pair_counts_hand_math(spark):
+    from bi_utils_spark.operators.lm import bpe_pair_counts, unigram_model
+
+    df = spark.createDataFrame(
+        [(1, "abc abc ab"), (2, "abc")], ["doc_id", "text"]
+    )
+    # model: abc:3, ab:1 -> pairs ab:3+1=4, bc:3
+    got = {r["pair"]: r["cnt"] for r in
+           bpe_pair_counts(unigram_model(df)).collect()}
+    assert got == {"ab": 4, "bc": 3}
+
+
+def test_bpe_top_pairs_rank_and_ties(spark):
+    from bi_utils_spark.operators.lm import bpe_top_pairs, unigram_model
+
+    df = spark.createDataFrame([(1, "xy yx xy yx")], ["doc_id", "text"])
+    rows = bpe_top_pairs(unigram_model(df), 2).collect()
+    # xy:2 and yx:2 tie -> lexicographic order breaks it
+    assert [(r["pair"], r["rank"]) for r in rows] == [("xy", 1), ("yx", 2)]
+
+
+# --- incremental unigram-model maintenance (lm.py) ------------------------
+
+
+def test_apply_model_delta_equals_full_rebuild(spark, tmp_path):
+    from bi_utils_spark.operators.lm import (
+        apply_model_delta,
+        read_model,
+        unigram_model,
+    )
+
+    path = str(tmp_path / "model")
+    b1 = spark.createDataFrame([(1, "a b a"), (2, "c")], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(3, "a d")], ["doc_id", "text"])
+    apply_model_delta(spark, path, unigram_model(b1))
+    apply_model_delta(spark, path, unigram_model(b2))
+    got = {(r["term"], r["c"]) for r in read_model(spark, path).collect()}
+    full = unigram_model(b1.unionByName(b2))
+    want = {(r["term"], r["c"]) for r in full.collect()}
+    assert got == want
+
+
+def test_apply_model_delta_untouched_buckets_not_rewritten(spark, tmp_path):
+    import glob
+    import os
+
+    from bi_utils_spark.operators.lm import apply_model_delta, unigram_model
+
+    path = str(tmp_path / "model2")
+    base = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(200)))], ["doc_id", "text"]
+    )
+    apply_model_delta(spark, path, unigram_model(base), num_buckets=16)
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{path}/term_bucket=*/*.parquet")
+    }
+    # single-term delta -> exactly one bucket partition rewritten
+    delta = spark.createDataFrame([(2, "tok0 tok0")], ["doc_id", "text"])
+    apply_model_delta(spark, path, unigram_model(delta), num_buckets=16)
+    changed = {
+        os.path.dirname(p)
+        for p, t in (
+            (p, os.path.getmtime(p))
+            for p in glob.glob(f"{path}/term_bucket=*/*.parquet")
+        )
+        if p not in mtimes or t != mtimes[p]
+    }
+    assert len(changed) == 1
