@@ -271,3 +271,59 @@ def test_dedup_stream_keys_across_batches(spark, tmp_path):
     got = {r["k"]: r["v"] for r in spark.sql("SELECT * FROM dedup_keys_out").collect()}
     # first occurrence of "a" wins across micro-batches; "c" passes
     assert got == {"a": 1, "b": 2, "c": 3}
+
+
+# --- streaming quality gate (streaming/quality.py) ------------------------
+
+
+def test_quality_gate_stream_matches_batch(spark, tmp_path):
+    import json
+    import os
+
+    from bi_utils_spark.streaming.quality import quality_gate, quality_split
+
+    good = "the of and to in " * 6       # stopword-rich, 30 tokens
+    bad = "!!! ??? ..."                  # punct-heavy, 3 tokens
+    src = str(tmp_path / "qsrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i, t in [(1, good), (2, bad)]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING").json(src)
+    )
+    gated = quality_gate(stream, min_quality=0.5, min_tokens=5)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("qgate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM qgate_out").collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    # stateless gate: stream scores equal the batch expressions
+    from bi_utils_spark.operators.textstats import quality_score
+
+    batch = (
+        spark.createDataFrame([(1, good)], ["doc_id", "text"])
+        .select(quality_score("text").alias("q"))
+        .first()
+    )
+    assert rows[0]["quality"] == batch["q"]
+
+    # split mode tags instead of dropping
+    split = quality_split(stream, min_quality=0.5, min_tokens=5)
+    q2 = (
+        split.writeStream.format("memory")
+        .queryName("qsplit_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    got = {r["doc_id"]: r["admitted"] for r in
+           spark.sql("SELECT * FROM qsplit_out").collect()}
+    assert got == {1: True, 2: False}
