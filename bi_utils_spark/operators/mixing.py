@@ -106,3 +106,91 @@ def mixture_sample(
         .drop("__nt", "__h", "__quota", "__cum_before", "__ng")
     )
     return out
+
+
+def mixture_sample_bucketed(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    weights: Mapping[str, float] | None = None,
+    salt: str = "mix",
+    bucket_hex_chars: int = 3,
+) -> DataFrame:
+    """Two-level form of :func:`mixture_sample` — IDENTICAL output
+    (asserted in tests), built for groups too large to prefix-sum in
+    one task.
+
+    The hash order is refined through its own prefix: rows are
+    bucketed by the first ``bucket_hex_chars`` hex chars of the hash
+    (16^3 = 4096 buckets), so ordering by (bucket, hash) equals
+    ordering by hash. Then:
+
+    1. per-(group, bucket) token sums — one small aggregate;
+    2. running bucket totals per group — a window over ≤ 4096 rows
+       per group, not the corpus;
+    3. per-row running totals WITHIN each (group, bucket) — windows
+       over ~n/4096 rows each, fully parallel;
+    4. keep where bucket_offset + within_bucket_offset < quota.
+
+    No task ever sorts more than a bucket's rows, so a single source
+    holding half a 100 TB corpus still parallelizes across 4096
+    tasks; the one-level form would serialize it in one window
+    partition.
+    """
+    nt = token_count(text_col)
+    h = _bucket_hex(F.col(id_col), salt)
+    staged = (
+        df.withColumn("__nt", nt)
+        .withColumn("__h", h)
+        .withColumn("__b", F.substring("__h", 1, bucket_hex_chars))
+    )
+    if weights is None:
+        ngroups = staged.select(group_col).distinct().agg(
+            F.count("*").alias("__ng")
+        )
+        staged = staged.crossJoin(F.broadcast(ngroups)).withColumn(
+            "__quota", F.lit(float(budget_tokens)) / F.col("__ng")
+        )
+    else:
+        total_w = float(sum(weights.values()))
+        if total_w <= 0:
+            raise ValueError("weights must sum to a positive number")
+        expr = None
+        for g, wv in weights.items():
+            q = budget_tokens * float(wv) / total_w
+            cond = F.col(group_col) == g
+            expr = F.when(cond, F.lit(q)) if expr is None else expr.when(
+                cond, F.lit(q)
+            )
+        staged = staged.withColumn("__quota", expr.otherwise(F.lit(0.0)))
+    bsums = staged.groupBy(F.col(group_col).alias("__g"), F.col("__b").alias("__bb")).agg(
+        F.sum("__nt").alias("__bt")
+    )
+    bw = (
+        Window.partitionBy("__g")
+        .orderBy("__bb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsums.withColumn(
+        "__boff", F.coalesce(F.sum("__bt").over(bw), F.lit(0))
+    ).select("__g", "__bb", "__boff")
+    rw = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        staged.join(
+            F.broadcast(boff),
+            (F.col(group_col) == F.col("__g")) & (F.col("__b") == F.col("__bb")),
+        )
+        .withColumn("__roff", F.coalesce(F.sum("__nt").over(rw), F.lit(0)))
+        .filter(F.col("__boff") + F.col("__roff") < F.col("__quota"))
+        .withColumn("n_tokens", F.col("__nt"))
+        .drop(
+            "__nt", "__h", "__b", "__quota", "__ng",
+            "__g", "__bb", "__boff", "__roff",
+        )
+    )

@@ -203,3 +203,39 @@ def test_apply_model_delta_untouched_buckets_not_rewritten(spark, tmp_path):
         if p not in mtimes or t != mtimes[p]
     }
     assert len(changed) == 1
+
+
+def test_mixture_bucketed_equals_one_level(spark, sf_dir):
+    from bi_utils_spark.operators.mixing import (
+        mixture_sample,
+        mixture_sample_bucketed,
+    )
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for budget in (1500, 4000):
+        one = {(r["doc_id"], r["n_tokens"]) for r in
+               mixture_sample(docs, "doc_id", "source", budget).collect()}
+        two = {(r["doc_id"], r["n_tokens"]) for r in
+               mixture_sample_bucketed(docs, "doc_id", "source", budget,
+                                       bucket_hex_chars=1).collect()}
+        assert one == two
+
+
+def test_mixture_bucketed_explicit_weights(spark):
+    from bi_utils_spark.operators.mixing import (
+        mixture_sample,
+        mixture_sample_bucketed,
+    )
+
+    rows = [(i, "w " * 7, "a") for i in range(30)] + [
+        (100 + i, "w " * 7, "b") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kw = dict(budget_tokens=120, weights={"a": 2.0, "b": 1.0})
+    one = {r["doc_id"] for r in
+           mixture_sample(df, "doc_id", "source", **kw).collect()}
+    two = {r["doc_id"] for r in
+           mixture_sample_bucketed(df, "doc_id", "source",
+                                   bucket_hex_chars=1, **kw).collect()}
+    assert one == two and len(one) > 0
