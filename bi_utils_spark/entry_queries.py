@@ -3573,6 +3573,41 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Token-ID encoding (operators/lm.py::encode_tokens): integer-encode
+# the token stream against the deterministic top-200 vocabulary
+# (OOV → 0) — the step between curation and sequence packing.
+# ===========================================================================
+
+@register(
+    "q_encode_tokens",
+    _MODEL_CTE
+    + r"""
+    , vocab AS (SELECT term,
+                       row_number() OVER (ORDER BY c DESC, term ASC) AS rank
+                FROM model ORDER BY c DESC, term ASC LIMIT 200),
+    t AS (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS a
+          FROM documents),
+    pe AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, a[i] AS term
+           FROM t, unnest(generate_series(1, len(a))) AS u(i))
+    SELECT pe.doc_id, pe.pos,
+           CAST(coalesce(v.rank, 0) AS INTEGER) AS token_id
+    FROM pe LEFT JOIN vocab v USING (term)
+    """,
+)
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.lm import (
+        encode_tokens,
+        term_ranks,
+        unigram_model,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = term_ranks(unigram_model(docs)).filter(F.col("rank") <= 200)
+    return encode_tokens(docs, vocab)
+
+
+# ===========================================================================
 # Deterministic global shuffle (operators/importance.py::shard_positions):
 # (shard, pos) addresses forming a pseudorandom permutation — training
 # shard layout with no rand() and no global sort (each shard sorts
@@ -3642,6 +3677,7 @@ _PROMOTED: list[str] = [
     "q_semantic_contamination",
     "q_semantic_decontam",
     "q_bpe_top_pairs",
+    "q_encode_tokens",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3682,13 +3718,12 @@ _PROMOTED: list[str] = [
     "q_top_suppliers",
     "q_sql_script",
     "q_sessionize",
-    # tier 3: r2-green, module touched this round or adjacent
-    "q_merge_upsert",
-    # (q_media_stats / q_media_features / q_dedup_exact /
+    # (tier 3 demoted below the window this round — q_merge_upsert /
+    # q_media_stats / q_media_features / q_dedup_exact /
     # q_emb_dedup_exact / q_pack_conservation / q_union_pages /
     # q_text_stats / q_token_counts / q_doc_stats_by_lang /
-    # q_repetition_stats demoted below the window this round:
-    # r2-green official rows, implementations untouched since.)
+    # q_repetition_stats: r2-green official rows, implementations
+    # untouched since.)
 ]
 
 

@@ -349,3 +349,35 @@ def apply_model_delta(
 def read_model(spark, target_path: str) -> DataFrame:
     """The persisted unigram model as a plain (term, c) frame."""
     return spark.read.parquet(target_path).select("term", "c")
+
+
+def encode_tokens(
+    df: DataFrame,
+    ranked_vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, token_id) — integer-encode the token stream
+    against a fixed ranked vocabulary (``term_ranks`` /
+    ``top_vocab``-shaped: (term, rank)); out-of-vocabulary tokens get
+    id 0. The step between text curation and sequence packing: the
+    packer (operators/packing.py) consumes token counts, a trainer
+    consumes these ids.
+
+    Scale: vocabulary is bounded (top-V by construction) → broadcast;
+    encoding is a map-side probe of the token stream. No shuffle at
+    all — the posexplode preserves the scan partitioning and the join
+    is broadcast.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    return (
+        toks.join(F.broadcast(ranked_vocab.select("term", "rank")), "term", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("rank"), F.lit(0)).alias("token_id"),
+        )
+    )

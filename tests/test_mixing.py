@@ -239,3 +239,18 @@ def test_mixture_bucketed_explicit_weights(spark):
            mixture_sample_bucketed(df, "doc_id", "source",
                                    bucket_hex_chars=1, **kw).collect()}
     assert one == two and len(one) > 0
+
+
+def test_encode_tokens_roundtrip_and_oov(spark):
+    from bi_utils_spark.operators.lm import (
+        encode_tokens,
+        term_ranks,
+        unigram_model,
+    )
+
+    df = spark.createDataFrame([(1, "b a b zz")], ["doc_id", "text"])
+    vocab = term_ranks(unigram_model(df)).filter("rank <= 2")  # b:1, a:2
+    got = sorted(
+        (r["pos"], r["token_id"]) for r in encode_tokens(df, vocab).collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 1), (3, 0)]  # zz -> OOV 0
