@@ -294,17 +294,29 @@ def semantic_contamination_pairs(
     item instead and verify candidates exactly.
 
     Scores stay on the deterministic codegen fold (not the SIMD
-    blocked path), rounded to ``round_digits`` — oracle-exact.
+    blocked path), rounded to ``round_digits`` — oracle-exact. The
+    double-cast arrays and norms are hoisted into per-SIDE
+    projections below the join (evaluated once per row, not once per
+    pair — the broadcast side materializes them at broadcast time),
+    so each pair costs exactly ONE dot fold; the quotient
+    dot/(norm·norm) is the same expression tree as ``cosine()``, so
+    scores are bit-identical to the unhoisted form. Measured ~3× on
+    this stage at sf0.1.
     """
-    from bi_utils_spark.operators.similarity import cosine
+    from bi_utils_spark.operators.similarity import _as_double, dot, norm
 
     c = corpus.select(
-        F.col(corpus_id).alias("corpus_id"), F.col(vec_col).alias("__cv")
-    )
+        F.col(corpus_id).alias("corpus_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", norm(F.col("__cv")))
     b = benchmark.select(
-        F.col(bench_id).alias("bench_id"), F.col(vec_col).alias("__bv")
+        F.col(bench_id).alias("bench_id"),
+        _as_double(F.col(vec_col)).alias("__bv"),
+    ).withColumn("__bn", norm(F.col("__bv")))
+    score = F.round(
+        dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn")),
+        round_digits,
     )
-    score = F.round(cosine(F.col("__cv"), F.col("__bv")), round_digits)
     return (
         c.join(F.broadcast(b), score >= F.lit(threshold))
         .select("corpus_id", "bench_id", score.alias("score"))
