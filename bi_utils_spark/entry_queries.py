@@ -3573,6 +3573,53 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Curriculum ordering (operators/mixing.py::curriculum_order): fluency
+# percent-rank → 4 phases (phase 0 = most fluent), deterministic
+# within-phase positions — easy-to-hard training layout.
+# ===========================================================================
+
+@register(
+    "q_curriculum_order",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    model AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    consts AS (SELECT sum(c) AS total, count(*) AS v FROM model),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln((CAST(m.c AS DOUBLE) + 1.0)
+                           / CAST(total + v AS DOUBLE)) * 1e7) AS BIGINT) AS q
+      FROM toks t JOIN model m USING (term), consts
+    ),
+    s AS (SELECT doc_id,
+                 (CAST(sum(q) AS DOUBLE) / 1e7) / count(*) AS lp
+          FROM scored GROUP BY doc_id),
+    p AS (SELECT doc_id, lp, percent_rank() OVER (ORDER BY lp) AS pr FROM s),
+    ph AS (SELECT doc_id,
+                  CAST(least(floor((1.0 - pr) * 4), 3) AS INTEGER) AS phase,
+                  substr(md5(CAST(doc_id AS VARCHAR) || 'curr'), 1, 16) AS h
+           FROM p)
+    SELECT doc_id, phase,
+           CAST(row_number() OVER (PARTITION BY phase
+                                   ORDER BY h, doc_id) AS INTEGER) AS pos
+    FROM ph
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.lm import unigram_logprob_scores
+    from bi_utils_spark.operators.mixing import curriculum_order
+
+    docs = load(spark, sf_dir, "documents")
+    scores = unigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    return curriculum_order(scores, "doc_id", "avg_logprob").select(
+        "doc_id", "phase", "pos"
+    )
+
+
+# ===========================================================================
 # Token-ID encoding (operators/lm.py::encode_tokens): integer-encode
 # the token stream against the deterministic top-200 vocabulary
 # (OOV → 0) — the step between curation and sequence packing.
@@ -3678,6 +3725,7 @@ _PROMOTED: list[str] = [
     "q_semantic_decontam",
     "q_bpe_top_pairs",
     "q_encode_tokens",
+    "q_curriculum_order",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3715,9 +3763,11 @@ _PROMOTED: list[str] = [
     "q_pricing_summary",
     "q_shipping_priority",
     "q_revenue_by_nation",
-    "q_top_suppliers",
     "q_sql_script",
     "q_sessionize",
+    # (q_top_suppliers yields its refresh slot to the new
+    # q_curriculum_order — unchanged since its green r1 row, and the
+    # other three star queries still re-attest the family.)
     # (tier 3 demoted below the window this round — q_merge_upsert /
     # q_media_stats / q_media_features / q_dedup_exact /
     # q_emb_dedup_exact / q_pack_conservation / q_union_pages /

@@ -194,3 +194,40 @@ def mixture_sample_bucketed(
             "__g", "__bb", "__boff", "__roff",
         )
     )
+
+
+def curriculum_order(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    num_phases: int = 4,
+    salt: str = "curr",
+) -> DataFrame:
+    """Curriculum addresses (phase, pos): band rows into
+    ``num_phases`` fluency phases (phase 0 = highest ``score_col`` —
+    train easy-to-hard by consuming phases in order) and give each row
+    a deterministic position within its phase.
+
+    Banding uses the exact percent-rank CDF
+    (operators/filtering.py::attach_percent_rank — distinct-score
+    aggregation, no corpus-wide sort); within-phase order is the
+    md5-hash discipline of :func:`mixture_sample`, so the layout is
+    reproducible under repartitioning and oracle-checkable. One
+    shuffle on phase; each task sorts ~n/num_phases rows — same
+    scale shape as shard_positions.
+    """
+    from bi_utils_spark.operators.filtering import attach_percent_rank
+
+    pr = attach_percent_rank(scored, score_col, "__pr")
+    phase = F.least(
+        F.floor((F.lit(1.0) - F.col("__pr")) * num_phases),
+        F.lit(num_phases - 1),
+    ).cast("int")
+    h = _bucket_hex(F.col(id_col), salt)
+    w = Window.partitionBy("phase").orderBy("__h", id_col)
+    return (
+        pr.withColumn("phase", phase)
+        .withColumn("__h", h)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__pr", "__h")
+    )

@@ -254,3 +254,39 @@ def test_encode_tokens_roundtrip_and_oov(spark):
         (r["pos"], r["token_id"]) for r in encode_tokens(df, vocab).collect()
     )
     assert got == [(0, 1), (1, 2), (2, 1), (3, 0)]  # zz -> OOV 0
+
+
+def test_curriculum_order_phases_and_positions(spark, sf_dir):
+    from bi_utils_spark.operators.lm import unigram_logprob_scores
+    from bi_utils_spark.operators.mixing import curriculum_order
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    out = curriculum_order(scores, "doc_id", "avg_logprob", num_phases=4)
+    rows = out.collect()
+    assert len(rows) == scores.count()
+    # phase 0 holds the most fluent docs: its min score >= phase 3's max
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], []).append(r["avg_logprob"])
+    assert set(by_phase) <= {0, 1, 2, 3}
+    assert min(by_phase[0]) >= max(by_phase[3])
+    # positions are 1..n within each phase
+    for ph, vals in by_phase.items():
+        ps = sorted(r["pos"] for r in rows if r["phase"] == ph)
+        assert ps == list(range(1, len(vals) + 1))
+
+
+def test_curriculum_order_deterministic(spark, sf_dir):
+    from bi_utils_spark.operators.lm import unigram_logprob_scores
+    from bi_utils_spark.operators.mixing import curriculum_order
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = unigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    a = {(r["doc_id"], r["phase"], r["pos"]) for r in
+         curriculum_order(s, "doc_id", "avg_logprob").collect()}
+    b = {(r["doc_id"], r["phase"], r["pos"]) for r in
+         curriculum_order(s.repartition(9), "doc_id", "avg_logprob").collect()}
+    assert a == b
