@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     # the scale path for embedding near-dup (the exact O(n²) variant
     # q_emb_dedup_exact stays oracle-only — quadratic by definition)
     "q_emb_near_dup_ivf",
+    "q_knn_join",
     "q_media_features",
     "q_pack_sequences",
     # r3 additions: chunking / search / LM-quality / session surface
@@ -70,6 +71,8 @@ BENCH_QUERIES = [
     "q_mixture_sample",
     "q_semantic_contamination",
     "q_bpe_top_pairs",
+    "q_encode_tokens",
+    "q_curriculum_order",
     # r3 additions: decontamination / span diagnostics / quantile filter
     "q_contamination",
     "q_dup_spans",

@@ -3573,6 +3573,41 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Retrieval kNN join (operators/similarity.py::knn_join_exact): every
+# query vector's top-k corpus neighbors — the RAG/eval retrieval join.
+# Query batch = vec_id % 25 == 0; corpus = the rest.
+# ===========================================================================
+
+@register(
+    "q_knn_join",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings
+          WHERE vec_id % 25 != 0),
+    s AS (SELECT q.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]), 9)
+                   AS score
+          FROM q, c),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS rk FROM s)
+    SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rank
+    FROM r WHERE rk <= 5
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.similarity import knn_join_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_join_exact(
+        emb.filter(F.col("vec_id") % 25 == 0),
+        emb.filter(F.col("vec_id") % 25 != 0),
+        k=5,
+    )
+
+
+# ===========================================================================
 # Curriculum ordering (operators/mixing.py::curriculum_order): fluency
 # percent-rank → 4 phases (phase 0 = most fluent), deterministic
 # within-phase positions — easy-to-hard training layout.
@@ -3726,6 +3761,7 @@ _PROMOTED: list[str] = [
     "q_bpe_top_pairs",
     "q_encode_tokens",
     "q_curriculum_order",
+    "q_knn_join",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3762,12 +3798,12 @@ _PROMOTED: list[str] = [
     "q_centroids_by_label",
     "q_pricing_summary",
     "q_shipping_priority",
-    "q_revenue_by_nation",
     "q_sql_script",
     "q_sessionize",
-    # (q_top_suppliers yields its refresh slot to the new
-    # q_curriculum_order — unchanged since its green r1 row, and the
-    # other three star queries still re-attest the family.)
+    # (q_top_suppliers and q_revenue_by_nation yield their refresh
+    # slots to the new q_curriculum_order / q_knn_join — both
+    # unchanged since their green r1 rows, and the other star queries
+    # still re-attest the family.)
     # (tier 3 demoted below the window this round — q_merge_upsert /
     # q_media_stats / q_media_features / q_dedup_exact /
     # q_emb_dedup_exact / q_pack_conservation / q_union_pages /

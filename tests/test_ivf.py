@@ -94,3 +94,47 @@ def test_blocked_pairs_match_fold_pairs(spark, emb):
     assert set(fold) == set(blocked)
     for k in fold:
         assert abs(fold[k] - blocked[k]) < 1e-9
+
+
+# --- retrieval kNN join (similarity.py) -----------------------------------
+
+
+def test_knn_join_blocked_matches_exact_sets(spark, sf_dir):
+    from bi_utils_spark.operators.similarity import (
+        knn_join_blocked,
+        knn_join_exact,
+    )
+    from bi_utils_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    c = emb.filter(F.col("vec_id") % 25 != 0)
+    exact = knn_join_exact(q, c, k=5)
+    blocked = knn_join_blocked(q, c, k=5)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    bl = {}
+    for r in blocked.collect():
+        bl.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert ex == bl
+
+
+def test_knn_join_exact_rank_contract(spark, sf_dir):
+    from bi_utils_spark.operators.similarity import knn_join_exact
+    from bi_utils_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    c = emb.filter(F.col("vec_id") % 25 != 0)
+    out = knn_join_exact(q, c, k=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["query_id"], []).append((r["rank"], r["score"]))
+    for qid, rows in per.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3]
+        scores = [r[1] for r in rows]
+        assert scores == sorted(scores, reverse=True)
