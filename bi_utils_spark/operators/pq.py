@@ -364,3 +364,86 @@ def pq_reconstruction_error(
     return src.mapInPandas(run, schema="se double").agg(
         F.avg("se").alias("mse"), F.count("*").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index persistence — the IVF-PQ index as a durable artifact. Build
+# once, serve many queries, append deltas without retraining.
+# ---------------------------------------------------------------------------
+
+
+def save_ivfpq(
+    centroids: DataFrame, codebooks: DataFrame, index: DataFrame, path: str
+) -> None:
+    """Persist an IVF-PQ index: centroid + codebook metadata tables
+    and the code table PARTITIONED BY cell_id — a probe then reads
+    only its nprobe partitions (partition pruning × the 8 B/vector
+    compression, stacked). Overwrites any index at ``path``."""
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    index.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/index")
+
+
+def load_ivfpq(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(centroids, codebooks, index) read back from :func:`save_ivfpq`."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/index"),
+    )
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add a vector delta to a persisted index WITHOUT retraining:
+    encode the new vectors against the stored centroids/codebooks
+    (one map-only pass over the delta — the existing corpus is never
+    touched) and append their codes into the cell partitions. The
+    standard trade: quantizers drift as the distribution shifts;
+    retrain + rebuild when recall probes degrade, append in between.
+    """
+    cents, books, _ = load_ivfpq(spark, path)
+    new_idx = ivfpq_index(new_df, cents, books, id_col, vec_col)
+    new_idx.write.mode("append").partitionBy("cell_id").parquet(f"{path}/index")
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 4,
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query from a persisted index: rank stored centroids on
+    the driver (index metadata), scan only the ``nprobe`` probed cell
+    partitions (PushedFilters prunes the rest), ADC-score in codegen,
+    optionally exact-re-rank against ``refine_with``.
+    """
+    cents, books, index = load_ivfpq(spark, path)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qu = [float(x) / qn for x in query_vec]
+    ranked = sorted(
+        cents.collect(),
+        key=lambda r: (-sum(a * b for a, b in zip(qu, r["centroid"])), r["cell_id"]),
+    )
+    probe = [r["cell_id"] for r in ranked[:nprobe]]
+    pruned = index.filter(F.col("cell_id").isin(probe)).select(id_col, "codes")
+    return pq_topk(
+        pruned,
+        books,
+        query_vec,
+        k,
+        id_col,
+        refine_with=refine_with,
+        refine_factor=refine_factor,
+        vec_col=vec_col,
+    )

@@ -131,3 +131,72 @@ def test_ivfpq_topk_recall(emb):
         ).collect()
     }
     assert len(got & exact) / len(exact) >= 0.5
+
+
+# --- index persistence / append / serve -----------------------------------
+
+
+def test_ivfpq_save_load_search_roundtrip(spark, sf_dir, tmp_path):
+    from bi_utils_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_search,
+        ivfpq_topk,
+        load_ivfpq,
+        pq_train,
+        save_ivfpq,
+    )
+    from bi_utils_spark.operators.similarity import kmeans_centroids
+    from bi_utils_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, 4)
+    books = pq_train(emb, 8, 16)
+    idx = ivfpq_index(emb, cents, books)
+    path = str(tmp_path / "ivfpq")
+    save_ivfpq(cents, books, idx, path)
+    _, _, back = load_ivfpq(spark, path)
+    assert back.count() == emb.count()
+
+    q = [float(x) for x in emb.first()["embedding"]]
+    served = {r["vec_id"] for r in
+              ivfpq_search(spark, path, q, k=5, nprobe=4,
+                           refine_with=emb).collect()}
+    direct = {r["vec_id"] for r in
+              ivfpq_topk(emb, q, k=5, num_cells=4, nprobe=4,
+                         num_subspaces=8, num_centroids=16,
+                         centroids=cents, codebooks=books,
+                         index=idx).collect()}
+    assert served == direct and len(served) == 5
+
+
+def test_ivfpq_append_serves_new_vectors(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bi_utils_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_index,
+        ivfpq_search,
+        load_ivfpq,
+        pq_train,
+        save_ivfpq,
+    )
+    from bi_utils_spark.operators.similarity import kmeans_centroids
+    from bi_utils_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = kmeans_centroids(base, 4)
+    books = pq_train(base, 8, 16)
+    path = str(tmp_path / "ivfpq2")
+    save_ivfpq(cents, books, ivfpq_index(base, cents, books), path)
+    ivfpq_append(spark, path, delta)
+    _, _, idx = load_ivfpq(spark, path)
+    assert idx.count() == emb.count()
+    # a query identical to an appended vector must retrieve it
+    target = delta.first()
+    q = [float(x) for x in target["embedding"]]
+    got = {r["vec_id"] for r in
+           ivfpq_search(spark, path, q, k=3, nprobe=4,
+                        refine_with=emb).collect()}
+    assert target["vec_id"] in got
