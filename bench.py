@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q_dup_spans",
     "q_remove_dup_spans",
     "q_quality_tophalf",
+    "q_corpus_report",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

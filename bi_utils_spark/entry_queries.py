@@ -3573,6 +3573,68 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Corpus health report: the per-language curation dashboard — doc and
+# token inventory, exact-dup pressure (count − distinct content
+# hashes), fixed-point mean quality. One partial-aggregated groupBy.
+# ===========================================================================
+
+@register(
+    "q_corpus_report",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT lang,
+             len(toks) AS nt,
+             sha256(text) AS h,
+             CAST(round(((CASE WHEN len(toks) >= 20 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                         AS DOUBLE) / length(text) END) <= 0.2
+                   THEN 1.0 ELSE 0.0 END)
+              + least((CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks,
+                        x -> list_contains(['the','and','of','to','a','is'], x)))
+                       AS DOUBLE) / len(toks) END) * 5.0, 1.0)) / 3.0
+              * 1e7) AS BIGINT) AS qq
+      FROM t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           (CAST(sum(qq) AS DOUBLE) / 1e7) / count(*) AS avg_quality
+    FROM m GROUP BY lang
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.textstats import quality_score, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    qq = F.round(quality_score("text") * 1e7).cast("long")
+    return (
+        docs.select(
+            "lang",
+            token_count("text").alias("nt"),
+            F.sha2(F.col("text"), 256).alias("h"),
+            qq.alias("qq"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+            ((F.sum("qq").cast("double") / F.lit(1e7)) / F.count("*")).alias(
+                "avg_quality"
+            ),
+        )
+    )
+
+
+# ===========================================================================
 # Retrieval kNN join (operators/similarity.py::knn_join_exact): every
 # query vector's top-k corpus neighbors — the RAG/eval retrieval join.
 # Query batch = vec_id % 25 == 0; corpus = the rest.
@@ -3762,6 +3824,7 @@ _PROMOTED: list[str] = [
     "q_encode_tokens",
     "q_curriculum_order",
     "q_knn_join",
+    "q_corpus_report",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3797,13 +3860,12 @@ _PROMOTED: list[str] = [
     "q_emb_label_stats",
     "q_centroids_by_label",
     "q_pricing_summary",
-    "q_shipping_priority",
     "q_sql_script",
     "q_sessionize",
-    # (q_top_suppliers and q_revenue_by_nation yield their refresh
-    # slots to the new q_curriculum_order / q_knn_join — both
-    # unchanged since their green r1 rows, and the other star queries
-    # still re-attest the family.)
+    # (q_top_suppliers, q_revenue_by_nation and q_shipping_priority
+    # yield their refresh slots to the new q_curriculum_order /
+    # q_knn_join / q_corpus_report — all unchanged since their green
+    # r1 rows; q_pricing_summary still re-attests the star family.)
     # (tier 3 demoted below the window this round — q_merge_upsert /
     # q_media_stats / q_media_features / q_dedup_exact /
     # q_emb_dedup_exact / q_pack_conservation / q_union_pages /
