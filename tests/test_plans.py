@@ -108,3 +108,74 @@ def test_session_windows_single_shuffle(spark, sf01):
     # aggregation, never via a self-join
     assert num_exchanges(df) <= 1
     assert_no_nested_loop(df)
+
+
+def test_shard_positions_single_shuffle(spark, sf01):
+    from bi_utils_spark.operators.importance import shard_positions
+
+    docs = load_table(spark, sf01, "documents")
+    df = shard_positions(docs, "doc_id", num_shards=8)
+    # one hash exchange on shard; within-shard sort is per-partition
+    assert num_exchanges(df) == 1
+    assert_no_nested_loop(df)
+
+
+def test_encode_tokens_broadcast_only(spark, sf01):
+    from bi_utils_spark.operators.lm import (
+        encode_tokens,
+        term_ranks,
+        unigram_model,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf01, "documents")
+    vocab = term_ranks(unigram_model(docs)).filter(F.col("rank") <= 200)
+    df = encode_tokens(docs, vocab)
+    kinds = join_kinds(df)
+    # the token-stream probe must be a broadcast join — a shuffle of
+    # the exploded stream would be the 100 TB scale-killer
+    assert kinds.get("BroadcastHashJoin", 0) >= 1
+    assert "SortMergeJoin" not in kinds and "ShuffledHashJoin" not in kinds
+
+
+def test_mixture_sample_no_sort_merge_join(spark, sf01):
+    from bi_utils_spark.operators.mixing import mixture_sample
+
+    docs = load_table(spark, sf01, "documents")
+    df = mixture_sample(docs, "doc_id", "source", 5000)
+    kinds = join_kinds(df)
+    assert "SortMergeJoin" not in kinds  # quota arrives by broadcast
+    assert num_exchanges(df) <= 3
+
+
+def test_knn_join_exact_broadcasts_queries(spark, sf01):
+    from bi_utils_spark.operators.similarity import knn_join_exact
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf01, "embeddings")
+    df = knn_join_exact(
+        emb.filter(F.col("vec_id") % 25 == 0),
+        emb.filter(F.col("vec_id") % 25 != 0),
+        k=5,
+    )
+    kinds = join_kinds(df)
+    # corpus side streams map-only against the broadcast query batch
+    assert kinds.get("BroadcastNestedLoopJoin", 0) == 1
+    # one exchange: the per-query rank shuffle
+    assert num_exchanges(df) == 1
+
+
+def test_importance_sample_key_is_map_only_over_weights(spark, sf01):
+    # the Gumbel key adds no exchange beyond what the weights plan has
+    from bi_utils_spark.operators.importance import (
+        bucket_logratio,
+        importance_resample,
+        importance_weights,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf01, "documents")
+    lr = bucket_logratio(docs.filter(F.col("lang") == "en"), docs)
+    w = importance_weights(docs, lr)
+    keyed = importance_resample(w, k=10)
+    assert num_exchanges(keyed) == num_exchanges(w)
