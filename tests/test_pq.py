@@ -200,3 +200,81 @@ def test_ivfpq_append_serves_new_vectors(spark, sf_dir, tmp_path):
            ivfpq_search(spark, path, q, k=3, nprobe=4,
                         refine_with=emb).collect()}
     assert target["vec_id"] in got
+
+
+# --- residual IVF-PQ -------------------------------------------------------
+
+
+def test_residual_reconstruction_beats_plain(spark, sf_dir):
+    import numpy as np
+
+    from bi_utils_spark.operators.pq import (
+        _codebook_tensor,
+        _collect_anchor_matrix,
+        ivfpq_index_residual,
+        pq_train,
+        pq_train_residual,
+    )
+    from bi_utils_spark.operators.similarity import (
+        _collect_centroid_matrix,
+        kmeans_centroids,
+    )
+    from bi_utils_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, 8)
+    plain_books = pq_train(emb, 8, 16)
+    res_books, anchors = pq_train_residual(emb, cents, 8, 16)
+
+    X = np.asarray([list(r["embedding"]) for r in emb.collect()], dtype=np.float64)
+    _, cent = _collect_centroid_matrix(cents)
+    A = _collect_anchor_matrix(anchors)
+    U = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    cells = np.argmax(U @ cent.T, axis=1)
+    R = X - A[cells]
+    # anchors are cell means: residual energy strictly below raw
+    assert (R ** 2).sum(1).mean() < (X ** 2).sum(1).mean()
+
+    def mse(books, target):
+        T = _codebook_tensor(books)
+        m, kc, sub = T.shape
+        err = 0.0
+        for s in range(m):
+            Xs = target[:, s * sub : (s + 1) * sub]
+            d2 = (T[s] * T[s]).sum(1)[None, :] - 2.0 * (Xs @ T[s].T)
+            code = np.argmin(d2, axis=1)
+            err += ((Xs - T[s][code]) ** 2).sum()
+        return err / target.shape[0]
+
+    # quantizing residuals with residual codebooks beats quantizing
+    # raw vectors with raw codebooks (the point of residual PQ)
+    assert mse(res_books, R) < mse(plain_books, X)
+    idx = ivfpq_index_residual(emb, cents, res_books, anchors)
+    assert idx.count() == emb.count()
+    assert idx.agg({"cell_id": "max"}).first()[0] < 8
+
+
+def test_residual_search_recall(spark, sf_dir):
+    from bi_utils_spark.operators.pq import (
+        ivfpq_index_residual,
+        ivfpq_topk_residual,
+        pq_train_residual,
+    )
+    from bi_utils_spark.operators.similarity import cosine_topk, kmeans_centroids
+    from bi_utils_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, 8)
+    books, anchors = pq_train_residual(emb, cents, 8, 16)
+    idx = ivfpq_index_residual(emb, cents, books, anchors)
+    recall = 0.0
+    rows = emb.limit(5).collect()
+    for row in rows:
+        q = [float(x) for x in row["embedding"]]
+        got = {r["vec_id"] for r in
+               ivfpq_topk_residual(emb, q, cents, books, anchors, idx,
+                                   k=5, nprobe=8).collect()}
+        assert row["vec_id"] in got  # self-retrieval
+        exact = {r["vec_id"] for r in cosine_topk(emb, q, 5).collect()}
+        recall += len(got & exact) / 5
+    assert recall / len(rows) >= 0.8
