@@ -145,3 +145,82 @@ def test_watermark_filter_keeps_max_and_window(spark, offsets):
     expected = sorted(o for o in offsets if o >= hi - 60)
     assert got_offsets == expected
     assert hi in got_offsets                              # max row always kept
+
+
+# --- portable-hash layer properties (importance/mixing/splits) -------------
+# The engine-portability contract (md5-derived buckets, Gumbel keys,
+# shard assignment identical in Spark / DuckDB / Python) is the
+# correctness backbone of the data-selection operators — fuzz it
+# against a pure-Python reference over arbitrary ids.
+
+import hashlib
+import math as _math
+
+
+@SETTINGS
+@given(ids=st.lists(st.integers(0, 2**40), min_size=1, max_size=30, unique=True))
+def test_shard_assignment_matches_python_reference(spark, ids):
+    from bi_utils_spark.operators.importance import shard_positions
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in shard_positions(df, "doc_id", num_shards=4).collect()}
+
+    def ref_shard(i):
+        h = hashlib.md5(f"{i}shuffle".encode()).hexdigest()[:16]
+        return int(h, 16) * 4 >> 64, h
+
+    by_shard = {}
+    for i in ids:
+        s, h = ref_shard(i)
+        by_shard.setdefault(s, []).append((h, i))
+    want = {}
+    for s, rows in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(rows), start=1):
+            want[i] = (s, pos)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    ids=st.lists(st.integers(0, 2**40), min_size=2, max_size=20, unique=True),
+    k=st.integers(1, 5),
+)
+def test_gumbel_topk_matches_python_reference(spark, ids, k):
+    from bi_utils_spark.operators.importance import importance_resample
+
+    rows = [(i, float(i % 7) / 3.0) for i in ids]
+    df = spark.createDataFrame(rows, ["doc_id", "weight"])
+    got = sorted(r["doc_id"] for r in importance_resample(df, k=k).collect())
+
+    def key(i, w):
+        h = int(hashlib.md5(f"{i}gumbel".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / float(1 << 52)
+        return round((w + -_math.log(-_math.log(u))) * 1e7)
+
+    ranked = sorted(rows, key=lambda r: (-key(r[0], r[1]), r[0]))
+    want = sorted(i for i, _ in ranked[:k])
+    assert got == want
+
+
+@SETTINGS
+@given(
+    toks=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                  min_size=1, max_size=8),
+)
+def test_feature_buckets_match_python_reference(spark, toks):
+    from bi_utils_spark.operators.importance import hashed_feature_rows
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = sorted(
+        r["bucket"]
+        for r in hashed_feature_rows(df, "doc_id", "text", 4096).collect()
+    )
+    feats = list(toks)
+    if len(toks) > 1:
+        feats += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    want = sorted(
+        int(hashlib.md5(f.encode()).hexdigest()[:13], 16) % 4096 for f in feats
+    )
+    assert got == want
