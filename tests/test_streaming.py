@@ -327,3 +327,52 @@ def test_quality_gate_stream_matches_batch(spark, tmp_path):
     got = {r["doc_id"]: r["admitted"] for r in
            spark.sql("SELECT * FROM qsplit_out").collect()}
     assert got == {1: True, 2: False}
+
+
+def test_streaming_ingest_pipeline_end_to_end(spark, tmp_path):
+    """Capstone: file stream → stateless quality gate → watermarked
+    content dedup → per-language counts, all in ONE streaming query —
+    the continuous form of the batch curation pipeline."""
+    import json
+    import os
+
+    from bi_utils_spark.streaming.dedup import dedup_stream_content
+    from bi_utils_spark.streaming.quality import quality_gate
+
+    good = "the of and to in " * 6
+    good2 = "the and a is of to " * 5
+    bad = "!!! ???"
+    src = str(tmp_path / "ingest_src")
+    os.makedirs(src)
+    rows = [
+        (1, good, "en", "2024-01-01T10:00:00"),
+        (2, good, "en", "2024-01-01T10:01:00"),   # exact re-delivery → dropped
+        (3, good2, "de", "2024-01-01T10:02:00"),
+        (4, bad, "en", "2024-01-01T10:03:00"),    # gated out
+    ]
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for i, t, lg, ts in rows:
+            f.write(json.dumps(
+                {"doc_id": i, "text": t, "src_lang": lg, "ts": ts}) + "\n")
+
+    stream = (
+        spark.readStream
+        .schema("doc_id LONG, text STRING, src_lang STRING, ts TIMESTAMP")
+        .json(src)
+    )
+    gated = quality_gate(stream, min_quality=0.5, min_tokens=5)
+    deduped = dedup_stream_content(gated, ["text"], "ts", "60 minutes")
+    counted = deduped.groupBy("src_lang").count()
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("ingest_pipe_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["src_lang"]: r["count"]
+           for r in spark.sql("SELECT * FROM ingest_pipe_out").collect()}
+    # doc 2 deduped, doc 4 gated: one en survivor, one de survivor
+    assert got == {"en": 1, "de": 1}
