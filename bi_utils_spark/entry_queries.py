@@ -3572,6 +3572,65 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_top_pairs(unigram_model(docs), 20)
 
 
+@register(
+    "q_ivfpq_residual_topk",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(least(10, count(*)) AS BIGINT) AS n_exact,
+           1 AS recall_ge_050,
+           1 AS self_retrieved
+    FROM embeddings
+    """,
+)
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-bound oracle row for residual IVF-PQ search
+    (operators/pq.py): codes quantize x − anchor[cell] (cell-mean
+    anchors), search adds the per-probed-cell q·anchor bias, exact
+    shortlist re-rank to top-10. Asserted floors: recall@10 ≥ 0.5 vs
+    the exact scan and the query's own vector retrieved."""
+    from bi_utils_spark.operators.pq import (
+        ivfpq_index_residual,
+        ivfpq_topk_residual,
+        pq_train_residual,
+    )
+    from bi_utils_spark.operators.similarity import cosine_topk, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    target = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = kmeans_centroids(emb, 8)
+    books, anchors = pq_train_residual(emb, cents, 8, 256)
+    idx = ivfpq_index_residual(emb, cents, books, anchors)
+    probe = ivfpq_topk_residual(
+        emb, target, cents, books, anchors, idx, k=10, nprobe=8,
+        refine_factor=10,
+    ).select("vec_id")
+    exact = cosine_topk(emb, target, k=10).select("vec_id")
+    n_corpus = emb.agg(F.count("*").alias("n_corpus"))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    found = probe.join(exact, "vec_id", "left_semi").agg(
+        F.count("*").alias("__found")
+    )
+    self_hit = probe.filter(F.col("vec_id") == 0).agg(
+        F.count("*").alias("__self")
+    )
+    return (
+        n_corpus.crossJoin(n_exact)
+        .crossJoin(found)
+        .crossJoin(self_hit)
+        .select(
+            "n_corpus",
+            "n_exact",
+            (
+                F.col("__found").cast("double")
+                >= 0.5 * F.col("n_exact").cast("double")
+            )
+            .cast("int")
+            .alias("recall_ge_050"),
+            (F.col("__self") >= 1).cast("int").alias("self_retrieved"),
+        )
+    )
+
+
 # ===========================================================================
 # Corpus health report: the per-language curation dashboard — doc and
 # token inventory, exact-dup pressure (count − distinct content
@@ -3825,6 +3884,7 @@ _PROMOTED: list[str] = [
     "q_curriculum_order",
     "q_knn_join",
     "q_corpus_report",
+    "q_ivfpq_residual_topk",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3860,12 +3920,12 @@ _PROMOTED: list[str] = [
     "q_emb_label_stats",
     "q_centroids_by_label",
     "q_pricing_summary",
-    "q_sql_script",
     "q_sessionize",
-    # (q_top_suppliers, q_revenue_by_nation and q_shipping_priority
-    # yield their refresh slots to the new q_curriculum_order /
-    # q_knn_join / q_corpus_report — all unchanged since their green
-    # r1 rows; q_pricing_summary still re-attests the star family.)
+    # (q_top_suppliers, q_revenue_by_nation, q_shipping_priority and
+    # q_sql_script yield their refresh slots to the new
+    # q_curriculum_order / q_knn_join / q_corpus_report /
+    # q_ivfpq_residual_topk — all unchanged since their green r1
+    # rows; q_pricing_summary still re-attests the star family.)
     # (tier 3 demoted below the window this round — q_merge_upsert /
     # q_media_stats / q_media_features / q_dedup_exact /
     # q_emb_dedup_exact / q_pack_conservation / q_union_pages /
