@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "q_asof_click_before_purchase",
     "q_range_clicks_before_error",
     "q_sessionize",
+    "q_funnel",
+    "q_cohort_retention",
     # nested + merge surface
     "q_flatten_lineitems",
     "q_merge_upsert",

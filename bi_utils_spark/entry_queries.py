@@ -3632,6 +3632,67 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Event-sequence analytics (operators/events.py): ordered funnel and
+# weekly cohort retention — classic product analytics over `events`.
+# ===========================================================================
+
+@register(
+    "q_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+           GROUP BY e.user_id)
+    SELECT 1 AS step, 'signup' AS step_name,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.events import funnel_counts
+
+    events = load(spark, sf_dir, "events")
+    return funnel_counts(events, ["signup", "click", "purchase"])
+
+
+@register(
+    "q_cohort_retention",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+    j AS (SELECT a.user_id, f.cohort,
+                 CAST(datediff('day', f.cohort, a.wk) / 7 AS INTEGER)
+                   AS offset_weeks
+          FROM a JOIN f USING (user_id)),
+    per AS (SELECT cohort, offset_weeks,
+                   count(DISTINCT user_id) AS n_active
+            FROM j GROUP BY cohort, offset_weeks),
+    sz AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY cohort)
+    SELECT CAST(per.cohort AS DATE) AS cohort_week, offset_weeks,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(cohort_size AS BIGINT) AS cohort_size,
+           CAST(n_active AS DOUBLE) / cohort_size AS retention
+    FROM per JOIN sz USING (cohort)
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.events import cohort_retention
+
+    events = load(spark, sf_dir, "events")
+    return cohort_retention(events)
+
+
+# ===========================================================================
 # Corpus health report: the per-language curation dashboard — doc and
 # token inventory, exact-dup pressure (count − distinct content
 # hashes), fixed-point mean quality. One partial-aggregated groupBy.
@@ -3885,6 +3946,8 @@ _PROMOTED: list[str] = [
     "q_knn_join",
     "q_corpus_report",
     "q_ivfpq_residual_topk",
+    "q_funnel",
+    "q_cohort_retention",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3914,8 +3977,6 @@ _PROMOTED: list[str] = [
     # tier 2: only-official-row-is-r1, unchanged — refresh
     "q_clean_text",
     "q_pii_audit",
-    "q_hash_split",
-    "q_det_sample",
     "q_topk_cosine_exact",
     "q_emb_label_stats",
     "q_centroids_by_label",

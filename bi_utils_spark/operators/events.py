@@ -1,0 +1,119 @@
+"""Event-sequence analytics — funnel and cohort-retention operators.
+
+The classic product-analytics pair over an event stream (user_id, ts,
+event_type): ordered-funnel conversion (how many users performed step
+1, then step 2 AFTER step 1, …) and weekly cohort retention (of the
+users whose first event fell in week W, how many were active in
+W+k?). Neither exists in the reference (its alerting utilities stop
+at threshold checks); both are table-stakes for an analytics engine
+serving the same warehouse.
+
+Scale shape: each funnel step is one groupBy(user) aggregation whose
+input is pre-filtered map-side, and consecutive steps join on
+user_id — all shuffles are keyed on the user, so AQE coalesces and
+the whole funnel reuses one partitioning. Cohorts are two
+aggregations (first-event week, active weeks) joined on user.
+Everything is codegen; no windows over the full stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row per funnel step: (step, step_name, n_users) where
+    n_users completed steps 1..i IN ORDER (each step's event strictly
+    at-or-after the previous step's earliest qualifying time — the
+    standard ordered-funnel semantics using earliest-event times).
+
+    Each step is min(ts) of qualifying events per user; step i
+    qualifies only where ts >= step i−1's time. len(steps) joins on
+    user_id, each reusing the same hash partitioning.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__t1"))
+    )
+    counts = [cur.agg(F.count("*").alias("n")).select(F.lit(1).alias("step"), "n")]
+    prev = cur
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"))
+            .join(prev, "__u")
+            .filter(F.col("__ts") >= F.col(f"__t{i-1}"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias(f"__t{i}"))
+        )
+        counts.append(
+            nxt.agg(F.count("*").alias("n")).select(F.lit(i).alias("step"), "n")
+        )
+        prev = nxt
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    names = F.array(*[F.lit(s) for s in steps])
+    return out.select(
+        "step",
+        F.element_at(names, F.col("step")).alias("step_name"),
+        F.col("n").alias("n_users"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_weeks: int | None = None,
+) -> DataFrame:
+    """(cohort_week, offset_weeks, n_active, cohort_size, retention)
+    — weekly cohort retention. cohort_week = Monday-truncated week of
+    the user's FIRST event; a user counts as active at offset k if
+    they have any event in cohort_week + k weeks.
+
+    Two aggregations (first event per user; distinct active weeks per
+    user) + one user-keyed join + one small groupBy on
+    (cohort, offset) — never a self-join of the stream.
+    """
+    firsts = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("__cohort")
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc("week", F.col(ts_col)).alias("__week"),
+        )
+        .distinct()
+    )
+    joined = active.join(firsts, "__u").withColumn(
+        "offset_weeks",
+        (F.datediff(F.col("__week"), F.col("__cohort")) / 7).cast("int"),
+    )
+    if max_offset_weeks is not None:
+        joined = joined.filter(F.col("offset_weeks") <= max_offset_weeks)
+    per = joined.groupBy(
+        F.col("__cohort").alias("cohort_week"), "offset_weeks"
+    ).agg(F.countDistinct("__u").alias("n_active"))
+    sizes = firsts.groupBy(F.col("__cohort").alias("cohort_week")).agg(
+        F.count("*").alias("cohort_size")
+    )
+    return per.join(sizes, "cohort_week").select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "offset_weeks",
+        "n_active",
+        "cohort_size",
+        (
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )

@@ -134,3 +134,49 @@ def test_asof_plan_has_no_nested_loop(spark, quotes, trades):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- event-sequence analytics (operators/events.py) -----------------------
+
+
+def test_funnel_order_matters(spark):
+    import datetime as dt
+
+    from bi_utils_spark.operators.events import funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "signup"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # user 2: purchase BEFORE click -> stops at click
+        (2, t(0), "signup"), (2, t(2), "click"), (2, t(1), "purchase"),
+        # user 3: signup only
+        (3, t(0), "signup"),
+        # user 4: click without signup -> not in funnel at all
+        (4, t(0), "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["step"]: r["n_users"] for r in
+           funnel_counts(df, ["signup", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_cohort_retention_math(spark):
+    import datetime as dt
+
+    from bi_utils_spark.operators.events import cohort_retention
+
+    # cohort week of Mon 2024-01-01: users 1,2. user 1 returns week+1.
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 9)),
+        (2, dt.datetime(2024, 1, 3, 9)),
+        (1, dt.datetime(2024, 1, 10, 9)),   # week offset 1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+        "event_type", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("x")
+    )
+    got = {(str(r["cohort_week"]), r["offset_weeks"]):
+           (r["n_active"], r["cohort_size"], r["retention"])
+           for r in cohort_retention(df).collect()}
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
