@@ -28,11 +28,15 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap: str | None = None,
 ) -> DataFrame:
     """One row per funnel step: (step, step_name, n_users) where
     n_users completed steps 1..i IN ORDER (each step's event strictly
     at-or-after the previous step's earliest qualifying time — the
     standard ordered-funnel semantics using earliest-event times).
+    ``max_gap`` (an interval literal like "7 days") additionally
+    bounds each step's latency: step i must occur within max_gap of
+    step i−1's time — the conversion-window form.
 
     Each step is min(ts) of qualifying events per user; step i
     qualifies only where ts >= step i−1's time. len(steps) joins on
@@ -48,11 +52,17 @@ def funnel_counts(
     counts = [cur.agg(F.count("*").alias("n")).select(F.lit(1).alias("step"), "n")]
     prev = cur
     for i, step in enumerate(steps[1:], start=2):
+        gate = F.col("__ts") >= F.col(f"__t{i-1}")
+        if max_gap is not None:
+            gate = gate & (
+                F.col("__ts")
+                <= F.col(f"__t{i-1}") + F.expr(f"INTERVAL {max_gap}")
+            )
         nxt = (
             events.filter(F.col(type_col) == step)
             .select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"))
             .join(prev, "__u")
-            .filter(F.col("__ts") >= F.col(f"__t{i-1}"))
+            .filter(gate)
             .groupBy("__u")
             .agg(F.min("__ts").alias(f"__t{i}"))
         )

@@ -180,3 +180,24 @@ def test_cohort_retention_math(spark):
            for r in cohort_retention(df).collect()}
     assert got[("2024-01-01", 0)] == (2, 2, 1.0)
     assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+
+
+def test_funnel_max_gap_bounds_conversion_window(spark):
+    import datetime as dt
+
+    from bi_utils_spark.operators.events import funnel_counts
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), "signup"),
+        (1, dt.datetime(2024, 1, 1, 10, 30), "click"),     # inside 1h
+        (2, dt.datetime(2024, 1, 1, 10, 0), "signup"),
+        (2, dt.datetime(2024, 1, 1, 12, 30), "click"),     # outside 1h
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    unbounded = {r["step"]: r["n_users"] for r in
+                 funnel_counts(df, ["signup", "click"]).collect()}
+    bounded = {r["step"]: r["n_users"] for r in
+               funnel_counts(df, ["signup", "click"],
+                             max_gap="1 hour").collect()}
+    assert unbounded == {1: 2, 2: 2}
+    assert bounded == {1: 2, 2: 1}
