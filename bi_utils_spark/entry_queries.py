@@ -3665,6 +3665,41 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_funnel_latency",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, s1.t1, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1
+           GROUP BY e.user_id, s1.t1),
+    s3 AS (SELECT e.user_id, s2.t2, min(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+           GROUP BY e.user_id, s2.t2),
+    l2 AS (SELECT (epoch_us(t2) - epoch_us(t1)) / 1e6 AS lat FROM s2),
+    l3 AS (SELECT (epoch_us(t3) - epoch_us(t2)) / 1e6 AS lat FROM s3)
+    SELECT 2 AS step, 'click' AS step_name,
+           CAST((SELECT count(*) FROM l2) AS BIGINT) AS n_converted,
+           round(CAST((SELECT quantile_cont(lat, 0.5) FROM l2) AS DOUBLE), 6)
+             AS p50_seconds,
+           round(CAST((SELECT quantile_cont(lat, 0.9) FROM l2) AS DOUBLE), 6)
+             AS p90_seconds
+    UNION ALL
+    SELECT 3, 'purchase',
+           CAST((SELECT count(*) FROM l3) AS BIGINT),
+           round(CAST((SELECT quantile_cont(lat, 0.5) FROM l3) AS DOUBLE), 6),
+           round(CAST((SELECT quantile_cont(lat, 0.9) FROM l3) AS DOUBLE), 6)
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.events import funnel_latencies
+
+    events = load(spark, sf_dir, "events")
+    return funnel_latencies(events, ["signup", "click", "purchase"])
+
+
+@register(
     "q_cohort_retention",
     """
     WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
@@ -3948,6 +3983,7 @@ _PROMOTED: list[str] = [
     "q_ivfpq_residual_topk",
     "q_funnel",
     "q_cohort_retention",
+    "q_funnel_latency",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -3975,7 +4011,6 @@ _PROMOTED: list[str] = [
     "q_pq_topk",
     "q_emb_near_dup_ivf",
     # tier 2: only-official-row-is-r1, unchanged — refresh
-    "q_clean_text",
     "q_pii_audit",
     "q_topk_cosine_exact",
     "q_emb_label_stats",

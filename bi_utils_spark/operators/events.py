@@ -127,3 +127,72 @@ def cohort_retention(
             F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+def funnel_latencies(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap: str | None = None,
+) -> DataFrame:
+    """(step, step_name, n_converted, p50_seconds, p90_seconds) for
+    every step ≥ 2: the time-to-convert distribution from the previous
+    step's earliest qualifying event — exact interpolated percentiles
+    (Spark ``percentile`` ≡ SQL ``quantile_cont``, engine-portable),
+    latencies in seconds from the epoch-microsecond difference.
+
+    Same per-step user-keyed aggregation chain as
+    :func:`funnel_counts`; the percentile aggregations run over the
+    (tiny) converted-users step tables, never the stream.
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least two steps for latencies")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__t1"))
+    )
+    prev = cur
+    outs = []
+    for i, step in enumerate(steps[1:], start=2):
+        gate = F.col("__ts") >= F.col(f"__t{i-1}")
+        if max_gap is not None:
+            gate = gate & (
+                F.col("__ts")
+                <= F.col(f"__t{i-1}") + F.expr(f"INTERVAL {max_gap}")
+            )
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts"))
+            .join(prev, "__u")
+            .filter(gate)
+            .groupBy("__u", *[f"__t{j}" for j in range(1, i)])
+            .agg(F.min("__ts").alias(f"__t{i}"))
+        )
+        lat = (
+            (F.unix_micros(F.col(f"__t{i}")) - F.unix_micros(F.col(f"__t{i-1}")))
+            .cast("double")
+            / F.lit(1e6)
+        )
+        outs.append(
+            nxt.select(lat.alias("__lat")).agg(
+                F.count("*").alias("n_converted"),
+                F.round(F.percentile("__lat", F.lit(0.5)), 6).alias("p50_seconds"),
+                F.round(F.percentile("__lat", F.lit(0.9)), 6).alias("p90_seconds"),
+            ).select(F.lit(i).alias("step"), "n_converted", "p50_seconds",
+                     "p90_seconds")
+        )
+        prev = nxt
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    names = F.array(*[F.lit(s) for s in steps])
+    return out.select(
+        "step",
+        F.element_at(names, F.col("step")).alias("step_name"),
+        "n_converted",
+        "p50_seconds",
+        "p90_seconds",
+    )

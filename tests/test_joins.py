@@ -201,3 +201,23 @@ def test_funnel_max_gap_bounds_conversion_window(spark):
                              max_gap="1 hour").collect()}
     assert unbounded == {1: 2, 2: 2}
     assert bounded == {1: 2, 2: 1}
+
+
+def test_funnel_latency_hand_math(spark):
+    import datetime as dt
+
+    from bi_utils_spark.operators.events import funnel_latencies
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), "signup"),
+        (1, dt.datetime(2024, 1, 1, 10, 0, 10), "click"),   # 10 s
+        (2, dt.datetime(2024, 1, 1, 10, 0, 0), "signup"),
+        (2, dt.datetime(2024, 1, 1, 10, 0, 30), "click"),   # 30 s
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = funnel_latencies(df, ["signup", "click"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_converted"] == 2
+    assert r["p50_seconds"] == 20.0      # interpolated between 10 and 30
+    assert r["p90_seconds"] == 28.0      # 10 + 0.9*(30-10)
