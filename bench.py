@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "q_sessionize",
     "q_funnel",
     "q_cohort_retention",
+    "q_event_transitions",
     # nested + merge surface
     "q_flatten_lineitems",
     "q_merge_upsert",

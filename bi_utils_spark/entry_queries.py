@@ -1244,7 +1244,6 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X6 embedding grouped stats (order-free aggregates) --------------------
 
 @register(
-    "q_emb_label_stats",
     """
     SELECT label,
            CAST(count(*) AS BIGINT) AS n,
@@ -3700,6 +3699,31 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_event_transitions",
+    """
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (SELECT from_type, to_type, count(*) AS n
+          FROM p WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM c
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bi_utils_spark.operators.events import event_transitions
+
+    events = load(spark, sf_dir, "events")
+    return event_transitions(events, tiebreak_col="event_id")
+
+
+@register(
     "q_cohort_retention",
     """
     WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
@@ -3984,6 +4008,7 @@ _PROMOTED: list[str] = [
     "q_funnel",
     "q_cohort_retention",
     "q_funnel_latency",
+    "q_event_transitions",
     "q_contamination",
     "q_decontaminate",
     "q_dup_spans",
@@ -4013,7 +4038,6 @@ _PROMOTED: list[str] = [
     # tier 2: only-official-row-is-r1, unchanged — refresh
     "q_pii_audit",
     "q_topk_cosine_exact",
-    "q_emb_label_stats",
     "q_centroids_by_label",
     "q_pricing_summary",
     "q_sessionize",

@@ -196,3 +196,42 @@ def funnel_latencies(
         "p50_seconds",
         "p90_seconds",
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(from_type, to_type, n, prob) — the first-order Markov
+    transition matrix of the event stream: for each consecutive event
+    pair within a user's timeline, count the (from → to) transition
+    and normalize per source state. The path-analysis primitive
+    behind "what do users do after X?".
+
+    One window shuffle on user (lead over (ts, tiebreak)), one small
+    groupBy on the type pair; the per-source totals ride in as a
+    window over the |types|² matrix, not the stream.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "prob",
+        F.col("n").cast("double") / F.sum("n").over(tot).cast("double"),
+    )

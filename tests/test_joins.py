@@ -221,3 +221,26 @@ def test_funnel_latency_hand_math(spark):
     assert r["n_converted"] == 2
     assert r["p50_seconds"] == 20.0      # interpolated between 10 and 30
     assert r["p90_seconds"] == 28.0      # 10 + 0.9*(30-10)
+
+
+def test_event_transitions_probabilities(spark):
+    import datetime as dt
+
+    from bi_utils_spark.operators.events import event_transitions
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        (1, 1, t(0), "a"), (1, 2, t(1), "b"), (1, 3, t(2), "a"),
+        (2, 4, t(0), "a"), (2, 5, t(1), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts", "event_type"]
+    )
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["prob"])
+           for r in event_transitions(df, tiebreak_col="event_id").collect()}
+    # from 'a': a->b once, a->c once (prob 0.5 each); b->a once (prob 1)
+    assert got[("a", "b")] == (1, 0.5)
+    assert got[("a", "c")] == (1, 0.5)
+    assert got[("b", "a")] == (1, 1.0)
+    # no cross-user transition (user 1 'a' -> user 2 'a' must not appear)
+    assert ("a", "a") not in got
