@@ -1244,6 +1244,7 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- X6 embedding grouped stats (order-free aggregates) --------------------
 
 @register(
+    "q_emb_label_stats",
     """
     SELECT label,
            CAST(count(*) AS BIGINT) AS n,
