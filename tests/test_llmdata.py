@@ -468,15 +468,22 @@ def test_winnowing_fp_freq_cap(spark):
 def test_dedup_operators_leave_no_cache(spark, docs):
     # VERDICT r2 #3: operators must not leak cached partitions — the
     # reused subtrees are deduped by ReuseExchange, not persist().
-    # Delta-based: other tests in the shared session may hold
-    # localCheckpoint RDDs that clearCache does not release.
+    # Delta-based and GC-settled: other tests in the shared session
+    # hold localCheckpoint RDDs that clearCache does not release, and
+    # Spark's ContextCleaner may release THOSE between our two
+    # measurements — settle GC first and assert no INCREASE (a
+    # concurrent release must never mask-fail the check).
+    import gc
+
     spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()  # noqa: SLF001
     base = spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
     D.minhash_near_dup_join(docs, "doc_id", "text", threshold=0.6).count()
     D.jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3).count()
     D.simhash_near_dup_join(docs, "doc_id", "text").count()
     n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
-    assert n_cached == base, f"{n_cached - base} cached RDDs left behind"
+    assert n_cached <= base, f"{n_cached - base} cached RDDs left behind"
 
 
 # --- real pure-python codecs (X7 non-fake tier) ------------------------------
