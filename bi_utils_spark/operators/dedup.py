@@ -36,8 +36,11 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep one deterministic representative per exact-content group.
 
-    Content identity = sha2 over the concatenated columns (with a
-    field separator so ("ab","c") ≠ ("a","bc")); the survivor is the
+    Content identity = sha2 over the JSON encoding of the column
+    struct — injective for any fixed schema: field names delimit
+    values (("ab","c") ≠ ("a","bc")) and NULL is encoded explicitly,
+    distinct from '' (concat_ws would silently skip NULLs, shifting
+    field boundaries). The survivor is the
     row with the smallest ``keep_order_col`` — deterministic, unlike
     ``dropDuplicates`` which keeps an arbitrary row per group.
 
@@ -47,7 +50,13 @@ def dedup_exact(
     """
     hashed = df.withColumn(
         "__content_hash",
-        F.sha2(F.concat_ws("", *[F.col(c) for c in content_cols]), num_bits),
+        F.sha2(
+            F.to_json(
+                F.struct(*[F.col(c) for c in content_cols]),
+                {"ignoreNullFields": "false"},
+            ),
+            num_bits,
+        ),
     )
     w = Window.partitionBy("__content_hash").orderBy(F.asc(keep_order_col))
     return (

@@ -214,6 +214,11 @@ def event_transitions(
     One window shuffle on user (lead over (ts, tiebreak)), one small
     groupBy on the type pair; the per-source totals ride in as a
     window over the |types|² matrix, not the stream.
+
+    Determinism: with ``tiebreak_col=None``, lead() over equal
+    timestamps is partitioning-dependent, so counts can vary run to
+    run on ts ties — pass a stable unique column (e.g. an event id)
+    whenever one exists; the registry query does.
     """
     order = [F.col(ts_col)]
     if tiebreak_col is not None:

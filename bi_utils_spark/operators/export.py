@@ -89,9 +89,13 @@ def verify_training_shards(
         stored.join(actual, "shard", "full_outer")
         .select(
             "shard",
+            # eqNullSafe: a shard missing from either side (full_outer
+            # NULLs) must report ok=false, not NULL — a plain == would
+            # null-propagate and hide wholly-deleted shards from
+            # callers filtering ok == False
             (
-                (F.col("stored_rows") == F.col("actual_rows"))
-                & (F.col("stored_hash") == F.col("actual_hash"))
+                F.col("stored_rows").eqNullSafe(F.col("actual_rows"))
+                & F.col("stored_hash").eqNullSafe(F.col("actual_hash"))
             ).alias("ok"),
             "stored_hash",
             "actual_hash",

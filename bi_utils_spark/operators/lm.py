@@ -230,6 +230,11 @@ def bigram_logprob_scores(
     scalar totals). Stop-word pairs are hot keys; AQE skew-join
     handles them, or pre-salt w1 for pathological corpora.
     """
+    if not 0.0 <= lam < 1.0:
+        # lam=1.0 would make an unseen bigram (cross-corpus scoring
+        # with a provided `model`) log(0) = -inf, which the fixed-point
+        # cast would fold into the sum as a silent sentinel
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
     pairs = bigram_pairs(df, id_col, text_col)
     if model is None:
         model = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))

@@ -76,9 +76,9 @@ def mixture_sample(
     h = _bucket_hex(F.col(id_col), salt)
     staged = df.withColumn("__nt", nt).withColumn("__h", h)
     if weights is None:
-        ngroups = staged.select(group_col).distinct().agg(
-            F.count("*").alias("__ng")
-        )
+        # countDistinct skips NULL groups — the SQL count(DISTINCT ...)
+        # semantics the oracle uses (a NULL group gets quota 0)
+        ngroups = staged.agg(F.countDistinct(group_col).alias("__ng"))
         staged = staged.crossJoin(F.broadcast(ngroups)).withColumn(
             "__quota", F.lit(float(budget_tokens)) / F.col("__ng")
         )
@@ -147,9 +147,9 @@ def mixture_sample_bucketed(
         .withColumn("__b", F.substring("__h", 1, bucket_hex_chars))
     )
     if weights is None:
-        ngroups = staged.select(group_col).distinct().agg(
-            F.count("*").alias("__ng")
-        )
+        # countDistinct skips NULL groups — the SQL count(DISTINCT ...)
+        # semantics the oracle uses (a NULL group gets quota 0)
+        ngroups = staged.agg(F.countDistinct(group_col).alias("__ng"))
         staged = staged.crossJoin(F.broadcast(ngroups)).withColumn(
             "__quota", F.lit(float(budget_tokens)) / F.col("__ng")
         )
@@ -202,6 +202,7 @@ def curriculum_order(
     score_col: str,
     num_phases: int = 4,
     salt: str = "curr",
+    bucket_hex_chars: int = 3,
 ) -> DataFrame:
     """Curriculum addresses (phase, pos): band rows into
     ``num_phases`` fluency phases (phase 0 = highest ``score_col`` —
@@ -209,12 +210,16 @@ def curriculum_order(
     a deterministic position within its phase.
 
     Banding uses the exact percent-rank CDF
-    (operators/filtering.py::attach_percent_rank — distinct-score
-    aggregation, no corpus-wide sort); within-phase order is the
-    md5-hash discipline of :func:`mixture_sample`, so the layout is
-    reproducible under repartitioning and oracle-checkable. One
-    shuffle on phase; each task sorts ~n/num_phases rows — same
-    scale shape as shard_positions.
+    (operators/filtering.py::attach_percent_rank — two-level bucketed
+    CDF, no corpus-wide sort even for continuous scores); within-phase
+    order is the md5-hash discipline of :func:`mixture_sample`.
+    Positions are TWO-LEVEL like :func:`mixture_sample_bucketed`: rows
+    sub-bucket on the first ``bucket_hex_chars`` hex chars of the hash
+    (ordering by (bucket, hash) == ordering by hash), row_number runs
+    per (phase, bucket) — tasks sort ~n/(num_phases·4096) rows, never
+    a whole phase — and broadcast per-bucket offsets lift the local
+    ranks to phase-global positions. Reproducible under
+    repartitioning and oracle-checkable.
     """
     from bi_utils_spark.operators.filtering import attach_percent_rank
 
@@ -224,10 +229,26 @@ def curriculum_order(
         F.lit(num_phases - 1),
     ).cast("int")
     h = _bucket_hex(F.col(id_col), salt)
-    w = Window.partitionBy("phase").orderBy("__h", id_col)
-    return (
+    staged = (
         pr.withColumn("phase", phase)
         .withColumn("__h", h)
-        .withColumn("pos", F.row_number().over(w))
-        .drop("__pr", "__h")
+        .withColumn("__b", F.substring("__h", 1, bucket_hex_chars))
+    )
+    bcnt = staged.groupBy("phase", "__b").agg(F.count("*").alias("__c"))
+    bw = (
+        Window.partitionBy("phase")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bcnt.withColumn(
+        "__boff", F.coalesce(F.sum("__c").over(bw), F.lit(0))
+    ).select("phase", "__b", "__boff")
+    rw = Window.partitionBy("phase", "__b").orderBy("__h", id_col)
+    out_cols = list(scored.columns) + ["phase", "pos"]
+    return (
+        staged.join(F.broadcast(boff), ["phase", "__b"])
+        .withColumn(
+            "pos", (F.col("__boff") + F.row_number().over(rw)).cast("int")
+        )
+        .select(*out_cols)
     )

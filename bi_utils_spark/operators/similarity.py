@@ -682,8 +682,12 @@ def knn_join_blocked(
     c = corpus.select(
         F.col(corpus_id).alias("__nid"), _as_double(F.col(vec_col)).alias("__cv")
     )
+    # id field types follow the input schemas (string/int doc ids work
+    # the same as the generic knn_join_exact — not hardcoded to long)
+    qt = queries.schema[query_id].dataType.simpleString()
+    ct = corpus.schema[corpus_id].dataType.simpleString()
     partials = c.mapInPandas(
-        partial, schema="query_id long, neighbor_id long, score double"
+        partial, schema=f"query_id {qt}, neighbor_id {ct}, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")

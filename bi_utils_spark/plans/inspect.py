@@ -63,6 +63,51 @@ def assert_no_nested_loop(df: DataFrame) -> None:
         raise AssertionError(f"nested-loop join in plan: {bad}\n{executed_plan(df)}")
 
 
+def _walk(node):
+    yield node
+    # AdaptiveSparkPlanExec hides its subtree from children(); descend
+    # through its current/initial plan instead
+    for probe in ("initialPlan", "inputPlan"):
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            try:
+                yield from _walk(getattr(node, probe)())
+                return
+            except Exception:  # noqa: BLE001
+                continue
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk(it.next())
+
+
+def global_window_count(df: DataFrame) -> int:
+    """Number of physical Window operators with an EMPTY partition
+    spec — each one moves the whole input to a single task (the
+    `WindowExec: No Partition Defined` warning), the canonical
+    100 TB scale-killer."""
+    plan = df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    n = 0
+    for node in _walk(plan):
+        name = node.getClass().getSimpleName()
+        if "Window" in name and hasattr(node, "partitionSpec"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    n += 1
+            except Exception:  # noqa: BLE001 — non-window lookalike
+                continue
+    return n
+
+
+def assert_no_global_window(df: DataFrame) -> None:
+    """Assert the plan contains no single-partition (unpartitioned)
+    window — every window sort must be parallel."""
+    n = global_window_count(df)
+    if n:
+        raise AssertionError(
+            f"{n} unpartitioned Window operator(s) in plan "
+            f"(whole input in one task):\n{executed_plan(df)}"
+        )
+
+
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     pushed = scan_pushed_filters(df)
     if not any(fragment in p for p in pushed):

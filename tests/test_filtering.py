@@ -1,6 +1,7 @@
 """Score-quantile filtering (operators/filtering.py): exact SQL
-percent_rank semantics with ties, lazy plan (no driver action), and
-the sketch path."""
+percent_rank semantics with ties, a fully parallel plan (no
+single-partition window, even for continuous scores), and the
+sketch path."""
 
 from __future__ import annotations
 
@@ -38,6 +39,36 @@ def test_percent_rank_matches_sql_semantics(spark):
 def test_percent_rank_single_row_is_zero(spark):
     df = _scores(spark, [7])
     assert Q.attach_percent_rank(df, "s").first()["pr"] == 0.0
+
+
+def test_percent_rank_continuous_scores_exact_and_parallel(spark):
+    # |distinct| == |corpus| (the avg_logprob case, VERDICT r3 #2):
+    # must match Spark's own percent_rank AND contain no
+    # single-partition window in the plan
+    import random
+
+    from pyspark.sql import Window
+
+    from bi_utils_spark.plans.inspect import assert_no_global_window
+
+    random.seed(13)
+    df = _scores(spark, [random.gauss(-5, 2) for _ in range(3000)])
+    out = Q.attach_percent_rank(df, "s", "pr", num_buckets=16)
+    assert_no_global_window(out)
+    got = {r["id"]: r["pr"] for r in out.collect()}
+    ref = {
+        r["id"]: r["pr"]
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(Window.orderBy("s"))
+        ).collect()
+    }
+    assert all(abs(got[i] - ref[i]) < 1e-12 for i in ref)
+
+
+def test_percent_rank_all_equal_scores(spark):
+    df = _scores(spark, [5.0] * 20)
+    rows = Q.attach_percent_rank(df, "s").select("pr").distinct().collect()
+    assert [r["pr"] for r in rows] == [0.0]
 
 
 def test_filter_by_score_quantile_ties_included(spark):

@@ -51,6 +51,26 @@ def test_dedup_exact_separator_prevents_concat_collision(spark):
     assert out.count() == 2  # ("ab","c") must not equal ("a","bc")
 
 
+def test_dedup_exact_null_vs_empty_and_boundary_shift(spark):
+    # VERDICT r3 #5: NULL must differ from '' and must not shift field
+    # boundaries (concat_ws silently skips NULLs; the JSON-struct hash
+    # does not)
+    df = spark.createDataFrame(
+        [
+            (1, "a", None),       # ("a", NULL)
+            (2, "a", ""),         # ("a", "")      — distinct from 1
+            (3, "a\x01b", None),  # would collide with ("a","b") under
+            (4, "a", "b"),        #   any 1-char-separator concat
+            (5, "a", "b"),        # true duplicate of 4
+            (6, None, None),
+            (7, None, ""),
+        ],
+        ["id", "x", "y"],
+    )
+    out = D.dedup_exact(df, ["x", "y"], "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3, 4, 6, 7]
+
+
 # --- shingles / jaccard ------------------------------------------------------
 
 def test_token_shingles(spark):

@@ -290,3 +290,52 @@ def test_curriculum_order_deterministic(spark, sf_dir):
     b = {(r["doc_id"], r["phase"], r["pos"]) for r in
          curriculum_order(s.repartition(9), "doc_id", "avg_logprob").collect()}
     assert a == b
+
+
+def test_curriculum_order_no_single_partition_window(spark, sf_dir):
+    # VERDICT r3 #3: continuous scores must not produce an
+    # unpartitioned window (corpus-/phase-sized single-task sort)
+    from bi_utils_spark.operators.lm import unigram_logprob_scores
+    from bi_utils_spark.operators.mixing import curriculum_order
+    from bi_utils_spark.plans.inspect import assert_no_global_window
+    from bi_utils_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = unigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    assert_no_global_window(curriculum_order(s, "doc_id", "avg_logprob"))
+
+
+def test_curriculum_order_matches_one_level_layout(spark):
+    # two-level positions must equal the brute-force single-window
+    # layout (phase-wide row_number over (hash, id))
+    from pyspark.sql import Window
+
+    from bi_utils_spark.operators.mixing import curriculum_order
+    from bi_utils_spark.operators.splits import _bucket_hex
+
+    import random
+
+    random.seed(3)
+    df = spark.createDataFrame(
+        [(i, random.gauss(0, 1)) for i in range(2000)], ["doc_id", "sc"]
+    )
+    got = {
+        (r["doc_id"], r["phase"], r["pos"])
+        for r in curriculum_order(df, "doc_id", "sc").collect()
+    }
+    pr = df.withColumn("__pr", F.percent_rank().over(Window.orderBy("sc")))
+    phase = F.least(
+        F.floor((F.lit(1.0) - F.col("__pr")) * 4), F.lit(3)
+    ).cast("int")
+    brute = (
+        pr.withColumn("phase", phase)
+        .withColumn("__h", _bucket_hex(F.col("doc_id"), "curr"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("phase").orderBy("__h", "doc_id")
+            ),
+        )
+    )
+    exp = {(r["doc_id"], r["phase"], r["pos"]) for r in brute.collect()}
+    assert got == exp

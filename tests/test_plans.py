@@ -38,6 +38,19 @@ def test_star_join_broadcasts_dims(spark, sf01):
     assert_no_nested_loop(df)
 
 
+def test_quantile_queries_have_no_global_window(spark, sf01):
+    # VERDICT r3 #2/#3 Done-criterion: neither the discrete-score
+    # percent_rank (q_quality_tophalf) nor the continuous-score
+    # curriculum layout (q_curriculum_order) may contain an
+    # unpartitioned Window (single-task corpus sort)
+    import __spark_entry__ as m
+
+    from bi_utils_spark.plans.inspect import assert_no_global_window
+
+    assert_no_global_window(m.queries()["q_quality_tophalf"](spark, sf01))
+    assert_no_global_window(m.queries()["q_curriculum_order"](spark, sf01))
+
+
 def test_asof_join_plan_is_shuffle_once(spark, sf01):
     import __spark_entry__ as m
 
