@@ -159,6 +159,17 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.2f}s {plans[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Per-query plan fingerprints ride in a sidecar file, NOT the
+    # stdout line: the driver records only a ~2 KB tail of stdout, and
+    # r3's official record came back `parsed: null` because the plans
+    # blob pushed the JSON line past the capture window. The summary
+    # line stays compact (~1.6 KB at 57 queries) and is printed LAST.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PLANS.json"
+    )
+    with open(sidecar, "w") as fh:
+        json.dump({"sf": sf, "repeats": repeats, "plans": plans}, fh, indent=1)
+    print(f"  plan fingerprints -> {sidecar}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -166,10 +177,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "plans": plans,
                 "repeats": repeats,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -4214,69 +4214,68 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _PROMOTED: list[str] = [
-    # tier 1: changed or new this round (plus r2 plan changes)
-    "q_importance_weights",
-    "q_importance_sample",
-    "q_zipf_topk",
-    "q_head_coverage",
-    "q_global_shuffle",
-    "q_bigram_logprob",
-    "q_mixture_sample",
-    "q_semantic_contamination",
-    "q_semantic_decontam",
-    "q_bpe_top_pairs",
-    "q_encode_tokens",
-    "q_curriculum_order",
-    "q_knn_join",
-    "q_corpus_report",
-    "q_ivfpq_residual_topk",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_funnel_latency",
-    "q_event_transitions",
-    "q_contamination",
-    "q_decontaminate",
-    "q_dup_spans",
-    "q_remove_dup_spans",
-    "q_boilerplate_grams",
-    "q_quality_tophalf",
-    "q_media_decode",
-    "q_chunk_documents",
-    "q_bm25_search",
-    "q_stratified_sample",
-    "q_session_windows",
-    "q_unigram_logprob",
-    "q_oov_rate",
-    "q_lang_id",
-    "q_quality_score",
-    "q_jaccard_pairs",
-    "q_dedup_clusters",
-    "q_dedup_canonical",
+    # tier 1: changed or new this round — the 4 ex-rows-only queries
+    # that gained real oracles (VERDICT r3 #1/#2), plus every query
+    # whose implementation changed (filtering/mixing two-level CDF,
+    # dedup_exact hash, mixing null-group divisor, lm lam validation)
     "q_llm_pipeline",
-    "q_minhash_near_dup",
-    "q_simhash_near_dup",
-    "q_winnow_near_dup",
-    "q_ann_topk",
-    "q_ivf_topk",
-    "q_pq_topk",
-    "q_emb_near_dup_ivf",
-    # tier 2: only-official-row-is-r1, unchanged — refresh
-    "q_pii_audit",
-    "q_topk_cosine_exact",
-    "q_centroids_by_label",
-    "q_pricing_summary",
-    "q_sessionize",
-    # (q_top_suppliers, q_revenue_by_nation, q_shipping_priority and
-    # q_sql_script yield their refresh slots to the new
-    # q_curriculum_order / q_knn_join / q_corpus_report /
-    # q_ivfpq_residual_topk — all unchanged since their green r1
-    # rows; q_pricing_summary still re-attests the star family.)
-    # (tier 3 demoted below the window this round — q_merge_upsert /
-    # q_media_stats / q_media_features / q_dedup_exact /
-    # q_emb_dedup_exact / q_pack_conservation / q_union_pages /
-    # q_text_stats / q_token_counts / q_doc_stats_by_lang /
-    # q_repetition_stats: r2-green official rows, implementations
-    # untouched since.)
+    "q_approx_stats",
+    "q_hll_daily_users",
+    "q_pack_sequences",
+    "q_quality_tophalf",
+    "q_curriculum_order",
+    "q_mixture_sample",
+    "q_bigram_logprob",
+    "q_dedup_exact",
+    "q_emb_dedup_exact",
+    # tier 2: last official row is r1 — 3 rounds stale, all refresh
+    "q_clean_text",
+    "q_hash_split",
+    "q_det_sample",
+    "q_cosine_pairs",
+    "q_emb_label_stats",
+    "q_shipping_priority",
+    "q_revenue_by_nation",
+    "q_top_suppliers",
+    "q_sql_script",
+    "q_rollup_flags",
+    "q_pivot_events",
+    # tier 3: last official row is r2 — refresh (29 of 41; the 12
+    # untouched TPC-H-family r2 queries q_forecast_revenue /
+    # q_returned_items / q_large_orders / q_promo_share / q_cube_flags
+    # / q_users_click_not_purchase / q_users_signup_and_error /
+    # q_grouping_sets / q_price_variance / q_string_funcs /
+    # q_priority_with_shipment / q_hourly_rollup yield their slots and
+    # rotate in r5)
+    "q_latest_event_per_user",
+    "q_hash_id",
+    "q_parse_timestamp",
+    "q_extract_key",
+    "q_watermark",
+    "q_alert_top1",
+    "q_alert_should_send",
+    "q_daily_count",
+    "q_group_having",
+    "q_union_pages",
+    "q_topk_orders",
+    "q_project_existing",
+    "q_in_list",
+    "q_schema_maxlen",
+    "q_flatten_lineitems",
+    "q_flatten_depth2",
+    "q_json_normalize_props",
+    "q_merge_upsert",
+    "q_schema_drift",
+    "q_alert_decide_batch",
+    "q_text_stats",
+    "q_token_counts",
+    "q_doc_stats_by_lang",
+    "q_asof_click_before_purchase",
+    "q_range_clicks_before_error",
+    "q_media_stats",
+    "q_media_features",
+    "q_repetition_stats",
+    "q_pack_conservation",
 ]
 
 

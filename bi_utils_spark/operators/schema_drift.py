@@ -69,6 +69,65 @@ def widen_ddl(
     ]
 
 
+def decimal_widening_plan(old: StructType, new: StructType) -> dict[str, str]:
+    """M4 apply support: per-column widened DECIMAL type each drifted
+    column needs to hold BOTH schemas' values — scale = max(scales),
+    integer digits = max(integer digits), precision capped at 38
+    (Spark's DecimalType max). Only decimal→decimal changes
+    participate: strings are unbounded in Spark (widening is a no-op
+    by design, reference `utils.py:541-557` widened VARCHARs), and
+    unrelated type changes are schema_diff events, not widenings."""
+    from pyspark.sql.types import DecimalType
+
+    new_fields = {f.name: f.dataType for f in new.fields}
+    out: dict[str, str] = {}
+    for f in old.fields:
+        nd = new_fields.get(f.name)
+        od = f.dataType
+        if not (isinstance(od, DecimalType) and isinstance(nd, DecimalType)):
+            continue
+        scale = max(od.scale, nd.scale)
+        intd = max(od.precision - od.scale, nd.precision - nd.scale)
+        prec = min(38, intd + scale)
+        if (prec, scale) != (od.precision, od.scale):
+            out[f.name] = f"decimal({prec},{scale})"
+    return out
+
+
+def apply_widening(
+    spark, path: str, plan: dict[str, str]
+) -> None:
+    """Apply a widening plan to a parquet table IN PLACE (M3/M4 beyond
+    report-only): cast the planned columns and rewrite the files. The
+    reference issued ``ALTER TABLE … MODIFY COLUMN`` (`utils.py:541-
+    557`) because its DWH widens in metadata; parquet encodes decimal
+    physical widths per file, so widening the table requires a cast +
+    rewrite (string widening stays a genuine no-op — unbounded).
+
+    Staged for safety: cast → write a sibling ``<path>.__widen_tmp``
+    (full copy) → overwrite the original FROM the temp → drop the
+    temp; no job ever reads and overwrites the same files. At 100 TB,
+    run this partition-at-a-time (the same plan partition-pruned), or
+    use a table format with metadata schema evolution (Delta/Iceberg
+    — an ALTER, no rewrite; those jars are not in this image, so the
+    parquet path is the one provided)."""
+    if not plan:
+        return
+    import shutil
+
+    df = spark.read.parquet(path)
+    casted = df.select(
+        *[
+            F.col(c).cast(plan[c]).alias(c) if c in plan else F.col(c)
+            for c in df.columns
+        ]
+    )
+    tmp = path.rstrip("/") + ".__widen_tmp"
+    casted.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def schema_diff(old: StructType, new: StructType) -> list[dict]:
     """Structural schema diff → list of change events.
 
