@@ -252,3 +252,98 @@ def merge_into_partitioned_path(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         merged.unpersist()
+
+
+def merge_into_sql(
+    target_table: str,
+    source_view: str,
+    pks: Sequence[str] | str,
+    data_cols: Sequence[str],
+    insert_ts_col: str = "insert_timestamp",
+    update_ts_col: str = "update_timestamp",
+) -> str:
+    """Code-generate the ANSI ``MERGE INTO`` statement for an ACID v2
+    table — the direct Spark analogue of the reference's Exasol codegen
+    (`utils.py:265-290`): PK-equality ON clause, WHEN MATCHED updates
+    every data column and restamps ``update_timestamp`` (preserving
+    the target's ``insert_timestamp``), WHEN NOT MATCHED inserts with
+    both stamps. Pure string builder — unit-testable without ACID
+    jars; :func:`merge_into_table` executes it."""
+    if isinstance(pks, str):
+        pks = [c.strip() for c in pks.split(",")]
+    if not pks:
+        raise ValueError("merge: need at least one pk column")
+    on = " AND ".join(f"t.`{pk}` = s.`{pk}`" for pk in pks)
+    sets = [f"t.`{c}` = s.`{c}`" for c in data_cols]
+    sets.append(f"t.`{update_ts_col}` = CURRENT_TIMESTAMP")
+    ins_cols = [*pks, *data_cols, insert_ts_col, update_ts_col]
+    ins_vals = [
+        *[f"s.`{c}`" for c in (*pks, *data_cols)],
+        "CURRENT_TIMESTAMP",
+        "CURRENT_TIMESTAMP",
+    ]
+    return (
+        f"MERGE INTO {target_table} t\n"
+        f"USING {source_view} s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED THEN UPDATE SET {', '.join(sets)}\n"
+        f"WHEN NOT MATCHED THEN INSERT ({', '.join(f'`{c}`' for c in ins_cols)})\n"
+        f"VALUES ({', '.join(ins_vals)})"
+    )
+
+
+def acid_merge_available(spark) -> bool:
+    """True when an ACID v2 catalog (Delta Lake or Iceberg) is on the
+    session's classpath — the capability gate for
+    :func:`merge_into_table`. This image ships neither jar, so the
+    parquet join-merge paths above are the provided engine; on a
+    cluster with Delta/Iceberg the same call sites upgrade to
+    transactional row-level MERGE with no code change."""
+    jvm = spark._jvm  # noqa: SLF001
+    for cls in (
+        "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        "org.apache.iceberg.spark.SparkCatalog",
+    ):
+        try:
+            jvm.java.lang.Class.forName(cls)
+            return True
+        except Exception:  # noqa: BLE001, PERF203 — absent jar
+            continue
+    return False
+
+
+def merge_into_table(
+    spark,
+    target_table: str,
+    source: DataFrame,
+    pks: Sequence[str] | str,
+    insert_ts_col: str = "insert_timestamp",
+    update_ts_col: str = "update_timestamp",
+) -> None:
+    """In-place ACID MERGE into a live catalog table (reference M1,
+    `utils.py:237-296`, executed rather than join-emulated) —
+    concurrent-safe row-level upsert via the table format's
+    transaction log. Requires Delta/Iceberg
+    (:func:`acid_merge_available`); raises a capability error
+    otherwise rather than silently downgrading — callers choose the
+    parquet path explicitly."""
+    if not acid_merge_available(spark):
+        raise RuntimeError(
+            "merge_into_table needs a Delta/Iceberg catalog on the "
+            "classpath; use merge_into_path/merge_into_partitioned_path "
+            "for the parquet engine"
+        )
+    if isinstance(pks, str):
+        pks = [c.strip() for c in pks.split(",")]
+    managed = {insert_ts_col, update_ts_col}
+    data_cols = [c for c in source.columns if c not in managed and c not in pks]
+    view = f"__merge_src_{abs(hash(target_table)) % 10**8}"
+    source.createOrReplaceTempView(view)
+    try:
+        spark.sql(
+            merge_into_sql(
+                target_table, view, pks, data_cols, insert_ts_col, update_ts_col
+            )
+        )
+    finally:
+        spark.catalog.dropTempView(view)

@@ -102,6 +102,49 @@ def test_length_drift(spark):
     assert ddl == ["ALTER TABLE S.T MODIFY COLUMN name VARCHAR(6)"]
 
 
+def test_merge_into_sql_codegen(spark):
+    # mirrors the reference codegen contract (utils.py:265-290):
+    # matched updates restamp update_timestamp only; inserts stamp both
+    from bi_utils_spark.operators.merge import merge_into_sql
+
+    sql = merge_into_sql("cat.db.dim", "src", "id, ver", ["name", "qty"])
+    assert "MERGE INTO cat.db.dim t" in sql
+    assert "ON t.`id` = s.`id` AND t.`ver` = s.`ver`" in sql
+    assert "t.`name` = s.`name`, t.`qty` = s.`qty`, "
+    assert "t.`update_timestamp` = CURRENT_TIMESTAMP" in sql
+    assert "t.`insert_timestamp` = " not in sql  # preserved on match
+    assert (
+        "INSERT (`id`, `ver`, `name`, `qty`, "
+        "`insert_timestamp`, `update_timestamp`)" in sql
+    )
+    assert sql.rstrip().endswith(
+        "VALUES (s.`id`, s.`ver`, s.`name`, s.`qty`, "
+        "CURRENT_TIMESTAMP, CURRENT_TIMESTAMP)"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pk"):
+        merge_into_sql("t", "s", [], ["a"])
+
+
+def test_merge_into_table_capability_gated(spark):
+    # this image has neither Delta nor Iceberg jars: the capability
+    # probe must say so and the executor must refuse loudly (never a
+    # silent parquet downgrade)
+    import pytest as _pytest
+
+    from bi_utils_spark.operators.merge import (
+        acid_merge_available,
+        merge_into_table,
+    )
+
+    src = spark.createDataFrame([(1, "a")], ["id", "name"])
+    if acid_merge_available(spark):  # pragma: no cover — cluster image
+        _pytest.skip("ACID catalog present; exercised on cluster images")
+    with _pytest.raises(RuntimeError, match="Delta/Iceberg"):
+        merge_into_table(spark, "t", src, "id")
+
+
 def test_decimal_widening_round_trip(spark, tmp_path):
     # VERDICT r3 #8: DECIMAL(12,2) -> (18,4) widen applied to a
     # parquet table in place, data preserved exactly
