@@ -20,8 +20,10 @@ continuous and |distinct| ≈ |corpus| (e.g. per-doc avg_logprob):
    plan as literals — bucket placement only steers parallelism, the
    rank arithmetic is exact for ANY boundaries;
 3. per-bucket cumulative counts run in parallel partitioned windows;
-   cross-bucket offsets come from a broadcast self-join over the
-   ≤ num_buckets bucket totals — no single-partition window anywhere;
+   cross-bucket offsets (and the grand total) come from one bounded
+   driver fetch of the ≤ num_buckets bucket totals, prefix-summed and
+   baked back as a literal map — no unpartitioned window anywhere in
+   the plan;
 4. rows join back on score (AQE picks broadcast when the kept-score
    set is small). Corpus rows are never globally sorted.
 
@@ -57,7 +59,13 @@ def attach_percent_rank(
     rank 0 (the SQL convention)."""
     from pyspark.sql.types import NumericType
 
-    counts = df.groupBy(score_col).agg(F.count("*").alias("__cnt"))
+    # Persisted: three consumers (split-point fetch, bucket-total
+    # fetch, the returned rank plan) would otherwise each re-run the
+    # upstream scoring scan. |distinct scores| rows — corpus-sized
+    # worst case for continuous scores, so MEMORY_AND_DISK (the
+    # default) not memory-only; same persist-intermediates discipline
+    # as the shingle/signature operators.
+    counts = df.groupBy(score_col).agg(F.count("*").alias("__cnt")).persist()
     bounds: list[float] = []
     if isinstance(df.schema[score_col].dataType, NumericType) and num_buckets > 1:
         probs = [i / num_buckets for i in range(1, num_buckets)]
@@ -73,6 +81,10 @@ def attach_percent_rank(
         # count of boundaries strictly below the score: monotone in the
         # score, so bucket order == score order; equal scores (and
         # NULLs, which sort first and land in bucket 0) share a bucket.
+        # The lambda must only ever compare against the score ATTRIBUTE
+        # coming out of the counts aggregate (cheap, per distinct
+        # score) — see the offsets comment below for the optimizer
+        # hazard when a consumer lets the aggregate collapse.
         bucket = F.size(F.filter(barr, lambda x: x < sc))
     else:
         bucket = F.lit(0)
@@ -83,28 +95,43 @@ def attach_percent_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     inner = b.withColumn("__within", F.coalesce(F.sum("__cnt").over(w_in), F.lit(0)))
-    # cross-bucket offsets via a broadcast self-join over the bucket
-    # totals (≤ num_buckets rows) — O(num_buckets²) trivial work that
-    # avoids the one no-partition window the prefix would need.
-    btot = b.groupBy("__bk").agg(F.sum("__cnt").alias("__bt"))
-    lo = btot.select(F.col("__bk").alias("__bk_lo"), F.col("__bt").alias("__bt_lo"))
-    boff = (
-        btot.join(F.broadcast(lo), F.col("__bk_lo") < F.col("__bk"), "left")
-        .groupBy("__bk")
-        .agg(F.coalesce(F.sum("__bt_lo"), F.lit(0)).alias("__boff"))
+    # Cross-bucket offsets and the grand total: ONE bounded driver
+    # fetch of the ≤ num_buckets bucket totals, prefix-summed in
+    # Python and baked back as a literal map — the same bounded-fetch
+    # class as the split points above. A distributed formulation
+    # (self-join or window over the totals) leaves a second corpus
+    # subtree in the plan, and any consumer that needs only __bk lets
+    # column pruning + RemoveRedundantAggregates collapse the counts
+    # aggregate and re-inline the raw score EXPRESSION into the bucket
+    # lambda over the raw scan — re-evaluated per array element per
+    # corpus row, since Catalyst CSE stops at lambda boundaries
+    # (measured 38 s vs 0.7 s at sf0.1 on quality_score). The fetch
+    # derives from `b` (the aggregate is irreducible there: __cnt is
+    # aggregated), never from a keys-only projection.
+    btot_rows = sorted(
+        b.groupBy("__bk").agg(F.sum("__cnt").alias("__bt")).collect(),
+        key=lambda r: r["__bk"],
     )
-    cum = inner.join(F.broadcast(boff), "__bk").select(
-        score_col,
-        (F.col("__boff") + F.col("__within")).alias("__below"),
+    total = sum(r["__bt"] for r in btot_rows)
+    off_map: dict[int, int] = {}
+    off = 0
+    for r in btot_rows:
+        off_map[r["__bk"]] = off
+        off += r["__bt"]
+    if off_map:
+        boff = F.element_at(
+            F.create_map(*[F.lit(x) for kv in off_map.items() for x in kv]),
+            F.col("__bk"),
+        )
+    else:
+        boff = F.lit(0)
+    below = F.coalesce(boff, F.lit(0)) + F.col("__within")
+    pr = (
+        F.lit(0.0)
+        if total <= 1
+        else below.cast("double") / F.lit(float(total - 1))
     )
-    # total as a broadcast one-row aggregate
-    tot = df.agg(F.count("*").alias("__total"))
-    pr = F.when(F.col("__total") <= 1, F.lit(0.0)).otherwise(
-        F.col("__below").cast("double") / (F.col("__total") - 1).cast("double")
-    )
-    ranked = cum.crossJoin(F.broadcast(tot)).select(
-        score_col, pr.alias(out_col)
-    )
+    ranked = inner.select(score_col, pr.alias(out_col))
     return df.join(ranked, score_col)
 
 
