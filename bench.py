@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "q_remove_dup_spans",
     "q_quality_tophalf",
     "q_corpus_report",
+    # r4 additions: hashed NB quality classifier / perceptual-hash
+    # image near-dup
+    "q_nb_classifier",
+    "q_nb_classifier_eval",
+    "q_phash_near_dup",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -2241,6 +2241,72 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_phash_near_dup",
+    """
+    WITH c AS (
+      SELECT doc_id % 50 AS cls, (doc_id // 50) % 3 AS tier
+      FROM documents
+    ),
+    g AS (SELECT cls, count(*) AS n FROM c GROUP BY cls),
+    e AS (SELECT cls, tier, count(*) AS n FROM c GROUP BY cls, tier)
+    SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_images,
+           CAST((SELECT count(DISTINCT cls) FROM c) AS BIGINT) AS n_classes,
+           CAST((SELECT sum(n * (n - 1) // 2) FROM g) AS BIGINT)
+             AS n_near_dup_pairs,
+           CAST(0 AS INTEGER) AS max_hamming,
+           CAST((SELECT sum(n * (n - 1) // 2) FROM e) AS BIGINT)
+             AS n_exact_payload_pairs
+    """,
+)
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup end to end: synthesize a
+    deterministic corpus of real BMPs where id arithmetic defines
+    perceptual classes (same class = same picture under a uniform
+    brightness shift), aHash every image through the real decoder,
+    find pairs via 4-band LSH + exact Hamming verify, and report a
+    summary the oracle recomputes in closed form. The facts the
+    oracle relies on are fixed properties of the synthesis (verified
+    offline and in tests/test_phash.py): aHash is exactly
+    brightness-invariant (pairs within a class have Hamming 0, so
+    max_hamming = 0 and near-dup pairs = same-class pairs — min
+    cross-class Hamming of the 50 base images is 18, far above the
+    threshold of 3), and payloads are injective in (class, tier)
+    (exact pairs = same-(class,tier) pairs)."""
+    from bi_utils_spark.operators.phash import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synthesize_phash_test_images,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_phash_test_images(docs)
+    hashes = perceptual_hashes(media)
+    pairs = phash_near_dup_pairs(hashes, max_hamming=3)
+    n_images = hashes.agg(F.count("*").alias("n_images"))
+    n_classes = media.agg(F.countDistinct("cls").alias("n_classes"))
+    pair_stats = pairs.agg(
+        F.count("*").alias("n_near_dup_pairs"),
+        F.coalesce(F.max("hamming"), F.lit(0)).cast("int").alias("max_hamming"),
+    )
+    exact = (
+        media.groupBy(F.sha2("payload", 256).alias("__h"))
+        .agg(F.count("*").alias("__n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__n") * (F.col("__n") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_exact_payload_pairs")
+        )
+    )
+    return (
+        n_images.crossJoin(F.broadcast(n_classes))
+        .crossJoin(F.broadcast(pair_stats))
+        .crossJoin(F.broadcast(exact))
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2d embedding-cosine dedup: exact keep-list is oracle-checkable; the
 # IVF-celled pair variant and IVF top-k probe are approximate (rows-only;
@@ -3588,6 +3654,121 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# fastText-style hashed linear classifier (operators/classifier.py):
+# NB-log-odds weights over the same md5 bucket space as DSIR, class-prior
+# log-odds, map-only scoring, confusion-matrix eval. pos = lang='en',
+# neg = everything else — a stand-in for "curated vs crawl".
+# ===========================================================================
+
+_NB_CTE = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    fb AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(feat), 1, 13) AS BIGINT) % 4096 AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest(CASE WHEN len(a) <= 1 THEN a
+                          ELSE a || list_transform(
+                                 generate_series(1, len(a) - 1),
+                                 i -> a[i] || ' ' || a[i+1]) END) AS feat
+            FROM t)
+    ),
+    tc AS (SELECT bucket, count(*) AS ct FROM fb WHERE lang = 'en'
+           GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS cr FROM fb WHERE lang <> 'en'
+           GROUP BY bucket),
+    buckets AS (SELECT range AS bucket FROM range(4096)),
+    j AS (SELECT b.bucket, coalesce(tc.ct, 0) AS ct, coalesce(rc.cr, 0) AS cr
+          FROM buckets b LEFT JOIN tc USING (bucket)
+                         LEFT JOIN rc USING (bucket)),
+    consts AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM j),
+    lr AS (SELECT bucket,
+                  CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))
+                              / (CAST(cr + 1 AS DOUBLE) / CAST(tr + 4096 AS DOUBLE)))
+                             * 1e7) AS BIGINT) AS lr_q
+           FROM j, consts),
+    prior AS (SELECT CAST(round(ln(
+                   CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+                   / CAST(count(*) FILTER (WHERE lang <> 'en') AS DOUBLE)) * 1e7)
+                 AS BIGINT) AS prior_q
+              FROM documents),
+    w AS (SELECT fb.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(lr.lr_q) AS BIGINT) AS wq
+          FROM fb JOIN lr USING (bucket)
+          GROUP BY fb.doc_id),
+    scored AS (SELECT w.doc_id, w.n_feats,
+                      CAST(w.wq + prior.prior_q AS DOUBLE) / 1e7 AS logit,
+                      (w.wq + prior.prior_q) > 0 AS label
+               FROM w, prior)
+"""
+
+
+@register(
+    "q_nb_classifier",
+    _NB_CTE + "SELECT doc_id, n_feats, logit, label FROM scored",
+)
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised quality-classifier scoring: NB log-odds weights fit
+    on lang='en' (positive) vs the rest (negative), every document
+    scored map-only against the broadcast 4096-row weight table plus
+    the class-prior log-odds. Exact fixed-point logits, so the whole
+    train-and-apply pipeline hash-matches the oracle."""
+    from bi_utils_spark.operators.classifier import (
+        class_prior,
+        classifier_scores,
+        fit_nb_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang") != "en")
+    w = fit_nb_weights(pos, neg)
+    return classifier_scores(docs, w, prior=class_prior(pos, neg))
+
+
+@register(
+    "q_nb_classifier_eval",
+    _NB_CTE
+    + r"""
+    SELECT CAST(sum(CASE WHEN d.lang = 'en' AND s.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN d.lang <> 'en' AND s.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN d.lang = 'en' AND NOT s.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN d.lang <> 'en' AND NOT s.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN (d.lang = 'en') = s.label THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS accuracy
+    FROM scored s JOIN documents d USING (doc_id)
+    """,
+)
+def q_nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NB classifier against the true language
+    labels — the held-out-evaluation step of the quality-filter loop
+    (here evaluated in-sample; the split machinery is splits.py's).
+    One scoring pass + one aggregate."""
+    from bi_utils_spark.operators.classifier import (
+        class_prior,
+        classifier_confusion,
+        classifier_scores,
+        fit_nb_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang") != "en")
+    w = fit_nb_weights(pos, neg)
+    scored = classifier_scores(docs, w, prior=class_prior(pos, neg))
+    truth = docs.select("doc_id", (F.col("lang") == "en").alias("__truth"))
+    return classifier_confusion(scored.join(truth, "doc_id"), "__truth")
+
+
+# ===========================================================================
 # Zipf diagnostics (operators/lm.py): term rank table and head coverage —
 # sizes tokenizer vocabularies from the model table, never the stream.
 # ===========================================================================
@@ -4228,18 +4409,23 @@ _PROMOTED: list[str] = [
     "q_bigram_logprob",
     "q_dedup_exact",
     "q_emb_dedup_exact",
-    # tier 2: last official row is r1 — 3 rounds stale, all refresh
+    # new surface this round (first-ever rows) + the DSIR pair whose
+    # bucket_logratio densification gained broadcast hints
+    "q_nb_classifier",
+    "q_nb_classifier_eval",
+    "q_phash_near_dup",
+    "q_importance_weights",
+    "q_importance_sample",
+    # tier 2: last official row is r1 — 3 rounds stale, refresh (the
+    # 5 slots yielded to the new surface — q_hash_split, q_det_sample,
+    # q_cosine_pairs, q_rollup_flags, q_pivot_events — are r1-green
+    # with unchanged implementations; they rotate in r5)
     "q_clean_text",
-    "q_hash_split",
-    "q_det_sample",
-    "q_cosine_pairs",
     "q_emb_label_stats",
     "q_shipping_priority",
     "q_revenue_by_nation",
     "q_top_suppliers",
     "q_sql_script",
-    "q_rollup_flags",
-    "q_pivot_events",
     # tier 3: last official row is r2 — refresh (29 of 41; the 12
     # untouched TPC-H-family r2 queries q_forecast_revenue /
     # q_returned_items / q_large_orders / q_promo_share / q_cube_flags

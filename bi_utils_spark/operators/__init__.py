@@ -9,4 +9,8 @@ Submodules:
 - ``similarity``   : cosine top-k, LSH ANN over embedding columns
 - ``textstats``    : token counts, language-ID, quality scores
 - ``multimodal``   : binary media columns with typed metadata
+- ``classifier``   : hashed NB linear text classifier (quality gate)
+- ``phash``        : perceptual-hash image near-dup (aHash + LSH)
+(plus the LLM-pipeline tier: chunking, ranking, lm, importance,
+mixing, filtering, decontam, packing, splits, graph, export, events)
 """

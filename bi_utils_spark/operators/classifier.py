@@ -1,0 +1,147 @@
+"""Hashed-n-gram linear text classifier — the fastText-style quality
+filter used to gate web-scale pretraining corpora (train a cheap
+linear model on a curated positive set vs a random crawl sample, keep
+documents the model scores as positive).
+
+Construction is the public Naive-Bayes-log-odds recipe (the linear
+baseline of Wang & Manning 2012 "Baselines and Bigrams"; the same
+bag-of-hashed-ngrams representation as fastText, Joulin et al. 2016):
+
+1. features: unigram + bigram occurrences hashed into a FIXED bucket
+   space (operators/importance.py::hashed_feature_rows — md5-based,
+   engine-portable);
+2. per-bucket weight  w_b = ln p(b | pos) − ln p(b | neg)  with
+   add-one smoothing over the bucket space (exactly
+   importance.bucket_logratio — DSIR's log-ratio IS the NB weight
+   vector when the two corpora are the class conditionals);
+3. document logit = class-prior log-odds + Σ_occurrences w_bucket;
+   label = logit > 0.
+
+Scale shape: FIT is two feature-count aggregations whose shuffle key
+space is ``num_buckets`` (4096) rows regardless of corpus size;
+SCORING is one map-only pass — the weight table always broadcasts, so
+a 100 TB corpus is classified without any vocab-sized shuffle. This
+is why hashing matters: a real vocabulary (10⁸⁺ terms) would turn
+every scoring run into a shuffle join.
+
+Engine-portability: weights are 1e-7 fixed-point BIGINTs summed
+exactly (operators/lm.py discipline), so logits are bit-identical in
+Spark and the DuckDB oracle.
+
+No reference counterpart; north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.importance import (
+    _Q,
+    bucket_logratio,
+    hashed_feature_rows,
+)
+
+
+def fit_nb_weights(
+    pos_df: DataFrame,
+    neg_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """(bucket, lr_q) Naive-Bayes log-odds weight table over ALL
+    ``num_buckets`` buckets — ln((c⁺_b+1)/(T⁺+B)) − ln((c⁻_b+1)/
+    (T⁻+B)), 1e-7-quantized. Delegates to
+    :func:`importance.bucket_logratio` (same math, classifier
+    framing): pos/neg each scanned once, output is B rows —
+    broadcast-sized at any corpus scale."""
+    return bucket_logratio(pos_df, neg_df, id_col, text_col, num_buckets)
+
+
+def class_prior(pos_df: DataFrame, neg_df: DataFrame) -> DataFrame:
+    """One-row (prior_q,) class-prior log-odds ln(N⁺/N⁻), quantized.
+    Two count aggregates; broadcast into scoring."""
+    np_ = pos_df.agg(F.count("*").alias("__np"))
+    nn = neg_df.agg(F.count("*").alias("__nn"))
+    return (
+        np_.crossJoin(nn)
+        .select(
+            F.round(
+                F.log(F.col("__np").cast("double") / F.col("__nn").cast("double"))
+                * F.lit(_Q)
+            )
+            .cast("long")
+            .alias("prior_q")
+        )
+    )
+
+
+def classifier_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """(id, n_feats, logit, label) — score every document with the
+    fitted weight table. One map-only pass over the hashed feature
+    stream (the ``num_buckets``-row weight table is forced broadcast),
+    one groupBy(id) with map-side partials, then the optional one-row
+    ``prior`` broadcast. logit is exact fixed-point; ``label`` is the
+    sign decision (logit > 0)."""
+    feats = hashed_feature_rows(df, id_col, text_col, num_buckets)
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_feats"), F.sum("lr_q").alias("__wq"))
+    )
+    if prior is not None:
+        scored = scored.crossJoin(F.broadcast(prior)).withColumn(
+            "__wq", F.col("__wq") + F.col("prior_q")
+        )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_feats",
+        (F.col("__wq").cast("double") / F.lit(_Q)).alias("logit"),
+        (F.col("__wq") > 0).alias("label"),
+    )
+
+
+def filter_by_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Keep documents whose classifier logit exceeds ``threshold`` —
+    the corpus-gating form. Input columns pass through; the scoring
+    join keys on id only (scoring never re-reads the text twice)."""
+    kept = (
+        classifier_scores(df, weights, prior, id_col, text_col, num_buckets)
+        .filter(F.col("logit") > threshold)
+        .select(id_col)
+    )
+    return df.join(kept, id_col, "left_semi")
+
+
+def classifier_confusion(
+    scored: DataFrame, truth_col: str, label_col: str = "label"
+) -> DataFrame:
+    """One-row confusion summary (tp, fp, fn, tn, accuracy) of
+    predicted ``label_col`` against boolean ``truth_col`` — the
+    held-out evaluation step. A single aggregate pass; NULL truth
+    rows are excluded (count toward neither class)."""
+    t = F.col(truth_col)
+    p = F.col(label_col)
+    return scored.filter(t.isNotNull()).agg(
+        F.sum((t & p).cast("long")).alias("tp"),
+        F.sum((~t & p).cast("long")).alias("fp"),
+        F.sum((t & ~p).cast("long")).alias("fn"),
+        F.sum((~t & ~p).cast("long")).alias("tn"),
+        (F.sum((t == p).cast("long")) / F.count("*")).alias("accuracy"),
+    )

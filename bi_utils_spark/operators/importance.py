@@ -124,8 +124,10 @@ def bucket_logratio(
         F.col("id").cast("long").alias("bucket")
     )
     joined = (
-        all_buckets.join(tc, "bucket", "left")
-        .join(rc, "bucket", "left")
+        # the count tables are <= num_buckets rows by construction —
+        # broadcast them so densification never sort-merge-joins
+        all_buckets.join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(rc), "bucket", "left")
         .select(
             "bucket",
             F.coalesce("ct", F.lit(0)).alias("ct"),

@@ -232,6 +232,38 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse an uncompressed 24-bit BMP → (width, height, luma) with
+    luma[y*width + x] = r+g+b for the TOP-DOWN pixel order (the
+    storage order is bottom-up; this undoes it). Same validation as
+    :func:`decode_bmp`; the per-pixel form exists for perceptual
+    hashing (operators/phash.py)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    if len(payload) < data_offset + stride * height:
+        raise ValueError("truncated BMP payload")
+    luma: list[int] = []
+    for y in range(height):
+        stored_row = height - 1 - y if bottom_up else y
+        off = data_offset + stored_row * stride
+        row = payload[off : off + row_bytes]
+        luma.extend(
+            row[i] + row[i + 1] + row[i + 2] for i in range(0, row_bytes, 3)
+        )
+    return width, height, luma
+
+
 def encode_wav(samples: list[int], sample_rate: int, num_channels: int = 1) -> bytes:
     """Write a 16-bit little-endian PCM WAV (RIFF/WAVE, fmt + data)."""
     pcm = struct.pack(f"<{len(samples)}h", *samples)

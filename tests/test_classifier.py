@@ -1,0 +1,100 @@
+"""operators/classifier.py — hashed NB linear classifier."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.classifier import (
+    class_prior,
+    classifier_confusion,
+    classifier_scores,
+    filter_by_classifier,
+    fit_nb_weights,
+)
+
+
+def _toy(spark):
+    pos = spark.createDataFrame(
+        [(1, "good clean prose here"), (2, "good solid prose text")],
+        ["doc_id", "text"],
+    )
+    neg = spark.createDataFrame(
+        [(3, "spam spam buy now"), (4, "buy spam click spam")],
+        ["doc_id", "text"],
+    )
+    return pos, neg
+
+
+def test_scores_separate_classes(spark):
+    pos, neg = _toy(spark)
+    w = fit_nb_weights(pos, neg, num_buckets=64)
+    scored = classifier_scores(
+        pos.union(neg), w, num_buckets=64
+    ).collect()
+    by_id = {r["doc_id"]: r for r in scored}
+    # training docs must score on their own side of the boundary
+    assert by_id[1]["logit"] > 0 and by_id[2]["logit"] > 0
+    assert by_id[3]["logit"] < 0 and by_id[4]["logit"] < 0
+    assert by_id[1]["label"] and not by_id[3]["label"]
+    # n_feats = unigrams + bigrams = 4 + 3 occurrences
+    assert by_id[1]["n_feats"] == 7
+
+
+def test_class_prior_logodds(spark):
+    pos, neg = _toy(spark)
+    one = class_prior(pos, neg).first()["prior_q"]
+    assert one == 0  # equal class sizes -> ln(1) = 0
+    skew = class_prior(pos.union(neg), neg).first()["prior_q"]
+    assert skew == round(math.log(2.0) * 1e7)
+
+
+def test_prior_shifts_logit(spark):
+    pos, neg = _toy(spark)
+    w = fit_nb_weights(pos, neg, num_buckets=64)
+    base = classifier_scores(pos, w, num_buckets=64)
+    shifted = classifier_scores(
+        pos, w, prior=class_prior(pos.union(pos), neg), num_buckets=64
+    )
+    b = {r["doc_id"]: r["logit"] for r in base.collect()}
+    s = {r["doc_id"]: r["logit"] for r in shifted.collect()}
+    for k in b:
+        assert abs(s[k] - (b[k] + math.log(2.0))) < 1e-6
+
+
+def test_filter_by_classifier_passthrough(spark):
+    pos, neg = _toy(spark)
+    w = fit_nb_weights(pos, neg, num_buckets=64)
+    kept = filter_by_classifier(pos.union(neg), w, num_buckets=64)
+    assert kept.columns == ["doc_id", "text"]
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2]
+
+
+def test_confusion_counts_and_null_truth(spark):
+    df = spark.createDataFrame(
+        [
+            (True, True),  # tp
+            (True, False),  # fn
+            (False, True),  # fp
+            (False, False),  # tn
+            (False, False),  # tn
+            (None, True),  # excluded
+        ],
+        "truth boolean, label boolean",
+    )
+    row = classifier_confusion(df, "truth").first()
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (1, 1, 1, 2)
+    assert abs(row["accuracy"] - 3 / 5) < 1e-12
+
+
+def test_scoring_is_broadcast_map_only(spark):
+    # the weight join must be a broadcast: no shuffle of the feature
+    # stream by bucket
+    pos, neg = _toy(spark)
+    w = fit_nb_weights(pos, neg, num_buckets=64)
+    plan = classifier_scores(
+        pos.union(neg), w, num_buckets=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
