@@ -3618,12 +3618,12 @@ _DSIR_CTE = r"""
 )
 def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.importance import (
-        bucket_logratio,
+        bucket_logratio_labeled,
         importance_weights,
     )
 
     docs = load(spark, sf_dir, "documents")
-    lr = bucket_logratio(docs.filter(F.col("lang") == "en"), docs)
+    lr = bucket_logratio_labeled(docs, F.col("lang") == "en")
     return importance_weights(docs, lr)
 
 
@@ -3643,13 +3643,13 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.importance import (
-        bucket_logratio,
+        bucket_logratio_labeled,
         importance_resample,
         importance_weights,
     )
 
     docs = load(spark, sf_dir, "documents")
-    lr = bucket_logratio(docs.filter(F.col("lang") == "en"), docs)
+    lr = bucket_logratio_labeled(docs, F.col("lang") == "en")
     return importance_resample(importance_weights(docs, lr), k=100)
 
 
@@ -3720,13 +3720,13 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.classifier import (
         class_prior,
         classifier_scores,
-        fit_nb_weights,
+        fit_nb_weights_labeled,
     )
 
     docs = load(spark, sf_dir, "documents")
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") != "en")
-    w = fit_nb_weights(pos, neg)
+    w = fit_nb_weights_labeled(docs, F.col("lang") == "en")
     return classifier_scores(docs, w, prior=class_prior(pos, neg))
 
 
@@ -3756,13 +3756,13 @@ def q_nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         class_prior,
         classifier_confusion,
         classifier_scores,
-        fit_nb_weights,
+        fit_nb_weights_labeled,
     )
 
     docs = load(spark, sf_dir, "documents")
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") != "en")
-    w = fit_nb_weights(pos, neg)
+    w = fit_nb_weights_labeled(docs, F.col("lang") == "en")
     scored = classifier_scores(docs, w, prior=class_prior(pos, neg))
     truth = docs.select("doc_id", (F.col("lang") == "en").alias("__truth"))
     return classifier_confusion(scored.join(truth, "doc_id"), "__truth")

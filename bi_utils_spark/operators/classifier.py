@@ -33,12 +33,13 @@ No reference counterpart; north-star LLM-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bi_utils_spark.operators.importance import (
     _Q,
     bucket_logratio,
+    bucket_logratio_labeled,
     hashed_feature_rows,
 )
 
@@ -55,8 +56,28 @@ def fit_nb_weights(
     (T⁻+B)), 1e-7-quantized. Delegates to
     :func:`importance.bucket_logratio` (same math, classifier
     framing): pos/neg each scanned once, output is B rows —
-    broadcast-sized at any corpus scale."""
+    broadcast-sized at any corpus scale. When both classes live in
+    one frame, prefer :func:`fit_nb_weights_labeled` (single corpus
+    pass)."""
     return bucket_logratio(pos_df, neg_df, id_col, text_col, num_buckets)
+
+
+def fit_nb_weights_labeled(
+    df: DataFrame,
+    pos_cond: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """One-pass fit over a single labeled frame: rows matching
+    ``pos_cond`` are the positive class, the rest negative. Identical
+    weights to :func:`fit_nb_weights` on the two filtered halves, but
+    the corpus feature stream is scanned once with conditional
+    aggregation (importance.bucket_logratio_labeled) — the form to
+    use at 100 TB."""
+    return bucket_logratio_labeled(
+        df, pos_cond, ~pos_cond, id_col, text_col, num_buckets
+    )
 
 
 def class_prior(pos_df: DataFrame, neg_df: DataFrame) -> DataFrame:

@@ -98,3 +98,15 @@ def test_scoring_is_broadcast_map_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_labeled_fit_matches_two_frame(spark):
+    from bi_utils_spark.operators.classifier import fit_nb_weights_labeled
+
+    pos, neg = _toy(spark)
+    both = pos.withColumn("y", F.lit(True)).union(
+        neg.withColumn("y", F.lit(False))
+    )
+    two = fit_nb_weights(pos, neg, num_buckets=64)
+    one = fit_nb_weights_labeled(both, F.col("y"), num_buckets=64)
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))

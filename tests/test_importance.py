@@ -167,3 +167,36 @@ def test_weights_plan_is_broadcast_and_single_agg_exchange(spark, sf_dir):
     kinds = join_kinds(w)
     assert any("BroadcastHashJoin" in j for j in kinds)
     assert not any("SortMergeJoin" in j for j in kinds)
+
+
+def test_labeled_logratio_matches_two_frame(spark):
+    from bi_utils_spark.operators.importance import (
+        bucket_logratio,
+        bucket_logratio_labeled,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "beta beta delta", "en"),
+            (3, "uno dos tres", "es"),
+            (4, "dos dos cuatro", "es"),
+            (5, "alpha dos", None),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    # DSIR convention: target subset of raw=all
+    two = bucket_logratio(df.filter(F.col("lang") == "en"), df, num_buckets=64)
+    one = bucket_logratio_labeled(df, F.col("lang") == "en", num_buckets=64)
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+    # disjoint classes: NULL lang rows count toward neither side
+    two_d = bucket_logratio(
+        df.filter(F.col("lang") == "en"),
+        df.filter(F.col("lang") != "en"),
+        num_buckets=64,
+    )
+    one_d = bucket_logratio_labeled(
+        df, F.col("lang") == "en", F.col("lang") != "en", num_buckets=64
+    )
+    assert sorted(map(tuple, two_d.collect())) == sorted(map(tuple, one_d.collect()))
