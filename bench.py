@@ -83,10 +83,11 @@ BENCH_QUERIES = [
     "q_quality_tophalf",
     "q_corpus_report",
     # r4 additions: hashed NB quality classifier / perceptual-hash
-    # image near-dup
+    # image near-dup / exact-arithmetic k-means
     "q_nb_classifier",
     "q_nb_classifier_eval",
     "q_phash_near_dup",
+    "q_kmeans_clusters",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -1564,6 +1564,83 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kmeans_clusters",
+    """
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    edq AS (
+      SELECT vec_id, dim,
+             CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT) AS xq,
+             CAST(x AS DOUBLE) AS xd
+      FROM (SELECT vec_id,
+                   UNNEST(range(1, len(v)+1)) AS dim,
+                   UNNEST(v) AS x
+            FROM e)
+    ),
+    seed AS (SELECT vec_id,
+                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                      AS c
+             FROM e ORDER BY vec_id LIMIT 8),
+    cd0 AS (SELECT s.c, edq.dim, CAST(edq.xq AS DOUBLE) / 1e7 AS cx
+            FROM seed s JOIN edq USING (vec_id)),
+    d1 AS (SELECT edq.vec_id, cd0.c,
+                  sum(CAST(round((edq.xd - cd0.cx) * 1e7) AS BIGINT)
+                      * CAST(round((edq.xd - cd0.cx) * 1e7) AS BIGINT)) AS d2
+           FROM edq JOIN cd0 USING (dim) GROUP BY edq.vec_id, cd0.c),
+    a1 AS (SELECT vec_id, c FROM (
+             SELECT vec_id, c,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c)
+                      AS rn
+             FROM d1) WHERE rn = 1),
+    u1 AS (SELECT a1.c, edq.dim,
+                  round(CAST(sum(edq.xq) AS DOUBLE) / count(*)) / 1e7 AS cx
+           FROM a1 JOIN edq USING (vec_id) GROUP BY a1.c, edq.dim),
+    c1 AS (SELECT cd0.c, cd0.dim, coalesce(u1.cx, cd0.cx) AS cx
+           FROM cd0 LEFT JOIN u1 ON u1.c = cd0.c AND u1.dim = cd0.dim),
+    d2_ AS (SELECT edq.vec_id, c1.c,
+                   sum(CAST(round((edq.xd - c1.cx) * 1e7) AS BIGINT)
+                       * CAST(round((edq.xd - c1.cx) * 1e7) AS BIGINT)) AS d2
+            FROM edq JOIN c1 USING (dim) GROUP BY edq.vec_id, c1.c),
+    a2 AS (SELECT vec_id, c FROM (
+             SELECT vec_id, c,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c)
+                      AS rn
+             FROM d2_) WHERE rn = 1),
+    u2 AS (SELECT a2.c, edq.dim,
+                  round(CAST(sum(edq.xq) AS DOUBLE) / count(*)) / 1e7 AS cx
+           FROM a2 JOIN edq USING (vec_id) GROUP BY a2.c, edq.dim),
+    c2 AS (SELECT c1.c, c1.dim, coalesce(u2.cx, c1.cx) AS cx
+           FROM c1 LEFT JOIN u2 ON u2.c = c1.c AND u2.dim = c1.dim),
+    d3 AS (SELECT edq.vec_id, c2.c,
+                  sum(CAST(round((edq.xd - c2.cx) * 1e7) AS BIGINT)
+                      * CAST(round((edq.xd - c2.cx) * 1e7) AS BIGINT)) AS d2
+           FROM edq JOIN c2 USING (dim) GROUP BY edq.vec_id, c2.c),
+    fin AS (SELECT vec_id, c, d2 FROM (
+              SELECT vec_id, c, d2,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, c)
+                       AS rn
+              FROM d3) WHERE rn = 1)
+    SELECT CAST(c AS INTEGER) AS cluster,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(d2 AS HUGEINT)) AS DOUBLE) / 1e14 AS inertia
+    FROM fin GROUP BY c
+    """,
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 update steps from the
+    deterministic smallest-id seed) over the embeddings table —
+    cluster sizes and exact inertia. The whole iteration runs in
+    engine-exact fixed-point (pre-quantized residuals, BIGINT
+    distance sums, quantized centroid updates), so the oracle can
+    replay both Lloyd steps in SQL and hash-match the result — an
+    iterative clustering algorithm held to the same bit-exact
+    standard as the relational tier."""
+    from bi_utils_spark.operators.clustering import kmeans_summary
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_summary(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+@register(
     "q_centroids_by_label",
     """
     SELECT label, dim,
@@ -4414,6 +4491,7 @@ _PROMOTED: list[str] = [
     "q_nb_classifier",
     "q_nb_classifier_eval",
     "q_phash_near_dup",
+    "q_kmeans_clusters",
     "q_importance_weights",
     "q_importance_sample",
     # tier 2: last official row is r1 — 3 rounds stale, refresh (the
@@ -4461,7 +4539,10 @@ _PROMOTED: list[str] = [
     "q_media_stats",
     "q_media_features",
     "q_repetition_stats",
-    "q_pack_conservation",
+    # (q_pack_conservation yields its slot to q_kmeans_clusters —
+    # packing.py is r2-green and unchanged, and the module keeps an
+    # in-window row via the new q_pack_sequences bound-check oracle;
+    # rotates in r5)
 ]
 
 

@@ -1,0 +1,171 @@
+"""Distributed k-means over embedding columns — Lloyd's algorithm in
+the shape Spark wants it: centroids are k·d driver state baked into
+the plan as literals, assignment is a map-only pass, the update step
+is one groupBy((cluster, dim)) with map-side combine. Used for topic
+balancing / corpus diagnostics ("how many docs per semantic cluster")
+and as the trainer behind IVF-style partitioning.
+
+Scale shape per iteration: ONE corpus pass, shuffle rows = k·d
+partial sums (tiny at any corpus size), driver state = k·d doubles.
+No point ever joins against another point; the corpus is never
+collected. This is the same discipline as similarity.kmeans_centroids
+/ pq_train, but iterated exactly and ORACLE-CHECKABLE:
+
+Engine-exact arithmetic (the lm.py/importance.py fixed-point
+discipline, extended to geometry):
+
+- initial centroids are the vectors of the k smallest ids, quantized
+  to the 1e-7 grid;
+- squared distance is computed on PRE-QUANTIZED residuals:
+  d² = Σ_dims round((x_i − c_i)·1e7)² as exact BIGINTs — the argmin
+  (ties → lowest cluster index) is therefore identical in Spark,
+  DuckDB and Python, with no float-accumulation-order anywhere;
+- the update step averages exact fixed-point sums
+  (c_i ← round(Σ round(x_i·1e7) / n) / 1e7), so the next round's
+  literals are bit-identical across engines; empty clusters keep
+  their previous centroid.
+
+Bounds: |x| ≤ ~400 keeps q² · d · n within BIGINT for any corpus
+slice a cluster can hold (inertia aggregates through DECIMAL(38,0));
+embeddings are unit-scale in practice.
+
+No reference counterpart; north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_Q = 1e7
+
+
+def _round_half_away(x: float) -> int:
+    """round-half-away-from-zero — matches Spark's HALF_UP and DuckDB's
+    round() (Python's built-in round is banker's and would diverge)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _quantize(v: list[float]) -> list[float]:
+    return [_round_half_away(float(x) * _Q) / _Q for x in v]
+
+
+def _dist2_cols(vec_col, centroids: list[list[float]]):
+    """One exact fixed-point squared-distance Column per centroid."""
+    out = []
+    for cent in centroids:
+        carr = F.array(*[F.lit(float(c)) for c in cent])
+        q = F.zip_with(
+            vec_col,
+            carr,
+            lambda x, c: F.round((x.cast("double") - c) * F.lit(_Q)).cast("long"),
+        )
+        out.append(
+            F.aggregate(q, F.lit(0).cast("long"), lambda acc, e: acc + e * e)
+        )
+    return out
+
+
+def kmeans_init(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[list[float]]:
+    """Deterministic seed: the vectors of the ``k`` smallest ids,
+    1e-7-quantized. A TakeOrdered of k rows — bounded driver fetch."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    return [_quantize(list(r[vec_col])) for r in rows]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, d2q) — nearest centroid per row, map-only.
+    ``d2q`` is the exact fixed-point squared distance (units 1e-14);
+    ties resolve to the lowest cluster index (array_position takes the
+    first match)."""
+    dists = F.array(*_dist2_cols(F.col(vec_col), centroids))
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min(dists).alias("d2q"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Run ``iters`` Lloyd update steps from the deterministic seed
+    and return the final centroids. Each iteration: one map-only
+    assignment pass + one (cluster, dim) aggregate whose shuffle is
+    k·d rows; the k·d partial-sum table is the only driver fetch."""
+    cents = kmeans_init(df, id_col, vec_col, k)
+    dim = len(cents[0]) if cents else 0
+    for _ in range(iters):
+        assigned = kmeans_assign(df, cents, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * F.lit(_Q)).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (r["s"], r["n"])
+        nxt = []
+        for c, old in enumerate(cents):
+            if c in by_cluster:
+                nxt.append(
+                    [
+                        _round_half_away(by_cluster[c][d][0] / by_cluster[c][d][1])
+                        / _Q
+                        for d in range(dim)
+                    ]
+                )
+            else:
+                # empty cluster: keep its previous centroid
+                nxt.append(old)
+        cents = nxt
+    return cents
+
+
+def kmeans_summary(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """(cluster, n, inertia) after ``iters`` Lloyd steps — cluster
+    sizes and the exact per-cluster inertia (Σ d², de-quantized).
+    The inertia sum runs through DECIMAL(38,0) so accumulation order
+    cannot flip bits on either engine."""
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    assigned = kmeans_assign(df, cents, id_col, vec_col)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("d2q").cast("decimal(38,0)")).cast("double")
+                / F.lit(_Q * _Q)
+            ).alias("inertia"),
+        )
+    )
