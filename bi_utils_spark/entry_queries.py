@@ -2384,6 +2384,49 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_phash_dedup_clusters",
+    """
+    WITH c AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id % 50 AS cls
+      FROM documents
+    )
+    SELECT min(media_id) AS canonical,
+           CAST(count(*) AS BIGINT) AS size
+    FROM c
+    GROUP BY cls
+    HAVING count(*) >= 2
+    ORDER BY canonical
+    """,
+)
+def q_phash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup end to end: perceptual hashes → banded near-dup
+    pairs → connected components (graph.py, same size-tiered engine
+    as the text clusters) → per-cluster canonical (min id) and size.
+    The oracle's ground truth is the synthesis arithmetic: clusters
+    are exactly the perceptual classes with ≥ 2 members (within-class
+    Hamming is 0, min cross-class Hamming is 18 — no spurious edges),
+    and the component representative is the lexicographic min of the
+    string media ids."""
+    from bi_utils_spark.operators.graph import connected_components
+    from bi_utils_spark.operators.phash import (
+        perceptual_hashes,
+        phash_near_dup_pairs,
+        synthesize_phash_test_images,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_phash_test_images(docs)
+    pairs = phash_near_dup_pairs(perceptual_hashes(media), max_hamming=3)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .select(F.col("component").alias("canonical"), "size")
+        .orderBy("canonical")
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2d embedding-cosine dedup: exact keep-list is oracle-checkable; the
 # IVF-celled pair variant and IVF top-k probe are approximate (rows-only;
@@ -4491,6 +4534,7 @@ _PROMOTED: list[str] = [
     "q_nb_classifier",
     "q_nb_classifier_eval",
     "q_phash_near_dup",
+    "q_phash_dedup_clusters",
     "q_kmeans_clusters",
     "q_importance_weights",
     "q_importance_sample",
@@ -4536,10 +4580,12 @@ _PROMOTED: list[str] = [
     "q_doc_stats_by_lang",
     "q_asof_click_before_purchase",
     "q_range_clicks_before_error",
-    "q_media_stats",
     "q_media_features",
     "q_repetition_stats",
-    # (q_pack_conservation yields its slot to q_kmeans_clusters —
+    # (q_media_stats yields its slot to q_phash_dedup_clusters — it is
+    # r2-green and unchanged, and the BMP codec layer keeps fresher
+    # in-window coverage through the two q_phash_* rows; rotates r5.
+    # q_pack_conservation yields its slot to q_kmeans_clusters —
     # packing.py is r2-green and unchanged, and the module keeps an
     # in-window row via the new q_pack_sequences bound-check oracle;
     # rotates in r5)
