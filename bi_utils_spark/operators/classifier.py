@@ -166,3 +166,25 @@ def classifier_confusion(
         F.sum((~t & ~p).cast("long")).alias("tn"),
         (F.sum((t == p).cast("long")) / F.count("*")).alias("accuracy"),
     )
+
+
+def classifier_metrics(
+    scored: DataFrame, truth_col: str, label_col: str = "label"
+) -> DataFrame:
+    """One-row (tp, fp, fn, tn, accuracy, precision, recall, f1) —
+    :func:`classifier_confusion` plus the derived rates. Degenerate
+    denominators (no predicted / no actual positives) yield NULL
+    rather than a fake 0.0."""
+    c = classifier_confusion(scored, truth_col, label_col)
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(tp + fn > 0, tp / (tp + fn))
+    return c.select(
+        "*",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            precision.isNotNull() & recall.isNotNull() & (precision + recall > 0),
+            2 * precision * recall / (precision + recall),
+        ).alias("f1"),
+    )

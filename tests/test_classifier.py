@@ -110,3 +110,21 @@ def test_labeled_fit_matches_two_frame(spark):
     two = fit_nb_weights(pos, neg, num_buckets=64)
     one = fit_nb_weights_labeled(both, F.col("y"), num_buckets=64)
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_classifier_metrics_rates(spark):
+    from bi_utils_spark.operators.classifier import classifier_metrics
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (False, True), (False, False)],
+        "truth boolean, label boolean",
+    )
+    r = classifier_metrics(df, "truth").first()
+    assert r["precision"] == 0.5 and r["recall"] == 0.5 and r["f1"] == 0.5
+    # degenerate: nothing predicted positive -> precision NULL, f1 NULL
+    neg = spark.createDataFrame(
+        [(True, False), (False, False)], "truth boolean, label boolean"
+    )
+    r2 = classifier_metrics(neg, "truth").first()
+    assert r2["precision"] is None and r2["f1"] is None
+    assert r2["recall"] == 0.0
