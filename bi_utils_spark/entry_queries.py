@@ -1563,9 +1563,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_kmeans_clusters",
-    """
+# Shared oracle CTE: two exact-fixed-point Lloyd steps from the
+# smallest-id seed (k=8), ending in fin(vec_id, c, d2) — the final
+# assignment. Composable: q_kmeans_clusters aggregates it,
+# q_cluster_balanced_sample windows over it.
+_KMEANS_CTE = """
     WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
     edq AS (
       SELECT vec_id, dim,
@@ -1619,6 +1621,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c)
                        AS rn
               FROM d3) WHERE rn = 1)
+"""
+
+
+@register(
+    "q_kmeans_clusters",
+    _KMEANS_CTE
+    + """
     SELECT CAST(c AS INTEGER) AS cluster,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(d2 AS HUGEINT)) AS DOUBLE) / 1e14 AS inertia
@@ -1638,6 +1647,35 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return kmeans_summary(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+@register(
+    "q_cluster_balanced_sample",
+    _KMEANS_CTE
+    + """
+    SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM (
+      SELECT vec_id, c,
+             row_number() OVER (
+               PARTITION BY c
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || 'bal'), vec_id)
+               AS rn
+      FROM fin) WHERE rn <= 25
+    """,
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced subset: ≤ 25 vectors per k-means cluster, chosen
+    by smallest md5(id‖salt) — the cluster-quota curation move ("equal
+    representation per semantic topic"). The Spark side ranks in two
+    levels (per-(cluster, hash-prefix) then per-cluster over ≤ 256·cap
+    survivors — no cluster-sized single-task sort); the oracle's
+    one-level window over the shared k-means CTE proves the two-level
+    result identical."""
+    from bi_utils_spark.operators.clustering import cluster_balanced_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, "vec_id", "embedding", k=8, iters=2, cap=25
+    )
 
 
 @register(
@@ -4536,6 +4574,7 @@ _PROMOTED: list[str] = [
     "q_phash_near_dup",
     "q_phash_dedup_clusters",
     "q_kmeans_clusters",
+    "q_cluster_balanced_sample",
     "q_importance_weights",
     "q_importance_sample",
     # tier 2: last official row is r1 — 3 rounds stale, refresh (the
@@ -4580,11 +4619,11 @@ _PROMOTED: list[str] = [
     "q_doc_stats_by_lang",
     "q_asof_click_before_purchase",
     "q_range_clicks_before_error",
-    "q_media_features",
     "q_repetition_stats",
-    # (q_media_stats yields its slot to q_phash_dedup_clusters — it is
-    # r2-green and unchanged, and the BMP codec layer keeps fresher
-    # in-window coverage through the two q_phash_* rows; rotates r5.
+    # (q_media_stats and q_media_features yield slots to
+    # q_phash_dedup_clusters / q_cluster_balanced_sample — both are
+    # r2-green and unchanged, and the codec layer keeps fresher
+    # in-window coverage through the q_phash_* rows; rotate r5.
     # q_pack_conservation yields its slot to q_kmeans_clusters —
     # packing.py is r2-green and unchanged, and the module keeps an
     # in-window row via the new q_pack_sequences bound-check oracle;

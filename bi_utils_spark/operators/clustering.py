@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _Q = 1e7
@@ -144,6 +144,47 @@ def kmeans_fit(
                 nxt.append(old)
         cents = nxt
     return cents
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    cap: int = 25,
+    salt: str = "bal",
+    bucket_hex_chars: int = 2,
+) -> DataFrame:
+    """(id, cluster) — a topic-balanced subset: at most ``cap`` rows
+    per k-means cluster, chosen as the cluster's ``cap`` smallest
+    md5(id‖salt) hashes (the splits.py portable-hash discipline —
+    deterministic, repartition-stable, oracle-checkable).
+
+    Per-group top-k without a per-cluster global sort: stage 1 ranks
+    within (cluster, hash-prefix sub-bucket) — tasks sort
+    ~n/(k·256) rows; survivors are ≤ 256·cap per cluster, and
+    stage 2 re-ranks those to the exact global per-cluster top-cap
+    (any global top-cap row is also in its sub-bucket's top cap, so
+    the two-level result is identical to the one-level one —
+    asserted in tests)."""
+    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    assigned = kmeans_assign(df, cents, id_col, vec_col).select(id_col, "cluster")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    staged = (
+        assigned.withColumn("__h", h)
+        .withColumn("__b", F.substring("__h", 1, bucket_hex_chars))
+    )
+    w1 = Window.partitionBy("cluster", "__b").orderBy("__h", id_col)
+    survivors = staged.withColumn("__rn1", F.row_number().over(w1)).filter(
+        F.col("__rn1") <= cap
+    )
+    w2 = Window.partitionBy("cluster").orderBy("__h", id_col)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= cap)
+        .select(id_col, "cluster")
+    )
 
 
 def kmeans_summary(

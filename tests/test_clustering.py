@@ -77,3 +77,44 @@ def test_summary_partitioning_invariance(spark):
     # inertia: group one spread = sum of squared dists to (0.1, 0.1)
     n_by_cluster = {r[0]: r[1] for r in a}
     assert sorted(n_by_cluster.values()) == [2, 3]
+
+
+def test_cluster_balanced_sample_cap_and_determinism(spark):
+    from bi_utils_spark.operators.clustering import cluster_balanced_sample
+
+    rows = [(i, [float(i % 2) * 10, 0.0]) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(df, k=2, iters=1, cap=5)
+    got = out.collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert all(len(v) == 5 for v in by_cluster.values())
+    # repartition-stable
+    again = cluster_balanced_sample(df.repartition(9), k=2, iters=1, cap=5)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_two_level_topk_equals_one_level(spark):
+    from pyspark.sql import Window
+    from bi_utils_spark.operators.clustering import (
+        cluster_balanced_sample,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i % 3) * 8, 1.0]) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    two = cluster_balanced_sample(df, k=3, iters=2, cap=7)
+    # one-level reference: global per-cluster window
+    cents = kmeans_fit(df, k=3, iters=2)
+    assigned = kmeans_assign(df, cents).select("vec_id", "cluster")
+    h = F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("bal")))
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col("vec_id"))
+    one = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .select("vec_id", "cluster")
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))

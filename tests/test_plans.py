@@ -192,3 +192,42 @@ def test_importance_sample_key_is_map_only_over_weights(spark, sf01):
     w = importance_weights(docs, lr)
     keyed = importance_resample(w, k=10)
     assert num_exchanges(keyed) == num_exchanges(w)
+
+
+def test_classifier_fit_and_score_never_smj(spark, sf01):
+    # fit shuffles only the 4096-bucket key space; scoring joins the
+    # broadcast weight table; densification joins broadcast. No
+    # sort-merge join may appear anywhere in the labeled pipeline.
+    from bi_utils_spark.operators.classifier import (
+        classifier_scores,
+        fit_nb_weights_labeled,
+    )
+
+    docs = load_table(spark, sf01, "documents")
+    w = fit_nb_weights_labeled(docs, F.col("lang") == "en")
+    scored = classifier_scores(docs, w)
+    kinds = join_kinds(scored)
+    assert kinds.get("SortMergeJoin", 0) == 0
+    assert kinds.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_phash_pair_search_no_nested_loop(spark):
+    # banded candidate join is an equi-join on (band, seg) — an
+    # all-pairs nested-loop must never appear
+    from bi_utils_spark.operators.phash import phash_near_dup_pairs
+
+    hashes = spark.createDataFrame(
+        [(str(i), i * 7919) for i in range(100)],
+        "media_id string, phash long",
+    )
+    assert_no_nested_loop(phash_near_dup_pairs(hashes))
+
+
+def test_kmeans_assignment_is_map_only(spark, sf01):
+    # centroids are literals in the plan: assignment adds ZERO
+    # exchanges over the bare scan
+    from bi_utils_spark.operators.clustering import kmeans_assign, kmeans_init
+
+    emb = load_table(spark, sf01, "embeddings")
+    cents = kmeans_init(emb, "vec_id", "embedding", 4)
+    assert num_exchanges(kmeans_assign(emb, cents)) == 0
