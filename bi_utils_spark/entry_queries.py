@@ -3877,7 +3877,7 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-and-apply pipeline hash-matches the oracle."""
     from bi_utils_spark.operators.classifier import (
         class_prior,
-        classifier_scores,
+        classifier_scores_inline,
         fit_nb_weights_labeled,
     )
 
@@ -3885,7 +3885,7 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") != "en")
     w = fit_nb_weights_labeled(docs, F.col("lang") == "en")
-    return classifier_scores(docs, w, prior=class_prior(pos, neg))
+    return classifier_scores_inline(docs, w, prior=class_prior(pos, neg))
 
 
 @register(
@@ -3913,7 +3913,7 @@ def q_nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.classifier import (
         class_prior,
         classifier_confusion,
-        classifier_scores,
+        classifier_scores_inline,
         fit_nb_weights_labeled,
     )
 
@@ -3921,7 +3921,7 @@ def q_nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") != "en")
     w = fit_nb_weights_labeled(docs, F.col("lang") == "en")
-    scored = classifier_scores(docs, w, prior=class_prior(pos, neg))
+    scored = classifier_scores_inline(docs, w, prior=class_prior(pos, neg))
     truth = docs.select("doc_id", (F.col("lang") == "en").alias("__truth"))
     return classifier_confusion(scored.join(truth, "doc_id"), "__truth")
 

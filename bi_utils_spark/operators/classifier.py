@@ -38,8 +38,10 @@ from pyspark.sql import functions as F
 
 from bi_utils_spark.operators.importance import (
     _Q,
+    _md5_bucket,
     bucket_logratio,
     bucket_logratio_labeled,
+    feature_array,
     hashed_feature_rows,
 )
 
@@ -127,6 +129,68 @@ def classifier_scores(
         "n_feats",
         (F.col("__wq").cast("double") / F.lit(_Q)).alias("logit"),
         (F.col("__wq") > 0).alias("label"),
+    )
+
+
+def collect_weights(weights: DataFrame) -> list[int]:
+    """Densified weight table → bucket-indexed list of lr_q BIGINTs —
+    a BOUNDED driver fetch (exactly num_buckets rows, the IVF-centroid
+    collect class) that turns scoring into a pure map expression."""
+    out: dict[int, int] = {
+        r["bucket"]: r["lr_q"] for r in weights.collect()
+    }
+    return [out.get(b, 0) for b in range(max(out) + 1 if out else 0)]
+
+
+def inline_logit_q(
+    text_col: str, wq: list[int], prior_q: int = 0
+) -> Column:
+    """Exact fixed-point classifier logit (1e-7 units) as a single
+    Column expression: fold the unigram+bigram feature array against
+    the literal weight table — no explode, no shuffle, no join. The
+    per-document feature rows never materialize; the only state per
+    row is the running BIGINT sum. Identical value to the join-based
+    scoring (sum of the same integers).
+
+    This is the 100 TB scoring path AND the streaming path: being a
+    stateless expression it drops into readStream pipelines
+    unchanged (streaming/classify.py)."""
+    warr = F.lit([int(w) for w in wq])
+    num_buckets = len(wq)
+    return (
+        F.aggregate(
+            feature_array(text_col),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.element_at(
+                warr, (_md5_bucket(t, num_buckets) + 1).cast("int")
+            ),
+        )
+        + F.lit(int(prior_q)).cast("long")
+    )
+
+
+def classifier_scores_inline(
+    df: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_feats, logit, label) — same contract and exact same
+    values as :func:`classifier_scores`, computed as one map-only
+    pass: the weight table (and prior) are collected once (bounded:
+    num_buckets rows / 1 row) and baked into the plan. Zero
+    exchanges over the scan; the preferred scoring form at scale and
+    the only one usable on unbounded streams."""
+    wq = collect_weights(weights)
+    prior_q = int(prior.first()["prior_q"]) if prior is not None else 0
+    lq = inline_logit_q(text_col, wq, prior_q)
+    return df.select(
+        F.col(id_col),
+        F.size(feature_array(text_col)).cast("long").alias("n_feats"),
+        (lq.cast("double") / F.lit(_Q)).alias("logit"),
+        (lq > 0).alias("label"),
     )
 
 

@@ -80,6 +80,19 @@ def hashed_feature_rows(
     into O(n²) splits — measured 10× slower on sf0.1. zip_with over
     slices evaluates the split a constant number of times per row.
     """
+    feats = feature_array(text_col)
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(feats).alias("feat"), *carry
+    ).select(
+        "id", _md5_bucket(F.col("feat"), num_buckets).alias("bucket"), *carry
+    )
+
+
+def feature_array(text_col: str) -> Column:
+    """The unigram+bigram feature array as a single Column — the
+    pre-explode form of :func:`hashed_feature_rows`, reusable by
+    map-only consumers (classifier.inline scoring) that fold over the
+    array instead of materializing one row per occurrence."""
     toks = tokens(text_col)
     n = F.size(toks)
     bigrams = F.zip_with(
@@ -87,12 +100,7 @@ def hashed_feature_rows(
         F.slice(toks, 2, n - 1),
         lambda x, y: F.concat_ws(" ", x, y),
     )
-    feats = F.when(n <= 1, toks).otherwise(F.concat(toks, bigrams))
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(feats).alias("feat"), *carry
-    ).select(
-        "id", _md5_bucket(F.col("feat"), num_buckets).alias("bucket"), *carry
-    )
+    return F.when(n <= 1, toks).otherwise(F.concat(toks, bigrams))
 
 
 def bucket_logratio(

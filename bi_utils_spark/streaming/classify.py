@@ -1,0 +1,52 @@
+"""Streaming classifier gate — the fitted quality classifier
+(operators/classifier.py) applied to continuous ingest.
+
+The inline scoring form is what makes this possible: the fitted
+weight table collapses into a literal array inside one fold
+expression (classifier.inline_logit_q), so scoring an unbounded
+stream is a STATELESS map-only projection — no state store, no
+watermark, no shuffle, fused into each micro-batch's source scan.
+The join-based batch scorer could not run here (a stream-side
+groupBy(id) would demand stateful aggregation for no reason).
+
+Train-offline / serve-online with bit-exact parity: the stream
+emits the SAME fixed-point logits as the oracle-checked batch query
+(q_nb_classifier), so an admit decision made at ingest time can be
+re-audited in batch and reproduce exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.classifier import _Q, inline_logit_q
+
+
+def attach_classifier_scores(
+    stream: DataFrame,
+    wq: list[int],
+    prior_q: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Add (logit, label) from a fitted bucket-indexed weight list
+    (classifier.collect_weights) — stateless, map-only."""
+    lq = inline_logit_q(text_col, wq, prior_q)
+    return stream.withColumn(
+        "logit", lq.cast("double") / F.lit(_Q)
+    ).withColumn("label", F.col("logit") > 0)
+
+
+def classifier_gate(
+    stream: DataFrame,
+    wq: list[int],
+    prior_q: int = 0,
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Admit only documents the classifier scores above ``threshold``.
+    Stateless — safe in append mode with no watermark; composes with
+    the quality gate and streaming dedup downstream."""
+    return attach_classifier_scores(stream, wq, prior_q, text_col).filter(
+        F.col("logit") > threshold
+    )

@@ -128,3 +128,24 @@ def test_classifier_metrics_rates(spark):
     r2 = classifier_metrics(neg, "truth").first()
     assert r2["precision"] is None and r2["f1"] is None
     assert r2["recall"] == 0.0
+
+
+def test_inline_scoring_matches_join_scoring(spark):
+    from bi_utils_spark.operators.classifier import classifier_scores_inline
+
+    pos, neg = _toy(spark)
+    both = pos.union(neg)
+    w = fit_nb_weights(pos, neg, num_buckets=64)
+    prior = class_prior(pos, neg.limit(1))
+    a = classifier_scores(both, w, prior=prior, num_buckets=64)
+    b = classifier_scores_inline(both, w, prior=prior)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_inline_scoring_zero_exchanges(spark):
+    from bi_utils_spark.operators.classifier import classifier_scores_inline
+    from bi_utils_spark.plans.inspect import num_exchanges
+
+    pos, neg = _toy(spark)
+    w = fit_nb_weights(pos, neg, num_buckets=64)
+    assert num_exchanges(classifier_scores_inline(pos, w)) == 0

@@ -376,3 +376,56 @@ def test_streaming_ingest_pipeline_end_to_end(spark, tmp_path):
            for r in spark.sql("SELECT * FROM ingest_pipe_out").collect()}
     # doc 2 deduped, doc 4 gated: one en survivor, one de survivor
     assert got == {"en": 1, "de": 1}
+
+
+# --- streaming classifier gate (streaming/classify.py) ---------------------
+
+
+def test_classifier_gate_stream_matches_batch(spark, tmp_path):
+    import json
+    import os
+
+    from bi_utils_spark.operators.classifier import (
+        classifier_scores_inline,
+        collect_weights,
+        fit_nb_weights,
+    )
+    from bi_utils_spark.streaming.classify import classifier_gate
+
+    pos = spark.createDataFrame(
+        [(1, "good clean prose here"), (2, "good solid prose text")],
+        ["doc_id", "text"],
+    )
+    neg = spark.createDataFrame(
+        [(3, "spam spam buy now"), (4, "buy spam click spam")],
+        ["doc_id", "text"],
+    )
+    wq = collect_weights(fit_nb_weights(pos, neg, num_buckets=64))
+
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i, t in [(10, "good prose text"), (11, "buy spam now")]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(src)
+    q = (
+        classifier_gate(stream, wq)
+        .writeStream.format("memory")
+        .queryName("cgate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM cgate_out").collect()
+    assert [r["doc_id"] for r in rows] == [10]
+    # bit-exact batch parity
+    batch = (
+        classifier_scores_inline(
+            spark.createDataFrame([(10, "good prose text")], ["doc_id", "text"]),
+            fit_nb_weights(pos, neg, num_buckets=64),
+        )
+        .first()
+    )
+    assert rows[0]["logit"] == batch["logit"]
