@@ -224,3 +224,96 @@ def test_feature_buckets_match_python_reference(spark, toks):
         int(hashlib.md5(f.encode()).hexdigest()[:13], 16) % 4096 for f in feats
     )
     assert got == want
+
+
+# --- perceptual hash (operators/phash.py) ----------------------------------
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 10**6),
+    shift=st.integers(0, 50),
+)
+@settings(max_examples=50, deadline=None)
+def test_ahash_brightness_invariance_property(w, h, seed, shift):
+    # pure-Python property (no Spark jobs): for ANY image whose
+    # channels leave headroom, a uniform brightness shift never flips
+    # an aHash bit — the exact-integer mean comparison guarantees it
+    import hashlib
+
+    from bi_utils_spark.operators.multimodal import encode_bmp
+    from bi_utils_spark.operators.phash import average_hash_64
+
+    def px(x, y, add):
+        d = hashlib.md5(f"{seed},{x},{y}".encode()).digest()
+        return (d[0] % 200 + add, d[1] % 200 + add, d[2] % 200 + add)
+
+    base = encode_bmp(w, h, [[px(x, y, 0) for x in range(w)] for y in range(h)])
+    shifted = encode_bmp(
+        w, h, [[px(x, y, shift) for x in range(w)] for y in range(h)]
+    )
+    assert average_hash_64(base) == average_hash_64(shifted)
+
+
+@given(
+    w=st.integers(8, 24),
+    h=st.integers(8, 20),
+    seed=st.integers(0, 10**6),
+)
+@settings(max_examples=30, deadline=None)
+def test_ahash_bit_count_bounded(w, h, seed):
+    # structural sanity: a hash is 64 bits and not all-ones (some cell
+    # must sit at-or-below the global mean by pigeonhole)
+    import hashlib
+
+    from bi_utils_spark.operators.multimodal import encode_bmp
+    from bi_utils_spark.operators.phash import average_hash_64
+
+    def px(x, y):
+        d = hashlib.md5(f"{seed},{x},{y}".encode()).digest()
+        return (d[0], d[1], d[2])
+
+    hv = average_hash_64(
+        encode_bmp(w, h, [[px(x, y) for x in range(w)] for y in range(h)])
+    )
+    assert 0 <= hv < 1 << 64
+    assert bin(hv).count("1") < 64
+
+
+# --- k-means fixed-point geometry (operators/clustering.py) ----------------
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(-5, 5, allow_nan=False, width=32),
+            st.floats(-5, 5, allow_nan=False, width=32),
+        ),
+        min_size=3,
+        max_size=12,
+    ),
+    k=st.integers(2, 3),
+)
+@SETTINGS
+def test_kmeans_inertia_never_increases_after_update(spark, pts, k):
+    # Lloyd monotonicity survives the quantization: total inertia
+    # after (assign, update, re-assign) is <= inertia after the first
+    # assignment, up to the 1e-7 grid resolution per coordinate
+    from bi_utils_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_init,
+    )
+
+    rows = [(i + 1, [a, b]) for i, (a, b) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = min(k, len(rows))
+    c0 = kmeans_init(df, "vec_id", "embedding", k)
+    i0 = sum(r["d2q"] for r in kmeans_assign(df, c0).collect())
+    c1 = kmeans_fit(df, k=k, iters=1)
+    i1 = sum(r["d2q"] for r in kmeans_assign(df, c1).collect())
+    # quantizing a centroid moves it < 1e-7 per dim; allow that slack
+    n, dim = len(rows), 2
+    slack = n * dim * (4 * 10**7 + 4)  # (|q_eps|·(2·maxdist·1e7)+eps²) bound
+    assert i1 <= i0 + slack
