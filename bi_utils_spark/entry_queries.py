@@ -3777,12 +3777,12 @@ _DSIR_CTE = r"""
 def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.importance import (
         bucket_logratio_labeled,
-        importance_weights,
+        importance_weights_inline,
     )
 
     docs = load(spark, sf_dir, "documents")
     lr = bucket_logratio_labeled(docs, F.col("lang") == "en")
-    return importance_weights(docs, lr)
+    return importance_weights_inline(docs, lr)
 
 
 @register(
@@ -3803,12 +3803,12 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.importance import (
         bucket_logratio_labeled,
         importance_resample,
-        importance_weights,
+        importance_weights_inline,
     )
 
     docs = load(spark, sf_dir, "documents")
     lr = bucket_logratio_labeled(docs, F.col("lang") == "en")
-    return importance_resample(importance_weights(docs, lr), k=100)
+    return importance_resample(importance_weights_inline(docs, lr), k=100)
 
 
 # ===========================================================================

@@ -234,6 +234,36 @@ def importance_weights(
     )
 
 
+def importance_weights_inline(
+    df: DataFrame,
+    logratio: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Map-only form of :func:`importance_weights`: the B-row
+    log-ratio table is collected once (bounded — exactly num_buckets
+    rows, the IVF-centroid class) and folded over the feature array
+    as a literal, so scoring adds ZERO exchanges over the scan — no
+    per-occurrence feature rows, no groupBy. Exact same fixed-point
+    sums as the join form (equality-tested). The classifier's
+    inline scorer (classifier.inline_logit_q) is this same fold."""
+    lr: dict[int, int] = {r["bucket"]: r["lr_q"] for r in logratio.collect()}
+    num_buckets = max(lr) + 1 if lr else 0
+    warr = F.lit([int(lr.get(b, 0)) for b in range(num_buckets)])
+    feats = feature_array(text_col)
+    wq = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr, (_md5_bucket(t, num_buckets) + 1).cast("int")),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(feats).cast("long").alias("n_feats"),
+        (wq.cast("double") / F.lit(_Q)).alias("weight"),
+    )
+
+
 def gumbel_key(weight: Column, id_col: Column, salt: str = "gumbel", temperature: float = 1.0) -> Column:
     """Gumbel-perturbed sampling key, quantized to a BIGINT.
 

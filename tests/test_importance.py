@@ -200,3 +200,29 @@ def test_labeled_logratio_matches_two_frame(spark):
         df, F.col("lang") == "en", F.col("lang") != "en", num_buckets=64
     )
     assert sorted(map(tuple, two_d.collect())) == sorted(map(tuple, one_d.collect()))
+
+
+def test_inline_weights_match_join_weights(spark):
+    from bi_utils_spark.operators.importance import (
+        bucket_logratio_labeled,
+        importance_weights,
+        importance_weights_inline,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "beta beta delta", "en"),
+            (3, "uno dos tres", "es"),
+            (4, "solo", "es"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    lr = bucket_logratio_labeled(df, F.col("lang") == "en", num_buckets=64)
+    a = importance_weights(df, lr, num_buckets=64)
+    b = importance_weights_inline(df, lr)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    from bi_utils_spark.plans.inspect import num_exchanges
+
+    assert num_exchanges(b) == 0
