@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_phash_near_dup",
     "q_kmeans_clusters",
     "q_cluster_balanced_sample",
+    "q_embedding_outliers",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

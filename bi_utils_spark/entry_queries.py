@@ -1679,6 +1679,29 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embedding_outliers",
+    _KMEANS_CTE
+    + """
+    SELECT vec_id, CAST(c AS INTEGER) AS cluster,
+           CAST(d2 AS BIGINT) AS d2q,
+           (percent_rank() OVER (ORDER BY d2) > 0.95) AS is_outlier
+    FROM fin
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene pass: rows whose distance to their k-means
+    centroid sits in the top 5% corpus-wide are flagged (corrupt
+    decodes / wrong-model vectors land far from every topic). The
+    flag comes from the exact two-level percent-rank CDF over the
+    fixed-point distances, so the oracle is the shared Lloyd-replay
+    CTE plus one percent_rank window."""
+    from bi_utils_spark.operators.clustering import embedding_outliers
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+@register(
     "q_centroids_by_label",
     """
     SELECT label, dim,
@@ -4575,6 +4598,7 @@ _PROMOTED: list[str] = [
     "q_phash_dedup_clusters",
     "q_kmeans_clusters",
     "q_cluster_balanced_sample",
+    "q_embedding_outliers",
     "q_importance_weights",
     "q_importance_sample",
     # tier 2: last official row is r1 — 3 rounds stale, refresh (the
@@ -4615,7 +4639,10 @@ _PROMOTED: list[str] = [
     "q_schema_drift",
     "q_alert_decide_batch",
     "q_text_stats",
-    "q_token_counts",
+    # (q_token_counts yields its slot to q_embedding_outliers —
+    # r2-green, unchanged, and textstats keeps four fresher in-window
+    # rows via q_text_stats / q_lang_id / q_quality_score /
+    # q_doc_stats_by_lang; rotates r5)
     "q_doc_stats_by_lang",
     "q_asof_click_before_purchase",
     "q_range_clicks_before_error",

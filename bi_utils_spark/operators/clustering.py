@@ -25,9 +25,12 @@ discipline, extended to geometry):
   literals are bit-identical across engines; empty clusters keep
   their previous centroid.
 
-Bounds: |x| ≤ ~400 keeps q² · d · n within BIGINT for any corpus
-slice a cluster can hold (inertia aggregates through DECIMAL(38,0));
-embeddings are unit-scale in practice.
+Bounds: per-dim residuals saturate at |x − c| ≈ 37.9 (``_QCAP``), so
+distance sums NEVER overflow BIGINT regardless of input — unit-scale
+embeddings stay exact, corrupt/out-of-range vectors rank as maximal
+outliers instead of raising; inertia aggregates through
+DECIMAL(38,0). The update step's coordinate sums are exact while
+Σ|x|·1e7 per (cluster, dim) < 2⁵³ (~4·10⁸ unit-scale rows/cluster).
 
 No reference counterpart; north-star LLM-pipeline surface.
 """
@@ -52,6 +55,14 @@ def _quantize(v: list[float]) -> list[float]:
     return [_round_half_away(float(x) * _Q) / _Q for x in v]
 
 
+#: per-dim residual saturation: ⌊√(2⁶³/dims)⌋ for dims ≤ 64 — q² sums
+#: stay in BIGINT for any input. |x − c| ≤ ~37.9 (unit-scale data is
+#: ~1) stays EXACT; beyond, the distance saturates deterministically —
+#: far is still far, so corrupt/wrong-model vectors rank as outliers
+#: instead of overflowing ANSI arithmetic.
+_QCAP = 379_000_000
+
+
 def _dist2_cols(vec_col, centroids: list[list[float]]):
     """One exact fixed-point squared-distance Column per centroid."""
     out = []
@@ -60,7 +71,13 @@ def _dist2_cols(vec_col, centroids: list[list[float]]):
         q = F.zip_with(
             vec_col,
             carr,
-            lambda x, c: F.round((x.cast("double") - c) * F.lit(_Q)).cast("long"),
+            lambda x, c: F.least(
+                F.greatest(
+                    F.round((x.cast("double") - c) * F.lit(_Q)).cast("long"),
+                    F.lit(-_QCAP),
+                ),
+                F.lit(_QCAP),
+            ),
         )
         out.append(
             F.aggregate(q, F.lit(0).cast("long"), lambda acc, e: acc + e * e)
@@ -184,6 +201,39 @@ def cluster_balanced_sample(
         survivors.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= cap)
         .select(id_col, "cluster")
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    quantile: float = 0.95,
+) -> DataFrame:
+    """(id, cluster, d2q, is_outlier) — flag rows whose squared
+    distance to their k-means centroid sits in the top
+    (1 − ``quantile``) tail of the corpus-wide distance distribution.
+    The standard embedding-hygiene pass (corrupt decodes, wrong-model
+    vectors and mislabeled shards land far from every topic).
+
+    The threshold is the exact corpus percent-rank of d2q
+    (filtering.attach_percent_rank — two-level bucketed CDF, no
+    corpus-wide sort), so the flag is deterministic and
+    oracle-checkable; swap in filtering.quantile_thresholds for the
+    sketch path when an ε-approximate tail is fine."""
+    from bi_utils_spark.operators.filtering import attach_percent_rank
+
+    assigned = kmeans_assign(
+        df, kmeans_fit(df, id_col, vec_col, k, iters), id_col, vec_col
+    ).select(id_col, "cluster", "d2q")
+    ranked = attach_percent_rank(assigned, "d2q", "__pr")
+    return ranked.select(
+        id_col,
+        "cluster",
+        "d2q",
+        (F.col("__pr") > quantile).alias("is_outlier"),
     )
 
 

@@ -118,3 +118,15 @@ def test_two_level_topk_equals_one_level(spark):
         .select("vec_id", "cluster")
     )
     assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_embedding_outliers_flags_far_point(spark):
+    from bi_utils_spark.operators.clustering import embedding_outliers
+
+    rows = [(i, [0.0 + 0.001 * i, 0.0]) for i in range(1, 20)]
+    rows.append((99, [500.0, 500.0]))  # corrupt vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["is_outlier"] for r in
+           embedding_outliers(df, k=2, iters=1, quantile=0.9).collect()}
+    assert out[99] is True
+    assert sum(out.values()) <= 2  # only the tail is flagged
