@@ -50,3 +50,19 @@ def classifier_gate(
     return attach_classifier_scores(stream, wq, prior_q, text_col).filter(
         F.col("logit") > threshold
     )
+
+
+def attach_cluster(
+    stream: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Online topic tagging: assign each arriving embedding to its
+    nearest k-means centroid (clustering.kmeans_assign — centroid
+    literals in a map-only select, so it runs on unbounded streams
+    with zero state). Train offline with kmeans_fit, tag online with
+    bit-exact batch parity."""
+    from bi_utils_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(stream, centroids, id_col, vec_col)

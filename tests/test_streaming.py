@@ -429,3 +429,47 @@ def test_classifier_gate_stream_matches_batch(spark, tmp_path):
         .first()
     )
     assert rows[0]["logit"] == batch["logit"]
+
+
+def test_stream_cluster_tagging_matches_batch(spark, tmp_path):
+    import json
+    import os
+
+    from bi_utils_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from bi_utils_spark.streaming.classify import attach_cluster
+
+    # seeds are the k smallest ids — put one in each group so Lloyd's
+    # converges to the true split rather than a mirror-skew optimum
+    train = spark.createDataFrame(
+        [(1, [0.0, 0.1]), (2, [9.9, 10.0]), (3, [0.1, 0.0]), (4, [10.0, 9.9])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_fit(train, k=2, iters=2)
+
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i, v in [(10, [0.05, 0.05]), (11, [9.95, 9.95])]:
+            f.write(json.dumps({"vec_id": i, "embedding": v}) + "\n")
+
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<FLOAT>"
+    ).json(src)
+    q = (
+        attach_cluster(stream, cents)
+        .writeStream.format("memory")
+        .queryName("ctag_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["vec_id"]: r["cluster"] for r in
+            spark.sql("SELECT * FROM ctag_out").collect()}
+    batch = spark.createDataFrame(
+        [(10, [0.05, 0.05]), (11, [9.95, 9.95])],
+        "vec_id long, embedding array<float>",
+    )
+    expected = {r["vec_id"]: r["cluster"] for r in
+                kmeans_assign(batch, cents).collect()}
+    assert rows == expected and rows[10] != rows[11]
