@@ -94,6 +94,39 @@ def kmeans_init(
     return [_quantize(list(r[vec_col])) for r in rows]
 
 
+def kmeans_init_farthest(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[list[float]]:
+    """Deterministic farthest-first seeding (the greedy 2-approx of
+    k-center; the deterministic cousin of k-means++): seed 1 is the
+    smallest-id vector, each next seed the point maximizing its
+    distance to the nearest chosen seed (exact fixed-point distances,
+    ties → smallest id). Avoids the mirror-skew local optima the
+    smallest-id seed can fall into when the first k ids cluster
+    together.
+
+    Cost: k − 1 corpus aggregates (each a max-by over the scan —
+    map-only against the literal seeds chosen so far), k·d driver
+    state. Use for quality; keep :func:`kmeans_init` where the
+    SQL-replayable oracle needs the trivially-expressible seed."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    if not rows:
+        return []
+    cents = [_quantize(list(rows[0][vec_col]))]
+    while len(cents) < k:
+        dmin = F.array_min(F.array(*_dist2_cols(F.col(vec_col), cents)))
+        far = (
+            df.select(id_col, vec_col, dmin.alias("__d"))
+            .orderBy(F.desc("__d"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not far or far[0]["__d"] == 0:
+            break  # fewer distinct points than k
+        cents.append(_quantize(list(far[0][vec_col])))
+    return cents
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -121,12 +154,21 @@ def kmeans_fit(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    init: str = "first",
 ) -> list[list[float]]:
     """Run ``iters`` Lloyd update steps from the deterministic seed
     and return the final centroids. Each iteration: one map-only
     assignment pass + one (cluster, dim) aggregate whose shuffle is
-    k·d rows; the k·d partial-sum table is the only driver fetch."""
-    cents = kmeans_init(df, id_col, vec_col, k)
+    k·d rows; the k·d partial-sum table is the only driver fetch.
+    ``init``: "first" (smallest-id vectors — SQL-replayable, the
+    oracle form) or "farthest" (greedy k-center seeding — better
+    optima, k−1 extra scans)."""
+    if init == "farthest":
+        cents = kmeans_init_farthest(df, id_col, vec_col, k)
+    elif init == "first":
+        cents = kmeans_init(df, id_col, vec_col, k)
+    else:
+        raise ValueError(f"unknown init {init!r} (use 'first' or 'farthest')")
     dim = len(cents[0]) if cents else 0
     for _ in range(iters):
         assigned = kmeans_assign(df, cents, id_col, vec_col)

@@ -130,3 +130,31 @@ def test_embedding_outliers_flags_far_point(spark):
            embedding_outliers(df, k=2, iters=1, quantile=0.9).collect()}
     assert out[99] is True
     assert sum(out.values()) <= 2  # only the tail is flagged
+
+
+def test_farthest_init_escapes_mirror_skew(spark):
+    from bi_utils_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_init_farthest,
+    )
+
+    # seeds 1,2 mirror-skew around the origin: "first" init converges
+    # to the degenerate split; farthest-first seeds across the groups
+    rows = [(1, [0.0, 0.1]), (2, [0.1, 0.0]), (3, [9.9, 10.0]), (4, [10.0, 9.9])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = kmeans_init_farthest(df, "vec_id", "embedding", 2)
+    assert seeds[0][0] < 1 and seeds[1][0] > 9  # one seed per group
+    cents = kmeans_fit(df, k=2, iters=2, init="farthest")
+    a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+    assert a[1] == a[2] and a[3] == a[4] and a[1] != a[3]
+
+
+def test_farthest_init_fewer_points_than_k(spark):
+    from bi_utils_spark.operators.clustering import kmeans_init_farthest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    # duplicate points: stops at 1 seed instead of inventing one
+    assert len(kmeans_init_farthest(df, "vec_id", "embedding", 3)) == 1
