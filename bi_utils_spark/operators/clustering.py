@@ -214,6 +214,7 @@ def cluster_balanced_sample(
     cap: int = 25,
     salt: str = "bal",
     bucket_hex_chars: int = 2,
+    init: str = "first",
 ) -> DataFrame:
     """(id, cluster) — a topic-balanced subset: at most ``cap`` rows
     per k-means cluster, chosen as the cluster's ``cap`` smallest
@@ -227,7 +228,7 @@ def cluster_balanced_sample(
     (any global top-cap row is also in its sub-bucket's top cap, so
     the two-level result is identical to the one-level one —
     asserted in tests)."""
-    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    cents = kmeans_fit(df, id_col, vec_col, k, iters, init)
     assigned = kmeans_assign(df, cents, id_col, vec_col).select(id_col, "cluster")
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     staged = (
@@ -253,6 +254,7 @@ def embedding_outliers(
     k: int = 8,
     iters: int = 2,
     quantile: float = 0.95,
+    init: str = "first",
 ) -> DataFrame:
     """(id, cluster, d2q, is_outlier) — flag rows whose squared
     distance to their k-means centroid sits in the top
@@ -268,7 +270,7 @@ def embedding_outliers(
     from bi_utils_spark.operators.filtering import attach_percent_rank
 
     assigned = kmeans_assign(
-        df, kmeans_fit(df, id_col, vec_col, k, iters), id_col, vec_col
+        df, kmeans_fit(df, id_col, vec_col, k, iters, init), id_col, vec_col
     ).select(id_col, "cluster", "d2q")
     ranked = attach_percent_rank(assigned, "d2q", "__pr")
     return ranked.select(
@@ -285,12 +287,13 @@ def kmeans_summary(
     vec_col: str = "embedding",
     k: int = 8,
     iters: int = 2,
+    init: str = "first",
 ) -> DataFrame:
     """(cluster, n, inertia) after ``iters`` Lloyd steps — cluster
     sizes and the exact per-cluster inertia (Σ d², de-quantized).
     The inertia sum runs through DECIMAL(38,0) so accumulation order
     cannot flip bits on either engine."""
-    cents = kmeans_fit(df, id_col, vec_col, k, iters)
+    cents = kmeans_fit(df, id_col, vec_col, k, iters, init)
     assigned = kmeans_assign(df, cents, id_col, vec_col)
     return (
         assigned.groupBy("cluster")
