@@ -155,6 +155,8 @@ def inline_logit_q(
     This is the 100 TB scoring path AND the streaming path: being a
     stateless expression it drops into readStream pipelines
     unchanged (streaming/classify.py)."""
+    if not wq:
+        raise ValueError("empty weight table — fit on a non-empty corpus")
     warr = F.lit([int(w) for w in wq])
     num_buckets = len(wq)
     return (

@@ -248,7 +248,9 @@ def importance_weights_inline(
     sums as the join form (equality-tested). The classifier's
     inline scorer (classifier.inline_logit_q) is this same fold."""
     lr: dict[int, int] = {r["bucket"]: r["lr_q"] for r in logratio.collect()}
-    num_buckets = max(lr) + 1 if lr else 0
+    if not lr:
+        raise ValueError("empty log-ratio table — fit on a non-empty corpus")
+    num_buckets = max(lr) + 1
     warr = F.lit([int(lr.get(b, 0)) for b in range(num_buckets)])
     feats = feature_array(text_col)
     wq = F.aggregate(
