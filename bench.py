@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_kmeans_clusters",
     "q_cluster_balanced_sample",
     "q_embedding_outliers",
+    "q_emb_simhash_pairs",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -2446,6 +2446,83 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_emb_simhash_pairs",
+    r"""
+    WITH ed AS (
+      SELECT vec_id, dim - 1 AS d, CAST(x AS DOUBLE) AS xd
+      FROM (SELECT vec_id, UNNEST(range(1, len(embedding)+1)) AS dim,
+                   UNNEST(embedding) AS x FROM embeddings)
+    ),
+    alld AS (
+      SELECT vec_id, d, xd FROM ed
+      UNION ALL
+      SELECT vec_id + 100000, d, xd + 0.01 * ((d % 3) - 1) FROM ed
+    ),
+    signs AS (
+      SELECT b.range AS b, d.range AS d,
+             CASE WHEN CAST('0x' || substr(md5('esim,' || b.range || ','
+                                               || d.range), 1, 1) AS INT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM range(64) b, range(64) d
+    ),
+    proj AS (
+      SELECT a.vec_id, signs.b,
+             sum(signs.s * CAST(round(a.xd * 1e7) AS BIGINT)) AS p
+      FROM alld a JOIN signs ON signs.d = a.d
+      GROUP BY a.vec_id, signs.b
+    ),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN p > 0 AND b = 0 THEN -9223372036854775808
+                           WHEN p > 0 THEN CAST(1 AS BIGINT) << (63 - b)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM proj GROUP BY vec_id
+    ),
+    sigu AS (SELECT vec_id, sig,
+                    CAST(sig AS HUGEINT)
+                    + CASE WHEN sig < 0
+                           THEN CAST('18446744073709551616' AS HUGEINT)
+                           ELSE CAST(0 AS HUGEINT) END AS u
+             FROM sig),
+    segs AS (
+      SELECT vec_id, sig, band,
+             CAST((u // CASE band WHEN 0 THEN 1 WHEN 1 THEN 65536
+                                  WHEN 2 THEN 4294967296
+                                  WHEN 3 THEN 281474976710656 END) % 65536
+                  AS BIGINT) AS seg
+      FROM sigu, (SELECT UNNEST(range(4)) AS band)
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+           CAST(bit_count(xor(a.sig, b2.sig)) AS INT) AS hamming
+    FROM segs a JOIN segs b2 USING (band, seg)
+    WHERE a.vec_id < b2.vec_id
+      AND bit_count(xor(a.sig, b2.sig)) <= 3
+    """,
+)
+def q_emb_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding SimHash near-dup end to end: corpus ∪ deterministic
+    perturbed copies (+0.01·((dim%3)−1), ids +100000), md5-derived
+    hyperplane signatures, shared 4-band Hamming LSH. Every stage is
+    engine-exact (fixed-point projections, parity-derived signs), so
+    the oracle replays signature construction, banding and the
+    Hamming verify wholesale in SQL — the angular LSH tier held to
+    the same bit-exact standard as MinHash/SimHash/winnow/aHash."""
+    from bi_utils_spark.operators.embsig import embedding_simhash_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.lit(0.01) * ((i % 3) - 1)
+        ).alias("embedding"),
+    )
+    return embedding_simhash_pairs(emb.unionByName(pert))
+
+
+@register(
     "q_phash_dedup_clusters",
     """
     WITH c AS (
@@ -4596,6 +4673,7 @@ _PROMOTED: list[str] = [
     "q_nb_classifier_eval",
     "q_phash_near_dup",
     "q_phash_dedup_clusters",
+    "q_emb_simhash_pairs",
     "q_kmeans_clusters",
     "q_cluster_balanced_sample",
     "q_embedding_outliers",
@@ -4639,11 +4717,10 @@ _PROMOTED: list[str] = [
     "q_schema_drift",
     "q_alert_decide_batch",
     "q_text_stats",
-    # (q_token_counts yields its slot to q_embedding_outliers —
-    # r2-green, unchanged, and textstats keeps four fresher in-window
-    # rows via q_text_stats / q_lang_id / q_quality_score /
-    # q_doc_stats_by_lang; rotates r5)
-    "q_doc_stats_by_lang",
+    # (q_token_counts and q_doc_stats_by_lang yield slots to
+    # q_embedding_outliers / q_emb_simhash_pairs — r2-green,
+    # unchanged, and textstats keeps fresher in-window rows via
+    # q_text_stats / q_lang_id / q_quality_score; rotate r5)
     "q_asof_click_before_purchase",
     "q_range_clicks_before_error",
     "q_repetition_stats",

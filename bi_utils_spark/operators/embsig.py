@@ -1,0 +1,136 @@
+"""Embedding SimHash — random-hyperplane bit signatures for vectors
+(Charikar 2002), completing the LSH family: MinHash/SimHash/winnowing
+for text (dedup.py), aHash for images (phash.py), and this for
+embedding columns. One 64-bit signature per vector makes angular
+near-dup search a Hamming problem: candidates come from the SAME
+banded (band, 16-bit segment) shuffle as the image tier
+(phash.phash_near_dup_pairs — lossless for Hamming ≤ bands−1), so a
+10¹⁰-vector corpus shuffles 160 GB of signatures, never vectors.
+
+Engine-exact construction (every number replayable in SQL):
+
+- hyperplane signs are md5-derived: s(b, d) = +1 if the first hex
+  digit of md5("salt,b,d") is even else −1 — deterministic, no RNG
+  state, identical in Python / Spark / DuckDB;
+- projections are exact BIGINT sums of pre-quantized coordinates:
+  p_b = Σ_d s(b,d) · round(x_d · 1e7) — no float accumulation, so
+  bit b (= p_b > 0) can never differ between engines;
+- the signature packs MSB-first into a signed 64-bit long (bit 0 set
+  ⇒ the −2⁶³ term), matching the image-hash layout so the banding,
+  xor and bit_count machinery is shared verbatim.
+
+Scale shape: signing is MAP-ONLY — 64 fold expressions over the
+vector array per row (no explode: a (row × bit × dim) join
+formulation would inflate the corpus 4096× before aggregating).
+Cosine-similar vectors agree on most hyperplane sides, so
+P(bit differs) = θ/π per bit — Hamming ≤ 3 of 64 ≈ cosine ≥ ~0.99.
+
+No reference counterpart; north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_Q = 1e7
+
+
+def hyperplane_signs(bits: int, dim: int, salt: str = "esim") -> list[list[int]]:
+    """signs[b][d] ∈ {+1, −1} from md5 hex-digit parity — the
+    DuckDB-replayable pseudo-random hyperplane family. SQL equivalent:
+    ``CASE WHEN CAST('0x' || substr(md5(salt||','||b||','||d), 1, 1)
+    AS INT) % 2 = 0 THEN 1 ELSE -1 END`` (d is 0-based here and in
+    the SQL)."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt},{b},{d}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for d in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def embedding_simhash(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "esim",
+) -> DataFrame:
+    """(id, phash) — 64-bit SimHash signature per vector, map-only.
+    The output column is named ``phash`` so
+    :func:`phash.phash_near_dup_pairs` consumes it unchanged.
+
+    Signing is one vectorized int64 matmul per Arrow batch
+    (signs 64×d @ quantized coordinates — the "Python only when
+    vectorized numpy is the point" carve-out; a Column formulation
+    needs 64 interpreted HOF folds per row and measured 10.4 s vs
+    1.3 s at sf0.1). Exactness is preserved end to end: quantization
+    is round-half-away (matches Spark HALF_UP / DuckDB round — NOT
+    numpy's banker rint), projections are int64 with |p| ≤ d·2·10⁷
+    (no overflow), and packing sums the −2⁶³ term first so every
+    partial stays in range."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    # derive the dimension from the schema-less array via a bounded peek
+    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    dim = int(first["n"]) if first else 0
+    S = np.array(hyperplane_signs(64, dim, salt), dtype=np.int64)  # 64×d
+    weights = np.array(
+        [-(1 << 63)] + [1 << (63 - b) for b in range(1, 64)], dtype=np.int64
+    )
+    id_field = df.schema[id_col]
+    out_schema = f"{id_col} {id_field.dataType.simpleString()}, phash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # n×d
+            x = V * _Q
+            q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+                np.int64
+            )
+            proj = S @ q.T  # 64×n int64, |p| <= d*2e7
+            sigs = ((proj > 0).astype(np.int64) * weights[:, None]).sum(
+                axis=0, dtype=np.int64
+            )
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": sigs})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
+def embedding_simhash_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_hamming: int = 3,
+    bands: int = 4,
+    salt: str = "esim",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — angular near-dup candidates via banded
+    SimHash: sign map-only, then the shared 64-bit banding join.
+    Hamming ≤ 3 of 64 corresponds to cosine ≳ 0.99 in expectation;
+    verify with exact cosine downstream when the application needs a
+    guarantee (similarity.cosine_pairs on the surviving pairs)."""
+    from bi_utils_spark.operators.phash import phash_near_dup_pairs
+
+    sigs = embedding_simhash(df, id_col, vec_col, salt)
+    return phash_near_dup_pairs(
+        sigs,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )

@@ -172,12 +172,16 @@ def phash_near_dup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    hash_col: str = "phash",
 ) -> DataFrame:
     """(id_a, id_b, hamming) — unordered near-dup pairs with Hamming
     distance ≤ ``max_hamming``, found via banded LSH over the 64-bit
     hash. Lossless for ``max_hamming < bands`` (pigeonhole); larger
     thresholds trade recall and raise ValueError unless explicitly
     allowed by raising ``bands``.
+
+    Works on ANY 64-bit signature column (``hash_col``) — perceptual
+    image hashes here, embedding SimHash signatures in embsig.py.
 
     Shuffle key is (band, segment) — 16-bit segments with 4 bands, so
     bucket counts stay bounded for natural image corpora;
@@ -196,15 +200,17 @@ def phash_near_dup_pairs(
     segs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("phash"), b * seg_bits)
+            F.shiftrightunsigned(F.col(hash_col), b * seg_bits)
             .bitwiseAND(F.lit(mask))
             .alias("seg"),
         )
         for b in range(bands)
     ]
     exploded = hashes.select(
-        F.col(id_col), F.col("phash"), F.explode(F.array(*segs)).alias("bs")
-    ).select(id_col, "phash", F.col("bs.band").alias("band"), F.col("bs.seg").alias("seg"))
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*segs)).alias("bs")
+    ).select(
+        id_col, hash_col, F.col("bs.band").alias("band"), F.col("bs.seg").alias("seg")
+    )
     if max_bucket_size is not None:
         big = (
             exploded.groupBy("band", "seg")
@@ -214,10 +220,10 @@ def phash_near_dup_pairs(
         )
         exploded = exploded.join(F.broadcast(big), ["band", "seg"], "left_anti")
     left = exploded.select(
-        "band", "seg", F.col(id_col).alias("id_a"), F.col("phash").alias("__ha")
+        "band", "seg", F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha")
     )
     right = exploded.select(
-        "band", "seg", F.col(id_col).alias("id_b"), F.col("phash").alias("__hb")
+        "band", "seg", F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb")
     )
     ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
     return (
