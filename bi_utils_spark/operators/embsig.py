@@ -61,10 +61,13 @@ def embedding_simhash(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "esim",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, phash) — 64-bit SimHash signature per vector, map-only.
-    The output column is named ``phash`` so
-    :func:`phash.phash_near_dup_pairs` consumes it unchanged.
+    """(id, *keep_cols, phash) — 64-bit SimHash signature per vector,
+    map-only (``keep_cols`` ride through unchanged — e.g. the event
+    timestamp for streaming dedup). The output column is named
+    ``phash`` so :func:`phash.phash_near_dup_pairs` consumes it
+    unchanged.
 
     Signing is one vectorized int64 matmul per Arrow batch
     (signs 64×d @ quantized coordinates — the "Python only when
@@ -80,15 +83,26 @@ def embedding_simhash(
     import numpy as np
     import pandas as pd
 
-    # derive the dimension from the schema-less array via a bounded peek
-    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
-    dim = int(first["n"]) if first else 0
-    S = np.array(hyperplane_signs(64, dim, salt), dtype=np.int64)  # 64×d
     weights = np.array(
         [-(1 << 63)] + [1 << (63 - b) for b in range(1, 64)], dtype=np.int64
     )
-    id_field = df.schema[id_col]
-    out_schema = f"{id_col} {id_field.dataType.simpleString()}, phash long"
+    # the sign matrix is derived lazily per worker from the first
+    # batch's vector length (deterministic in (salt, dim), so every
+    # task builds the identical matrix) — no driver action, which
+    # keeps this usable on unbounded STREAMS
+    sign_cache: dict[int, object] = {}
+
+    def signs_for(dim: int):
+        if dim not in sign_cache:
+            sign_cache[dim] = np.array(
+                hyperplane_signs(64, dim, salt), dtype=np.int64
+            )
+        return sign_cache[dim]
+
+    carried = [id_col, *keep_cols]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in carried
+    ) + ", phash long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,13 +115,15 @@ def embedding_simhash(
             q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
                 np.int64
             )
-            proj = S @ q.T  # 64×n int64, |p| <= d*2e7
+            proj = signs_for(V.shape[1]) @ q.T  # 64×n int64, |p| <= d*2e7
             sigs = ((proj > 0).astype(np.int64) * weights[:, None]).sum(
                 axis=0, dtype=np.int64
             )
-            yield pd.DataFrame({id_col: pdf[id_col], "phash": sigs})
+            out = {c: pdf[c] for c in carried}
+            out["phash"] = sigs
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+    return df.select(*carried, vec_col).mapInPandas(run, schema=out_schema)
 
 
 def embedding_simhash_pairs(

@@ -52,6 +52,32 @@ def classifier_gate(
     )
 
 
+def near_dedup_stream_embeddings(
+    stream: DataFrame,
+    ts_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    watermark: str = "60 minutes",
+    salt: str = "esim",
+) -> DataFrame:
+    """Streaming NEAR-dedup for embedding ingest: sign each arriving
+    vector (embsig.embedding_simhash — map-only, works on streams),
+    then drop rows whose 64-bit signature was already admitted inside
+    the watermark horizon (streaming/dedup.py's watermark-bounded
+    state contract). Catches re-encodes and float-jitter re-deliveries
+    that content-hash dedup misses — cosine-near vectors collide on
+    the signature with probability (1 − θ/π)⁶⁴. State per key is the
+    16-byte signature, bounded by rate × horizon; anything farther
+    apart than the horizon belongs to the batch near-dup tiers."""
+    from bi_utils_spark.operators.embsig import embedding_simhash
+    from bi_utils_spark.streaming.dedup import dedup_stream_keys
+
+    sigs = embedding_simhash(
+        stream, id_col, vec_col, salt, keep_cols=(ts_col,)
+    )
+    return dedup_stream_keys(sigs, ["phash"], ts_col, watermark)
+
+
 def attach_cluster(
     stream: DataFrame,
     centroids: list[list[float]],

@@ -473,3 +473,38 @@ def test_stream_cluster_tagging_matches_batch(spark, tmp_path):
     expected = {r["vec_id"]: r["cluster"] for r in
                 kmeans_assign(batch, cents).collect()}
     assert rows == expected and rows[10] != rows[11]
+
+
+def test_stream_near_dedup_embeddings(spark, tmp_path):
+    import json
+    import os
+
+    from bi_utils_spark.streaming.classify import near_dedup_stream_embeddings
+
+    base = [0.1 * (d % 7) - 0.3 for d in range(16)]
+    jitter = [x + 1e-6 for x in base]       # re-encode: signature-equal
+    other = [-x for x in base]              # genuinely different
+    src = str(tmp_path / "esrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i, v in [(1, base), (2, jitter), (3, other)]:
+            f.write(json.dumps(
+                {"vec_id": i, "embedding": v,
+                 "ts": f"2026-01-01 00:0{i}:00"}) + "\n")
+
+    stream = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP"
+    ).json(src)
+    q = (
+        near_dedup_stream_embeddings(stream, "ts")
+        .writeStream.format("memory")
+        .queryName("edup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    kept = sorted(r["vec_id"] for r in spark.sql("SELECT * FROM edup_out").collect())
+    # jitter re-delivery collapses onto the first arrival; the
+    # different vector survives
+    assert kept == [1, 3]
