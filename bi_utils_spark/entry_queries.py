@@ -3877,12 +3877,12 @@ _DSIR_CTE = r"""
 def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.importance import (
         bucket_logratio_labeled,
-        importance_weights_inline,
+        importance_weights,
     )
 
     docs = load(spark, sf_dir, "documents")
     lr = bucket_logratio_labeled(docs, F.col("lang") == "en")
-    return importance_weights_inline(docs, lr)
+    return importance_weights(docs, lr)
 
 
 @register(
@@ -3903,12 +3903,12 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.importance import (
         bucket_logratio_labeled,
         importance_resample,
-        importance_weights_inline,
+        importance_weights,
     )
 
     docs = load(spark, sf_dir, "documents")
     lr = bucket_logratio_labeled(docs, F.col("lang") == "en")
-    return importance_resample(importance_weights_inline(docs, lr), k=100)
+    return importance_resample(importance_weights(docs, lr), k=100)
 
 
 # ===========================================================================
@@ -3977,7 +3977,7 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     train-and-apply pipeline hash-matches the oracle."""
     from bi_utils_spark.operators.classifier import (
         class_prior,
-        classifier_scores_inline,
+        classifier_scores,
         fit_nb_weights_labeled,
     )
 
@@ -3985,7 +3985,11 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") != "en")
     w = fit_nb_weights_labeled(docs, F.col("lang") == "en")
-    return classifier_scores_inline(docs, w, prior=class_prior(pos, neg))
+    # join-based scoring: the one-shot fit+score fuses into a single
+    # job; the inline literal-weight form pays an eager fit collect +
+    # plan-compile (~+1.5 s/query at sf0.1) and belongs to the
+    # fit-once-score-many / streaming path
+    return classifier_scores(docs, w, prior=class_prior(pos, neg))
 
 
 @register(
@@ -4013,7 +4017,7 @@ def q_nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.classifier import (
         class_prior,
         classifier_confusion,
-        classifier_scores_inline,
+        classifier_scores,
         fit_nb_weights_labeled,
     )
 
@@ -4021,7 +4025,7 @@ def q_nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") != "en")
     w = fit_nb_weights_labeled(docs, F.col("lang") == "en")
-    scored = classifier_scores_inline(docs, w, prior=class_prior(pos, neg))
+    scored = classifier_scores(docs, w, prior=class_prior(pos, neg))
     truth = docs.select("doc_id", (F.col("lang") == "en").alias("__truth"))
     return classifier_confusion(scored.join(truth, "doc_id"), "__truth")
 
