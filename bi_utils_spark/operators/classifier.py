@@ -216,6 +216,32 @@ def filter_by_classifier(
     return df.join(kept, id_col, "left_semi")
 
 
+def save_classifier(
+    weights: DataFrame, path: str, prior: DataFrame | None = None
+) -> None:
+    """Persist a fitted model (weight table + optional prior) as
+    parquet — the train-once / serve-many lifecycle, same shape as
+    pq.save_ivfpq. The weight table is ``num_buckets`` rows, so this
+    is a trivially small artifact regardless of training-corpus
+    size."""
+    weights.write.mode("overwrite").parquet(f"{path}/weights")
+    if prior is not None:
+        prior.write.mode("overwrite").parquet(f"{path}/prior")
+
+
+def load_classifier(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame | None]:
+    """(weights, prior_or_None) back from :func:`save_classifier` —
+    feed straight into classifier_scores / collect_weights."""
+    weights = spark.read.parquet(f"{path}/weights")
+    try:
+        prior = spark.read.parquet(f"{path}/prior")
+    except Exception:  # noqa: BLE001 — prior is optional by contract
+        prior = None
+    return weights, prior
+
+
 def classifier_confusion(
     scored: DataFrame, truth_col: str, label_col: str = "label"
 ) -> DataFrame:

@@ -149,3 +149,24 @@ def test_inline_scoring_zero_exchanges(spark):
     pos, neg = _toy(spark)
     w = fit_nb_weights(pos, neg, num_buckets=64)
     assert num_exchanges(classifier_scores_inline(pos, w)) == 0
+
+
+def test_save_load_classifier_roundtrip(spark, tmp_path):
+    from bi_utils_spark.operators.classifier import (
+        load_classifier,
+        save_classifier,
+    )
+
+    pos, neg = _toy(spark)
+    w = fit_nb_weights(pos, neg, num_buckets=64)
+    prior = class_prior(pos.union(pos), neg)
+    path = str(tmp_path / "model")
+    save_classifier(w, path, prior)
+    w2, prior2 = load_classifier(spark, path)
+    a = classifier_scores(pos, w, prior=prior, num_buckets=64)
+    b = classifier_scores(pos, w2, prior=prior2, num_buckets=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # prior is optional
+    save_classifier(w, str(tmp_path / "m2"))
+    _, none_prior = load_classifier(spark, str(tmp_path / "m2"))
+    assert none_prior is None
