@@ -28,6 +28,27 @@ from bi_utils_spark.operators.textstats import tokens
 # ---------------------------------------------------------------------------
 
 
+def content_hash(content_cols: list[str], num_bits: int = 256) -> Column:
+    """The engine's ONE content-identity expression: sha2 over the
+    JSON encoding of the column struct. Injective for any fixed
+    schema — field names delimit values (("ab","c") ≠ ("a","bc"))
+    and NULL is encoded explicitly, distinct from '' (concat_ws
+    would silently skip NULLs, shifting field boundaries).
+
+    Shared by batch ``dedup_exact`` and streaming
+    ``dedup_stream_content`` so a record admitted by the stream gate
+    and re-audited in batch computes the SAME digest — hash parity is
+    the train/serve contract of the dedup tier.
+    """
+    return F.sha2(
+        F.to_json(
+            F.struct(*[F.col(c) for c in content_cols]),
+            {"ignoreNullFields": "false"},
+        ),
+        num_bits,
+    )
+
+
 def dedup_exact(
     df: DataFrame,
     content_cols: list[str],
@@ -48,16 +69,7 @@ def dedup_exact(
     aggregation dedups within partitions first, so the shuffle volume
     is ~unique rows, not input rows.
     """
-    hashed = df.withColumn(
-        "__content_hash",
-        F.sha2(
-            F.to_json(
-                F.struct(*[F.col(c) for c in content_cols]),
-                {"ignoreNullFields": "false"},
-            ),
-            num_bits,
-        ),
-    )
+    hashed = df.withColumn("__content_hash", content_hash(content_cols, num_bits))
     w = Window.partitionBy("__content_hash").orderBy(F.asc(keep_order_col))
     return (
         hashed.withColumn("__rn", F.row_number().over(w))

@@ -62,12 +62,15 @@ def embedding_simhash(
     vec_col: str = "embedding",
     salt: str = "esim",
     keep_cols: tuple[str, ...] = (),
+    sig_col: str = "sig64",
 ) -> DataFrame:
-    """(id, *keep_cols, phash) — 64-bit SimHash signature per vector,
+    """(id, *keep_cols, sig64) — 64-bit SimHash signature per vector,
     map-only (``keep_cols`` ride through unchanged — e.g. the event
-    timestamp for streaming dedup). The output column is named
-    ``phash`` so :func:`phash.phash_near_dup_pairs` consumes it
-    unchanged.
+    timestamp for streaming dedup). The signature column is named
+    ``sig64`` (it is an embedding signature, not a perceptual image
+    hash); :func:`phash.phash_near_dup_pairs` consumes it via its
+    ``hash_col`` parameter. Callers that relied on the pre-r5 column
+    name can pass ``sig_col="phash"`` (deprecated).
 
     Signing is one vectorized int64 matmul per Arrow batch
     (signs 64×d @ quantized coordinates — the "Python only when
@@ -99,10 +102,19 @@ def embedding_simhash(
             )
         return sign_cache[dim]
 
+    if sig_col == "phash":
+        import warnings
+
+        warnings.warn(
+            "sig_col='phash' is a deprecated alias; the embedding "
+            "signature column is named 'sig64' since r5",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     carried = [id_col, *keep_cols]
     out_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in carried
-    ) + ", phash long"
+    ) + f", {sig_col} long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,7 +132,7 @@ def embedding_simhash(
                 axis=0, dtype=np.int64
             )
             out = {c: pdf[c] for c in carried}
-            out["phash"] = sigs
+            out[sig_col] = sigs
             yield pd.DataFrame(out)
 
     return df.select(*carried, vec_col).mapInPandas(run, schema=out_schema)
@@ -149,4 +161,5 @@ def embedding_simhash_pairs(
         max_hamming=max_hamming,
         bands=bands,
         max_bucket_size=max_bucket_size,
+        hash_col="sig64",
     )

@@ -75,7 +75,7 @@ def near_dedup_stream_embeddings(
     sigs = embedding_simhash(
         stream, id_col, vec_col, salt, keep_cols=(ts_col,)
     )
-    return dedup_stream_keys(sigs, ["phash"], ts_col, watermark)
+    return dedup_stream_keys(sigs, ["sig64"], ts_col, watermark)
 
 
 def attach_cluster(

@@ -20,7 +20,8 @@ first; no per-row Python anywhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.dedup import content_hash
 
 
 def dedup_stream_keys(
@@ -45,16 +46,15 @@ def dedup_stream_content(
     watermark: str = "60 minutes",
     num_bits: int = 256,
 ) -> DataFrame:
-    """Content-identity streaming dedup: same sha2-with-separator
-    identity as the batch ``dedup_exact`` (("ab","c") ≠ ("a","bc")),
+    """Content-identity streaming dedup: the SAME identity expression
+    as batch ``dedup_exact`` (shared ``content_hash`` — JSON-struct
+    sha2, so ("ab","c") ≠ ("a","bc") and ("a",NULL,"b") ≠ ("a","b")),
     so a record re-delivered with a different key but identical
-    content is still dropped. State is keyed by the fixed-width
-    digest, never the payload."""
+    content is still dropped, and a record admitted here computes the
+    identical digest when re-audited by the batch tier. State is
+    keyed by the fixed-width digest, never the payload."""
     hashed = stream.withColumn(
-        "__content_hash",
-        F.sha2(
-            F.concat_ws("\x01", *[F.col(c) for c in content_cols]), num_bits
-        ),
+        "__content_hash", content_hash(content_cols, num_bits)
     )
     return (
         hashed.withWatermark(ts_col, watermark)

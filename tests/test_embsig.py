@@ -25,10 +25,25 @@ def test_identical_vectors_identical_signature(spark):
         [(1, [0.5, -0.25, 0.125]), (2, [0.5, -0.25, 0.125]), (3, [-0.5, 0.25, -0.125])],
         "vec_id long, embedding array<float>",
     )
-    sigs = {r["vec_id"]: r["phash"] for r in embedding_simhash(df).collect()}
+    sigs = {r["vec_id"]: r["sig64"] for r in embedding_simhash(df).collect()}
     assert sigs[1] == sigs[2]
     # antipodal vector flips every non-zero-projection bit
     assert sigs[1] != sigs[3]
+
+
+def test_phash_column_name_deprecated_shim(spark):
+    import warnings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125])], "vec_id long, embedding array<float>"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        legacy = embedding_simhash(df, sig_col="phash")
+        assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+    row = legacy.collect()[0]
+    new = embedding_simhash(df).collect()[0]
+    assert row["phash"] == new["sig64"]
 
 
 def test_near_vectors_small_hamming(spark):

@@ -241,6 +241,69 @@ def test_dedup_stream_content_drops_redelivery(spark, tmp_path):
     assert "payload" in rows[0].asDict() and "__content_hash" not in rows[0].asDict()
 
 
+def test_dedup_stream_content_hash_parity_with_batch(spark):
+    """The stream gate and batch dedup_exact must compute the SAME
+    digest for the same content (train/serve parity), including the
+    NULL-vs-absent distinction: ("a", NULL, "b") must NOT collide
+    with ("a", "b")-padded-with-empty — concat_ws would."""
+    from pyspark.sql import functions as F
+
+    from bi_utils_spark.operators.dedup import content_hash
+
+    df = spark.createDataFrame(
+        [("a", None, "b"), ("a", "", "b"), ("ab", "c", None), ("a", "bc", None)],
+        "c1 string, c2 string, c3 string",
+    )
+    hashes = [
+        r["h"]
+        for r in df.select(content_hash(["c1", "c2", "c3"]).alias("h")).collect()
+    ]
+    # all four rows are distinct contents -> four distinct digests
+    assert len(set(hashes)) == 4
+    # parity: the streaming module uses the exact same expression object
+    import bi_utils_spark.streaming.dedup as sdedup
+
+    assert sdedup.content_hash is content_hash
+    stream_expr = sdedup.content_hash(["c1", "c2", "c3"]).alias("h")
+    stream_hashes = [r["h"] for r in df.select(stream_expr).collect()]
+    assert stream_hashes == hashes
+
+
+def test_dedup_stream_content_null_not_skipped(spark, tmp_path):
+    """A NULL field is part of the identity: {"a", NULL, "b"} and
+    {"a", "b", NULL} are different contents and BOTH pass the gate."""
+    from bi_utils_spark.streaming.dedup import dedup_stream_content
+
+    src = tmp_path / "dedup_null_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            [
+                '{"id": 1, "ts": "2024-01-01T10:00:00", "x": "a", "y": null, "z": "b"}',
+                '{"id": 2, "ts": "2024-01-01T10:00:05", "x": "a", "y": "b", "z": null}',
+                '{"id": 3, "ts": "2024-01-01T10:00:10", "x": "a", "y": null, "z": "b"}',
+            ]
+        )
+    )
+    stream = spark.readStream.schema(
+        "id long, ts timestamp, x string, y string, z string"
+    ).json(str(src))
+    deduped = dedup_stream_content(stream, ["x", "y", "z"], "ts", "10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_null_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT id FROM dedup_null_out ORDER BY id").collect()
+    # 3 is a true duplicate of 1; 2 differs only in WHICH field is NULL
+    assert [r["id"] for r in rows] == [1, 2]
+
+
 def test_dedup_stream_keys_across_batches(spark, tmp_path):
     from bi_utils_spark.streaming.dedup import dedup_stream_keys
 
