@@ -132,14 +132,29 @@ def classifier_scores(
     )
 
 
-def collect_weights(weights: DataFrame) -> list[int]:
+def collect_weights(
+    weights: DataFrame, num_buckets: int | None = None
+) -> list[int]:
     """Densified weight table → bucket-indexed list of lr_q BIGINTs —
     a BOUNDED driver fetch (exactly num_buckets rows, the IVF-centroid
-    collect class) that turns scoring into a pure map expression."""
+    collect class) that turns scoring into a pure map expression.
+
+    The feature-hash modulus IS the list length, so a sparse or
+    truncated table would silently rehash every feature into the
+    wrong bucket space. Pass ``num_buckets`` to pin it explicitly;
+    otherwise the table must be DENSE (bucket_logratio emits all
+    num_buckets rows) — a gap raises instead of scoring garbage."""
     out: dict[int, int] = {
         r["bucket"]: r["lr_q"] for r in weights.collect()
     }
-    return [out.get(b, 0) for b in range(max(out) + 1 if out else 0)]
+    n = num_buckets if num_buckets is not None else (max(out) + 1 if out else 0)
+    if len(out) != n or (out and max(out) + 1 != n):
+        raise ValueError(
+            f"weight table is not dense: {len(out)} rows for modulus {n} — "
+            "a filtered/truncated table would silently change the feature "
+            "hash space; pass the fit's num_buckets or use the full table"
+        )
+    return [out[b] for b in range(n)]
 
 
 def inline_logit_q(
@@ -179,12 +194,16 @@ def classifier_scores_inline(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, n_feats, logit, label) — same contract and exact same
-    values as :func:`classifier_scores`, computed as one map-only
-    pass: the weight table (and prior) are collected once (bounded:
-    num_buckets rows / 1 row) and baked into the plan. Zero
-    exchanges over the scan; the preferred scoring form at scale and
-    the only one usable on unbounded streams."""
+    """(id, n_feats, logit, label) — same contract, same ROW SET and
+    exact same values as :func:`classifier_scores`, computed as one
+    map-only pass: the weight table (and prior) are collected once
+    (bounded: num_buckets rows / 1 row) and baked into the plan.
+    Rows with no features (NULL or feature-less text) are dropped,
+    matching the join scorer where the feature explode emits nothing
+    for them — so downstream filters and confusion metrics see the
+    identical row set either way. Zero exchanges over the scan; the
+    preferred scoring form at scale and the only one usable on
+    unbounded streams."""
     wq = collect_weights(weights)
     prior_q = int(prior.first()["prior_q"]) if prior is not None else 0
     lq = inline_logit_q(text_col, wq, prior_q)
@@ -193,7 +212,7 @@ def classifier_scores_inline(
         F.size(feature_array(text_col)).cast("long").alias("n_feats"),
         (lq.cast("double") / F.lit(_Q)).alias("logit"),
         (lq > 0).alias("label"),
-    )
+    ).filter(F.col("n_feats") > 0)
 
 
 def filter_by_classifier(

@@ -25,8 +25,10 @@ discipline, extended to geometry):
   literals are bit-identical across engines; empty clusters keep
   their previous centroid.
 
-Bounds: per-dim residuals saturate at |x − c| ≈ 37.9 (``_QCAP``), so
-distance sums NEVER overflow BIGINT regardless of input — unit-scale
+Bounds: per-dim residuals saturate at ⌊√((2⁶³−1)/dim)⌋ (``_qcap`` —
+derived from the actual vector dimension, ≈ |x − c| ≤ 37.9 at
+dim=64), so distance sums NEVER overflow BIGINT regardless of input
+or dimensionality — unit-scale
 embeddings stay exact, corrupt/out-of-range vectors rank as maximal
 outliers instead of raising; inertia aggregates through
 DECIMAL(38,0). The update step's coordinate sums are exact while
@@ -55,18 +57,25 @@ def _quantize(v: list[float]) -> list[float]:
     return [_round_half_away(float(x) * _Q) / _Q for x in v]
 
 
-#: per-dim residual saturation: ⌊√(2⁶³/dims)⌋ for dims ≤ 64 — q² sums
-#: stay in BIGINT for any input. |x − c| ≤ ~37.9 (unit-scale data is
-#: ~1) stays EXACT; beyond, the distance saturates deterministically —
-#: far is still far, so corrupt/wrong-model vectors rank as outliers
-#: instead of overflowing ANSI arithmetic.
-_QCAP = 379_000_000
+def _qcap(dim: int) -> int:
+    """Per-dim residual saturation, derived from the ACTUAL dimension:
+    ⌊√((2⁶³−1)/dim)⌋, so Σ_d q² ≤ dim · cap² < 2⁶³ and the distance
+    sum stays in BIGINT for ANY input, any dimensionality. At dim=64
+    the cap is ≈ 3.796e8, i.e. |x − c| ≤ ~37.9 (unit-scale data is ~1)
+    stays EXACT; beyond, the distance saturates deterministically —
+    far is still far, so corrupt/wrong-model vectors rank as maximal
+    outliers instead of wrapping into negative distances (ANSI off)
+    or raising (ANSI on)."""
+    return math.isqrt((2**63 - 1) // max(dim, 1))
 
 
 def _dist2_cols(vec_col, centroids: list[list[float]]):
-    """One exact fixed-point squared-distance Column per centroid."""
+    """One exact fixed-point squared-distance Column per centroid.
+    The saturation cap is computed from each centroid's length, so
+    the no-overflow guarantee holds regardless of embedding dim."""
     out = []
     for cent in centroids:
+        cap = _qcap(len(cent))
         carr = F.array(*[F.lit(float(c)) for c in cent])
         q = F.zip_with(
             vec_col,
@@ -74,9 +83,9 @@ def _dist2_cols(vec_col, centroids: list[list[float]]):
             lambda x, c: F.least(
                 F.greatest(
                     F.round((x.cast("double") - c) * F.lit(_Q)).cast("long"),
-                    F.lit(-_QCAP),
+                    F.lit(-cap),
                 ),
-                F.lit(_QCAP),
+                F.lit(cap),
             ),
         )
         out.append(

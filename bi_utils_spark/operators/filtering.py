@@ -59,59 +59,67 @@ def attach_percent_rank(
     rank 0 (the SQL convention)."""
     from pyspark.sql.types import NumericType
 
-    # Persisted: three consumers (split-point fetch, bucket-total
-    # fetch, the returned rank plan) would otherwise each re-run the
-    # upstream scoring scan. |distinct scores| rows — corpus-sized
-    # worst case for continuous scores, so MEMORY_AND_DISK (the
-    # default) not memory-only; same persist-intermediates discipline
-    # as the shingle/signature operators.
+    # Persisted across the two plan-build driver fetches (split
+    # points, bucket totals), which would otherwise each re-run the
+    # upstream scoring scan — then UNPERSISTED before returning, so
+    # repeated calls don't accumulate session-lifetime cached frames
+    # (|distinct scores| rows is corpus-sized for continuous scores).
+    # Cost of releasing it: the returned rank plan recomputes the
+    # counts aggregate once when the consumer executes — one extra
+    # scan, bounded, vs. an unbounded storage leak (ADVICE r4).
     counts = df.groupBy(score_col).agg(F.count("*").alias("__cnt")).persist()
-    bounds: list[float] = []
-    if isinstance(df.schema[score_col].dataType, NumericType) and num_buckets > 1:
-        probs = [i / num_buckets for i in range(1, num_buckets)]
-        qrow = counts.agg(
-            F.percentile_approx(
-                F.col(score_col).cast("double"), probs, 100
-            ).alias("q")
-        ).first()
-        bounds = sorted({b for b in (qrow["q"] or []) if b is not None})
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        sc = F.col(score_col).cast("double")
-        # count of boundaries strictly below the score: monotone in the
-        # score, so bucket order == score order; equal scores (and
-        # NULLs, which sort first and land in bucket 0) share a bucket.
-        # The lambda must only ever compare against the score ATTRIBUTE
-        # coming out of the counts aggregate (cheap, per distinct
-        # score) — see the offsets comment below for the optimizer
-        # hazard when a consumer lets the aggregate collapse.
-        bucket = F.size(F.filter(barr, lambda x: x < sc))
-    else:
-        bucket = F.lit(0)
-    b = counts.withColumn("__bk", bucket)
-    w_in = (
-        Window.partitionBy("__bk")
-        .orderBy(score_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    inner = b.withColumn("__within", F.coalesce(F.sum("__cnt").over(w_in), F.lit(0)))
-    # Cross-bucket offsets and the grand total: ONE bounded driver
-    # fetch of the ≤ num_buckets bucket totals, prefix-summed in
-    # Python and baked back as a literal map — the same bounded-fetch
-    # class as the split points above. A distributed formulation
-    # (self-join or window over the totals) leaves a second corpus
-    # subtree in the plan, and any consumer that needs only __bk lets
-    # column pruning + RemoveRedundantAggregates collapse the counts
-    # aggregate and re-inline the raw score EXPRESSION into the bucket
-    # lambda over the raw scan — re-evaluated per array element per
-    # corpus row, since Catalyst CSE stops at lambda boundaries
-    # (measured 38 s vs 0.7 s at sf0.1 on quality_score). The fetch
-    # derives from `b` (the aggregate is irreducible there: __cnt is
-    # aggregated), never from a keys-only projection.
-    btot_rows = sorted(
-        b.groupBy("__bk").agg(F.sum("__cnt").alias("__bt")).collect(),
-        key=lambda r: r["__bk"],
-    )
+    try:
+        bounds: list[float] = []
+        if isinstance(df.schema[score_col].dataType, NumericType) and num_buckets > 1:
+            probs = [i / num_buckets for i in range(1, num_buckets)]
+            qrow = counts.agg(
+                F.percentile_approx(
+                    F.col(score_col).cast("double"), probs, 100
+                ).alias("q")
+            ).first()
+            bounds = sorted({b for b in (qrow["q"] or []) if b is not None})
+        if bounds:
+            barr = F.array(*[F.lit(float(b)) for b in bounds])
+            sc = F.col(score_col).cast("double")
+            # count of boundaries strictly below the score: monotone in
+            # the score, so bucket order == score order; equal scores
+            # (and NULLs, which sort first and land in bucket 0) share a
+            # bucket. The lambda must only ever compare against the
+            # score ATTRIBUTE coming out of the counts aggregate (cheap,
+            # per distinct score) — see the offsets comment below for
+            # the optimizer hazard when a consumer lets the aggregate
+            # collapse.
+            bucket = F.size(F.filter(barr, lambda x: x < sc))
+        else:
+            bucket = F.lit(0)
+        b = counts.withColumn("__bk", bucket)
+        w_in = (
+            Window.partitionBy("__bk")
+            .orderBy(score_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        inner = b.withColumn(
+            "__within", F.coalesce(F.sum("__cnt").over(w_in), F.lit(0))
+        )
+        # Cross-bucket offsets and the grand total: ONE bounded driver
+        # fetch of the ≤ num_buckets bucket totals, prefix-summed in
+        # Python and baked back as a literal map — the same bounded-fetch
+        # class as the split points above. A distributed formulation
+        # (self-join or window over the totals) leaves a second corpus
+        # subtree in the plan, and any consumer that needs only __bk lets
+        # column pruning + RemoveRedundantAggregates collapse the counts
+        # aggregate and re-inline the raw score EXPRESSION into the bucket
+        # lambda over the raw scan — re-evaluated per array element per
+        # corpus row, since Catalyst CSE stops at lambda boundaries
+        # (measured 38 s vs 0.7 s at sf0.1 on quality_score). The fetch
+        # derives from `b` (the aggregate is irreducible there: __cnt is
+        # aggregated), never from a keys-only projection.
+        btot_rows = sorted(
+            b.groupBy("__bk").agg(F.sum("__cnt").alias("__bt")).collect(),
+            key=lambda r: r["__bk"],
+        )
+    finally:
+        counts.unpersist()
     total = sum(r["__bt"] for r in btot_rows)
     off_map: dict[int, int] = {}
     off = 0

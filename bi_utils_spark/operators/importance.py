@@ -251,7 +251,14 @@ def importance_weights_inline(
     if not lr:
         raise ValueError("empty log-ratio table — fit on a non-empty corpus")
     num_buckets = max(lr) + 1
-    warr = F.lit([int(lr.get(b, 0)) for b in range(num_buckets)])
+    if len(lr) != num_buckets:
+        # the hash modulus IS the table length; a sparse/filtered table
+        # would silently rehash every feature into a different space
+        raise ValueError(
+            f"log-ratio table is not dense: {len(lr)} rows for modulus "
+            f"{num_buckets} — use the full bucket_logratio output"
+        )
+    warr = F.lit([int(lr[b]) for b in range(num_buckets)])
     feats = feature_array(text_col)
     wq = F.aggregate(
         feats,

@@ -94,6 +94,17 @@ def decimal_widening_plan(old: StructType, new: StructType) -> dict[str, str]:
     return out
 
 
+def _fs_delete(spark, path: str) -> bool:
+    """Recursive delete through the Hadoop FileSystem API — works on
+    every filesystem Spark can write to (file://, hdfs://, s3a://…).
+    A local-only ``shutil.rmtree`` would silently no-op on object
+    storage, leaving a table-sized orphan (ADVICE r4)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.delete(hpath, True))
+
+
 def apply_widening(
     spark, path: str, plan: dict[str, str]
 ) -> None:
@@ -106,15 +117,15 @@ def apply_widening(
 
     Staged for safety: cast → write a sibling ``<path>.__widen_tmp``
     (full copy) → overwrite the original FROM the temp → drop the
-    temp; no job ever reads and overwrites the same files. At 100 TB,
-    run this partition-at-a-time (the same plan partition-pruned), or
-    use a table format with metadata schema evolution (Delta/Iceberg
-    — an ALTER, no rewrite; those jars are not in this image, so the
+    temp (via the Hadoop FileSystem API, so cleanup works on
+    hdfs://s3a:// paths too, not just the local FS); no job ever
+    reads and overwrites the same files. At 100 TB, use
+    :func:`apply_widening_partitioned` (one partition at a time), or
+    a table format with metadata schema evolution (Delta/Iceberg —
+    an ALTER, no rewrite; those jars are not in this image, so the
     parquet path is the one provided)."""
     if not plan:
         return
-    import shutil
-
     df = spark.read.parquet(path)
     casted = df.select(
         *[
@@ -125,7 +136,79 @@ def apply_widening(
     tmp = path.rstrip("/") + ".__widen_tmp"
     casted.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    _fs_delete(spark, tmp)
+
+
+def apply_widening_partitioned(
+    spark,
+    path: str,
+    plan: dict[str, str],
+    partition_cols: Sequence[str],
+    partition_values: Sequence[dict] | None = None,
+) -> list[dict]:
+    """Partition-at-a-time widening — the 100 TB execution of
+    :func:`apply_widening`'s own prescription: rewrite ONLY the named
+    partitions; every other partition's files stay byte-identical.
+    Reuses the partition-scoped overwrite discipline of
+    merge.merge_into_partitioned_path (filtered read → partition
+    pruning keeps untouched files out of the scan; dynamic partition
+    overwrite replaces only the rewritten directories).
+
+    ``partition_values``: list of {col: value} dicts naming the
+    partitions to widen this run (run the backfill in waves — a
+    scheduler retries one failed date, not the table). ``None`` means
+    all partitions (discovered from the partition columns — a bounded
+    aggregate over directory metadata, no data columns read).
+
+    Mid-backfill the table holds MIXED physical decimal widths across
+    partitions; read it with an explicit schema (the widened one)
+    until the sweep completes — parquet vectorized readers up-cast
+    narrower physical decimals into the requested type.
+
+    Returns the list of partition dicts actually rewritten."""
+    if not plan:
+        return []
+    from functools import reduce
+
+    df = spark.read.parquet(path)
+    missing = [c for c in partition_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"widen: partition cols {missing} not in table")
+    if partition_values is None:
+        partition_values = [
+            {c: r[c] for c in partition_cols}
+            for r in df.select(*partition_cols).distinct().collect()
+        ]
+    if not partition_values:
+        return []
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            reduce(
+                lambda a, b: a & b,
+                [F.col(c) == F.lit(pv[c]) for c in partition_cols],
+            )
+            for pv in partition_values
+        ],
+    )
+    casted = df.filter(pred).select(
+        *[
+            F.col(c).cast(plan[c]).alias(c) if c in plan else F.col(c)
+            for c in df.columns
+        ]
+    )
+    # Materialize before overwriting the partition dirs we just read
+    # (same read-then-overwrite discipline as the partitioned merge).
+    casted.cache()
+    casted.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        casted.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        casted.unpersist()
+    return list(partition_values)
 
 
 def schema_diff(old: StructType, new: StructType) -> list[dict]:

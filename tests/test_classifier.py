@@ -142,6 +142,23 @@ def test_inline_scoring_matches_join_scoring(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_inline_scoring_null_text_row_set_parity(spark):
+    """ADVICE r4: NULL / feature-less text must be dropped by BOTH
+    scorers — the join form's explode emits nothing for them, so the
+    inline form must not emit NULL-logit rows the join form lacks."""
+    from bi_utils_spark.operators.classifier import classifier_scores_inline
+
+    pos, neg = _toy(spark)
+    w = fit_nb_weights(pos, neg, num_buckets=64)
+    hostile = pos.union(
+        spark.createDataFrame([(90, None), (91, "")], "doc_id long, text string")
+    )
+    a = classifier_scores(hostile, w, num_buckets=64)
+    b = classifier_scores_inline(hostile, w)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert 90 not in {r["doc_id"] for r in b.collect()}  # NULL text dropped
+
+
 def test_inline_scoring_zero_exchanges(spark):
     from bi_utils_spark.operators.classifier import classifier_scores_inline
     from bi_utils_spark.plans.inspect import num_exchanges
@@ -149,6 +166,42 @@ def test_inline_scoring_zero_exchanges(spark):
     pos, neg = _toy(spark)
     w = fit_nb_weights(pos, neg, num_buckets=64)
     assert num_exchanges(classifier_scores_inline(pos, w)) == 0
+
+
+def test_sparse_weight_table_raises(spark):
+    """ADVICE r4: the hash modulus is the table length — a filtered/
+    truncated weight table must raise, not silently rehash every
+    feature into a different bucket space."""
+    import pytest
+
+    from bi_utils_spark.operators.classifier import collect_weights
+
+    pos, neg = _toy(spark)
+    w = fit_nb_weights(pos, neg, num_buckets=64)
+    assert len(collect_weights(w)) == 64
+    assert len(collect_weights(w, num_buckets=64)) == 64
+    with pytest.raises(ValueError, match="not dense"):
+        collect_weights(w.filter(F.col("bucket") % 7 != 3))
+    with pytest.raises(ValueError, match="not dense"):
+        # prefix truncation is only detectable with the explicit modulus
+        collect_weights(w.filter(F.col("bucket") < 32), num_buckets=64)
+    # explicit modulus disagreeing with a dense table also raises
+    with pytest.raises(ValueError, match="not dense"):
+        collect_weights(w, num_buckets=128)
+
+
+def test_sparse_logratio_table_raises_inline(spark):
+    import pytest
+
+    from bi_utils_spark.operators.importance import (
+        bucket_logratio,
+        importance_weights_inline,
+    )
+
+    pos, neg = _toy(spark)
+    lr = bucket_logratio(pos, neg, num_buckets=64)
+    with pytest.raises(ValueError, match="not dense"):
+        importance_weights_inline(pos, lr.filter(F.col("bucket") % 7 != 3))
 
 
 def test_save_load_classifier_roundtrip(spark, tmp_path):

@@ -132,6 +132,28 @@ def test_embedding_outliers_flags_far_point(spark):
     assert sum(out.values()) <= 2  # only the tail is flagged
 
 
+def test_high_dim_corrupt_vector_never_overflows(spark):
+    """ADVICE r4: at dim >> 64, a corrupt vector saturating every dim
+    must still yield a non-negative (saturated-max) distance — the cap
+    is derived per-dim, so Σ q² stays inside BIGINT and the corrupt
+    row ranks FARTHEST, never wraps negative and ranks nearest."""
+    from bi_utils_spark.operators.clustering import _qcap, kmeans_assign
+
+    dim = 1536
+    assert dim * _qcap(dim) ** 2 < 2**63  # the invariant itself
+    rows = [
+        (1, [0.001 * (d % 5) for d in range(dim)]),
+        (2, [0.001 * (d % 5) + 1e-4 for d in range(dim)]),
+        (99, [1.0e9] * dim),  # corrupt: saturates every dimension
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0] * dim, [0.001 * (d % 5) for d in range(dim)]]
+    got = {r["vec_id"]: r for r in kmeans_assign(df, cents).collect()}
+    assert all(r["d2q"] >= 0 for r in got.values())
+    assert got[99]["d2q"] > got[1]["d2q"] and got[99]["d2q"] > got[2]["d2q"]
+    assert got[99]["d2q"] == dim * _qcap(dim) ** 2  # deterministic saturation
+
+
 def test_farthest_init_escapes_mirror_skew(spark):
     from bi_utils_spark.operators.clustering import (
         kmeans_assign,

@@ -101,6 +101,18 @@ def test_approx_thresholds_and_filter(spark):
     assert pi.join_kinds(kept) == {}
 
 
+def test_percent_rank_does_not_leak_cached_frames(spark):
+    """ADVICE r4: every call used to persist the counts frame for the
+    session lifetime; repeated (including indirect) invocations must
+    leave storage empty once the plan is built and executed."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(i, float(i % 37)) for i in range(300)], ["id", "s"])
+    for _ in range(3):
+        out = Q.attach_percent_rank(df, "s")
+        out.count()  # execute the returned plan too
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
 def test_exact_path_sorts_distinct_scores_not_rows(spark):
     # a frame with many rows but ONE distinct score: the ranked side
     # collapses to a single row before the window, and every row gets

@@ -175,6 +175,67 @@ def test_decimal_widening_round_trip(spark, tmp_path):
     assert not (tmp_path / "t.__widen_tmp").exists()
 
 
+def test_widening_partitioned_rewrites_only_named_partitions(spark, tmp_path):
+    # VERDICT r4 #4: widen one date-partition at a time — untouched
+    # partitions' files stay byte-identical; a second wave finishes
+    # the sweep and the whole table reads back widened
+    import pathlib
+    from decimal import Decimal
+
+    from bi_utils_spark.operators.schema_drift import apply_widening_partitioned
+
+    path = str(tmp_path / "wt")
+    spark.createDataFrame(
+        [("2024-01-01", 1, Decimal("11.11")), ("2024-01-02", 2, Decimal("22.22"))],
+        "pdate string, id int, amt decimal(12,2)",
+    ).write.partitionBy("pdate").parquet(path)
+
+    def snapshot(day):
+        files = sorted(
+            p for p in pathlib.Path(path, f"pdate={day}").rglob("*.parquet")
+        )
+        return [(p.name, p.read_bytes()) for p in files]
+
+    before_day2 = snapshot("2024-01-02")
+    plan = {"amt": "decimal(18,4)"}
+    done = apply_widening_partitioned(
+        spark, path, plan, ["pdate"], [{"pdate": "2024-01-01"}]
+    )
+    assert done == [{"pdate": "2024-01-01"}]
+    assert snapshot("2024-01-02") == before_day2, "untouched partition rewritten"
+    # mid-backfill: read with the explicit widened schema
+    widened = spark.read.schema(
+        "id int, amt decimal(18,4), pdate string"
+    ).parquet(path)
+    got = {r["id"]: r["amt"] for r in widened.collect()}
+    assert got == {1: Decimal("11.1100"), 2: Decimal("22.2200")}
+    # second wave (all remaining = all partitions) completes the sweep
+    done2 = apply_widening_partitioned(spark, path, plan, ["pdate"])
+    # discovery infers pdate as DATE; the directory names are identical
+    assert {str(d["pdate"]) for d in done2} == {"2024-01-01", "2024-01-02"}
+    back = spark.read.parquet(path)
+    assert back.schema["amt"].dataType.simpleString() == "decimal(18,4)"
+    assert {r["id"]: r["amt"] for r in back.collect()} == {
+        1: Decimal("11.1100"),
+        2: Decimal("22.2200"),
+    }
+    # empty plan / no partitions are no-ops
+    assert apply_widening_partitioned(spark, path, {}, ["pdate"]) == []
+
+
+def test_fs_delete_works_through_hadoop_api(spark, tmp_path):
+    # ADVICE r4: temp cleanup must go through the Hadoop FileSystem
+    # API (portable to hdfs/s3a), and actually delete recursively
+    from bi_utils_spark.operators.schema_drift import _fs_delete
+
+    d = tmp_path / "victim"
+    (d / "sub").mkdir(parents=True)
+    (d / "sub" / "f.txt").write_text("x")
+    assert _fs_delete(spark, str(d)) is True
+    assert not d.exists()
+    assert _fs_delete(spark, str(d)) is False  # already gone
+
+
 def test_decimal_widening_plan_union_semantics(spark):
     # widened type must hold BOTH sides: (12,2) vs (10,6) -> int
     # digits max(10,4)=10, scale max(2,6)=6 -> decimal(16,6); equal
