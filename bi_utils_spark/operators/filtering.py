@@ -139,8 +139,14 @@ def attach_percent_rank(
         if total <= 1
         else below.cast("double") / F.lit(float(total - 1))
     )
-    ranked = inner.select(score_col, pr.alias(out_col))
-    return df.join(ranked, score_col)
+    # Null-safe equi-join: a NULL score is a legitimate rank group
+    # (SQL ranks NULLs first); a plain name-list join would silently
+    # DROP those rows (NULL = NULL is never true). eqNullSafe is still
+    # an equi-join key for the planner — hash/broadcast, no BNLJ.
+    ranked = inner.select(F.col(score_col).alias("__prk"), pr.alias(out_col))
+    return df.join(
+        ranked, F.col(score_col).eqNullSafe(F.col("__prk")), "inner"
+    ).drop("__prk")
 
 
 def filter_by_score_quantile(

@@ -61,3 +61,38 @@ def dedup_stream_content(
         .dropDuplicatesWithinWatermark(["__content_hash"])
         .drop("__content_hash")
     )
+
+
+def near_dedup_stream_text(
+    stream: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    watermark: str = "60 minutes",
+    shingle_n: int = 1,
+    sig_col: str = "sig64",
+) -> DataFrame:
+    """Streaming NEAR-dedup for text ingest — the text analogue of
+    classify.near_dedup_stream_embeddings: fingerprint each arriving
+    document with the batch tier's ``simhash64`` (a pure Column
+    expression — map-only, so it runs on unbounded streams), then
+    drop documents whose 64-bit signature was already admitted inside
+    the watermark horizon. Catches the re-deliveries the EXACT content
+    gate misses: whitespace jitter, re-serialized payloads, trivial
+    token-order-preserving edits — any variant whose shingle set
+    (token_shingles whitespace-normalizes) votes the same fingerprint.
+
+    Signature parity with batch: the expression IS
+    operators.dedup.simhash64, so a document admitted here carries
+    the exact fingerprint the batch near-dup tiers (simhash_near_dup)
+    compute — stream-gate survivors slot into batch banding unchanged.
+
+    Recall is signature-equality (Hamming 0) — Hamming>0 neighbors
+    within the horizon belong to the batch banded tiers; state per
+    key is 8 bytes, bounded by arrival rate × horizon. The signature
+    rides along in ``sig_col`` for downstream audit."""
+    from bi_utils_spark.operators.dedup import simhash64
+
+    sigs = stream.withColumn(sig_col, simhash64(text_col, shingle_n))
+    return sigs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [sig_col]
+    )

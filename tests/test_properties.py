@@ -317,3 +317,46 @@ def test_kmeans_inertia_never_increases_after_update(spark, pts, k):
     n, dim = len(rows), 2
     slack = n * dim * (4 * 10**7 + 4)  # (|q_eps|·(2·maxdist·1e7)+eps²) bound
     assert i1 <= i0 + slack
+
+
+# --- percent-rank two-level CDF ≡ SQL percent_rank -------------------------
+# VERDICT r4 #7: the subtlest arithmetic in the repo (bucketed CDF
+# with literal-baked offsets) pinned against the naive single-window
+# definition on hostile shapes: ties, NULLs, single row, constant
+# column, tiny bucket counts.
+
+
+@given(
+    scores=st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(-3, 3).map(float),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    num_buckets=st.sampled_from([1, 2, 3, 256]),
+)
+@SETTINGS
+def test_percent_rank_matches_single_window(spark, scores, num_buckets):
+    from pyspark.sql import Window
+
+    from bi_utils_spark.operators.filtering import attach_percent_rank
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "id long, s double"
+    )
+    got = {
+        r["id"]: r["pr"]
+        for r in attach_percent_rank(df, "s", num_buckets=num_buckets).collect()
+    }
+    want = {
+        r["id"]: r["pr"]
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(Window.orderBy("s"))
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-12, (i, got[i], want[i], scores)

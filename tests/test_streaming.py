@@ -304,6 +304,56 @@ def test_dedup_stream_content_null_not_skipped(spark, tmp_path):
     assert [r["id"] for r in rows] == [1, 2]
 
 
+def test_near_dedup_stream_text_drops_whitespace_jitter(spark, tmp_path):
+    """VERDICT r4 #3: a re-delivered document with trivial whitespace
+    jitter passes the exact gate but must be dropped by the SimHash
+    gate; a genuinely distinct document is admitted. The signature the
+    stream computes must equal the batch simhash64 fingerprint."""
+    from pyspark.sql import functions as F
+
+    from bi_utils_spark.operators.dedup import simhash64
+    from bi_utils_spark.streaming.dedup import near_dedup_stream_text
+
+    src = tmp_path / "near_text_src"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        "\n".join(
+            [
+                '{"id": 1, "ts": "2024-01-01T10:00:00", "text": "the quick brown fox jumps"}',
+                '{"id": 2, "ts": "2024-01-01T10:00:05", "text": "the  quick\\tbrown fox   jumps"}',
+                '{"id": 3, "ts": "2024-01-01T10:00:10", "text": "an entirely different document body"}',
+            ]
+        )
+    )
+    stream = spark.readStream.schema("id long, ts timestamp, text string").json(
+        str(src)
+    )
+    gated = near_dedup_stream_text(stream, "ts", "text", "10 minutes")
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_text_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM near_text_out ORDER BY id").collect()
+    assert [r["id"] for r in rows] == [1, 3]
+    # batch-parity: the admitted rows carry the batch-tier fingerprint
+    batch = {
+        r["id"]: r["fp"]
+        for r in spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (3, "an entirely different document body")],
+            "id long, text string",
+        )
+        .select("id", simhash64("text").alias("fp"))
+        .collect()
+    }
+    assert {r["id"]: r["sig64"] for r in rows} == batch
+
+
 def test_dedup_stream_keys_across_batches(spark, tmp_path):
     from bi_utils_spark.streaming.dedup import dedup_stream_keys
 
