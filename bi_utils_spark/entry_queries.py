@@ -2351,23 +2351,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec round-trip (X7 non-fake tier): synthesize BMP/WAV
-    test patterns with the pure-python encoders, decode them back
-    through the registered real parsers, and report header- and
-    pixel/PCM-derived features. The oracle recomputes every feature
-    in closed form from (doc_id, n_chars) — a decoder that does not
-    faithfully parse BMP padding/BGR order or RIFF chunks and
-    little-endian int16 PCM cannot hash-match it.
+    """REAL codec round-trip (X7 non-fake tier): synthesize
+    PNG/BMP/WAV test patterns with the pure-python encoders, decode
+    them back through the registered real parsers, and report header-
+    and pixel/PCM-derived features. The oracle recomputes every
+    feature in closed form from (doc_id, n_chars) — a decoder that
+    does not faithfully parse BMP padding/BGR order, PNG
+    DEFLATE+Paeth unfiltering, or RIFF chunks and little-endian int16
+    PCM cannot hash-match it (the PNG subset's features must equal
+    what the BMP encoding of the same pixels yields).
     """
     from bi_utils_spark.operators.multimodal import (
         DecoderRegistry,
-        bmp_feature_decoder,
         extract_features,
+        image_feature_decoder,
         synthesize_test_media,
         wav_feature_decoder,
     )
 
-    DecoderRegistry.register("image", bmp_feature_decoder())
+    # format-sniffing image decoder: the corpus mixes PNG and BMP
+    DecoderRegistry.register("image", image_feature_decoder())
     DecoderRegistry.register("audio", wav_feature_decoder())
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     media = synthesize_test_media(docs)

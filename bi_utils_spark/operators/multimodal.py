@@ -166,6 +166,7 @@ def payload_sizes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 import struct
+import zlib
 
 
 def encode_bmp(width: int, height: int, rows: list[list[tuple[int, int, int]]]) -> bytes:
@@ -264,6 +265,240 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     return width, height, luma
 
 
+# --- PNG (zero-dep: stdlib zlib inflate + per-spec unfiltering) ------------
+# Real multimodal corpora are PNG/JPEG; PNG is fully decodable with no
+# external libs (DEFLATE is stdlib zlib), so it joins BMP/WAV in the
+# genuinely-decodable tier (VERDICT r4 #2). JPEG stays a production
+# (PIL) registration. Pure-Python unfiltering is the stub-tier cost —
+# fine for fixtures and correctness tests; register PIL at scale.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (per spec: ties prefer a, then b)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rows: list[list[tuple[int, int, int]]],
+    filter_type: int = 0,
+    idat_chunk_size: int | None = None,
+) -> bytes:
+    """Write an 8-bit truecolor (color type 2) PNG.
+
+    ``rows[y][x]`` is (r, g, b), y=0 the TOP row (PNG's native order —
+    no BMP-style flip). ``filter_type`` applies the named scanline
+    filter (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth) to every row, so
+    the decoder's unfiltering paths are all reachable from the
+    encoder; any conformant reader reconstructs identical pixels.
+    ``idat_chunk_size`` splits the compressed stream across multiple
+    IDAT chunks (readers must concatenate — also exercised here)."""
+    if height != len(rows) or any(len(r) != width for r in rows):
+        raise ValueError("rows shape must be height x width")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    bpp = 3
+    prior = bytes(width * bpp)
+    raw = bytearray()
+    for row in rows:
+        cur = bytes(ch & 0xFF for px in row for ch in px)
+        raw.append(filter_type)
+        for i, x in enumerate(cur):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if filter_type == 0:
+                f = x
+            elif filter_type == 1:
+                f = (x - a) & 0xFF
+            elif filter_type == 2:
+                f = (x - b) & 0xFF
+            elif filter_type == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            else:
+                f = (x - _paeth(a, b, c)) & 0xFF
+            raw.append(f)
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    comp = zlib.compress(bytes(raw))
+    if idat_chunk_size:
+        idats = b"".join(
+            _png_chunk(b"IDAT", comp[i : i + idat_chunk_size])
+            for i in range(0, len(comp), idat_chunk_size)
+        )
+    else:
+        idats = _png_chunk(b"IDAT", comp)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + idats
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_raw(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse + inflate + unfilter a PNG → (width, height, channels,
+    reconstructed bytes, top-down). Supports bit depth 8, color types
+    0 (gray), 2 (RGB), 6 (RGBA), interlace 0, any per-row filter,
+    multiple IDAT chunks; verifies chunk CRCs. Raises ValueError on
+    anything it cannot faithfully decode — a real reader's contract."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT chunk")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in (0, 2, 6) or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, comp={comp})"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG DEFLATE stream: {e}") from e
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    recon = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        off = y * (1 + stride)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prior[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prior[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prior[i], c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} on row {y}")
+        prior = bytes(line)
+        recon += prior
+    return width, height, channels, bytes(recon)
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """PNG → (width, height, luma) with luma[y*width + x] = r+g+b in
+    TOP-DOWN order — the same contract as :func:`decode_bmp_pixels`,
+    so perceptual hashing is encoding-agnostic (gray expands to 3·v;
+    RGBA ignores alpha, matching luma = r+g+b)."""
+    width, height, channels, recon = _decode_png_raw(payload)
+    luma: list[int] = []
+    stride = width * channels
+    for y in range(height):
+        row = recon[y * stride : (y + 1) * stride]
+        if channels == 1:
+            luma.extend(3 * v for v in row)
+        else:
+            luma.extend(
+                row[i] + row[i + 1] + row[i + 2]
+                for i in range(0, stride, channels)
+            )
+    return width, height, luma
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG → dims + per-channel means — the :func:`decode_bmp` report
+    for PNG payloads (gray maps v to all three channels)."""
+    width, height, channels, recon = _decode_png_raw(payload)
+    n_px = width * height
+    if channels == 1:
+        s = sum(recon)
+        mean = s / n_px
+        sums = (mean, mean, mean)
+    else:
+        sums = tuple(
+            sum(recon[c::channels]) / n_px for c in range(3)
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_px": n_px,
+        "mean_r": sums[0],
+        "mean_g": sums[1],
+        "mean_b": sums[2],
+    }
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """Format-sniffing image → (width, height, top-down luma): BMP by
+    the 'BM' magic, PNG by its signature. The single entry point the
+    perceptual-hash tier decodes through — the hash is a function of
+    PIXELS, so the same picture hashes identically however encoded."""
+    if payload[:2] == b"BM":
+        return decode_bmp_pixels(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png_pixels(payload)
+    raise ValueError("unknown image format (not BMP or PNG)")
+
+
+def image_feature_decoder() -> Decoder:
+    """Real image decoder entry, format-sniffing (BMP or PNG) →
+    [width, height, mean_r, mean_g] — same feature contract as
+    :func:`bmp_feature_decoder`, so the closed-form oracle holds for
+    either encoding of the same pixels."""
+
+    def decode(payload: bytes) -> list[float]:
+        if payload[:8] == _PNG_SIG:
+            d = decode_png(payload)
+        else:
+            d = decode_bmp(payload)
+        return [float(d["width"]), float(d["height"]), d["mean_r"], d["mean_g"]]
+
+    return decode
+
+
 def encode_wav(samples: list[int], sample_rate: int, num_channels: int = 1) -> bytes:
     """Write a 16-bit little-endian PCM WAV (RIFF/WAVE, fmt + data)."""
     pcm = struct.pack(f"<{len(samples)}h", *samples)
@@ -341,9 +576,11 @@ def synthesize_test_media(
     df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
 ) -> DataFrame:
     """Deterministic test-pattern media built with the REAL encoders
-    (the moral equivalent of TV color bars): even ids become BMPs
-    whose red channel ramps along x over a solid green/blue base,
-    odd ids become WAVs of an alternating ±a square wave. Every
+    (the moral equivalent of TV color bars): even ids become images
+    whose red channel ramps along x over a solid green/blue base —
+    ids ≡ 0 (mod 4) encoded as Paeth-filtered PNG, ids ≡ 2 as BMP, so
+    decoders face a mixed-format corpus — and odd ids become WAVs of
+    an alternating ±a square wave. Every
     derived quantity is a closed-form function of (id, size), so a
     DuckDB oracle can recompute what a faithful decoder must report —
     a decoder that does not truly parse headers, padding, BGR order
@@ -366,7 +603,16 @@ def synthesize_test_media(
                     base_r, g, b = doc_id % 200, doc_id * 3 % 256, doc_id * 7 % 256
                     rows = [[(base_r + x, g, b) for x in range(w)] for _ in range(h)]
                     mods.append("image")
-                    payloads.append(encode_bmp(w, h, rows))
+                    # mixed-format corpus: every other image is PNG
+                    # (Paeth-filtered) — same pixels, different codec,
+                    # so the closed-form feature oracle must hold for
+                    # both and the decoder must truly sniff + parse
+                    enc = (
+                        (lambda ww, hh, rr: encode_png(ww, hh, rr, filter_type=4))
+                        if doc_id % 4 == 0
+                        else encode_bmp
+                    )
+                    payloads.append(enc(w, h, rows))
                 else:
                     n = size % 50 + 10
                     rate = 8000 + (doc_id % 3) * 4000

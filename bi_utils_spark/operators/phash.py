@@ -43,15 +43,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bi_utils_spark.operators.multimodal import decode_bmp_pixels
+from bi_utils_spark.operators.multimodal import decode_image_pixels
 
 
 def average_hash_64(payload: bytes) -> int:
-    """64-bit aHash of a BMP payload — exact integer arithmetic only
-    (see module docstring). Bit (8·gy + gx), MSB-first, covers grid
-    cell (gx, gy); cells empty because the image is narrower than the
-    grid contribute 0 bits. Raises ValueError on undecodable input."""
-    w, h, luma = decode_bmp_pixels(payload)
+    """64-bit aHash of a BMP or PNG payload (format-sniffed; the hash
+    is a function of PIXELS, so the same picture hashes identically
+    however encoded) — exact integer arithmetic only (see module
+    docstring). Bit (8·gy + gx), MSB-first, covers grid cell
+    (gx, gy); cells empty because the image is narrower than the grid
+    contribute 0 bits. Raises ValueError on undecodable input."""
+    w, h, luma = decode_image_pixels(payload)
     total = sum(luma)
     n = w * h
     bits = 0
@@ -105,17 +107,22 @@ def synthesize_phash_test_images(
     n_tiers: int = 3,
     shift: int = 9,
 ) -> DataFrame:
-    """Deterministic near-dup image corpus built with the real BMP
-    encoder: every row becomes an image whose content depends ONLY on
-    (class, tier) with class = id % n_classes and tier =
+    """Deterministic near-dup image corpus built with the real
+    encoders: every row becomes an image whose content depends ONLY
+    on (class, tier) with class = id % n_classes and tier =
     (id // n_classes) % n_tiers. Same class ⇒ same picture up to a
     uniform brightness shift of tier·``shift`` — a PERCEPTUAL
     duplicate that aHash provably hashes identically (exact mean
     comparison, no clamping: base channels < 200 and tier·shift ≤ 18)
-    while the payload bytes differ. Pixels are md5-seeded per (class,
-    x, y), so distinct classes are distinct pictures — near-dup truth
-    is pure id arithmetic, which is what makes q_phash_near_dup's
-    oracle closed-form.
+    while the payload bytes differ. Tier 1 encodes as PNG, other
+    tiers as BMP — so the corpus is MIXED-FORMAT and the pipeline
+    proves the hash is a function of pixels, not encoding (payloads
+    stay injective in (class, tier): the two formats can't produce
+    equal bytes, and within a format distinct (class, tier) means
+    distinct pixels). Pixels are md5-seeded per (class, x, y), so
+    distinct classes are distinct pictures — near-dup truth is pure
+    id arithmetic, which is what makes q_phash_near_dup's oracle
+    closed-form.
 
     Dims: w = class % 13 + 8, h = class % 11 + 8 (≥ 8 so every aHash
     grid cell is non-empty)."""
@@ -129,7 +136,10 @@ def synthesize_phash_test_images(
         def payload_for(cls: int, tier: int) -> bytes:
             key = (cls, tier)
             if key not in cache:
-                from bi_utils_spark.operators.multimodal import encode_bmp
+                from bi_utils_spark.operators.multimodal import (
+                    encode_bmp,
+                    encode_png,
+                )
 
                 w, h = cls % 13 + 8, cls % 11 + 8
                 add = tier * shift
@@ -142,7 +152,8 @@ def synthesize_phash_test_images(
                             (d[0] % 200 + add, d[1] % 200 + add, d[2] % 200 + add)
                         )
                     rows.append(row)
-                cache[key] = encode_bmp(w, h, rows)
+                enc = encode_png if tier == 1 else encode_bmp
+                cache[key] = enc(w, h, rows)
             return cache[key]
 
         for pdf in batches:

@@ -554,13 +554,14 @@ def test_wav_roundtrip_and_chunk_walk():
 def test_media_decode_end_to_end(spark, sf_dir):
     from bi_utils_spark.operators.multimodal import (
         DecoderRegistry,
-        bmp_feature_decoder,
         extract_features,
+        image_feature_decoder,
         synthesize_test_media,
         wav_feature_decoder,
     )
 
-    DecoderRegistry.register("image", bmp_feature_decoder())
+    # sniffing decoder: the synthesized corpus mixes PNG and BMP
+    DecoderRegistry.register("image", image_feature_decoder())
     DecoderRegistry.register("audio", wav_feature_decoder())
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars").limit(20)
     out = extract_features(synthesize_test_media(docs)).collect()
@@ -656,3 +657,88 @@ def test_minhash_incremental_finds_cross_batch_dup(spark):
     got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
     assert (1, 10) in got and got[(1, 10)] == 1.0  # identical text
     assert all(11 not in pair for pair in got)
+
+
+def test_png_round_trip_all_filters_and_multi_idat():
+    from bi_utils_spark.operators.multimodal import (
+        decode_png,
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rows = [
+        [((x * 7 + y * 13) % 256, (x * 3) % 256, (y * 5) % 256) for x in range(13)]
+        for y in range(9)
+    ]
+    want = [sum(rows[y][x]) for y in range(9) for x in range(13)]
+    for ft in range(5):
+        w, h, luma = decode_png_pixels(encode_png(13, 9, rows, filter_type=ft))
+        assert (w, h, luma) == (13, 9, want), f"filter {ft}"
+    # readers must concatenate split IDAT chunks
+    w, h, luma = decode_png_pixels(
+        encode_png(13, 9, rows, filter_type=4, idat_chunk_size=7)
+    )
+    assert luma == want
+    d = decode_png(encode_png(13, 9, rows))
+    n = 13 * 9
+    assert d["width"] == 13 and d["height"] == 9
+    assert abs(d["mean_r"] - sum(r[0] for rw in rows for r in rw) / n) < 1e-12
+
+
+def test_png_grayscale_and_rgba_decode():
+    import struct
+    import zlib
+
+    from bi_utils_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    gray = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 10, 20, 30, 0, 40, 50, 60])))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(gray) == (3, 2, [30, 60, 90, 120, 150, 180])
+    rgba = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 1, 2, 3, 255, 4, 5, 6, 0])))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(rgba)[2] == [6, 15]  # alpha ignored
+
+
+def test_png_rejects_corruption():
+    import pytest as _pytest
+
+    from bi_utils_spark.operators.multimodal import decode_png_pixels, encode_png
+
+    rows = [[(x, y, 0) for x in range(5)] for y in range(4)]
+    good = encode_png(5, 4, rows)
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(bytes(bad_crc))
+    with _pytest.raises(ValueError):
+        decode_png_pixels(good[:30])  # truncated
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"\x89PNG\r\n\x1a\njunk")
+
+
+def test_image_feature_decoder_sniffs_both_formats():
+    from bi_utils_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_feature_decoder,
+    )
+
+    rows = [[(40 + x, 7, 9) for x in range(6)] for _ in range(3)]
+    dec = image_feature_decoder()
+    assert dec(encode_bmp(6, 3, rows)) == dec(encode_png(6, 3, rows))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dec(b"GIF89a not supported")

@@ -90,3 +90,36 @@ def test_synthesis_round_trip(spark):
     assert by_id[3] == by_id[53]
     # distinct classes must not collide
     assert by_id[0] != by_id[1]
+
+
+def test_ahash_png_equals_bmp_of_same_pixels():
+    """VERDICT r4 #2 acceptance: the aHash of a PNG must be
+    bit-identical to the aHash of the BMP encoding of the same
+    pixels, for every PNG filter type — the hash is a function of
+    pixels, not encoding."""
+    from bi_utils_spark.operators.multimodal import encode_png
+
+    px = lambda x, y: (10 * (x % 7), 5 * (y % 9), (x * y) % 200)  # noqa: E731
+    rows = [[px(x, y) for x in range(16)] for y in range(16)]
+    want = average_hash_64(encode_bmp(16, 16, rows))
+    for ft in range(5):
+        assert average_hash_64(encode_png(16, 16, rows, filter_type=ft)) == want
+
+
+def test_mixed_format_corpus_hashes_uniformly(spark):
+    # tier 1 encodes as PNG, tiers 0/2 as BMP: same class must still
+    # collide across the codec boundary, and payload bytes must stay
+    # injective in (cls, tier)
+    docs = spark.range(0, 150).selectExpr("id as doc_id")
+    media = synthesize_phash_test_images(docs).collect()
+    payloads = {(r["cls"], r["tier"]): bytes(r["payload"]) for r in media}
+    pngs = [p for (c, t), p in payloads.items() if t == 1]
+    bmps = [p for (c, t), p in payloads.items() if t != 1]
+    assert pngs and all(p[:4] == b"\x89PNG"[:4] for p in pngs)
+    assert bmps and all(p[:2] == b"BM" for p in bmps)
+    assert len(set(payloads.values())) == len(payloads)  # injectivity
+    hashes = {
+        (r["cls"], r["tier"]): average_hash_64(bytes(r["payload"])) for r in media
+    }
+    for (c, t), hv in hashes.items():
+        assert hv == hashes[(c, 0)], f"class {c} tier {t} broke across codecs"
