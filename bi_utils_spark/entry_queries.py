@@ -4171,10 +4171,20 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bi_utils_spark.operators.lm import bigram_logprob_scores
+    """Interpolated bigram LM scoring on the skew-hardened path: the
+    head of the vocabulary distribution (top-32 terms, one bounded
+    TakeOrdered fetch) routes hot pairs through the salted join; the
+    split is value-invariant, so the oracle is the plain formula."""
+    from bi_utils_spark.operators.lm import (
+        bigram_logprob_scores,
+        top_vocab,
+        unigram_model,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    return bigram_logprob_scores(docs)
+    uni = unigram_model(docs)
+    hot = [r["term"] for r in top_vocab(uni, 32).collect()]
+    return bigram_logprob_scores(docs, unigram=uni, hot_terms=hot)
 
 
 # ===========================================================================

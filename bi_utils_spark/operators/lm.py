@@ -207,6 +207,8 @@ def bigram_logprob_scores(
     lam: float = 0.7,
     model: DataFrame | None = None,
     unigram: DataFrame | None = None,
+    hot_terms: list[str] | None = None,
+    salts: int = 16,
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_logprob) under an interpolated bigram
     model — the CCNet-style perplexity filter one order deeper than
@@ -222,19 +224,48 @@ def bigram_logprob_scores(
     tokens emit no row.
 
     Determinism: per-pair log-probs quantized to 1e-7 fixed point and
-    summed as BIGINTs — bit-identical under any partitioning, exact
-    against the DuckDB oracle.
+    summed as BIGINTs (per-doc pair multiplicities multiply the
+    quantized value — identical to summing per occurrence), so scores
+    are bit-identical under any partitioning and under the head/tail
+    split, exact against the DuckDB oracle.
 
-    Scale: pair rows join the bigram model on (w1, w2) — a shuffle
-    join keyed by the pair (broadcast only the unigram model and the
-    scalar totals). Stop-word pairs are hot keys; AQE skew-join
-    handles them, or pre-salt w1 for pathological corpora.
+    Scale — three skew defenses (VERDICT r4 #9), each independent:
+
+    1. context margins (``ctx``, Σ_w2 c12 per w1) and the unigram
+       model are VOCAB-sized, so both join map-side via broadcast —
+       the corpus-sized frame never shuffles on the (Zipf-hot) w1
+       key at all;
+    2. pair rows first compress to one row per (doc, w1, w2) with a
+       multiplicity — phase 1 of a two-phase aggregation keyed by the
+       doc id (the natural salt: partitioning by doc_id already holds
+       from the pairing window, so this adds NO exchange), bounding
+       any hot pair's contribution to ≤ 1 row per document before the
+       model join;
+    3. with ``hot_terms`` (the head of the vocabulary distribution —
+       fetch once via ``top_vocab``; a bounded driver list, the
+       split-point discipline of filtering.py), pairs whose BOTH
+       tokens are head terms — the only keys that can be corpus-hot,
+       since c(w1,w2) ≤ min c — take a SALTED join: the head slice of
+       the model (≤ |hot|² rows, a filter — no extra model pass)
+       replicates across ``salts`` shards and the join keys on
+       (w1, w2, salt), spreading each hot key over ``salts``
+       partitions; everything else joins the full model on the now
+       head-free (hence unskewed) key. Without ``hot_terms`` the
+       single join relies on AQE skew splitting — fine until one
+       key's occurrences exceed an executor, which at 100 TB a
+       stop-word pair will.
+
+    The head/tail branches share the pairing subtree; the doc_id
+    exchange under it is ReusedExchange, so the corpus is scanned and
+    shuffled once (the pairing window re-runs per branch — CPU only).
     """
     if not 0.0 <= lam < 1.0:
         # lam=1.0 would make an unseen bigram (cross-corpus scoring
         # with a provided `model`) log(0) = -inf, which the fixed-point
         # cast would fold into the sum as a silent sentinel
         raise ValueError(f"lam must be in [0, 1), got {lam}")
+    if salts < 1:
+        raise ValueError(f"salts must be >= 1, got {salts}")
     pairs = bigram_pairs(df, id_col, text_col)
     if model is None:
         model = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
@@ -243,6 +274,32 @@ def bigram_logprob_scores(
         unigram = unigram_model(df, id_col, text_col)
     consts = unigram.agg(F.sum("c").alias("total"), F.count("*").alias("v"))
     uni2 = unigram.select(F.col("term").alias("w2"), F.col("c").alias("cu2"))
+    # phase 1: per-doc pair multiplicities (no new exchange — the
+    # window's doc_id partitioning satisfies this grouping)
+    cpairs = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("__n")
+    )
+    if hot_terms:
+        hot = [str(t) for t in hot_terms]
+        is_hot = F.col("w1").isin(hot) & F.col("w2").isin(hot)
+        salt_arr = F.array(*[F.lit(i) for i in range(salts)])
+        head_model = (
+            model.filter(F.col("w1").isin(hot) & F.col("w2").isin(hot))
+            .withColumn("__salt", F.explode(salt_arr))
+        )
+        head = (
+            cpairs.filter(is_hot)
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salts)).cast("int"),
+            )
+            .join(head_model, ["w1", "w2", "__salt"], "left")
+            .drop("__salt")
+        )
+        tail = cpairs.filter(~is_hot).join(model, ["w1", "w2"], "left")
+        joined = head.unionByName(tail)
+    else:
+        joined = cpairs.join(model, ["w1", "w2"], "left")
     p_mle = F.coalesce(
         F.col("c12").cast("double") / F.col("c1").cast("double"), F.lit(0.0)
     )
@@ -253,17 +310,17 @@ def bigram_logprob_scores(
         F.log(F.lit(lam) * p_mle + F.lit(1.0 - lam) * p_uni) * 1e7
     ).cast("long")
     scored = (
-        pairs.join(model, ["w1", "w2"], "left")
-        .join(ctx, "w1", "left")
+        joined.join(F.broadcast(ctx), "w1", "left")
         .join(F.broadcast(uni2), "w2", "left")
         .crossJoin(F.broadcast(consts))
-        .select("doc_id", q.alias("__q"))
+        .select("doc_id", F.col("__n"), q.alias("__q"))
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        ((F.sum("__q").cast("double") / F.lit(1e7)) / F.count("*")).alias(
-            "avg_logprob"
-        ),
+        F.sum("__n").alias("n_bigrams"),
+        (
+            (F.sum(F.col("__q") * F.col("__n")).cast("double") / F.lit(1e7))
+            / F.sum("__n")
+        ).alias("avg_logprob"),
     )
 
 

@@ -339,3 +339,52 @@ def test_curriculum_order_matches_one_level_layout(spark):
     )
     exp = {(r["doc_id"], r["phase"], r["pos"]) for r in brute.collect()}
     assert got == exp
+
+
+def test_bigram_salted_split_value_invariant(spark):
+    """VERDICT r4 #9: routing hot pairs through the salted join must
+    not change a single value, for any salt count or hot list."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the cat food"),
+        (3, "a dog barked"),
+        (4, "the the the the"),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = sorted(map(tuple, bigram_logprob_scores(df).collect()))
+    for hot, salts in ((["the", "cat"], 4), (["the"], 1), (["zzz"], 8)):
+        got = sorted(
+            map(
+                tuple,
+                bigram_logprob_scores(df, hot_terms=hot, salts=salts).collect(),
+            )
+        )
+        assert got == base, (hot, salts)
+
+
+def test_bigram_salted_plan_shape(spark):
+    """The hot path must actually salt: the head join keys on
+    (w1, w2, __salt) — visible as a salted exchange — and the
+    vocab-sized margins/unigram joins must be broadcast, never a
+    corpus shuffle on w1/w2 alone."""
+    from bi_utils_spark.plans.inspect import executed_plan, join_kinds
+
+    df = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)], ["doc_id", "text"]
+    )
+    plan = executed_plan(
+        bigram_logprob_scores(df, hot_terms=["the", "cat"], salts=4)
+    )
+    assert "__salt" in plan, "salted join key missing from the plan"
+    # ctx + uni2 broadcast once after the branch union; consts is the
+    # single 1-row constant broadcast
+    kinds = join_kinds(bigram_logprob_scores(df, hot_terms=["the"], salts=2))
+    assert kinds.get("BroadcastHashJoin", 0) >= 2
+    assert kinds.get("BroadcastNestedLoopJoin", 0) <= 1
+
+
+def test_bigram_salts_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="salts"):
+        bigram_logprob_scores(df, hot_terms=["a"], salts=0)
