@@ -4570,7 +4570,14 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.mixing import curriculum_order
 
     docs = load(spark, sf_dir, "documents")
-    scores = unigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    # one lazy checkpoint: the scoring subtree feeds the rank-CDF
+    # build fetches AND both curriculum branches (the q_llm_pipeline
+    # shared-stage discipline) — 23 -> 7 exchanges in the plan
+    scores = (
+        unigram_logprob_scores(docs)
+        .select("doc_id", "avg_logprob")
+        .localCheckpoint(eager=False)
+    )
     return curriculum_order(scores, "doc_id", "avg_logprob").select(
         "doc_id", "phase", "pos"
     )

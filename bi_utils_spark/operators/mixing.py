@@ -203,6 +203,7 @@ def curriculum_order(
     num_phases: int = 4,
     salt: str = "curr",
     bucket_hex_chars: int = 3,
+    reuse: bool = True,
 ) -> DataFrame:
     """Curriculum addresses (phase, pos): band rows into
     ``num_phases`` fluency phases (phase 0 = highest ``score_col`` —
@@ -220,6 +221,14 @@ def curriculum_order(
     a whole phase — and broadcast per-bucket offsets lift the local
     ranks to phase-global positions. Reproducible under
     repartitioning and oracle-checkable.
+
+    ``reuse`` (default True, VERDICT r4 #6): the ranked-and-banded
+    frame feeds TWO consumers — the per-(phase, bucket) counts and
+    the final position join — which would otherwise each re-run the
+    upstream scoring + rank join. A lazy ``localCheckpoint`` at the
+    fan-out point materializes it once (the q_llm_pipeline shared-
+    stage discipline); pass ``reuse=False`` to keep the plan fully
+    lazy (e.g. when the caller already checkpointed upstream).
     """
     from bi_utils_spark.operators.filtering import attach_percent_rank
 
@@ -234,6 +243,8 @@ def curriculum_order(
         .withColumn("__h", h)
         .withColumn("__b", F.substring("__h", 1, bucket_hex_chars))
     )
+    if reuse:
+        staged = staged.localCheckpoint(eager=False)
     bcnt = staged.groupBy("phase", "__b").agg(F.count("*").alias("__c"))
     bw = (
         Window.partitionBy("phase")
