@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "q_cluster_balanced_sample",
     "q_embedding_outliers",
     "q_emb_simhash_pairs",
+    # r5 addition: hybrid retrieval (BM25 + dense cosine fused by RRF)
+    "q_hybrid_search",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

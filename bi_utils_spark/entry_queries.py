@@ -3499,6 +3499,106 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Hybrid retrieval (operators/retrieval.py): BM25 + dense-cosine legs
+# fused by Reciprocal Rank Fusion — the standard RAG first stage.
+# Both legs are TakeOrdered(depth); fusion operates on <= 2·depth
+# rows; the oracle replays ranks and the fixed-point RRF sum in SQL.
+# ===========================================================================
+
+@register(
+    "q_hybrid_search",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x = 'vector')) AS tf0,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x = 'merge')) AS tf1,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             x -> x = 'stream')) AS tf2
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM base
+    ),
+    bm25 AS (
+      SELECT doc_id,
+             round(
+               0.0
+               + ln((CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5) + 1.0)
+                 * CAST(tf0 AS DOUBLE) * 2.2
+                 / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+               + ln((CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0)
+                 * CAST(tf1 AS DOUBLE) * 2.2
+                 / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+               + ln((CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0)
+                 * CAST(tf2 AS DOUBLE) * 2.2
+                 / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+             , 6) AS score
+      FROM base, stats
+      WHERE greatest(tf0, tf1, tf2) > 0
+    ),
+    bm25_r AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM bm25 ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 9)
+               AS score
+      FROM embeddings
+    ),
+    dense_r AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM dense ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    contrib AS (
+      SELECT doc_id, 'bm25' AS leg, rank,
+             CAST(round(1e7 / (60 + rank)) AS BIGINT) AS q FROM bm25_r
+      UNION ALL
+      SELECT doc_id, 'dense' AS leg, rank,
+             CAST(round(1e7 / (60 + rank)) AS BIGINT) AS q FROM dense_r
+    ),
+    fused AS (
+      SELECT doc_id,
+             CAST(sum(q) AS DOUBLE) / 1e7 AS rrf_score,
+             CAST(max(CASE WHEN leg = 'bm25' THEN rank END) AS INTEGER) AS bm25_rank,
+             CAST(max(CASE WHEN leg = 'dense' THEN rank END) AS INTEGER) AS dense_rank
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval end to end: BM25 over the documents table
+    and exact cosine against a query embedding over the embeddings
+    table (same id space), each cut to its top-50, fused by RRF
+    (k0=60, 1e-7 fixed-point contributions) into the final top-10.
+    Every stage past the two corpus scans operates on ≤ 100 rows; the
+    oracle replays both rankings and the fusion arithmetic in SQL."""
+    from bi_utils_spark.operators.ranking import bm25_scores
+    from bi_utils_spark.operators.retrieval import hybrid_topk
+    from bi_utils_spark.operators.similarity import cosine
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    qv = F.array(*[F.lit(float(x)) for x in target])
+    dense = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding"), qv), 9).alias("score"),
+    )
+    lex = bm25_scores(docs, ["vector", "merge", "stream"])
+    return hybrid_topk({"bm25": lex, "dense": dense}, k=10, depth=50)
+
+
+# ===========================================================================
 # Stratified sampling (operators/splits.py): per-stratum md5-threshold
 # keep fractions — corpus balancing (downsample the dominant language,
 # keep rare strata whole). md5 is identical across engines, so the
