@@ -1,0 +1,109 @@
+"""operators/maintenance.py — small-file compaction."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.maintenance import (
+    compact_partitioned_path,
+    list_partition_files,
+    small_file_report,
+)
+
+
+def _fragged_table(spark, tmp_path, frags=8):
+    """Two date partitions; 2024-01-01 written in `frags` fragments."""
+    path = str(tmp_path / "frag")
+    day1 = spark.range(400).select(
+        F.lit("2024-01-01").alias("pdate"),
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    day1.repartition(frags).write.partitionBy("pdate").parquet(path)
+    day2 = spark.range(400, 500).select(
+        F.lit("2024-01-02").alias("pdate"),
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    day2.coalesce(1).write.partitionBy("pdate").mode("append").parquet(path)
+    return path
+
+
+def _files(path, day):
+    return sorted(
+        p for p in pathlib.Path(path, f"pdate={day}").rglob("*.parquet")
+    )
+
+
+def test_report_flags_fragmented_partition(spark, tmp_path):
+    path = _fragged_table(spark, tmp_path)
+    rep = {r["relative_dir"]: r for r in small_file_report(spark, path).collect()}
+    assert rep["pdate=2024-01-01"]["n_files"] == 8
+    assert rep["pdate=2024-01-01"]["needs_compaction"] is True
+    assert rep["pdate=2024-01-02"]["needs_compaction"] is False
+
+
+def test_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
+    path = _fragged_table(spark, tmp_path)
+    before = spark.read.parquet(path)
+    before_rows = sorted(map(tuple, before.collect()))
+    day2_before = [(p.name, p.read_bytes()) for p in _files(path, "2024-01-02")]
+
+    done = compact_partitioned_path(spark, path, ["pdate"])
+    assert [d["partition"] for d in done] == ["pdate=2024-01-01"]
+    assert done[0]["n_files_before"] == 8 and done[0]["n_files_target"] == 1
+
+    assert len(_files(path, "2024-01-01")) == 1
+    # untouched partition byte-identical
+    assert [
+        (p.name, p.read_bytes()) for p in _files(path, "2024-01-02")
+    ] == day2_before
+    # data identical
+    after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after_rows == before_rows
+    # idempotent: a second pass finds nothing to do
+    assert compact_partitioned_path(spark, path, ["pdate"]) == []
+
+
+def test_compaction_respects_partition_wave(spark, tmp_path):
+    path = str(tmp_path / "waves")
+    for day in ("2024-01-01", "2024-01-02"):
+        spark.range(200).select(
+            F.lit(day).alias("pdate"), F.col("id")
+        ).repartition(5).write.partitionBy("pdate").mode("append").parquet(path)
+    done = compact_partitioned_path(
+        spark, path, ["pdate"], partition_values=[{"pdate": "2024-01-01"}]
+    )
+    assert [d["partition"] for d in done] == ["pdate=2024-01-01"]
+    assert len(_files(path, "2024-01-01")) == 1
+    assert len(_files(path, "2024-01-02")) == 5  # not in this wave
+
+
+def test_compaction_target_splits_large_partitions(spark, tmp_path):
+    path = str(tmp_path / "split")
+    spark.range(5000).select(
+        F.lit("2024-01-01").alias("pdate"),
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("p1"),
+        F.sha2(F.col("id").cast("string"), 256).alias("p2"),
+    ).repartition(40).write.partitionBy("pdate").parquet(path)
+    total = sum(
+        f["bytes"] for f in list_partition_files(spark, path)
+    )
+    target = total // 3  # want ~3-4 files
+    done = compact_partitioned_path(spark, path, ["pdate"], target_bytes=target)
+    n_target = done[0]["n_files_target"]
+    assert 2 <= n_target <= 5
+    # hash collisions can only merge groups, never exceed the target
+    assert 1 <= len(_files(path, "2024-01-01")) <= n_target
+
+
+def test_compaction_validations(spark, tmp_path):
+    path = _fragged_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="partition columns"):
+        compact_partitioned_path(spark, path, [])
+    with pytest.raises(ValueError, match="not in table"):
+        compact_partitioned_path(spark, path, ["nope"])
