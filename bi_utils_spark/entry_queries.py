@@ -4777,85 +4777,74 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _PROMOTED: list[str] = [
-    # tier 1: changed or new this round — the 4 ex-rows-only queries
-    # that gained real oracles (VERDICT r3 #1/#2), plus every query
-    # whose implementation changed (filtering/mixing two-level CDF,
-    # dedup_exact hash, mixing null-group divisor, lm lam validation)
-    "q_llm_pipeline",
-    "q_approx_stats",
-    "q_hll_daily_users",
-    "q_pack_sequences",
-    "q_quality_tophalf",
-    "q_curriculum_order",
-    "q_mixture_sample",
-    "q_bigram_logprob",
+    # ---- tier 1: implementation changed in r5, or first-ever row ----
+    # new surface
+    "q_hybrid_search",
+    # dedup.py content_hash refactor (shared with streaming)
     "q_dedup_exact",
     "q_emb_dedup_exact",
-    # new surface this round (first-ever rows) + the DSIR pair whose
-    # bucket_logratio densification gained broadcast hints
-    "q_nb_classifier",
-    "q_nb_classifier_eval",
-    "q_phash_near_dup",
-    "q_phash_dedup_clusters",
-    "q_emb_simhash_pairs",
+    # clustering.py per-dim overflow cap
     "q_kmeans_clusters",
     "q_cluster_balanced_sample",
     "q_embedding_outliers",
+    # classifier.py dense-table guard + inline row-set parity
+    "q_nb_classifier",
+    "q_nb_classifier_eval",
+    # importance.py dense-table guard
     "q_importance_weights",
     "q_importance_sample",
-    # tier 2: last official row is r1 — 3 rounds stale, refresh (the
-    # 5 slots yielded to the new surface — q_hash_split, q_det_sample,
-    # q_cosine_pairs, q_rollup_flags, q_pivot_events — are r1-green
-    # with unchanged implementations; they rotate in r5)
-    "q_clean_text",
-    "q_emb_label_stats",
-    "q_shipping_priority",
-    "q_revenue_by_nation",
-    "q_top_suppliers",
-    "q_sql_script",
-    # tier 3: last official row is r2 — refresh (29 of 41; the 12
-    # untouched TPC-H-family r2 queries q_forecast_revenue /
-    # q_returned_items / q_large_orders / q_promo_share / q_cube_flags
-    # / q_users_click_not_purchase / q_users_signup_and_error /
-    # q_grouping_sets / q_price_variance / q_string_funcs /
-    # q_priority_with_shipment / q_hourly_rollup yield their slots and
-    # rotate in r5)
-    "q_latest_event_per_user",
-    "q_hash_id",
-    "q_parse_timestamp",
-    "q_extract_key",
-    "q_watermark",
-    "q_alert_top1",
-    "q_alert_should_send",
-    "q_daily_count",
-    "q_group_having",
-    "q_union_pages",
-    "q_topk_orders",
-    "q_project_existing",
-    "q_in_list",
-    "q_schema_maxlen",
-    "q_flatten_lineitems",
-    "q_flatten_depth2",
-    "q_json_normalize_props",
-    "q_merge_upsert",
+    # filtering.py unpersist + null-safe rank join; mixing.py reuse
+    "q_quality_tophalf",
+    "q_curriculum_order",
+    "q_mixture_sample",
+    # schema_drift.py portable delete + partitioned widening
     "q_schema_drift",
-    "q_alert_decide_batch",
-    "q_text_stats",
-    # (q_token_counts and q_doc_stats_by_lang yield slots to
-    # q_embedding_outliers / q_emb_simhash_pairs — r2-green,
-    # unchanged, and textstats keeps fresher in-window rows via
-    # q_text_stats / q_lang_id / q_quality_score; rotate r5)
-    "q_asof_click_before_purchase",
-    "q_range_clicks_before_error",
-    "q_repetition_stats",
-    # (q_media_stats and q_media_features yield slots to
-    # q_phash_dedup_clusters / q_cluster_balanced_sample — both are
-    # r2-green and unchanged, and the codec layer keeps fresher
-    # in-window coverage through the q_phash_* rows; rotate r5.
-    # q_pack_conservation yields its slot to q_kmeans_clusters —
-    # packing.py is r2-green and unchanged, and the module keeps an
-    # in-window row via the new q_pack_sequences bound-check oracle;
-    # rotates in r5)
+    "q_schema_maxlen",
+    # multimodal.py/phash.py PNG codec + mixed-format fixtures
+    "q_media_decode",
+    "q_media_stats",
+    "q_media_features",
+    "q_phash_near_dup",
+    "q_phash_dedup_clusters",
+    # embsig.py sig64 rename
+    "q_emb_simhash_pairs",
+    # lm.py salted head/tail bigram join
+    "q_bigram_logprob",
+    # ---- tier 2: last official row is r1 — 4 rounds stale (the r4
+    # rotation promise: these five re-earn an official green in r5) ----
+    "q_hash_split",
+    "q_det_sample",
+    "q_cosine_pairs",
+    "q_rollup_flags",
+    "q_pivot_events",
+    # ---- tier 3: last official row is r2 — 3 rounds stale (the rest
+    # of the r4 rotation promise) ----
+    "q_token_counts",
+    "q_doc_stats_by_lang",
+    "q_forecast_revenue",
+    "q_returned_items",
+    "q_large_orders",
+    "q_promo_share",
+    "q_cube_flags",
+    "q_users_click_not_purchase",
+    "q_users_signup_and_error",
+    "q_grouping_sets",
+    "q_price_variance",
+    "q_string_funcs",
+    "q_priority_with_shipment",
+    "q_hourly_rollup",
+    "q_pack_conservation",
+    # ---- tier 4: r3 rows in the dedup family (dedup.py was touched
+    # this round — re-attest the whole module) + the two oldest
+    # remaining r3 rows ----
+    "q_jaccard_pairs",
+    "q_dedup_clusters",
+    "q_dedup_canonical",
+    "q_minhash_near_dup",
+    "q_simhash_near_dup",
+    "q_winnow_near_dup",
+    "q_topk_cosine_exact",
+    "q_bm25_search",
 ]
 
 
