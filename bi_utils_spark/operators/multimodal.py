@@ -483,6 +483,93 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     raise ValueError("unknown image format (not BMP or PNG)")
 
 
+def sniff_image_meta(payload: bytes) -> dict:
+    """Header-only (format, width, height) for BMP / PNG / JPEG / GIF
+    — REAL parsing of each format's header, no pixel decode, so it
+    runs on formats whose full decoders are production registrations
+    (JPEG). The metadata backfill path: populate ``meta.width/height``
+    for a corpus of raw payloads by reading a few hundred bytes per
+    row instead of decompressing images. Raises ValueError on
+    unrecognized or malformed headers.
+
+    JPEG dims come from the first SOF0/1/2 frame header (baseline,
+    extended-sequential, progressive), reached by walking the marker
+    segments per the JFIF structure; GIF dims are the logical screen
+    descriptor (little-endian, right after the 87a/89a signature)."""
+    if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("truncated BMP header")
+        _, width, height = struct.unpack_from("<Iii", payload, 14)
+        return {"format": "bmp", "width": width, "height": abs(height)}
+    if payload[:8] == _PNG_SIG:
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ValueError("malformed PNG: IHDR must be first")
+        width, height = struct.unpack_from(">II", payload, 16)
+        return {"format": "png", "width": width, "height": height}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF header")
+        width, height = struct.unpack_from("<HH", payload, 6)
+        return {"format": "gif", "width": width, "height": height}
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("malformed JPEG marker stream")
+            marker = payload[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+            if seg_len < 2:
+                raise ValueError("malformed JPEG segment length")
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                if pos + 9 > len(payload):
+                    raise ValueError("truncated JPEG SOF")
+                height, width = struct.unpack_from(">HH", payload, pos + 5)
+                return {"format": "jpeg", "width": width, "height": height}
+            pos += 2 + seg_len
+        raise ValueError("JPEG without a SOF frame header")
+    raise ValueError("unknown image format (not BMP/PNG/JPEG/GIF)")
+
+
+def image_dims(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, format, width, height) per decodable image payload via
+    header sniffing only — rows whose headers don't parse are dropped
+    (count upstream if needed). Map-only Arrow batches; the payload
+    never shuffles and only (id, format, 2 ints) leaves Python."""
+    out_schema = f"{id_col} string, format string, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, ws, hs = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    d = sniff_image_meta(bytes(payload) if payload is not None else b"")
+                except ValueError:
+                    continue
+                ids.append(str(mid))
+                fmts.append(d["format"])
+                ws.append(d["width"])
+                hs.append(d["height"])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def image_feature_decoder() -> Decoder:
     """Real image decoder entry, format-sniffing (BMP or PNG) →
     [width, height, mean_r, mean_g] — same feature contract as

@@ -742,3 +742,70 @@ def test_image_feature_decoder_sniffs_both_formats():
 
     with _pytest.raises(ValueError):
         dec(b"GIF89a not supported")
+
+
+def _tiny_jpeg(width, height, progressive=False, extra_segments=1):
+    """Handcraft a structurally valid JPEG header stream: SOI, APP0,
+    optional DQT padding segments, SOF0/SOF2 with the dims, EOI."""
+    import struct as _s
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + _s.pack(">H", 2 + len(app0)) + app0
+    for _ in range(extra_segments):
+        body = bytes(67)  # fake DQT payload
+        out += b"\xff\xdb" + _s.pack(">H", 2 + len(body)) + body
+    sof = b"\x08" + _s.pack(">HH", height, width) + b"\x03"
+    marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += marker + _s.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def test_sniff_image_meta_all_formats():
+    import struct as _s
+
+    from bi_utils_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        sniff_image_meta,
+    )
+
+    rows = [[(1, 2, 3) for _ in range(7)] for _ in range(5)]
+    assert sniff_image_meta(encode_bmp(7, 5, rows)) == {
+        "format": "bmp", "width": 7, "height": 5,
+    }
+    assert sniff_image_meta(encode_png(7, 5, rows)) == {
+        "format": "png", "width": 7, "height": 5,
+    }
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert sniff_image_meta(gif) == {"format": "gif", "width": 320, "height": 200}
+    assert sniff_image_meta(_tiny_jpeg(640, 480)) == {
+        "format": "jpeg", "width": 640, "height": 480,
+    }
+    # progressive SOF2 and multi-segment walks parse too
+    assert sniff_image_meta(_tiny_jpeg(31, 17, progressive=True, extra_segments=3)) == {
+        "format": "jpeg", "width": 31, "height": 17,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sniff_image_meta(b"\xff\xd8\xff\xd9")  # JPEG without SOF
+    with _pytest.raises(ValueError):
+        sniff_image_meta(b"TIFF whatever")
+
+
+def test_image_dims_frame(spark):
+    from bi_utils_spark.operators.multimodal import encode_png, image_dims
+
+    rows = [[(0, 0, 0)] * 4 for _ in range(3)]
+    data = [
+        ("a", bytearray(encode_png(4, 3, rows))),
+        ("b", bytearray(_tiny_jpeg(12, 34))),
+        ("c", bytearray(b"junk")),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(data, "media_id string, payload binary")
+    got = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in image_dims(df).collect()}
+    assert got == {"a": ("png", 4, 3), "b": ("jpeg", 12, 34)}
