@@ -132,6 +132,29 @@ def test_embedding_outliers_flags_far_point(spark):
     assert sum(out.values()) <= 2  # only the tail is flagged
 
 
+def test_assign_numpy_bit_equals_column(spark):
+    """The vectorized Arrow assignment must be BIT-identical to the
+    Column-expression form — same residual doubles, same half-away
+    rounding, same saturation, same first-min tie, including at the
+    saturation boundary."""
+    rows = [
+        (1, [0.1, 0.2, 0.3]),
+        (2, [0.10000005, 0.2, 0.3]),   # sub-quantum jitter
+        (3, [50.0, -50.0, 0.0]),       # beyond the dim-3 cap
+        (4, [0.0, 0.0, 0.0]),
+        (5, [1e9, 1e9, 1e9]),          # corrupt, saturates
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.1, 0.2, 0.3], [0.0, 0.0, 0.0], [0.1, 0.2, 0.3]]  # dup: tie
+    a = sorted(map(tuple, kmeans_assign(df, cents, impl="column").collect()))
+    b = sorted(map(tuple, kmeans_assign(df, cents, impl="numpy").collect()))
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="impl"):
+        kmeans_assign(df, cents, impl="nope")
+
+
 def test_high_dim_corrupt_vector_never_overflows(spark):
     """ADVICE r4: at dim >> 64, a corrupt vector saturating every dim
     must still yield a non-negative (saturated-max) distance — the cap
