@@ -1,0 +1,74 @@
+"""operators/bitext.py — margin-based bitext mining."""
+
+from __future__ import annotations
+
+import pytest
+
+from bi_utils_spark.operators.bitext import mine_bitext
+
+
+def _sides(spark):
+    # src 1 ≈ tgt 11 (true pair); src 2 sits in a dense hub; tgt 13 far
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.70710678, 0.70710678])],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (11, [0.99875234, 0.04993762]),  # ~x of src 1
+            (12, [0.70710678, 0.70710678]),  # exact dup of src 2
+            (13, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    return src, tgt
+
+
+def test_margin_prefers_true_pairs_over_hub(spark):
+    src, tgt = _sides(spark)
+    out = mine_bitext(src, tgt, k=2)
+    rows = {(r["src_id"], r["tgt_id"]): r for r in out.collect()}
+    assert len(rows) == 4  # 2 src × k=2
+    # both true pairs exist, margin > 1 (closer than neighborhood avg)
+    assert rows[(1, 11)]["margin"] > 1.0
+    assert rows[(2, 12)]["margin"] > 1.0
+    # true pairs are mutual bests; cross pairs are not
+    assert rows[(1, 11)]["mutual_best"] is True
+    assert rows[(2, 12)]["mutual_best"] is True
+    assert all(
+        not r["mutual_best"] for key, r in rows.items() if key not in ((1, 11), (2, 12))
+    )
+
+
+def test_min_margin_filters(spark):
+    src, tgt = _sides(spark)
+    all_rows = mine_bitext(src, tgt, k=2).count()
+    kept = mine_bitext(src, tgt, k=2, min_margin=1.0).count()
+    assert kept < all_rows and kept >= 2
+
+
+def test_margin_is_exact_integer_ratio(spark):
+    # hand math on a 1-src / 2-tgt setup with k=2: margin =
+    # 2k*sq / (fq + bq) with all quantities integer-exact
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(11, [1.0, 0.0]), (12, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["tgt_id"]: r for r in mine_bitext(src, tgt, k=2).collect()}
+    # forward scores: cos(1,11)=1.0, cos(1,12)=0.0 -> fq = 1e9
+    # backward: tgt 11's only neighbor is src 1 (k capped by side size)
+    # bq(11) = 1e9; bq(12) = 0
+    q = lambda s: round(s * 1e9)  # noqa: E731
+    assert rows[11]["margin"] == pytest.approx(
+        (2 * 2 * q(1.0)) / (1e9 + 1e9), abs=1e-15
+    )
+    assert rows[12]["margin"] == 0.0
+
+
+def test_k_validation(spark):
+    src, tgt = _sides(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        mine_bitext(src, tgt, k=0)
