@@ -91,8 +91,10 @@ BENCH_QUERIES = [
     "q_cluster_balanced_sample",
     "q_embedding_outliers",
     "q_emb_simhash_pairs",
-    # r5 addition: hybrid retrieval (BM25 + dense cosine fused by RRF)
+    # r5 additions: hybrid retrieval (BM25 + dense cosine fused by
+    # RRF) and margin-based bitext mining (dual exact kNN)
     "q_hybrid_search",
+    "q_bitext_mine",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

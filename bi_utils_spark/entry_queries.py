@@ -3560,8 +3560,12 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.bitext import mine_bitext
 
     emb = load(spark, sf_dir, "embeddings")
-    src = emb.filter(F.col("label") % 2 == 0)
-    tgt = emb.filter(F.col("label") % 2 == 1)
+    # the test table is one small file (1 input split); the quadratic
+    # scoring needs explicit fan-out to use the cluster — at real
+    # scale the corpus arrives already partitioned
+    par = spark.sparkContext.defaultParallelism
+    src = emb.filter(F.col("label") % 2 == 0).repartition(par)
+    tgt = emb.filter(F.col("label") % 2 == 1).repartition(par)
     return mine_bitext(src, tgt, k=4)
 
 
