@@ -36,6 +36,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return load_table(spark, sf_dir, table)
 
 
+def load_fanout(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """load() + repartition to the session's parallelism — for the
+    CPU-heavy per-row pipelines (tokenize / md5-bucket / shingle)
+    whose map stage would otherwise inherit the test table's SINGLE
+    input split and run one-core. At production scale inputs arrive
+    in many splits and the scan parallelizes naturally; here one
+    small shuffle buys a full-width map stage (measured ~2× on the
+    classifier fit at sf0.1)."""
+    return load(spark, sf_dir, table).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (SURVEY.md §7.0): watermark (A1) + top-1-per-key (W1)
 # + hash (F1) + JSON path (F4) composed on `events`.
@@ -4054,7 +4067,7 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         importance_weights,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     lr = bucket_logratio_labeled(docs, F.col("lang") == "en")
     return importance_weights(docs, lr)
 
@@ -4080,7 +4093,7 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         importance_weights,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     lr = bucket_logratio_labeled(docs, F.col("lang") == "en")
     return importance_resample(importance_weights(docs, lr), k=100)
 
@@ -4155,7 +4168,7 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_nb_weights_labeled,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") != "en")
     w = fit_nb_weights_labeled(docs, F.col("lang") == "en")
@@ -4195,7 +4208,7 @@ def q_nb_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_nb_weights_labeled,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") != "en")
     w = fit_nb_weights_labeled(docs, F.col("lang") == "en")
