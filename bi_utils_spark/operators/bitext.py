@@ -47,6 +47,7 @@ def mine_bitext(
     tgt_id: str = "vec_id",
     vec_col: str = "embedding",
     min_margin: float | None = None,
+    knn=None,
 ) -> DataFrame:
     """(src_id, tgt_id, score, margin, mutual_best) — forward-mined
     candidate pairs: for every source vector its k target neighbors,
@@ -54,13 +55,23 @@ def mine_bitext(
     ``mutual_best`` marks pairs where each side is the other's rank-1
     neighbor (the high-precision subset). ``min_margin`` filters
     (ratio margins > 1 mean "closer than the neighborhood average";
-    CCMatrix-style pipelines use ~1.06)."""
-    from bi_utils_spark.operators.similarity import knn_join_exact
+    CCMatrix-style pipelines use ~1.06).
 
+    ``knn``: the neighbor primitive, any callable with
+    knn_join_exact's signature returning (query_id, neighbor_id,
+    score, rank). Default is the exact join (oracle-hashable); pass
+    ``similarity.knn_join_blocked`` (per-partition numpy top-k) or an
+    IVF-probe wrapper when either side reaches 10⁸+ — margins are a
+    pure function of the returned neighbor lists, so the mining logic
+    is unchanged by the substitution."""
+    if knn is None:
+        from bi_utils_spark.operators.similarity import knn_join_exact
+
+        knn = knn_join_exact
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    fwd = knn_join_exact(src, tgt, k, src_id, tgt_id, vec_col)
-    bwd = knn_join_exact(tgt, src, k, tgt_id, src_id, vec_col)
+    fwd = knn(src, tgt, k, src_id, tgt_id, vec_col)
+    bwd = knn(tgt, src, k, tgt_id, src_id, vec_col)
 
     # per-vector neighborhood mass: Σ of 1e-9-quantized neighbor
     # scores (exact BIGINT — an avg of doubles would be summation-

@@ -570,6 +570,45 @@ def image_dims(
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def backfill_media_meta(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fill NULL ``meta.width`` / ``meta.height`` for image rows from
+    the payload headers (``sniff_image_meta`` — no pixel decode), the
+    ingest-repair step for corpora landed without metadata. Rows with
+    complete meta are NOT re-sniffed (their payloads are never even
+    read for this — the dims frame only scans rows that need it), and
+    non-image or unparseable payloads pass through unchanged.
+
+    Shape: one payload-pruned scan of the needy subset through Arrow
+    batches (2 ints + id leave Python), one keyed join back; rows
+    with complete meta take the join's null side untouched."""
+    needy = df.filter(
+        (F.col("modality") == "image")
+        & (F.col("meta.width").isNull() | F.col("meta.height").isNull())
+    )
+    dims = image_dims(needy, id_col, payload_col).select(
+        F.col(id_col).alias("__bid"),
+        F.col("width").alias("__bw"),
+        F.col("height").alias("__bh"),
+    )
+    joined = df.join(dims, F.col(id_col) == F.col("__bid"), "left")
+    new_meta = F.struct(
+        F.coalesce(F.col("meta.width"), F.col("__bw")).alias("width"),
+        F.coalesce(F.col("meta.height"), F.col("__bh")).alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+    )
+    return joined.withColumn(
+        "meta",
+        F.when(F.col("meta").isNull() & F.col("__bw").isNotNull(), new_meta)
+        .when(F.col("meta").isNotNull(), new_meta)
+        .otherwise(F.col("meta")),
+    ).drop("__bid", "__bw", "__bh")
+
+
 def image_feature_decoder() -> Decoder:
     """Real image decoder entry, format-sniffing (BMP or PNG) →
     [width, height, mean_r, mean_g] — same feature contract as

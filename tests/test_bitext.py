@@ -72,3 +72,20 @@ def test_k_validation(spark):
     src, tgt = _sides(spark)
     with pytest.raises(ValueError, match="k must be"):
         mine_bitext(src, tgt, k=0)
+
+
+def test_blocked_knn_substitution_same_pairs(spark):
+    """The scale-path kNN primitive must slot in without changing the
+    mined pair set or mutual flags (scores agree to rounding)."""
+    from bi_utils_spark.operators.similarity import knn_join_blocked
+
+    src, tgt = _sides(spark)
+    a = {
+        (r["src_id"], r["tgt_id"], r["mutual_best"])
+        for r in mine_bitext(src, tgt, k=2).collect()
+    }
+    b = {
+        (r["src_id"], r["tgt_id"], r["mutual_best"])
+        for r in mine_bitext(src, tgt, k=2, knn=knn_join_blocked).collect()
+    }
+    assert a == b

@@ -809,3 +809,28 @@ def test_image_dims_frame(spark):
     got = {r["media_id"]: (r["format"], r["width"], r["height"])
            for r in image_dims(df).collect()}
     assert got == {"a": ("png", 4, 3), "b": ("jpeg", 12, 34)}
+
+
+def test_backfill_media_meta(spark):
+    from bi_utils_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        backfill_media_meta,
+        encode_png,
+    )
+
+    rows = [[(0, 0, 0)] * 9 for _ in range(7)]
+    png = bytearray(encode_png(9, 7, rows))
+    data = [
+        ("m1", "image", "image/png", png, None),                 # meta missing
+        ("m2", "image", "image/png", png, (640, 480, None, None)),  # complete
+        ("m3", "audio", "audio/wav", bytearray(b"RIFF...."), (None, None, 1000, 8000)),
+        ("m4", "image", "image/png", bytearray(b"junk"), None),  # unparseable
+        ("m5", "image", "image/png", png, (None, 3, None, None)),  # partial
+    ]
+    df = spark.createDataFrame(data, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["meta"] for r in backfill_media_meta(df).collect()}
+    assert (got["m1"]["width"], got["m1"]["height"]) == (9, 7)      # backfilled
+    assert (got["m2"]["width"], got["m2"]["height"]) == (640, 480)  # untouched
+    assert got["m3"]["duration_ms"] == 1000                         # audio intact
+    assert got["m4"] is None                                        # stays unknown
+    assert (got["m5"]["width"], got["m5"]["height"]) == (9, 3)      # fill gap only
