@@ -3512,6 +3512,55 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Snapshot diff (operators/snapshot.py): corpus-version audit —
+# old = documents minus ids ≡ 0 (mod 7); new = documents minus ids
+# ≡ 0 (mod 5), with text rewritten for ids ≡ 0 (mod 11). The oracle
+# replays the same synthetic snapshots and classifies with null-safe
+# value comparison (the operator's hash is injective over values).
+# ===========================================================================
+
+@register(
+    "q_snapshot_diff",
+    r"""
+    WITH old AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 != 0
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN (old.text IS DISTINCT FROM new.text)
+                  OR (old.lang IS DISTINCT FROM new.lang) THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old FULL OUTER JOIN new USING (doc_id)
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot audit: added/removed/changed/unchanged per
+    doc_id between two deterministic synthetic versions of the
+    documents table (mod-7 deletions vs mod-5 deletions with mod-11
+    text rewrites). The operator compares via the injective
+    content_hash; the oracle compares raw values null-safely — equal
+    classifications prove the hash identity faithful."""
+    from bi_utils_spark.operators.snapshot import snapshot_diff
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new, ["doc_id"])
+
+
+# ===========================================================================
 # Bitext mining (operators/bitext.py): margin-scored parallel-pair
 # candidates between two embedding spaces (label parity splits the
 # test table into the two "languages"). The oracle replays both kNN
@@ -4927,10 +4976,11 @@ _PROMOTED: list[str] = [
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_winnow_near_dup",
-    "q_topk_cosine_exact",
-    # new r5 surface (bm25_scores itself earns its r5 row through
-    # q_hybrid_search's lexical leg; q_bm25_search stays r3-green)
+    # new r5 surface (the cosine/bm25 arithmetic earns its r5 rows
+    # through q_hybrid_search's legs and q_bitext_mine's kNN;
+    # q_topk_cosine_exact / q_bm25_search stay r3-green unchanged)
     "q_bitext_mine",
+    "q_snapshot_diff",
 ]
 
 
