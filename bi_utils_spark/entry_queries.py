@@ -3595,17 +3595,23 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fk AS (SELECT * FROM fwd WHERE rank <= 4),
     bk AS (SELECT * FROM bwd WHERE rank <= 4),
-    fmass AS (SELECT sid, sum(CAST(round(score * 1e9) AS BIGINT)) AS fq
+    fmass AS (SELECT sid, sum(CAST(round(score * 1e9) AS BIGINT)) AS fq,
+                     count(*) AS fn
               FROM fk GROUP BY sid),
-    bmass AS (SELECT tid, sum(CAST(round(score * 1e9) AS BIGINT)) AS bq
+    bmass AS (SELECT tid, sum(CAST(round(score * 1e9) AS BIGINT)) AS bq,
+                     count(*) AS bn
               FROM bk GROUP BY tid),
     mutual AS (
       SELECT f.sid, f.tid FROM fk f JOIN bk b USING (sid, tid)
       WHERE f.rank = 1 AND b.rank = 1
     )
     SELECT fk.sid AS src_id, fk.tid AS tgt_id, fk.score,
-           (8.0 * CAST(round(fk.score * 1e9) AS BIGINT))
-             / CAST(fmass.fq + bmass.bq AS DOUBLE) AS margin,
+           CASE WHEN fmass.fq * bmass.bn + bmass.bq * fmass.fn > 0
+                THEN CAST(2 * CAST(round(fk.score * 1e9) AS BIGINT)
+                            * fmass.fn * bmass.bn AS DOUBLE)
+                     / CAST(fmass.fq * bmass.bn + bmass.bq * fmass.fn
+                            AS DOUBLE)
+                ELSE NULL END AS margin,
            (mutual.sid IS NOT NULL) AS mutual_best
     FROM fk
     JOIN fmass USING (sid) JOIN bmass USING (tid)
@@ -4805,7 +4811,8 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # one lazy checkpoint: the scoring subtree feeds the rank-CDF
     # build fetches AND both curriculum branches (the q_llm_pipeline
-    # shared-stage discipline) — 23 -> 7 exchanges in the plan
+    # shared-stage discipline) — down to 3 exchanges in the final
+    # plan (see BENCH_PLANS.json), from 23 without any reuse
     scores = (
         unigram_logprob_scores(docs)
         .select("doc_id", "avg_logprob")

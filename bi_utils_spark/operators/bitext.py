@@ -55,7 +55,10 @@ def mine_bitext(
     ``mutual_best`` marks pairs where each side is the other's rank-1
     neighbor (the high-precision subset). ``min_margin`` filters
     (ratio margins > 1 mean "closer than the neighborhood average";
-    CCMatrix-style pipelines use ~1.06).
+    CCMatrix-style pipelines use ~1.06). Averages divide by each
+    side's ACTUAL neighbor count (a side smaller than k returns
+    fewer), and a non-positive denominator yields NULL margin (which
+    fails any min_margin filter) — identically on both engines.
 
     ``knn``: the neighbor primitive, any callable with
     knn_join_exact's signature returning (query_id, neighbor_id,
@@ -73,14 +76,16 @@ def mine_bitext(
     fwd = knn(src, tgt, k, src_id, tgt_id, vec_col)
     bwd = knn(tgt, src, k, tgt_id, src_id, vec_col)
 
-    # per-vector neighborhood mass: Σ of 1e-9-quantized neighbor
-    # scores (exact BIGINT — an avg of doubles would be summation-
-    # order-dependent); |src|+|tgt| rows, keyed aggregates
+    # per-vector neighborhood mass AND actual neighbor count: Σ of
+    # 1e-9-quantized neighbor scores (exact BIGINT — an avg of
+    # doubles would be summation-order-dependent) + count(*), because
+    # a side smaller than k returns fewer neighbors and the averages
+    # must divide by the REAL counts, not k; |src|+|tgt| rows, keyed
     fmass = fwd.groupBy("query_id").agg(
-        F.sum(_qscore("score")).alias("__fq")
+        F.sum(_qscore("score")).alias("__fq"), F.count("*").alias("__fn")
     )
     bmass = bwd.groupBy("query_id").agg(
-        F.sum(_qscore("score")).alias("__bq")
+        F.sum(_qscore("score")).alias("__bq"), F.count("*").alias("__bn")
     )
     cand = fwd.select(
         F.col("query_id").alias("__sid"),
@@ -88,15 +93,24 @@ def mine_bitext(
         F.col("score"),
         _qscore("score").alias("__sq"),
     )
-    # margin = score / ((favg + bavg)/2) = 2k·score_q / (fΣ + bΣ) —
+    # margin = score / ((fΣ/fn + bΣ/bn)/2)
+    #        = 2·score_q·fn·bn / (fΣ·bn + bΣ·fn) —
     # one exact integer ratio, no float accumulation anywhere
+    # (|fΣ·bn| ≤ k²·1e9, far inside BIGINT). A non-positive
+    # denominator (all-orthogonal or negative neighborhoods) has no
+    # meaningful margin: NULL on both engines, and a NULL margin
+    # fails any min_margin filter.
+    den = (
+        F.col("__fq") * F.col("__bn") + F.col("__bq") * F.col("__fn")
+    ).cast("double")
+    num = (
+        F.lit(2) * F.col("__sq") * F.col("__fn") * F.col("__bn")
+    ).cast("double")
     joined = (
         cand.join(fmass.withColumnRenamed("query_id", "__sid"), "__sid")
         .join(bmass.withColumnRenamed("query_id", "__tid"), "__tid")
         .withColumn(
-            "margin",
-            (F.lit(2 * k) * F.col("__sq").cast("double"))
-            / (F.col("__fq") + F.col("__bq")).cast("double"),
+            "margin", F.when(den > 0, num / den).otherwise(F.lit(None))
         )
     )
     best_f = fwd.filter(F.col("rank") == 1).select(

@@ -164,6 +164,18 @@ def kmeans_assign(
 
     Both are stateless projections — either runs on unbounded streams
     (streaming/classify.attach_cluster).
+
+    Bit-equality holds for every WELL-FORMED input (d-length vectors
+    of finite floats — jitter, saturation boundary, centroid ties all
+    equality-tested). Malformed rows are where the numpy form is the
+    DEFINED behavior: NULL vector, wrong dimensionality, NULL/NaN/inf
+    elements emit NULL cluster/d2q and flow on — one ragged record
+    must not raise inside an Arrow batch and kill the job (or the
+    stream). The Column form's malformed behavior is an accident of
+    SQL null rules: NULL vectors match (NULL row), but missing
+    elements saturate to −cap via null-skipping greatest/least, and
+    NaN raises under ANSI — reasons not to rely on it off the happy
+    path.
     """
     if impl == "auto":
         impl = "numpy"
@@ -185,28 +197,51 @@ def kmeans_assign(
     import pandas as pd
 
     C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
-    cap = float(_qcap(C.shape[1] if C.size else 1))
+    dim = C.shape[1] if C.size else 0
+    cap = float(_qcap(max(dim, 1)))
     id_t = df.schema[id_col].dataType.simpleString()
     vec_t = df.schema[vec_col].dataType.simpleString()
     out_schema = f"{id_col} {id_t}, {vec_col} {vec_t}, cluster int, d2q long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
-            V = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )  # n×d
-            t = (V[:, None, :] - C[None, :, :]) * _Q  # n×k×d
-            q = np.where(t >= 0, np.floor(t + 0.5), np.ceil(t - 0.5))
-            q = np.clip(q, -cap, cap).astype(np.int64)
-            d2 = (q * q).sum(axis=2, dtype=np.int64)  # n×k, in-range by cap
+            vecs = list(pdf[vec_col])
+            # Malformed rows (NULL vector, wrong length, NULL/NaN
+            # element) get NULL cluster/d2q and flow on — the Column
+            # form's behavior; one bad record must not kill the job
+            # (or the stream) the way a ragged np.array would.
+            arrs = []
+            valid: list[int] = []
+            for i, v in enumerate(vecs):
+                if v is None or len(v) != dim:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if not np.isfinite(a).all():
+                    continue
+                valid.append(i)
+                arrs.append(a)
+            clusters: list[int | None] = [None] * n
+            d2qs: list[int | None] = [None] * n
+            if arrs:
+                V = np.array(arrs)  # m×d
+                t = (V[:, None, :] - C[None, :, :]) * _Q  # m×k×d
+                q = np.where(t >= 0, np.floor(t + 0.5), np.ceil(t - 0.5))
+                q = np.clip(q, -cap, cap).astype(np.int64)
+                d2 = (q * q).sum(axis=2, dtype=np.int64)  # in-range by cap
+                cl = d2.argmin(axis=1)
+                dd = d2.min(axis=1)
+                for j, i in enumerate(valid):
+                    clusters[i] = int(cl[j])
+                    d2qs[i] = int(dd[j])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    "cluster": d2.argmin(axis=1).astype(np.int32),
-                    "d2q": d2.min(axis=1),
+                    vec_col: vecs,
+                    "cluster": pd.array(clusters, dtype="Int32"),
+                    "d2q": pd.array(d2qs, dtype="Int64"),
                 }
             )
 

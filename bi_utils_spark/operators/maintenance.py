@@ -34,11 +34,13 @@ from pyspark.sql import functions as F
 def list_partition_files(spark, path: str) -> list[dict]:
     """Driver-side recursive listing → one dict per data file:
     {relative_dir, name, bytes}. Goes through the Hadoop FileSystem
-    API (works on file://, hdfs://, s3a://); hidden/_SUCCESS files
-    are skipped."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    API (works on file://, hdfs://, s3a://). Hidden entries are
+    skipped at EVERY level — a file named part-*.parquet under a
+    crashed write's ``_temporary/`` tree must not surface as a
+    phantom partition."""
+    from bi_utils_spark.operators.fsops import hadoop_fs
+
+    fs, hpath = hadoop_fs(spark, path)
     base = fs.getFileStatus(hpath).getPath().toUri().getPath()
     out: list[dict] = []
     it = fs.listFiles(hpath, True)
@@ -46,10 +48,11 @@ def list_partition_files(spark, path: str) -> list[dict]:
         st = it.next()
         p = st.getPath()
         name = p.getName()
-        if name.startswith("_") or name.startswith("."):
-            continue
         rel = p.getParent().toUri().getPath()
         rel = rel[len(base) :].strip("/")
+        segments = [*rel.split("/"), name] if rel else [name]
+        if any(seg.startswith(("_", ".")) for seg in segments):
+            continue
         out.append({"relative_dir": rel, "name": name, "bytes": st.getLen()})
     return out
 
@@ -104,9 +107,22 @@ def compact_partitioned_path(
     Σ groups tasks — each output file gets its own task, so file
     sizes land within a hash-uniformity factor of ``target_bytes``.
 
+    Row→partition matching reads the table with partition-column type
+    inference DISABLED, so the column value is the directory's text
+    verbatim (``id=00123`` stays ``"00123"`` — inference would render
+    it back as ``123``, silently matching nothing AND renaming the
+    directory on rewrite); NULL partitions match Hive's
+    ``__HIVE_DEFAULT_PARTITION__``. As a backstop against any
+    residual naming divergence (e.g. percent-escaped characters), the
+    write is VERIFIED by re-listing: a planned partition whose file
+    count did not drop to its target raises instead of reporting
+    false success.
+
     Returns one dict per rewritten partition:
     {partition, n_files_before, n_files_target, bytes}.
     """
+    from bi_utils_spark.operators.fsops import overwrite_partitions
+
     if not partition_cols:
         raise ValueError("compact_partitioned_path needs partition columns")
     files = list_partition_files(spark, path)
@@ -128,52 +144,70 @@ def compact_partitioned_path(
     if not plan:
         return []
 
-    df = spark.read.parquet(path)
-    missing = [c for c in partition_cols if c not in df.columns]
-    if missing:
-        raise ValueError(f"compact: partition cols {missing} not in table")
-    # partition-directory string of each row, matching the listing's
-    # relative_dir layout (hive-style col=value)
-    dir_col = F.concat_ws(
-        "/",
-        *[
-            F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
-            for c in partition_cols
-        ],
-    )
-    n_map = F.create_map(
-        *[F.lit(x) for d, s in plan.items() for x in (d, s["n_target"])]
-    )
-    data_cols = [c for c in df.columns if c not in partition_cols]
-    selected = df.withColumn("__dir", dir_col).filter(
-        F.element_at(n_map, F.col("__dir")).isNotNull()
-    )
-    grp_hash = (
-        F.xxhash64(*[F.col(c) for c in data_cols])
-        if data_cols
-        else F.lit(0).cast("long")
-    )
-    grouped = selected.withColumn(
-        "__grp",
-        F.pmod(grp_hash, F.element_at(n_map, F.col("__dir"))).cast("int"),
-    ).drop("__dir")
-    total_tasks = sum(s["n_target"] for s in plan.values())
-    compacted = grouped.repartition(
-        total_tasks, *partition_cols, F.col("__grp")
-    ).drop("__grp")
-    # Materialize before overwriting the partition dirs we just read
-    # (same discipline as the partitioned merge / widening).
-    compacted.cache()
-    compacted.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
     try:
-        compacted.write.partitionBy(*partition_cols).mode("overwrite").parquet(
-            path
+        df = spark.read.parquet(path)
+        missing = [c for c in partition_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"compact: partition cols {missing} not in table")
+        # partition-directory string of each row — with inference off
+        # the column IS the directory text; NULL renders as Hive's
+        # default-partition directory name
+        dir_col = F.concat_ws(
+            "/",
+            *[
+                F.concat(
+                    F.lit(f"{c}="),
+                    F.coalesce(
+                        F.col(c).cast("string"),
+                        F.lit("__HIVE_DEFAULT_PARTITION__"),
+                    ),
+                )
+                for c in partition_cols
+            ],
         )
+        n_map = F.create_map(
+            *[F.lit(x) for d, s in plan.items() for x in (d, s["n_target"])]
+        )
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        selected = df.withColumn("__dir", dir_col).filter(
+            F.element_at(n_map, F.col("__dir")).isNotNull()
+        )
+        grp_hash = (
+            F.xxhash64(*[F.col(c) for c in data_cols])
+            if data_cols
+            else F.lit(0).cast("long")
+        )
+        grouped = selected.withColumn(
+            "__grp",
+            F.pmod(grp_hash, F.element_at(n_map, F.col("__dir"))).cast("int"),
+        ).drop("__dir")
+        total_tasks = sum(s["n_target"] for s in plan.values())
+        compacted = grouped.repartition(
+            total_tasks, *partition_cols, F.col("__grp")
+        ).drop("__grp")
+        overwrite_partitions(spark, compacted, partition_cols, path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        compacted.unpersist()
+        spark.conf.set(infer_key, prev_infer)
+    # Post-write verification: silent no-ops (a directory name the
+    # row-side rendering could not reproduce) must FAIL, not report
+    # success with the small files still in place.
+    after: dict[str, int] = {}
+    for f in list_partition_files(spark, path):
+        after[f["relative_dir"]] = after.get(f["relative_dir"], 0) + 1
+    bad = {
+        d: after.get(d, 0)
+        for d, s in plan.items()
+        if after.get(d, 0) == 0 or after[d] > s["n_target"]
+    }
+    if bad:
+        raise RuntimeError(
+            f"compaction did not take effect for {sorted(bad)} "
+            "(directory naming mismatch between the listing and the "
+            "row-side rendering?) — files on disk are unchanged/partial"
+        )
     return [
         {
             "partition": d,

@@ -238,20 +238,12 @@ def merge_into_partitioned_path(
         )
         target = spark.createDataFrame([], schema)
     merged = merge_upsert(target, source, pks, **kwargs)
-    # Materialize before overwriting partitions we just read from.
-    merged.cache()
-    merged.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        # dynamic overwrite replaces only the partition dirs present in
-        # `merged` (bootstrap simply writes them all)
-        merged.write.partitionBy(*partition_cols).mode("overwrite").parquet(
-            target_path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        merged.unpersist()
+    # Shared read-then-overwrite discipline (materialize first, only
+    # the partition dirs present in `merged` replaced — bootstrap
+    # simply writes them all): operators/fsops.py.
+    from bi_utils_spark.operators.fsops import overwrite_partitions
+
+    overwrite_partitions(spark, merged, partition_cols, target_path)
 
 
 def merge_into_sql(

@@ -517,6 +517,9 @@ def sniff_image_meta(payload: bytes) -> dict:
             if payload[pos] != 0xFF:
                 raise ValueError("malformed JPEG marker stream")
             marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte — legal padding (T.81 B.1.1.2)
+                pos += 1
+                continue
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
                 pos += 2
                 continue
@@ -543,24 +546,28 @@ def image_dims(
     """(id, format, width, height) per decodable image payload via
     header sniffing only — rows whose headers don't parse are dropped
     (count upstream if needed). Map-only Arrow batches; the payload
-    never shuffles and only (id, format, 2 ints) leaves Python."""
-    out_schema = f"{id_col} string, format string, width int, height int"
+    never shuffles and only (id, format, 2 ints) leaves Python. The
+    id column keeps its input TYPE (a forced string would make the
+    backfill join compare bigint-vs-string via double and mangle ids
+    beyond 2⁵³)."""
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_t}, format string, width int, height int"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fmts, ws, hs = [], [], [], []
-            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+            keep, fmts, ws, hs = [], [], [], []
+            for i, payload in enumerate(pdf[payload_col]):
                 try:
                     d = sniff_image_meta(bytes(payload) if payload is not None else b"")
                 except ValueError:
                     continue
-                ids.append(str(mid))
+                keep.append(i)
                 fmts.append(d["format"])
                 ws.append(d["width"])
                 hs.append(d["height"])
             yield pd.DataFrame(
                 {
-                    id_col: ids,
+                    id_col: list(pdf[id_col].iloc[keep]),
                     "format": fmts,
                     "width": pd.array(ws, dtype="int32"),
                     "height": pd.array(hs, dtype="int32"),

@@ -98,11 +98,11 @@ def _fs_delete(spark, path: str) -> bool:
     """Recursive delete through the Hadoop FileSystem API — works on
     every filesystem Spark can write to (file://, hdfs://, s3a://…).
     A local-only ``shutil.rmtree`` would silently no-op on object
-    storage, leaving a table-sized orphan (ADVICE r4)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.delete(hpath, True))
+    storage, leaving a table-sized orphan (ADVICE r4). Shared
+    implementation: operators/fsops.py."""
+    from bi_utils_spark.operators.fsops import fs_delete
+
+    return fs_delete(spark, path)
 
 
 def apply_widening(
@@ -197,17 +197,11 @@ def apply_widening_partitioned(
             for c in df.columns
         ]
     )
-    # Materialize before overwriting the partition dirs we just read
-    # (same read-then-overwrite discipline as the partitioned merge).
-    casted.cache()
-    casted.count()
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        casted.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        casted.unpersist()
+    # Shared read-then-overwrite discipline (materialize first):
+    # operators/fsops.py, same as the partitioned merge / compaction.
+    from bi_utils_spark.operators.fsops import overwrite_partitions
+
+    overwrite_partitions(spark, casted, partition_cols, path)
     return list(partition_values)
 
 

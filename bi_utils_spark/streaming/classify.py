@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bi_utils_spark.operators.classifier import _Q, inline_logit_q
+from bi_utils_spark.operators.classifier import _Q, feature_array, inline_logit_q
 
 
 def attach_classifier_scores(
@@ -29,12 +29,18 @@ def attach_classifier_scores(
     prior_q: int = 0,
     text_col: str = "text",
 ) -> DataFrame:
-    """Add (logit, label) from a fitted bucket-indexed weight list
-    (classifier.collect_weights) — stateless, map-only."""
+    """Add (n_feats, logit, label) from a fitted bucket-indexed weight
+    list (classifier.collect_weights) — stateless, map-only. Same
+    column contract as the batch scorers, so admitted batches re-audit
+    directly."""
     lq = inline_logit_q(text_col, wq, prior_q)
-    return stream.withColumn(
-        "logit", lq.cast("double") / F.lit(_Q)
-    ).withColumn("label", F.col("logit") > 0)
+    return (
+        stream.withColumn(
+            "n_feats", F.size(feature_array(text_col)).cast("long")
+        )
+        .withColumn("logit", lq.cast("double") / F.lit(_Q))
+        .withColumn("label", F.col("logit") > 0)
+    )
 
 
 def classifier_gate(
@@ -44,11 +50,15 @@ def classifier_gate(
     text_col: str = "text",
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Admit only documents the classifier scores above ``threshold``.
+    """Admit only documents with ≥ 1 feature that the classifier
+    scores above ``threshold``. The zero-feature drop keeps stream/
+    batch parity: the batch scorers emit NO row for feature-less
+    (NULL/empty) text, so a gate that admitted them on prior mass
+    alone would pass documents a batch re-audit cannot reproduce.
     Stateless — safe in append mode with no watermark; composes with
     the quality gate and streaming dedup downstream."""
     return attach_classifier_scores(stream, wq, prior_q, text_col).filter(
-        F.col("logit") > threshold
+        (F.col("n_feats") > 0) & (F.col("logit") > threshold)
     )
 
 

@@ -49,7 +49,9 @@ def test_min_margin_filters(spark):
 
 def test_margin_is_exact_integer_ratio(spark):
     # hand math on a 1-src / 2-tgt setup with k=2: margin =
-    # 2k*sq / (fq + bq) with all quantities integer-exact
+    # 2·sq·fn·bn / (fq·bn + bq·fn) with all quantities integer-exact
+    # — and the backward side has only ONE possible neighbor (|src| <
+    # k), so the averages must divide by the real counts, not k
     src = spark.createDataFrame(
         [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
     )
@@ -58,14 +60,28 @@ def test_margin_is_exact_integer_ratio(spark):
         "vec_id long, embedding array<double>",
     )
     rows = {r["tgt_id"]: r for r in mine_bitext(src, tgt, k=2).collect()}
-    # forward scores: cos(1,11)=1.0, cos(1,12)=0.0 -> fq = 1e9
-    # backward: tgt 11's only neighbor is src 1 (k capped by side size)
-    # bq(11) = 1e9; bq(12) = 0
-    q = lambda s: round(s * 1e9)  # noqa: E731
-    assert rows[11]["margin"] == pytest.approx(
-        (2 * 2 * q(1.0)) / (1e9 + 1e9), abs=1e-15
-    )
+    # forward: cos(1,11)=1.0, cos(1,12)=0.0 -> fq=1e9, fn=2
+    # backward: each tgt has the single src neighbor -> bn=1;
+    # bq(11)=1e9, bq(12)=0
+    # margin(1,11) = 2·1e9·2·1 / (1e9·1 + 1e9·2) = 4/3 — exactly the
+    # docstring formula cos / ((avg_f + avg_b)/2) = 1/((0.5+1.0)/2)
+    assert rows[11]["margin"] == pytest.approx(4.0 / 3.0, abs=1e-12)
     assert rows[12]["margin"] == 0.0
+
+
+def test_margin_null_on_zero_neighborhood(spark):
+    # fully orthogonal sides: every score quantizes to 0, the
+    # denominator is 0, margin must be NULL (not a crash, not inf)
+    # and a min_margin filter must drop such pairs
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [(11, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rows = mine_bitext(src, tgt, k=2).collect()
+    assert len(rows) == 1 and rows[0]["margin"] is None
+    assert mine_bitext(src, tgt, k=2, min_margin=0.5).count() == 0
 
 
 def test_k_validation(spark):

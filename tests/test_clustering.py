@@ -203,3 +203,39 @@ def test_farthest_init_fewer_points_than_k(spark):
     )
     # duplicate points: stops at 1 seed instead of inventing one
     assert len(kmeans_init_farthest(df, "vec_id", "embedding", 3)) == 1
+
+
+def test_assign_numpy_survives_malformed_vectors(spark):
+    """Review r5: one NULL/ragged/NaN vector must not kill the Arrow
+    batch — malformed rows emit NULL cluster/d2q and flow on, like
+    the Column form."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(vec_id=1, embedding=[0.1, 0.2]),
+        Row(vec_id=2, embedding=None),
+        Row(vec_id=3, embedding=[0.1, 0.2, 0.3]),   # wrong dim
+        Row(vec_id=4, embedding=[float("nan"), 0.0]),
+        Row(vec_id=5, embedding=[]),
+        Row(vec_id=6, embedding=[0.3, 0.4]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    got = {r["vec_id"]: r for r in kmeans_assign(df, cents, impl="numpy").collect()}
+    assert got[1]["cluster"] == 0 and got[1]["d2q"] is not None
+    assert got[6]["cluster"] == 0
+    for bad in (2, 3, 4, 5):
+        assert got[bad]["cluster"] is None and got[bad]["d2q"] is None
+    # Column form agrees on well-formed and NULL-vector rows. Its
+    # malformed behavior is documented as accidental (missing
+    # elements saturate via null-skipping greatest; NaN RAISES under
+    # ANSI — the crash class the numpy path's NULL handling avoids),
+    # so parity is only asserted where behavior is defined.
+    sane = df.filter(F.col("vec_id").isin(1, 2, 6))
+    col = {r["vec_id"]: r for r in kmeans_assign(sane, cents, impl="column").collect()}
+    for vid in (1, 2, 6):
+        assert (col[vid]["cluster"], col[vid]["d2q"]) == (
+            got[vid]["cluster"],
+            got[vid]["d2q"],
+        )

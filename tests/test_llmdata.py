@@ -834,3 +834,34 @@ def test_backfill_media_meta(spark):
     assert got["m3"]["duration_ms"] == 1000                         # audio intact
     assert got["m4"] is None                                        # stays unknown
     assert (got["m5"]["width"], got["m5"]["height"]) == (9, 3)      # fill gap only
+
+
+def test_jpeg_fill_bytes_are_legal_padding():
+    # review r5: 0xFF fill bytes between segments are spec-legal
+    # (T.81 B.1.1.2) and real encoders emit them
+    import struct as _s
+
+    from bi_utils_spark.operators.multimodal import sniff_image_meta
+
+    base = _tiny_jpeg(64, 32)
+    # inject two fill bytes right before the SOF marker
+    sof_at = base.index(b"\xff\xc0")
+    padded = base[:sof_at] + b"\xff\xff" + base[sof_at:]
+    assert sniff_image_meta(padded) == {
+        "format": "jpeg", "width": 64, "height": 32,
+    }
+
+
+def test_image_dims_preserves_id_type(spark):
+    from bi_utils_spark.operators.multimodal import encode_png, image_dims
+
+    rows = [[(0, 0, 0)] * 4 for _ in range(3)]
+    big = (1 << 53) + 1  # double-unsafe bigint
+    df = spark.createDataFrame(
+        [(big, bytearray(encode_png(4, 3, rows)))],
+        "media_id long, payload binary",
+    )
+    out = image_dims(df).collect()
+    assert out[0]["media_id"] == big
+    assert dict(out[0].asDict())["width"] == 4
+    assert image_dims(df).schema["media_id"].dataType.simpleString() == "bigint"

@@ -107,3 +107,38 @@ def test_compaction_validations(spark, tmp_path):
         compact_partitioned_path(spark, path, [])
     with pytest.raises(ValueError, match="not in table"):
         compact_partitioned_path(spark, path, ["nope"])
+
+
+def test_listing_skips_hidden_trees(spark, tmp_path):
+    # review r5: files under _temporary/.staging trees must not
+    # surface as phantom partitions
+    import pathlib
+
+    path = _fragged_table(spark, tmp_path)
+    ghost = pathlib.Path(path, "_temporary", "0")
+    ghost.mkdir(parents=True)
+    (ghost / "part-00000.parquet").write_bytes(b"junk")
+    dirs = {f["relative_dir"] for f in list_partition_files(spark, path)}
+    assert all(not d.startswith("_") for d in dirs)
+    rep = {r["relative_dir"] for r in small_file_report(spark, path).collect()}
+    assert not any("_temporary" in d for d in rep)
+
+
+def test_compaction_handles_zero_padded_partition_values(spark, tmp_path):
+    # review r5: partition type inference would render dir 'id=00123'
+    # back as '123' — matching nothing and (worse) renaming the dir
+    # on rewrite; inference is disabled inside the compactor
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "zeropad")
+    spark.range(100).select(
+        F.lit("00123").alias("pid"), F.col("id")
+    ).repartition(4).write.partitionBy("pid").parquet(path)
+    done = compact_partitioned_path(spark, path, ["pid"])
+    assert [d["partition"] for d in done] == ["pid=00123"]
+    files = sorted(pathlib.Path(path, "pid=00123").rglob("*.parquet"))
+    assert len(files) == 1  # compacted IN PLACE, dir name preserved
+    assert not pathlib.Path(path, "pid=123").exists()
+    assert spark.read.parquet(path).count() == 100
