@@ -92,9 +92,12 @@ BENCH_QUERIES = [
     "q_embedding_outliers",
     "q_emb_simhash_pairs",
     # r5 additions: hybrid retrieval (BM25 + dense cosine fused by
-    # RRF) and margin-based bitext mining (dual exact kNN)
+    # RRF), margin-based bitext mining (dual exact kNN), and the
+    # baseline-JPEG real-codec round-trip
     "q_hybrid_search",
     "q_bitext_mine",
+    "q_jpeg_roundtrip",
+    "q_line_dedup",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

