@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q_bitext_mine",
     "q_jpeg_roundtrip",
     "q_line_dedup",
+    "q_audio_features",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -2450,6 +2450,47 @@ def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_audio_features",
+    """
+    WITH a AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS media_id,
+             n_chars % 50 + 10 AS n,
+             8000 + (doc_id % 3) * 4000 AS rate,
+             doc_id % 1000 - 500 AS amp
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT media_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(rate AS INT) AS sample_rate,
+           1000.0 * n / rate AS duration_ms,
+           CAST(abs(amp) AS DOUBLE) AS rms,
+           CAST(n - 1 AS INT) AS zero_crossings,
+           CAST(n // 2 AS INT) AS dominant_bin,
+           CAST(rate * (n // 2) AS DOUBLE) / n AS peak_freq_hz
+    FROM a
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis, oracle-checked bit-exactly (X56): the
+    WAV fixtures are ±a square waves — ALL their spectral energy sits
+    at Nyquist, so a real rFFT must report dominant_bin = n//2 for
+    every clip (for odd n the Dirichlet peak's only in-range neighbor
+    is (n-1)/2), zero_crossings = n-1, rms = |a| exactly (perfect
+    integer square), and peak_freq_hz = rate*(n//2)/n — every column
+    a closed-form integer expression both engines compute
+    identically. An FFT that windowed, truncated, mis-ordered
+    channels or mis-parsed RIFF chunks cannot match."""
+    from bi_utils_spark.operators.multimodal import (
+        audio_spectral_features,
+        synthesize_test_media,
+    )
+
+    docs = load_fanout(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = synthesize_test_media(docs).filter(F.col("modality") == "audio")
+    return audio_spectral_features(media)
+
+
+@register(
     "q_phash_near_dup",
     """
     WITH c AS (
@@ -5144,15 +5185,16 @@ _PROMOTED: list[str] = [
     # remaining r3 rows ----
     "q_jaccard_pairs",
     "q_dedup_clusters",
-    "q_dedup_canonical",
-    # (q_minhash_near_dup / q_simhash_near_dup / q_winnow_near_dup
+    # (q_dedup_canonical / q_minhash_near_dup / q_simhash_near_dup /
+    # q_winnow_near_dup
     # rotated out for the three new r5 queries below: their
     # fingerprint paths are untouched by the r5 content_hash refactor
     # and the X55 append, and they keep their r3-green official rows)
-    # ---- new r5 surface (late additions): real-JPEG round-trip and
-    # cross-document line dedup ----
+    # ---- new r5 surface (late additions): real-JPEG round-trip,
+    # cross-document line dedup, rFFT audio features ----
     "q_boilerplate_lines",
     "q_line_dedup",
+    "q_audio_features",
     # new r5 surface (the cosine/bm25 arithmetic earns its r5 rows
     # through q_hybrid_search's legs and q_bitext_mine's kNN;
     # q_topk_cosine_exact / q_bm25_search stay r3-green unchanged)
