@@ -5105,6 +5105,171 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(_multiline_docs(spark, sf_dir), min_df=5)
 
 
+# ---------------------------------------------------------------------------
+# X57: URL / domain curation tier. The corpus has no URL column, so
+# the fixture synthesizes one in-plan from doc_id, closed-form in
+# both engines (the X55 discipline), deliberately covering every
+# normalization branch: mixed-case scheme/host, default vs non-default
+# vs scheme-mismatched ports, empty paths, tracking-only and mixed
+# query strings, fragments, and multi-label public suffixes. The
+# oracle derives the expected canonical form from the CONSTRUCTION
+# parts — an independent derivation, not a re-parse — so a parser
+# that mishandles any component cannot hash-match.
+# ---------------------------------------------------------------------------
+
+_URLS_CTE = """
+    WITH u AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN 'HTTPS'
+             WHEN doc_id % 4 = 1 THEN 'https' ELSE 'http' END AS scheme,
+        CASE doc_id % 5 WHEN 0 THEN 'Example.COM'
+                        WHEN 1 THEN 'news.Example.co.uk'
+                        WHEN 2 THEN 'cdn.site.org'
+                        WHEN 3 THEN 'sub.blog.example.com'
+                        ELSE 'shop.example.com' END AS host,
+        CASE WHEN doc_id % 7 = 0 THEN ':443'
+             WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END AS port,
+        CASE WHEN doc_id % 13 = 0 THEN ''
+             ELSE '/p/' || CAST(doc_id % 13 AS VARCHAR) END AS path,
+        CASE WHEN doc_id % 2 = 0
+             THEN '?utm_source=x&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1'
+             WHEN doc_id % 9 = 0 THEN '?gclid=abc' ELSE '' END AS query,
+        CASE WHEN doc_id % 3 = 0
+             THEN '#sec' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END AS frag
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+        scheme || '://' || host || port || path || query || frag AS url,
+        lower(scheme) || '://' || lower(host)
+          || CASE WHEN port = ':443' AND lower(scheme) = 'https'
+                  THEN '' ELSE port END
+          || CASE WHEN path = '' THEN '/' ELSE path END
+          || CASE WHEN query LIKE '?utm%'
+                  THEN '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE '' END AS url_norm,
+        lower(host) AS host,
+        CASE doc_id % 5 WHEN 0 THEN 'example.com'
+                        WHEN 1 THEN 'example.co.uk'
+                        WHEN 2 THEN 'site.org'
+                        WHEN 3 THEN 'example.com'
+                        ELSE 'example.com' END AS domain
+      FROM u
+    )
+"""
+
+
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of _URLS_CTE's `u` — one codegen projection
+    building the raw (pre-normalization) URL string."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 4 == 0, F.lit("HTTPS"))
+        .when(d % 4 == 1, F.lit("https"))
+        .otherwise(F.lit("http"))
+    )
+    host = (
+        F.when(d % 5 == 0, F.lit("Example.COM"))
+        .when(d % 5 == 1, F.lit("news.Example.co.uk"))
+        .when(d % 5 == 2, F.lit("cdn.site.org"))
+        .when(d % 5 == 3, F.lit("sub.blog.example.com"))
+        .otherwise(F.lit("shop.example.com"))
+    )
+    port = (
+        F.when(d % 7 == 0, F.lit(":443"))
+        .when(d % 11 == 0, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(d % 13 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), (d % 13).cast("string"))
+    )
+    query = (
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=x&b="),
+                (d % 3).cast("string"),
+                F.lit("&a=1"),
+            ),
+        )
+        .when(d % 9 == 0, F.lit("?gclid=abc"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 3 == 0, F.concat(F.lit("#sec"), (d % 2).cast("string"))).otherwise(
+        F.lit("")
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias(
+            "url"
+        ),
+    )
+
+
+@register(
+    "q_url_normalize",
+    _URLS_CTE
+    + """
+    SELECT doc_id, url, url_norm, host, domain FROM norm
+    """,
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-3986 parse + canonicalization + registered-domain
+    extraction per URL (X57), full-row oracle via the independent
+    closed-form derivation in _URLS_CTE."""
+    from bi_utils_spark.operators.weburl import attach_url_columns
+
+    return attach_url_columns(_url_docs(spark, sf_dir)).select(
+        "doc_id", "url", "url_norm", "host", "domain"
+    )
+
+
+@register(
+    "q_domain_stats",
+    _URLS_CTE
+    + """
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM norm GROUP BY domain
+    """,
+)
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain curation panel: row pressure vs distinct
+    canonical resources vs host fan-out (X57)."""
+    from bi_utils_spark.operators.weburl import domain_stats
+
+    return domain_stats(_url_docs(spark, sf_dir))
+
+
+@register(
+    "q_domain_blocklist",
+    _URLS_CTE
+    + """
+    SELECT doc_id, domain FROM norm
+    WHERE domain NOT IN ('site.org', 'example.co.uk')
+    """,
+)
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast anti-join blocklist filter on the registered domain
+    (X57): site.org and example.co.uk rows dropped, survivors tagged
+    with their domain."""
+    from bi_utils_spark.operators.weburl import (
+        attach_url_columns,
+        filter_blocked_domains,
+    )
+
+    blocklist = spark.createDataFrame(
+        [("site.org",), ("example.co.uk",)], "domain string"
+    )
+    survivors = filter_blocked_domains(
+        _url_docs(spark, sf_dir), blocklist
+    )
+    return attach_url_columns(survivors).select("doc_id", "domain")
+
+
 # ===========================================================================
 # Registration-order priority (round 3).
 #
