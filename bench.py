@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "q_jpeg_roundtrip",
     "q_line_dedup",
     "q_audio_features",
+    "q_url_normalize",
+    "q_domain_stats",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -5342,9 +5342,9 @@ _PROMOTED: list[str] = [
     "q_grouping_sets",
     "q_price_variance",
     "q_string_funcs",
-    "q_priority_with_shipment",
-    "q_hourly_rollup",
-    "q_pack_conservation",
+    # (q_priority_with_shipment / q_hourly_rollup / q_pack_conservation
+    # rotated out for the X57 URL tier: r2-green, implementations
+    # unchanged; 17 r1/r2-stale re-attestations remain in-window)
     # ---- tier 4: r3 rows in the dedup family (dedup.py was touched
     # this round — re-attest the whole module) + the two oldest
     # remaining r3 rows ----
@@ -5360,6 +5360,9 @@ _PROMOTED: list[str] = [
     "q_boilerplate_lines",
     "q_line_dedup",
     "q_audio_features",
+    "q_url_normalize",
+    "q_domain_stats",
+    "q_domain_blocklist",
     # new r5 surface (the cosine/bm25 arithmetic earns its r5 rows
     # through q_hybrid_search's legs and q_bitext_mine's kNN;
     # q_topk_cosine_exact / q_bm25_search stay r3-green unchanged)
