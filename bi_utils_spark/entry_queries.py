@@ -5111,7 +5111,10 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines (the X55 discipline), deliberately covering every
 # normalization branch: mixed-case scheme/host, default vs non-default
 # vs scheme-mismatched ports, empty paths, tracking-only and mixed
-# query strings, fragments, and multi-label public suffixes. The
+# query strings, fragments (including '?' INSIDE a fragment, which
+# must not parse as a query), multi-label public suffixes, bracketed
+# IPv6 authorities (with and without ports), dotted-quad IPv4 hosts,
+# and trailing-dot FQDNs (r6 — the r5 wrong-answer classes). The
 # oracle derives the expected canonical form from the CONSTRUCTION
 # parts — an independent derivation, not a re-parse — so a parser
 # that mishandles any component cannot hash-match.
@@ -5122,11 +5125,14 @@ _URLS_CTE = """
       SELECT doc_id,
         CASE WHEN doc_id % 4 = 0 THEN 'HTTPS'
              WHEN doc_id % 4 = 1 THEN 'https' ELSE 'http' END AS scheme,
-        CASE doc_id % 5 WHEN 0 THEN 'Example.COM'
+        CASE doc_id % 8 WHEN 0 THEN 'Example.COM'
                         WHEN 1 THEN 'news.Example.co.uk'
                         WHEN 2 THEN 'cdn.site.org'
                         WHEN 3 THEN 'sub.blog.example.com'
-                        ELSE 'shop.example.com' END AS host,
+                        WHEN 4 THEN 'shop.example.com'
+                        WHEN 5 THEN '[2001:DB8::1]'
+                        WHEN 6 THEN '93.184.216.34'
+                        ELSE 'www.Example.co.uk.' END AS host,
         CASE WHEN doc_id % 7 = 0 THEN ':443'
              WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END AS port,
         CASE WHEN doc_id % 13 = 0 THEN ''
@@ -5135,25 +5141,30 @@ _URLS_CTE = """
              THEN '?utm_source=x&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1'
              WHEN doc_id % 9 = 0 THEN '?gclid=abc' ELSE '' END AS query,
         CASE WHEN doc_id % 3 = 0
-             THEN '#sec' || CAST(doc_id % 2 AS VARCHAR) ELSE '' END AS frag
+             THEN '#sec' || CAST(doc_id % 2 AS VARCHAR)
+             WHEN doc_id % 5 = 1 THEN '#a?b=1' ELSE '' END AS frag
       FROM documents
     ),
     norm AS (
       SELECT doc_id,
         scheme || '://' || host || port || path || query || frag AS url,
-        lower(scheme) || '://' || lower(host)
+        lower(scheme) || '://'
+          || regexp_replace(lower(host), '\\.$', '')
           || CASE WHEN port = ':443' AND lower(scheme) = 'https'
                   THEN '' ELSE port END
           || CASE WHEN path = '' THEN '/' ELSE path END
           || CASE WHEN query LIKE '?utm%'
                   THEN '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)
                   ELSE '' END AS url_norm,
-        lower(host) AS host,
-        CASE doc_id % 5 WHEN 0 THEN 'example.com'
+        regexp_replace(lower(host), '\\.$', '') AS host,
+        CASE doc_id % 8 WHEN 0 THEN 'example.com'
                         WHEN 1 THEN 'example.co.uk'
                         WHEN 2 THEN 'site.org'
                         WHEN 3 THEN 'example.com'
-                        ELSE 'example.com' END AS domain
+                        WHEN 4 THEN 'example.com'
+                        WHEN 5 THEN '[2001:db8::1]'
+                        WHEN 6 THEN '93.184.216.34'
+                        ELSE 'example.co.uk' END AS domain
       FROM u
     )
 """
@@ -5170,11 +5181,14 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("http"))
     )
     host = (
-        F.when(d % 5 == 0, F.lit("Example.COM"))
-        .when(d % 5 == 1, F.lit("news.Example.co.uk"))
-        .when(d % 5 == 2, F.lit("cdn.site.org"))
-        .when(d % 5 == 3, F.lit("sub.blog.example.com"))
-        .otherwise(F.lit("shop.example.com"))
+        F.when(d % 8 == 0, F.lit("Example.COM"))
+        .when(d % 8 == 1, F.lit("news.Example.co.uk"))
+        .when(d % 8 == 2, F.lit("cdn.site.org"))
+        .when(d % 8 == 3, F.lit("sub.blog.example.com"))
+        .when(d % 8 == 4, F.lit("shop.example.com"))
+        .when(d % 8 == 5, F.lit("[2001:DB8::1]"))
+        .when(d % 8 == 6, F.lit("93.184.216.34"))
+        .otherwise(F.lit("www.Example.co.uk."))
     )
     port = (
         F.when(d % 7 == 0, F.lit(":443"))
@@ -5196,8 +5210,10 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 9 == 0, F.lit("?gclid=abc"))
         .otherwise(F.lit(""))
     )
-    frag = F.when(d % 3 == 0, F.concat(F.lit("#sec"), (d % 2).cast("string"))).otherwise(
-        F.lit("")
+    frag = (
+        F.when(d % 3 == 0, F.concat(F.lit("#sec"), (d % 2).cast("string")))
+        .when(d % 5 == 1, F.lit("#a?b=1"))
+        .otherwise(F.lit(""))
     )
     return docs.select(
         "doc_id",
@@ -5249,12 +5265,14 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _URLS_CTE
     + """
     SELECT doc_id, domain FROM norm
-    WHERE domain NOT IN ('site.org', 'example.co.uk')
+    WHERE domain NOT IN ('site.org', 'example.co.uk', '93.184.216.34')
     """,
 )
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast anti-join blocklist filter on the registered domain
-    (X57): site.org and example.co.uk rows dropped, survivors tagged
+    (X57): site.org, example.co.uk and an IPv4-literal host dropped
+    (an IP blocklist entry must match the address itself, not a fake
+    'last two octets' domain — the r5 defect class), survivors tagged
     with their domain."""
     from bi_utils_spark.operators.weburl import (
         attach_url_columns,
@@ -5262,12 +5280,138 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     blocklist = spark.createDataFrame(
-        [("site.org",), ("example.co.uk",)], "domain string"
+        [("site.org",), ("example.co.uk",), ("93.184.216.34",)],
+        "domain string",
     )
     survivors = filter_blocked_domains(
         _url_docs(spark, sf_dir), blocklist
     )
     return attach_url_columns(survivors).select("doc_id", "domain")
+
+
+# Public-suffix-list fixture (r6): hosts exercising every PSL rule
+# type — private multi-label suffix (github.io), wildcard (*.ck),
+# exception (!www.ck), classic ccTLD (co.uk), public-suffix-only
+# hosts (no registrable domain -> passthrough) — with the expected
+# registrable domain derived from the CONSTRUCTION, not a re-parse.
+_PSL_CTE = """
+    WITH h AS (
+      SELECT doc_id,
+        CASE doc_id % 6 WHEN 0 THEN 'a.b.GitHub.IO'
+                        WHEN 1 THEN 'WWW.CK'
+                        WHEN 2 THEN 'x.y.z.ck'
+                        WHEN 3 THEN 'news.bbc.co.uk'
+                        WHEN 4 THEN 'github.io'
+                        ELSE 'foo.example.com' END AS host,
+        CASE doc_id % 6 WHEN 0 THEN 'b.github.io'
+                        WHEN 1 THEN 'www.ck'
+                        WHEN 2 THEN 'y.z.ck'
+                        WHEN 3 THEN 'bbc.co.uk'
+                        WHEN 4 THEN 'github.io'
+                        ELSE 'example.com' END AS domain
+      FROM documents
+    )
+"""
+
+_PSL_RULES = [
+    "com", "uk", "co.uk", "io", "github.io", "ck", "*.ck", "!www.ck",
+    "// comment lines and blanks are ignored", "",
+]
+
+
+def _psl_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, F.lit("a.b.GitHub.IO"))
+        .when(d % 6 == 1, F.lit("WWW.CK"))
+        .when(d % 6 == 2, F.lit("x.y.z.ck"))
+        .when(d % 6 == 3, F.lit("news.bbc.co.uk"))
+        .when(d % 6 == 4, F.lit("github.io"))
+        .otherwise(F.lit("foo.example.com"))
+    )
+    return docs.select("doc_id", host.alias("host"))
+
+
+def _psl_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(r,) for r in _PSL_RULES], "rule string")
+
+
+@register(
+    "q_registered_domain_psl",
+    _PSL_CTE
+    + """
+    SELECT doc_id, host, domain FROM h
+    """,
+)
+def q_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full public-suffix-algorithm registered domain (X57, r6):
+    longest-rule-wins with wildcard and exception rules, via K
+    broadcast joins of the host's label tails against the prevailing-
+    rule table (weburl.attach_registered_domain) — zero corpus
+    shuffle. Full-row oracle from the construction-derived expected
+    domains."""
+    from bi_utils_spark.operators.weburl import attach_registered_domain
+
+    return attach_registered_domain(
+        _psl_hosts(spark, sf_dir), "host", psl=_psl_df(spark)
+    ).select("doc_id", "host", "domain")
+
+
+@register(
+    "q_domain_stats_psl",
+    _PSL_CTE
+    + """
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT 'http://' || lower(host) || '/p/'
+                      || CAST(doc_id % 5 AS VARCHAR)) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT lower(host)) AS BIGINT) AS n_hosts
+    FROM h GROUP BY domain
+    """,
+)
+def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """domain_stats keyed by PSL-correct registered domains (X57,
+    r6): the per-domain curation panel where the grouping unit is the
+    publicsuffix.org registrable domain, not the 2-label heuristic."""
+    from bi_utils_spark.operators.weburl import domain_stats
+
+    urls = _psl_hosts(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            F.col("host"),
+            F.lit("/p/"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("url"),
+    )
+    return domain_stats(urls, psl=_psl_df(spark))
+
+
+@register(
+    "q_domain_cap",
+    _URLS_CTE
+    + """
+    SELECT doc_id, domain FROM (
+      SELECT doc_id, domain,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'domcap'), doc_id
+             ) AS rn
+      FROM norm
+    ) WHERE rn <= 7
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain document cap (X58, r6): keep the 7
+    smallest md5(doc_id‖salt) rows per domain via the two-level
+    ranking (no domain-sized single-task sort). Exact-kept-set oracle:
+    DuckDB replays the same portable md5 order in one window."""
+    from bi_utils_spark.operators.weburl import cap_per_domain
+
+    return cap_per_domain(_url_docs(spark, sf_dir), cap=7).select(
+        "doc_id", "domain"
+    )
 
 
 # ===========================================================================

@@ -4,8 +4,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from bi_utils_spark.operators.weburl import (
+    attach_registered_domain,
     attach_url_columns,
+    cap_per_domain,
     domain_stats,
     filter_blocked_domains,
     normalize_url,
@@ -111,6 +115,148 @@ def test_domain_stats_counts_normalized_urls(spark):
     )
     row = {r["domain"]: r for r in domain_stats(docs).collect()}["example.com"]
     assert row["n_docs"] == 3 and row["n_urls"] == 2 and row["n_hosts"] == 2
+
+
+def test_ipv6_literal_authorities_parse_and_never_merge(spark):
+    # r5 defect class (VERDICT r5 #1): '[::1]' used to parse to host
+    # '[' so distinct IPv6 resources merged after normalization.
+    a, b, c, d = _norm(
+        spark,
+        [
+            "http://[::1]/x",
+            "http://[::2]/x",
+            "http://[::1]:8080/x",
+            "HTTPS://[2001:DB8::1]:443/p",
+        ],
+    )
+    assert a == "http://[::1]/x" and b == "http://[::2]/x"
+    assert a != b  # distinct resources stay distinct
+    assert c == "http://[::1]:8080/x"  # non-default port kept
+    assert d == "https://[2001:db8::1]/p"  # default port stripped, host lowered
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    # '?' inside the fragment must not be parsed as a query string
+    a, b = _norm(
+        spark, ["http://example.com/path#a?b=1", "http://example.com/path?b=1"]
+    )
+    assert a == "http://example.com/path" and b == "http://example.com/path?b=1"
+    df = spark.createDataFrame([("http://e.com/p#a?b=1",)], "url string")
+    p = url_parts("url")
+    row = df.select(p["query"].alias("q"), p["fragment"].alias("f")).collect()[0]
+    assert row["q"] == "" and row["f"] == "a?b=1"
+
+
+def test_trailing_dot_fqdn_canonicalized(spark):
+    # example.co.uk. names the same DNS zone as example.co.uk
+    a, b = _norm(spark, ["http://example.co.uk./a", "http://example.co.uk/a"])
+    assert a == b == "http://example.co.uk/a"
+    assert _dom(spark, ["example.co.uk.", "www.Example.COM."]) == [
+        "example.co.uk",
+        "example.com",
+    ]
+
+
+def test_registered_domain_ip_literals_pass_through(spark):
+    # an IP address has no DNS labels — pooling by 'last two octets'
+    # would merge unrelated servers into one blocklist/cap unit
+    assert _dom(
+        spark, ["93.184.216.34", "5.6.216.34", "[2001:db8::1]", "[::1]"]
+    ) == ["93.184.216.34", "5.6.216.34", "[2001:db8::1]", "[::1]"]
+
+
+def test_ip_blocklist_matches_the_address_itself(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "http://93.184.216.34/x"),
+            (2, "http://5.6.216.34/y"),  # shares two octets — must survive
+            (3, "http://[2001:db8::1]/z"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("93.184.216.34",), ("[2001:db8::1]",)], "domain string"
+    )
+    out = filter_blocked_domains(docs, bl)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_psl_registered_domain_rule_types(spark):
+    psl = spark.createDataFrame(
+        [(r,) for r in
+         ["com", "co.uk", "io", "github.io", "ck", "*.ck", "!www.ck",
+          "// comment", ""]],
+        "rule string",
+    )
+    hosts = [
+        ("a.b.github.io", "b.github.io"),    # private suffix rule
+        ("github.io", "github.io"),          # public suffix itself: passthrough
+        ("news.bbc.co.uk", "bbc.co.uk"),     # multi-label ccTLD
+        ("x.y.z.ck", "y.z.ck"),              # wildcard *.ck
+        ("b.ck", "b.ck"),                    # wildcard's own suffix: passthrough
+        ("WWW.CK", "www.ck"),                # exception !www.ck beats *.ck
+        ("x.www.ck", "www.ck"),              # under the exception domain
+        ("example.com", "example.com"),
+        ("unknown.tld", "unknown.tld"),      # no rule: default '*' (last label)
+        ("a.unknown.tld", "unknown.tld"),
+        ("localhost", "localhost"),
+        ("93.184.216.34", "93.184.216.34"),  # IP literals bypass the PSL
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in attach_registered_domain(df, "host", psl=psl).collect()
+    }
+    for h, want in hosts:
+        assert got[h] == want, (h, got[h], want)
+
+
+def test_psl_join_is_broadcast_only_on_corpus_side(spark):
+    psl = spark.createDataFrame([("co.uk",), ("*.ck",)], "rule string")
+    df = spark.createDataFrame([("a.b.co.uk",)], "host string")
+    plan = (
+        attach_registered_domain(df, "host", psl=psl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus never shuffles for the lookup
+
+
+def test_cap_per_domain_matches_one_level_window_and_partitions(spark):
+    docs = spark.createDataFrame(
+        [(i, f"http://d{i % 7}.ex{i % 3}.com/p/{i}") for i in range(400)],
+        "doc_id long, url string",
+    )
+    capped = cap_per_domain(docs, cap=9)
+    # exact kept set == the naive one-level per-domain window
+    one = (
+        attach_url_columns(docs)
+        .withColumn(
+            "__h",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("domcap"))),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy("__h", "doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= 9)
+    )
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in one.collect()
+    )
+    counts = [r["c"] for r in capped.groupBy("domain").agg(F.count("*").alias("c")).collect()]
+    assert counts and all(c <= 9 for c in counts)
+    # no unpartitioned window anywhere in the plan
+    plan = capped._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "Window" in plan
+    import re
+
+    for m in re.finditer(r"partitionBy=\[\]", plan):
+        raise AssertionError("unpartitioned window in cap_per_domain plan")
 
 
 def test_attach_url_columns_is_map_only(spark):
