@@ -80,6 +80,31 @@ class DecoderRegistry:
         return cls._decoders[modality]
 
 
+def _map_in_pandas_batched(
+    df: DataFrame, run, schema: str, batch_size: int
+) -> DataFrame:
+    """mapInPandas with a bounded per-iteration row count, WITHOUT
+    mutating the shared session conf as a plan-build side effect (the
+    r5-advice fix: the old form set
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` session-wide and
+    never restored it, silently capping every later mapInPandas).
+
+    Each incoming pandas batch is re-sliced to ``batch_size`` rows
+    before ``run`` sees it, so per-iteration processing memory is
+    bounded regardless of the session's Arrow transfer batch size.
+    The Arrow TRANSFER batch itself is governed by the session conf —
+    ``get_spark`` pins ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    to a payload-safe default in one documented place; multi-MB-payload
+    deployments on a vanilla session should set it explicitly."""
+
+    def sliced(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for s in range(0, len(pdf), batch_size):
+                yield pdf.iloc[s : s + batch_size]
+
+    return df.mapInPandas(lambda batches: run(sliced(batches)), schema=schema)
+
+
 def deterministic_fake_decoder(dim: int = 8) -> Decoder:
     """Deterministic stand-in decoder: sha256-seeded unit-scale floats.
     Same bytes → same features, cross-process stable (no RNG state)."""
@@ -101,10 +126,12 @@ def extract_features(
 ) -> DataFrame:
     """Decode payloads → feature vectors via Arrow-batched mapInPandas.
 
-    Map-only (no shuffle); each Arrow batch holds ``batch_size`` rows
-    so executor memory stays bounded even with multi-MB payloads —
-    set ``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly
-    in production. Decoder lookup is per-batch, not per-row.
+    Map-only (no shuffle); ``run`` processes at most ``batch_size``
+    rows per iteration (_map_in_pandas_batched) so processing memory
+    stays bounded even with multi-MB payloads; set
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` session-side
+    (``get_spark`` does) to bound the Arrow transfer batches too.
+    Decoder lookup is per-batch, not per-row.
     """
     out_schema = f"{id_col} string, modality string, features array<double>"
     # Snapshot the registry into the closure: executors run in fresh
@@ -131,9 +158,7 @@ def extract_features(
             )
 
     # Repartition-free: preserve input partitioning; bound batch size.
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_in_pandas_batched(df, run, out_schema, batch_size)
 
 
 def media_stats(df: DataFrame) -> DataFrame:
@@ -1186,11 +1211,15 @@ def sniff_image_meta(payload: bytes) -> dict:
             if marker == 0xFF:  # fill byte — legal padding (T.81 B.1.1.2)
                 pos += 1
                 continue
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+            if (
+                marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01
+            ):  # SOI/RSTn/TEM: bare markers, no length field (T.81 B.1.1.3)
                 pos += 2
                 continue
             if marker == 0xD9:  # EOI before any SOF
                 break
+            if marker == 0xDA:  # SOS before any SOF: what follows is
+                break  # entropy-coded data, not length-prefixed segments
             (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
             if seg_len < 2:
                 raise ValueError("malformed JPEG segment length")
@@ -1417,9 +1446,7 @@ def audio_spectral_features(
                 }
             )
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_in_pandas_batched(df, run, out_schema, batch_size)
 
 
 def _wav_samples(payload: bytes) -> list[int]:
@@ -1642,9 +1669,7 @@ def resize_media(
                 }
             )
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_in_pandas_batched(df, run, out_schema, batch_size)
 
 
 def deterministic_fake_frames(payload: bytes, n_frames: int) -> list[bytes]:
@@ -1685,6 +1710,4 @@ def sample_frames(
                     frames.append(fr)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
-    return df.mapInPandas(run, schema=out_schema)
+    return _map_in_pandas_batched(df, run, out_schema, batch_size)

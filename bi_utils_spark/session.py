@@ -110,6 +110,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Payload-safe Arrow transfer batches for the media tier: with
+        # multi-MB binary payloads the 10000-row default would build
+        # multi-GB record batches. ONE documented place (operators no
+        # longer mutate this at plan-build time — r5 advice).
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"),
+        )
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

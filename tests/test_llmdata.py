@@ -793,6 +793,25 @@ def test_sniff_image_meta_all_formats():
         sniff_image_meta(b"\xff\xd8\xff\xd9")  # JPEG without SOF
     with _pytest.raises(ValueError):
         sniff_image_meta(b"TIFF whatever")
+    # TEM (0xFF01) is a BARE marker (T.81 B.1.1.3): no length field —
+    # the walk must skip 2 bytes, not read a bogus segment length
+    tem_then_sof = (
+        b"\xff\xd8\xff\x01"
+        + b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", 17, 31)
+        + b"\x01\x11\x00"
+    )
+    assert sniff_image_meta(tem_then_sof) == {
+        "format": "jpeg", "width": 31, "height": 17,
+    }
+    # SOS before any SOF: entropy-coded data follows — the walk must
+    # stop with the no-SOF error, not misparse scan bytes as segments
+    sos_no_sof = (
+        b"\xff\xd8"
+        + b"\xff\xda" + _s.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+        + b"\xab\xcd\xef" * 4  # entropy-coded garbage
+    )
+    with _pytest.raises(ValueError, match="without a SOF"):
+        sniff_image_meta(sos_no_sof)
 
 
 def test_image_dims_frame(spark):
