@@ -1174,6 +1174,124 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     raise ValueError("unknown image format (not BMP/PNG/JPEG)")
 
 
+def decode_image_rgb(payload: bytes) -> tuple[int, int, bytearray]:
+    """Format-sniffing image → (width, height, interleaved RGB bytes,
+    top-down) — the full-color sibling of :func:`decode_image_pixels`
+    for transforms that must RE-ENCODE pixels (resize/transcode).
+    Grayscale expands to (v, v, v); RGBA drops alpha."""
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("not a BMP payload")
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        _planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+        if hdr_size < 40 or bpp != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported BMP (hdr={hdr_size}, bpp={bpp}, comp={compression})"
+            )
+        bottom_up = height > 0
+        height = abs(height)
+        row_bytes = width * 3
+        stride = row_bytes + (4 - row_bytes % 4) % 4
+        if len(payload) < data_offset + stride * height:
+            raise ValueError("truncated BMP payload")
+        rgb = bytearray()
+        for y in range(height):
+            stored = height - 1 - y if bottom_up else y
+            off = data_offset + stored * stride
+            row = payload[off : off + row_bytes]
+            for i in range(0, row_bytes, 3):  # stored BGR → RGB
+                rgb += bytes((row[i + 2], row[i + 1], row[i]))
+        return width, height, rgb
+    if payload[:8] == _PNG_SIG:
+        width, height, channels, recon = _decode_png_raw(payload)
+    elif payload[:2] == b"\xff\xd8":
+        width, height, channels, recon = _decode_jpeg_raw(payload)
+    else:
+        raise ValueError("unknown image format (not BMP/PNG/JPEG)")
+    if channels == 3:
+        return width, height, bytearray(recon)
+    rgb = bytearray()
+    if channels == 1:
+        for v in recon:
+            rgb += bytes((v, v, v))
+    else:  # RGBA
+        for i in range(0, len(recon), 4):
+            rgb += recon[i : i + 3]
+    return width, height, rgb
+
+
+def box_resize_rgb(
+    width: int, height: int, rgb: bytes, target_w: int, target_h: int
+) -> bytes:
+    """Exact integer box-filter DOWNSAMPLE of interleaved RGB bytes:
+    output pixel (X, Y) is the floor of the per-channel mean over the
+    input box x ∈ [⌊X·w/tw⌋, ⌊(X+1)·w/tw⌋), y likewise — the boxes
+    tile the input exactly (every input pixel contributes to exactly
+    one output pixel), so a flat region downsamples to its exact
+    value and the whole transform is closed-form for oracle fixtures.
+    Integer arithmetic throughout (numpy int64 ``reduceat`` row/column
+    partial sums, then floor division) — no float rounding anywhere.
+    Upscaling is a different operation (interpolation); rejected."""
+    import numpy as np
+
+    if not (0 < target_w <= width and 0 < target_h <= height):
+        raise ValueError(
+            f"box_resize_rgb is a downsampler: target {target_w}x{target_h} "
+            f"must be within source {width}x{height}"
+        )
+    arr = np.frombuffer(bytes(rgb), dtype=np.uint8).astype(np.int64)
+    arr = arr.reshape(height, width, 3)
+    ys = (np.arange(target_h) * height) // target_h
+    xs = (np.arange(target_w) * width) // target_w
+    y_cnt = np.diff(np.append(ys, height))
+    x_cnt = np.diff(np.append(xs, width))
+    col_sums = np.add.reduceat(arr, ys, axis=0)
+    box_sums = np.add.reduceat(col_sums, xs, axis=1)
+    cnts = (y_cnt[:, None] * x_cnt[None, :])[:, :, None]
+    out = box_sums // cnts
+    return out.astype(np.uint8).tobytes()
+
+
+def real_resize_transcoder(quality: int = 100) -> "Transcoder":
+    """REAL resize over the in-repo zero-dep codecs (the r5 'what's
+    missing' #1 closed): decode BMP/PNG/JPEG → exact integer
+    box-filter downsample → re-encode in the SOURCE format (JPEG at
+    ``quality``; a grayscale source re-encodes as grayscale JPEG, so
+    quality-100 flat-tile fixtures stay bit-exact through the whole
+    decode→resize→re-encode→decode chain). Params: either explicit
+    ``width``/``height`` or ``scale`` (integer divisor, per-row dims
+    w//scale × h//scale). Register under 'resize' via
+    TranscoderRegistry; production swaps in PIL/libjpeg-turbo behind
+    the same seam (SCALE.md)."""
+
+    def resize(payload: bytes, params: dict) -> bytes:
+        w, h, rgb = decode_image_rgb(payload)
+        if "scale" in params and params["scale"]:
+            s = int(params["scale"])
+            tw, th = max(1, w // s), max(1, h // s)
+        else:
+            tw, th = int(params["width"]), int(params["height"])
+        out = box_resize_rgb(w, h, rgb, tw, th)
+        px = [
+            [
+                (out[3 * (y * tw + x)], out[3 * (y * tw + x) + 1],
+                 out[3 * (y * tw + x) + 2])
+                for x in range(tw)
+            ]
+            for y in range(th)
+        ]
+        if payload[:2] == b"BM":
+            return encode_bmp(tw, th, px)
+        if payload[:8] == _PNG_SIG:
+            return encode_png(tw, th, px)
+        gray = all(r == g == b for row in px for (r, g, b) in row)
+        rows = [[p[0] for p in row] for row in px] if gray else px
+        return encode_jpeg(tw, th, rows, quality=quality)
+
+    return resize
+
+
 def sniff_image_meta(payload: bytes) -> dict:
     """Header-only (format, width, height) for BMP / PNG / JPEG / GIF
     — REAL parsing of each format's header, no pixel decode, so it
@@ -1325,6 +1443,29 @@ def image_feature_decoder() -> Decoder:
         else:
             d = decode_bmp(payload)
         return [float(d["width"]), float(d["height"]), d["mean_r"], d["mean_g"]]
+
+    return decode
+
+
+def image_checksum_decoder() -> Decoder:
+    """Format-sniffing image → [width, height, mean_gray, wsum] where
+    wsum = Σ position·gray over the TOP-DOWN raster (position =
+    y·width + x, gray = luma//3). Unlike a plain mean, the
+    position-weighted sum is sensitive to WHERE every pixel landed —
+    a resize that samples the right values at the wrong places (or
+    flips/transposes the raster) cannot reproduce it, which is what
+    the resize oracle needs."""
+
+    def decode(payload: bytes) -> list[float]:
+        w, h, luma = decode_image_pixels(payload)
+        n = w * h
+        gray = [v // 3 for v in luma]
+        return [
+            float(w),
+            float(h),
+            sum(gray) / n if n else 0.0,
+            float(sum(p * g for p, g in enumerate(gray))),
+        ]
 
     return decode
 
@@ -1588,6 +1729,65 @@ def synthesize_jpeg_test_images(df: DataFrame, id_col: str = "doc_id") -> DataFr
     return df.mapInPandas(run, schema=out_schema)
 
 
+def synthesize_resize_test_images(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic MIXED-FORMAT mosaics for the resize oracle:
+    flat 16×16 tiles so a scale-2 box downsample yields flat 8×8
+    tiles with EXACTLY the source tile values — closed-form through
+    decode → box-filter → re-encode → decode in every format (JPEG at
+    quality 100 because the resized tiles are still flat, 8-aligned
+    blocks; BMP/PNG losslessly).
+
+    Layout: w = 16·(id%3+2), h = 16·(id%2+2); tile k (row-major over
+    the (w/16)x(h/16) grid) has gray value (id·31 + k·97) % 256.
+    Encoding rotates by id%3: JPEG (grayscale, q100), PNG (RGB with
+    r=g=b), BMP — so the resize transcoder's format sniffing and
+    same-format re-encode both get corpus-level coverage."""
+    out_schema = "media_id string, modality string, mime_type string, payload binary, meta struct<width: int, height: int, duration_ms: int, sample_rate: int>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mimes, payloads, metas = [], [], [], []
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w, h = 16 * (doc_id % 3 + 2), 16 * (doc_id % 2 + 2)
+                tiles_x = w // 16
+
+                def val(x: int, y: int) -> int:
+                    return (doc_id * 31 + ((y // 16) * tiles_x + x // 16) * 97) % 256
+
+                if doc_id % 3 == 0:
+                    rows = [[val(x, y) for x in range(w)] for y in range(h)]
+                    payloads.append(encode_jpeg(w, h, rows, quality=100))
+                    mimes.append("image/jpeg")
+                else:
+                    px = [
+                        [(val(x, y),) * 3 for x in range(w)] for y in range(h)
+                    ]
+                    enc = encode_png if doc_id % 3 == 1 else encode_bmp
+                    payloads.append(enc(w, h, px))
+                    mimes.append(
+                        "image/png" if doc_id % 3 == 1 else "image/bmp"
+                    )
+                ids.append(str(doc_id))
+                metas.append(
+                    {"width": w, "height": h,
+                     "duration_ms": None, "sample_rate": None}
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": "image",
+                    "mime_type": mimes,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 # A transcoder takes raw bytes (+ params) and returns transformed bytes.
 Transcoder = Callable[[bytes, dict], bytes]
 
@@ -1623,17 +1823,24 @@ def deterministic_fake_resize(payload: bytes, params: dict) -> bytes:
 
 def resize_media(
     df: DataFrame,
-    width: int,
-    height: int,
+    width: int | None = None,
+    height: int | None = None,
     transcoder: str = "resize",
     payload_col: str = "payload",
     batch_size: int = 64,
+    scale: int | None = None,
 ) -> DataFrame:
     """Re-encode payloads to a target size via Arrow-batched mapInPandas.
 
-    Map-only: no shuffle, binary stays executor-local; output schema
-    replaces the payload and stamps the new dimensions into ``meta``.
+    Either fixed ``width``/``height`` (the train-ready 224×224 case)
+    or an integer ``scale`` divisor (per-row w//scale × h//scale —
+    dims then come from sniffing the transcoded header, no pixel
+    decode). Map-only: no shuffle, binary stays executor-local;
+    output schema replaces the payload and stamps the new dimensions
+    into ``meta``.
     """
+    if scale is None and (width is None or height is None):
+        raise ValueError("resize_media needs width+height or scale")
     fns = dict(TranscoderRegistry._fns)  # noqa: SLF001 — snapshot for executors
     out_schema = (
         "media_id string, modality string, mime_type string, payload binary, "
@@ -1647,17 +1854,31 @@ def resize_media(
                 f"no transcoder registered for {transcoder!r} — media codecs "
                 "are stubbed in this environment"
             )
-        params = {"width": width, "height": height}
+        params = (
+            {"scale": scale}
+            if scale is not None
+            else {"width": width, "height": height}
+        )
         for pdf in batches:
             payloads = [
                 fn(bytes(p) if p is not None else b"", params)
                 for p in pdf[payload_col]
             ]
+            if scale is not None:
+                dims = []
+                for p in payloads:
+                    try:
+                        m2 = sniff_image_meta(p)
+                        dims.append((m2["width"], m2["height"]))
+                    except ValueError:
+                        dims.append((None, None))
+            else:
+                dims = [(width, height)] * len(payloads)
             meta = [
-                {"width": width, "height": height,
+                {"width": d[0], "height": d[1],
                  "duration_ms": m["duration_ms"] if m is not None else None,
                  "sample_rate": m["sample_rate"] if m is not None else None}
-                for m in pdf["meta"]
+                for d, m in zip(dims, pdf["meta"])
             ]
             yield pd.DataFrame(
                 {

@@ -595,6 +595,115 @@ def test_resize_media_plumbing(spark, media):
         assert r["meta"]["width"] == 64 and r["meta"]["height"] == 64
 
 
+def _mosaic_rows(vals, tiles_x, tile=16):
+    """Flat-tile gray mosaic: rows[y][x] = vals[(y//tile)*tiles_x + x//tile]."""
+    tiles_y = len(vals) // tiles_x
+    w, h = tile * tiles_x, tile * tiles_y
+    return w, h, [
+        [vals[(y // tile) * tiles_x + x // tile] for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def test_box_resize_exact_integer_semantics():
+    from bi_utils_spark.operators.multimodal import box_resize_rgb
+
+    # 3x3 -> 2x2: boxes partition as x/y in {[0,1), [1,3)}; floor mean
+    px = [10, 20, 30,
+          40, 50, 60,
+          70, 80, 90]
+    rgb = bytes(v for p in px for v in (p, p, p))
+    out = box_resize_rgb(3, 3, rgb, 2, 2)
+    got = [out[3 * i] for i in range(4)]
+    # boxes: {10}, {20,30}, {40,70}, {50,60,80,90}
+    assert got == [10, 25, 55, (50 + 60 + 80 + 90) // 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        box_resize_rgb(3, 3, rgb, 6, 2)  # upscale is a different op
+
+
+def test_real_resize_roundtrip_exact_all_formats():
+    from bi_utils_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        real_resize_transcoder,
+    )
+
+    vals = [10, 200, 77, 145]
+    w, h, rows = _mosaic_rows(vals, tiles_x=2)
+    px = [[(v, v, v) for v in row] for row in rows]
+    fn = real_resize_transcoder()
+    for payload, fmt in [
+        (encode_jpeg(w, h, rows, quality=100), b"\xff\xd8"),
+        (encode_png(w, h, px), b"\x89P"),
+        (encode_bmp(w, h, px), b"BM"),
+    ]:
+        out = fn(payload, {"scale": 2})
+        assert out[:2] == fmt  # re-encoded in the SOURCE format
+        rw, rh, luma = decode_image_pixels(out)
+        assert (rw, rh) == (w // 2, h // 2)
+        expect = [
+            3 * vals[(y // 8) * 2 + x // 8]
+            for y in range(rh)
+            for x in range(rw)
+        ]
+        assert luma == expect  # flat tiles survive bit-exactly
+
+
+def test_ahash_stable_under_box_downsample():
+    # property: for aligned flat-tile mosaics, aHash(source) ==
+    # aHash(scale-2 box downsample) in every encoding — downsampling
+    # preserves each grid cell's mean and the global mean exactly
+    from bi_utils_spark.operators.multimodal import (
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+        real_resize_transcoder,
+    )
+    from bi_utils_spark.operators.phash import average_hash_64
+
+    fn = real_resize_transcoder()
+    for seed in range(8):
+        tiles_x = seed % 3 + 2
+        tiles_y = seed % 2 + 2
+        vals = [(seed * 31 + k * 97) % 256 for k in range(tiles_x * tiles_y)]
+        w, h, rows = _mosaic_rows(vals, tiles_x)
+        px = [[(v, v, v) for v in row] for row in rows]
+        for payload in (
+            encode_jpeg(w, h, rows, quality=100),
+            encode_png(w, h, px),
+            encode_bmp(w, h, px),
+        ):
+            assert average_hash_64(payload) == average_hash_64(
+                fn(payload, {"scale": 2})
+            )
+
+
+def test_resize_media_scale_mode_stamps_sniffed_dims(spark):
+    from bi_utils_spark.operators.multimodal import (
+        TranscoderRegistry,
+        real_resize_transcoder,
+        resize_media,
+        synthesize_resize_test_images,
+    )
+
+    TranscoderRegistry.register("resize", real_resize_transcoder())
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = synthesize_resize_test_images(docs)
+    out = resize_media(media, scale=2).collect()
+    assert len(out) == 12
+    for r in out:
+        doc_id = int(r["media_id"])
+        assert r["meta"]["width"] == 8 * (doc_id % 3 + 2)
+        assert r["meta"]["height"] == 8 * (doc_id % 2 + 2)
+        head = bytes(r["payload"])[:2]
+        want = [b"\xff", b"\x89", b"BM"][doc_id % 3]
+        assert head.startswith(want)
+
+
 def test_sample_frames_plumbing(spark, media):
     from bi_utils_spark.operators.multimodal import sample_frames
 
