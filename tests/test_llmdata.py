@@ -923,6 +923,82 @@ def test_sniff_image_meta_all_formats():
         sniff_image_meta(sos_no_sof)
 
 
+def test_gif_roundtrip_matches_bmp_pixels_and_ahash():
+    import hashlib as _hl
+
+    from bi_utils_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_pixels,
+        decode_image_pixels,
+        encode_bmp,
+        encode_gif,
+    )
+    from bi_utils_spark.operators.phash import average_hash_64
+
+    for cls in range(6):
+        w, h = cls % 13 + 8, cls % 11 + 8
+        rows = []
+        for y in range(h):
+            row = []
+            for x in range(w):
+                d = _hl.md5(f"{cls},{x},{y}".encode()).digest()
+                row.append((d[0] % 200, d[1] % 200, d[2] % 200))
+            rows.append(row)
+        if len({p for r in rows for p in r}) > 256:
+            continue
+        gif, bmp = encode_gif(w, h, rows), encode_bmp(w, h, rows)
+        # pixel contract: GIF decodes to EXACTLY the BMP pixels, so
+        # the perceptual hash is encoding-agnostic across all 4 codecs
+        assert decode_image_pixels(gif) == decode_image_pixels(bmp)
+        assert average_hash_64(gif) == average_hash_64(bmp)
+        # interlaced storage order decodes to the same raster
+        assert decode_gif_pixels(
+            encode_gif(w, h, rows, interlace=True)
+        ) == decode_gif_pixels(gif)
+        d = decode_gif(gif)
+        assert (d["width"], d["height"]) == (w, h)
+
+
+def test_gif_palette_edge_cases():
+    import struct as _s
+
+    import pytest as _pytest
+
+    from bi_utils_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    # exactly 256 unique colors still fits
+    rows = [[(x, y, (x * y) % 256) for x in range(16)] for y in range(16)]
+    w_, h_, luma = decode_gif_pixels(encode_gif(16, 16, rows))
+    assert (w_, h_) == (16, 16)
+    assert luma == [x + y + (x * y) % 256 for y in range(16) for x in range(16)]
+    with _pytest.raises(ValueError, match="256 colors"):
+        encode_gif(17, 16, [[(x, y, 7) for x in range(17)] for y in range(16)])
+    # local color table (no GCT): handcrafted 2x1, palette {red, blue},
+    # LZW stream = CLEAR lit0 CLEAR lit1 EOI at min code size 2
+    codes = [4, 0, 4, 1, 5]
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    gif = (
+        b"GIF89a" + _s.pack("<HH", 2, 1) + bytes((0, 0, 0))  # no GCT
+        + b"\x2c" + _s.pack("<HHHH", 0, 0, 2, 1) + bytes((0x80,))  # LCT, 2 colors
+        + bytes((255, 0, 0, 0, 0, 255))
+        + bytes((2, len(data))) + bytes(data) + b"\x00\x3b"
+    )
+    assert decode_gif_pixels(gif) == (2, 1, [255, 255])
+
+
 def test_image_dims_frame(spark):
     from bi_utils_spark.operators.multimodal import encode_png, image_dims
 

@@ -107,16 +107,19 @@ def test_ahash_png_equals_bmp_of_same_pixels():
 
 
 def test_mixed_format_corpus_hashes_uniformly(spark):
-    # tier 1 encodes as PNG, tiers 0/2 as BMP: same class must still
-    # collide across the codec boundary, and payload bytes must stay
-    # injective in (cls, tier)
+    # tier 1 encodes as PNG, tier 2 as GIF (BMP when >256 colors),
+    # tier 0 as BMP: same class must still collide across the codec
+    # boundary, and payload bytes must stay injective in (cls, tier)
     docs = spark.range(0, 150).selectExpr("id as doc_id")
     media = synthesize_phash_test_images(docs).collect()
     payloads = {(r["cls"], r["tier"]): bytes(r["payload"]) for r in media}
     pngs = [p for (c, t), p in payloads.items() if t == 1]
-    bmps = [p for (c, t), p in payloads.items() if t != 1]
+    bmps = [p for (c, t), p in payloads.items() if t == 0]
+    gifs = [p for (c, t), p in payloads.items() if t == 2]
     assert pngs and all(p[:4] == b"\x89PNG"[:4] for p in pngs)
     assert bmps and all(p[:2] == b"BM" for p in bmps)
+    assert gifs and any(p[:6] == b"GIF89a" for p in gifs)  # GIF coverage
+    assert all(p[:6] == b"GIF89a" or p[:2] == b"BM" for p in gifs)
     assert len(set(payloads.values())) == len(payloads)  # injectivity
     hashes = {
         (r["cls"], r["tier"]): average_hash_64(bytes(r["payload"])) for r in media
