@@ -101,6 +101,13 @@ BENCH_QUERIES = [
     "q_audio_features",
     "q_url_normalize",
     "q_domain_stats",
+    # r6 additions: blocked-kNN bitext (the scale path — raw operator,
+    # equality attested by the registry entry), PSL registered
+    # domains, the per-domain cap, and the real resize round-trip
+    "q_bitext_mine_blocked",
+    "q_registered_domain_psl",
+    "q_domain_cap",
+    "q_resize_roundtrip",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -3794,6 +3794,73 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_bitext(src, tgt, k=4)
 
 
+@register(
+    "q_bitext_mine_blocked",
+    r"""
+    WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE label % 2 = 0),
+    tgt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE label % 2 = 1),
+    fwd AS (
+      SELECT s.vec_id AS sid, t.vec_id AS tid,
+             row_number() OVER (
+               PARTITION BY s.vec_id
+               ORDER BY round(list_cosine_similarity(s.v, t.v), 9) DESC,
+                        t.vec_id) AS rank
+      FROM src s, tgt t
+    ),
+    fk AS (SELECT * FROM fwd WHERE rank <= 4)
+    SELECT CAST((SELECT count(*) FROM src) AS BIGINT) AS n_src,
+           CAST((SELECT count(*) FROM fk) AS BIGINT) AS n_pairs,
+           CAST(0 AS BIGINT) AS only_blocked,
+           CAST(0 AS BIGINT) AS only_exact,
+           TRUE AS margins_within_tol
+    """,
+)
+def q_bitext_mine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining through the SCALE kNN primitive
+    (similarity.knn_join_blocked: per-partition numpy top-k, shuffle
+    shrinks from |src|·|tgt| to |src|·k·partitions, no broadcast-
+    nested-loop legs) — attested equivalent to the exact form, the
+    substitution-invariance mine_bitext's contract claims (bitext.py):
+    the Spark side runs BOTH forms and reports pair-set symmetric
+    difference (must be 0/0) and margin agreement within 1e-6; the
+    oracle independently recomputes the expected pair count from the
+    exact SQL replay. This is the 10⁸+-rows-per-side configuration —
+    see SCALE.md (bitext entry)."""
+    from bi_utils_spark.operators.bitext import mine_bitext
+    from bi_utils_spark.operators.similarity import knn_join_blocked
+
+    emb = load(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    src = emb.filter(F.col("label") % 2 == 0).repartition(par)
+    tgt = emb.filter(F.col("label") % 2 == 1).repartition(par)
+    blocked = mine_bitext(src, tgt, k=4, knn=knn_join_blocked).select(
+        "src_id", "tgt_id", F.col("margin").alias("__mb"), F.lit(True).alias("__b")
+    )
+    exact = mine_bitext(src, tgt, k=4).select(
+        "src_id", "tgt_id", F.col("margin").alias("__me"), F.lit(True).alias("__e")
+    )
+    cmp = blocked.join(exact, ["src_id", "tgt_id"], "full_outer")
+    both = F.col("__b").isNotNull() & F.col("__e").isNotNull()
+    agree = (
+        (F.col("__mb").isNull() & F.col("__me").isNull())
+        | (F.abs(F.col("__mb") - F.col("__me")) < 1e-6)
+    )
+    summary = cmp.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("__e").isNull().cast("bigint")).alias("only_blocked"),
+        F.sum(F.col("__b").isNull().cast("bigint")).alias("only_exact"),
+        F.coalesce(
+            F.every(F.when(both, agree)), F.lit(True)
+        ).alias("margins_within_tol"),
+    )
+    n_src = src.agg(F.count("*").alias("n_src"))
+    return summary.crossJoin(n_src).select(
+        "n_src", "n_pairs", "only_blocked", "only_exact", "margins_within_tol"
+    )
+
+
 # ===========================================================================
 # Hybrid retrieval (operators/retrieval.py): BM25 + dense-cosine legs
 # fused by Reciprocal Rank Fusion — the standard RAG first stage.
@@ -5627,7 +5694,23 @@ def raw_winnow_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raw_bitext_mine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-kNN bitext mining alone — the 10⁸+-per-side production
+    config (the registry entry of the same name is the attestation
+    that this equals the exact form; the bench times the raw scale
+    path, the established approximate-operator split)."""
+    from bi_utils_spark.operators.bitext import mine_bitext
+    from bi_utils_spark.operators.similarity import knn_join_blocked
+
+    emb = load(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    src = emb.filter(F.col("label") % 2 == 0).repartition(par)
+    tgt = emb.filter(F.col("label") % 2 == 1).repartition(par)
+    return mine_bitext(src, tgt, k=4, knn=knn_join_blocked)
+
+
 RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_bitext_mine_blocked": raw_bitext_mine_blocked,
     "q_minhash_near_dup": raw_minhash_near_dup,
     "q_simhash_near_dup": raw_simhash_near_dup,
     "q_winnow_near_dup": raw_winnow_near_dup,

@@ -105,3 +105,19 @@ def test_blocked_knn_substitution_same_pairs(spark):
         for r in mine_bitext(src, tgt, k=2, knn=knn_join_blocked).collect()
     }
     assert a == b
+
+
+def test_blocked_knn_plan_has_no_nested_loop_legs(spark):
+    """The point of the blocked primitive at 10⁸+ per side: the
+    |src|·|tgt| BroadcastNestedLoopJoin scoring legs of the exact form
+    are gone — scoring happens in per-partition BLAS batches and only
+    |Q|·k·partitions candidate rows reach the shuffle."""
+    from bi_utils_spark.operators.similarity import knn_join_blocked
+
+    src, tgt = _sides(spark)
+    blocked = mine_bitext(src, tgt, k=2, knn=knn_join_blocked)
+    plan = blocked._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = mine_bitext(src, tgt, k=2)
+    plan_exact = exact._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "BroadcastNestedLoopJoin" in plan_exact  # what we removed
