@@ -31,40 +31,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def list_partition_files(spark, path: str) -> list[dict]:
+def list_partition_files(
+    spark,
+    path: str,
+    partition_cols: Sequence[str] | None = None,
+    partition_values: Sequence[dict] | None = None,
+    partition_dirs: Sequence[str] | None = None,
+) -> list[dict]:
     """Driver-side recursive listing → one dict per data file:
     {relative_dir, name, bytes}. Goes through the Hadoop FileSystem
     API (works on file://, hdfs://, s3a://). Hidden entries are
     skipped at EVERY level — a file named part-*.parquet under a
     crashed write's ``_temporary/`` tree must not surface as a
-    phantom partition."""
+    phantom partition.
+
+    With ``partition_values`` (requires ``partition_cols``), only the
+    named partition DIRECTORIES are listed — one bounded listing call
+    each, none of the rest of the tree (r6: hourly compaction of a
+    10⁶-partition table must not re-list a million directories to
+    plan a 24-partition wave). A named partition that does not exist
+    yields no rows, same as an empty directory."""
     from bi_utils_spark.operators.fsops import hadoop_fs
 
     fs, hpath = hadoop_fs(spark, path)
     base = fs.getFileStatus(hpath).getPath().toUri().getPath()
+    jvm = spark._jvm  # noqa: SLF001
+
+    def walk(target) -> list[dict]:
+        out: list[dict] = []
+        it = fs.listFiles(target, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            name = p.getName()
+            rel = p.getParent().toUri().getPath()
+            rel = rel[len(base) :].strip("/")
+            segments = [*rel.split("/"), name] if rel else [name]
+            if any(seg.startswith(("_", ".")) for seg in segments):
+                continue
+            out.append(
+                {"relative_dir": rel, "name": name, "bytes": st.getLen()}
+            )
+        return out
+
+    if partition_values is None and partition_dirs is None:
+        return walk(hpath)
+    if partition_dirs is None:
+        if not partition_cols:
+            raise ValueError("partition_values requires partition_cols")
+        partition_dirs = [
+            _partition_dir(partition_cols, pv) for pv in partition_values
+        ]
     out: list[dict] = []
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        st = it.next()
-        p = st.getPath()
-        name = p.getName()
-        rel = p.getParent().toUri().getPath()
-        rel = rel[len(base) :].strip("/")
-        segments = [*rel.split("/"), name] if rel else [name]
-        if any(seg.startswith(("_", ".")) for seg in segments):
-            continue
-        out.append({"relative_dir": rel, "name": name, "bytes": st.getLen()})
+    for d in partition_dirs:
+        sub = jvm.org.apache.hadoop.fs.Path(hpath, d)
+        if fs.exists(sub):
+            out.extend(walk(sub))
     return out
 
 
 def small_file_report(
-    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: Sequence[str] | None = None,
+    partition_values: Sequence[dict] | None = None,
 ) -> DataFrame:
     """(relative_dir, n_files, total_bytes, avg_bytes, n_target_files,
     needs_compaction) per partition directory — the observability
     panel for compaction planning. needs_compaction = more files than
-    the byte-optimal count."""
-    files = list_partition_files(spark, path)
+    the byte-optimal count. ``partition_values`` scopes BOTH the
+    report and the underlying FS listing to the named partitions
+    (incremental planning: an hourly wave lists 24 directories, not
+    the whole table)."""
+    files = list_partition_files(
+        spark, path, partition_cols, partition_values
+    )
     rows = [(f["relative_dir"], f["bytes"]) for f in files]
     df = spark.createDataFrame(rows, "relative_dir string, bytes long")
     return df.groupBy("relative_dir").agg(
@@ -125,7 +167,9 @@ def compact_partitioned_path(
 
     if not partition_cols:
         raise ValueError("compact_partitioned_path needs partition columns")
-    files = list_partition_files(spark, path)
+    # scoped listing: a partition_values wave only ever lists (and
+    # later re-verifies) its own directories — incremental planning
+    files = list_partition_files(spark, path, partition_cols, partition_values)
     stats: dict[str, dict] = {}
     for f in files:
         s = stats.setdefault(
@@ -193,9 +237,10 @@ def compact_partitioned_path(
         spark.conf.set(infer_key, prev_infer)
     # Post-write verification: silent no-ops (a directory name the
     # row-side rendering could not reproduce) must FAIL, not report
-    # success with the small files still in place.
+    # success with the small files still in place. Scoped to the plan
+    # directories — verification must not re-list the whole table.
     after: dict[str, int] = {}
-    for f in list_partition_files(spark, path):
+    for f in list_partition_files(spark, path, partition_dirs=sorted(plan)):
         after[f["relative_dir"]] = after.get(f["relative_dir"], 0) + 1
     bad = {
         d: after.get(d, 0)

@@ -82,6 +82,84 @@ def test_compaction_respects_partition_wave(spark, tmp_path):
     assert len(_files(path, "2024-01-02")) == 5  # not in this wave
 
 
+class _CountingFS:
+    """Delegating proxy over the Hadoop FileSystem that records every
+    listFiles() target — the fake-FS layer for asserting that scoped
+    planning never lists the whole table."""
+
+    def __init__(self, fs):
+        self._fs = fs
+        self.list_targets: list[str] = []
+
+    def listFiles(self, path, recursive):  # noqa: N802 — Hadoop API name
+        self.list_targets.append(path.toUri().getPath())
+        return self._fs.listFiles(path, recursive)
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def test_scoped_listing_call_count(spark, tmp_path, monkeypatch):
+    # 6 fragmented partitions; an incremental wave over 2 of them must
+    # list exactly those 2 directories — never the table root
+    path = str(tmp_path / "scoped")
+    for day in [f"2024-01-0{i}" for i in range(1, 7)]:
+        spark.range(60).select(
+            F.lit(day).alias("pdate"), F.col("id")
+        ).repartition(4).write.partitionBy("pdate").mode("append").parquet(path)
+
+    from bi_utils_spark.operators import fsops
+
+    real = fsops.hadoop_fs
+    counters: list[_CountingFS] = []
+
+    def counting(spark_, p):
+        fs, hpath = real(spark_, p)
+        cfs = _CountingFS(fs)
+        counters.append(cfs)
+        return cfs, hpath
+
+    monkeypatch.setattr(fsops, "hadoop_fs", counting)
+    wave = [{"pdate": "2024-01-02"}, {"pdate": "2024-01-05"}]
+
+    rep = small_file_report(
+        spark, path, partition_cols=["pdate"], partition_values=wave
+    ).collect()
+    assert sorted(r["relative_dir"] for r in rep) == [
+        "pdate=2024-01-02", "pdate=2024-01-05",
+    ]
+    listed = [t for c in counters for t in c.list_targets]
+    assert len(listed) == 2
+    assert all(t.endswith(("pdate=2024-01-02", "pdate=2024-01-05")) for t in listed)
+
+    # the wave compaction (plan + verify) also stays inside its scope
+    counters.clear()
+    done = compact_partitioned_path(
+        spark, path, ["pdate"], partition_values=wave
+    )
+    assert sorted(d["partition"] for d in done) == [
+        "pdate=2024-01-02", "pdate=2024-01-05",
+    ]
+    listed = [t for c in counters for t in c.list_targets]
+    assert listed and all(
+        t.endswith(("pdate=2024-01-02", "pdate=2024-01-05")) for t in listed
+    )
+    assert len(_files(path, "2024-01-02")) == 1
+    assert len(_files(path, "2024-01-01")) == 4  # untouched, unlisted
+
+    # idempotence preserved under scoping; a missing partition is a no-op
+    assert compact_partitioned_path(
+        spark, path, ["pdate"],
+        partition_values=[*wave, {"pdate": "2099-12-31"}],
+    ) == []
+
+    # unscoped planning still takes the one-recursive-listing path
+    counters.clear()
+    files = list_partition_files(spark, path)
+    assert len({f["relative_dir"] for f in files}) == 6
+    assert len([t for c in counters for t in c.list_targets]) == 1
+
+
 def test_compaction_target_splits_large_partitions(spark, tmp_path):
     path = str(tmp_path / "split")
     spark.range(5000).select(
