@@ -5544,103 +5544,84 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Registration-order priority (round 3).
+# Registration-order priority (round 6 window).
 #
 # The driver's correctness run evaluates the first 50 queries in dict
 # order. Standing rule (VERDICT r2 #2): every query whose
 # implementation changed since its last official CORRECTNESS row is
-# promoted into the window. Tiers below: (1) changed/new this round —
-# the decontamination/span/quantile quartet, the 6 recall-bound
-# summaries, the generated-oracle q_lang_id, the real-codec
-# q_media_decode, and the 4 queries whose Jaccard plan changed in r2
-# without an official row; (2) queries whose only official row is r1
-# (unchanged, re-attested for freshness); (3) r2-green queries in
-# modules this round touched. Every demoted query is r2-green with
-# an implementation untouched since its official row.
+# promoted into the window; remaining slots re-attest the queries
+# whose official green row is OLDEST. Tiers below: (1) new r6 surface
+# (PSL domains, domain cap, real resize, blocked bitext); (2) r6-
+# changed implementations (weburl IP-literal/fragment/trailing-dot
+# fixes; multimodal Arrow re-batching + GIF-aware decoders + sniffer
+# marker fix; phash GIF-tier fixture); (3) the three r2-stale rows
+# rotated out in r5; (4) 32 of the 39 r3-stale rows, oldest tier
+# first (the 7 left for r7 — q_pricing_summary, q_sessionize,
+# q_funnel, q_funnel_latency, q_cohort_retention, q_event_transitions,
+# q_session_windows, q_zipf_topk minus one — are relational/event
+# queries whose modules are untouched since their official row).
+# Every demoted query is officially green with an implementation
+# unchanged since that row, re-verified by the local full sweep.
 # ===========================================================================
 
 _PROMOTED: list[str] = [
-    # ---- tier 1: implementation changed in r5, or first-ever row ----
-    # new surface
-    "q_hybrid_search",
-    # dedup.py content_hash refactor (shared with streaming)
-    "q_dedup_exact",
-    "q_emb_dedup_exact",
-    # clustering.py per-dim overflow cap
-    "q_kmeans_clusters",
-    "q_cluster_balanced_sample",
-    "q_embedding_outliers",
-    # classifier.py dense-table guard + inline row-set parity
-    "q_nb_classifier",
-    "q_nb_classifier_eval",
-    # importance.py dense-table guard
-    "q_importance_weights",
-    "q_importance_sample",
-    # filtering.py unpersist + null-safe rank join; mixing.py reuse
-    "q_quality_tophalf",
-    "q_curriculum_order",
-    "q_mixture_sample",
-    # schema_drift.py portable delete + partitioned widening
-    "q_schema_drift",
-    "q_schema_maxlen",
-    # multimodal.py/phash.py PNG + JPEG codecs, mixed-format fixtures
-    "q_jpeg_roundtrip",
-    "q_media_decode",
-    "q_media_stats",
-    "q_media_features",
-    "q_phash_near_dup",
-    "q_phash_dedup_clusters",
-    # embsig.py sig64 rename
-    "q_emb_simhash_pairs",
-    # lm.py salted head/tail bigram join
-    "q_bigram_logprob",
-    # ---- tier 2: last official row is r1 — 4 rounds stale (the r4
-    # rotation promise: these five re-earn an official green in r5) ----
-    "q_hash_split",
-    "q_det_sample",
-    "q_cosine_pairs",
-    "q_rollup_flags",
-    "q_pivot_events",
-    # ---- tier 3: last official row is r2 — 3 rounds stale (the rest
-    # of the r4 rotation promise) ----
-    "q_token_counts",
-    "q_doc_stats_by_lang",
-    "q_forecast_revenue",
-    "q_returned_items",
-    "q_large_orders",
-    "q_promo_share",
-    "q_cube_flags",
-    "q_users_click_not_purchase",
-    "q_users_signup_and_error",
-    "q_grouping_sets",
-    "q_price_variance",
-    "q_string_funcs",
-    # (q_priority_with_shipment / q_hourly_rollup / q_pack_conservation
-    # rotated out for the X57 URL tier: r2-green, implementations
-    # unchanged; 17 r1/r2-stale re-attestations remain in-window)
-    # ---- tier 4: r3 rows in the dedup family (dedup.py was touched
-    # this round — re-attest the whole module) + the two oldest
-    # remaining r3 rows ----
-    "q_jaccard_pairs",
-    "q_dedup_clusters",
-    # (q_dedup_canonical / q_minhash_near_dup / q_simhash_near_dup /
-    # q_winnow_near_dup
-    # rotated out for the three new r5 queries below: their
-    # fingerprint paths are untouched by the r5 content_hash refactor
-    # and the X55 append, and they keep their r3-green official rows)
-    # ---- new r5 surface (late additions): real-JPEG round-trip,
-    # cross-document line dedup, rFFT audio features ----
-    "q_boilerplate_lines",
-    "q_line_dedup",
-    "q_audio_features",
+    # ---- tier 1: new r6 surface ----
+    "q_registered_domain_psl",
+    "q_domain_stats_psl",
+    "q_domain_cap",
+    "q_resize_roundtrip",
+    "q_bitext_mine_blocked",
+    # ---- tier 2: r6-changed implementations ----
+    # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
     "q_domain_stats",
     "q_domain_blocklist",
-    # new r5 surface (the cosine/bm25 arithmetic earns its r5 rows
-    # through q_hybrid_search's legs and q_bitext_mine's kNN;
-    # q_topk_cosine_exact / q_bm25_search stay r3-green unchanged)
-    "q_bitext_mine",
-    "q_snapshot_diff",
+    # multimodal.py: _map_in_pandas_batched, GIF decoders, sniffer fix
+    "q_media_decode",
+    "q_media_stats",
+    "q_media_features",
+    "q_jpeg_roundtrip",
+    "q_audio_features",
+    # phash.py: GIF tier in the mixed-format fixture
+    "q_phash_near_dup",
+    "q_phash_dedup_clusters",
+    # ---- tier 3: last official row is r2 (rotated out in r5) ----
+    "q_hourly_rollup",
+    "q_pack_conservation",
+    "q_priority_with_shipment",
+    # ---- tier 4: last official row is r3 (oldest 32 of 39) ----
+    "q_ann_topk",
+    "q_bm25_search",
+    "q_boilerplate_grams",
+    "q_bpe_top_pairs",
+    "q_centroids_by_label",
+    "q_chunk_documents",
+    "q_contamination",
+    "q_corpus_report",
+    "q_decontaminate",
+    "q_dedup_canonical",
+    "q_dup_spans",
+    "q_emb_near_dup_ivf",
+    "q_encode_tokens",
+    "q_global_shuffle",
+    "q_head_coverage",
+    "q_ivf_topk",
+    "q_ivfpq_residual_topk",
+    "q_knn_join",
+    "q_lang_id",
+    "q_minhash_near_dup",
+    "q_oov_rate",
+    "q_pii_audit",
+    "q_pq_topk",
+    "q_quality_score",
+    "q_remove_dup_spans",
+    "q_semantic_contamination",
+    "q_semantic_decontam",
+    "q_simhash_near_dup",
+    "q_stratified_sample",
+    "q_topk_cosine_exact",
+    "q_unigram_logprob",
+    "q_winnow_near_dup",
 ]
 
 
