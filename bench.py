@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "q_registered_domain_psl",
     "q_domain_cap",
     "q_resize_roundtrip",
+    "q_html_extract",
+    "q_outlink_domains",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -5543,6 +5543,141 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X59: HTML → text extraction. The fixture synthesizes an HTML page
+# per document IN-PLAN (closed-form in both engines): real corpus
+# text wrapped in <p>, a <head> with title + style, a comment, a
+# script block whose body contains '<' and '>' (the trap a naive
+# tag-stripper falls into), entity-encoded characters, and 0-3 <a>
+# outlinks. The oracle derives title/text/links from the
+# CONSTRUCTION pieces — an independent derivation, not a re-parse.
+# ---------------------------------------------------------------------------
+
+_HTML_CTE = r"""
+    WITH hsrc AS (
+      SELECT doc_id,
+        regexp_replace(trim(substr(text, 1, 120)), '\s+', ' ', 'g') AS frag,
+        doc_id % 4 AS nl,
+        doc_id % 5 AS site
+      FROM documents
+    ),
+    links AS (
+      SELECT doc_id, frag, nl, site,
+        CASE WHEN nl >= 1
+             THEN '<a class="x" href="http://ex' || site || '.com/'
+                  || doc_id || '/0">link0</a>' ELSE '' END
+        || CASE WHEN nl >= 2
+             THEN '<a class="x" href="http://ex' || site || '.com/'
+                  || doc_id || '/1">link1</a>' ELSE '' END
+        || CASE WHEN nl >= 3
+             THEN '<a class="x" href="http://ex' || site || '.com/'
+                  || doc_id || '/2">link2</a>' ELSE '' END AS ahtml,
+        CASE WHEN nl >= 1 THEN ' link0' ELSE '' END
+        || CASE WHEN nl >= 2 THEN ' link1' ELSE '' END
+        || CASE WHEN nl >= 3 THEN ' link2' ELSE '' END AS atext
+      FROM hsrc
+    ),
+    pages AS (
+      SELECT doc_id, frag, nl, site,
+        '<html><head><title> Doc ' || doc_id || ' </title>'
+        || '<style>p {color: red}</style></head>'
+        || '<body><!-- c' || doc_id || ' -->'
+        || '<script>if (1 < 2 && x > 3) { bad() }</script>'
+        || '<h1>Doc &#39;' || doc_id || '&#39;</h1>'
+        || '<p>' || frag || '</p>'
+        || '<p>Tom &amp; Jerry &lt;3</p>'
+        || ahtml || '</body></html>' AS html,
+        'Doc ' || doc_id AS exp_title,
+        trim(regexp_replace(
+          'Doc ''' || doc_id || ''' ' || frag || ' Tom & Jerry <3' || atext,
+          '\s+', ' ', 'g')) AS exp_text
+      FROM links
+    )
+"""
+
+
+def _html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of _HTML_CTE's `pages` — one codegen projection
+    building the raw HTML string from (doc_id, text)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    frag = F.regexp_replace(
+        F.trim(F.substring("text", 1, 120)), r"\s+", " "
+    )
+    site = (d % 5).cast("string")
+    did = d.cast("string")
+
+    def link(k: int):
+        return F.when(
+            d % 4 >= k + 1,
+            F.concat(
+                F.lit('<a class="x" href="http://ex'), site, F.lit(".com/"),
+                did, F.lit(f'/{k}">link{k}</a>'),
+            ),
+        ).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><head><title> Doc "), did, F.lit(" </title>"),
+        F.lit("<style>p {color: red}</style></head>"),
+        F.lit("<body><!-- c"), did, F.lit(" -->"),
+        F.lit("<script>if (1 < 2 && x > 3) { bad() }</script>"),
+        F.lit("<h1>Doc &#39;"), did, F.lit("&#39;</h1>"),
+        F.lit("<p>"), frag, F.lit("</p>"),
+        F.lit("<p>Tom &amp; Jerry &lt;3</p>"),
+        link(0), link(1), link(2),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+@register(
+    "q_html_extract",
+    _HTML_CTE
+    + """
+    SELECT doc_id, exp_title AS title, exp_text AS text,
+           CAST(nl AS INT) AS n_links
+    FROM pages
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → (title, visible text, outlink count) extraction (X59):
+    head/script/style/comment removal (a '<' inside JavaScript must
+    not derail tag stripping), tags → spaces, entity decode, and
+    whitespace normalization. The oracle recomputes every value from
+    the fixture CONSTRUCTION, so a parser that leaks script bodies,
+    drops entity decode or mangles whitespace cannot hash-match."""
+    from bi_utils_spark.operators.htmltext import attach_html_columns
+
+    out = attach_html_columns(_html_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "title",
+        "text",
+        F.size("links").cast("int").alias("n_links"),
+    )
+
+
+@register(
+    "q_outlink_domains",
+    _HTML_CTE
+    + """
+    SELECT 'ex' || site || '.com' AS domain,
+           CAST(sum(nl) AS BIGINT) AS n_links,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pages WHERE nl > 0 GROUP BY site
+    """,
+)
+def q_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph domain pressure (X59 ∘ X57): extract every <a href>
+    outlink, key it by registered TARGET domain, count links and
+    distinct linking documents — the 'which domains does the crawl
+    point at' curation panel. Explode is per-page-bounded; one
+    partial-aggregable groupBy."""
+    from bi_utils_spark.operators.htmltext import outlink_domains
+
+    return outlink_domains(_html_docs(spark, sf_dir))
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -5555,7 +5690,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # changed implementations (weburl IP-literal/fragment/trailing-dot
 # fixes; multimodal Arrow re-batching + GIF-aware decoders + sniffer
 # marker fix; phash GIF-tier fixture); (3) the three r2-stale rows
-# rotated out in r5; (4) 32 of the 39 r3-stale rows, oldest tier
+# rotated out in r5; (4) 30 of the 39 r3-stale rows, oldest tier
 # first (the 7 left for r7 — q_pricing_summary, q_sessionize,
 # q_funnel, q_funnel_latency, q_cohort_retention, q_event_transitions,
 # q_session_windows, q_zipf_topk minus one — are relational/event
@@ -5571,6 +5706,8 @@ _PROMOTED: list[str] = [
     "q_domain_cap",
     "q_resize_roundtrip",
     "q_bitext_mine_blocked",
+    "q_html_extract",
+    "q_outlink_domains",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -5620,8 +5757,9 @@ _PROMOTED: list[str] = [
     "q_simhash_near_dup",
     "q_stratified_sample",
     "q_topk_cosine_exact",
-    "q_unigram_logprob",
-    "q_winnow_near_dup",
+    # (q_unigram_logprob / q_winnow_near_dup yield their slots to the
+    # two new X59 queries; both r3-green, implementations unchanged —
+    # first in line for the r7 re-attestation tier)
 ]
 
 
