@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "q_resize_roundtrip",
     "q_html_extract",
     "q_outlink_domains",
+    "q_web_pipeline",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -5303,6 +5303,12 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark half of _URLS_CTE's `u` — one codegen projection
     building the raw (pre-normalization) URL string."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.select("doc_id", _url_col().alias("url"))
+
+
+def _url_col() -> "Column":
+    """The raw-URL construction as a bare Column over doc_id (shared
+    by _url_docs and the composed q_web_pipeline fixture)."""
     d = F.col("doc_id")
     scheme = (
         F.when(d % 4 == 0, F.lit("HTTPS"))
@@ -5344,12 +5350,7 @@ def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(d % 5 == 1, F.lit("#a?b=1"))
         .otherwise(F.lit(""))
     )
-    return docs.select(
-        "doc_id",
-        F.concat(scheme, F.lit("://"), host, port, path, query, frag).alias(
-            "url"
-        ),
-    )
+    return F.concat(scheme, F.lit("://"), host, port, path, query, frag)
 
 
 @register(
@@ -5600,6 +5601,12 @@ def _html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark half of _HTML_CTE's `pages` — one codegen projection
     building the raw HTML string from (doc_id, text)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", _html_col().alias("html"))
+
+
+def _html_col() -> "Column":
+    """The synthesized-page construction as a bare Column over
+    (doc_id, text) — shared by _html_docs and q_web_pipeline."""
     d = F.col("doc_id")
     frag = F.regexp_replace(
         F.trim(F.substring("text", 1, 120)), r"\s+", " "
@@ -5627,7 +5634,7 @@ def _html_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         link(0), link(1), link(2),
         F.lit("</body></html>"),
     )
-    return docs.select("doc_id", html.alias("html"))
+    return html
 
 
 @register(
@@ -5678,6 +5685,62 @@ def q_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outlink_domains(_html_docs(spark, sf_dir))
 
 
+@register(
+    "q_web_pipeline",
+    _URLS_CTE
+    + _HTML_CTE.replace("WITH hsrc AS (", ", hsrc AS (", 1)
+    + """
+    SELECT doc_id, domain, title,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_links AS INT) AS n_links
+    FROM (
+      SELECT n.doc_id, n.domain, p.exp_title AS title,
+             len(string_split(p.exp_text, ' ')) AS n_tokens,
+             p.nl AS n_links,
+             row_number() OVER (
+               PARTITION BY n.domain
+               ORDER BY md5(CAST(n.doc_id AS VARCHAR) || 'domcap'), n.doc_id
+             ) AS rn
+      FROM norm n JOIN pages p ON n.doc_id = p.doc_id
+      WHERE n.domain NOT IN ('site.org', '93.184.216.34')
+    ) WHERE rn <= 20
+    """,
+)
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed END-TO-END web-curation pipeline (X57 ∘ X58 ∘ X59 —
+    the crawl-side sibling of q_llm_pipeline): raw (url, html) pages →
+    registered-domain blocklist (broadcast anti-join, IP entry
+    matches the address itself) → HTML text extraction (title,
+    visible text, outlinks) → per-domain document cap (two-level
+    ranking, ≤20/domain) → per-doc curation record (domain, title,
+    token count, outlink count). Every stage is closed-form from the
+    fixture constructions, so the oracle replays the WHOLE pipeline:
+    one wrong component anywhere breaks the hash."""
+    from bi_utils_spark.operators.htmltext import attach_html_columns
+    from bi_utils_spark.operators.weburl import (
+        cap_per_domain,
+        filter_blocked_domains,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    web = docs.select(
+        "doc_id", _url_col().alias("url"), _html_col().alias("html")
+    )
+    blocklist = spark.createDataFrame(
+        [("site.org",), ("93.184.216.34",)], "domain string"
+    )
+    survivors = filter_blocked_domains(web, blocklist)
+    extracted = attach_html_columns(survivors).drop("html")
+    capped = cap_per_domain(extracted, cap=20)
+    return capped.select(
+        "doc_id",
+        "domain",
+        "title",
+        F.size(F.split("text", " ", -1)).cast("int").alias("n_tokens"),
+        F.size("links").cast("int").alias("n_links"),
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -5708,6 +5771,7 @@ _PROMOTED: list[str] = [
     "q_bitext_mine_blocked",
     "q_html_extract",
     "q_outlink_domains",
+    "q_web_pipeline",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -5756,10 +5820,10 @@ _PROMOTED: list[str] = [
     "q_semantic_decontam",
     "q_simhash_near_dup",
     "q_stratified_sample",
-    "q_topk_cosine_exact",
-    # (q_unigram_logprob / q_winnow_near_dup yield their slots to the
-    # two new X59 queries; both r3-green, implementations unchanged —
-    # first in line for the r7 re-attestation tier)
+    # (q_topk_cosine_exact / q_unigram_logprob / q_winnow_near_dup
+    # yield their slots to the three new X59/pipeline queries; all
+    # r3-green, implementations unchanged — first in line for the r7
+    # re-attestation tier)
 ]
 
 
