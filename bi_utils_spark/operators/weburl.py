@@ -147,6 +147,23 @@ def registered_domain(host: Column | str) -> Column:
     )
 
 
+def load_psl(spark, path: str) -> DataFrame:
+    """Load a public-suffix list in the publicsuffix.org FILE FORMAT
+    (one rule per line; ``//`` comments and blank lines ignored —
+    _psl_rules drops them again defensively; rules end at the first
+    whitespace per the spec, so trailing annotations are safe). Feed
+    the result to :func:`attach_registered_domain` / ``psl=`` params.
+    The file is rule-table-sized (~240 KB upstream) — one driver-side
+    text read, broadcast at join time."""
+    lines = spark.read.text(path)
+    rule = F.element_at(
+        F.split(F.trim(F.col("value")), r"\s+", -1), 1
+    )
+    return lines.select(rule.alias("rule")).where(
+        (F.col("rule") != "") & ~F.col("rule").startswith("//")
+    )
+
+
 def _psl_rules(psl: DataFrame) -> DataFrame:
     """Normalize a public-suffix-list DataFrame (one column ``rule``:
     ``co.uk``, ``*.ck``, ``!www.ck``, ``github.io``, comments/blank

@@ -211,6 +211,34 @@ def test_psl_registered_domain_rule_types(spark):
         assert got[h] == want, (h, got[h], want)
 
 
+def test_load_psl_file_format(spark, tmp_path):
+    from bi_utils_spark.operators.weburl import load_psl
+
+    p = tmp_path / "psl.dat"
+    p.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "\n"
+        "com\n"
+        "co.uk\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "github.io   // private section annotation\n"
+        "// ===END===\n"
+    )
+    psl = load_psl(spark, str(p))
+    assert sorted(r["rule"] for r in psl.collect()) == [
+        "!www.ck", "*.ck", "co.uk", "com", "github.io",
+    ]
+    df = spark.createDataFrame(
+        [("a.b.github.io",), ("www.ck",)], "host string"
+    )
+    got = {
+        r["host"]: r["domain"]
+        for r in attach_registered_domain(df, "host", psl=psl).collect()
+    }
+    assert got == {"a.b.github.io": "b.github.io", "www.ck": "www.ck"}
+
+
 def test_psl_join_is_broadcast_only_on_corpus_side(spark):
     psl = spark.createDataFrame([("co.uk",), ("*.ck",)], "rule string")
     df = spark.createDataFrame([("a.b.co.uk",)], "host string")
