@@ -5741,6 +5741,129 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X60: robots.txt compliance. The fixture synthesizes one robots.txt
+# file per host IN-PLAN (6 hosts, g = doc_id % 6): a '*' group with a
+# prefix disallow + longer allow, then a two-agent group (Bot{g%2} +
+# extra{g}) with a '*'-wildcard disallow and a '$'-anchored allow,
+# plus the traps — comment line, blank line, unknown keys
+# (Crawl-delay, Sitemap), an empty Disallow, mixed key case. The
+# oracles derive the parsed rule rows and the per-URL RFC 9309
+# decision from the CONSTRUCTION tuples — closed-form, not a re-parse.
+# ---------------------------------------------------------------------------
+
+
+def _robots_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synthesized robots.txt per host h<g>.example.com."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 6).alias("g"))
+        .distinct()
+    )
+    gs = F.col("g").cast("string")
+    ps = (F.col("g") % 2).cast("string")
+    host = F.concat(F.lit("h"), gs, F.lit(".example.com"))
+    txt = F.concat(
+        F.lit("# fixture robots\nUser-agent: *\nDisallow: /g"),
+        gs,
+        F.lit("/\nAllow: /g"),
+        gs,
+        F.lit("/ok\nCrawl-delay: 5\n\nUser-agent: Bot"),
+        ps,
+        F.lit("\nUser-agent: extra"),
+        gs,
+        F.lit("\nDisallow: /x"),
+        gs,
+        F.lit("/* # trailing comment\nAllow: /x"),
+        gs,
+        F.lit("/keep$\nDisallow:\nSitemap: http://sm.example/x.xml\n"),
+    )
+    return docs.select(host.alias("host"), txt.alias("robots_txt"))
+
+
+_ROBOTS_HOSTS_SQL = """
+    g AS (SELECT DISTINCT doc_id % 6 AS g FROM documents),
+    h AS (SELECT 'h' || CAST(g AS VARCHAR) || '.example.com' AS host,
+                 CAST(g AS VARCHAR) AS gs,
+                 CAST(g % 2 AS VARCHAR) AS ps
+          FROM g)
+"""
+
+
+@register(
+    "q_robots_rules",
+    "WITH "
+    + _ROBOTS_HOSTS_SQL
+    + """
+    SELECT host, '*' AS agent, 'disallow' AS rule,
+           '/g' || gs || '/' AS path FROM h
+    UNION ALL SELECT host, '*', 'allow', '/g' || gs || '/ok' FROM h
+    UNION ALL SELECT host, 'bot' || ps, 'disallow',
+                     '/x' || gs || '/*' FROM h
+    UNION ALL SELECT host, 'bot' || ps, 'allow',
+                     '/x' || gs || '/keep$' FROM h
+    UNION ALL SELECT host, 'extra' || gs, 'disallow',
+                     '/x' || gs || '/*' FROM h
+    UNION ALL SELECT host, 'extra' || gs, 'allow',
+                     '/x' || gs || '/keep$' FROM h
+    """,
+)
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt corpus -> RFC 9309 rule table (X60, r6): group
+    assembly (consecutive UA lines share a group), comment/blank/
+    unknown-key dropping, empty-Disallow dropping, agent lowercasing.
+    The oracle lists the construction's rule tuples directly."""
+    from bi_utils_spark.operators.robots import parse_robots
+
+    return parse_robots(_robots_corpus(spark, sf_dir))
+
+
+@register(
+    "q_robots_decisions",
+    """
+    SELECT doc_id,
+           CAST(NOT ((doc_id % 6) % 2 = 0 AND doc_id % 5 = 2
+                  OR (doc_id % 6) % 2 = 1 AND doc_id % 5 = 0)
+                AS INT) AS allowed
+    FROM documents
+    """,
+)
+def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL RFC 9309 fetch decision for agent 'Bot0' (X60, r6).
+    Even-g hosts have a bot0 group (wildcard disallow /x<g>/*,
+    '$'-anchored allow /x<g>/keep$ — and the '*' group is IGNORED);
+    odd-g hosts fall back to the '*' group (prefix disallow /g<g>/
+    overridden by the longer allow /g<g>/ok). doc_id % 5 picks the
+    path: 0 -> /g<g>/a, 1 -> /g<g>/ok/x, 2 -> /x<g>/a,
+    3 -> /x<g>/keep, 4 -> '' (empty path defaults to '/'). The oracle
+    is the closed-form truth table of (g % 2, doc_id % 5)."""
+    from bi_utils_spark.operators.robots import (
+        parse_robots,
+        robots_decisions,
+    )
+
+    d = F.col("doc_id")
+    gs = (d % 6).cast("string")
+    pc = d % 5
+    path = (
+        F.when(pc == 0, F.concat(F.lit("/g"), gs, F.lit("/a")))
+        .when(pc == 1, F.concat(F.lit("/g"), gs, F.lit("/ok/x")))
+        .when(pc == 2, F.concat(F.lit("/x"), gs, F.lit("/a")))
+        .when(pc == 3, F.concat(F.lit("/x"), gs, F.lit("/keep")))
+        .otherwise(F.lit(""))
+    )
+    urls = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), gs, F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    rules = parse_robots(_robots_corpus(spark, sf_dir))
+    return robots_decisions(urls, rules, user_agent="Bot0").select(
+        "doc_id", F.col("allowed").cast("int").alias("allowed")
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
