@@ -5864,6 +5864,54 @@ def q_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X61: Z-order layout keys. The oracle evaluates the IDENTICAL bit-
+# interleave expression (zorder_key_sql emits the same clamp + shift
+# terms both engines run with plain integer operators) over the same
+# bucketed dimensions — a bit-exact cross-engine check of the Morton
+# arithmetic that drives the layout rewrite.
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle_sql() -> str:
+    from bi_utils_spark.operators.layout import zorder_key_sql
+
+    return (
+        """
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS x,
+             CAST(FLOOR(o_totalprice) AS BIGINT) % 256 AS y
+      FROM orders
+    )
+    SELECT o_orderkey, x, y,
+           """
+        + zorder_key_sql(["x", "y"], bits=8)
+        + """ AS zkey
+    FROM b
+    """
+    )
+
+
+@register("q_zorder_key", _zorder_oracle_sql())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton layout key over two bucketed order dimensions (X61,
+    r6): customer bucket x price bucket, 8 bits each, interleaved to
+    one BIGINT. Bit-exact oracle: DuckDB evaluates the same generated
+    shift/mask expression."""
+    from bi_utils_spark.operators.layout import zorder_key
+
+    orders = load(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.floor("o_totalprice").cast("long") % 256).alias("y"),
+    )
+    return b.select(
+        "o_orderkey", "x", "y", zorder_key(["x", "y"], bits=8).alias("zkey")
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
