@@ -5912,6 +5912,121 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X62: count-min sketch. Hashing is the portable-md5 bucket (52-bit
+# exact), so the oracles replay the WHOLE sketch in SQL — cell sums,
+# collisions, min-over-rows, threshold — bit-exactly. q_countmin_hh
+# uses a skewed synthetic key (half the corpus mass on 5 hot keys);
+# q_countmin_bound attests the one-sided guarantee (est >= exact)
+# against the exact groupBy on a real column.
+# ---------------------------------------------------------------------------
+
+_CM_KEY_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'k' || CAST(doc_id % 5 AS VARCHAR) "
+    "ELSE 'u' || CAST(doc_id AS VARCHAR) END"
+)
+
+
+def _cm_replay_sql(key_sql: str, src: str, depth: int, width: int) -> str:
+    """DuckDB replay of countmin_table + countmin_estimate over
+    ``key_sql`` drawn from table ``src`` (bit-exact: same md5 row
+    salts, same 13-hex 52-bit bucket arithmetic)."""
+    return f"""
+    k AS (SELECT {key_sql} AS key FROM {src}),
+    cells AS (
+      SELECT r AS row,
+             CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || '|' || key),
+                                 1, 13) AS BIGINT) % {width} AS bucket
+      FROM k CROSS JOIN (SELECT unnest(range({depth})) AS r)
+    ),
+    sketch AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row, bucket
+    ),
+    probes AS (
+      SELECT d.key, r AS row,
+             CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || '|' || d.key),
+                                 1, 13) AS BIGINT) % {width} AS bucket
+      FROM (SELECT DISTINCT key FROM k) d
+      CROSS JOIN (SELECT unnest(range({depth})) AS r)
+    ),
+    est AS (
+      SELECT p.key, MIN(COALESCE(s.cnt, 0)) AS est
+      FROM probes p LEFT JOIN sketch s
+        ON p.row = s.row AND p.bucket = s.bucket
+      GROUP BY p.key
+    )
+    """
+
+
+@register(
+    "q_countmin_hh",
+    "WITH "
+    + _cm_replay_sql(_CM_KEY_SQL, "documents", depth=3, width=64)
+    + """
+    SELECT key, est,
+           est / (SELECT COUNT(*) FROM documents) AS share_est
+    FROM est
+    WHERE est >= 0.05 * (SELECT COUNT(*) FROM documents)
+    """,
+)
+def q_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min sketch (X62, r6): skewed key (5
+    hot keys share half the mass, the rest unique), depth 3 x width
+    64, threshold share 5%. The oracle replays build, collisions,
+    min-over-rows and threshold bit-exactly, so even sketch
+    FALSE-POSITIVES match across engines."""
+    from bi_utils_spark.operators.sketches import heavy_hitters
+
+    d = F.col("doc_id")
+    keyed = load(spark, sf_dir, "documents").select(
+        F.when(
+            d % 2 == 0, F.concat(F.lit("k"), (d % 5).cast("string"))
+        )
+        .otherwise(F.concat(F.lit("u"), d.cast("string")))
+        .alias("key")
+    )
+    return heavy_hitters(keyed, "key", min_share=0.05, depth=3, width=64)
+
+
+@register(
+    "q_countmin_bound",
+    "WITH "
+    + _cm_replay_sql("event_type", "events", depth=3, width=32)
+    + """
+    , exact AS (
+      SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.key AS event_type, e.est, x.exact,
+           CAST(e.est >= x.exact AS INT) AS one_sided
+    FROM est e JOIN exact x ON e.key = x.key
+    """,
+)
+def q_countmin_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sidedness attestation (X62, r6): per event type, the CMS
+    estimate never undercounts the exact count — (est, exact,
+    est >= exact) all replayed/recomputed in the oracle."""
+    from bi_utils_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    events = load(spark, sf_dir, "events")
+    sketch = countmin_table(events, "event_type", depth=3, width=32)
+    keys = events.select("event_type").distinct()
+    est = countmin_estimate(keys, sketch, "event_type", depth=3, width=32)
+    exact = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est",
+        "exact",
+        (F.col("est") >= F.col("exact")).cast("int").alias("one_sided"),
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
