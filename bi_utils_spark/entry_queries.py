@@ -6027,6 +6027,85 @@ def q_countmin_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X63: Unicode hygiene. The fixture plants one damage class per
+# doc_id % 4 — decomposed NFD sequence, cp1252 mojibake, zero-width
+# space, clean — on an ascii-only corpus fragment. The oracle derives
+# the REPAIRED/COMPOSED text closed-form from the construction
+# (chr(233) etc.), an independent derivation, not a re-normalization.
+# ---------------------------------------------------------------------------
+
+_UNI_FRAG_SQL = (
+    "regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g')"
+)
+
+
+def _uni_frag_col() -> "Column":
+    return F.regexp_replace(
+        F.substring("text", 1, 40), "[^ -~]", ""
+    )
+
+
+def _uni_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    frag = _uni_frag_col()
+    dirty = (
+        F.when(d % 4 == 0, F.concat(frag, F.lit(" Café")))
+        .when(d % 4 == 1, F.concat(F.lit("CafÃ© "), frag))
+        .when(d % 4 == 2, F.concat(frag, F.lit("​x")))
+        .otherwise(frag)
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", dirty.alias("text")
+    )
+
+
+@register(
+    "q_unicode_nfc",
+    f"""
+    WITH f AS (SELECT doc_id, {_UNI_FRAG_SQL} AS frag FROM documents)
+    SELECT doc_id,
+      CASE WHEN doc_id % 4 = 0 THEN frag || ' Caf' || chr(233)
+           WHEN doc_id % 4 = 1 THEN 'Caf' || chr(233) || ' ' || frag
+           WHEN doc_id % 4 = 2 THEN frag || 'x'
+           ELSE frag END AS text_norm
+    FROM f
+    """,
+)
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed hygiene projection (X63, r6): mojibake repair (gated
+    on marker + strict round-trip) -> NFC -> invisible-char strip.
+    doc_id%4 plants: 0 = decomposed e+U+0301 (composes to é), 1 =
+    'CafÃ©' cp1252 mojibake (repairs to 'Café'), 2 = zero-width space
+    (stripped), 3 = clean (byte-identical passthrough)."""
+    from bi_utils_spark.operators.textnorm import attach_normalized_text
+
+    return attach_normalized_text(_uni_fixture(spark, sf_dir)).select(
+        "doc_id", "text_norm"
+    )
+
+
+@register(
+    "q_unicode_stats",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS non_nfc_docs,
+           CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS mojibake_docs,
+           CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS invisible_docs
+    FROM documents
+    """,
+)
+def q_unicode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene audit (X63, r6) over the planted fixture: the
+    per-class counts follow doc_id % 4 closed-form."""
+    from bi_utils_spark.operators.textnorm import unicode_stats
+
+    return unicode_stats(_uni_fixture(spark, sf_dir))
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
