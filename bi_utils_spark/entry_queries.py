@@ -6085,6 +6085,86 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X64: iterative BPE training. The fixture vocab uses DISTINCT-char
+# words, so every candidate pair occurs at most once per word and a
+# single string replace equals the exact left-to-right merge — which
+# lets the oracle replay the WHOLE training loop (pair counts, argmax
+# with tie-break, merge application) as a chained CTE per step. The
+# Spark operator itself uses an exact fold (pending-register state
+# machine) that is correct for ANY input, including repeated-char
+# words (pytest covers those against a Python reference).
+# ---------------------------------------------------------------------------
+
+_BPE_WORDS = ["abcd", "abce", "bcd", "acd", "abd", "bce", "ade", "ce"]
+
+
+def _bpe_replay_sql(n_merges: int) -> str:
+    words = ", ".join(
+        f"('{w}', {i})" for i, w in enumerate(_BPE_WORDS)
+    )
+    sql = f"""
+    WITH w(term, i) AS (VALUES {words}),
+    dcnt AS (SELECT doc_id % 8 AS i, COUNT(*) AS n
+             FROM documents GROUP BY 1),
+    v0 AS (SELECT term,
+                  trim(regexp_replace(term, '(.)', '\\1 ', 'g')) AS spaced,
+                  CAST(dcnt.n + (8 - w.i) * 7 AS BIGINT) AS c
+           FROM w JOIN dcnt ON w.i = dcnt.i)"""
+    for k in range(1, n_merges + 1):
+        prev = f"v{k - 1}"
+        sql += f""",
+    p{k} AS (
+      SELECT t.pair, SUM(c) AS cnt
+      FROM {prev}, unnest(list_transform(
+             range(1, len(string_split(spaced, ' '))),
+             j -> string_split(spaced, ' ')[j] || ' ' ||
+                  string_split(spaced, ' ')[j + 1])) AS t(pair)
+      GROUP BY t.pair
+    ),
+    t{k} AS (SELECT pair, cnt FROM p{k}
+             ORDER BY cnt DESC, pair LIMIT 1),
+    v{k} AS (
+      SELECT term,
+             trim(replace(' ' || spaced || ' ',
+                          ' ' || (SELECT pair FROM t{k}) || ' ',
+                          ' ' || replace((SELECT pair FROM t{k}), ' ', '')
+                              || ' ')) AS spaced,
+             c
+      FROM {prev}
+    )"""
+    selects = [
+        f"SELECT {k} AS rank, pair, replace(pair, ' ', '') AS merged, "
+        f"cnt FROM t{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return sql + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("q_bpe_train", _bpe_replay_sql(4))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four BPE merges learned end-to-end (X64, r6): per step, the
+    corpus-weighted pair argmax (ties by pair text) and the exact
+    left-to-right merge rewrite. Counts couple to the corpus via
+    doc_id % 8 host-word weights. The oracle replays every step as a
+    chained CTE — bit-exact iterative tokenizer training."""
+    from bi_utils_spark.operators.lm import bpe_train
+
+    dcnt = (
+        load(spark, sf_dir, "documents")
+        .groupBy((F.col("doc_id") % 8).alias("i"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    words = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(_BPE_WORDS)], "term string, i long"
+    )
+    model = words.join(dcnt, "i").select(
+        "term", (F.col("n") + (8 - F.col("i")) * 7).alias("c")
+    )
+    merges, _state = bpe_train(model, 4)
+    return merges
+
+
 @register(
     "q_unicode_stats",
     """

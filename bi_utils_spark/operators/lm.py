@@ -359,6 +359,120 @@ def bpe_top_pairs(model: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _spaced_symbols(term) -> "F.Column":
+    """Initial BPE word state: characters joined by single spaces
+    ('abc' -> 'a b c'). Same regexp both engines."""
+    t = F.col(term) if isinstance(term, str) else term
+    return F.trim(F.regexp_replace(t, "(.)", "$1 "))
+
+
+def _apply_merge(spaced, a: str, b: str) -> "F.Column":
+    """One EXACT left-to-right BPE merge pass over a spaced-symbol
+    string: adjacent (a, b) symbol occurrences become a||b, scanning
+    resumes after each replacement (Sennrich et al. 2016 semantics —
+    a freshly merged symbol never re-merges within the same step).
+    Implemented as a fold with a one-symbol pending register, so
+    overlapping runs ('a b a b') and self-pairs ('a a a') merge
+    exactly like the reference algorithm — no regex, no lookaround,
+    no fixpoint ambiguity."""
+    merged = a + b
+    sym = F.split(spaced, " ", -1)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("\x00").alias("pend"),  # sentinel: nothing pending
+    )
+
+    def step(acc, x):
+        hit = (acc["pend"] == a) & (x == b)
+        return F.when(
+            hit,
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit("\x00").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(
+                    acc["pend"] != "\x00",
+                    F.concat(acc["out"], F.array(acc["pend"])),
+                )
+                .otherwise(acc["out"])
+                .alias("out"),
+                x.alias("pend"),
+            )
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["pend"] != "\x00",
+            F.concat(acc["out"], F.array(acc["pend"])),
+        ).otherwise(acc["out"])
+
+    return F.array_join(F.aggregate(sym, acc0, step, finish), " ")
+
+
+def bpe_train(
+    model: DataFrame,
+    n_merges: int,
+    checkpoint_every: int = 8,
+):
+    """Learn ``n_merges`` BPE merges from a unigram model table
+    (term, c) — the full iterative tokenizer-training loop, not just
+    the first step (:func:`bpe_top_pairs`).
+
+    Returns ``(merges, vocab)``: ``merges`` is a driver-built frame
+    (rank, pair, merged, cnt) in merge order; ``vocab`` the final
+    (term, spaced, c) symbol state.
+
+    Cost model at 100 TB: the corpus is touched ONCE (to build the
+    unigram model upstream); each merge step is one pair-count
+    aggregation over the VOCAB table plus a single-row driver action
+    (the argmax pair), then a map-only symbol rewrite. n_merges
+    sequential vocab-sized jobs — the irreducible sequential structure
+    of BPE — with a lazy localCheckpoint every ``checkpoint_every``
+    steps so plan depth stays bounded (the mixing.py lineage-diet
+    pattern). Ties break by pair text, so the merge sequence is
+    deterministic and engine-portable.
+    """
+    spark = model.sparkSession
+    state = model.select(
+        "term", _spaced_symbols("term").alias("spaced"), "c"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step_no in range(1, n_merges + 1):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(F.split("spaced", " ", -1)) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.split("spaced", " ", -1), i),
+                F.element_at(F.split("spaced", " ", -1), i + 1),
+            ),
+        )
+        top = (
+            state.filter(F.size(F.split("spaced", " ", -1)) >= 2)
+            .select(F.explode(pairs).alias("pair"), "c")
+            .groupBy("pair")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        a, b = pair.split(" ", 1)
+        merges.append((step_no, pair, a + b, cnt))
+        state = state.withColumn(
+            "spaced", _apply_merge(F.col("spaced"), a, b)
+        )
+        if step_no % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=False)
+    merges_df = spark.createDataFrame(
+        merges, "rank int, pair string, merged string, cnt bigint"
+    )
+    return merges_df, state
+
+
 def apply_model_delta(
     spark,
     target_path: str,

@@ -388,3 +388,80 @@ def test_bigram_salts_validation(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="salts"):
         bigram_logprob_scores(df, hot_terms=["a"], salts=0)
+
+
+# ---------------------------------------------------------------------------
+# X64: iterative BPE training (lm.bpe_train)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(vocab, n):
+    """Reference BPE (Sennrich et al. 2016): exact left-to-right
+    merge with scan-resume-after-replacement semantics."""
+    v = {t: list(t) for t, _ in vocab}
+    cs = dict(vocab)
+    merges = []
+    for step in range(n):
+        cnt = {}
+        for t, syms in v.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                cnt[k] = cnt.get(k, 0) + cs[t]
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step + 1, f"{a} {b}", a + b, c))
+        for t, syms in v.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            v[t] = ns
+    return merges, {t: " ".join(s) for t, s in v.items()}
+
+
+def _run_bpe(spark, vocab, n, **kw):
+    from bi_utils_spark.operators.lm import bpe_train
+
+    model = spark.createDataFrame(vocab, "term string, c long")
+    merges, state = bpe_train(model, n, **kw)
+    got_m = [
+        (r["rank"], r["pair"], r["merged"], r["cnt"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    got_v = {r["term"]: r["spaced"] for r in state.collect()}
+    return got_m, got_v
+
+
+def test_bpe_train_matches_reference(spark):
+    vocab = [
+        ("abcd", 40), ("abce", 30), ("bcd", 25), ("acd", 15),
+        ("abd", 10), ("bce", 8), ("ade", 5), ("ce", 3),
+    ]
+    exp_m, exp_v = _ref_bpe(vocab, 5)
+    got_m, got_v = _run_bpe(spark, vocab, 5)
+    assert got_m == exp_m
+    assert got_v == exp_v
+
+
+def test_bpe_train_overlapping_runs_and_self_pairs(spark):
+    # repeated chars: 'a a a a' merges to 'aa aa' (scan resumes after
+    # each replacement, never re-merging fresh symbols in-step)
+    vocab = [("aaaa", 50), ("aaab", 20), ("abab", 10)]
+    exp_m, exp_v = _ref_bpe(vocab, 4)
+    got_m, got_v = _run_bpe(spark, vocab, 4)
+    assert got_m == exp_m
+    assert got_v == exp_v
+
+
+def test_bpe_train_exhausts_and_checkpoints(spark):
+    # more merges requested than exist -> stops when no pair remains
+    vocab = [("ab", 5), ("cd", 1)]
+    exp_m, exp_v = _ref_bpe(vocab, 10)
+    got_m, got_v = _run_bpe(spark, vocab, 10, checkpoint_every=1)
+    assert got_m == exp_m and len(got_m) == 2
+    assert got_v == {"ab": "ab", "cd": "cd"}
