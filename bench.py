@@ -111,6 +111,13 @@ BENCH_QUERIES = [
     "q_html_extract",
     "q_outlink_domains",
     "q_web_pipeline",
+    # r6 late additions: robots.txt decisions, Z-order keys, count-min
+    # heavy hitters, Unicode hygiene, iterative BPE training
+    "q_robots_decisions",
+    "q_zorder_key",
+    "q_countmin_hh",
+    "q_unicode_nfc",
+    "q_bpe_train",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -6217,6 +6217,15 @@ _PROMOTED: list[str] = [
     "q_html_extract",
     "q_outlink_domains",
     "q_web_pipeline",
+    # r6 late additions (X60-X64)
+    "q_robots_rules",
+    "q_robots_decisions",
+    "q_zorder_key",
+    "q_countmin_hh",
+    "q_countmin_bound",
+    "q_unicode_nfc",
+    "q_unicode_stats",
+    "q_bpe_train",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -6235,16 +6244,13 @@ _PROMOTED: list[str] = [
     "q_hourly_rollup",
     "q_pack_conservation",
     "q_priority_with_shipment",
-    # ---- tier 4: last official row is r3 (oldest 32 of 39) ----
-    "q_ann_topk",
-    "q_bm25_search",
-    "q_boilerplate_grams",
+    # ---- tier 4: last official row is r3 (8 slots yielded to the
+    # X60-X64 queries; the demoted eight — q_ann_topk, q_bm25_search,
+    # q_boilerplate_grams, q_centroids_by_label, q_chunk_documents,
+    # q_contamination, q_corpus_report, q_decontaminate — are
+    # r3-green with modules untouched in r6, next in line for r7.
+    # q_bpe_top_pairs stays: lm.py changed this round.) ----
     "q_bpe_top_pairs",
-    "q_centroids_by_label",
-    "q_chunk_documents",
-    "q_contamination",
-    "q_corpus_report",
-    "q_decontaminate",
     "q_dedup_canonical",
     "q_dup_spans",
     "q_emb_near_dup_ivf",
