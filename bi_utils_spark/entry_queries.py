@@ -6086,6 +6086,55 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X65: mergeable distinct sketches. Attestation oracle: the exact
+# per-week distinct counts come from SQL; the Spark side must emit
+# merged_eq_direct = 1 (union(sketch) == sketch(union) identity) and
+# err_ok = 1 (estimate within 5% of exact) for every row or the hash
+# breaks. The sketches themselves are engine-internal (DataSketches),
+# so the attested properties — not the registers — are the contract.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sketch_rollup",
+    """
+    SELECT CAST(FLOOR(datediff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) / 7) AS BIGINT) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact,
+           1 AS merge_consistent,
+           1 AS err_ok
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily HLL user sketches unioned to weekly rollups (X65, r6):
+    the raw stream is read once at day grain; the week numbers come
+    from kilobyte sketch unions. Attested per week: merged estimate
+    == direct coarse-grain estimate (exact mergeability) and within
+    5% of the true distinct count."""
+    from bi_utils_spark.operators.distinct_sketch import (
+        sketch_rollup_report,
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").cast("string").alias("day"),
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7
+        ).alias("week"),
+    )
+    return sketch_rollup_report(
+        events,
+        fine_cols=["day", "week"],
+        coarse_cols=["week"],
+        key_col="user_id",
+        lgk=12,
+        rel_error_bound=0.05,
+    )
+
+
+# ---------------------------------------------------------------------------
 # X64: iterative BPE training. The fixture vocab uses DISTINCT-char
 # words, so every candidate pair occurs at most once per word and a
 # single string replace equals the exact left-to-right merge — which
