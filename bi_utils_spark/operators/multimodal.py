@@ -1171,9 +1171,15 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     width grows to 12 bits then defers until the next CLEAR."""
     clear = 1 << min_code_size
     eoi = clear + 1
+    template: list[bytes | None] = [
+        bytes([i]) for i in range(clear)
+    ] + [None, None]
 
     def fresh() -> list[bytes | None]:
-        return [bytes([i]) for i in range(clear)] + [None, None]
+        # bytes are immutable — a shallow copy of the template is a
+        # safe table reset (CLEAR-heavy streams pay a list copy, not
+        # 2^mcs bytes() constructions)
+        return template.copy()
 
     table = fresh()
     width = min_code_size + 1
@@ -1329,10 +1335,15 @@ def encode_gif(
 ) -> bytes:
     """Write a GIF89a (single frame, global color table built from the
     image's unique colors — ≤ 256 required, lossless by construction).
-    The LZW stream emits a CLEAR before every literal code so the
-    code width never grows — bigger bytes, trivially conformant
-    (fixture-scale cost only). ``interlace=True`` stores rows in the
-    4-pass interlaced order for decoder-path coverage."""
+    The LZW stream is REAL compression: dictionary growth with the
+    standard early-change width bump (the bit the decoder's
+    ``len(table) == 1 << width`` rule mirrors one code later) and a
+    CLEAR + reset at the 4096-entry cap. (The r6-initial version
+    emitted CLEAR before every literal — conformant but degenerate:
+    decoders rebuild the whole table per pixel, which made GIF decode
+    ~170x slower than PNG in the phash bench.) ``interlace=True``
+    stores rows in the 4-pass interlaced order for decoder-path
+    coverage."""
     colors: dict[tuple[int, int, int], int] = {}
     for row in rows:
         for px in row:
@@ -1362,22 +1373,51 @@ def encode_gif(
         if interlace
         else range(height)
     )
-    codes: list[int] = []
-    for y in order:
-        for px in rows[y]:
-            codes.append(clear)
-            codes.append(colors[tuple(px)])
-    codes.append(clear + 1)  # EOI
+    indices = [colors[tuple(px)] for y in order for px in rows[y]]
+    eoi = clear + 1
     acc = nbits = 0
     data = bytearray()
     w = min_code_size + 1
-    for code in codes:
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
         acc |= code << nbits
         nbits += w
         while nbits >= 8:
             data.append(acc & 0xFF)
             acc >>= 8
             nbits -= 8
+
+    # real LZW: longest-prefix dictionary walk; entry add bumps the
+    # code width ONE CODE EARLY relative to the decoder's
+    # len(table) == 1<<width rule (the decoder's table append for a
+    # code happens after reading the NEXT one); CLEAR + reset at the
+    # 4096 cap
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = b""
+    for idx in indices:
+        cur = prev + bytes([idx])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << w) and w < 12:
+            w += 1
+        prev = cur[-1:]
+        if next_code == 4096:
+            emit(table[prev])
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            w = min_code_size + 1
+            prev = b""
+    if prev:
+        emit(table[prev])
+    emit(eoi)
     if nbits:
         data.append(acc & 0xFF)
     out.append(min_code_size)
