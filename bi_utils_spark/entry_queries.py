@@ -6093,6 +6093,65 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X66: sentence segmentation. The oracle replays the exact same
+# three RE2-safe regexps + split (split_sentences_sql) over the real
+# corpus text — wholesale SQL replay, the embsig.py pattern.
+# ---------------------------------------------------------------------------
+
+
+def _sentences_oracle_sql() -> str:
+    from bi_utils_spark.operators.sentences import split_sentences_sql
+
+    return (
+        f"""
+    WITH d AS (SELECT doc_id, {split_sentences_sql("text")} AS ss
+               FROM documents)
+    SELECT doc_id, CAST(j - 1 AS INT) AS sent_idx, ss[j] AS sentence
+    FROM d, unnest(range(1, len(ss) + 1)) AS u(j)
+    """
+    )
+
+
+@register("q_sentences", _sentences_oracle_sql())
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence unit table over the real corpus (X66, r6):
+    terminator-keeping splits with initial/abbreviation guards, in
+    document order. Oracle replays the identical regexps in DuckDB."""
+    from bi_utils_spark.operators.sentences import explode_sentences
+
+    return explode_sentences(load(spark, sf_dir, "documents"))
+
+
+def _sentence_stats_oracle_sql() -> str:
+    from bi_utils_spark.operators.sentences import split_sentences_sql
+
+    return (
+        f"""
+    WITH d AS (SELECT doc_id, {split_sentences_sql("text")} AS ss
+               FROM documents),
+    lens AS (SELECT doc_id, len(ss) AS n,
+                    list_transform(ss, s -> length(s)) AS ls
+             FROM d)
+    SELECT doc_id, CAST(n AS INT) AS n_sentences,
+           CASE WHEN n > 0
+                THEN CAST(list_sum(ls) AS DOUBLE) / n
+                ELSE 0.0 END AS mean_sentence_chars,
+           CAST(COALESCE(list_max(ls), 0) AS INT) AS max_sentence_chars
+    FROM lens
+    """
+    )
+
+
+@register("q_sentence_stats", _sentence_stats_oracle_sql())
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentence-shape profile (X66, r6): count, mean chars,
+    max chars — array arithmetic on the split, no explode."""
+    from bi_utils_spark.operators.sentences import sentence_stats
+
+    return sentence_stats(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # X65: mergeable distinct sketches. Attestation oracle: the exact
 # per-week distinct counts come from SQL; the Spark side must emit
 # merged_eq_direct = 1 (union(sketch) == sketch(union) identity) and
