@@ -6093,6 +6093,143 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X67: Gopher quality rules. doc_id % 3 plants: 0 = raw corpus text,
+# 1 = a 4-word fragment (fails word count), 2 = 60 identical bullet
+# lines (fails bullet fraction + stopwords). The oracle recomputes
+# every rule in SQL over the same construction.
+# ---------------------------------------------------------------------------
+
+_GOPHER_FIXTURE_SQL = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text
+             WHEN doc_id % 3 = 1 THEN 'only four words here'
+             ELSE repeat('- itm' || chr(10), 60) END AS text
+      FROM documents
+"""
+
+
+def _gopher_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 3 == 0, F.col("text"))
+        .when(d % 3 == 1, F.lit("only four words here"))
+        .otherwise(F.repeat(F.lit("- itm\n"), 60))
+        .alias("text"),
+    )
+
+
+_GOPHER_RULES_SQL = f"""
+    WITH fx AS ({_GOPHER_FIXTURE_SQL}),
+    w AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS words,
+        list_filter(string_split(text, chr(10)),
+                    l -> trim(l) <> '') AS lines
+      FROM fx
+    ),
+    m AS (
+      SELECT doc_id,
+        len(words) AS n_words,
+        CASE WHEN len(words) > 0
+             THEN CAST(list_sum(list_transform(words, x -> length(x)))
+                       AS DOUBLE) / len(words) ELSE 0.0 END AS mean_len,
+        CASE WHEN len(words) > 0
+             THEN CAST(length(text)
+                       - length(regexp_replace(text, '[#…]', '', 'g'))
+                       AS DOUBLE) / len(words) ELSE 0.0 END AS sym_ratio,
+        CASE WHEN len(lines) > 0
+             THEN CAST(len(list_filter(lines,
+                        l -> regexp_matches(trim(l), '^[-*•]')))
+                       AS DOUBLE) / len(lines) ELSE 0.0 END AS bullet_frac,
+        CASE WHEN len(lines) > 0
+             THEN CAST(len(list_filter(lines,
+                        l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                       AS DOUBLE) / len(lines) ELSE 0.0 END AS ellipsis_frac,
+        CASE WHEN len(words) > 0
+             THEN CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                       AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_frac,
+        (SELECT COUNT(*) FROM (SELECT unnest(['the','be','to','of',
+           'and','that','have','with']) AS s) st
+         WHERE list_contains(list_transform(words, x -> lower(x)), st.s)
+        ) AS stop_hits
+      FROM w
+    ),
+    fl AS (
+      SELECT doc_id, n_words,
+        CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS ok_word_count,
+        CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS ok_mean_word_len,
+        CAST(sym_ratio <= 0.1 AS INT) AS ok_symbol_ratio,
+        CAST(bullet_frac <= 0.9 AS INT) AS ok_bullet_lines,
+        CAST(ellipsis_frac <= 0.3 AS INT) AS ok_ellipsis_lines,
+        CAST(alpha_frac >= 0.8 AS INT) AS ok_alpha_words,
+        CAST(stop_hits >= 2 AS INT) AS ok_stopwords
+      FROM m
+    )
+"""
+
+
+@register(
+    "q_gopher_flags",
+    _GOPHER_RULES_SQL
+    + """
+    SELECT doc_id, CAST(n_words AS INT) AS n_words, ok_word_count,
+           ok_mean_word_len, ok_symbol_ratio, ok_bullet_lines,
+           ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+           CAST(ok_word_count + ok_mean_word_len + ok_symbol_ratio
+                + ok_bullet_lines + ok_ellipsis_lines + ok_alpha_words
+                + ok_stopwords = 7 AS INT) AS gopher_keep
+    FROM fl
+    """,
+)
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher rule verdicts (X67, r6) over the planted
+    fixture — every rule recomputed independently by the oracle."""
+    from bi_utils_spark.operators.gopher import gopher_flags
+
+    out = gopher_flags(_gopher_fixture(spark, sf_dir))
+    cols = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords", "gopher_keep",
+    ]
+    return out.select(
+        "doc_id",
+        "n_words",
+        *[F.col(c).cast("int").alias(c) for c in cols],
+    )
+
+
+@register(
+    "q_gopher_report",
+    _GOPHER_RULES_SQL
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN ok_word_count + ok_mean_word_len
+                + ok_symbol_ratio + ok_bullet_lines + ok_ellipsis_lines
+                + ok_alpha_words + ok_stopwords = 7
+                THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(SUM(1 - ok_word_count) AS BIGINT) AS fail_word_count,
+           CAST(SUM(1 - ok_mean_word_len) AS BIGINT) AS fail_mean_word_len,
+           CAST(SUM(1 - ok_symbol_ratio) AS BIGINT) AS fail_symbol_ratio,
+           CAST(SUM(1 - ok_bullet_lines) AS BIGINT) AS fail_bullet_lines,
+           CAST(SUM(1 - ok_ellipsis_lines) AS BIGINT) AS fail_ellipsis_lines,
+           CAST(SUM(1 - ok_alpha_words) AS BIGINT) AS fail_alpha_words,
+           CAST(SUM(1 - ok_stopwords) AS BIGINT) AS fail_stopwords
+    FROM fl
+    """,
+)
+def q_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Gopher kill counts (X67, r6): which rule removes
+    how much — the curation-debugging audit."""
+    from bi_utils_spark.operators.gopher import gopher_report
+
+    return gopher_report(_gopher_fixture(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # X66: sentence segmentation. The oracle replays the exact same
 # three RE2-safe regexps + split (split_sentences_sql) over the real
 # corpus text — wholesale SQL replay, the embsig.py pattern.
