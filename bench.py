@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "q_countmin_hh",
     "q_unicode_nfc",
     "q_bpe_train",
+    "q_sketch_rollup",
+    "q_sentences",
+    "q_gopher_flags",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

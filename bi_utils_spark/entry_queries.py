@@ -6469,7 +6469,7 @@ _PROMOTED: list[str] = [
     "q_html_extract",
     "q_outlink_domains",
     "q_web_pipeline",
-    # r6 late additions (X60-X64)
+    # r6 late additions (X60-X67)
     "q_robots_rules",
     "q_robots_decisions",
     "q_zorder_key",
@@ -6478,6 +6478,11 @@ _PROMOTED: list[str] = [
     "q_unicode_nfc",
     "q_unicode_stats",
     "q_bpe_train",
+    "q_sketch_rollup",
+    "q_sentences",
+    "q_sentence_stats",
+    "q_gopher_flags",
+    "q_gopher_report",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -6501,15 +6506,13 @@ _PROMOTED: list[str] = [
     # q_boilerplate_grams, q_centroids_by_label, q_chunk_documents,
     # q_contamination, q_corpus_report, q_decontaminate — are
     # r3-green with modules untouched in r6, next in line for r7.
-    # q_bpe_top_pairs stays: lm.py changed this round.) ----
+    # q_bpe_top_pairs stays: lm.py changed this round. Five more
+    # slots yielded to X65-X67: q_dedup_canonical, q_dup_spans,
+    # q_emb_near_dup_ivf, q_global_shuffle, q_ivf_topk — all
+    # r3-green, modules untouched in r6.) ----
     "q_bpe_top_pairs",
-    "q_dedup_canonical",
-    "q_dup_spans",
-    "q_emb_near_dup_ivf",
     "q_encode_tokens",
-    "q_global_shuffle",
     "q_head_coverage",
-    "q_ivf_topk",
     "q_ivfpq_residual_topk",
     "q_knn_join",
     "q_lang_id",
