@@ -6093,6 +6093,82 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X68: PageRank. Exact integer fixed-point power iteration, so the
+# oracle replays every iteration as a chained CTE — bit-exact ranks.
+# Fixture: a 21-node graph from doc_id arithmetic with node 20
+# dangling (appears only as a target).
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = """
+      SELECT DISTINCT doc_id % 20 AS src,
+        CASE WHEN doc_id % 5 = 0 THEN 20
+             ELSE (doc_id * 7) % 20 END AS dst
+      FROM documents
+"""
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            (d % 20).alias("src"),
+            F.when(d % 5 == 0, F.lit(20).cast("long"))
+            .otherwise((d * 7) % 20)
+            .alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _pagerank_replay_sql(n_iter: int, p: int = 85) -> str:
+    from bi_utils_spark.operators.graph import PR_SCALE
+
+    sql = f"""
+    WITH e0 AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT n FROM
+        (SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0)),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT n AS node,
+                  CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rq
+           FROM nodes)"""
+    base = f"(({PR_SCALE} - {p} * {PR_SCALE} // 100) // (SELECT n FROM nn))"
+    for k in range(1, n_iter + 1):
+        prev = f"r{k - 1}"
+        sql += f""",
+    c{k} AS (SELECT e.dst AS node, SUM(r.rq // d.deg) AS s
+             FROM e0 e JOIN {prev} r ON e.src = r.node
+             JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+    d{k} AS (SELECT COALESCE(SUM(rq), 0) AS dang FROM {prev}
+             WHERE node NOT IN (SELECT src FROM deg)),
+    r{k} AS (SELECT n.n AS node,
+               CAST({base}
+                 + ({p} * (COALESCE(c.s, 0)
+                    + (SELECT dang FROM d{k}) // (SELECT n FROM nn)))
+                   // 100 AS BIGINT) AS rq
+             FROM nodes n LEFT JOIN c{k} c ON n.n = c.node)"""
+    sql += f"""
+    SELECT node, rq AS rank_q,
+           CAST(rq AS DOUBLE) / {float(PR_SCALE)} AS rank
+    FROM r{n_iter}
+    """
+    return sql
+
+
+@register("q_pagerank_domains", _pagerank_replay_sql(5))
+def q_pagerank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five PageRank power iterations over the synthesized domain
+    graph (X68, r6): exact fixed-point ranks incl. dangling-mass
+    redistribution — the domain-authority signal for crawl frontier
+    and quota ranking. Oracle replays all iterations bit-exactly."""
+    from bi_utils_spark.operators.graph import pagerank
+
+    return pagerank(_pr_edges(spark, sf_dir), n_iter=5)
+
+
+# ---------------------------------------------------------------------------
 # X67: Gopher quality rules. doc_id % 3 plants: 0 = raw corpus text,
 # 1 = a 4-word fragment (fails word count), 2 = 60 identical bullet
 # lines (fails bullet fraction + stopwords). The oracle recomputes

@@ -160,3 +160,100 @@ def dedup_near_canonical(
     comp = connected_components(pairs, src, dst)
     losers = comp.filter(F.col("node") != F.col("component")).select("node")
     return df.join(losers, df[id_col] == losers["node"], "left_anti")
+
+
+PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point units of total rank
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    broadcast_ranks: bool = True,
+) -> DataFrame:
+    """(node, rank_q, rank) after ``n_iter`` power iterations of
+    PageRank with damping ``damping_pct``/100 — the domain-authority
+    signal web-curation pipelines rank crawl frontiers and domain
+    quotas by (the X59 outlink graph feeds straight in).
+
+    EXACT integer fixed-point arithmetic: ranks live in 1e12 units
+    (``rank_q`` BIGINT); per-edge contribution is ``rq div out_deg``,
+    damping is ``(p * mass) div 100``, dangling mass redistributes as
+    ``dang div N`` — every step floor-divides, so the result is
+    bit-identical under any row order, partitioning, or engine (the
+    oracle replays all iterations as chained SQL CTEs). The ~1e-12
+    mass lost to floors is irrelevant to ranking and fully
+    deterministic. ``rank`` = rank_q / 1e12 for human consumption.
+
+    Scale shape: out-degrees join the edge list ONCE up front; each
+    iteration is one broadcast (or AQE-shuffle, at web scale where
+    |nodes| outgrows a broadcast — set ``broadcast_ranks=False``)
+    join of the |nodes|-row rank table against the edges plus one
+    partial-aggregable groupBy(dst); the dangling term is a 1-row
+    broadcast. Rank frames localCheckpoint per iteration so lineage
+    stays flat. n_iter sequential jobs — the irreducible structure of
+    power iteration.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "node long, rank_q long, rank double"
+        )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = e.join(
+        F.broadcast(deg) if broadcast_ranks else deg, "src"
+    ).localCheckpoint(eager=False)
+    base_q = (PR_SCALE - damping_pct * PR_SCALE // 100) // n
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n).cast("long").alias("rq")
+    )
+    dangling = nodes.join(
+        deg, nodes["node"] == deg["src"], "left_anti"
+    ).localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contribs = (
+            edges_deg.join(r, edges_deg["src"] == r["node"])
+            .select(
+                "dst", F.expr("rq div deg").alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        dang = (
+            dangling.join(r.select(F.col("node").alias("__n"), "rq"),
+                          dangling["node"] == F.col("__n"))
+            .agg(F.coalesce(F.sum("rq"), F.lit(0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base_q)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(s, 0)"
+                        f" + (dang div {n}))) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("rq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        F.col("rq").alias("rank_q"),
+        (F.col("rq").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+    )

@@ -127,3 +127,74 @@ def test_components_on_real_near_dup_pairs(spark, sf_dir):
     assert nodes == pair_nodes                      # every paired doc labeled
     by_comp = {r["node"]: r["component"] for r in rows}
     assert all(by_comp[c] == c for c in set(by_comp.values()))  # roots are members
+
+
+# ---------------------------------------------------------------------------
+# X68: PageRank (graph.pagerank)
+# ---------------------------------------------------------------------------
+
+
+def _pr_ref(edges, n_iter, p=85):
+    from bi_utils_spark.operators.graph import PR_SCALE
+
+    nodes = sorted({a for a, b in edges} | {b for a, b in edges})
+    n = len(nodes)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rq = {x: PR_SCALE // n for x in nodes}
+    base = (PR_SCALE - p * PR_SCALE // 100) // n
+    for _ in range(n_iter):
+        s = {x: 0 for x in nodes}
+        for a, b in edges:
+            s[b] += rq[a] // deg[a]
+        dang = sum(rq[x] for x in nodes if x not in deg)
+        rq = {x: base + (p * (s[x] + dang // n)) // 100 for x in nodes}
+    return rq
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from bi_utils_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_q"] for r in pagerank(df, n_iter=6).collect()}
+    assert got == _pr_ref(edges, 6)
+
+
+def test_pagerank_hub_outranks_leaf_and_dangling_mass_flows(spark):
+    from bi_utils_spark.operators.graph import pagerank
+
+    # stars pointing at 0; node 9 dangling
+    edges = [(i, 0) for i in range(1, 9)] + [(0, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+    assert ranks[0] > ranks[9] > ranks[1]
+    # total mass stays ~1 (floors lose at most ~1e-10 here)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_empty_and_shuffle_form(spark):
+    from bi_utils_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, n_iter=3).count() == 0
+    edges = [(0, 1), (1, 0), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank_q"]
+         for r in pagerank(df, n_iter=4, broadcast_ranks=True).collect()}
+    b = {r["node"]: r["rank_q"]
+         for r in pagerank(df, n_iter=4, broadcast_ranks=False).collect()}
+    assert a == b == _pr_ref(edges, 4)
+
+
+def test_pagerank_repartition_invariant(spark):
+    from bi_utils_spark.operators.graph import pagerank
+
+    edges = [(i % 7, (i * 3) % 7) for i in range(30)]
+    edges = list({e for e in edges if e[0] != e[1]})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank_q"] for r in pagerank(df, n_iter=5).collect()}
+    b = {r["node"]: r["rank_q"]
+         for r in pagerank(df.repartition(13), n_iter=5).collect()}
+    assert a == b == _pr_ref(edges, 5)
