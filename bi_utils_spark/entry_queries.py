@@ -6093,6 +6093,48 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X69: time-series resample + gap fill. The value > 200 filter
+# sparsifies the hourly series, so the zero-filled grid genuinely
+# differs from the bare groupBy; bounds derive from the filtered data.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_resample_gaps",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS bucket
+      FROM events WHERE value > 200
+    ),
+    agg AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM f GROUP BY 1, 2),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM f),
+    grid AS (
+      SELECT g.event_type, u.b AS bucket
+      FROM (SELECT DISTINCT event_type FROM f) g
+      CROSS JOIN (SELECT unnest(generate_series(
+                    (SELECT lo FROM bounds),
+                    (SELECT hi FROM bounds))) AS b) u
+    )
+    SELECT g.event_type, g.bucket, COALESCE(a.n, 0) AS n
+    FROM grid g LEFT JOIN agg a
+      ON g.event_type = a.event_type AND g.bucket = a.bucket
+    """,
+)
+def q_resample_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly high-value event counts per type on the COMPLETE
+    bucket grid (X69, r6) — missing hours appear as explicit zeros.
+    The oracle rebuilds the grid with generate_series."""
+    from bi_utils_spark.operators.timeseries import resample_counts
+
+    events = load(spark, sf_dir, "events").where(F.col("value") > 200)
+    return resample_counts(
+        events, ts_col="ts", width_sec=3600, group_cols=("event_type",)
+    )
+
+
+# ---------------------------------------------------------------------------
 # X68: PageRank. Exact integer fixed-point power iteration, so the
 # oracle replays every iteration as a chained CTE — bit-exact ranks.
 # Fixture: a 21-node graph from doc_id arithmetic with node 20
