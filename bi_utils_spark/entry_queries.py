@@ -6093,6 +6093,93 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X70: paragraph-level boilerplate removal. Fixture paragraphs are
+# MULTI-LINE (internal single \n) so the unit granularity is proven:
+# a line-level pass would split them, the paragraph pass must not.
+# ---------------------------------------------------------------------------
+
+_MPARA_CTE = """
+    WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS n FROM documents),
+    mp AS (
+      SELECT doc_id, i,
+             CASE WHEN i % 3 = 0
+                  THEN 'shared para ' || CAST((doc_id + i) % 6 AS VARCHAR)
+                       || chr(10) || 'cont ' || CAST((doc_id + i) % 6 AS VARCHAR)
+                  ELSE 'unique ' || CAST(doc_id AS VARCHAR)
+                       || ' para ' || CAST(i AS VARCHAR)
+             END AS para
+      FROM (SELECT doc_id, n, UNNEST(range(0, n)) AS i FROM d)
+    )
+"""
+
+
+def _multipara_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def para(i):
+        k = ((F.col("doc_id") + i) % 6).cast("string")
+        return F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit("shared para "), k, F.lit("\ncont "), k
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("unique "),
+                F.col("doc_id").cast("string"),
+                F.lit(" para "),
+                i.cast("string"),
+            )
+        )
+
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("doc_id") % 4 + 1
+                ),
+                para,
+            ),
+            "\n\n",
+        ).alias("text"),
+    )
+
+
+@register(
+    "q_paragraph_dedup",
+    _MPARA_CTE
+    + """
+    , f AS (
+      SELECT para FROM mp
+      GROUP BY para HAVING count(DISTINCT doc_id) >= 5
+    )
+    SELECT mp.doc_id,
+           coalesce(array_to_string(
+             list(mp.para ORDER BY mp.i) FILTER (WHERE f.para IS NULL),
+             chr(10) || chr(10)), '') AS text_cleaned,
+           CAST(count(*) AS BIGINT) AS n_paragraphs,
+           CAST(sum(CASE WHEN f.para IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed
+    FROM mp LEFT JOIN f ON mp.para = f.para
+    GROUP BY mp.doc_id
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph boilerplate removal (X70, r6):
+    multi-line shared paragraphs deleted whole, unique paragraphs
+    kept in order, canonical blank-line rejoin — full reconstructed
+    text per document in the oracle."""
+    from bi_utils_spark.operators.dedup import (
+        remove_boilerplate_paragraphs,
+    )
+
+    return remove_boilerplate_paragraphs(
+        _multipara_docs(spark, sf_dir), min_df=5
+    )
+
+
+# ---------------------------------------------------------------------------
 # X69: time-series resample + gap fill. The value > 200 filter
 # sparsifies the hourly series, so the zero-filled grid genuinely
 # differs from the bare groupBy; bounds derive from the filtered data.

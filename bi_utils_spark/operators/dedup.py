@@ -1144,3 +1144,84 @@ def remove_boilerplate_lines(
             F.col("id").alias(id_col), "text_cleaned", "n_lines", "n_removed"
         )
     )
+
+
+def paragraph_doc_freq(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """(paragraph, df) for every non-blank paragraph (units split on
+    blank lines, i.e. ``\\n{2,}``) occurring in >= ``min_df`` DISTINCT
+    documents — the X55 boilerplate inventory one level up: cookie
+    banners and footer blocks usually repeat as whole PARAGRAPHS
+    whose internal lines differ too little to clear a line-level
+    min_df. Identity is the trimmed paragraph; same scale shape as
+    :func:`line_doc_freq` (map-only explode, partial-aggregated
+    distinct count, above-threshold output only)."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\n{2,}", -1)).alias("para"),
+    ).filter(F.trim("para") != "")
+    return (
+        paras.groupBy(F.trim("para").alias("paragraph"))
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("paragraph"))
+    )
+
+
+def remove_boilerplate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Delete every non-blank paragraph whose TRIMMED text occurs in
+    >= ``min_df`` distinct documents; rebuild each document from its
+    surviving paragraphs in order, joined by a canonical blank line
+    (``\\n\\n`` — runs of 3+ newlines do not round-trip, documented).
+    Returns (``id_col``, text_cleaned, n_paragraphs, n_removed);
+    fully-boilerplate docs come back empty but present.
+
+    Scale shape == :func:`remove_boilerplate_lines`: sha2 digests
+    shuffle, paragraph text never does; flag join + one ordered
+    collect_list per doc; no pair enumeration."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n{2,}", -1)).alias(
+            "pos", "para"
+        ),
+    ).withColumn("ph", F.sha2(F.trim(F.col("para")), 256))
+    flags = (
+        paras.filter(F.trim("para") != "")
+        .groupBy("ph")
+        .agg(F.countDistinct("id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+    )
+    flagged = paras.join(flags, "ph", "left").withColumn(
+        "__rm",
+        (F.col("__df").isNotNull() & (F.trim("para") != "")).cast("int"),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("__rm") == 0, F.struct("pos", "para"))
+        )
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda x: x["para"]), "\n\n"
+            ).alias("text_cleaned"),
+            F.count("*").alias("n_paragraphs"),
+            F.sum("__rm").alias("n_removed"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "text_cleaned",
+            "n_paragraphs",
+            "n_removed",
+        )
+    )
