@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "q_sketch_rollup",
     "q_sentences",
     "q_gopher_flags",
+    "q_pagerank_domains",
+    "q_resample_gaps",
+    "q_paragraph_dedup",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -6688,6 +6688,9 @@ _PROMOTED: list[str] = [
     "q_sentence_stats",
     "q_gopher_flags",
     "q_gopher_report",
+    "q_pagerank_domains",
+    "q_resample_gaps",
+    "q_paragraph_dedup",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -6719,18 +6722,20 @@ _PROMOTED: list[str] = [
     "q_encode_tokens",
     "q_head_coverage",
     "q_ivfpq_residual_topk",
-    "q_knn_join",
-    "q_lang_id",
+    # (three more slots yielded to X68-X70: q_knn_join, q_lang_id,
+    # q_pii_audit — r3-green, modules untouched in r6. dedup.py/
+    # graph.py queries stay: those modules changed this round.)
     "q_minhash_near_dup",
     "q_oov_rate",
-    "q_pii_audit",
+    # q_dedup_canonical re-attested: graph.py changed in r6
+    # (pagerank); q_stratified_sample (splits.py untouched) yields.
+    "q_dedup_canonical",
     "q_pq_topk",
     "q_quality_score",
     "q_remove_dup_spans",
     "q_semantic_contamination",
     "q_semantic_decontam",
     "q_simhash_near_dup",
-    "q_stratified_sample",
     # (q_topk_cosine_exact / q_unigram_logprob / q_winnow_near_dup
     # yield their slots to the three new X59/pipeline queries; all
     # r3-green, implementations unchanged — first in line for the r7
