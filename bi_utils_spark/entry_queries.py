@@ -6093,6 +6093,50 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X71: stream-stream interval join, batch-parity form. The oracle is
+# a plain SQL interval join; the streaming semantics (watermarks,
+# bounded state, left_outer null emission) are proven in
+# tests/test_streaming.py on the IDENTICAL plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_attribution",
+    """
+    SELECT c.user_id,
+           CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS earlier_s,
+           CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS later_s,
+           CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(c.ts)) AS BIGINT)
+             AS lag_sec
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click -> purchase attribution within 30 minutes (X71, r6):
+    the stream-stream interval join run in its batch form (same
+    code path; withWatermark is a no-op on static frames)."""
+    from bi_utils_spark.streaming.joins import attribute_events
+
+    events = load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    out = attribute_events(clicks, purchases, window_sec=1800)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("earlier_ts").alias("earlier_s"),
+        F.unix_timestamp("later_ts").alias("later_s"),
+        "lag_sec",
+    )
+
+
+# ---------------------------------------------------------------------------
 # X70: paragraph-level boilerplate removal. Fixture paragraphs are
 # MULTI-LINE (internal single \n) so the unit granularity is proven:
 # a line-level pass would split them, the paragraph pass must not.

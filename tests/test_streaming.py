@@ -621,3 +621,92 @@ def test_stream_near_dedup_embeddings(spark, tmp_path):
     # jitter re-delivery collapses onto the first arrival; the
     # different vector survives
     assert kept == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# X71: stream-stream interval join (streaming/joins.py)
+# ---------------------------------------------------------------------------
+
+
+def test_attribute_events_batch_semantics(spark):
+    from bi_utils_spark.streaming.joins import attribute_events
+
+    import datetime as _dt
+
+    def _t(h, m):
+        return _dt.datetime(2024, 1, 1, h, m)
+
+    clicks = spark.createDataFrame(
+        [
+            (1, _t(10, 0), "ad_a"),
+            (1, _t(10, 20), "ad_b"),
+            (1, _t(8, 0), "stale"),    # outside window
+            (2, _t(10, 30), "ad_c"),   # after the purchase
+        ],
+        "user_id long, ts timestamp, campaign string",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (1, _t(10, 30), 99.0),
+            (2, _t(10, 15), 5.0),
+            (3, _t(12, 0), 7.0),       # no clicks at all
+        ],
+        "user_id long, ts timestamp, amount double",
+    )
+    got = attribute_events(
+        clicks, purchases, window_sec=3600
+    ).collect()
+    rows = {(r["user_id"], r["campaign_earlier"], r["lag_sec"]) for r in got}
+    assert rows == {(1, "ad_a", 1800), (1, "ad_b", 600)}
+    outer = attribute_events(
+        clicks, purchases, window_sec=3600, how="left_outer"
+    ).collect()
+    by_user = {}
+    for r in outer:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert by_user[2][0]["campaign_earlier"] is None  # unattributed
+    assert by_user[3][0]["campaign_earlier"] is None
+
+
+def test_attribute_events_stream_stream(spark, tmp_path):
+    import json as _json
+    import pytest as _pytest
+
+    from bi_utils_spark.streaming.joins import attribute_events
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir(); pdir.mkdir()
+    (cdir / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(x)
+            for x in [
+                {"user_id": 1, "ts": "2024-01-01T10:00:00.000Z"},
+                {"user_id": 2, "ts": "2024-01-01T10:05:00.000Z"},
+            ]
+        )
+    )
+    (pdir / "b0.json").write_text(
+        _json.dumps({"user_id": 1, "ts": "2024-01-01T10:20:00.000Z"})
+    )
+    clicks = spark.readStream.schema("user_id long, ts timestamp").json(
+        str(cdir)
+    )
+    purchases = spark.readStream.schema(
+        "user_id long, ts timestamp"
+    ).json(str(pdir))
+    out = attribute_events(clicks, purchases, window_sec=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM attr_t").collect()
+    assert len(got) == 1
+    assert got[0]["user_id"] == 1 and got[0]["lag_sec"] == 1200
+
+    with _pytest.raises(ValueError):
+        attribute_events(clicks, purchases, how="full")
