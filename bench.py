@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "q_pagerank_domains",
     "q_resample_gaps",
     "q_paragraph_dedup",
+    "q_stream_attribution",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -6735,6 +6735,7 @@ _PROMOTED: list[str] = [
     "q_pagerank_domains",
     "q_resample_gaps",
     "q_paragraph_dedup",
+    "q_stream_attribution",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -6776,7 +6777,6 @@ _PROMOTED: list[str] = [
     "q_dedup_canonical",
     "q_pq_topk",
     "q_quality_score",
-    "q_remove_dup_spans",
     "q_semantic_contamination",
     "q_semantic_decontam",
     "q_simhash_near_dup",
