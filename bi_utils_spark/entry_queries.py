@@ -6093,6 +6093,107 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X72: IPv4/CIDR blocklists. The oracle replays the integer address
+# arithmetic (strict octet regex, base-256 fold) and the
+# longest-prefix-first decision as an ordered CASE over the literal
+# rule ranges. doc_id % 5 = 0 rows with doc_id % 200 = 5 hit BOTH
+# 10.0.0.0/8 and 10.5.0.0/16 — the /16 must win.
+# ---------------------------------------------------------------------------
+
+_IP_FIXTURE_SQL = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0
+             THEN '10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.4'
+             WHEN doc_id % 5 = 1
+             THEN '203.0.113.' || CAST(doc_id % 256 AS VARCHAR)
+             WHEN doc_id % 5 = 2
+             THEN '8.8.' || CAST(doc_id % 256 AS VARCHAR) || '.8'
+             WHEN doc_id % 5 = 3
+             THEN '192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+             ELSE '999.1.2.' || CAST(doc_id AS VARCHAR) END AS ip
+      FROM documents
+"""
+
+_IP_CIDRS = (
+    "10.0.0.0/8",
+    "10.5.0.0/16",
+    "203.0.113.0/24",
+    "192.168.0.0/16",
+)
+
+_OCT = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
+
+@register(
+    "q_cidr_match",
+    f"""
+    WITH x AS ({_IP_FIXTURE_SQL}),
+    n AS (
+      SELECT doc_id, ip,
+        CASE WHEN regexp_matches(ip,
+               '^{_OCT}\\.{_OCT}\\.{_OCT}\\.{_OCT}$')
+             THEN CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                + CAST(string_split(ip, '.')[4] AS BIGINT)
+        END AS ipn
+      FROM x
+    )
+    SELECT doc_id, ip,
+      CASE WHEN ipn IS NULL THEN NULL
+           WHEN ipn BETWEEN 3405803776 AND 3405804031
+             THEN '203.0.113.0/24'
+           WHEN ipn BETWEEN 168099840 AND 168165375
+             THEN '10.5.0.0/16'
+           WHEN ipn BETWEEN 3232235520 AND 3232301055
+             THEN '192.168.0.0/16'
+           WHEN ipn BETWEEN 167772160 AND 184549375
+             THEN '10.0.0.0/8'
+      END AS matched_cidr
+    FROM n
+    """,
+)
+def q_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix CIDR tagging (X72, r6) over the planted IP
+    fixture: /16 beats /8 on overlap, 8.8.x.8 stays unmatched,
+    999.x addresses are invalid and tag NULL."""
+    from bi_utils_spark.operators.ipnet import attach_cidr_match
+
+    d = F.col("doc_id")
+    ips = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("10."), (d % 200).cast("string"), F.lit(".3.4")
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(F.lit("203.0.113."), (d % 256).cast("string")),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(
+                F.lit("8.8."), (d % 256).cast("string"), F.lit(".8")
+            ),
+        )
+        .when(
+            d % 5 == 3,
+            F.concat(
+                F.lit("192.168."), (d % 256).cast("string"), F.lit(".1")
+            ),
+        )
+        .otherwise(F.concat(F.lit("999.1.2."), d.cast("string")))
+        .alias("ip"),
+    )
+    cidrs = spark.createDataFrame(
+        [(c,) for c in _IP_CIDRS], "cidr string"
+    )
+    return attach_cidr_match(ips, "ip", cidrs)
+
+
+# ---------------------------------------------------------------------------
 # X71: stream-stream interval join, batch-parity form. The oracle is
 # a plain SQL interval join; the streaming semantics (watermarks,
 # bounded state, left_outer null emission) are proven in
