@@ -6093,6 +6093,62 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X73: MAD series anomalies over the X69 grid. Exact interpolated
+# medians (percentile == quantile_cont, the funnel-latency identity)
+# make the flags engine-portable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_series_outliers",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+            FROM b GROUP BY event_type),
+    dev AS (SELECT b.event_type, b.bucket, b.n, m.med,
+                   ABS(CAST(b.n AS DOUBLE) - m.med) AS dv
+            FROM b JOIN med m ON b.event_type = m.event_type),
+    mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, d.bucket, d.n, d.med, m.mad,
+           CAST(CASE WHEN m.mad > 0 THEN d.dv > 3.0 * m.mad
+                     ELSE d.dv > 0 END AS INT) AS is_outlier
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    """,
+)
+def q_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count anomalies per type (X73, r6): MAD detector
+    over the bucketed series; flags, medians and MADs all recomputed
+    independently by the oracle."""
+    from bi_utils_spark.operators.timeseries import (
+        attach_time_bucket,
+        mad_outliers,
+    )
+
+    counts = (
+        attach_time_bucket(
+            load(spark, sf_dir, "events"), "ts", width_sec=86400
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = mad_outliers(counts, value_col="n", group_cols=("event_type",))
+    return out.select(
+        "event_type",
+        "bucket",
+        "n",
+        "med",
+        "mad",
+        F.col("is_outlier").cast("int").alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X72: IPv4/CIDR blocklists. The oracle replays the integer address
 # arithmetic (strict octet regex, base-256 fold) and the
 # longest-prefix-first decision as an ordered CASE over the literal

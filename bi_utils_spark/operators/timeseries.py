@@ -117,3 +117,58 @@ def fill_forward(
     return df.withColumn(
         out_col, F.last(F.col(value_col), ignorenulls=True).over(w)
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "n",
+    group_cols: tuple[str, ...] = (),
+    k: float = 3.0,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust per-group outlier flags: a row is anomalous when its
+    value sits more than ``k`` median-absolute-deviations from the
+    group median — the standard monitoring detector that (unlike
+    z-scores) one giant spike cannot mask, because median and MAD
+    ignore the outliers they are hunting.
+
+    Degenerate groups (MAD = 0, i.e. >= half the values identical)
+    flag exactly the rows differing from the median.
+
+    Exact interpolated percentiles (Spark ``percentile`` ==
+    ``quantile_cont``) keep the flags engine-portable. Two bounded
+    aggregations over the (grid-sized) input and broadcast joins
+    back — run it on :func:`resample_counts` output so "no data" is
+    a real zero that CAN be flagged, not a missing row that can't.
+    """
+    gcols = list(group_cols)
+
+    def _agg(frame, col, alias):
+        return frame.groupBy(*gcols).agg(
+            F.percentile(F.col(col), F.lit(0.5)).alias(alias)
+        )
+
+    med = _agg(df, value_col, "__med")
+    j1 = (
+        df.join(F.broadcast(med), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(med))
+    )
+    j1 = j1.withColumn(
+        "__dev", F.abs(F.col(value_col).cast("double") - F.col("__med"))
+    )
+    mad = _agg(j1, "__dev", "__mad")
+    j2 = (
+        j1.join(F.broadcast(mad), gcols)
+        if gcols
+        else j1.crossJoin(F.broadcast(mad))
+    )
+    flag = F.when(
+        F.col("__mad") > 0.0, F.col("__dev") > F.lit(float(k)) * F.col("__mad")
+    ).otherwise(F.col("__dev") > 0.0)
+    return (
+        j2.withColumn(out_col, flag)
+        .drop("__dev")
+        .withColumnRenamed("__med", "med")
+        .withColumnRenamed("__mad", "mad")
+    )

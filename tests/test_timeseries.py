@@ -81,3 +81,56 @@ def test_grid_join_is_broadcastable(spark):
     # or sort over the raw stream
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowExec" not in plan
+
+
+def test_mad_outliers_spike_and_degenerate(spark):
+    from bi_utils_spark.operators.timeseries import mad_outliers
+
+    df = spark.createDataFrame(
+        [("a", i, float(v)) for i, v in
+         enumerate([10, 11, 9, 10, 12, 11, 10, 95, 10, 11])]
+        + [("b", i, 5.0) for i in range(6)] + [("b", 6, 7.0)],
+        "k string, bucket long, v double",
+    )
+    out = {
+        (r["k"], r["bucket"]): r["is_outlier"]
+        for r in mad_outliers(df, "v", ("k",)).collect()
+    }
+    assert out[("a", 7)] is True          # the 95 spike
+    assert not any(
+        v for kk, v in out.items() if kk[0] == "a" and kk[1] != 7
+    )
+    # degenerate MAD=0 group: only the differing row flags
+    assert out[("b", 6)] is True
+    assert not any(
+        v for kk, v in out.items() if kk[0] == "b" and kk[1] != 6
+    )
+
+
+def test_mad_outliers_spike_does_not_mask_itself(spark):
+    from bi_utils_spark.operators.timeseries import mad_outliers
+
+    # one enormous spike in a small series: stdev-based z-scores
+    # would swallow it; MAD must not
+    vals = [100.0] * 8 + [100000.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "k string, bucket long, v double",
+    )
+    out = {
+        r["bucket"]: r["is_outlier"]
+        for r in mad_outliers(df, "v", ("k",)).collect()
+    }
+    assert out[8] is True and sum(out.values()) == 1
+
+
+def test_mad_outliers_no_groups(spark):
+    from bi_utils_spark.operators.timeseries import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 2, 1, 2, 1, 50])],
+        "bucket long, v double",
+    )
+    out = {r["bucket"]: r["is_outlier"] for r in
+           mad_outliers(df, "v").collect()}
+    assert out[5] is True and sum(out.values()) == 1
