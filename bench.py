@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "q_resample_gaps",
     "q_paragraph_dedup",
     "q_stream_attribution",
+    "q_cidr_match",
+    "q_series_outliers",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

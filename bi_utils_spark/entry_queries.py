@@ -6893,6 +6893,8 @@ _PROMOTED: list[str] = [
     "q_resample_gaps",
     "q_paragraph_dedup",
     "q_stream_attribution",
+    "q_cidr_match",
+    "q_series_outliers",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -6934,8 +6936,6 @@ _PROMOTED: list[str] = [
     "q_dedup_canonical",
     "q_pq_topk",
     "q_quality_score",
-    "q_semantic_contamination",
-    "q_semantic_decontam",
     "q_simhash_near_dup",
     # (q_topk_cosine_exact / q_unigram_logprob / q_winnow_near_dup
     # yield their slots to the three new X59/pipeline queries; all
