@@ -143,10 +143,16 @@ def heavy_hitters(
 
     Returns (key, est, share_est). One bounded-output aggregation per
     stage; nothing scales with key cardinality except the sampled
-    candidate set.
+    candidate set. The stream total N is recovered FROM the sketch
+    (every key writes `depth` cells, so sum(cnt) = depth * N) — the
+    corpus is scanned exactly once, no separate count pass.
     """
-    n = df.count()
-    sketch = countmin_table(df, key_col, depth, width)
+    sketch = countmin_table(df, key_col, depth, width).localCheckpoint(
+        eager=False
+    )
+    n_row = sketch.agg(
+        (F.sum("cnt") / F.lit(depth)).cast("long").alias("__n")
+    )
     cand = df.select(key_col)
     if sample_frac is not None and sample_frac < 1.0:
         hexes = F.substring(
@@ -161,8 +167,17 @@ def heavy_hitters(
         cand = cand.where(hexes < F.lit(bound))
     cand = cand.distinct()
     est = countmin_estimate(cand, sketch, key_col, depth, width)
-    return est.where(F.col("est") >= float(min_share) * n).select(
-        key_col,
-        "est",
-        (F.col("est") / F.lit(float(n))).alias("share_est"),
+    return (
+        est.crossJoin(F.broadcast(n_row))
+        .where(
+            F.col("est").cast("double")
+            >= F.lit(float(min_share)) * F.col("__n").cast("double")
+        )
+        .select(
+            key_col,
+            "est",
+            (F.col("est") / F.col("__n").cast("double")).alias(
+                "share_est"
+            ),
+        )
     )
