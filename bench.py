@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "q_stream_attribution",
     "q_cidr_match",
     "q_series_outliers",
+    # SCD Type 2: full history build over events + one batch fold
+    "q_scd2_history",
+    "q_scd2_apply",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -6844,6 +6844,210 @@ def q_unicode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unicode_stats(_uni_fixture(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# X74: SCD Type 2 dimension maintenance. The oracle replays the
+# interval construction with window functions (LAG boundary detect,
+# running-sum segments, LEAD close-out) and the batch fold as a
+# closed-form CASE over the planted update classes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2_history",
+    """
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE user_id % 10 = 0
+    ),
+    o AS (
+      SELECT *,
+        LAG(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM src
+    ),
+    s AS (
+      SELECT *,
+        SUM(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS seg
+      FROM o
+    ),
+    v AS (
+      SELECT user_id, seg, min(event_type) AS event_type,
+             min(ts) AS valid_from
+      FROM s GROUP BY user_id, seg
+    )
+    SELECT user_id, event_type,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(LEAD(valid_from) OVER
+             (PARTITION BY user_id ORDER BY seg)) AS valid_to_us,
+           CAST(LEAD(valid_from) OVER
+             (PARTITION BY user_id ORDER BY seg) IS NULL AS INT)
+             AS is_current
+    FROM v
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build (X74, r6): each user's event_type history
+    collapses into validity intervals — consecutive same-type events
+    merge, valid_to = next version's start, exactly one current row
+    per user. The oracle reconstructs every interval independently."""
+    from bi_utils_spark.operators.scd import scd2_from_history
+
+    src = load(spark, sf_dir, "events").where(
+        F.col("user_id") % 10 == 0
+    )
+    dim = scd2_from_history(
+        src, ["user_id"], ["event_type"], "ts",
+        tiebreak_cols=["event_id"],
+    )
+    return dim.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+_SCD_T0 = 1700000000000000  # epoch-µs batch clocks (FIXTURES.md §3:
+_SCD_T1 = 1700086400000000  # no wall-clock; literal warehouse loads)
+
+
+@register(
+    "q_scd2_apply",
+    f"""
+    WITH dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+    )
+    SELECT k, seg,
+           CAST({_SCD_T0} AS BIGINT) AS valid_from_us,
+           CASE WHEN k % 7 = 0 THEN CAST({_SCD_T1} AS BIGINT)
+           END AS valid_to_us,
+           CAST(k % 7 <> 0 AS INT) AS is_current
+    FROM dim
+    UNION ALL
+    SELECT k, 'MOVED', CAST({_SCD_T1} AS BIGINT), NULL, 1
+    FROM dim WHERE k % 7 = 0
+    UNION ALL
+    SELECT k + 10000000, 'NEWSEG', CAST({_SCD_T1} AS BIGINT), NULL, 1
+    FROM dim WHERE k % 97 = 0
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SCD2 batch fold (X74, r6) over the customer dimension:
+    custkey%7==0 changes segment (old row closes at T1, new opens),
+    custkey%7==1 re-delivers its current attributes (no-op row
+    survives untouched), custkey%97==0 plants a brand-new key.
+    The oracle states the expected table closed-form per class."""
+    from bi_utils_spark.operators.scd import scd2_apply
+
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dim = cust.select(
+        k.alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(_SCD_T0).alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.where(k % 7 == 0).select(
+            k.alias("k"), F.lit("MOVED").alias("seg")
+        )
+        .unionByName(
+            cust.where(k % 7 == 1).select(
+                k.alias("k"), F.col("c_mktsegment").alias("seg")
+            )
+        )
+        .unionByName(
+            cust.where(k % 97 == 0).select(
+                (k + 10000000).alias("k"), F.lit("NEWSEG").alias("seg")
+            )
+        )
+    )
+    out = scd2_apply(dim, updates, ["k"], ["seg"], F.lit(_SCD_T1))
+    return out.select(
+        "k",
+        "seg",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+@register(
+    "q_scd2_snapshot",
+    """
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE user_id % 10 = 0
+    ),
+    o AS (
+      SELECT *,
+        LAG(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM src
+    ),
+    s AS (
+      SELECT *,
+        SUM(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS seg
+      FROM o
+    ),
+    v AS (
+      SELECT user_id, seg, min(event_type) AS event_type,
+             min(ts) AS valid_from
+      FROM s GROUP BY user_id, seg
+    ),
+    d AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER
+               (PARTITION BY user_id ORDER BY seg) AS valid_to
+      FROM v
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 7 DAY AS at FROM events)
+    SELECT d.user_id, d.event_type,
+           epoch_us(d.valid_from) AS valid_from_us
+    FROM d, wm
+    WHERE d.valid_from <= wm.at
+      AND (d.valid_to IS NULL OR d.valid_to > wm.at)
+    """,
+)
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (X74, r6): the as-of row per user
+    at (global max ts − 7 days) — one row per user active by then,
+    interval cover recomputed independently by the oracle. The
+    as-of instant rides a broadcast 1-row bounds frame; the filter
+    itself is scd2_snapshot's map-only predicate."""
+    from bi_utils_spark.operators.scd import scd2_from_history, scd2_snapshot
+
+    events = load(spark, sf_dir, "events")
+    src = events.where(F.col("user_id") % 10 == 0)
+    dim = scd2_from_history(
+        src, ["user_id"], ["event_type"], "ts",
+        tiebreak_cols=["event_id"],
+    )
+    wm = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("at")
+    )
+    snap = scd2_snapshot(
+        dim.crossJoin(F.broadcast(wm)), F.col("at")
+    )
+    return snap.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -6895,6 +7099,9 @@ _PROMOTED: list[str] = [
     "q_stream_attribution",
     "q_cidr_match",
     "q_series_outliers",
+    "q_scd2_history",
+    "q_scd2_apply",
+    "q_scd2_snapshot",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -6922,10 +7129,12 @@ _PROMOTED: list[str] = [
     # slots yielded to X65-X67: q_dedup_canonical, q_dup_spans,
     # q_emb_near_dup_ivf, q_global_shuffle, q_ivf_topk — all
     # r3-green, modules untouched in r6.) ----
+    # (q_ivfpq_residual_topk, q_pq_topk, q_quality_score yield their
+    # re-attestation slots to the three new X74 SCD2 queries — pq.py
+    # and textstats.py are r6-untouched, their official rows stand.)
     "q_bpe_top_pairs",
     "q_encode_tokens",
     "q_head_coverage",
-    "q_ivfpq_residual_topk",
     # (three more slots yielded to X68-X70: q_knn_join, q_lang_id,
     # q_pii_audit — r3-green, modules untouched in r6. dedup.py/
     # graph.py queries stay: those modules changed this round.)
@@ -6934,8 +7143,6 @@ _PROMOTED: list[str] = [
     # q_dedup_canonical re-attested: graph.py changed in r6
     # (pagerank); q_stratified_sample (splits.py untouched) yields.
     "q_dedup_canonical",
-    "q_pq_topk",
-    "q_quality_score",
     "q_simhash_near_dup",
     # (q_topk_cosine_exact / q_unigram_logprob / q_winnow_near_dup
     # yield their slots to the three new X59/pipeline queries; all

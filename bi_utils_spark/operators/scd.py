@@ -1,0 +1,160 @@
+"""Slowly-changing-dimension Type 2 maintenance (X74).
+
+The reference maintains warehouse dimensions by staged MERGE upsert
+(bi_utils/database.py:125-214 ``upsert`` — last-write-wins, history
+destroyed). The standard warehouse evolution of that pattern keeps
+every attribute version with a validity interval — SCD Type 2 — so
+facts can join the dimension *as of* their own timestamp. This tier
+provides the three operations a Type-2 dimension needs:
+
+- :func:`scd2_from_history` — collapse a change-event history into
+  versioned rows ``(key..., attrs..., valid_from, valid_to,
+  is_current)``: consecutive rows with identical tracked attributes
+  merge into one interval; ``valid_to`` is the next version's start
+  (NULL while current).
+- :func:`scd2_apply` — fold one update batch into an existing SCD2
+  table: changed keys close their current row and open a new one,
+  unchanged-attribute updates are no-ops, brand-new keys insert.
+- :func:`scd2_snapshot` — point-in-time reconstruction: the rows
+  whose interval covers ``at`` (map-only filter, no window).
+
+Scale shape: ``scd2_from_history`` is one shuffle on the key with
+two windows over each key's OWN rows (version count per key, never
+corpus-wide). ``scd2_apply`` is a key-equi full-outer join of the
+CURRENT slice against the batch — closed history rows pass through
+untouched (at 100 TB: the current slice is ≈|keys| rows and the
+batch is the day's changes; history, the bulk, is never shuffled).
+``scd2_snapshot`` is a predicate — partition-prunable when the
+table is stored partitioned on ``valid_to IS NULL``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _changed(tracked_cols: list[str], a: str, b: str) -> Column:
+    """Null-safe any-attribute-differs predicate between two
+    prefixed column sets."""
+    cond = F.lit(False)
+    for c in tracked_cols:
+        cond = cond | ~F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+    return cond
+
+
+def scd2_from_history(
+    df: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Versioned dimension from a raw change history.
+
+    Per key, ordered by ``ts_col`` (+ tiebreaks), a new version
+    starts whenever any tracked attribute differs (null-safe) from
+    the previous event; runs of identical attributes collapse into
+    one interval keeping the EARLIEST timestamp. Emits
+    ``key..., tracked..., valid_from, valid_to, is_current`` with
+    ``valid_to`` = next version's ``valid_from`` (NULL on the
+    current version).
+
+    One hash shuffle on the key; both windows scan only each key's
+    own rows. Multiple events on the same (key, ts) are ordered by
+    the tiebreaks so the result is deterministic.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # Version boundary: first event of the key, or any tracked
+    # attribute differs (null-safely) from the previous event.
+    boundary = F.lit(False)
+    for c in tracked_cols:
+        boundary = boundary | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.row_number().over(w) == 1
+    seg = F.sum(
+        F.when(first | boundary, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    segged = df.withColumn("__seg", seg)
+    versions = segged.groupBy(*key_cols, "__seg").agg(
+        *[F.first(c).alias(c) for c in tracked_cols],
+        F.min(ts_col).alias("valid_from"),
+    )
+    wv = Window.partitionBy(*key_cols).orderBy("__seg")
+    return (
+        versions.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__seg")
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    batch_ts,
+) -> DataFrame:
+    """Fold one update batch (one row per key, attribute snapshot at
+    ``batch_ts``) into an existing SCD2 table.
+
+    - changed key: current row closes (``valid_to = batch_ts``), a
+      new current row opens at ``batch_ts``;
+    - identical attributes: no-op (idempotent re-delivery is safe);
+    - new key: inserts as current;
+    - closed history rows pass through UNTOUCHED — only the current
+      slice joins the batch, so at scale the shuffle is
+      ≈|keys| + |batch| rows, never the history.
+
+    ``batch_ts`` must be strictly later than the touched keys'
+    ``valid_from`` (warehouse batch clock); a Column or literal.
+    """
+    bts = batch_ts if isinstance(batch_ts, Column) else F.lit(batch_ts)
+    out_cols = [*key_cols, *tracked_cols, "valid_from", "valid_to",
+                "is_current"]
+    closed = dim.where(~F.col("is_current"))
+    cur = dim.where(F.col("is_current")).alias("c")
+    upd = updates.select(
+        *key_cols, *tracked_cols
+    ).dropDuplicates(key_cols).alias("u")
+    on = F.lit(True)
+    for c in key_cols:
+        on = on & (F.col(f"c.{c}") == F.col(f"u.{c}"))
+    j = cur.join(upd, on, "full_outer")
+    has_cur = F.col(f"c.{key_cols[0]}").isNotNull()
+    has_upd = F.col(f"u.{key_cols[0]}").isNotNull()
+    changed = _changed(tracked_cols, "c", "u")
+    # Surviving version of the previously-current row: closed if the
+    # batch changed it, untouched otherwise.
+    keep_cur = j.where(has_cur).select(
+        *[F.col(f"c.{c}").alias(c) for c in key_cols + tracked_cols],
+        F.col("c.valid_from").alias("valid_from"),
+        F.when(has_upd & changed, bts)
+        .otherwise(F.col("c.valid_to"))
+        .alias("valid_to"),
+        (~(has_upd & changed)).alias("is_current"),
+    )
+    opened = j.where(has_upd & (~has_cur | changed)).select(
+        *[F.coalesce(f"u.{c}", f"c.{c}").alias(c) for c in key_cols],
+        *[F.col(f"u.{c}").alias(c) for c in tracked_cols],
+        bts.alias("valid_from"),
+        F.lit(None).cast(dim.schema["valid_to"].dataType).alias(
+            "valid_to"
+        ),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        closed.select(*out_cols)
+        .unionByName(keep_cur.select(*out_cols))
+        .unionByName(opened.select(*out_cols))
+    )
+
+
+def scd2_snapshot(dim: DataFrame, at) -> DataFrame:
+    """The dimension as of ``at``: rows with
+    ``valid_from <= at < coalesce(valid_to, +inf)``. Map-only."""
+    a = at if isinstance(at, Column) else F.lit(at)
+    return dim.where(
+        (F.col("valid_from") <= a)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > a))
+    ).drop("is_current")

@@ -1,0 +1,144 @@
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.scd import (
+    scd2_apply,
+    scd2_from_history,
+    scd2_snapshot,
+)
+
+
+def _ts(day: int):
+    return dt.datetime(2024, 1, day)
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    rows = [
+        # key 1: A -> A (collapse) -> B -> B (collapse) -> A again
+        (1, _ts(1), "A"),
+        (1, _ts(2), "A"),
+        (1, _ts(3), "B"),
+        (1, _ts(4), "B"),
+        (1, _ts(5), "A"),
+        # key 2: single version
+        (2, _ts(2), "X"),
+        # key 3: null attribute transitions (null-safe compare)
+        (3, _ts(1), None),
+        (3, _ts(2), None),
+        (3, _ts(3), "C"),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "attr"])
+
+
+def test_history_collapses_runs_and_tracks_intervals(history):
+    out = scd2_from_history(history, ["k"], ["attr"], "ts").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for v in by_key.values():
+        v.sort(key=lambda r: r["valid_from"])
+
+    k1 = by_key[1]
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in k1] == [
+        ("A", _ts(1), _ts(3)),
+        ("B", _ts(3), _ts(5)),
+        ("A", _ts(5), None),
+    ]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"]
+
+    k3 = by_key[3]
+    assert [(r["attr"], r["valid_from"]) for r in k3] == [
+        (None, _ts(1)),
+        ("C", _ts(3)),
+    ]
+
+
+def test_intervals_partition_the_timeline(history):
+    out = scd2_from_history(history, ["k"], ["attr"], "ts")
+    # valid_to of version i == valid_from of version i+1; exactly one
+    # current row per key.
+    cur = out.groupBy("k").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n")
+    )
+    assert all(r["n"] == 1 for r in cur.collect())
+
+
+def test_apply_change_new_noop(spark, history):
+    dim = scd2_from_history(history, ["k"], ["attr"], "ts")
+    updates = spark.createDataFrame(
+        [(1, "Z"), (2, "X"), (9, "NEW")], ["k", "attr"]
+    )
+    out = scd2_apply(dim, updates, ["k"], ["attr"], _ts(9))
+    rows = {(r["k"], r["attr"], r["is_current"]): r for r in out.collect()}
+
+    # changed key 1: old current closed at batch ts, new current opened
+    assert rows[(1, "A", False)]["valid_to"] == _ts(9)
+    assert rows[(1, "Z", True)]["valid_from"] == _ts(9)
+    # no-op key 2: still one current row, untouched
+    assert rows[(2, "X", True)]["valid_from"] == _ts(2)
+    # new key 9 inserts as current
+    assert rows[(9, "NEW", True)]["valid_from"] == _ts(9)
+    # closed history passes through
+    assert (1, "B", False) in rows
+    # exactly one current row per key
+    cur = (
+        out.where("is_current").groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_apply_idempotent_on_redelivery(spark, history):
+    dim = scd2_from_history(history, ["k"], ["attr"], "ts")
+    updates = spark.createDataFrame([(1, "Z")], ["k", "attr"])
+    once = scd2_apply(dim, updates, ["k"], ["attr"], _ts(9))
+    twice = scd2_apply(once, updates, ["k"], ["attr"], _ts(10))
+    key = lambda r: repr(r)
+    assert sorted(map(tuple, once.collect()), key=key) == sorted(
+        map(tuple, twice.collect()), key=key
+    )
+
+
+def test_snapshot_point_in_time(history):
+    dim = scd2_from_history(history, ["k"], ["attr"], "ts")
+    # at day 3 12:00 key1 is B; boundary day 3 exactly: B (from <= at)
+    snap = scd2_snapshot(dim, dt.datetime(2024, 1, 3, 12))
+    vals = {r["k"]: r["attr"] for r in snap.collect()}
+    assert vals[1] == "B" and vals[2] == "X" and vals[3] == "C"
+    at_boundary = scd2_snapshot(dim, _ts(3))
+    assert {r["k"]: r["attr"] for r in at_boundary.collect()}[1] == "B"
+
+
+def test_apply_equals_rebuilt_history(spark, history):
+    """Folding a batch into the SCD2 table == rebuilding from the
+    concatenated raw history (the defining property)."""
+    updates = spark.createDataFrame(
+        [(1, "Z"), (2, "X"), (9, "NEW")], ["k", "attr"]
+    )
+    applied = scd2_apply(
+        scd2_from_history(history, ["k"], ["attr"], "ts"),
+        updates,
+        ["k"],
+        ["attr"],
+        _ts(9),
+    )
+    rebuilt = scd2_from_history(
+        history.unionByName(
+            updates.withColumn("ts", F.lit(_ts(9))).select(
+                "k", "ts", "attr"
+            )
+        ),
+        ["k"],
+        ["attr"],
+        "ts",
+    )
+    key = lambda r: repr(r)
+    assert sorted(map(tuple, applied.collect()), key=key) == sorted(
+        map(tuple, rebuilt.collect()), key=key
+    )
