@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     # SCD Type 2: full history build over events + one batch fold
     "q_scd2_history",
     "q_scd2_apply",
+    # declarative data-quality constraint report (shared-pass agg)
+    "q_dq_report",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

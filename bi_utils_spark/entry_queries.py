@@ -7048,6 +7048,127 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X75: declarative data-quality constraints. The fixture plants
+# defect classes on orders (nulled FKs, dangling FKs, duplicated
+# rows) and the oracle recomputes every (ok, total) pair and verdict
+# with plain conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_DQ_FIXTURE_SQL = """
+      WITH f0 AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 50 = 0 THEN NULL
+               WHEN o_orderkey % 50 = 7 THEN o_custkey + 1000000
+               ELSE o_custkey END AS o_custkey,
+          o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders
+      )
+      SELECT * FROM f0
+      UNION ALL
+      SELECT * FROM f0 WHERE o_orderkey % 100 = 0
+"""
+
+
+@register(
+    "q_dq_report",
+    f"""
+    WITH f AS ({_DQ_FIXTURE_SQL}),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS c_comp,
+        CAST(SUM(CASE WHEN o_totalprice >= 0.0
+                       AND o_totalprice <= 250000.0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c_range,
+        CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c_acc,
+        CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-3]-')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c_re
+      FROM f
+    ),
+    u AS (
+      SELECT CAST(SUM(CASE WHEN n = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS ok,
+             CAST(SUM(n) AS BIGINT) AS total
+      FROM (SELECT COUNT(*) AS n FROM f GROUP BY o_orderkey)
+    ),
+    r AS (
+      SELECT CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ok,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM f LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON f.o_custkey = c.c_custkey
+      WHERE f.o_custkey IS NOT NULL
+    ),
+    m AS (
+      SELECT 'completeness(o_custkey)' AS "constraint", c_comp AS ok,
+             total, 1.0 AS thr FROM base
+      UNION ALL
+      SELECT 'in_range(o_totalprice)', c_range, total, 0.4 FROM base
+      UNION ALL
+      SELECT 'accepted(o_orderstatus)', c_acc, total, 0.9 FROM base
+      UNION ALL
+      SELECT 'matches(o_orderpriority)', c_re, total, 0.5 FROM base
+      UNION ALL
+      SELECT 'unique(o_orderkey)', ok, total, 1.0 FROM u
+      UNION ALL
+      SELECT 'referential(o_custkey)', ok, total, 0.95 FROM r
+    )
+    SELECT "constraint", ok, total,
+           CAST(ok AS DOUBLE) / CAST(total AS DOUBLE) AS value,
+           CAST(CAST(ok AS DOUBLE) / CAST(total AS DOUBLE) >= thr
+                AS INT) AS passed
+    FROM m
+    """,
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ report (X75, r6) over the planted-defect orders
+    fixture: nulled FKs (okey%50=0), dangling FKs (okey%50=7, +1M),
+    duplicated rows (okey%100=0). Six constraints — four row-local
+    (ONE shared aggregation pass), one key-uniqueness, one
+    referential — each an exact (ok, total) pair the oracle
+    recomputes, with threshold verdicts."""
+    from bi_utils_spark.operators.dq import Check, dq_report
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mutated = orders.select(
+        "o_orderkey",
+        F.when(k % 50 == 0, F.lit(None))
+        .when(k % 50 == 7, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    fixture = mutated.unionByName(mutated.where(k % 100 == 0))
+    checks = [
+        Check("completeness", "o_custkey"),
+        Check("in_range", "o_totalprice", lo=0.0, hi=250000.0,
+              min_fraction=0.4),
+        Check("accepted", "o_orderstatus", values=("O", "F"),
+              min_fraction=0.9),
+        Check("matches", "o_orderpriority", pattern="^[1-3]-",
+              min_fraction=0.5),
+        Check("unique", columns=("o_orderkey",)),
+        Check("referential", "o_custkey", ref="customer",
+              ref_key="c_custkey", min_fraction=0.95),
+    ]
+    rep = dq_report(
+        fixture, checks,
+        refs={"customer": load(spark, sf_dir, "customer")},
+    )
+    return rep.select(
+        F.col("constraint"),
+        "ok",
+        "total",
+        "value",
+        F.col("passed").cast("int").alias("passed"),
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -7102,6 +7223,7 @@ _PROMOTED: list[str] = [
     "q_scd2_history",
     "q_scd2_apply",
     "q_scd2_snapshot",
+    "q_dq_report",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -7129,12 +7251,14 @@ _PROMOTED: list[str] = [
     # slots yielded to X65-X67: q_dedup_canonical, q_dup_spans,
     # q_emb_near_dup_ivf, q_global_shuffle, q_ivf_topk — all
     # r3-green, modules untouched in r6.) ----
-    # (q_ivfpq_residual_topk, q_pq_topk, q_quality_score yield their
-    # re-attestation slots to the three new X74 SCD2 queries — pq.py
-    # and textstats.py are r6-untouched, their official rows stand.)
+    # (q_ivfpq_residual_topk, q_pq_topk, q_quality_score,
+    # q_head_coverage yield their re-attestation slots to the three
+    # new X74 SCD2 queries + X75 DQ report — pq.py and textstats.py
+    # are r6-untouched and q_head_coverage's lm.py surface
+    # (term_ranks) predates the r6 bpe_train addition; their
+    # official rows stand.)
     "q_bpe_top_pairs",
     "q_encode_tokens",
-    "q_head_coverage",
     # (three more slots yielded to X68-X70: q_knn_join, q_lang_id,
     # q_pii_audit — r3-green, modules untouched in r6. dedup.py/
     # graph.py queries stay: those modules changed this round.)

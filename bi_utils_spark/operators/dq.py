@@ -1,0 +1,221 @@
+"""Data-quality constraint suite (X75).
+
+The reference trusts its inputs (the REST/sheet loaders validate
+shape only — bi_utils/rest.py, sheets.py); a warehouse feeding from
+them needs declarative content checks. Deequ-style constraints over
+a table, evaluated in as few passes as the constraint mix allows:
+
+- row-local constraints (completeness, value range, accepted
+  values, regex shape) all fold into ONE conditional aggregation —
+  a single scan regardless of how many are declared;
+- uniqueness/primary-key constraints need one groupBy on their key;
+- referential integrity is one distinct-project + anti-join against
+  the referenced table's key (broadcast when the dimension is
+  small).
+
+Every metric is an exact integer pair ``(ok, total)`` plus the
+derived DOUBLE fraction — integer math cross-engine, the division
+exact-reproducible. ``dq_report`` emits the long-form result table
+``(constraint, target, ok, total, value, passed)``; ``dq_gate``
+raises when any declared constraint fails (the CI/pipeline form).
+
+Scale shape: the row-local pass is a partial-aggregable single-row
+agg (map-side combine; no shuffle beyond the 1-row gather).
+Uniqueness shuffles once on the declared key. Referential shuffles
+the distinct FK projection only — never the fact rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative constraint. ``kind`` drives evaluation:
+
+    - ``completeness``: fraction of non-null ``column``
+    - ``in_range``: fraction of non-null values in [lo, hi]
+    - ``accepted``: fraction of non-null values in ``values``
+    - ``matches``: fraction of non-null values rlike ``pattern``
+    - ``unique``: fraction of rows whose ``columns`` tuple occurs once
+    - ``referential``: fraction of non-null FK values present in the
+      reference table's key (set via :func:`dq_report`'s ``refs``)
+    """
+
+    kind: str
+    column: str = ""
+    columns: tuple[str, ...] = ()
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = ()
+    pattern: str = ""
+    ref: str = ""
+    ref_key: str = ""
+    min_fraction: float = 1.0
+    name: str = ""
+
+    def label(self) -> str:
+        if self.name:
+            return self.name
+        target = self.column or ",".join(self.columns) or self.ref
+        return f"{self.kind}({target})"
+
+
+def _row_predicate(c: Check) -> Column:
+    col = F.col(c.column)
+    if c.kind == "completeness":
+        return col.isNotNull()
+    if c.kind == "in_range":
+        ok = F.lit(True)
+        if c.lo is not None:
+            ok = ok & (col >= F.lit(c.lo))
+        if c.hi is not None:
+            ok = ok & (col <= F.lit(c.hi))
+        return col.isNotNull() & ok
+    if c.kind == "accepted":
+        return col.isNotNull() & col.isin(list(c.values))
+    if c.kind == "matches":
+        return col.isNotNull() & col.rlike(c.pattern)
+    raise ValueError(f"not a row-local constraint: {c.kind}")
+
+
+_ROW_LOCAL = ("completeness", "in_range", "accepted", "matches")
+
+
+def dq_metrics(
+    df: DataFrame,
+    checks: list[Check],
+    refs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Long-form metric table ``(constraint, ok, total)`` — exact
+    BIGINT counts. Row-local checks share one aggregation pass."""
+    spark = df.sparkSession
+    refs = refs or {}
+    out: DataFrame | None = None
+
+    row_local = [c for c in checks if c.kind in _ROW_LOCAL]
+    if row_local:
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for i, c in enumerate(row_local):
+            aggs.append(
+                F.sum(_row_predicate(c).cast("long")).alias(f"__ok{i}")
+            )
+        one = df.agg(*aggs)
+        stacked = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c.label()).alias("constraint"),
+                            F.col(f"__ok{i}").alias("ok"),
+                            F.col("__total").alias("total"),
+                        )
+                        for i, c in enumerate(row_local)
+                    ]
+                )
+            ).alias("m")
+        ).select("m.constraint", "m.ok", "m.total")
+        out = stacked
+
+    for c in checks:
+        if c.kind == "unique":
+            keys = list(c.columns) or [c.column]
+            grouped = df.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            m = grouped.agg(
+                F.lit(c.label()).alias("constraint"),
+                F.sum(
+                    F.when(F.col("__n") == 1, F.col("__n")).otherwise(0)
+                ).alias("ok"),
+                F.sum("__n").alias("total"),
+            )
+        elif c.kind == "referential":
+            ref_df = refs[c.ref]
+            fk = df.where(F.col(c.column).isNotNull()).select(
+                F.col(c.column).alias("__fk")
+            )
+            pk = ref_df.select(
+                F.col(c.ref_key).alias("__fk")
+            ).distinct()
+            missing = fk.join(F.broadcast(pk), "__fk", "left_anti")
+            tot = fk.agg(F.count(F.lit(1)).alias("total"))
+            bad = missing.agg(F.count(F.lit(1)).alias("__bad"))
+            m = tot.crossJoin(F.broadcast(bad)).select(
+                F.lit(c.label()).alias("constraint"),
+                (F.col("total") - F.col("__bad")).alias("ok"),
+                F.col("total"),
+            )
+        elif c.kind in _ROW_LOCAL:
+            continue
+        else:
+            raise ValueError(f"unknown constraint kind: {c.kind}")
+        out = m if out is None else out.unionByName(m)
+
+    if out is None:
+        return spark.range(0).select(
+            F.lit("").alias("constraint"),
+            F.lit(0).cast("long").alias("ok"),
+            F.lit(0).cast("long").alias("total"),
+        )
+    # empty inputs aggregate to NULL sums — normalize to exact zeros
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "constraint",
+        F.coalesce(F.col("ok").cast("long"), zero).alias("ok"),
+        F.coalesce(F.col("total").cast("long"), zero).alias("total"),
+    )
+
+
+def dq_report(
+    df: DataFrame,
+    checks: list[Check],
+    refs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Metrics + pass/fail verdicts against each check's
+    ``min_fraction`` threshold. Empty tables pass vacuously
+    (0/0 → fraction 1.0): an empty partition is not a quality
+    failure, a missing-data alert is a separate check."""
+    thresholds = {c.label(): c.min_fraction for c in checks}
+    m = dq_metrics(df, checks, refs)
+    thr = F.create_map(
+        *[
+            x
+            for label, t in thresholds.items()
+            for x in (F.lit(label), F.lit(float(t)))
+        ]
+    )
+    frac = F.when(F.col("total") == 0, F.lit(1.0)).otherwise(
+        F.col("ok").cast("double") / F.col("total").cast("double")
+    )
+    return m.select(
+        "constraint",
+        "ok",
+        "total",
+        frac.alias("value"),
+        (frac >= thr[F.col("constraint")]).alias("passed"),
+    )
+
+
+def dq_gate(
+    df: DataFrame,
+    checks: list[Check],
+    refs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Raise ``ValueError`` listing every failed constraint, else
+    return ``df`` unchanged — the load-blocking pipeline form."""
+    failed = [
+        r["constraint"]
+        for r in dq_report(df, checks, refs)
+        .where(~F.col("passed"))
+        .collect()
+    ]
+    if failed:
+        raise ValueError(
+            "data-quality gate failed: " + ", ".join(sorted(failed))
+        )
+    return df

@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators.dq import Check, dq_gate, dq_metrics, dq_report
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = [
+        (1, "A", 10.0, "ab1"),
+        (2, "A", 20.0, "cd2"),
+        (2, "B", -5.0, "xy"),     # dup key, below range, bad shape
+        (3, None, 150.0, "ef3"),  # null cat, above range
+        (4, "C", 50.0, None),     # unaccepted cat
+    ]
+    return spark.createDataFrame(rows, ["k", "cat", "v", "code"])
+
+
+def _report(table, refs=None, checks=None):
+    checks = checks or []
+    return {
+        r["constraint"]: r
+        for r in dq_report(table, checks, refs).collect()
+    }
+
+
+def test_row_local_constraints(table):
+    checks = [
+        Check("completeness", "cat"),
+        Check("in_range", "v", lo=0.0, hi=100.0),
+        Check("accepted", "cat", values=("A", "B")),
+        Check("matches", "code", pattern="^[a-z]{2}[0-9]$"),
+    ]
+    rep = _report(table, checks=checks)
+    assert (rep["completeness(cat)"]["ok"],
+            rep["completeness(cat)"]["total"]) == (4, 5)
+    assert rep["in_range(v)"]["ok"] == 3  # 10, 20, 50
+    assert rep["accepted(cat)"]["ok"] == 3  # A, A, B
+    assert rep["matches(code)"]["ok"] == 3  # ab1, cd2, ef3
+    assert rep["in_range(v)"]["value"] == pytest.approx(0.6)
+
+
+def test_row_local_checks_share_one_scan(table):
+    checks = [
+        Check("completeness", "cat"),
+        Check("in_range", "v", lo=0.0),
+        Check("accepted", "cat", values=("A",)),
+    ]
+    plan = dq_metrics(table, checks)._jdf.queryExecution().executedPlan().toString()
+    # all three row-local constraints fold into one aggregation pass:
+    # exactly one scan of the input
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+
+
+def test_unique_counts_rows_in_singleton_groups(table):
+    rep = _report(table, checks=[Check("unique", columns=("k",))])
+    r = rep["unique(k)"]
+    # keys 1,3,4 unique (3 rows ok) out of 5 rows
+    assert (r["ok"], r["total"]) == (3, 5)
+    assert not r["passed"]
+
+
+def test_referential(spark, table):
+    ref = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    rep = _report(
+        table,
+        refs={"dim": ref},
+        checks=[Check("referential", "k", ref="dim", ref_key="id")],
+    )
+    r = rep["referential(k)"]
+    # k=4 dangles; k null rows would be excluded (none here)
+    assert (r["ok"], r["total"]) == (4, 5)
+
+
+def test_thresholds_and_gate(spark, table):
+    ok_checks = [Check("completeness", "k")]
+    assert dq_gate(table, ok_checks) is table
+    failing = [
+        Check("completeness", "cat"),
+        Check("accepted", "cat", values=("A", "B"), min_fraction=0.5),
+    ]
+    rep = _report(table, checks=failing)
+    assert not rep["completeness(cat)"]["passed"]  # 0.8 < 1.0 default
+    assert rep["accepted(cat)"]["passed"]  # 0.6 >= 0.5
+    with pytest.raises(ValueError, match="completeness\\(cat\\)"):
+        dq_gate(table, failing)
+
+
+def test_empty_table_passes_vacuously(spark):
+    empty = spark.range(0).select(
+        F.col("id").alias("k"), F.lit("x").alias("cat")
+    )
+    rep = _report(
+        empty,
+        checks=[Check("completeness", "cat"), Check("unique", columns=("k",))],
+    )
+    assert all(r["passed"] for r in rep.values())
+    assert all(r["value"] == 1.0 for r in rep.values())
+
+
+def test_custom_name_label(table):
+    rep = _report(
+        table, checks=[Check("completeness", "cat", name="cat_not_null")]
+    )
+    assert "cat_not_null" in rep
