@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     "q_scd2_apply",
     # declarative data-quality constraint report (shared-pass agg)
     "q_dq_report",
+    # histograms: equi-width grid + equi-depth over the 60k-row CDF
+    "q_hist_width",
+    "q_hist_depth",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

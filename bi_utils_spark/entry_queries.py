@@ -7169,6 +7169,81 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X76: histograms. Equi-width arithmetic is plain IEEE floor
+# division both engines compute identically; equi-depth assignment
+# is pure integer math over the distinct-value CDF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hist_width",
+    """
+    WITH b AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders
+    ),
+    c AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - b.lo)
+                        / ((b.hi - b.lo) / 20.0)) AS BIGINT),
+                   19) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders, b
+      GROUP BY 1
+    )
+    SELECT g.i AS bin,
+           b.lo + g.i * ((b.hi - b.lo) / 20.0) AS bin_lo,
+           b.lo + (g.i + 1) * ((b.hi - b.lo) / 20.0) AS bin_hi,
+           COALESCE(c.n, 0) AS n
+    FROM range(20) g(i)
+    CROSS JOIN b
+    LEFT JOIN c ON g.i = c.bin
+    """,
+)
+def q_hist_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of order totals (X76, r6) on data
+    bounds — complete grid, max value in the last bin, bin edges and
+    counts all recomputed by the oracle."""
+    from bi_utils_spark.operators.histogram import equi_width_histogram
+
+    return equi_width_histogram(
+        load(spark, sf_dir, "orders"), "o_totalprice", 20
+    )
+
+
+@register(
+    "q_hist_depth",
+    """
+    WITH v AS (
+      SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    p AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+               AS strt,
+             SUM(c) OVER () AS total
+      FROM v
+    )
+    SELECT CAST((strt * 8) // total AS BIGINT) AS bin,
+           min(v) AS lo, max(v) AS hi,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM p GROUP BY 1
+    """,
+)
+def q_hist_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket equi-depth histogram of lineitem quantities (X76,
+    r6) — 50 distinct values with heavy ties, so tie mass visibly
+    widens buckets; the integer CDF assignment is replayed by the
+    oracle's window."""
+    from bi_utils_spark.operators.histogram import equi_depth_histogram
+
+    return equi_depth_histogram(
+        load(spark, sf_dir, "lineitem"), "l_quantity", 8
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -7224,6 +7299,8 @@ _PROMOTED: list[str] = [
     "q_scd2_apply",
     "q_scd2_snapshot",
     "q_dq_report",
+    "q_hist_width",
+    "q_hist_depth",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -7257,13 +7334,16 @@ _PROMOTED: list[str] = [
     # are r6-untouched and q_head_coverage's lm.py surface
     # (term_ranks) predates the r6 bpe_train addition; their
     # official rows stand.)
+    # (q_encode_tokens / q_oov_rate yield to the X76 histograms:
+    # their implementations — encode_tokens, oov surface — are
+    # untouched by r6's lm.py additions (bpe_train is NEW code in
+    # the same file); q_bpe_top_pairs stays because bpe_train builds
+    # directly on the pair-count implementation it attests.)
     "q_bpe_top_pairs",
-    "q_encode_tokens",
     # (three more slots yielded to X68-X70: q_knn_join, q_lang_id,
     # q_pii_audit — r3-green, modules untouched in r6. dedup.py/
     # graph.py queries stay: those modules changed this round.)
     "q_minhash_near_dup",
-    "q_oov_rate",
     # q_dedup_canonical re-attested: graph.py changed in r6
     # (pagerank); q_stratified_sample (splits.py untouched) yields.
     "q_dedup_canonical",
