@@ -7244,6 +7244,55 @@ def q_hist_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X77: unpivot/melt — the inverse of q_pivot_events. The oracle is
+# the definitional UNION ALL; revenue uses the exact-DECIMAL
+# accumulation rule so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unpivot_metrics",
+    """
+    WITH w AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS custs,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 6)))
+                  AS DECIMAL(38, 6)) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, 'n' AS metric, n AS value FROM w
+    UNION ALL
+    SELECT o_orderstatus, 'custs', custs FROM w
+    UNION ALL
+    SELECT o_orderstatus, 'revenue', revenue FROM w
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-status metrics melted to long form (X77, r6): one
+    row per (status, metric). Map-only generator projection over the
+    3-row wide frame; the oracle is the definitional UNION ALL."""
+    from bi_utils_spark.operators.relational import melt
+
+    wide = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.countDistinct("o_custkey").cast("double").alias("custs"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    return melt(
+        wide, ["o_orderstatus"], ["n", "custs", "revenue"],
+        var_name="metric", value_name="value",
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -7301,6 +7350,7 @@ _PROMOTED: list[str] = [
     "q_dq_report",
     "q_hist_width",
     "q_hist_depth",
+    "q_unpivot_metrics",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -7341,9 +7391,10 @@ _PROMOTED: list[str] = [
     # directly on the pair-count implementation it attests.)
     "q_bpe_top_pairs",
     # (three more slots yielded to X68-X70: q_knn_join, q_lang_id,
-    # q_pii_audit — r3-green, modules untouched in r6. dedup.py/
-    # graph.py queries stay: those modules changed this round.)
-    "q_minhash_near_dup",
+    # q_pii_audit — r3-green, modules untouched in r6.
+    # q_minhash_near_dup yields to X77 unpivot: r6's dedup.py
+    # additions (line/paragraph tiers) are NEW functions — the
+    # MinHash implementation it attests is untouched.)
     # q_dedup_canonical re-attested: graph.py changed in r6
     # (pagerank); q_stratified_sample (splits.py untouched) yields.
     "q_dedup_canonical",

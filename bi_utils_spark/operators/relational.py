@@ -180,6 +180,29 @@ def top_k_per_group(
 
 # --- set ops (U-ops) ---------------------------------------------------------
 
+def melt(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long unpivot: one output row per (id row, value
+    column). The inverse of ``groupBy().pivot()`` (q_pivot_events).
+
+    Value columns must share a castable common type (the caller
+    casts — implicit widening would silently lose precision).
+    Map-only: Spark's native ``unpivot`` is a generator projection,
+    no shuffle, row count multiplies by ``len(value_cols)``.
+    """
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )
+
+
 def union_pages(pages: Sequence[DataFrame], allow_missing: bool = True) -> DataFrame:
     """Union N page-batches by column name.
 

@@ -86,3 +86,26 @@ def test_filtered_count_and_date(spark):
     df = _events(spark)
     assert R.filtered_count(df, F.col("val") > 2.5) == 2
     assert R.count_on_date(df, "ts", dt.date(2024, 1, 3)) == 2
+
+
+def test_melt_roundtrips_pivot(spark):
+    from bi_utils_spark.operators.relational import melt
+
+    wide = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, 4.0)], ["k", "x", "y"]
+    )
+    long = melt(wide, ["k"], ["x", "y"], "m", "v")
+    assert long.columns == ["k", "m", "v"]
+    got = {(r["k"], r["m"]): r["v"] for r in long.collect()}
+    assert got == {
+        ("a", "x"): 1.0, ("a", "y"): 2.0,
+        ("b", "x"): 3.0, ("b", "y"): 4.0,
+    }
+    # melt is map-only: no Exchange in the plan
+    plan = long._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # pivot inverts it
+    back = long.groupBy("k").pivot("m", ["x", "y"]).sum("v")
+    assert sorted(map(tuple, back.collect())) == [
+        ("a", 1.0, 2.0), ("b", 3.0, 4.0),
+    ]
