@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     # histograms: equi-width grid + equi-depth over the 60k-row CDF
     "q_hist_width",
     "q_hist_depth",
+    # fuzzy entity matching: pigeonhole-blocked levenshtein pairs
+    "q_fuzzy_pairs",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

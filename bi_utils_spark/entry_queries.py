@@ -7293,6 +7293,66 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X78: fuzzy entity matching. All fixture edits are substitutions on
+# same-length strings, where the pigeonhole blocker is provably
+# complete — so the Spark output must EQUAL the oracle's exhaustive
+# all-pairs Levenshtein truth (FP=0 by exact verify, recall=1 by the
+# theorem). 12-hex-char md5 names keep blocks diverse.
+# ---------------------------------------------------------------------------
+
+_FUZZY_FIXTURE_SQL = """
+      SELECT doc_id AS id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS name
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) || 'z' ||
+             substr(md5(CAST(doc_id AS VARCHAR)), 5, 8)
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "q_fuzzy_pairs",
+    f"""
+    WITH f AS ({_FUZZY_FIXTURE_SQL})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM f a JOIN f b ON a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein dedup pairs (X78, r6) over the dirty
+    registry fixture: doc_id%5==0 rows get a one-substitution typo
+    twin ('z' ∉ hex, so the edit is always real). The oracle is the
+    exhaustive all-pairs truth — the blocker must match it exactly
+    on this substitution-only fixture."""
+    from bi_utils_spark.operators.fuzzy import levenshtein_dedup_pairs
+
+    d = F.col("doc_id")
+    h = F.md5(d.cast("string"))
+    base = load(spark, sf_dir, "documents").select(
+        d.alias("id"), h.substr(1, 12).alias("name")
+    )
+    variants = (
+        load(spark, sf_dir, "documents")
+        .where(d % 5 == 0)
+        .select(
+            (d + 100000).alias("id"),
+            F.concat(
+                h.substr(1, 3), F.lit("z"), h.substr(5, 8)
+            ).alias("name"),
+        )
+    )
+    fixture = base.unionByName(variants)
+    out = levenshtein_dedup_pairs(fixture, "id", "name", max_dist=1)
+    return out.select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -7351,6 +7411,7 @@ _PROMOTED: list[str] = [
     "q_hist_width",
     "q_hist_depth",
     "q_unpivot_metrics",
+    "q_fuzzy_pairs",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -7397,8 +7458,10 @@ _PROMOTED: list[str] = [
     # MinHash implementation it attests is untouched.)
     # q_dedup_canonical re-attested: graph.py changed in r6
     # (pagerank); q_stratified_sample (splits.py untouched) yields.
+    # q_simhash_near_dup yields to X78 fuzzy pairs (same reasoning
+    # as q_minhash_near_dup: r6 dedup.py additions are new
+    # functions, the SimHash implementation is untouched).
     "q_dedup_canonical",
-    "q_simhash_near_dup",
     # (q_topk_cosine_exact / q_unigram_logprob / q_winnow_near_dup
     # yield their slots to the three new X59/pipeline queries; all
     # r3-green, implementations unchanged — first in line for the r7
