@@ -137,6 +137,9 @@ BENCH_QUERIES = [
     "q_hist_depth",
     # fuzzy entity matching: pigeonhole-blocked levenshtein pairs
     "q_fuzzy_pairs",
+    # rolling stats + trend fit over the dense daily grid
+    "q_rolling_daily",
+    "q_trend_daily",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -7353,6 +7353,153 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X79/X80: rolling aggregates and least-squares trend over the X69
+# grid. Rolling sums stay exact integers; the trend's Σ terms are
+# exact BIGINTs on rebased x, so slope/intercept/r² come out of one
+# IEEE division both engines reproduce.
+# ---------------------------------------------------------------------------
+
+_DAILY_GRID_SQL = """
+    f AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS bucket
+      FROM events
+    ),
+    agg AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM f GROUP BY 1, 2),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM f),
+    grid AS (
+      SELECT g.event_type, u.b AS bucket
+      FROM (SELECT DISTINCT event_type FROM f) g
+      CROSS JOIN (SELECT unnest(generate_series(
+                    (SELECT lo FROM bounds),
+                    (SELECT hi FROM bounds))) AS b) u
+    ),
+    series AS (
+      SELECT g.event_type, g.bucket, COALESCE(a.n, 0) AS n
+      FROM grid g LEFT JOIN agg a
+        ON g.event_type = a.event_type AND g.bucket = a.bucket
+    )
+"""
+
+
+@register(
+    "q_rolling_daily",
+    f"""
+    WITH {_DAILY_GRID_SQL}
+    SELECT event_type, bucket, n,
+           CAST(SUM(n) OVER w AS BIGINT) AS n_roll_sum,
+           CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w
+             AS n_roll_avg,
+           CAST(MIN(n) OVER w AS BIGINT) AS n_roll_min,
+           CAST(MAX(n) OVER w AS BIGINT) AS n_roll_max
+    FROM series
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling stats per event type (X79, r6) on the
+    COMPLETE daily grid — zero-filled gaps participate in the
+    window, so a quiet day genuinely drags the average down."""
+    from bi_utils_spark.operators.timeseries import (
+        resample_counts,
+        rolling_agg,
+    )
+
+    series = resample_counts(
+        load(spark, sf_dir, "events"),
+        ts_col="ts",
+        width_sec=86400,
+        group_cols=("event_type",),
+    )
+    return rolling_agg(
+        series, "bucket", ("event_type",), "n", window=7
+    )
+
+
+@register(
+    "q_trend_daily",
+    f"""
+    WITH {_DAILY_GRID_SQL},
+    b2 AS (
+      SELECT event_type, MIN(bucket) AS x0, MAX(bucket) AS x1
+      FROM series GROUP BY 1
+    ),
+    s AS (
+      SELECT s.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s.bucket - b2.x0) AS BIGINT) AS sx,
+             CAST(SUM(s.n) AS BIGINT) AS sy,
+             CAST(SUM((s.bucket - b2.x0) * (s.bucket - b2.x0))
+               AS BIGINT) AS sxx,
+             CAST(SUM((s.bucket - b2.x0) * s.n) AS BIGINT) AS sxy,
+             CAST(SUM(s.n * s.n) AS BIGINT) AS syy,
+             MIN(b2.x0) AS x0, MIN(b2.x1) AS x1
+      FROM series s JOIN b2 ON s.event_type = b2.event_type
+      GROUP BY 1
+    )
+    SELECT event_type, n, x0,
+      CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+           THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      END AS slope,
+      (CAST(sy AS DOUBLE)
+        - (CASE WHEN CAST(n AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx > 0
+                THEN (CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)
+           END) * sx) / CAST(n AS DOUBLE) AS intercept,
+      CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                > 0
+           THEN ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy
+                    - CAST(sx AS DOUBLE) * sy))
+              / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(n AS DOUBLE) * syy
+                    - CAST(sy AS DOUBLE) * sy))
+      END AS r2,
+      (CAST(sy AS DOUBLE)
+        - (CASE WHEN CAST(n AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx > 0
+                THEN (CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)
+           END) * sx) / CAST(n AS DOUBLE)
+        + (CASE WHEN CAST(n AS DOUBLE) * sxx
+                     - CAST(sx AS DOUBLE) * sx > 0
+                THEN (CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)
+           END) * CAST(x1 - x0 + 1 AS DOUBLE) AS yhat_next
+    FROM s
+    """,
+)
+def q_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-count trend line (X80, r6) fitted on the dense
+    grid: slope/day, fitted value at the first day, r², and a
+    one-day-ahead forecast — every Σ exact, replayed by the oracle
+    from the same closed forms."""
+    from bi_utils_spark.operators.timeseries import (
+        linear_trend,
+        resample_counts,
+    )
+
+    series = resample_counts(
+        load(spark, sf_dir, "events"),
+        ts_col="ts",
+        width_sec=86400,
+        group_cols=("event_type",),
+    )
+    return linear_trend(series, "bucket", "n", ("event_type",))
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -7412,6 +7559,8 @@ _PROMOTED: list[str] = [
     "q_hist_depth",
     "q_unpivot_metrics",
     "q_fuzzy_pairs",
+    "q_rolling_daily",
+    "q_trend_daily",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -7426,8 +7575,9 @@ _PROMOTED: list[str] = [
     # phash.py: GIF tier in the mixed-format fixture
     "q_phash_near_dup",
     "q_phash_dedup_clusters",
-    # ---- tier 3: last official row is r2 (rotated out in r5) ----
-    "q_hourly_rollup",
+    # ---- tier 3: last official row is r2 (rotated out in r5;
+    # q_hourly_rollup yields its slot to the X79/X80 pair and moves
+    # to the head of the r7 re-attestation line) ----
     "q_pack_conservation",
     "q_priority_with_shipment",
     # ---- tier 4: last official row is r3 (8 slots yielded to the
@@ -7456,12 +7606,10 @@ _PROMOTED: list[str] = [
     # q_minhash_near_dup yields to X77 unpivot: r6's dedup.py
     # additions (line/paragraph tiers) are NEW functions — the
     # MinHash implementation it attests is untouched.)
-    # q_dedup_canonical re-attested: graph.py changed in r6
-    # (pagerank); q_stratified_sample (splits.py untouched) yields.
-    # q_simhash_near_dup yields to X78 fuzzy pairs (same reasoning
-    # as q_minhash_near_dup: r6 dedup.py additions are new
-    # functions, the SimHash implementation is untouched).
-    "q_dedup_canonical",
+    # q_simhash_near_dup yielded to X78 fuzzy pairs, and
+    # q_dedup_canonical to X79/X80 (r6 dedup.py/graph.py additions
+    # — line/paragraph tiers, pagerank — are NEW functions; the
+    # MinHash/SimHash/CC implementations they attest are untouched).
     # (q_topk_cosine_exact / q_unigram_logprob / q_winnow_near_dup
     # yield their slots to the three new X59/pipeline queries; all
     # r3-green, implementations unchanged — first in line for the r7

@@ -119,6 +119,116 @@ def fill_forward(
     )
 
 
+def rolling_agg(
+    df: DataFrame,
+    bucket_col: str = "bucket",
+    group_cols: tuple[str, ...] = (),
+    value_col: str = "n",
+    window: int = 7,
+    stats: tuple[str, ...] = ("sum", "avg", "min", "max"),
+) -> DataFrame:
+    """Trailing-window aggregates along the bucket order per group
+    (X79): each row gains ``<value>_roll_<stat>`` over the last
+    ``window`` rows INCLUDING itself. Run on the dense
+    :func:`resample_counts` grid so "window of 7 buckets" means 7
+    calendar buckets, not 7 rows-with-data.
+
+    Engine-portable: sums of integer values stay exact; ``avg`` is
+    (exact sum)/(exact count) in one double division. The window is
+    bounded by the GRID (|groups| x range), never the raw stream.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    v = F.col(value_col)
+    out = df
+    fns = {
+        "sum": lambda: F.sum(v).over(w),
+        "avg": lambda: (
+            F.sum(v).over(w).cast("double") / F.count(v).over(w)
+        ),
+        "min": lambda: F.min(v).over(w),
+        "max": lambda: F.max(v).over(w),
+        "count": lambda: F.count(v).over(w),
+    }
+    for s in stats:
+        out = out.withColumn(f"{value_col}_roll_{s}", fns[s]())
+    return out
+
+
+def linear_trend(
+    df: DataFrame,
+    x_col: str = "bucket",
+    y_col: str = "n",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-group least-squares line over integer (x, y) points
+    (X80): ``(group..., n, x0, slope, intercept, r2, yhat_next)``
+    where the fit is on x − x0 (x0 = the group's min x, so the
+    closed-form sums stay small exact BIGINTs at any epoch scale),
+    ``intercept`` is the fitted value AT x0, and ``yhat_next``
+    extrapolates one bucket past the group's max x.
+
+    All Σ terms are exact integer aggregations; slope/intercept/r²
+    are computed from them with IEEE double arithmetic both engines
+    reproduce bit-for-bit. Degenerate groups (one point, constant
+    x) get NULL slope; constant-y groups get r² = NULL (0/0).
+
+    Two grid-sized aggregations + one broadcast join — the trend of
+    a 100 TB event stream is fitted on its bucketed GRID, never the
+    raw rows.
+    """
+    gcols = list(group_cols)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    bounds = df.groupBy(*gcols).agg(
+        F.min(x).alias("__x0"), F.max(x).alias("__x1")
+    )
+    j = (
+        df.join(F.broadcast(bounds), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    xr = (x - F.col("__x0")).alias("__xr")
+    base = j.select(*gcols, xr, y.alias("__y"), "__x0", "__x1")
+    s = base.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__xr").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__xr") * F.col("__xr")).alias("__sxx"),
+        F.sum(F.col("__xr") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.first("__x0").alias("x0"),
+        F.first("__x1").alias("__x1"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    slope = F.when(den > 0.0, num / den)
+    intercept = (sy - slope * sx) / n
+    r2_den = den * (n * syy - sy * sy)
+    r2 = F.when(r2_den > 0.0, (num * num) / r2_den)
+    return s.select(
+        *gcols,
+        "n",
+        "x0",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+        (
+            intercept
+            + slope * (F.col("__x1") - F.col("x0") + 1).cast("double")
+        ).alias("yhat_next"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str = "n",

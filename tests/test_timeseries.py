@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from bi_utils_spark.operators.timeseries import (
@@ -134,3 +135,70 @@ def test_mad_outliers_no_groups(spark):
     out = {r["bucket"]: r["is_outlier"] for r in
            mad_outliers(df, "v").collect()}
     assert out[5] is True and sum(out.values()) == 1
+
+
+def test_rolling_agg_trailing_window(spark):
+    from bi_utils_spark.operators.timeseries import rolling_agg
+
+    rows = [("a", i, (i + 1) * 10) for i in range(5)]
+    df = spark.createDataFrame(rows, ["g", "bucket", "n"])
+    out = {
+        r["bucket"]: r
+        for r in rolling_agg(
+            df, "bucket", ("g",), "n", window=3
+        ).collect()
+    }
+    # bucket 0: [10]; bucket 2: [10,20,30]; bucket 4: [30,40,50]
+    assert out[0]["n_roll_sum"] == 10
+    assert out[2]["n_roll_sum"] == 60
+    assert out[4]["n_roll_sum"] == 120
+    assert out[4]["n_roll_avg"] == pytest.approx(40.0)
+    assert out[4]["n_roll_min"] == 30 and out[4]["n_roll_max"] == 50
+
+
+def test_rolling_agg_groups_independent(spark):
+    from bi_utils_spark.operators.timeseries import rolling_agg
+
+    rows = [("a", 0, 1), ("a", 1, 2), ("b", 0, 100), ("b", 1, 200)]
+    df = spark.createDataFrame(rows, ["g", "bucket", "n"])
+    out = {
+        (r["g"], r["bucket"]): r["n_roll_sum"]
+        for r in rolling_agg(df, "bucket", ("g",), "n", 2).collect()
+    }
+    assert out[("a", 1)] == 3 and out[("b", 1)] == 300
+
+
+def test_linear_trend_exact_line(spark):
+    from bi_utils_spark.operators.timeseries import linear_trend
+
+    # y = 3x + 7 at x in 100..104 (offset exercises the rebase)
+    rows = [("a", 100 + i, 7 + 3 * (100 + i)) for i in range(5)]
+    df = spark.createDataFrame(rows, ["g", "bucket", "n"])
+    r = linear_trend(df, "bucket", "n", ("g",)).collect()[0]
+    assert r["x0"] == 100
+    assert r["slope"] == pytest.approx(3.0)
+    # intercept is the fitted value AT x0
+    assert r["intercept"] == pytest.approx(7 + 3 * 100)
+    assert r["r2"] == pytest.approx(1.0)
+    assert r["yhat_next"] == pytest.approx(7 + 3 * 105)
+
+
+def test_linear_trend_degenerate_groups(spark):
+    from bi_utils_spark.operators.timeseries import linear_trend
+
+    rows = [("one_point", 5, 10), ("const_y", 0, 4), ("const_y", 1, 4)]
+    df = spark.createDataFrame(rows, ["g", "bucket", "n"])
+    out = {r["g"]: r for r in linear_trend(df, "bucket", "n", ("g",)).collect()}
+    assert out["one_point"]["slope"] is None
+    assert out["const_y"]["slope"] == pytest.approx(0.0)
+    assert out["const_y"]["r2"] is None  # 0/0 variance explained
+
+
+def test_linear_trend_noisy_r2_below_one(spark):
+    from bi_utils_spark.operators.timeseries import linear_trend
+
+    rows = [("a", 0, 0), ("a", 1, 2), ("a", 2, 1), ("a", 3, 3)]
+    df = spark.createDataFrame(rows, ["g", "bucket", "n"])
+    r = linear_trend(df, "bucket", "n", ("g",)).collect()[0]
+    assert 0.0 < r["r2"] < 1.0
+    assert r["slope"] == pytest.approx(0.8)  # by hand: num=16? verify
