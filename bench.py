@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     # rolling stats + trend fit over the dense daily grid
     "q_rolling_daily",
     "q_trend_daily",
+    # compact-forward triangle counting on the doc_id graph
+    "q_triangles",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

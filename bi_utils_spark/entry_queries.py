@@ -7500,6 +7500,60 @@ def q_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_trend(series, "bucket", "n", ("event_type",))
 
 
+# ---------------------------------------------------------------------------
+# X81: triangle counting. The oracle enumerates (a<b<c) closed
+# triples over the canonical undirected edge set directly — the
+# degree-oriented compact-forward plan must produce identical
+# per-node counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_triangles",
+    f"""
+    WITH e0 AS ({_PR_EDGES_SQL}),
+    e AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e0 WHERE src <> dst
+    ),
+    t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    n AS (
+      SELECT x AS v FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t
+    ),
+    tc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS triangles
+           FROM n GROUP BY 1),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1
+    )
+    SELECT deg.v AS node, deg.degree,
+           COALESCE(tc.triangles, 0) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN 2.0 * CAST(COALESCE(tc.triangles, 0) AS DOUBLE)
+                   / (CAST(deg.degree AS DOUBLE)
+                      * (CAST(deg.degree AS DOUBLE) - 1.0))
+           END AS lcc
+    FROM deg LEFT JOIN tc ON deg.v = tc.v
+    """,
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (X81, r6) on the 21-node doc_id graph: compact-forward
+    degree-oriented wedges vs the oracle's direct (a<b<c)
+    enumeration."""
+    from bi_utils_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_pr_edges(spark, sf_dir), "src", "dst")
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -7561,6 +7615,7 @@ _PROMOTED: list[str] = [
     "q_fuzzy_pairs",
     "q_rolling_daily",
     "q_trend_daily",
+    "q_triangles",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -7576,9 +7631,9 @@ _PROMOTED: list[str] = [
     "q_phash_near_dup",
     "q_phash_dedup_clusters",
     # ---- tier 3: last official row is r2 (rotated out in r5;
-    # q_hourly_rollup yields its slot to the X79/X80 pair and moves
-    # to the head of the r7 re-attestation line) ----
-    "q_pack_conservation",
+    # q_hourly_rollup yielded its slot to X79/X80 and
+    # q_pack_conservation to X81 — both move to the head of the r7
+    # re-attestation line) ----
     "q_priority_with_shipment",
     # ---- tier 4: last official row is r3 (8 slots yielded to the
     # X60-X64 queries; the demoted eight — q_ann_topk, q_bm25_search,

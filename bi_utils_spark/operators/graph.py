@@ -257,3 +257,92 @@ def pagerank(
         F.col("rq").alias("rank_q"),
         (F.col("rq").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
     )
+
+
+def canonical_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected simple-graph normalization: (a, b) with a < b,
+    self-loops dropped, duplicates collapsed. Map-only + one
+    distinct shuffle."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    return (
+        edges.select(a, b).where(F.col("a") != F.col("b")).distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation + local clustering
+    coefficient (X81): ``(node, degree, triangles, lcc)`` with
+    lcc = 2·T(v) / (deg(v)·(deg(v)−1)), NULL for degree < 2.
+
+    Compact-forward enumeration (Latapy 2008 / the MapReduce
+    formulation of Suri & Vassilvitskii, WWW 2011): orient every
+    edge from the (degree, id)-smaller endpoint to the larger, so
+    each wedge is generated at its lowest-degree corner exactly
+    once and each triangle is found exactly once. Shuffle volume:
+    wedges = Σ outdeg(v)² where outdeg ≤ √(2m) by the orientation —
+    the O(m^{3/2}) bound that makes this feasible on web graphs
+    where a naive neighbor join explodes on hub nodes. Node ids and
+    counts only — never adjacency lists — cross a shuffle.
+    """
+    e = canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (degree, id): u -> w iff (deg_u, u) < (deg_w, w)
+    da = deg.select(
+        F.col("v").alias("a"), F.col("deg").alias("__da")
+    )
+    db = deg.select(
+        F.col("v").alias("b"), F.col("deg").alias("__db")
+    )
+    ed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("y"))
+    wedges = o1.join(o2, "u").where(F.col("x") < F.col("y"))
+    closing = e.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select(
+        F.col("u"), F.col("x"), F.col("y")
+    )
+    per_node = (
+        tris.select(F.col("u").alias("v"))
+        .unionAll(tris.select(F.col("x").alias("v")))
+        .unionAll(tris.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    d = F.col("deg").cast("double")
+    return (
+        deg.join(per_node, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce(
+                    F.col("triangles"), F.lit(0).cast("long")
+                ).cast("double")
+                / (d * (d - 1.0)),
+            ).alias("lcc"),
+        )
+    )

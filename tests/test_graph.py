@@ -198,3 +198,37 @@ def test_pagerank_repartition_invariant(spark):
     b = {r["node"]: r["rank_q"]
          for r in pagerank(df.repartition(13), n_iter=5).collect()}
     assert a == b == _pr_ref(edges, 5)
+
+
+def test_triangle_counts_known_graph(spark):
+    from bi_utils_spark.operators.graph import triangle_counts
+
+    # K4 on 1-4 (4 triangles, every node in 3) + pendant 5 + an
+    # isolated edge 6-7; duplicate/reversed/self-loop noise mixed in
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(4, 5), (6, 7), (2, 1), (3, 3), (1, 2)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r for r in triangle_counts(df).collect()}
+
+    for v in (1, 2, 3):
+        assert out[v]["triangles"] == 3 and out[v]["degree"] == 3
+        assert out[v]["lcc"] == pytest.approx(1.0)
+    # node 4 has degree 4 (K4 + pendant): 3 triangles of C(4,2)=6 pairs
+    assert out[4]["triangles"] == 3
+    assert out[4]["lcc"] == pytest.approx(0.5)
+    # pendant and isolated edge: no triangles, lcc NULL (degree 1)
+    assert out[5]["triangles"] == 0 and out[5]["lcc"] is None
+    assert out[6]["triangles"] == 0 and out[7]["triangles"] == 0
+    # global count = sum/3
+    assert sum(r["triangles"] for r in out.values()) == 4 * 3
+
+
+def test_triangle_counts_no_double_count_on_ties(spark):
+    from bi_utils_spark.operators.graph import triangle_counts
+
+    # single triangle, all degrees equal (orientation tie-break by id)
+    df = spark.createDataFrame(
+        [(10, 20), (20, 30), (10, 30)], ["src", "dst"]
+    )
+    out = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert out == {10: 1, 20: 1, 30: 1}
