@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "q_trend_daily",
     # compact-forward triangle counting on the doc_id graph
     "q_triangles",
+    # BPE train + encode end to end (vocab-cached merge fold)
+    "q_bpe_encode",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

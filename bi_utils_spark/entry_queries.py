@@ -6757,7 +6757,10 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_WORDS = ["abcd", "abce", "bcd", "acd", "abd", "bce", "ade", "ce"]
 
 
-def _bpe_replay_sql(n_merges: int) -> str:
+def _bpe_chain_sql(n_merges: int) -> str:
+    """WITH-chain replaying bpe_train's merge loop: v0 (spaced
+    chars) .. v{n} (state after n merges), t1..tn (the argmax pair
+    per step) — shared by the train and encode oracles."""
     words = ", ".join(
         f"('{w}', {i})" for i, w in enumerate(_BPE_WORDS)
     )
@@ -6791,12 +6794,20 @@ def _bpe_replay_sql(n_merges: int) -> str:
              c
       FROM {prev}
     )"""
+    return sql
+
+
+def _bpe_replay_sql(n_merges: int) -> str:
     selects = [
         f"SELECT {k} AS rank, pair, replace(pair, ' ', '') AS merged, "
         f"cnt FROM t{k}"
         for k in range(1, n_merges + 1)
     ]
-    return sql + "\n    " + "\n    UNION ALL ".join(selects)
+    return (
+        _bpe_chain_sql(n_merges)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
 
 
 @register("q_bpe_train", _bpe_replay_sql(4))
@@ -7554,6 +7565,86 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_pr_edges(spark, sf_dir), "src", "dst")
 
 
+# ---------------------------------------------------------------------------
+# X82: BPE encoding with the trained merges — the apply half of
+# X64. The oracle extends the same v0..v4 replay chain: the final
+# symbol state IS each word's encoding, so documents built from the
+# training vocab flatten their words' pieces in order.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_replay_sql(n_merges: int) -> str:
+    return (
+        _bpe_chain_sql(n_merges)
+        + f""",
+    enc AS (SELECT term, spaced FROM v{n_merges}),
+    d AS (
+      SELECT doc_id,
+             doc_id % 8 AS i1,
+             (doc_id + 3) % 8 AS i2,
+             (doc_id * 5) % 8 AS i3
+      FROM documents
+    )
+    SELECT d.doc_id,
+           replace(e1.spaced || ' ' || e2.spaced || ' ' || e3.spaced,
+                   ' ', '|') AS encoded,
+           CAST(len(string_split(e1.spaced, ' '))
+              + len(string_split(e2.spaced, ' '))
+              + len(string_split(e3.spaced, ' ')) AS INT)
+             AS n_bpe_tokens
+    FROM d
+    JOIN w w1 ON w1.i = d.i1 JOIN enc e1 ON e1.term = w1.term
+    JOIN w w2 ON w2.i = d.i2 JOIN enc e2 ON e2.term = w2.term
+    JOIN w w3 ON w3.i = d.i3 JOIN enc e3 ON e3.term = w3.term
+    """
+    )
+
+
+@register("q_bpe_encode", _bpe_encode_replay_sql(4))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding with trained BPE merges (X82, r6): train the
+    X64 four-merge model, then encode three-word documents drawn
+    from the training vocab by doc_id arithmetic. Every distinct
+    word folds through the merge chain once; occurrences join their
+    pieces back. The oracle replays training AND encoding as one
+    CTE chain."""
+    from bi_utils_spark.operators.lm import bpe_encode, bpe_train
+
+    dcnt = (
+        load(spark, sf_dir, "documents")
+        .groupBy((F.col("doc_id") % 8).alias("i"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    words = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(_BPE_WORDS)], "term string, i long"
+    )
+    model = words.join(dcnt, "i").select(
+        "term", (F.col("n") + (8 - F.col("i")) * 7).alias("c")
+    )
+    merges_df, _state = bpe_train(model, 4)
+    merges = [
+        tuple(r["pair"].split(" ", 1))
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    d = F.col("doc_id")
+    warr = F.array(*[F.lit(w) for w in _BPE_WORDS])
+    fixture = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.element_at(warr, (d % 8 + 1).cast("int")),
+            F.element_at(warr, ((d + 3) % 8 + 1).cast("int")),
+            F.element_at(warr, ((d * 5) % 8 + 1).cast("int")),
+        ).alias("text"),
+    )
+    enc = bpe_encode(fixture, "doc_id", "text", merges)
+    return enc.select(
+        "doc_id",
+        F.concat_ws("|", F.col("bpe_tokens")).alias("encoded"),
+        F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -7616,6 +7707,7 @@ _PROMOTED: list[str] = [
     "q_rolling_daily",
     "q_trend_daily",
     "q_triangles",
+    "q_bpe_encode",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -7631,10 +7723,9 @@ _PROMOTED: list[str] = [
     "q_phash_near_dup",
     "q_phash_dedup_clusters",
     # ---- tier 3: last official row is r2 (rotated out in r5;
-    # q_hourly_rollup yielded its slot to X79/X80 and
-    # q_pack_conservation to X81 — both move to the head of the r7
-    # re-attestation line) ----
-    "q_priority_with_shipment",
+    # q_hourly_rollup yielded its slot to X79/X80,
+    # q_pack_conservation to X81, q_priority_with_shipment to X82 —
+    # all three move to the head of the r7 re-attestation line) ----
     # ---- tier 4: last official row is r3 (8 slots yielded to the
     # X60-X64 queries; the demoted eight — q_ann_topk, q_bm25_search,
     # q_boilerplate_grams, q_centroids_by_label, q_chunk_documents,

@@ -557,3 +557,60 @@ def encode_tokens(
             F.coalesce(F.col("rank"), F.lit(0)).alias("token_id"),
         )
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode a corpus with a TRAINED merge list (X82) — the apply
+    half of :func:`bpe_train`: each whitespace word becomes its
+    spaced-character state, every merge replays in rank order with
+    the exact left-to-right :func:`_apply_merge` semantics, and the
+    document gets its subword sequence back in word order.
+
+    Output: (id, ``out_col`` array<string>, n_bpe_tokens).
+
+    Scale shape: the merge chain runs once per DISTINCT word — the
+    classic tokenizer cache — so the expensive fold work is bounded
+    by vocabulary size, not corpus size; occurrences get their
+    pieces by a broadcast join on the word. The merge list itself is
+    model-sized driver state (same contract as bpe_train's output).
+    The fold-expression chain grows linearly with ``len(merges)`` —
+    fine for the exact oracle-checkable form; a 32k-merge production
+    vocabulary would swap the chain for one Arrow ``mapInPandas``
+    over the SAME distinct-word table (identical join topology,
+    Python only touching |vocab| rows).
+    """
+    from bi_utils_spark.operators.textstats import tokens
+
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__w"),
+    ).where(F.col("__w") != "")
+    vocab = words.select("__w").distinct()
+    spaced = _spaced_symbols("__w")
+    for a, b in merges:
+        spaced = _apply_merge(spaced, a, b)
+    encoded = vocab.select(
+        "__w", F.split(spaced, " ", -1).alias("__pieces")
+    )
+    joined = words.join(F.broadcast(encoded), "__w")
+    per_doc = joined.groupBy("__id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__pieces"))
+                ),
+                lambda s: s["__pieces"],
+            )
+        ).alias(out_col)
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        out_col,
+        F.size(out_col).alias("n_bpe_tokens"),
+    )

@@ -465,3 +465,46 @@ def test_bpe_train_exhausts_and_checkpoints(spark):
     got_m, got_v = _run_bpe(spark, vocab, 10, checkpoint_every=1)
     assert got_m == exp_m and len(got_m) == 2
     assert got_v == {"ab": "ab", "cd": "cd"}
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from bi_utils_spark.operators.lm import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer low")], ["id", "text"]
+    )
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    out = {r["id"]: r for r in bpe_encode(df, "id", "text", merges).collect()}
+    assert out[1]["bpe_tokens"] == ["low", "low", "er", "low", "e", "s", "t"]
+    assert out[2]["bpe_tokens"] == ["n", "e", "w", "n", "e", "w", "er", "low"]
+    assert out[1]["n_bpe_tokens"] == 7
+
+
+def test_bpe_encode_train_roundtrip(spark):
+    """Encoding the training vocab with its own merges reproduces
+    bpe_train's final symbol state."""
+    from bi_utils_spark.operators.lm import bpe_encode, bpe_train
+
+    model = spark.createDataFrame(
+        [("abab", 10), ("abc", 5), ("bc", 3)], ["term", "c"]
+    )
+    merges_df, state = bpe_train(model, 3)
+    merges = [
+        tuple(r["pair"].split(" ", 1))
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    docs = model.select(F.col("term").alias("id"), F.col("term").alias("text"))
+    enc = {
+        r["id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, "id", "text", merges).collect()
+    }
+    final = {r["term"]: r["spaced"].split(" ") for r in state.collect()}
+    assert enc == final
+
+
+def test_bpe_encode_oov_words_stay_character_level(spark):
+    from bi_utils_spark.operators.lm import bpe_encode
+
+    df = spark.createDataFrame([(1, "zzq")], ["id", "text"])
+    out = bpe_encode(df, "id", "text", [("a", "b")]).collect()[0]
+    assert out["bpe_tokens"] == ["z", "z", "q"]
