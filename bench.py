@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "q_triangles",
     # BPE train + encode end to end (vocab-cached merge fold)
     "q_bpe_encode",
+    # entity resolution: fuzzy match -> CC -> golden-record fold
+    "q_golden_record",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

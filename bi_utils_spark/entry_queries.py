@@ -7645,6 +7645,121 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X83: golden-record survivorship. The oracle recomputes the truth
+# pair set exhaustively, closes it into clusters with a recursive
+# CTE (the q_dedup_clusters pattern), and replays each field's
+# latest-non-null pick with an ordered window.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_FIXTURE_SQL = """
+      SELECT doc_id AS id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS name,
+             'seg' || CAST(doc_id % 4 AS VARCHAR) AS segment,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE doc_id * 10 END AS balance,
+             doc_id % 97 AS updated
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) || 'z' ||
+             substr(md5(CAST(doc_id AS VARCHAR)), 5, 8),
+             NULL,
+             doc_id * 10 + 5,
+             doc_id % 97 + 100
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "q_golden_record",
+    f"""
+    WITH RECURSIVE f AS ({_GOLDEN_FIXTURE_SQL}),
+    jp AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM f a JOIN f b ON a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    cl AS (
+      SELECT f.*, COALESCE(c.component, f.id) AS cluster
+      FROM f LEFT JOIN comp c ON f.id = c.node
+    ),
+    pn AS (SELECT cluster, name, ROW_NUMBER() OVER
+             (PARTITION BY cluster ORDER BY updated DESC, id DESC) rn
+           FROM cl WHERE name IS NOT NULL),
+    ps AS (SELECT cluster, segment, ROW_NUMBER() OVER
+             (PARTITION BY cluster ORDER BY updated DESC, id DESC) rn
+           FROM cl WHERE segment IS NOT NULL),
+    pb AS (SELECT cluster, balance, ROW_NUMBER() OVER
+             (PARTITION BY cluster ORDER BY updated DESC, id DESC) rn
+           FROM cl WHERE balance IS NOT NULL),
+    agg AS (
+      SELECT cluster, MIN(id) AS canonical_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             MAX(updated) AS last_updated
+      FROM cl GROUP BY 1
+    )
+    SELECT a.cluster, a.canonical_id, a.n_members, a.last_updated,
+           pn.name, ps.segment, pb.balance
+    FROM agg a
+    LEFT JOIN (SELECT cluster, name FROM pn WHERE rn = 1) pn
+      ON a.cluster = pn.cluster
+    LEFT JOIN (SELECT cluster, segment FROM ps WHERE rn = 1) ps
+      ON a.cluster = ps.cluster
+    LEFT JOIN (SELECT cluster, balance FROM pb WHERE rn = 1) pb
+      ON a.cluster = pb.cluster
+    """,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (X83, r6) over the dirty
+    registry: blocked fuzzy match → CC clusters → one golden row per
+    cluster with latest-non-null survivorship. Typo twins carry a
+    newer timestamp but a NULL segment, so the golden row mixes the
+    twin's name/balance with the base row's segment — both the
+    never-overwrite rule and the recency rule are load-bearing."""
+    from bi_utils_spark.operators.fuzzy import resolve_entities
+
+    d = F.col("doc_id")
+    h = F.md5(d.cast("string"))
+    base = load(spark, sf_dir, "documents").select(
+        d.alias("id"),
+        h.substr(1, 12).alias("name"),
+        F.concat(F.lit("seg"), (d % 4).cast("string")).alias("segment"),
+        F.when(d % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(d * 10)
+        .alias("balance"),
+        (d % 97).alias("updated"),
+    )
+    variants = (
+        load(spark, sf_dir, "documents")
+        .where(d % 5 == 0)
+        .select(
+            (d + 100000).alias("id"),
+            F.concat(h.substr(1, 3), F.lit("z"), h.substr(5, 8)).alias(
+                "name"
+            ),
+            F.lit(None).cast("string").alias("segment"),
+            (d * 10 + 5).alias("balance"),
+            (d % 97 + 100).alias("updated"),
+        )
+    )
+    fixture = base.unionByName(variants)
+    return resolve_entities(
+        fixture, "id", "name", "updated",
+        ["name", "segment", "balance"],
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -7708,6 +7823,7 @@ _PROMOTED: list[str] = [
     "q_trend_daily",
     "q_triangles",
     "q_bpe_encode",
+    "q_golden_record",
     # ---- tier 2: r6-changed implementations ----
     # weburl.py: IP-literal hosts, fragment-query anchor, trailing dot
     "q_url_normalize",
@@ -7741,12 +7857,13 @@ _PROMOTED: list[str] = [
     # are r6-untouched and q_head_coverage's lm.py surface
     # (term_ranks) predates the r6 bpe_train addition; their
     # official rows stand.)
-    # (q_encode_tokens / q_oov_rate yield to the X76 histograms:
-    # their implementations — encode_tokens, oov surface — are
-    # untouched by r6's lm.py additions (bpe_train is NEW code in
-    # the same file); q_bpe_top_pairs stays because bpe_train builds
-    # directly on the pair-count implementation it attests.)
-    "q_bpe_top_pairs",
+    # (q_encode_tokens / q_oov_rate yielded to the X76 histograms
+    # and q_bpe_top_pairs to X83: their implementations —
+    # encode_tokens, oov surface, bpe_pair_counts (bpe_train builds
+    # its pair expression inline, not on it) — are untouched by
+    # r6's lm.py additions. With that, the window is exactly the 40
+    # r6-new queries + the 10 r6-changed-implementation
+    # re-attestations.)
     # (three more slots yielded to X68-X70: q_knn_join, q_lang_id,
     # q_pii_audit — r3-green, modules untouched in r6.
     # q_minhash_near_dup yields to X77 unpivot: r6's dedup.py

@@ -119,3 +119,63 @@ def test_no_cartesian_in_plan(registry):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_golden_records_survivorship(spark):
+    from bi_utils_spark.operators.fuzzy import golden_records
+
+    rows = [
+        # cluster 1: newest row has NULL segment -> falls back to older
+        (1, 1, 10, "alpha-corp", "retail", 100),
+        (2, 1, 20, "alpha-corq", None, 200),
+        # singleton cluster
+        (5, 5, 7, "solo", "web", None),
+    ]
+    df = spark.createDataFrame(
+        rows, ["id", "cluster", "updated", "name", "segment", "balance"]
+    )
+    out = {
+        r["cluster"]: r
+        for r in golden_records(
+            df, "id", "cluster", "updated", ["name", "segment", "balance"]
+        ).collect()
+    }
+    g = out[1]
+    assert g["canonical_id"] == 1 and g["n_members"] == 2
+    assert g["name"] == "alpha-corq"      # newest wins
+    assert g["segment"] == "retail"       # null never overwrites
+    assert g["balance"] == 200
+    assert g["last_updated"] == 20
+    s = out[5]
+    assert s["canonical_id"] == 5 and s["balance"] is None
+
+
+def test_golden_records_tiebreak_by_id(spark):
+    from bi_utils_spark.operators.fuzzy import golden_records
+
+    rows = [(1, 1, 10, "a"), (2, 1, 10, "b")]  # same updated
+    df = spark.createDataFrame(rows, ["id", "cluster", "updated", "name"])
+    out = golden_records(df, "id", "cluster", "updated", ["name"]).collect()[0]
+    assert out["name"] == "b"  # (order, id) lexicographic max
+
+
+def test_resolve_entities_end_to_end(spark):
+    from bi_utils_spark.operators.fuzzy import resolve_entities
+
+    rows = [
+        (1, "acme-industries", 1, "old"),
+        (2, "acme-industrees", 2, None),    # matches 1
+        (3, "zenith-labs", 1, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "updated", "note"])
+    out = {
+        r["cluster"]: r
+        for r in resolve_entities(
+            df, "id", "name", "updated", ["name", "note"]
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_members"] == 2
+    assert out[1]["name"] == "acme-industrees"  # newer spelling wins
+    assert out[1]["note"] == "old"              # null never overwrites
+    assert out[3]["n_members"] == 1
