@@ -61,7 +61,11 @@ def equi_width_histogram(
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(num_bins))
     raw = F.floor((x - F.col("__lo")) / width)
-    bin_ = F.least(raw, F.lit(num_bins - 1)).cast("long")
+    # constant column (hi == lo): width 0 would make every row NaN —
+    # all mass belongs in bin 0
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(raw, F.lit(num_bins - 1))
+    ).cast("long")
     counts = (
         with_b.withColumn("__bin", bin_)
         .groupBy("__bin")

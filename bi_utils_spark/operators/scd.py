@@ -114,9 +114,19 @@ def scd2_apply(
                 "is_current"]
     closed = dim.where(~F.col("is_current"))
     cur = dim.where(F.col("is_current")).alias("c")
-    upd = updates.select(
-        *key_cols, *tracked_cols
-    ).dropDuplicates(key_cols).alias("u")
+    # one row per key, deterministically (dropDuplicates would pick
+    # an arbitrary survivor under repartitioning): lexicographic
+    # struct max over the tracked attributes
+    upd = (
+        updates.groupBy(*key_cols)
+        .agg(
+            F.max(
+                F.struct(*[F.col(c).alias(c) for c in tracked_cols])
+            ).alias("__t")
+        )
+        .select(*key_cols, *[F.col(f"__t.{c}").alias(c) for c in tracked_cols])
+        .alias("u")
+    )
     on = F.lit(True)
     for c in key_cols:
         on = on & (F.col(f"c.{c}") == F.col(f"u.{c}"))

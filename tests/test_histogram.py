@@ -91,3 +91,9 @@ def test_depth_no_corpus_window(spark, nums):
     assert "Window" in plan
     # the aggregation (distinct values) sits below the window
     assert plan.index("Window") < plan.index("Scan ExistingRDD")
+
+
+def test_width_constant_column(spark):
+    df = spark.createDataFrame([(7.0,)] * 5, ["v"])
+    h = {r["bin"]: r["n"] for r in equi_width_histogram(df, "v", 4).collect()}
+    assert h[0] == 5 and h[1] == h[2] == h[3] == 0

@@ -142,3 +142,15 @@ def test_apply_equals_rebuilt_history(spark, history):
     assert sorted(map(tuple, applied.collect()), key=key) == sorted(
         map(tuple, rebuilt.collect()), key=key
     )
+
+
+def test_apply_duplicate_update_rows_deterministic(spark, history):
+    """Two update rows for one key resolve by lexicographic struct
+    max — stable under repartitioning, not arrival order."""
+    dim = scd2_from_history(history, ["k"], ["attr"], "ts")
+    updates = spark.createDataFrame(
+        [(1, "M"), (1, "Z"), (1, "A")], ["k", "attr"]
+    )
+    out = scd2_apply(dim, updates, ["k"], ["attr"], _ts(9))
+    cur = out.where("is_current AND k = 1").collect()
+    assert len(cur) == 1 and cur[0]["attr"] == "Z"
