@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "q_scd2_apply",
     # declarative data-quality constraint report (shared-pass agg)
     "q_dq_report",
+    # wide->long melt of per-status metrics
+    "q_unpivot_metrics",
     # histograms: equi-width grid + equi-depth over the 60k-row CDF
     "q_hist_width",
     "q_hist_depth",

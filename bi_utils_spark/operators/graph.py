@@ -289,10 +289,14 @@ def triangle_counts(
     where a naive neighbor join explodes on hub nodes. Node ids and
     counts only — never adjacency lists — cross a shuffle.
     """
-    e = canonical_edges(edges, src, dst)
+    # the edge set is reused four times (degrees, orientation,
+    # closure probe, coefficient join) — cut the lineage once so the
+    # distinct is not recomputed per consumer
+    e = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
+        e.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("v")
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -320,10 +324,14 @@ def triangle_counts(
     tris = wedges.join(closing, ["x", "y"]).select(
         F.col("u"), F.col("x"), F.col("y")
     )
+    # one generator projection credits all three corners — the
+    # triangle join runs ONCE, not three times
     per_node = (
-        tris.select(F.col("u").alias("v"))
-        .unionAll(tris.select(F.col("x").alias("v")))
-        .unionAll(tris.select(F.col("y").alias("v")))
+        tris.select(
+            F.explode(
+                F.array(F.col("u"), F.col("x"), F.col("y"))
+            ).alias("v")
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
