@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "q_bpe_encode",
     # entity resolution: fuzzy match -> CC -> golden-record fold
     "q_golden_record",
+    # CDC net-effect fold (arg-max aggregation, no window)
+    "q_cdc_apply",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

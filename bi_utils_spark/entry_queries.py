@@ -7760,6 +7760,52 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X84: CDC net-effect apply. The op log derives bijectively from
+# o_orderkey (key = okey mod 2000, ordinal = okey div 2000 — no
+# ordinal ties by construction), deletes planted on okey%17=0; the
+# oracle replays the fold as a ROW_NUMBER arg-max.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cdc_apply",
+    """
+    WITH log AS (
+      SELECT o_orderkey % 2000 AS k,
+             o_orderkey // 2000 AS ord,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    w AS (
+      SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY k ORDER BY ord DESC) AS rn
+      FROM log
+    )
+    SELECT k, price, status, CAST(ord AS BIGINT) AS ord
+    FROM w WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC fold to final state (X84, r6): 15000 I/U/D changes over
+    2000 keys — highest ordinal wins, keys whose last change is a
+    delete disappear. One arg-max aggregation; the oracle replays it
+    with a window."""
+    from bi_utils_spark.operators.cdc import apply_cdc
+
+    k = F.col("o_orderkey")
+    log = load(spark, sf_dir, "orders").select(
+        (k % 2000).alias("k"),
+        F.expr("o_orderkey div 2000").alias("ord"),
+        F.when(k % 17 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return apply_cdc(log, ["k"], ["price", "status"])
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
@@ -7863,7 +7909,9 @@ _PROMOTED: list[str] = [
     # its pair expression inline, not on it) — are untouched by
     # r6's lm.py additions. With that, the window is exactly the 40
     # r6-new queries + the 10 r6-changed-implementation
-    # re-attestations.)
+    # re-attestations.) Queries registered after the window filled
+    # (q_cdc_apply onward) are locally sweep-verified and first in
+    # line for the r7 window.
     # (three more slots yielded to X68-X70: q_knn_join, q_lang_id,
     # q_pii_audit — r3-green, modules untouched in r6.
     # q_minhash_near_dup yields to X77 unpivot: r6's dedup.py
