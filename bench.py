@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "q_golden_record",
     # CDC net-effect fold (arg-max aggregation, no window)
     "q_cdc_apply",
+    # first/last/linear attribution over user timelines
+    "q_attribution",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

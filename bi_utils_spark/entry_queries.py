@@ -7806,6 +7806,83 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc(log, ["k"], ["price", "status"])
 
 
+# ---------------------------------------------------------------------------
+# X85: attribution. Credits are exact integers (counts; linear
+# shares quantized 1e7 div k and summed as BIGINTs), so the oracle
+# replays all three position models with the same windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution",
+    """
+    WITH src AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE user_id % 7 = 0
+    ),
+    o AS (
+      SELECT *,
+        CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END
+          AS is_t,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_c
+      FROM src
+    ),
+    w AS (
+      SELECT *,
+        SUM(is_t) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS rc,
+        first_value(CASE WHEN is_t = 1 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS first_tid,
+        last_value(CASE WHEN is_t = 1 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS last_tid
+      FROM o
+    ),
+    lin AS (
+      SELECT *,
+        SUM(CASE WHEN is_c = 1 AND rc > 0
+                 THEN 10000000 // rc ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ROWS UNBOUNDED PRECEDING) AS lq
+      FROM w
+    ),
+    convs AS (SELECT * FROM w WHERE is_c = 1 AND rc > 0),
+    fc AS (SELECT first_tid AS event_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_first
+           FROM convs GROUP BY 1),
+    lc AS (SELECT last_tid AS event_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_last
+           FROM convs GROUP BY 1)
+    SELECT t.event_id, t.user_id, epoch_us(t.ts) AS ts_us,
+           COALESCE(fc.n_first, 0) AS n_first,
+           COALESCE(lc.n_last, 0) AS n_last,
+           CAST(t.lq AS DOUBLE) / 10000000 AS linear_credit
+    FROM lin t
+    LEFT JOIN fc ON t.event_id = fc.event_id
+    LEFT JOIN lc ON t.event_id = lc.event_id
+    WHERE t.is_t = 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-touch attribution credits (X85, r6) on the raw event
+    timelines (user_id % 7 slice): first/last counts and fixed-point
+    linear shares across each user's purchases."""
+    from bi_utils_spark.operators.attribution import attribute_touches
+
+    src = load(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    out = attribute_touches(src, ("purchase",), ("click", "view"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "n_first",
+        "n_last",
+        "linear_credit",
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
