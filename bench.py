@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "q_cdc_apply",
     # first/last/linear attribution over user timelines
     "q_attribution",
+    # top session-opening paths (gap sessions, ordered truncation)
+    "q_session_paths",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -7883,6 +7883,55 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X86: session paths. The oracle rebuilds sessions with the
+# q_sessionize windows and the path with an ordered list aggregate
+# sliced to k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_session_paths",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid,
+             ts
+      FROM g
+    ),
+    p AS (
+      SELECT user_id, sid,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:3],
+               '>') AS path
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening paths (X86, r6): 30-minute gap
+    sessions, first 3 event types joined by '>' — counts and
+    ordering replayed by the oracle's ordered list aggregate."""
+    from bi_utils_spark.operators.events import top_session_paths
+
+    return top_session_paths(
+        load(spark, sf_dir, "events"), n=20, gap_sec=1800, k=3
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

@@ -240,3 +240,82 @@ def event_transitions(
         "prob",
         F.col("n").cast("double") / F.sum("n").over(tot).cast("double"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-session navigation path (X86): the first ``k`` event
+    types of each gap-delimited session joined by '>' —
+    ``(user, session_id, path, n_events)``.
+
+    One user-keyed window pass for session ids (the q_sessionize
+    construction), one groupBy collecting at most each session's own
+    events; the path truncates to k AFTER an in-group array sort, so
+    ordering is exact under any partitioning. Session arrays are
+    bounded by user activity — a 10⁶-event "user" is bot traffic for
+    the DQ tier, not a path report.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.col(ts_col).cast("long") - F.lag(
+        F.col(ts_col).cast("long")
+    ).over(w)
+    s = events.withColumn(
+        "__new",
+        F.when(gap.isNull() | (gap > gap_sec), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "session_id",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return s.groupBy(user_col, "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("t"),
+                                F.col(id_col).alias("i"),
+                                F.col(type_col).alias("e"),
+                            )
+                        )
+                    ),
+                    lambda x: x["e"],
+                ),
+                1,
+                k,
+            ),
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def top_session_paths(
+    events: DataFrame,
+    n: int = 20,
+    gap_sec: int = 1800,
+    k: int = 3,
+    **kwargs,
+) -> DataFrame:
+    """Top-n session-opening paths by frequency — ties broken by
+    path text; TakeOrdered, no full sort."""
+    paths = session_paths(events, gap_sec=gap_sec, k=k, **kwargs)
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return counts.orderBy(
+        F.desc("n_sessions"), F.asc("path")
+    ).limit(n)

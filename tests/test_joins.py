@@ -244,3 +244,47 @@ def test_event_transitions_probabilities(spark):
     assert got[("b", "a")] == (1, 1.0)
     # no cross-user transition (user 1 'a' -> user 2 'a' must not appear)
     assert ("a", "a") not in got
+
+
+def test_session_paths_order_and_truncation(spark):
+    import datetime as dt
+    from bi_utils_spark.operators.events import (
+        session_paths,
+        top_session_paths,
+    )
+    from pyspark.sql import functions as F
+
+    def t(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1 session A: view > click > purchase > view (truncates to 3)
+        (1, 1, t(0), "view"),
+        (2, 1, t(1), "click"),
+        (3, 1, t(2), "purchase"),
+        (4, 1, t(3), "view"),
+        # user 1 session B after a 2h gap: single event
+        (5, 1, t(150), "view"),
+        # user 2: same opening path as user 1 session A
+        (6, 2, t(0), "view"),
+        (7, 2, t(1), "click"),
+        (8, 2, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    paths = {
+        (r["user_id"], r["session_id"]): (r["path"], r["n_events"])
+        for r in session_paths(df, gap_sec=1800, k=3).collect()
+    }
+    assert paths[(1, 1)] == ("view>click>purchase", 4)
+    assert paths[(1, 2)] == ("view", 1)
+    assert paths[(2, 1)] == ("view>click>purchase", 3)
+
+    top = top_session_paths(df, n=5, gap_sec=1800, k=3).collect()
+    assert (top[0]["path"], top[0]["n_sessions"]) == ("view>click>purchase", 2)
+    # truncation respects (ts, id) order under adversarial partitioning
+    shuffled = df.repartition(7)
+    again = {
+        (r["user_id"], r["session_id"]): r["path"]
+        for r in session_paths(shuffled, gap_sec=1800, k=3).collect()
+    }
+    assert again[(1, 1)] == "view>click>purchase"
