@@ -154,6 +154,9 @@ BENCH_QUERIES = [
     "q_attribution",
     # top session-opening paths (gap sessions, ordered truncation)
     "q_session_paths",
+    # A/B readouts: Welch + two-proportion z from exact moments
+    "q_ab_welch",
+    "q_ab_proportion",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

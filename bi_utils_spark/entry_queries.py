@@ -7932,6 +7932,122 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X87: A/B readouts. Quantized Σv/Σv² are exact HUGEINT/DECIMAL
+# integers, so the oracle replays the entire Welch/proportion
+# arithmetic as the same double-op sequence — bit-stable
+# significance.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ab_welch",
+    """
+    WITH f AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END AS grp,
+             CASE WHEN user_id % 2 = 0 THEN value
+                  ELSE value * 1.1 END AS v
+      FROM events
+    ),
+    q AS (SELECT grp, CAST(FLOOR(v * 1000000) AS HUGEINT) AS vq FROM f),
+    m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(vq) AS s1, SUM(vq * vq) AS s2
+          FROM q GROUP BY 1),
+    c AS (SELECT n AS n_c, CAST(s1 AS DOUBLE) AS c1,
+                 CAST(s2 AS DOUBLE) AS c2 FROM m WHERE grp = 'c'),
+    t AS (SELECT n AS n_t, CAST(s1 AS DOUBLE) AS t1,
+                 CAST(s2 AS DOUBLE) AS t2 FROM m WHERE grp = 't'),
+    j AS (SELECT * FROM c CROSS JOIN t),
+    d AS (
+      SELECT n_c, n_t,
+        c1 / CAST(n_c AS DOUBLE) / 1000000 AS mean_c,
+        t1 / CAST(n_t AS DOUBLE) / 1000000 AS mean_t,
+        ((c2 - c1 * c1 / CAST(n_c AS DOUBLE))
+          / (CAST(n_c AS DOUBLE) - 1.0)) / 1000000000000 AS var_c,
+        ((t2 - t1 * t1 / CAST(n_t AS DOUBLE))
+          / (CAST(n_t AS DOUBLE) - 1.0)) / 1000000000000 AS var_t
+      FROM j
+    )
+    SELECT n_c, n_t, mean_c, mean_t,
+           (mean_t - mean_c) / mean_c AS lift,
+           (mean_t - mean_c) / sqrt(var_t / CAST(n_t AS DOUBLE)
+                                  + var_c / CAST(n_c AS DOUBLE)) AS z,
+           CAST(ABS((mean_t - mean_c)
+                / sqrt(var_t / CAST(n_t AS DOUBLE)
+                     + var_c / CAST(n_c AS DOUBLE)))
+                > 1.959963984540054 AS INT) AS significant
+    FROM d
+    """,
+)
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch z readout (X87, r6) on a planted experiment: treatment
+    (odd users) carries a 10% metric uplift. Every moment exact;
+    the oracle replays the identical double-op sequence."""
+    from bi_utils_spark.operators.abtest import welch_test
+
+    u = F.col("user_id")
+    f = load(spark, sf_dir, "events").select(
+        F.when(u % 2 == 0, F.lit("c")).otherwise(F.lit("t")).alias(
+            "grp"
+        ),
+        F.when(u % 2 == 0, F.col("value"))
+        .otherwise(F.col("value") * 1.1)
+        .alias("v"),
+    )
+    return welch_test(f, "grp", "v", "c", "t")
+
+
+@register(
+    "q_ab_proportion",
+    """
+    WITH f AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END AS grp,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok
+      FROM events
+    ),
+    m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(ok) AS BIGINT) AS x
+          FROM f GROUP BY 1),
+    c AS (SELECT n AS n_c, x AS conv_c FROM m WHERE grp = 'c'),
+    t AS (SELECT n AS n_t, x AS conv_t FROM m WHERE grp = 't'),
+    j AS (SELECT * FROM c CROSS JOIN t),
+    d AS (
+      SELECT n_c, n_t, conv_c, conv_t,
+        CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS rate_c,
+        CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS rate_t,
+        CAST(conv_c + conv_t AS DOUBLE)
+          / (CAST(n_c AS DOUBLE) + CAST(n_t AS DOUBLE)) AS pool
+      FROM j
+    )
+    SELECT n_c, n_t, conv_c, conv_t, rate_c, rate_t,
+           (rate_t - rate_c) / rate_c AS lift,
+           (rate_t - rate_c)
+             / sqrt(pool * (1.0 - pool)
+                    * (1.0 / CAST(n_c AS DOUBLE)
+                       + 1.0 / CAST(n_t AS DOUBLE))) AS z,
+           CAST(ABS((rate_t - rate_c)
+                / sqrt(pool * (1.0 - pool)
+                       * (1.0 / CAST(n_c AS DOUBLE)
+                          + 1.0 / CAST(n_t AS DOUBLE))))
+                > 1.959963984540054 AS INT) AS significant
+    FROM d
+    """,
+)
+def q_ab_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z readout (X87, r6): purchase conversion by
+    user parity — four exact counts in, the full decision row out."""
+    from bi_utils_spark.operators.abtest import proportion_test
+
+    u = F.col("user_id")
+    f = load(spark, sf_dir, "events").select(
+        F.when(u % 2 == 0, F.lit("c")).otherwise(F.lit("t")).alias(
+            "grp"
+        ),
+        (F.col("event_type") == "purchase").alias("ok"),
+    )
+    return proportion_test(f, "grp", F.col("ok"), "c", "t")
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
