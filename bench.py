@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     # A/B readouts: Welch + two-proportion z from exact moments
     "q_ab_welch",
     "q_ab_proportion",
+    # fixed-round label propagation communities
+    "q_label_propagation",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

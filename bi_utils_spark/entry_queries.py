@@ -8048,6 +8048,60 @@ def q_ab_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proportion_test(f, "grp", F.col("ok"), "c", "t")
 
 
+# ---------------------------------------------------------------------------
+# X88: label propagation. Fixed-round synchronous LPA with
+# (count desc, label asc) tie-breaks is pure integer logic, so the
+# oracle replays every round as a chained CTE over the PR edge
+# fixture.
+# ---------------------------------------------------------------------------
+
+
+def _lpa_replay_sql(n_iter: int) -> str:
+    sql = f"""
+    WITH e0 AS ({_PR_EDGES_SQL}),
+    e AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e0 WHERE src <> dst
+    ),
+    sym AS (
+      SELECT a AS s, b AS d FROM e
+      UNION ALL SELECT b, a FROM e
+    ),
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym)"""
+    for i in range(1, n_iter + 1):
+        prev = f"l{i - 1}"
+        sql += f""",
+    c{i} AS (
+      SELECT sym.d AS node, l.label, COUNT(*) AS c
+      FROM sym JOIN {prev} l ON sym.s = l.node
+      GROUP BY 1, 2
+    ),
+    p{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label, ROW_NUMBER() OVER
+          (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT l.node, COALESCE(p.label, l.label) AS label
+      FROM {prev} l LEFT JOIN p{i} p ON l.node = p.node
+    )"""
+    return sql + f"\n    SELECT node, label FROM l{n_iter}"
+
+
+@register("q_label_propagation", _lpa_replay_sql(3))
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three LPA rounds on the 21-node doc_id graph (X88, r6):
+    majority labels with smallest-label ties, every round replayed
+    by the oracle's CTE chain."""
+    from bi_utils_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _pr_edges(spark, sf_dir), n_iter=3, src="src", dst="dst"
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

@@ -354,3 +354,64 @@ def triangle_counts(
             ).alias("lcc"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation communities (X88), made
+    deterministic: labels start as node ids; each round every node
+    adopts the most frequent label among its neighbors, ties broken
+    by the SMALLEST label; isolated-in-round nodes keep theirs.
+    Fixed ``n_iter`` rounds (no data-dependent stopping), so the
+    whole run replays as a CTE chain — the pagerank discipline.
+
+    Per round: one edge-label join + one (node, label) count + one
+    per-node arg-min/max — all keyed shuffles, no broadcasts of
+    corpus-sized state; ``localCheckpoint`` bounds lineage. Returns
+    (node, label).
+    """
+    e = canonical_edges(edges, src, dst).localCheckpoint(eager=False)
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("s"), F.col("b").alias("d"))
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(n_iter):
+        cnt = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("s"), "label"
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # arg-max by (count desc, label asc) without a window: max
+        # over struct(c, -label) — exact, one aggregation
+        pick = cnt.groupBy("node").agg(
+            F.max(
+                F.struct(
+                    F.col("c").alias("c"),
+                    (-F.col("label")).alias("nl"),
+                )
+            ).alias("__m")
+        ).select("node", (-F.col("__m.nl")).alias("__new"))
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -232,3 +232,43 @@ def test_triangle_counts_no_double_count_on_ties(spark):
     )
     out = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
     assert out == {10: 1, 20: 1, 30: 1}
+
+
+def test_label_propagation_two_communities(spark):
+    from bi_utils_spark.operators.graph import label_propagation
+
+    # K4 on 1-4 and K4 on 11-14, joined by a single bridge 4-11
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [
+        (a, b) for a in range(11, 15) for b in range(11, 15) if a < b
+    ]
+    edges += [(4, 11)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=4).collect()
+    }
+    # dense cliques converge to their min id; the bridge does not
+    # merge them (each side's majority is internal)
+    assert {out[v] for v in (1, 2, 3)} == {1}
+    assert {out[v] for v in (12, 13, 14)} == {11}
+
+
+def test_label_propagation_deterministic_ties(spark):
+    from bi_utils_spark.operators.graph import label_propagation
+
+    # path 1-2-3: node 2 sees labels {1, 3} equally -> min (1) wins
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=1).collect()
+    }
+    assert out[2] == 1
+    # and the run is repartition-stable
+    out2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            df.repartition(5), n_iter=1
+        ).collect()
+    }
+    assert out == out2
