@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "q_ab_proportion",
     # fixed-round label propagation communities
     "q_label_propagation",
+    # DDSketch quantile rollups with alpha-bound attestation
+    "q_quantile_sketch",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

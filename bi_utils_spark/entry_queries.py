@@ -8102,6 +8102,93 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X89: mergeable quantile sketches. Bound-checking oracle (the
+# q_hll_daily_users pattern): the exact rank quantile is
+# cross-engine ground truth via the distinct-value CDF; the
+# DDSketch estimate must land within α — pinned as an integer flag.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_quantile_sketch",
+    """
+    WITH v AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS val,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT flag, SUM(c) AS n FROM v GROUP BY 1),
+    cdf AS (
+      SELECT flag, val,
+             SUM(c) OVER (PARTITION BY flag ORDER BY val
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM v
+    ),
+    x AS (
+      SELECT c.flag, q.q, MIN(c.val) AS exact_q
+      FROM cdf c
+      JOIN tot t ON c.flag = t.flag
+      JOIN (VALUES (0.5), (0.95)) q(q) ON c.cum >= CEIL(q.q * t.n)
+      GROUP BY 1, 2
+    )
+    SELECT flag, q, exact_q, 1 AS within_alpha FROM x
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag p50/p95 price from daily-mergeable DDSketch
+    log buckets (X89, r6): exact rank quantiles are the
+    cross-engine truth; the sketch estimates (deterministic given
+    the data) must land within α = 1% — attested as flags the
+    oracle hashes."""
+    from pyspark.sql import Window
+
+    from bi_utils_spark.operators.quantile_sketch import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+
+    alpha = 0.01
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("val"),
+    )
+    sk = qsketch_build(li, "val", ("flag",), alpha)
+    est = qsketch_quantiles(sk, (0.5, 0.95), ("flag",), alpha)
+    # exact rank quantile over the distinct-value CDF (bounded by
+    # the value domain; partitioned window)
+    v = li.groupBy("flag", "val").agg(F.count(F.lit(1)).alias("c"))
+    tot = v.groupBy("flag").agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = v.withColumn("cum", F.sum("c").over(w)).join(
+        F.broadcast(tot), "flag"
+    )
+    qs = spark.createDataFrame([(0.5,), (0.95,)], ["q"])
+    exact = (
+        cdf.join(
+            F.broadcast(qs),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")),
+        )
+        .groupBy("flag", "q")
+        .agg(F.min("val").alias("exact_q"))
+    )
+    return exact.join(est, ["flag", "q"]).select(
+        "flag",
+        "q",
+        "exact_q",
+        (
+            F.abs(F.col("est") - F.col("exact_q"))
+            <= F.lit(alpha) * F.col("exact_q")
+        )
+        .cast("int")
+        .alias("within_alpha"),
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
