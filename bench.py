@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "q_label_propagation",
     # DDSketch quantile rollups with alpha-bound attestation
     "q_quantile_sketch",
+    # TF-IDF keywords + brand revenue Pareto
+    "q_tfidf_terms",
+    "q_pareto_brands",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -8189,6 +8189,131 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X90: TF-IDF keywords. idf quantizes ln((N+1)/(df+1)) to 1e-7
+# fixed point (the importance.py discipline), so scores are exact
+# integer products and the per-doc ranking replays in SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tfidf_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(
+               regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE t <> '' GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+    idf AS (
+      SELECT t,
+             CAST(FLOOR(10000000.0 * ln(
+               CAST(nd.n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)))
+               AS BIGINT) + 10000000 AS idf_q
+      FROM dfreq, nd
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.t, tf.tf, tf.tf * idf.idf_q AS score_q
+      FROM tf JOIN idf ON tf.t = idf.t
+    ),
+    ranked AS (
+      SELECT doc_id, t, tf, score_q,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_q DESC, t ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, CAST(rn AS INT) AS rank, t AS term, tf,
+           CAST(score_q AS DOUBLE) / 10000000 AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (X90, r6) — fixed-point
+    idf makes the ranking exact; the oracle replays tf, df, idf and
+    the tie-broken window."""
+    from bi_utils_spark.operators.ranking import tfidf_top_terms
+
+    out = tfidf_top_terms(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        "tf",
+        "tfidf",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X91: contribution / Pareto. Totals and the cumulative sum stay
+# exact DECIMALS; shares divide once into doubles — the oracle
+# replays rank, shares, and the vital-few cut identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pareto_brands",
+    """
+    WITH t AS (
+      SELECT p.p_brand,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                  AS DECIMAL(38,6)) AS tot
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ),
+    g AS (SELECT CAST(SUM(tot) AS DECIMAL(38,6)) AS grand FROM t),
+    r AS (
+      SELECT p_brand, tot,
+             ROW_NUMBER() OVER (ORDER BY tot DESC, p_brand ASC)
+               AS rank,
+             CAST(SUM(tot) OVER (ORDER BY tot DESC, p_brand ASC
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,6)) AS cum
+      FROM t
+    )
+    SELECT p_brand,
+           CAST(tot AS DOUBLE) AS total,
+           CAST(tot AS DOUBLE) / CAST(g.grand AS DOUBLE) AS share,
+           CAST(cum AS DOUBLE) / CAST(g.grand AS DOUBLE) AS cum_share,
+           CAST(rank AS INT) AS rank,
+           CAST(CAST(cum - tot AS DOUBLE) / CAST(g.grand AS DOUBLE)
+                < 0.8 AS INT) AS vital
+    FROM r, g
+    """,
+)
+def q_pareto_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue concentration (X91, r6): the minimal brand set
+    covering 80% of line revenue — totals and cumulative sums exact
+    DECIMAL, the cut replayed by the oracle."""
+    from bi_utils_spark.operators.pareto import contribution_report
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == part.p_partkey,
+    )
+    out = contribution_report(
+        joined, ["p_brand"], "l_extendedprice", 0.8
+    )
+    return out.select(
+        "p_brand",
+        "total",
+        "share",
+        "cum_share",
+        F.col("rank").cast("int").alias("rank"),
+        "vital",
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

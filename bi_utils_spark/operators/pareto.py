@@ -1,0 +1,72 @@
+"""Contribution / Pareto analysis (X91).
+
+"Which brands cover 80% of revenue?" — the classic concentration
+report behind assortment and vendor decisions. Exact arithmetic
+end-to-end: per-key totals accumulate as DECIMAL(38,6) (the
+FIXTURES.md float-sum rule), the cumulative sum runs over DECIMALS
+(exact), and shares divide once into doubles — so the vital-few cut
+cannot move between runs or engines.
+
+Scale shape: one partial-aggregable groupBy over the fact table;
+the ranking/cumulative window runs over |keys| rows (group-domain
+cardinality — brands, vendors, categories — not facts). A
+10¹²-row fact table contributes one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def contribution_report(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(key..., total, share, cum_share, rank, vital) ranked by
+    contribution (ties by key): ``vital`` marks the minimal prefix
+    of keys whose PRECEDING cumulative share is below ``threshold``
+    — i.e. every key needed to reach it, threshold-boundary key
+    included."""
+    totals = df.groupBy(*key_cols).agg(
+        F.sum(F.col(value_col).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("__tot")
+    )
+    grand = totals.agg(
+        F.sum("__tot").cast("decimal(38,6)").alias("__grand")
+    )
+    w = Window.orderBy(
+        F.desc("__tot"), *[F.asc(c) for c in key_cols]
+    )
+    cum = (
+        totals.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "__cum",
+            F.sum("__tot")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("decimal(38,6)"),
+        )
+        .crossJoin(F.broadcast(grand))
+    )
+    share = F.col("__tot").cast("double") / F.col("__grand").cast(
+        "double"
+    )
+    cum_share = F.col("__cum").cast("double") / F.col("__grand").cast(
+        "double"
+    )
+    prev_share = (F.col("__cum") - F.col("__tot")).cast(
+        "double"
+    ) / F.col("__grand").cast("double")
+    return cum.select(
+        *key_cols,
+        F.col("__tot").cast("double").alias("total"),
+        share.alias("share"),
+        cum_share.alias("cum_share"),
+        "rank",
+        (prev_share < F.lit(float(threshold))).cast("int").alias(
+            "vital"
+        ),
+    )

@@ -171,3 +171,75 @@ def bm25_from_index(
     return per_term.groupBy("doc_id").agg(
         F.round(F.sum("__s"), round_digits).alias("score")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF (X90) —
+    keyword extraction for corpus exploration and weak labeling.
+
+    Scoring is the fixed-point discipline (importance.py): idf_q =
+    floor(1e7 · ln((N+1)/(df+1)) ) + 1e7 (smooth idf, quantized to
+    an exact BIGINT), score_q = tf · idf_q — integer products, so
+    the per-doc (score desc, term asc) ranking is deterministic and
+    engine-replayable.
+
+    Scale shape: tf is one (doc, term) groupBy over the token
+    stream; df/idf live in a VOCAB-sized table (broadcast to the
+    scoring join at any corpus size); the top-k window partitions
+    by doc over each doc's own distinct terms.
+    """
+    from pyspark.sql import Window
+
+    from bi_utils_spark.operators.textstats import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+    tf = toks.groupBy("__id", "__t").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = df.select(
+        F.countDistinct(id_col).alias("__n")
+    )
+    dfreq = tf.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "__t",
+        (
+            F.floor(
+                10_000_000.0
+                * F.log(
+                    (F.col("__n") + 1).cast("double")
+                    / (F.col("__df") + 1).cast("double")
+                )
+            ).cast("long")
+            + 10_000_000
+        ).alias("__idf_q"),
+    )
+    scored = tf.join(F.broadcast(idf), "__t").select(
+        "__id",
+        "__t",
+        "tf",
+        (F.col("tf") * F.col("__idf_q")).alias("__score_q"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.desc("__score_q"), F.asc("__t")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__rn").alias("rank"),
+            F.col("__t").alias("term"),
+            "tf",
+            (F.col("__score_q").cast("double") / 1e7).alias("tfidf"),
+        )
+    )

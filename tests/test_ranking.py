@@ -98,3 +98,36 @@ def test_inverted_index_shape(spark):
     assert rows[("b", 1)] == (1, 3) and rows[("b", 2)] == (1, 2)
     st = stats.first()
     assert st["n_docs"] == 2 and st["avgdl"] == pytest.approx(2.5)
+
+
+def test_tfidf_top_terms(spark):
+    from bi_utils_spark.operators.ranking import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "cherry shared shared"),
+            (3, "apple shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc 1: apple (tf=2, df=2) beats banana (tf=1, df=1)?
+    # idf(banana)=ln(4/2)+1 > idf(apple)=ln(4/3)+1 but tf=2 doubles it:
+    # 2*(ln(4/3)+1) ~ 2.575 vs 1*(ln(2)+1) ~ 1.693 -> apple first
+    assert by_doc[1][0][1] == "apple" and by_doc[1][1][1] == "banana"
+    # doc 2: cherry (unique, df=1) beats shared (df=3) despite tf 1 vs 2:
+    # 1*(ln(2)+1) ~ 1.693 vs 2*(ln(1)+1) = 2.0 -> actually shared wins
+    assert by_doc[2][0][1] == "shared" and by_doc[2][1][1] == "cherry"
+    # k truncation
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # determinism under repartitioning (exact tuple equality)
+    again = tfidf_top_terms(
+        docs.repartition(5), "doc_id", "text", k=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
