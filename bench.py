@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     # TF-IDF keywords + brand revenue Pareto
     "q_tfidf_terms",
     "q_pareto_brands",
+    # conversion-deadline funnel
+    "q_funnel_windowed",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

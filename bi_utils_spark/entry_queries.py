@@ -8314,6 +8314,49 @@ def q_pareto_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X92 (r6): the conversion-window funnel form — funnel_counts'
+# max_gap path gets its own oracle row (the unwindowed form is
+# q_funnel).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel_windowed",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 3 DAY
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+             AND e.ts <= s2.t2 + INTERVAL 3 DAY
+           GROUP BY e.user_id)
+    SELECT 1 AS step, 'signup' AS step_name,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (X92, r6): each step must land
+    within 3 days of the previous step's earliest time — the
+    deadline form of q_funnel, same join topology."""
+    from bi_utils_spark.operators.events import funnel_counts
+
+    return funnel_counts(
+        load(spark, sf_dir, "events"),
+        ["signup", "click", "purchase"],
+        max_gap="3 days",
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

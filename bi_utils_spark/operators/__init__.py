@@ -12,5 +12,10 @@ Submodules:
 - ``classifier``   : hashed NB linear text classifier (quality gate)
 - ``phash``        : perceptual-hash image near-dup (aHash + LSH)
 (plus the LLM-pipeline tier: chunking, ranking, lm, importance,
-mixing, filtering, decontam, packing, splits, graph, export, events)
+mixing, filtering, decontam, packing, splits, graph, export, events;
+the web-curation tier: weburl, htmltext, robots, ipnet; the r6
+warehouse/analytics tier: scd, dq, histogram, fuzzy, cdc,
+attribution, abtest, quantile_sketch, pareto, timeseries,
+sketches, distinct_sketch, layout, textnorm, sentences, gopher,
+snapshot, bitext, maintenance, incremental)
 """
