@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "q_pareto_brands",
     # conversion-deadline funnel
     "q_funnel_windowed",
+    # facts joined as-of their SCD2 dimension version
+    "q_scd2_fact_join",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

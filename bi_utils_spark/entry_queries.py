@@ -8357,6 +8357,94 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X74b (r6): the SCD2 consumption pattern — facts joined to the
+# dimension version covering their timestamp. Oracle = the
+# definitional interval BETWEEN join over the replayed intervals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2_fact_join",
+    """
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE user_id % 10 = 0
+    ),
+    o AS (
+      SELECT *,
+        LAG(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM src
+    ),
+    s AS (
+      SELECT *,
+        SUM(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS seg
+      FROM o
+    ),
+    v AS (
+      SELECT user_id, seg, min(event_type) AS event_type,
+             min(ts) AS valid_from
+      FROM s GROUP BY user_id, seg
+    ),
+    d AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER
+               (PARTITION BY user_id ORDER BY seg) AS valid_to
+      FROM v
+    )
+    SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us,
+           d.event_type AS type_at_ts
+    FROM src f JOIN d ON f.user_id = d.user_id
+      AND f.ts >= d.valid_from
+      AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def q_scd2_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facts joined as-of their SCD2 dimension version (X74b, r6):
+    each sliced event takes the event_type version active at its
+    own timestamp — exactly one version per fact, boundary rows on
+    the newer version. Bucket-exploded interval join, no BNLJ."""
+    from bi_utils_spark.operators.scd import (
+        scd2_from_history,
+        scd2_join_facts,
+    )
+
+    src = load(spark, sf_dir, "events").where(
+        F.col("user_id") % 10 == 0
+    )
+    dim = scd2_from_history(
+        src, ["user_id"], ["event_type"], "ts",
+        tiebreak_cols=["event_id"],
+    )
+    facts = src.select(
+        "event_id", "user_id", F.col("ts").alias("fts")
+    )
+    joined = scd2_join_facts(
+        facts,
+        dim.select(
+            "user_id",
+            F.col("event_type").alias("type_at_ts"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+        ),
+        ["user_id"],
+        "fts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("fts").alias("ts_us"),
+        "type_at_ts",
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

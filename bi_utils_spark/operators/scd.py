@@ -168,3 +168,47 @@ def scd2_snapshot(dim: DataFrame, at) -> DataFrame:
         (F.col("valid_from") <= a)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > a))
     ).drop("is_current")
+
+
+def scd2_join_facts(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    fact_ts: str,
+    bucket_seconds: float = 86400.0,
+) -> DataFrame:
+    """As-of dimension join — the SCD2 consumption pattern: each
+    fact row takes the dimension version whose
+    ``[valid_from, valid_to)`` interval covers its timestamp
+    (boundary facts belong to the NEWER version).
+
+    Current versions (NULL ``valid_to``) close at the facts' max
+    timestamp + 1µs (one bounded agg, broadcast), so the interval
+    join's bucket explosion stays finite. The join itself is
+    operators/joins.py::point_in_interval_join — bucket-exploded
+    equi-join, never a BroadcastNestedLoopJoin, AQE-sizeable at
+    fact scale.
+    """
+    from bi_utils_spark.operators.joins import point_in_interval_join
+
+    hi = facts.agg(
+        (F.unix_micros(F.max(fact_ts)) + 1).alias("__hi_us")
+    )
+    dimc = dim.crossJoin(F.broadcast(hi)).select(
+        *[F.col(c) for c in dim.columns if c != "is_current"],
+        F.coalesce(
+            F.col("valid_to"),
+            F.timestamp_micros(F.col("__hi_us")),
+        ).alias("__vto"),
+    )
+    out = point_in_interval_join(
+        facts,
+        dimc.drop("valid_to"),
+        fact_ts,
+        "valid_from",
+        "__vto",
+        on=key_cols,
+        bucket_seconds=bucket_seconds,
+        closed="left",
+    )
+    return out.drop("__vto", "__hi_us")

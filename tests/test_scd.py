@@ -154,3 +154,26 @@ def test_apply_duplicate_update_rows_deterministic(spark, history):
     out = scd2_apply(dim, updates, ["k"], ["attr"], _ts(9))
     cur = out.where("is_current AND k = 1").collect()
     assert len(cur) == 1 and cur[0]["attr"] == "Z"
+
+
+def test_join_facts_takes_covering_version(spark, history):
+    from bi_utils_spark.operators.scd import scd2_join_facts
+
+    dim = scd2_from_history(history, ["k"], ["attr"], "ts")
+    facts = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(2024, 1, 2, 12)),  # inside A interval
+            (101, 1, _ts(3)),                       # boundary -> B (newer)
+            (102, 1, dt.datetime(2024, 1, 9)),      # current version A
+            (103, 2, _ts(5)),                       # key 2 current X
+        ],
+        ["fid", "k", "fts"],
+    )
+    out = {
+        r["fid"]: r["attr"]
+        for r in scd2_join_facts(facts, dim, ["k"], "fts").collect()
+    }
+    assert out == {100: "A", 101: "B", 102: "A", 103: "X"}
+    # exactly one dimension version per fact
+    n = scd2_join_facts(facts, dim, ["k"], "fts").count()
+    assert n == 4
