@@ -105,25 +105,24 @@ def qsketch_quantiles(
         if gcols
         else cum.crossJoin(F.broadcast(tot))
     )
+    # all requested quantiles in ONE aggregation: explode the q
+    # list onto the (bounded) bucket rows, conditional-min the first
+    # bucket whose cumulative count reaches the rank, and derive the
+    # midpoint estimate from that bucket directly — the sketch
+    # pipeline runs once however many quantiles are asked for
+    jq = j.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    )
+    rank = F.ceil(F.col("q") * F.col("__n")).cast("long")
+    picked = jq.groupBy(*gcols, "q").agg(
+        F.min(
+            F.when(F.col("__cum") >= rank, F.col("bucket"))
+        ).alias("bucket")
+    )
     est_val = F.when(
         F.col("bucket") >= 2,
         2.0
         * F.pow(F.lit(g), (F.col("bucket") - 2).cast("double"))
         / F.lit(g + 1.0),
     ).otherwise(F.lit(0.0))
-    out = None
-    for q in qs:
-        rank = F.ceil(F.lit(float(q)) * F.col("__n")).cast("long")
-        picked = (
-            j.where(F.col("__cum") >= rank)
-            .groupBy(*gcols)
-            .agg(F.min("bucket").alias("bucket"))
-            .join(j, gcols + ["bucket"])
-            .select(
-                *gcols,
-                F.lit(float(q)).alias("q"),
-                est_val.alias("est"),
-            )
-        )
-        out = picked if out is None else out.unionByName(picked)
-    return out
+    return picked.select(*gcols, "q", est_val.alias("est"))
