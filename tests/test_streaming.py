@@ -710,3 +710,71 @@ def test_attribute_events_stream_stream(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         attribute_events(clicks, purchases, how="full")
+
+
+def test_cdc_stream_folds_and_tombstones(spark, tmp_path):
+    from bi_utils_spark.streaming.cdc import apply_cdc_stream
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        '{"k": 1, "ord": 1, "op": "I", "v": "a1"}\n'
+        '{"k": 1, "ord": 2, "op": "U", "v": "a2"}\n'
+        '{"k": 2, "ord": 1, "op": "I", "v": "b1"}\n'
+        '{"k": 2, "ord": 3, "op": "D", "v": null}\n'
+    )
+    stream = spark.readStream.schema(
+        "k long, ord long, op string, v string"
+    ).json(str(src))
+    out = apply_cdc_stream(stream, ["k"], ["v"], "ord", "op")
+    run_stream_to_memory(out, "cdc_out")
+    got = {
+        r["k"]: (r["v"], r["ord"], r["is_deleted"])
+        for r in spark.sql("SELECT * FROM cdc_out").collect()
+    }
+    assert got[1] == ("a2", 2, False)
+    assert got[2] == (None, 3, True)  # tombstone, not silence
+
+
+def test_cdc_stream_batch_parity_across_microbatches(spark, tmp_path):
+    """Stream-fold of the log in two micro-batches == batch apply_cdc
+    over the whole log (late old changes cannot regress state)."""
+    from bi_utils_spark.operators.cdc import apply_cdc
+    from bi_utils_spark.streaming.cdc import apply_cdc_stream
+
+    src = tmp_path / "cdc2"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        '{"k": 1, "ord": 5, "op": "U", "v": "new"}\n'
+    )
+    stream = spark.readStream.schema(
+        "k long, ord long, op string, v string"
+    ).json(str(src))
+    out = apply_cdc_stream(stream, ["k"], ["v"], "ord", "op")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cdc_par")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: an OLDER change arrives late
+        (src / "b1.jsonl").write_text(
+            '{"k": 1, "ord": 3, "op": "U", "v": "stale"}\n'
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM cdc_par ORDER BY ord DESC"
+    ).collect()
+    # newest emitted state for key 1 is still ord 5 / "new"
+    assert (rows[0]["v"], rows[0]["ord"]) == ("new", 5)
+
+    log = spark.createDataFrame(
+        [(1, 5, "U", "new"), (1, 3, "U", "stale")],
+        ["k", "ord", "op", "v"],
+    )
+    batch = apply_cdc(log, ["k"], ["v"]).collect()[0]
+    assert (batch["v"], batch["ord"]) == ("new", 5)
