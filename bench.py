@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "q_funnel_windowed",
     # facts joined as-of their SCD2 dimension version
     "q_scd2_fact_join",
+    # bucketed gaps-and-islands over the order-key sequence
+    "q_sequence_gaps",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -8445,6 +8445,39 @@ def q_scd2_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X94: gaps & islands. The two-level bucketed detector must equal
+# the oracle's textbook LAG query (fine at oracle scale; at corpus
+# scale the LAG form is the global sort the operator avoids).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sequence_gaps",
+    """
+    WITH x AS (
+      SELECT DISTINCT o_orderkey AS id FROM orders
+      WHERE NOT (o_orderkey BETWEEN 5000 AND 5999)
+        AND o_orderkey % 101 <> 0
+    ),
+    o AS (SELECT id, LAG(id) OVER (ORDER BY id) AS p FROM x)
+    SELECT p + 1 AS gap_start, id - 1 AS gap_end
+    FROM o WHERE p IS NOT NULL AND id - p > 1
+    """,
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing order-key ranges (X94, r6) after planting a purged
+    block (5000-5999) and scattered %101 holes — bucketed two-level
+    detection vs the oracle's textbook LAG."""
+    from bi_utils_spark.operators.sequencing import sequence_gaps
+
+    k = F.col("o_orderkey")
+    src = load(spark, sf_dir, "orders").where(
+        ~k.between(5000, 5999) & (k % 101 != 0)
+    )
+    return sequence_gaps(src, "o_orderkey", bucket_size=1024)
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
