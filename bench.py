@@ -170,6 +170,8 @@ BENCH_QUERIES = [
     "q_scd2_fact_join",
     # bucketed gaps-and-islands over the order-key sequence
     "q_sequence_gaps",
+    # exact-threshold winsorized means
+    "q_winsorized_means",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -8478,6 +8478,73 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_gaps(src, "o_orderkey", bucket_size=1024)
 
 
+# ---------------------------------------------------------------------------
+# X95: winsorized metrics. Thresholds are actual data values (rank
+# quantiles off the distinct-value CDF), so the clip and the
+# DECIMAL-exact means replay bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_winsorized_means",
+    """
+    WITH v AS (
+      SELECT o_totalprice AS val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    cdf AS (
+      SELECT val,
+             SUM(c) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM v
+    ),
+    tot AS (SELECT SUM(c) AS n FROM v),
+    thr AS (
+      SELECT MIN(CASE WHEN cum >= CEIL(0.05 * tot.n) THEN val END)
+               AS lo,
+             MIN(CASE WHEN cum >= CEIL(0.95 * tot.n) THEN val END)
+               AS hi
+      FROM cdf, tot
+    )
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, thr.lo),
+                                    thr.hi) AS DECIMAL(38,6)))
+                AS DECIMAL(38,6)) AS DOUBLE)
+             / COUNT(*) AS mean_wins,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6)))
+                AS DECIMAL(38,6)) AS DOUBLE)
+             / COUNT(*) AS mean_raw
+    FROM orders o, thr
+    GROUP BY 1, thr.lo, thr.hi
+    """,
+)
+def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order value means, raw vs 5/95-winsorized (X95,
+    r6) — exact rank-quantile thresholds, DECIMAL-exact sums, the
+    outlier-robust readout an experiment pipeline feeds abtest."""
+    from bi_utils_spark.operators.filtering import winsorize
+
+    orders = load(spark, sf_dir, "orders")
+    w = winsorize(orders, "o_totalprice", 0.05, 0.95)
+    dec = "decimal(38,6)"
+    return w.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("o_totalprice_wins").cast(dec))
+            .cast(dec)
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_wins"),
+        (
+            F.sum(F.col("o_totalprice").cast(dec))
+            .cast(dec)
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_raw"),
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

@@ -198,3 +198,65 @@ def filter_by_approx_quantile(
     when the boundary must be exact."""
     lo, hi = quantile_thresholds(df, score_col, [min_q, max_q], relative_error)
     return df.filter((F.col(score_col) >= lo) & (F.col(score_col) <= hi))
+
+
+def winsorize(
+    df: DataFrame,
+    score_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip (not drop) values outside the exact [lo_q, hi_q] rank
+    quantiles (X95) — metric hygiene before means/tests: one fat
+    outlier otherwise owns a mean at any corpus size.
+
+    Thresholds are EXACT rank quantiles (value at ceil(q·n)) off the
+    distinct-value CDF — the attach_percent_rank discipline: a
+    window over |distinct values|, never a corpus sort — broadcast
+    back as a 1-row frame; the clip itself is a map-only
+    least/greatest. Engine-replayable because thresholds are actual
+    data values, not interpolations.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{score_col}_wins"
+    v = F.col(score_col)
+    vals = df.where(v.isNotNull()).groupBy(
+        v.alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = vals.withColumn("__cum", F.sum("__c").over(w))
+    tot = vals.agg(F.sum("__c").alias("__n"))
+    j = cdf.crossJoin(F.broadcast(tot))
+    thr = j.agg(
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.ceil(F.lit(float(lo_q)) * F.col("__n")),
+                F.col("__v"),
+            )
+        ).alias("__lo"),
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.ceil(F.lit(float(hi_q)) * F.col("__n")),
+                F.col("__v"),
+            )
+        ).alias("__hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .withColumn(
+            out_col,
+            # greatest/least skip NULLs, which would clip a NULL to
+            # the lower threshold — gate explicitly
+            F.when(
+                v.isNotNull(),
+                F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -121,3 +121,27 @@ def test_exact_path_sorts_distinct_scores_not_rows(spark):
     out = Q.attach_percent_rank(df, "s")
     assert out.count() == 500
     assert out.agg(F.max("pr")).first()[0] == 0.0
+
+
+def test_winsorize_clips_to_exact_rank_quantiles(spark):
+    from bi_utils_spark.operators.filtering import winsorize
+
+    rows = [(float(i),) for i in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, ["v"])
+    out = winsorize(df, "v", 0.05, 0.95)
+    got = {r["v"]: r["v_wins"] for r in out.collect()}
+    # rank thresholds: value at ceil(.05*100)=5 and ceil(.95*100)=95
+    assert got[1.0] == 5.0 and got[4.0] == 5.0 and got[5.0] == 5.0
+    assert got[100.0] == 95.0 and got[96.0] == 95.0 and got[95.0] == 95.0
+    assert got[50.0] == 50.0
+    # clip preserves row count and NULLs pass through untouched
+    assert out.count() == 100
+
+
+def test_winsorize_null_rows_survive(spark):
+    from bi_utils_spark.operators.filtering import winsorize
+
+    df = spark.createDataFrame([(1.0,), (None,), (100.0,)], ["v"])
+    out = winsorize(df, "v", 0.0, 1.0).collect()
+    assert len(out) == 3
+    assert any(r["v"] is None and r["v_wins"] is None for r in out)
