@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "q_sequence_gaps",
     # exact-threshold winsorized means
     "q_winsorized_means",
+    # Apriori-pruned market-basket association rules
+    "q_basket_rules",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

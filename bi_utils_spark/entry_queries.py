@@ -8545,6 +8545,59 @@ def q_winsorized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X96: market-basket rules. Items densify via partkey mod 50 so
+# pairs actually co-occur; every metric is a ratio of exact counts
+# the oracle recomputes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_basket_rules",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i
+      FROM lineitem
+    ),
+    ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+    freq AS (SELECT * FROM ic WHERE c >= 100),
+    kept AS (SELECT bi.* FROM bi JOIN freq ON bi.i = freq.i),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM bi),
+    p AS (
+      SELECT a.i AS item_a, b2.i AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM kept a JOIN kept b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 50
+    )
+    SELECT p.item_a, p.item_b, ca.c AS c_a, cb.c AS c_b, p.c_ab,
+           nb.n AS n_baskets,
+           CAST(p.c_ab AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+           CAST(p.c_ab AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf_a_b,
+           CAST(p.c_ab AS DOUBLE) / CAST(cb.c AS DOUBLE) AS conf_b_a,
+           CAST(nb.n AS DOUBLE) * CAST(p.c_ab AS DOUBLE)
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+    FROM p
+    JOIN freq ca ON p.item_a = ca.i
+    JOIN freq cb ON p.item_b = cb.i
+    CROSS JOIN nb
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (X96, r6): items =
+    partkey mod 50, Apriori-pruned pair counts with support /
+    confidence / lift — four exact counts per rule, all replayed."""
+    from bi_utils_spark.operators.basket import frequent_item_pairs
+
+    baskets = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 50).alias("item"),
+    )
+    return frequent_item_pairs(
+        baskets, "basket", "item",
+        min_item_count=100, min_pair_count=50,
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
