@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "q_winsorized_means",
     # Apriori-pruned market-basket association rules
     "q_basket_rules",
+    # RFM quintile segmentation (bucketed percent-rank tiles)
+    "q_rfm_segments",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -8598,6 +8598,63 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X98: RFM segmentation. percent_rank is exact SQL semantics, the
+# tile arithmetic floor(pr·5) is one deterministic double op, and
+# monetary uses the DECIMAL accumulation rule — full replay.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rfm_segments",
+    """
+    WITH now_ AS (SELECT epoch_us(max(ts)) AS now_us FROM events),
+    pu AS (
+      SELECT user_id,
+             (SELECT now_us FROM now_) AS now_us,
+             epoch_us(max(ts)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                  AS DECIMAL(38,6)) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id,
+             CAST((now_us - last_us) // 86400000000 AS BIGINT)
+               AS r_days,
+             frequency, monetary
+      FROM pu
+    ),
+    pr AS (
+      SELECT *,
+        percent_rank() OVER (ORDER BY r_days) AS pr_r,
+        percent_rank() OVER (ORDER BY frequency) AS pr_f,
+        percent_rank() OVER (ORDER BY monetary) AS pr_m
+      FROM m
+    )
+    SELECT user_id, r_days, frequency, monetary,
+      CAST(5 - LEAST(CAST(FLOOR(pr_r * 5) AS INT), 4) AS INT)
+        AS r_score,
+      CAST(LEAST(CAST(FLOOR(pr_f * 5) AS INT), 4) + 1 AS INT)
+        AS f_score,
+      CAST(LEAST(CAST(FLOOR(pr_m * 5) AS INT), 4) + 1 AS INT)
+        AS m_score,
+      CAST(5 - LEAST(CAST(FLOOR(pr_r * 5) AS INT), 4) AS VARCHAR)
+        || CAST(LEAST(CAST(FLOOR(pr_f * 5) AS INT), 4) + 1 AS VARCHAR)
+        || CAST(LEAST(CAST(FLOOR(pr_m * 5) AS INT), 4) + 1 AS VARCHAR)
+        AS segment
+    FROM pr
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segments per user (X98, r6): recency inverted,
+    exact percent_rank tiles, DECIMAL-exact monetary — every score
+    and label replayed by the oracle's windows."""
+    from bi_utils_spark.operators.events import rfm_scores
+
+    return rfm_scores(load(spark, sf_dir, "events"))
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

@@ -319,3 +319,77 @@ def top_session_paths(
     return counts.orderBy(
         F.desc("n_sessions"), F.asc("path")
     ).limit(n)
+
+
+def rfm_scores(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation (X98): per user, recency (days
+    since last event, against the stream's max timestamp — no
+    wall-clock), frequency (event count), monetary (DECIMAL-exact
+    value sum), each scored 1..n_tiles by exact percent_rank
+    (recency inverted: most recent = highest score), plus the
+    concatenated segment label ("555" = best).
+
+    Scale shape: one partial-aggregable groupBy reduces the stream
+    to |users| rows; each score rides
+    filtering.py::attach_percent_rank (bucketed — no corpus-wide
+    sort, no single-partition window). Scores are
+    floor(pr·n)+1 with pr the exact SQL percent_rank — engine-
+    replayable, tie-stable.
+    """
+    from bi_utils_spark.operators.filtering import attach_percent_rank
+
+    now = events.agg(
+        F.unix_micros(F.max(ts_col)).alias("__now_us")
+    )
+    per_user = (
+        events.groupBy(F.col(user_col))
+        .agg(
+            F.unix_micros(F.max(ts_col)).alias("__last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(now))
+        .withColumn(
+            "r_days",
+            F.expr("(__now_us - __last_us) div 86400000000").cast(
+                "long"
+            ),
+        )
+        .drop("__now_us", "__last_us")
+    )
+
+    def tile(pr_col, invert=False):
+        raw = F.least(
+            F.floor(F.col(pr_col) * n_tiles).cast("int"),
+            F.lit(n_tiles - 1),
+        )
+        return (
+            F.lit(n_tiles) - raw if invert else raw + 1
+        ).cast("int")
+
+    scored = attach_percent_rank(per_user, "r_days", "__pr_r")
+    scored = attach_percent_rank(scored, "frequency", "__pr_f")
+    scored = attach_percent_rank(scored, "monetary", "__pr_m")
+    return scored.select(
+        user_col,
+        "r_days",
+        "frequency",
+        "monetary",
+        tile("__pr_r", invert=True).alias("r_score"),
+        tile("__pr_f").alias("f_score"),
+        tile("__pr_m").alias("m_score"),
+        F.concat(
+            tile("__pr_r", invert=True).cast("string"),
+            tile("__pr_f").cast("string"),
+            tile("__pr_m").cast("string"),
+        ).alias("segment"),
+    )

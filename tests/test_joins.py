@@ -288,3 +288,26 @@ def test_session_paths_order_and_truncation(spark):
         for r in session_paths(shuffled, gap_sec=1800, k=3).collect()
     }
     assert again[(1, 1)] == "view>click>purchase"
+
+
+def test_rfm_scores_tiles_and_inversion(spark):
+    import datetime as dt
+    from bi_utils_spark.operators.events import rfm_scores
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 5 users with strictly increasing recency/frequency/monetary
+    for u in range(5):
+        for i in range(u + 1):  # frequency 1..5
+            rows.append(
+                (u, base + dt.timedelta(days=u * 10 + i), float(u + 1))
+            )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r["user_id"]: r for r in rfm_scores(df).collect()}
+    # user 4 is most recent, most frequent, most valuable -> 555
+    assert out[4]["segment"] == "555"
+    # user 0 is oldest, least frequent, least valuable -> 111
+    assert out[0]["segment"] == "111"
+    # recency inversion: r_days decreasing with user -> r_score increasing
+    assert out[0]["r_score"] < out[4]["r_score"]
+    assert out[4]["monetary"] == 5.0 * 5
