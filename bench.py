@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "q_basket_rules",
     # RFM quintile segmentation (bucketed percent-rank tiles)
     "q_rfm_segments",
+    # int8 scalar-quantized vector search
+    "q_sq8_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -8655,6 +8655,68 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_scores(load(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------------
+# X97: int8 scalar quantization — the export-format vector
+# compression (4× vs float32, decode is two flops/dim). The oracle
+# is the recall-bound attestation (the q_pq_topk pattern) plus
+# self-retrieval.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sq8_topk",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+           CAST(least(10, count(*)) AS BIGINT) AS n_exact,
+           1 AS self_first,
+           1 AS recall_ge_070
+    FROM embeddings
+    """,
+)
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-bound oracle row for scalar-quantized search (X97,
+    r6): per-dim min/max bounds (index metadata), int8 codes,
+    asymmetric cosine over midpoint decodes. 8-bit grids are much
+    finer than PQ cells, so the asserted floor is 0.7 and the query
+    vector must retrieve itself first."""
+    from bi_utils_spark.operators.pq import sq8_bounds, sq8_encode, sq8_topk
+    from bi_utils_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    target = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    bounds = sq8_bounds(emb, "embedding")
+    codes = sq8_encode(emb, bounds).select("vec_id", "sq8")
+    probe = sq8_topk(codes, bounds, target, k=10).select(
+        "vec_id", "sim"
+    )
+    exact = cosine_topk(emb, target, k=10).select("vec_id")
+    n_corpus = emb.agg(F.count("*").alias("n_corpus"))
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    top1 = probe.orderBy(F.desc("sim"), F.asc("vec_id")).limit(1)
+    found = probe.join(exact, "vec_id", "left_semi").agg(
+        F.count("*").alias("__found")
+    )
+    return (
+        n_corpus.crossJoin(n_exact)
+        .crossJoin(F.broadcast(top1.select(F.col("vec_id").alias("__t1"))))
+        .crossJoin(found)
+        .select(
+            "n_corpus",
+            "n_exact",
+            (F.col("__t1") == 0).cast("int").alias("self_first"),
+            (
+                F.col("__found").cast("double")
+                >= 0.7 * F.col("n_exact").cast("double")
+            )
+            .cast("int")
+            .alias("recall_ge_070"),
+        )
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

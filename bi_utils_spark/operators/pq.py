@@ -642,3 +642,100 @@ def ivfpq_topk_residual(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def sq8_bounds(df: DataFrame, vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """Per-dimension (min, max) for scalar quantization — one
+    posexplode aggregation; the result is index METADATA (d pairs),
+    the codebook-collect discipline."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("d")
+        .collect()
+    )
+    return [(float(r["lo"]), float(r["hi"])) for r in rows]
+
+
+def sq8_encode(
+    df: DataFrame,
+    bounds: list[tuple[float, float]],
+    vec_col: str = "embedding",
+    out_col: str = "sq8",
+) -> DataFrame:
+    """int8-range scalar quantization (X97): code_i =
+    clamp(floor((x_i − lo_i)·256/(hi_i − lo_i)), 0, 255) — 4×
+    smaller than float32, map-only with the bounds baked as
+    literals (constant dims collapse to code 0). The export format
+    vector stores ingest."""
+    lo = F.array(*[F.lit(l) for l, _ in bounds])
+    span = F.array(
+        *[F.lit((h - l) if h > l else 1.0) for l, h in bounds]
+    )
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.least(
+            F.greatest(
+                F.floor(
+                    (x.cast("double") - F.element_at(lo, i + 1))
+                    * 256.0
+                    / F.element_at(span, i + 1)
+                ),
+                F.lit(0.0),
+            ),
+            F.lit(255.0),
+        ).cast("int"),
+    )
+    return df.withColumn(out_col, codes)
+
+
+def sq8_decode_col(
+    bounds: list[tuple[float, float]], code_col: str = "sq8"
+) -> "F.Column":
+    """Midpoint reconstruction column: lo_i + (c+0.5)·span_i/256."""
+    lo = F.array(*[F.lit(l) for l, _ in bounds])
+    span = F.array(
+        *[F.lit((h - l) if h > l else 1.0) for l, h in bounds]
+    )
+    return F.transform(
+        F.col(code_col),
+        lambda c, i: F.element_at(lo, i + 1)
+        + (c.cast("double") + 0.5)
+        * F.element_at(span, i + 1)
+        / 256.0,
+    )
+
+
+def sq8_topk(
+    df: DataFrame,
+    bounds: list[tuple[float, float]],
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "sq8",
+) -> DataFrame:
+    """Top-k by cosine against the DECODED codes — asymmetric
+    search (query stays float). Map-only fold + TakeOrdered; ties
+    broken by id for determinism."""
+    dec = sq8_decode_col(bounds, code_col)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = sum(x * x for x in query) ** 0.5
+    dot = F.aggregate(
+        F.zip_with(dec, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(dec, lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sim = dot / (nrm * F.lit(float(qn)))
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -278,3 +278,56 @@ def test_residual_search_recall(spark, sf_dir):
         exact = {r["vec_id"] for r in cosine_topk(emb, q, 5).collect()}
         recall += len(got & exact) / 5
     assert recall / len(rows) >= 0.8
+
+
+def test_sq8_roundtrip_error_bounded(spark):
+    from bi_utils_spark.operators.pq import (
+        sq8_bounds,
+        sq8_decode_col,
+        sq8_encode,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i), float(100 - i), 7.0]) for i in range(101)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bounds = sq8_bounds(df, "embedding")
+    assert bounds[0] == (0.0, 100.0) and bounds[2] == (7.0, 7.0)
+    enc = sq8_encode(df, bounds)
+    dec = enc.withColumn("rec", sq8_decode_col(bounds)).collect()
+    for r in dec:
+        for orig, rc in zip(r["embedding"], r["rec"]):
+            # midpoint reconstruction error <= span/512
+            assert abs(orig - rc) <= 100.0 / 512 + 1e-9
+    # codes stay in the int8 range
+    for r in enc.collect():
+        assert all(0 <= c <= 255 for c in r["sq8"])
+
+
+def test_sq8_topk_recall(spark):
+    import math
+
+    from bi_utils_spark.operators.pq import sq8_bounds, sq8_encode, sq8_topk
+
+    rows = [
+        (i, [math.cos(i * 0.37 + d) for d in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bounds = sq8_bounds(df, "embedding")
+    enc = sq8_encode(df, bounds)
+    query = rows[42][1]
+    got = [r["vec_id"] for r in sq8_topk(enc, bounds, query, k=5).collect()]
+    # exact truth by brute force
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    truth = [
+        v for v, _ in sorted(
+            ((v, cos(e, query)) for v, e in rows), key=lambda t: (-t[1], t[0])
+        )[:5]
+    ]
+    # self-retrieval first, recall@5 >= 0.8 after 8-bit quantization
+    assert got[0] == 42
+    assert len(set(got) & set(truth)) >= 4
