@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "q_rfm_segments",
     # int8 scalar-quantized vector search
     "q_sq8_topk",
+    # calendar spine + contingency chi-square
+    "q_date_spine",
+    "q_chi2_type_parity",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -8717,6 +8717,98 @@ def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X99/X100: date spine + chi-square. Calendar attributes are pure
+# date arithmetic both engines define identically (ISO weeks); chi²
+# terms quantize to 1e-9 fixed point so the fold is exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_date_spine",
+    """
+    WITH s AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                         DATE '2024-12-31',
+                                         INTERVAL 1 DAY)) AS DATE)
+               AS d
+    )
+    SELECT CAST(d AS VARCHAR) AS d,
+           CAST(year(d) AS INT) AS year,
+           CAST(quarter(d) AS INT) AS quarter,
+           CAST(month(d) AS INT) AS month,
+           CAST(day(d) AS INT) AS day,
+           CAST(isodow(d) AS INT) AS day_of_week,
+           CAST(weekofyear(d) AS INT) AS iso_week,
+           CAST(isodow(d) >= 6 AS INT) AS is_weekend,
+           CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR)
+             AS month_start,
+           CAST(last_day(d) AS VARCHAR) AS month_end
+    FROM s
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2024 calendar dimension (X99, r6): 366 leap-year days with
+    ISO weekday/week, weekend flags, month bounds — every attribute
+    recomputed by the oracle's date functions."""
+    from bi_utils_spark.operators.calendar import date_spine
+
+    sp = date_spine(spark, "2024-01-01", "2024-12-31")
+    return sp.select(
+        F.col("d").cast("string").alias("d"),
+        "year",
+        "quarter",
+        "month",
+        "day",
+        "day_of_week",
+        "iso_week",
+        "is_weekend",
+        F.col("month_start").cast("string").alias("month_start"),
+        F.col("month_end").cast("string").alias("month_end"),
+    )
+
+
+@register(
+    "q_chi2_type_parity",
+    """
+    WITH cells AS (
+      SELECT event_type AS r, user_id % 2 AS c,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, SUM(o) AS rmm FROM cells GROUP BY 1),
+    cm AS (SELECT c, SUM(o) AS cmm FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    t AS (
+      SELECT cells.o, rm.rmm, cm.cmm, tot.n,
+             CAST(rm.rmm AS DOUBLE) * CAST(cm.cmm AS DOUBLE)
+               / CAST(tot.n AS DOUBLE) AS e
+      FROM cells JOIN rm ON cells.r = rm.r
+      JOIN cm ON cells.c = cm.c CROSS JOIN tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM rm) AS BIGINT) AS rows,
+           CAST((SELECT COUNT(*) FROM cm) AS BIGINT) AS cols,
+           CAST(((SELECT COUNT(*) FROM rm) - 1)
+                * ((SELECT COUNT(*) FROM cm) - 1) AS BIGINT) AS dof,
+           CAST(SUM(CAST(FLOOR((CAST(o AS DOUBLE) - e)
+                               * (CAST(o AS DOUBLE) - e) / e * 1e9)
+                         AS BIGINT)) AS DOUBLE) / 1e9 AS chi2
+    FROM t
+    """,
+)
+def q_chi2_type_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type × user parity (X100,
+    r6) — the contingency fold with 1e-9-quantized terms, replayed
+    exactly."""
+    from bi_utils_spark.operators.abtest import chi_square_independence
+
+    f = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("parity")
+    )
+    return chi_square_independence(f, "event_type", "parity")
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

@@ -130,3 +130,54 @@ def proportion_test(
         z.alias("z"),
         (F.abs(z) > F.lit(_Z95)).cast("int").alias("significant"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Chi-square independence test over a contingency table (X100):
+    one row — ``(n, rows, cols, dof, chi2)`` — from exact cell
+    counts. chi2 = Σ (observed − expected)² / expected with
+    expected_ij = row_i·col_j / n; every term derives from four
+    exact BIGINTs, so the statistic is bit-stable (compare against
+    the critical value for the dof offline — no p-value here by
+    design, erf is not portable).
+
+    Scale: one groupBy over the fact table builds the
+    |rows|·|cols| contingency table; margins and the fold run over
+    that bounded table.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    rm = cells.groupBy("__r").agg(F.sum("__o").alias("__rm"))
+    cm = cells.groupBy("__c").agg(F.sum("__o").alias("__cm"))
+    tot = cells.agg(F.sum("__o").alias("__n"))
+    j = (
+        cells.join(F.broadcast(rm), "__r")
+        .join(F.broadcast(cm), "__c")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (
+        F.col("__rm").cast("double")
+        * F.col("__cm").cast("double")
+        / F.col("__n").cast("double")
+    )
+    term = (
+        (F.col("__o").cast("double") - exp)
+        * (F.col("__o").cast("double") - exp)
+        / exp
+    )
+    # chi2 sums floats — quantize terms to 1e-9 fixed point so the
+    # accumulation is exact integers (the lm.py discipline)
+    termq = F.floor(term * 1e9).cast("long")
+    return j.agg(
+        F.max("__n").alias("n"),
+        F.countDistinct("__r").alias("rows"),
+        F.countDistinct("__c").alias("cols"),
+        (
+            (F.countDistinct("__r") - 1)
+            * (F.countDistinct("__c") - 1)
+        ).cast("long").alias("dof"),
+        (F.sum(termq).cast("double") / 1e9).alias("chi2"),
+    )

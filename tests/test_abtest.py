@@ -60,3 +60,30 @@ def test_repartition_stable(spark):
     r1 = welch_test(df, "grp", "v", "c", "t").collect()[0]
     r2 = welch_test(df.repartition(13), "grp", "v", "c", "t").collect()[0]
     assert tuple(r1) == tuple(r2)  # bit-stable, not approx
+
+
+def test_chi_square_hand_math(spark):
+    from bi_utils_spark.operators.abtest import chi_square_independence
+
+    # classic 2x2: 30/10 vs 20/40
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 20 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, ["g", "o"])
+    r = chi_square_independence(df, "g", "o").collect()[0]
+    assert (r["n"], r["rows"], r["cols"], r["dof"]) == (100, 2, 2, 1)
+    # chi2 by hand: margins a=40,b=60,x=50,y=50; E = 20,20,30,30
+    # terms: (30-20)^2/20=5, (10-20)^2/20=5, (20-30)^2/30=10/3, (40-30)^2/30=10/3
+    expect = 5 + 5 + 10 / 3 + 10 / 3
+    assert r["chi2"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_chi_square_independent_is_zero(spark):
+    from bi_utils_spark.operators.abtest import chi_square_independence
+
+    rows = [("a", "x")] * 10 + [("a", "y")] * 10
+    rows += [("b", "x")] * 30 + [("b", "y")] * 30
+    df = spark.createDataFrame(rows, ["g", "o"])
+    r = chi_square_independence(df, "g", "o").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-6)

@@ -109,3 +109,25 @@ def test_melt_roundtrips_pivot(spark):
     assert sorted(map(tuple, back.collect())) == [
         ("a", 1.0, 2.0), ("b", 3.0, 4.0),
     ]
+
+
+def test_date_spine(spark):
+    from bi_utils_spark.operators.calendar import date_spine
+
+    sp = date_spine(spark, "2024-02-26", "2024-03-03").collect()
+    assert len(sp) == 7
+    by_d = {str(r["d"]): r for r in sp}
+    leap = by_d["2024-02-29"]
+    assert (leap["year"], leap["month"], leap["day"]) == (2024, 2, 29)
+    assert leap["day_of_week"] == 4  # Thursday
+    assert str(leap["month_end"]) == "2024-02-29"
+    sat = by_d["2024-03-02"]
+    assert sat["is_weekend"] == 1 and sat["day_of_week"] == 6
+    mon = by_d["2024-02-26"]
+    assert mon["day_of_week"] == 1 and mon["iso_week"] == 9
+    # plan is a pure generator off literals — no shuffle
+    plan = (
+        date_spine(spark, "2024-01-01", "2024-12-31")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
