@@ -609,8 +609,16 @@ def bpe_encode(
             )
         ).alias(out_col)
     )
-    return per_doc.select(
+    # wordless documents (empty/whitespace text) keep a row with an
+    # empty sequence — an encoder must not silently drop inputs
+    all_ids = df.select(F.col(id_col).alias("__id")).distinct()
+    kept = all_ids.join(per_doc, "__id", "left")
+    return kept.select(
         F.col("__id").alias(id_col),
-        out_col,
-        F.size(out_col).alias("n_bpe_tokens"),
+        F.coalesce(
+            F.col(out_col), F.array().cast("array<string>")
+        ).alias(out_col),
+        F.coalesce(F.size(out_col), F.lit(0)).cast("int").alias(
+            "n_bpe_tokens"
+        ),
     )

@@ -508,3 +508,15 @@ def test_bpe_encode_oov_words_stay_character_level(spark):
     df = spark.createDataFrame([(1, "zzq")], ["id", "text"])
     out = bpe_encode(df, "id", "text", [("a", "b")]).collect()[0]
     assert out["bpe_tokens"] == ["z", "z", "q"]
+
+
+def test_bpe_encode_keeps_wordless_docs(spark):
+    from bi_utils_spark.operators.lm import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "   ")], ["id", "text"]
+    )
+    out = {r["id"]: r for r in bpe_encode(df, "id", "text", [("a", "b")]).collect()}
+    assert out[1]["bpe_tokens"] == ["ab"]
+    assert out[2]["bpe_tokens"] == [] and out[2]["n_bpe_tokens"] == 0
+    assert out[3]["bpe_tokens"] == []
