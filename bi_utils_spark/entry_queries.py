@@ -8809,6 +8809,147 @@ def q_chi2_type_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_independence(f, "event_type", "parity")
 
 
+# ---------------------------------------------------------------------------
+# Coverage rows for remaining unqueried operator paths: LOCF fill
+# (X69), islands (X94), sketch-merge associativity (X89 — integer
+# equality, attested).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fill_forward",
+    f"""
+    WITH {_DAILY_GRID_SQL},
+    v AS (
+      SELECT event_type, bucket,
+             CASE WHEN n > 0 THEN n END AS v
+      FROM series
+    )
+    SELECT event_type, bucket, v,
+           MAX(v) OVER w IS NOT NULL AS has_prior,
+           last_value(v IGNORE NULLS) OVER w AS v_filled
+    FROM v
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF carry-forward over the daily grid (X69's third leg):
+    zero-count days become NULLs then take the last observed count;
+    leading NULLs stay NULL (has_prior flags them)."""
+    from bi_utils_spark.operators.timeseries import (
+        fill_forward,
+        resample_counts,
+    )
+    from pyspark.sql import Window
+
+    series = resample_counts(
+        load(spark, sf_dir, "events"),
+        ts_col="ts",
+        width_sec=86400,
+        group_cols=("event_type",),
+    ).withColumn(
+        "v", F.when(F.col("n") > 0, F.col("n"))
+    )
+    filled = fill_forward(
+        series, "bucket", ("event_type",), "v"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        "v",
+        F.max("v").over(w).isNotNull().alias("has_prior"),
+        "v_filled",
+    )
+
+
+@register(
+    "q_sequence_islands",
+    """
+    WITH x AS (
+      SELECT DISTINCT o_orderkey AS id FROM orders
+      WHERE NOT (o_orderkey BETWEEN 5000 AND 5999)
+        AND o_orderkey % 101 <> 0
+    ),
+    o AS (SELECT id, LAG(id) OVER (ORDER BY id) AS p FROM x),
+    starts AS (
+      SELECT id AS island_start FROM o
+      WHERE p IS NULL OR id - p > 1
+    ),
+    ends AS (
+      SELECT p AS island_end
+      FROM (SELECT id, LEAD(id) OVER (ORDER BY id) AS nx,
+                   id AS p FROM x)
+      WHERE nx IS NULL OR nx - p > 1
+    ),
+    rs AS (SELECT island_start,
+                  ROW_NUMBER() OVER (ORDER BY island_start) AS r
+           FROM starts),
+    re AS (SELECT island_end,
+                  ROW_NUMBER() OVER (ORDER BY island_end) AS r
+           FROM ends)
+    SELECT rs.island_start, re.island_end,
+           re.island_end - rs.island_start + 1 AS n_ids
+    FROM rs JOIN re ON rs.r = re.r
+    """,
+)
+def q_sequence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous present-id runs (X94's complement) over the same
+    planted-hole fixture as q_sequence_gaps — the oracle derives
+    islands directly from consecutive-id breaks."""
+    from bi_utils_spark.operators.sequencing import sequence_islands
+
+    k = F.col("o_orderkey")
+    src = load(spark, sf_dir, "orders").where(
+        ~k.between(5000, 5999) & (k % 101 != 0)
+    )
+    return sequence_islands(src, "o_orderkey", bucket_size=1024)
+
+
+@register(
+    "q_qsketch_merge",
+    """
+    SELECT 1 AS merge_equals_whole,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_qsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge associativity attested on real data (X89):
+    DDSketch(first half) ⊕ DDSketch(second half) must equal
+    DDSketch(whole) EXACTLY (integer bucket counts) — pinned as a
+    flag the oracle hashes alongside the row count."""
+    from bi_utils_spark.operators.quantile_sketch import (
+        qsketch_build,
+        qsketch_merge,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").alias("val")
+    )
+    lo = li.where(F.col("l_orderkey") % 2 == 0)
+    hi = li.where(F.col("l_orderkey") % 2 == 1)
+    whole = qsketch_build(li, "val")
+    merged = qsketch_merge(
+        [qsketch_build(lo, "val"), qsketch_build(hi, "val")]
+    )
+    diff = whole.unionByName(merged.select("bucket", (-F.col("cnt")).alias("cnt"))) \
+        .groupBy("bucket").agg(F.sum("cnt").alias("d")) \
+        .where(F.col("d") != 0)
+    n = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    flag = diff.agg(
+        (F.count(F.lit(1)) == 0).cast("int").alias("merge_equals_whole")
+    )
+    return flag.crossJoin(F.broadcast(n)).select(
+        "merge_equals_whole", "n_rows"
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
