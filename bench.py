@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     # calendar spine + contingency chi-square
     "q_date_spine",
     "q_chi2_type_parity",
+    # composed warehouse pipeline: CDC -> DQ -> Pareto
+    "q_warehouse_pipeline",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

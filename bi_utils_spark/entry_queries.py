@@ -8950,6 +8950,130 @@ def q_qsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed warehouse pipeline (r6): CDC net-effect fold → DQ
+# verdicts on the folded state → Pareto concentration of the
+# surviving rows. Each stage's CTE is the already-proven oracle
+# form, chained — the q_llm_pipeline composition discipline for the
+# warehouse tier.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_warehouse_pipeline",
+    """
+    WITH log AS (
+      SELECT o_orderkey % 2000 AS k,
+             o_orderkey // 2000 AS ord,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    w AS (
+      SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY k ORDER BY ord DESC) AS rn
+      FROM log
+    ),
+    state AS (
+      SELECT k, price, status FROM w WHERE rn = 1 AND op <> 'D'
+    ),
+    dq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN price IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS ok_price,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k
+      FROM state
+    ),
+    t AS (
+      SELECT status,
+             CAST(SUM(CAST(price AS DECIMAL(38,6)))
+                  AS DECIMAL(38,6)) AS tot
+      FROM state GROUP BY 1
+    ),
+    g AS (SELECT CAST(SUM(tot) AS DECIMAL(38,6)) AS grand FROM t),
+    r AS (
+      SELECT status, tot,
+             ROW_NUMBER() OVER (ORDER BY tot DESC, status ASC)
+               AS rank,
+             CAST(SUM(tot) OVER (ORDER BY tot DESC, status ASC
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,6)) AS cum
+      FROM t
+    )
+    SELECT r.status,
+           CAST(r.tot AS DOUBLE) AS total,
+           CAST(r.tot AS DOUBLE) / CAST(g.grand AS DOUBLE) AS share,
+           CAST(r.rank AS INT) AS rank,
+           CAST(CAST(r.cum - r.tot AS DOUBLE)
+                / CAST(g.grand AS DOUBLE) < 0.8 AS INT) AS vital,
+           dq.total AS state_rows,
+           CAST(dq.ok_price = dq.total AS INT) AS price_complete,
+           CAST(dq.distinct_k = dq.total AS INT) AS key_unique
+    FROM r, g, dq
+    """,
+)
+def q_warehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed warehouse pipeline (r6): the planted CDC log folds
+    to current state (X84), the folded table passes its DQ
+    constraints (X75 — completeness + key uniqueness, emitted as
+    verdict flags), and the surviving rows report revenue
+    concentration by status (X91). Every stage is the oracle form
+    of its own query, chained."""
+    from bi_utils_spark.operators.cdc import apply_cdc
+    from bi_utils_spark.operators.dq import Check, dq_report
+    from bi_utils_spark.operators.pareto import contribution_report
+
+    k = F.col("o_orderkey")
+    log = load(spark, sf_dir, "orders").select(
+        (k % 2000).alias("k"),
+        F.expr("o_orderkey div 2000").alias("ord"),
+        F.when(k % 17 == 0, F.lit("D")).otherwise(F.lit("U")).alias(
+            "op"
+        ),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    state = apply_cdc(log, ["k"], ["price", "status"]).select(
+        "k", "price", "status"
+    )
+    rep = dq_report(
+        state,
+        [
+            Check("completeness", "price", name="price_complete"),
+            Check("unique", columns=("k",), name="key_unique"),
+        ],
+    )
+    flags = (
+        rep.groupBy()
+        .pivot("constraint", ["price_complete", "key_unique"])
+        .agg(F.first(F.col("passed").cast("int")))
+    )
+    rows = state.agg(F.count(F.lit(1)).alias("state_rows"))
+    pareto = contribution_report(state, ["status"], "price", 0.8)
+    return (
+        pareto.select(
+            "status",
+            "total",
+            "share",
+            F.col("rank").cast("int").alias("rank"),
+            "vital",
+        )
+        .crossJoin(F.broadcast(rows))
+        .crossJoin(F.broadcast(flags))
+        .select(
+            "status",
+            "total",
+            "share",
+            "rank",
+            "vital",
+            "state_rows",
+            "price_complete",
+            "key_unique",
+        )
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #
