@@ -365,6 +365,10 @@ def rfm_scores(
             ),
         )
         .drop("__now_us", "__last_us")
+        # three percent-rank passes each make bounded driver fetches;
+        # cut the lineage once so they share one materialization of
+        # the per-user table instead of re-aggregating the stream
+        .localCheckpoint(eager=False)
     )
 
     def tile(pr_col, invert=False):
