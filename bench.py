@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "q_chi2_type_parity",
     # composed warehouse pipeline: CDC -> DQ -> Pareto
     "q_warehouse_pipeline",
+    # calendar-true week-over-week deltas
+    "q_week_over_week",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

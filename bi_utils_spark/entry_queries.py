@@ -9074,6 +9074,62 @@ def q_warehouse_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X101: period-over-period. The dense weekly grid makes "previous
+# period" calendar-true; deltas are integers, pct_change one double
+# division guarded on zero bases.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_week_over_week",
+    """
+    WITH f AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS bucket
+      FROM events
+    ),
+    agg AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM f GROUP BY 1, 2),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM f),
+    grid AS (
+      SELECT g.event_type, u.b AS bucket
+      FROM (SELECT DISTINCT event_type FROM f) g
+      CROSS JOIN (SELECT unnest(generate_series(
+                    (SELECT lo FROM bounds),
+                    (SELECT hi FROM bounds))) AS b) u
+    ),
+    series AS (
+      SELECT g.event_type, g.bucket, COALESCE(a.n, 0) AS n
+      FROM grid g LEFT JOIN agg a
+        ON g.event_type = a.event_type AND g.bucket = a.bucket
+    )
+    SELECT event_type, bucket, n,
+           LAG(n) OVER w AS prev_n,
+           n - LAG(n) OVER w AS delta,
+           CASE WHEN LAG(n) OVER w > 0
+                THEN CAST(n - LAG(n) OVER w AS DOUBLE)
+                   / CAST(LAG(n) OVER w AS DOUBLE)
+           END AS pct_change
+    FROM series
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    """,
+)
+def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly per-type counts with calendar-true WoW deltas (X101,
+    r6): silent weeks are explicit zeros so -100% weeks exist and
+    rebounds off zero report NULL pct (a ratio against nothing is
+    not a number) — all replayed on the oracle's grid."""
+    from bi_utils_spark.operators.timeseries import period_over_period
+
+    return period_over_period(
+        load(spark, sf_dir, "events"),
+        "ts",
+        604800,
+        ("event_type",),
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

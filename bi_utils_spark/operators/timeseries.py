@@ -282,3 +282,41 @@ def mad_outliers(
         .withColumnRenamed("__med", "med")
         .withColumnRenamed("__mad", "mad")
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width_sec: int = 604800,
+    group_cols: tuple[str, ...] = (),
+    count_col: str = "n",
+) -> DataFrame:
+    """Period-over-period deltas (X101): per group and period
+    bucket, the count, the previous period's count (dense grid, so
+    "previous" means the previous CALENDAR period — a silent week
+    reads as 0, not skipped), the absolute delta, and pct_change
+    (NULL when the base is 0: a ratio against nothing is not 0%).
+
+    Rides :func:`resample_counts`' complete grid; the lag window
+    runs over grid rows per group.
+    """
+    from pyspark.sql import Window
+
+    series = resample_counts(
+        df, ts_col=ts_col, width_sec=width_sec, group_cols=group_cols,
+        count_col=count_col,
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    prev = F.lag(count_col).over(w)
+    return series.select(
+        *group_cols,
+        "bucket",
+        count_col,
+        prev.alias("prev_n"),
+        (F.col(count_col) - prev).alias("delta"),
+        F.when(
+            prev > 0,
+            (F.col(count_col) - prev).cast("double")
+            / prev.cast("double"),
+        ).alias("pct_change"),
+    )

@@ -202,3 +202,29 @@ def test_linear_trend_noisy_r2_below_one(spark):
     r = linear_trend(df, "bucket", "n", ("g",)).collect()[0]
     assert 0.0 < r["r2"] < 1.0
     assert r["slope"] == pytest.approx(0.8)  # by hand: num=16? verify
+
+
+def test_period_over_period(spark):
+    from bi_utils_spark.operators.timeseries import period_over_period
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1 + 7 * w, 12), i)
+        for w, k in enumerate([3, 6, 0, 2])
+        for i in range(k)
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts", "i"])
+    out = {
+        r["bucket"]: r
+        for r in period_over_period(
+            df, "ts", 604800, ("g",)
+        ).collect()
+    }
+    buckets = sorted(out)
+    vals = [out[b] for b in buckets]
+    assert [v["n"] for v in vals] == [3, 6, 0, 2]
+    assert vals[0]["prev_n"] is None and vals[0]["pct_change"] is None
+    assert vals[1]["delta"] == 3 and vals[1]["pct_change"] == pytest.approx(1.0)
+    # the silent week reads as an explicit 0 with -100% change
+    assert vals[2]["n"] == 0 and vals[2]["pct_change"] == pytest.approx(-1.0)
+    # and the rebound week's base is 0 -> pct undefined, delta real
+    assert vals[3]["delta"] == 2 and vals[3]["pct_change"] is None
