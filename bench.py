@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "q_warehouse_pipeline",
     # calendar-true week-over-week deltas
     "q_week_over_week",
+    # per-region supplier Pareto (partitioned windows)
+    "q_pareto_region_suppliers",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -9130,6 +9130,78 @@ def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X91b: grouped Pareto — the vital-few cut within each region,
+# ranking windows partitioned by the report dimension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pareto_region_suppliers",
+    """
+    WITH t AS (
+      SELECT r.r_name AS region, s.s_name AS supplier,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                  AS DECIMAL(38,6)) AS tot
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    g AS (SELECT region, CAST(SUM(tot) AS DECIMAL(38,6)) AS grand
+          FROM t GROUP BY 1),
+    rr AS (
+      SELECT region, supplier, tot,
+             ROW_NUMBER() OVER w AS rank,
+             CAST(SUM(tot) OVER (w ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(38,6)) AS cum
+      FROM t
+      WINDOW w AS (PARTITION BY region
+                   ORDER BY tot DESC, supplier ASC)
+    )
+    SELECT rr.region, rr.supplier,
+           CAST(rr.tot AS DOUBLE) AS total,
+           CAST(rr.tot AS DOUBLE) / CAST(g.grand AS DOUBLE) AS share,
+           CAST(rr.cum AS DOUBLE) / CAST(g.grand AS DOUBLE)
+             AS cum_share,
+           CAST(rr.rank AS INT) AS rank,
+           CAST(CAST(rr.cum - rr.tot AS DOUBLE)
+                / CAST(g.grand AS DOUBLE) < 0.8 AS INT) AS vital
+    FROM rr JOIN g ON rr.region = g.region
+    """,
+)
+def q_pareto_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region supplier concentration (X91b, r6): the minimal
+    supplier set covering 80% of each region's line revenue —
+    ranking windows partitioned by region, exact-DECIMAL cumulative
+    shares."""
+    from bi_utils_spark.operators.pareto import (
+        contribution_report_grouped,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    joined = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_name", "s_nationkey")),
+            li.l_suppkey == sup.s_suppkey,
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("s_name").alias("supplier"),
+            "l_extendedprice",
+        )
+    )
+    return contribution_report_grouped(
+        joined, ["region"], ["supplier"], "l_extendedprice", 0.8
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

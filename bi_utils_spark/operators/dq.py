@@ -57,6 +57,10 @@ class Check:
     ref_key: str = ""
     min_fraction: float = 1.0
     name: str = ""
+    #: broadcast the referenced key set (default) — set False when
+    #: the dimension itself is huge (10⁹+ keys): the anti-join then
+    #: shuffles both distinct key sets instead of broadcasting
+    broadcast_ref: bool = True
 
     def label(self) -> str:
         if self.name:
@@ -142,7 +146,8 @@ def dq_metrics(
             pk = ref_df.select(
                 F.col(c.ref_key).alias("__fk")
             ).distinct()
-            missing = fk.join(F.broadcast(pk), "__fk", "left_anti")
+            pk_side = F.broadcast(pk) if c.broadcast_ref else pk
+            missing = fk.join(pk_side, "__fk", "left_anti")
             tot = fk.agg(F.count(F.lit(1)).alias("total"))
             bad = missing.agg(F.count(F.lit(1)).alias("__bad"))
             m = tot.crossJoin(F.broadcast(bad)).select(

@@ -70,3 +70,51 @@ def contribution_report(
             "vital"
         ),
     )
+
+
+def contribution_report_grouped(
+    df: DataFrame,
+    partition_cols: list[str],
+    key_cols: list[str],
+    value_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Per-partition Pareto (X91b): the vital-few cut WITHIN each
+    partition (e.g. top suppliers per region). Same exact-DECIMAL
+    arithmetic; the ranking window partitions by the report
+    dimension, so no single-task sort even when the key domain is
+    large — each partition orders only its own keys."""
+    totals = df.groupBy(*partition_cols, *key_cols).agg(
+        F.sum(F.col(value_col).cast("decimal(38,6)"))
+        .cast("decimal(38,6)")
+        .alias("__tot")
+    )
+    grand = totals.groupBy(*partition_cols).agg(
+        F.sum("__tot").cast("decimal(38,6)").alias("__grand")
+    )
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.desc("__tot"), *[F.asc(c) for c in key_cols]
+    )
+    cum = (
+        totals.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "__cum",
+            F.sum("__tot")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("decimal(38,6)"),
+        )
+        .join(F.broadcast(grand), partition_cols)
+    )
+    g = F.col("__grand").cast("double")
+    return cum.select(
+        *partition_cols,
+        *key_cols,
+        F.col("__tot").cast("double").alias("total"),
+        (F.col("__tot").cast("double") / g).alias("share"),
+        (F.col("__cum").cast("double") / g).alias("cum_share"),
+        "rank",
+        (
+            (F.col("__cum") - F.col("__tot")).cast("double") / g
+            < F.lit(float(threshold))
+        ).cast("int").alias("vital"),
+    )

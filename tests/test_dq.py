@@ -105,3 +105,19 @@ def test_custom_name_label(table):
         table, checks=[Check("completeness", "cat", name="cat_not_null")]
     )
     assert "cat_not_null" in rep
+
+
+def test_referential_non_broadcast_path(spark, table):
+    ref = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    checks = [
+        Check("referential", "k", ref="dim", ref_key="id",
+              broadcast_ref=False)
+    ]
+    rep = _report(table, refs={"dim": ref}, checks=checks)
+    r = rep["referential(k)"]
+    assert (r["ok"], r["total"]) == (4, 5)
+    plan = (
+        dq_metrics(table, checks, {"dim": ref})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in plan

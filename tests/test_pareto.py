@@ -31,3 +31,27 @@ def test_ties_break_by_key_and_values_aggregate(spark):
     assert [r["k"] for r in out] == ["x", "y", "z"]
     assert out[0]["total"] == 20.0
     assert out[-1]["cum_share"] == pytest.approx(1.0)
+
+
+def test_grouped_pareto_independent_partitions(spark):
+    from bi_utils_spark.operators.pareto import contribution_report_grouped
+
+    rows = [
+        ("eu", "a", 80.0), ("eu", "b", 20.0),
+        ("us", "x", 50.0), ("us", "y", 30.0), ("us", "z", 20.0),
+    ]
+    df = spark.createDataFrame(rows, ["region", "k", "v"])
+    out = {
+        (r["region"], r["k"]): r
+        for r in contribution_report_grouped(
+            df, ["region"], ["k"], "v", 0.7
+        ).collect()
+    }
+    assert out[("eu", "a")]["vital"] == 1 and out[("eu", "b")]["vital"] == 0
+    # us: x (prev 0) vital, y (prev 0.5) vital, z (prev 0.8) not
+    assert out[("us", "x")]["vital"] == 1
+    assert out[("us", "y")]["vital"] == 1
+    assert out[("us", "z")]["vital"] == 0
+    assert out[("us", "x")]["share"] == pytest.approx(0.5)
+    # ranks restart per partition
+    assert out[("eu", "a")]["rank"] == 1 and out[("us", "x")]["rank"] == 1
