@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     "q_week_over_week",
     # per-region supplier Pareto (partitioned windows)
     "q_pareto_region_suppliers",
+    # k-anonymity suppression + Benford first-digit audit
+    "q_suppressed_counts",
+    "q_benford_prices",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

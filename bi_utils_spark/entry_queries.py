@@ -9202,6 +9202,80 @@ def q_pareto_region_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X102/X103: suppression + Benford. Suppression is pure integer
+# logic; Benford digits come from a fixed-decimal string both
+# engines format identically, and chi² terms are 1e-9-quantized.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_suppressed_counts",
+    """
+    WITH c AS (
+      SELECT event_type, user_id % 37 AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, cohort,
+           CASE WHEN n0 >= 5 THEN n0 END AS n,
+           CAST(n0 < 5 AS INT) AS suppressed
+    FROM c
+    """,
+)
+def q_suppressed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity aggregate release (X102, r6): (type, cohort)
+    cells below k=5 keep their row but withhold the count — the
+    oracle replays the threshold on the same cells."""
+    from bi_utils_spark.operators.dq import suppress_small_groups
+
+    f = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 37).alias("cohort")
+    )
+    return suppress_small_groups(f, ["event_type", "cohort"], k=5)
+
+
+@register(
+    "q_benford_prices",
+    """
+    WITH d AS (
+      SELECT CAST(substring(regexp_replace(
+               printf('%.10f', abs(o_totalprice)), '[0.,]*', ''),
+               1, 1) AS INT) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+          FROM d WHERE digit > 0 GROUP BY 1),
+    tot AS (SELECT SUM(observed) AS n FROM c),
+    grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
+    f AS (
+      SELECT g.digit,
+             COALESCE(c.observed, 0) AS observed,
+             log10(1.0 + 1.0 / g.digit)
+               * CAST(tot.n AS DOUBLE) AS expected
+      FROM grid g LEFT JOIN c ON g.digit = c.digit CROSS JOIN tot
+    )
+    SELECT CAST(digit AS INT) AS digit, observed, expected,
+           CAST(CAST(FLOOR((CAST(observed AS DOUBLE) - expected)
+                           * (CAST(observed AS DOUBLE) - expected)
+                           / expected * 1e9) AS BIGINT) AS DOUBLE)
+             / 1e9 AS chi2_term
+    FROM f
+    """,
+)
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford audit of order totals (X103, r6):
+    observed vs log10(1+1/d) expectation with quantized chi²
+    terms — the fraud/ETL-damage screen, digit extraction via
+    fixed-decimal strings both engines format identically."""
+    from bi_utils_spark.operators.dq import benford_audit
+
+    return benford_audit(
+        load(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

@@ -224,3 +224,89 @@ def dq_gate(
             "data-quality gate failed: " + ", ".join(sorted(failed))
         )
     return df
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int = 5,
+    agg_col: str = "n",
+) -> DataFrame:
+    """k-anonymity-style aggregate suppression (X102): group counts
+    below ``k`` are withheld (NULL count + ``suppressed`` flag kept,
+    so report consumers see THAT a cell exists without learning how
+    few individuals are in it — dropping the row would itself leak).
+    One partial-aggregable groupBy; the suppression is a map-only
+    projection over the aggregate."""
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    small = F.col("__n") < k
+    return counts.select(
+        *group_cols,
+        F.when(~small, F.col("__n")).alias(agg_col),
+        small.cast("int").alias("suppressed"),
+    )
+
+
+_BENFORD_P = [0.0] + [
+    __import__("math").log10(1 + 1 / d) for d in range(1, 10)
+]
+
+
+def benford_audit(
+    df: DataFrame, value_col: str
+) -> DataFrame:
+    """First-digit Benford audit (X103): observed leading-digit
+    counts of positive values vs the Benford expectation
+    p(d) = log10(1+1/d), with the chi² fit statistic (1e-9-quantized
+    fold — the chi_square_independence discipline). A strongly
+    non-Benford metric that should be Benford (prices, populations)
+    is a classic fraud/ETL-damage signal. One aggregation; the
+    digit table is 9 rows."""
+    v = F.col(value_col).cast("double")
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(v), 10), r"[0.,]*", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        df.where(v.isNotNull() & (v != 0.0))
+        .select(digit.alias("digit"))
+        .where(F.col("digit").isNotNull() & (F.col("digit") > 0))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    p = F.element_at(
+        F.array(*[F.lit(x) for x in _BENFORD_P[1:]]), F.col("digit")
+    )
+    tot = counts.agg(F.sum("observed").alias("__n"))
+    full = (
+        digits.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0).cast("long")).alias(
+                "observed"
+            ),
+            (p * F.col("__n").cast("double")).alias("expected"),
+        )
+    )
+    term = (
+        (F.col("observed").cast("double") - F.col("expected"))
+        * (F.col("observed").cast("double") - F.col("expected"))
+        / F.col("expected")
+    )
+    return full.select(
+        "digit",
+        "observed",
+        "expected",
+        (F.floor(term * 1e9).cast("long").cast("double") / 1e9).alias(
+            "chi2_term"
+        ),
+    )

@@ -121,3 +121,40 @@ def test_referential_non_broadcast_path(spark, table):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" not in plan
+
+
+def test_suppress_small_groups(spark):
+    from bi_utils_spark.operators.dq import suppress_small_groups
+
+    rows = [("a",)] * 7 + [("b",)] * 2 + [("c",)] * 5
+    df = spark.createDataFrame(rows, ["g"])
+    out = {
+        r["g"]: (r["n"], r["suppressed"])
+        for r in suppress_small_groups(df, ["g"], k=5).collect()
+    }
+    assert out["a"] == (7, 0) and out["c"] == (5, 0)
+    # the small cell is present but its count is withheld
+    assert out["b"] == (None, 1)
+
+
+def test_benford_audit_digits_and_terms(spark):
+    import math
+    from bi_utils_spark.operators.dq import benford_audit
+
+    # exact Benford-proportioned sample (scaled to 1000 rows)
+    rows = []
+    for d in range(1, 10):
+        n = round(1000 * math.log10(1 + 1 / d))
+        rows += [(float(d) * 10,)] * n
+    df = spark.createDataFrame(rows, ["v"])
+    out = benford_audit(df, "v").collect()
+    total_chi2 = sum(r["chi2_term"] for r in out)
+    assert total_chi2 < 0.1  # near-perfect fit
+    assert sum(r["observed"] for r in out) == len(rows)
+    # digit extraction edge cases: decimals < 1 and negatives
+    df2 = spark.createDataFrame([(0.067,), (-230.0,)], ["v"])
+    got = {
+        r["digit"]: r["observed"]
+        for r in benford_audit(df2, "v").collect()
+    }
+    assert got[6] == 1 and got[2] == 1
