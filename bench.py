@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     # k-anonymity suppression + Benford first-digit audit
     "q_suppressed_counts",
     "q_benford_prices",
+    # pre-join key-skew diagnostic
+    "q_skew_report",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -9276,6 +9276,43 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X104: skew diagnostics — top heavy keys + level-the-tasks salt
+# factor (exact counts, one double division, TakeOrdered).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skew_report",
+    """
+    WITH c AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS tt FROM c)
+    SELECT l_suppkey, n,
+           CAST(n AS DOUBLE) / CAST(t.tt AS DOUBLE) AS share,
+           CAST(CEIL(CAST(n AS DOUBLE) / 500) AS INT)
+             AS recommended_salt
+    FROM c, t
+    ORDER BY n DESC, l_suppkey ASC
+    LIMIT 10
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest supplier keys in lineitem (X104, r6) with row
+    shares and the salt factor that levels tasks at 500 rows each —
+    the pre-join diagnostic that feeds salted_join/salted_agg."""
+    from bi_utils_spark.operators.scale import skew_report
+
+    return skew_report(
+        load(spark, sf_dir, "lineitem"),
+        ["l_suppkey"],
+        top=10,
+        target_rows_per_task=500,
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

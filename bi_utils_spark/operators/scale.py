@@ -106,3 +106,38 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics (X104): the top-N heaviest keys
+    with their row share and the salt factor that would level them —
+    ``ceil(n / target_rows_per_task)`` sub-keys so no single task
+    exceeds the target. Run this BEFORE a big join; feed the factor
+    to :func:`salted_join` / :func:`salted_agg`.
+
+    One partial-aggregable groupBy + TakeOrdered(top); shares divide
+    exact counts once.
+    """
+    counts = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *key_cols,
+            "n",
+            (F.col("n").cast("double") / F.col("__t").cast("double"))
+            .alias("share"),
+            F.ceil(
+                F.col("n").cast("double") / target_rows_per_task
+            ).cast("int").alias("recommended_salt"),
+        )
+        .orderBy(F.desc("n"), *[F.asc(c) for c in key_cols])
+        .limit(top)
+    )

@@ -71,3 +71,14 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_skew_report_shares_and_salt(spark):
+    from bi_utils_spark.operators.scale import skew_report
+
+    rows = [("hot",)] * 90 + [("warm",)] * 8 + [("cold",)] * 2
+    df = spark.createDataFrame(rows, ["k"])
+    out = skew_report(df, ["k"], top=2, target_rows_per_task=10).collect()
+    assert [(r["k"], r["n"]) for r in out] == [("hot", 90), ("warm", 8)]
+    assert out[0]["share"] == 0.9
+    assert out[0]["recommended_salt"] == 9 and out[1]["recommended_salt"] == 1
