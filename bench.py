@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "q_benford_prices",
     # pre-join key-skew diagnostic
     "q_skew_report",
+    # one-scan column intake profile
+    "q_profile_orders",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -9313,6 +9313,61 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X105: column profiling — exact counts, stringified min/max, one
+# scan for the whole report.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_profile_orders",
+    """
+    SELECT 'o_orderstatus' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS distinct_n,
+           MIN(CAST(o_orderstatus AS VARCHAR)) AS min_str,
+           MAX(CAST(o_orderstatus AS VARCHAR)) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(CAST(o_orderpriority AS VARCHAR)),
+           MAX(CAST(o_orderpriority AS VARCHAR))
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           MIN(CAST(o_custkey AS VARCHAR)),
+           MAX(CAST(o_custkey AS VARCHAR))
+    FROM orders
+    """,
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column intake profile (X105, r6): nulls, exact distincts,
+    stringified min/max for three orders columns in ONE scan — the
+    report run before declaring DQ constraints."""
+    from bi_utils_spark.operators.dq import profile_columns
+
+    out = profile_columns(
+        load(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+    return out.select(
+        "column",
+        "total",
+        "nulls",
+        F.col("distinct").alias("distinct_n"),
+        "min_str",
+        "max_str",
+    )
+
+
 # ===========================================================================
 # Registration-order priority (round 6 window).
 #

@@ -158,3 +158,19 @@ def test_benford_audit_digits_and_terms(spark):
         for r in benford_audit(df2, "v").collect()
     }
     assert got[6] == 1 and got[2] == 1
+
+
+def test_profile_columns_one_pass(spark, table):
+    from bi_utils_spark.operators.dq import profile_columns
+
+    out = {r["column"]: r for r in profile_columns(table).collect()}
+    assert out["cat"]["nulls"] == 1 and out["cat"]["distinct"] == 3
+    assert out["k"]["nulls"] == 0 and out["k"]["distinct"] == 4
+    assert out["v"]["min_str"] == "-5.0"
+    assert all(r["total"] == 5 for r in out.values())
+    # single scan for the whole profile
+    plan = (
+        profile_columns(table)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
