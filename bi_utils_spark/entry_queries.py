@@ -6800,7 +6800,7 @@ def _bpe_chain_sql(n_merges: int) -> str:
 def _bpe_replay_sql(n_merges: int) -> str:
     selects = [
         f"SELECT {k} AS rank, pair, replace(pair, ' ', '') AS merged, "
-        f"cnt FROM t{k}"
+        f"CAST(cnt AS BIGINT) AS cnt FROM t{k}"
         for k in range(1, n_merges + 1)
     ]
     return (

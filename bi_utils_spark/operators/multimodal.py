@@ -81,26 +81,36 @@ class DecoderRegistry:
 
 
 def _map_in_pandas_batched(
-    df: DataFrame, run, schema: str, batch_size: int
+    df: DataFrame, run, schema: str, batch_size: int,
+    max_slice_bytes: int = 64 << 20,
 ) -> DataFrame:
-    """mapInPandas with a bounded per-iteration row count, WITHOUT
-    mutating the shared session conf as a plan-build side effect (the
-    r5-advice fix: the old form set
+    """mapInPandas with bounded per-iteration row count AND payload
+    bytes, WITHOUT mutating the shared session conf as a plan-build
+    side effect (the r5-advice fix: the old form set
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` session-wide and
     never restored it, silently capping every later mapInPandas).
 
-    Each incoming pandas batch is re-sliced to ``batch_size`` rows
-    before ``run`` sees it, so per-iteration processing memory is
-    bounded regardless of the session's Arrow transfer batch size.
-    The Arrow TRANSFER batch itself is governed by the session conf —
-    ``get_spark`` pins ``spark.sql.execution.arrow.maxRecordsPerBatch``
-    to a payload-safe default in one documented place; multi-MB-payload
-    deployments on a vanilla session should set it explicitly."""
+    Each incoming pandas batch is re-sliced before ``run`` sees it:
+    at most ``batch_size`` rows per slice, and — when the batch
+    carries large payloads — at most ``max_slice_bytes`` of estimated
+    in-memory bytes (avg-row estimate from ``memory_usage(deep)``,
+    one O(rows) pass per incoming batch). So per-iteration processing
+    memory stays bounded even when a 100 TB corpus mixes KB-scale and
+    multi-MB payload rows in one partition. The Arrow TRANSFER batch
+    itself is governed by the session conf — ``get_spark`` pins
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` to a payload-safe
+    default in one documented place (see the byte math there);
+    multi-MB-payload deployments on a vanilla session should set it
+    explicitly."""
 
     def sliced(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for s in range(0, len(pdf), batch_size):
-                yield pdf.iloc[s : s + batch_size]
+            if not len(pdf):
+                continue
+            avg = int(pdf.memory_usage(deep=True).sum()) // len(pdf)
+            rows = min(batch_size, max(1, max_slice_bytes // max(avg, 1)))
+            for s in range(0, len(pdf), rows):
+                yield pdf.iloc[s : s + rows]
 
     return df.mapInPandas(lambda batches: run(sliced(batches)), schema=schema)
 

@@ -113,7 +113,13 @@ def get_spark(
         # Payload-safe Arrow transfer batches for the media tier: with
         # multi-MB binary payloads the 10000-row default would build
         # multi-GB record batches. ONE documented place (operators no
-        # longer mutate this at plan-build time — r5 advice).
+        # longer mutate this at plan-build time — r5 advice). Byte
+        # math: 256 rows is safe up to ~2 MB average payload (512 MB
+        # JVM->Python batch); above that set SPARK_GRAFT_ARROW_BATCH
+        # so rows x avg_payload stays under ~0.5 GB. Measured r7: 64
+        # is neutral-to-slower at KB payloads (phash +17%), so 256
+        # stays the default. In-task PROCESSING memory is bounded
+        # separately and byte-aware (_map_in_pandas_batched).
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"),
