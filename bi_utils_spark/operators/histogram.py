@@ -26,7 +26,7 @@ values only. No NTILE-over-corpus, no global sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -102,27 +102,23 @@ def equi_depth_histogram(
     bucket (c * num_bins) div total — all engines agree, no float
     boundary ambiguity. All copies of one value share a bucket, so
     heavy ties widen that bucket (reported via ``n``).
+
+    The CDF comes from ``filtering.bucketed_distinct_cdf`` — the
+    range-bucketed two-level form, so the plan has no unpartitioned
+    window even when the column is continuous and |distinct| ≈ n
+    (the r6 verdict's scale finding against the old single-window
+    form). Total row count is baked as a literal from the same
+    bounded bucket-totals fetch.
     """
     if num_bins < 1:
         raise ValueError("num_bins must be >= 1")
-    x = F.col(col)
-    vals = (
-        df.where(x.isNotNull())
-        .groupBy(x.alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    # window over |distinct| rows (documented WindowExec-over-model
-    # discipline — never the corpus)
-    w = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = F.sum("__c").over(w)
-    with_pos = vals.withColumn("__start", (cum - F.col("__c")))
-    total = vals.agg(F.sum("__c").alias("__total"))
-    assigned = with_pos.crossJoin(F.broadcast(total)).select(
+    from bi_utils_spark.operators.filtering import bucketed_distinct_cdf
+
+    cdf, total = bucketed_distinct_cdf(df, col)
+    assigned = cdf.select(
         "__v",
         "__c",
-        F.expr(f"(__start * {num_bins}) div __total").alias("bin"),
+        F.expr(f"(__start * {num_bins}) div {max(total, 1)}").alias("bin"),
     )
     return assigned.groupBy("bin").agg(
         F.min("__v").alias("lo"),

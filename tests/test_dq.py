@@ -174,3 +174,12 @@ def test_profile_columns_one_pass(spark, table):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+    # sketch default (r7): HLL++ partial-aggregable state — no
+    # corpus-sized rows x columns Expand pass in the default plan
+    assert "Expand" not in plan
+    # exact opt-in still available (plans the Expand, counts exactly)
+    exact = {
+        r["column"]: r["distinct"]
+        for r in profile_columns(table, exact_distinct=True).collect()
+    }
+    assert exact["cat"] == 3 and exact["k"] == 4

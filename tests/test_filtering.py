@@ -138,6 +138,36 @@ def test_winsorize_clips_to_exact_rank_quantiles(spark):
     assert out.count() == 100
 
 
+def test_winsorize_bucketed_cdf_plan(spark):
+    """winsorize's threshold CDF rides bucketed_distinct_cdf: every
+    window frame in the plan is partitioned by the range bucket, so
+    no frame scales with the corpus even when |distinct| ≈ n (r6
+    verdict finding, closed r7)."""
+    from bi_utils_spark.operators.filtering import winsorize
+
+    df = spark.createDataFrame([(float(i),) for i in range(300)], ["v"])
+    plan = (
+        winsorize(df, "v")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__bk" in line, line
+
+
+def test_bucketed_distinct_cdf_positions(spark):
+    """__start is the exact 0-based sorted position of each distinct
+    value's first copy; total is the non-null row count."""
+    from bi_utils_spark.operators.filtering import bucketed_distinct_cdf
+
+    rows = [(1.0,)] * 3 + [(2.0,)] * 2 + [(None,)] + [(5.0,)] * 4
+    df = spark.createDataFrame(rows, ["v"])
+    cdf, total = bucketed_distinct_cdf(df, "v", num_buckets=4)
+    assert total == 9
+    got = {r["__v"]: (r["__c"], r["__start"]) for r in cdf.collect()}
+    assert got == {1.0: (3, 0), 2.0: (2, 3), 5.0: (4, 5)}
+
+
 def test_winsorize_null_rows_survive(spark):
     from bi_utils_spark.operators.filtering import winsorize
 

@@ -82,13 +82,19 @@ def test_depth_fewer_distinct_than_bins(spark):
 
 
 def test_depth_no_corpus_window(spark, nums):
-    """The CDF window runs over distinct values — the corpus reaches
-    it only through a partial-aggregable groupBy."""
+    """The CDF window is range-bucketed (partitioned by __bk), never
+    a single unpartitioned frame — for a continuous column |distinct|
+    ≈ n, so an unbucketed distinct-value window would still scale
+    with the corpus (r6 verdict finding, closed r7)."""
     plan = (
         equi_depth_histogram(nums, "v", 4)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" in plan
+    # every window frame in the plan is partitioned by the range bucket
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__bk" in line, line
     # the aggregation (distinct values) sits below the window
     assert plan.index("Window") < plan.index("Scan ExistingRDD")
 
