@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "q_skew_report",
     # one-scan column intake profile
     "q_profile_orders",
+    # r7: incremental SCD2 fold (multi-ts micro-batch primitive)
+    "q_scd2_apply_changes",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

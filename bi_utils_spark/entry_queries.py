@@ -7059,6 +7059,88 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scd2_apply_changes",
+    """
+    WITH src AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE user_id % 10 = 0
+    ),
+    o AS (
+      SELECT *,
+        LAG(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM src
+    ),
+    s AS (
+      SELECT *,
+        SUM(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS seg
+      FROM o
+    ),
+    v AS (
+      SELECT user_id, seg, min(event_type) AS event_type,
+             min(ts) AS valid_from
+      FROM s GROUP BY user_id, seg
+    )
+    SELECT user_id, event_type,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(LEAD(valid_from) OVER
+             (PARTITION BY user_id ORDER BY seg)) AS valid_to_us,
+           CAST(LEAD(valid_from) OVER
+             (PARTITION BY user_id ORDER BY seg) IS NULL AS INT)
+             AS is_current
+    FROM v
+    """,
+)
+def q_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 fold equals full rebuild (X106, r7): the
+    change log splits at its timestamp midpoint; the first half
+    builds the stored dimension, the second half folds in through
+    scd2_apply_changes — the multi-timestamp micro-batch primitive
+    behind streaming/scd.py::scd2_maintain_stream (same code path;
+    file-micro-batch parity is test-asserted in test_streaming).
+    The oracle is the ONE-PASS full-history rebuild, so a green row
+    proves the incremental fold lands on the identical table."""
+    from bi_utils_spark.operators.scd import (
+        scd2_apply_changes,
+        scd2_from_history,
+    )
+
+    src = load(spark, sf_dir, "events").where(
+        F.col("user_id") % 10 == 0
+    )
+    # midpoint cut in epoch-µs: integer arithmetic, engine-exact;
+    # one bounded driver fetch (1 row)
+    cut = src.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+            / F.lit(2)
+        ).cast("long").alias("cut")
+    ).first()["cut"]
+    hist = src.where(F.unix_micros("ts") < cut)
+    chg = src.where(F.unix_micros("ts") >= cut)
+    dim = scd2_from_history(
+        hist, ["user_id"], ["event_type"], "ts",
+        tiebreak_cols=["event_id"],
+    )
+    out = scd2_apply_changes(
+        dim, chg, ["user_id"], ["event_type"], "ts",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # X75: declarative data-quality constraints. The fixture plants
 # defect classes on orders (nulled FKs, dangling FKs, duplicated
@@ -9478,7 +9560,9 @@ _PROMOTED: list[str] = [
     "q_zipf_topk",
     "q_ann_topk",
     "q_bm25_search",
-    "q_boilerplate_grams",
+    # (q_boilerplate_grams yields its re-attestation slot to the new
+    # X106 incremental-SCD2 query; next in line for r8)
+    "q_scd2_apply_changes",
 ]
 
 

@@ -160,6 +160,100 @@ def scd2_apply(
     )
 
 
+def _rebuild_touched(
+    cur: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(rebuilt, cur_untouched): re-derive SCD2 versions for exactly
+    the keys the change batch touches, passing every other current
+    row through untouched.
+
+    Each touched key's current row seeds the rebuild as a
+    pseudo-change at its own ``valid_from``, then
+    :func:`scd2_from_history` folds seed + batch changes in
+    timestamp order — so a no-op redelivery collapses into the seed
+    (idempotent), several changes to one key inside one batch each
+    open a version, and a late change older than the current
+    version's start folds in as if it had arrived in order WITHIN
+    the current segment (closed history is never reopened — the
+    bounded-lateness contract; full rebuild parity holds whenever
+    changes arrive with ts >= their key's current ``valid_from``).
+
+    Scale: |touched current rows| + |batch| rows shuffle; the
+    untouched current slice moves via one left_anti join on the
+    touched-key set (broadcast when the batch is small).
+    """
+    keys = changes.select(*key_cols).distinct()
+    cur_touched = cur.join(keys, key_cols, "left_semi")
+    cur_untouched = cur.join(keys, key_cols, "left_anti")
+    # The seed carries NULL tiebreaks (NULLS FIRST under the ascending
+    # version order), so at an equal timestamp the seed sorts before
+    # the batch's own changes — the stored version is the
+    # already-folded past.
+    tbs = list(tiebreak_cols or [])
+    seed = cur_touched.select(
+        *key_cols,
+        *tracked_cols,
+        F.col("valid_from").alias(ts_col),
+        *[
+            F.lit(None).cast(changes.schema[c].dataType).alias(c)
+            for c in tbs
+        ],
+    )
+    hist = seed.unionByName(
+        changes.select(*key_cols, *tracked_cols, ts_col, *tbs)
+    )
+    rebuilt = scd2_from_history(
+        hist, key_cols, tracked_cols, ts_col, tiebreak_cols
+    )
+    return rebuilt, cur_untouched
+
+
+def scd2_apply_changes(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold a MULTI-timestamp change batch into an existing SCD2
+    table — the micro-batch primitive behind
+    ``streaming/scd.py::scd2_maintain_stream``, and the batch form
+    of the same code path.
+
+    Where :func:`scd2_apply` treats the batch as one attribute
+    snapshot at a single ``batch_ts``, this operator accepts raw
+    change events (several per key, each at its own ``ts_col``) and
+    versions them all: per touched key the current row plus the
+    batch's changes replay through the :func:`scd2_from_history`
+    collapse. Properties (test-asserted): applying a ts-ordered
+    partition of a change log batch-by-batch equals one
+    ``scd2_from_history`` over the whole log; redelivering a batch
+    is a no-op; closed history rows pass through untouched (only
+    the current slice of touched keys is ever shuffled).
+    """
+    rebuilt, cur_untouched = _rebuild_touched(
+        dim.where(F.col("is_current")),
+        changes,
+        key_cols,
+        tracked_cols,
+        ts_col,
+        tiebreak_cols,
+    )
+    out_cols = [*key_cols, *tracked_cols, "valid_from", "valid_to",
+                "is_current"]
+    return (
+        dim.where(~F.col("is_current")).select(*out_cols)
+        .unionByName(cur_untouched.select(*out_cols))
+        .unionByName(rebuilt.select(*out_cols))
+    )
+
+
 def scd2_snapshot(dim: DataFrame, at) -> DataFrame:
     """The dimension as of ``at``: rows with
     ``valid_from <= at < coalesce(valid_to, +inf)``. Map-only."""

@@ -177,3 +177,65 @@ def test_join_facts_takes_covering_version(spark, history):
     # exactly one dimension version per fact
     n = scd2_join_facts(facts, dim, ["k"], "fts").count()
     assert n == 4
+
+
+def _as_tuples(df):
+    cols = ["k", "attr", "valid_from", "valid_to", "is_current"]
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+        key=repr,
+    )
+
+
+def test_apply_changes_batched_equals_full_rebuild(spark, history):
+    """Streaming-batch parity: folding a ts-ordered change log
+    through ANY micro-batch partition via scd2_apply_changes lands
+    on the same table as one scd2_from_history over the whole log."""
+    from bi_utils_spark.operators.scd import scd2_apply_changes
+
+    rows = sorted(history.collect(), key=lambda r: (r["ts"], r["k"]))
+    full = scd2_from_history(history, ["k"], ["attr"], "ts")
+    for split in (3, 5, 7):
+        b1 = spark.createDataFrame(rows[:split], history.schema)
+        b2 = spark.createDataFrame(rows[split:], history.schema)
+        dim = scd2_from_history(b1, ["k"], ["attr"], "ts")
+        out = scd2_apply_changes(dim, b2, ["k"], ["attr"], "ts")
+        assert _as_tuples(out) == _as_tuples(full), split
+
+
+def test_apply_changes_multiple_versions_in_one_batch(spark, history):
+    """Several changes to one key inside one batch each open a
+    version — unlike scd2_apply's one-snapshot-per-batch fold."""
+    from bi_utils_spark.operators.scd import scd2_apply_changes
+
+    dim = scd2_from_history(history, ["k"], ["attr"], "ts")
+    batch = spark.createDataFrame(
+        [(2, _ts(6), "Y"), (2, _ts(8), "Z")], ["k", "ts", "attr"]
+    )
+    out = scd2_apply_changes(dim, batch, ["k"], ["attr"], "ts")
+    k2 = sorted(
+        out.where("k = 2").collect(), key=lambda r: r["valid_from"]
+    )
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in k2] == [
+        ("X", _ts(2), _ts(6)),
+        ("Y", _ts(6), _ts(8)),
+        ("Z", _ts(8), None),
+    ]
+    # untouched keys pass through bit-identically
+    assert _as_tuples(out.where("k != 2")) == _as_tuples(
+        dim.where("k != 2")
+    )
+
+
+def test_apply_changes_redelivery_idempotent(spark, history):
+    from bi_utils_spark.operators.scd import scd2_apply_changes
+
+    dim = scd2_from_history(history, ["k"], ["attr"], "ts")
+    batch = spark.createDataFrame(
+        [(1, _ts(7), "Q"), (3, _ts(3), "C")], ["k", "ts", "attr"]
+    )
+    once = scd2_apply_changes(dim, batch, ["k"], ["attr"], "ts")
+    twice = scd2_apply_changes(once, batch, ["k"], ["attr"], "ts")
+    assert _as_tuples(once) == _as_tuples(twice)
+    # the no-op redelivery for key 3 opened no version
+    assert once.where("k = 3").count() == dim.where("k = 3").count()

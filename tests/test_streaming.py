@@ -778,3 +778,73 @@ def test_cdc_stream_batch_parity_across_microbatches(spark, tmp_path):
     )
     batch = apply_cdc(log, ["k"], ["v"]).collect()[0]
     assert (batch["v"], batch["ord"]) == ("new", 5)
+
+
+def test_scd2_maintain_stream_parity(spark, tmp_path):
+    """Streaming SCD2 maintenance: a change log fed as three file
+    micro-batches lands on the same table as one scd2_from_history
+    over the whole log; closed directories accumulate append-only."""
+    import datetime as dt
+    import json
+
+    from bi_utils_spark.operators.scd import scd2_from_history
+    from bi_utils_spark.streaming.scd import (
+        read_scd2_table,
+        scd2_maintain_stream,
+    )
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    table = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def iso(day, hour=0):
+        return f"2024-01-{day:02d}T{hour:02d}:00:00.000Z"
+
+    batches = [
+        # b0: two keys appear
+        [{"k": 1, "ts": iso(1), "attr": "A"},
+         {"k": 2, "ts": iso(1), "attr": "X"}],
+        # b1: key 1 changes twice inside one batch, key 3 appears
+        [{"k": 1, "ts": iso(2), "attr": "B"},
+         {"k": 1, "ts": iso(3), "attr": "C"},
+         {"k": 3, "ts": iso(2), "attr": "P"}],
+        # b2: no-op redelivery for key 1, real change for key 2
+        [{"k": 1, "ts": iso(4), "attr": "C"},
+         {"k": 2, "ts": iso(4), "attr": "Y"}],
+    ]
+    stream = spark.readStream.schema("k long, ts timestamp, attr string").json(
+        str(src)
+    )
+    q = scd2_maintain_stream(
+        stream, ["k"], ["attr"], "ts", table, ckpt,
+        query_name="scd2_maintain_test",
+    )
+    try:
+        for i, batch in enumerate(batches):
+            (src / f"b{i}.jsonl").write_text(
+                "\n".join(json.dumps(r) for r in batch)
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = read_scd2_table(spark, table)
+    log = spark.createDataFrame(
+        [
+            (r["k"], dt.datetime.fromisoformat(r["ts"][:-1]), r["attr"])
+            for b in batches
+            for r in b
+        ],
+        "k long, ts timestamp, attr string",
+    )
+    want = scd2_from_history(log, ["k"], ["attr"], "ts")
+    cols = ["k", "attr", "valid_from", "valid_to", "is_current"]
+    as_t = lambda df: sorted(
+        (tuple(r[c] for c in cols) for r in df.select(*cols).collect()),
+        key=repr,
+    )
+    assert as_t(got) == as_t(want)
+    # exactly one current row per live key; closed rows append-only
+    assert got.where("is_current").count() == 3
+    assert got.count() == want.count()
