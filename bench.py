@@ -194,8 +194,10 @@ BENCH_QUERIES = [
     "q_skew_report",
     # one-scan column intake profile
     "q_profile_orders",
-    # r7: incremental SCD2 fold (multi-ts micro-batch primitive)
+    # r7: incremental SCD2 fold (multi-ts micro-batch primitive) and
+    # the persisted-IVF serving probe (raw: partition-pruned nprobe=3)
     "q_scd2_apply_changes",
+    "q_ivf_index_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

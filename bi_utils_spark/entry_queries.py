@@ -9,6 +9,7 @@ via exact DECIMAL accumulation cast back to DOUBLE.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2873,6 +2874,76 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ge_050"),
         )
     )
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Per-SF scratch dir for the persisted index (rebuilt when the
+    manifest is absent, reused otherwise — so the bench's repeat
+    timings measure the PROBE path, which is what serving pays)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"bi_utils_spark_ivf_{tag}"
+    )
+
+
+@register(
+    "q_ivf_index_topk",
+    f"""
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], {TARGET_VEC_SQL}), 6)
+             AS score
+    FROM embeddings
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index (X107, r7): build-once parquet index
+    (vectors partitioned by cell_id, centroid metadata, manifest),
+    then probe. With nprobe = num_cells the probe provably equals
+    the EXACT cosine top-k — that is this oracle (not a recall
+    bound): a green row proves the index round-trips vectors
+    losslessly and the probe arithmetic is exact. The pruned-probe
+    serving path (nprobe < cells, PartitionFilters I/O) is
+    plan-asserted in test_ivf and benched raw."""
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_probe,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    target = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    path = _ivf_index_dir(sf_dir)
+    write_ivf_index(emb, path, num_cells=8, iters=2)
+    out = ivf_index_probe(spark, path, target, k=10, nprobe=8)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def raw_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving path alone: probe nprobe=3 of 8 cells against the
+    cached persisted index (built on first call per SF) — repeat
+    walls measure partition-pruned probe I/O, the per-query cost a
+    vector-serving deployment pays."""
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_probe,
+        write_ivf_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    target = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    path = _ivf_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "_MANIFEST.json")):
+        write_ivf_index(emb, path, num_cells=8, iters=2)
+    return ivf_index_probe(spark, path, target, k=10, nprobe=3)
 
 
 def raw_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9559,10 +9630,10 @@ _PROMOTED: list[str] = [
     "q_session_windows",
     "q_zipf_topk",
     "q_ann_topk",
-    "q_bm25_search",
-    # (q_boilerplate_grams yields its re-attestation slot to the new
-    # X106 incremental-SCD2 query; next in line for r8)
+    # (q_bm25_search / q_boilerplate_grams yield their re-attestation
+    # slots to the two new r7 queries; next in line for r8)
     "q_scd2_apply_changes",
+    "q_ivf_index_topk",
 ]
 
 
@@ -9633,6 +9704,7 @@ def raw_bitext_mine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bitext_mine_blocked": raw_bitext_mine_blocked,
+    "q_ivf_index_topk": raw_ivf_index_probe,
     "q_minhash_near_dup": raw_minhash_near_dup,
     "q_simhash_near_dup": raw_simhash_near_dup,
     "q_winnow_near_dup": raw_winnow_near_dup,

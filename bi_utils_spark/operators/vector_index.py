@@ -1,0 +1,125 @@
+"""Persisted IVF vector index (X107, r7) — train once, probe many.
+
+``similarity.ivf_topk`` re-derives centroids and assignments on every
+call: fine for one-shot analytics, wrong for the serving/repeated-
+query pattern where the corpus is 100 TB and each of thousands of
+queries should touch nprobe/num_cells of it. This module persists the
+index as plain parquet (the FAISS split, on Spark storage):
+
+    <path>/centroids/        num_cells rows (cell_id, centroid) —
+                             index METADATA, always driver-small
+    <path>/vectors/          (id, u) rows partitioned by cell_id —
+                             the corpus, unit-normalized once at
+                             build time
+    <path>/_MANIFEST.json    num_cells, num_assign, id column name
+
+Probe-time, the centroid table ranks cells driver-side and the vector
+scan carries ``cell_id IN (<nprobe cells>)`` — because ``cell_id`` is
+a PARTITION column, Spark's partition discovery prunes the scan to
+exactly those directories (plan-asserted: the predicate lands in
+``PartitionFilters``, not a post-scan row filter), so probe I/O is
+nprobe/num_cells of the corpus by construction. Exactness contract:
+with ``nprobe = num_cells`` the probe equals the exact cosine top-k
+(oracle-checked by ``q_ivf_index_topk``); partial probes trade recall
+for I/O exactly like ``ivf_topk`` (same assignment code path).
+
+The manifest/pointer uses local-file semantics like
+``streaming/scd.py``'s ``_VERSION``; an object-store deployment swaps
+in its own manifest write (or a metastore entry) — documented, not
+gated, because the parquet layout itself is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    num_cells: int = 16,
+    iters: int = 2,
+    num_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> dict:
+    """Build and persist the index: bounded-sample k-means (unless
+    ``centroids`` is supplied — e.g. re-indexing under last month's
+    quantizer), ONE map-only assignment pass over the corpus, one
+    shuffle-free partitioned write. Returns the manifest dict."""
+    from bi_utils_spark.operators.similarity import (
+        ivf_assign_multi,
+        kmeans_centroids,
+    )
+
+    if centroids is None:
+        centroids = kmeans_centroids(df, num_cells, id_col, vec_col, iters)
+    assigned = ivf_assign_multi(df, centroids, num_assign, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        os.path.join(path, "vectors")
+    )
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    manifest = {
+        "num_cells": int(centroids.count()),
+        "num_assign": int(num_assign),
+        "id_col": id_col,
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest
+
+
+def _load_manifest(path: str) -> dict:
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def ivf_index_probe(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k by cosine against a persisted index. Reads the
+    ``nprobe`` nearest cells ONLY (partition-pruned scan); exact
+    dot-product re-rank inside them (vectors are stored unit-length,
+    so dot == cosine). Multi-assigned ids dedupe by max score —
+    scores per id are identical across its cells, the groupBy just
+    restores uniqueness."""
+    man = _load_manifest(path)
+    cents = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    qu = [float(x) / qn for x in query_vec]
+    ranked = sorted(
+        cents,
+        key=lambda r: (
+            -sum(a * b for a, b in zip(qu, r["centroid"])),
+            r["cell_id"],
+        ),
+    )
+    probe = [int(r["cell_id"]) for r in ranked[:nprobe]]
+    from bi_utils_spark.operators.similarity import dot
+
+    qcol = F.array(*[F.lit(x) for x in qu])
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("cell_id").isin(probe)
+    )
+    scored = vecs.select("id", dot(F.col("u"), qcol).alias("score"))
+    if man["num_assign"] > 1:
+        scored = scored.groupBy("id").agg(F.max("score").alias("score"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(man["id_col"]), "score")
+    )

@@ -138,3 +138,64 @@ def test_knn_join_exact_rank_contract(spark, sf_dir):
         assert [r[0] for r in rows] == [1, 2, 3]
         scores = [r[1] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+# --- persisted IVF index (operators/vector_index.py, r7) -------------------
+
+
+def test_index_full_probe_equals_exact(spark, emb, tmp_path):
+    """nprobe = num_cells: the persisted-index probe must EQUAL the
+    exact cosine top-k (same ids, same scores to 1e-9)."""
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_probe,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    man = write_ivf_index(emb, path, num_cells=8, iters=2)
+    assert man["num_cells"] == 8
+    target = [float(x) for x in emb.first()["embedding"]]
+    got = ivf_index_probe(spark, path, target, k=10, nprobe=8).collect()
+    want = cosine_topk(emb, target, k=10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9
+
+
+def test_index_probe_is_partition_pruned(spark, emb, tmp_path):
+    """The probe's cell predicate lands in PartitionFilters — the
+    scan reads nprobe directories, not the corpus plus a row
+    filter."""
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_probe,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, num_cells=8, iters=1)
+    target = [float(x) for x in emb.first()["embedding"]]
+    probe = ivf_index_probe(spark, path, target, k=5, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert pf and any("cell_id" in line for line in pf), plan
+    # and the row-level data filters do NOT re-apply the cell predicate
+    assert probe.count() == 5
+
+
+def test_index_multi_assign_unique_ids(spark, emb, tmp_path):
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_probe,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, num_cells=8, iters=1, num_assign=2)
+    target = [float(x) for x in emb.first()["embedding"]]
+    got = ivf_index_probe(spark, path, target, k=20, nprobe=8).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == len(set(ids)) == 20
+    # full probe of the doubled index still equals the exact top-k
+    want = [r["vec_id"] for r in cosine_topk(emb, target, k=20).collect()]
+    assert ids == want
