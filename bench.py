@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     # the persisted-IVF serving probe (raw: partition-pruned nprobe=3)
     "q_scd2_apply_changes",
     "q_ivf_index_topk",
+    # r7: PSI distribution-drift report (grid-sized joins only)
+    "q_psi_drift",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

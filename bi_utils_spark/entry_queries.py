@@ -9430,6 +9430,119 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X108: PSI distribution drift. Baseline = even order keys; current =
+# odd keys with a planted 1.25× price inflation on half of them
+# (drift on price) while o_custkey stays distribution-stable. The
+# oracle replays the ENTIRE arithmetic per column: baseline bounds,
+# equi-width bin ids (null/under/overflow bins), exact counts over
+# the full -2..10 grid, epsilon-floored shares, ln terms quantized
+# floor(·1e9) and integer-summed.
+# ---------------------------------------------------------------------------
+
+
+def _psi_col_sql(name: str, expr: str, num_bins: int = 10) -> str:
+    """One column's PSI replay as a SELECT (shares the base/curr
+    CTEs): bin CASE identical to drift._bin_col, grid from
+    range(-2, num_bins+1), GREATEST-epsilon shares, quantized sum."""
+    return f"""
+    SELECT '{name}' AS "column",
+           CAST(SUM(CAST(FLOOR(
+             (GREATEST(CAST(nc AS DOUBLE) / ct.n, 1e-6)
+              - GREATEST(CAST(nb AS DOUBLE) / bt.n, 1e-6))
+             * ln(GREATEST(CAST(nc AS DOUBLE) / ct.n, 1e-6)
+                  / GREATEST(CAST(nb AS DOUBLE) / bt.n, 1e-6))
+             * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS psi,
+           bt.n AS n_base, ct.n AS n_cur
+    FROM (
+      SELECT g.bin,
+             COALESCE(b.nb, 0) AS nb,
+             COALESCE(c.nc, 0) AS nc
+      FROM (SELECT UNNEST(range(-2, {num_bins + 1})) AS bin) g
+      LEFT JOIN (
+        SELECT CASE
+                 WHEN {expr} IS NULL THEN -2
+                 WHEN {expr} < bo.lo THEN -1
+                 WHEN {expr} > bo.hi THEN {num_bins}
+                 ELSE LEAST(CAST(FLOOR(({expr} - bo.lo)
+                        / ((bo.hi - bo.lo) / {num_bins})) AS INT),
+                      {num_bins - 1})
+               END AS bin, COUNT(*) AS nb
+        FROM base, bo_{name} bo GROUP BY 1
+      ) b ON g.bin = b.bin
+      LEFT JOIN (
+        SELECT CASE
+                 WHEN {expr} IS NULL THEN -2
+                 WHEN {expr} < bo.lo THEN -1
+                 WHEN {expr} > bo.hi THEN {num_bins}
+                 ELSE LEAST(CAST(FLOOR(({expr} - bo.lo)
+                        / ((bo.hi - bo.lo) / {num_bins})) AS INT),
+                      {num_bins - 1})
+               END AS bin, COUNT(*) AS nc
+        FROM curr, bo_{name} bo GROUP BY 1
+      ) c ON g.bin = c.bin
+    ) grid,
+    (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base) bt,
+    (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM curr) ct
+    GROUP BY bt.n, ct.n"""
+
+
+_PSI_SQL = (
+    """
+    WITH base AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    curr AS (
+      SELECT CASE WHEN o_orderkey % 4 = 1
+                  THEN CAST(o_totalprice AS DOUBLE) * 1.25
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS price,
+             CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    bo_price AS (SELECT min(price) AS lo, max(price) AS hi FROM base),
+    bo_cust AS (SELECT min(cust) AS lo, max(cust) AS hi FROM base)
+    """
+    + _psi_col_sql("price", "price")
+    + "\n    UNION ALL"
+    + _psi_col_sql("cust", "cust")
+)
+
+
+@register("q_psi_drift", _PSI_SQL)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift report (X108, r7): the
+    current batch's planted 1.25× price inflation on half its rows
+    must read as drift on `price` while `cust` stays stable — the
+    distribution-level check the declared-constraint DQ suite can't
+    express. Every bin's share and ln term is replayed by the
+    oracle; psi crosses engines as a 1e-9-quantized integer sum."""
+    from bi_utils_spark.operators.drift import psi_report
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    cur = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        F.when(
+            F.col("o_orderkey") % 4 == 1,
+            F.col("o_totalprice").cast("double") * 1.25,
+        )
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    out = psi_report(base, cur, ["price", "cust"], num_bins=10)
+    return out.select(
+        "column",
+        "psi",
+        F.col("n_base").cast("double").alias("n_base"),
+        F.col("n_cur").cast("double").alias("n_cur"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X104: skew diagnostics — top heavy keys + level-the-tasks salt
 # factor (exact counts, one double division, TakeOrdered).
 # ---------------------------------------------------------------------------
@@ -9629,11 +9742,12 @@ _PROMOTED: list[str] = [
     "q_event_transitions",
     "q_session_windows",
     "q_zipf_topk",
-    "q_ann_topk",
-    # (q_bm25_search / q_boilerplate_grams yield their re-attestation
-    # slots to the two new r7 queries; next in line for r8)
+    # (q_ann_topk / q_bm25_search / q_boilerplate_grams yield their
+    # re-attestation slots to the three new r7 queries; next in line
+    # for r8)
     "q_scd2_apply_changes",
     "q_ivf_index_topk",
+    "q_psi_drift",
 ]
 
 
