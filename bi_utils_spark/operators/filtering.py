@@ -47,7 +47,10 @@ from pyspark.sql import functions as F
 
 
 def attach_percent_rank(
-    df: DataFrame, score_col: str, out_col: str = "pr", num_buckets: int = 256
+    df: DataFrame,
+    score_col: str,
+    out_col: str = "pr",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """df + exact SQL ``percent_rank`` of ``score_col`` over the whole
     frame, computed without a corpus-wide sort OR a single-partition
@@ -56,8 +59,20 @@ def attach_percent_rank(
     split points, baked as literals — deterministic downstream plan);
     non-numeric scores fall back to one bucket (distinct values of a
     non-numeric score are assumed bounded). Single-row frames get
-    rank 0 (the SQL convention)."""
+    rank 0 (the SQL convention).
+
+    ``num_buckets`` defaults to the session shuffle width capped at
+    1024 (r7, matching :func:`bucketed_distinct_cdf`): buckets beyond
+    the shuffle width buy no parallelism but inflate the split-point
+    job's probe count — rank VALUES are provably identical for any
+    boundary set, so the default change is plan-only."""
     from pyspark.sql.types import NumericType
+
+    if num_buckets is None:
+        num_buckets = min(
+            1024,
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
 
     # Persisted across the two plan-build driver fetches (split
     # points, bucket totals), which would otherwise each re-run the
@@ -152,99 +167,121 @@ def attach_percent_rank(
 def bucketed_distinct_cdf(
     df: DataFrame,
     score_col: str,
-    num_buckets: int = 256,
-) -> tuple[DataFrame, int]:
-    """(cdf, total_rows): the exact CDF over DISTINCT non-null values
-    of ``score_col``, computed with the same range-bucketed two-level
-    discipline as :func:`attach_percent_rank` — no unpartitioned
-    window anywhere, so the plan stays parallel even when the value is
-    continuous and |distinct| ≈ |corpus|.
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """The exact CDF over DISTINCT non-null values of ``score_col``,
+    computed with the same range-bucketed two-level discipline as
+    :func:`attach_percent_rank` — no unpartitioned corpus-scaled
+    window anywhere, so the plan stays parallel even when the value
+    is continuous and |distinct| ≈ |corpus|.
 
-    ``cdf`` has one row per distinct value: ``__v`` (the value),
-    ``__c`` (its row count), ``__start`` (exclusive cumulative count
-    of rows with strictly smaller values — 0-based position of the
-    value's first copy in the sorted corpus). ``total_rows`` is the
-    non-null row count, returned as a plain int (it falls out of the
-    same bounded bucket-totals fetch that builds the offsets).
+    One row per distinct value: ``__v`` (the value), ``__c`` (its row
+    count), ``__start`` (exclusive cumulative count of rows with
+    strictly smaller values — 0-based position of the value's first
+    copy in the sorted corpus), ``__n`` (total non-null rows, same on
+    every row — consumers read it instead of running their own count
+    job).
 
-    Numeric values are range-bucketed via one bounded driver
-    aggregate (~``num_buckets`` approximate split points baked as
-    literals — placement only steers parallelism, the arithmetic is
-    exact for any boundaries); non-numeric values fall back to one
-    bucket (distinct values of a non-numeric column are assumed
-    bounded). Shared by :func:`winsorize` and
-    ``histogram.equi_depth_histogram``.
+    Plan shape (r7, after the first cut of this helper benched 5×
+    slower than the single-window form it replaced): exactly ONE
+    plan-build driver job — a shuffle-free ``percentile_approx`` over
+    the RAW column for the ~``num_buckets`` split points (placement
+    only steers parallelism; row-balanced buckets, arbitrary
+    boundaries are still exact). Everything else is one distributed
+    plan: per-bucket partitioned prefix windows; cross-bucket offsets
+    and the grand total come from a ≤ ``num_buckets``-row aggregate
+    of the SAME counts subtree (ReuseExchange shares the shuffle),
+    prefix-summed by a window over those ≤ num_buckets rows
+    (model-bounded, canary-exempt) and broadcast-joined back — no
+    collect, no persist bookkeeping. The offsets subtree aggregates
+    ``__c``, so the counts aggregate is irreducible and the
+    attach_percent_rank lambda-reinlining hazard cannot arise.
+
+    Non-numeric values fall back to one bucket (distinct values of a
+    non-numeric column are assumed bounded). Shared by
+    :func:`winsorize` and ``histogram.equi_depth_histogram``.
     """
     from pyspark.sql.types import NumericType
 
+    if num_buckets is None:
+        # Buckets beyond the shuffle width buy no parallelism but DO
+        # inflate the split-point job (percentile_approx cost grows
+        # with the probe count — measured 1.8 s at 255 probes vs
+        # 0.26 s at 31 on sf0.1 orders). Track the session's shuffle
+        # width, capped: the cap bounds driver-side quantile-query
+        # cost on very wide clusters, where the corpus scan dominates
+        # anyway.
+        num_buckets = min(
+            1024,
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
     v = F.col(score_col)
-    # Persisted across the two plan-build driver fetches (split
-    # points, bucket totals); unpersisted before returning — same
-    # bounded-cache discipline as attach_percent_rank (ADVICE r4).
+    bounds: list[float] = []
+    if (
+        isinstance(df.schema[score_col].dataType, NumericType)
+        and num_buckets > 1
+    ):
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        qrow = df.agg(
+            F.percentile_approx(v.cast("double"), probs, 100).alias("q")
+        ).first()
+        bounds = sorted({b for b in (qrow["q"] or []) if b is not None})
     vals = (
         df.where(v.isNotNull())
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
-        .persist()
     )
-    try:
-        bounds: list[float] = []
-        if (
-            isinstance(df.schema[score_col].dataType, NumericType)
-            and num_buckets > 1
-        ):
-            probs = [i / num_buckets for i in range(1, num_buckets)]
-            qrow = vals.agg(
-                F.percentile_approx(
-                    F.col("__v").cast("double"), probs, 100
-                ).alias("q")
-            ).first()
-            bounds = sorted({b for b in (qrow["q"] or []) if b is not None})
-        if bounds:
-            barr = F.array(*[F.lit(float(b)) for b in bounds])
-            sc = F.col("__v").cast("double")
-            bucket = F.size(F.filter(barr, lambda x: x < sc))
-        else:
-            bucket = F.lit(0)
-        b = vals.withColumn("__bk", bucket)
-        w_in = (
-            Window.partitionBy("__bk")
-            .orderBy("__v")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        inner = b.withColumn(
-            "__within", F.coalesce(F.sum("__c").over(w_in), F.lit(0))
-        )
-        # ≤ num_buckets rows: bounded driver fetch, prefix-summed and
-        # baked back as a literal map (see attach_percent_rank for why
-        # a distributed formulation is worse here).
-        btot_rows = sorted(
-            b.groupBy("__bk").agg(F.sum("__c").alias("__bt")).collect(),
-            key=lambda r: r["__bk"],
-        )
-    finally:
-        vals.unpersist()
-    total = int(sum(r["__bt"] for r in btot_rows))
-    off_map: dict[int, int] = {}
-    off = 0
-    for r in btot_rows:
-        off_map[r["__bk"]] = off
-        off += r["__bt"]
-    if off_map:
-        boff = F.element_at(
-            F.create_map(*[F.lit(x) for kv in off_map.items() for x in kv]),
-            F.col("__bk"),
-        )
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        sc = F.col("__v").cast("double")
+        bucket = F.size(F.filter(barr, lambda x: x < sc))
     else:
-        boff = F.lit(0)
-    cdf = inner.select(
+        bucket = F.lit(0)
+    b = vals.withColumn("__bk", bucket)
+    # Both frames share one (partition, order) spec, so Spark computes
+    # them in a SINGLE WindowExec pass: the running prefix AND the
+    # bucket total ride the same sort.
+    w_in = (
+        Window.partitionBy("__bk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = (
+        Window.partitionBy("__bk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    inner = b.select(
         "__v",
         "__c",
-        (F.coalesce(boff, F.lit(0)) + F.col("__within"))
-        .cast("long")
-        .alias("__start"),
+        "__bk",
+        F.coalesce(F.sum("__c").over(w_in), F.lit(0)).alias("__within"),
+        F.sum("__c").over(w_tot).alias("__bt"),
     )
-    return cdf, total
+    # Bucket totals fold the WINDOW output grouped by __bk — already
+    # hash-partitioned on __bk, so no extra exchange — and the vals
+    # exchange under the two window consumers is shared by
+    # ReuseExchange (plan-asserted): the corpus is scanned and
+    # shuffled ONCE for the whole CDF.
+    btot = inner.groupBy("__bk").agg(F.max("__bt").alias("__bt"))
+    w_off = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.select(
+        "__bk",
+        F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__bt").over(
+            Window.orderBy("__bk").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    return inner.join(F.broadcast(offs), "__bk").select(
+        "__v",
+        "__c",
+        (F.col("__off") + F.col("__within")).cast("long").alias("__start"),
+        F.col("__n").cast("long").alias("__n"),
+    )
 
 
 def filter_by_score_quantile(
@@ -319,25 +356,26 @@ def winsorize(
     Engine-replayable because thresholds are actual data values, not
     interpolations.
     """
-    import math
-
     out_col = out_col or f"{score_col}_wins"
     v = F.col(score_col)
-    cdf, n = bucketed_distinct_cdf(df, score_col)
+    cdf = bucketed_distinct_cdf(df, score_col)
     # value at rank ceil(q*n): min __v whose inclusive cumulative
-    # count (__start + __c) reaches the cut. Python's ceil over the
-    # same IEEE double product matches the SQL CEIL the oracle runs.
-    lo_cut = int(math.ceil(lo_q * n))
-    hi_cut = int(math.ceil(hi_q * n))
+    # count (__start + __c) reaches the cut. n rides the cdf as the
+    # __n column (no extra count job); CEIL over the same IEEE
+    # double product matches the SQL the oracle runs.
     thr = cdf.agg(
         F.min(
             F.when(
-                F.col("__start") + F.col("__c") >= F.lit(lo_cut), F.col("__v")
+                F.col("__start") + F.col("__c")
+                >= F.ceil(F.lit(float(lo_q)) * F.col("__n")),
+                F.col("__v"),
             )
         ).alias("__lo"),
         F.min(
             F.when(
-                F.col("__start") + F.col("__c") >= F.lit(hi_cut), F.col("__v")
+                F.col("__start") + F.col("__c")
+                >= F.ceil(F.lit(float(hi_q)) * F.col("__n")),
+                F.col("__v"),
             )
         ).alias("__hi"),
     )

@@ -105,20 +105,20 @@ def equi_depth_histogram(
 
     The CDF comes from ``filtering.bucketed_distinct_cdf`` — the
     range-bucketed two-level form, so the plan has no unpartitioned
-    window even when the column is continuous and |distinct| ≈ n
-    (the r6 verdict's scale finding against the old single-window
-    form). Total row count is baked as a literal from the same
-    bounded bucket-totals fetch.
+    corpus-scaled window even when the column is continuous and
+    |distinct| ≈ n (the r6 verdict's scale finding against the old
+    single-window form). Total row count rides the cdf as its ``__n``
+    column — one distributed plan, no plan-build count job.
     """
     if num_bins < 1:
         raise ValueError("num_bins must be >= 1")
     from bi_utils_spark.operators.filtering import bucketed_distinct_cdf
 
-    cdf, total = bucketed_distinct_cdf(df, col)
+    cdf = bucketed_distinct_cdf(df, col)
     assigned = cdf.select(
         "__v",
         "__c",
-        F.expr(f"(__start * {num_bins}) div {max(total, 1)}").alias("bin"),
+        F.expr(f"(__start * {num_bins}) div greatest(__n, 1)").alias("bin"),
     )
     return assigned.groupBy("bin").agg(
         F.min("__v").alias("lo"),

@@ -162,10 +162,11 @@ def test_bucketed_distinct_cdf_positions(spark):
 
     rows = [(1.0,)] * 3 + [(2.0,)] * 2 + [(None,)] + [(5.0,)] * 4
     df = spark.createDataFrame(rows, ["v"])
-    cdf, total = bucketed_distinct_cdf(df, "v", num_buckets=4)
-    assert total == 9
-    got = {r["__v"]: (r["__c"], r["__start"]) for r in cdf.collect()}
-    assert got == {1.0: (3, 0), 2.0: (2, 3), 5.0: (4, 5)}
+    cdf = bucketed_distinct_cdf(df, "v", num_buckets=4)
+    got = {
+        r["__v"]: (r["__c"], r["__start"], r["__n"]) for r in cdf.collect()
+    }
+    assert got == {1.0: (3, 0, 9), 2.0: (2, 3, 9), 5.0: (4, 5, 9)}
 
 
 def test_winsorize_null_rows_survive(spark):
