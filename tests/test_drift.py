@@ -100,3 +100,79 @@ def test_single_partial_aggregation_per_frame(spark):
     # the corpus-side aggregation is partial (map-side combine before
     # the exchange): partial_count marks appear in the plan
     assert "partial_count" in plan
+
+
+# --- streaming drift monitor (streaming/drift.py) --------------------------
+
+
+def test_stream_fold_matches_batch_psi(spark):
+    """Batch parity: one micro-batch through the stream fold equals
+    psi_report on the same frames (same bins, floor, quantization)."""
+    from bi_utils_spark.streaming.drift import (
+        _psi_against_profile,
+        baseline_profile,
+    )
+
+    base = spark.createDataFrame(
+        [(float(i % 40), i % 5) for i in range(600)], ["v", "w"]
+    )
+    batch = spark.createDataFrame(
+        [(float((i * 11) % 55), i % 9) for i in range(300)], ["v", "w"]
+    )
+    prof = baseline_profile(base, ["v", "w"])
+    got = {
+        r["column"]: (r["psi"], r["verdict"], r["n_cur"])
+        for r in _psi_against_profile(batch, prof, 1e-6).collect()
+    }
+    want = {
+        r["column"]: (r["psi"], r["verdict"], r["n_cur"])
+        for r in psi_report(base, batch, ["v", "w"]).collect()
+    }
+    assert got == want  # bit-equal, not approx
+
+
+def test_drift_monitor_alerts_over_stream(spark, tmp_path):
+    """Three file micro-batches: in-distribution, shifted, and
+    null-heavy — the monitor must flag exactly the drifted ones."""
+    import json
+
+    from bi_utils_spark.streaming.drift import (
+        baseline_profile,
+        monitor_drift_foreach,
+    )
+
+    base = spark.createDataFrame(
+        [(float(i % 50),) for i in range(500)], ["v"]
+    )
+    prof = baseline_profile(base, ["v"])
+    src = tmp_path / "batches"
+    src.mkdir()
+    reports = []
+
+    def on_report(df, batch_id):
+        for r in df.collect():
+            reports.append((batch_id, r["column"], r["verdict"]))
+
+    stream = spark.readStream.schema("v double").json(str(src))
+    q = monitor_drift_foreach(
+        stream, prof, str(tmp_path / "ckpt"), on_report,
+        query_name="drift_monitor_test",
+    )
+    try:
+        batches = [
+            [{"v": float(i % 50)} for i in range(200)],        # stable
+            [{"v": float(i % 50) + 45.0} for i in range(200)], # shifted
+            [{"v": (float(i % 50) if i % 2 else None)}
+             for i in range(200)],                             # nulls
+        ]
+        for i, b in enumerate(batches):
+            (src / f"b{i}.jsonl").write_text(
+                "\n".join(json.dumps(r) for r in b)
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    verdicts = [v for (_, _, v) in sorted(reports)]
+    assert verdicts[0] == "stable"
+    assert verdicts[1] == "major_shift"
+    assert verdicts[2] == "major_shift"
