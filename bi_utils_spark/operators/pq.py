@@ -378,7 +378,13 @@ def save_ivfpq(
     """Persist an IVF-PQ index: centroid + codebook metadata tables
     and the code table PARTITIONED BY cell_id — a probe then reads
     only its nprobe partitions (partition pruning × the 8 B/vector
-    compression, stacked). Overwrites any index at ``path``."""
+    compression, stacked). Overwrites any index at ``path``.
+
+    Compressed/lossy tier of the persisted-index pair: when the
+    corpus fits storage uncompressed and exact scores matter, the
+    lossless sibling is ``operators/vector_index.py`` (same
+    partitioned-by-cell layout, exact unit vectors, probe ==
+    exact top-k at full nprobe)."""
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
     index.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/index")

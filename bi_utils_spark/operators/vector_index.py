@@ -84,6 +84,49 @@ def _load_manifest(path: str) -> dict:
         return json.load(fh)
 
 
+def ivf_index_append(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> None:
+    """Add a vector delta WITHOUT retraining (the ivfpq_append
+    contract, lossless tier): assign the new vectors against the
+    STORED centroids — one map-only pass over the delta, the
+    existing corpus is never read — and append into the cell
+    partitions. Standard trade: the quantizer drifts as the
+    distribution shifts; watch :func:`ivf_index_stats` (or a PSI
+    monitor on cell shares) and rebuild when balance degrades.
+    ``id_col`` defaults to the manifest's id column."""
+    from bi_utils_spark.operators.similarity import ivf_assign_multi
+
+    man = _load_manifest(path)
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    assigned = ivf_assign_multi(
+        new_df,
+        centroids,
+        man["num_assign"],
+        id_col or man["id_col"],
+        vec_col,
+    )
+    assigned.write.mode("append").partitionBy("cell_id").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def ivf_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """(cell_id, n_vectors) per cell — the rebalance probe: heavily
+    skewed cells mean probe cost concentrates and the quantizer no
+    longer fits the data (rebuild signal). Metadata-cheap: a
+    partition-column count, no vector payloads read."""
+    return (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 def ivf_index_probe(
     spark: SparkSession,
     path: str,

@@ -199,3 +199,36 @@ def test_index_multi_assign_unique_ids(spark, emb, tmp_path):
     # full probe of the doubled index still equals the exact top-k
     want = [r["vec_id"] for r in cosine_topk(emb, target, k=20).collect()]
     assert ids == want
+
+
+def test_index_append_without_retrain(spark, emb, tmp_path):
+    """Appending a delta against the stored centroids: appended ids
+    are probe-visible, pre-existing assignments untouched, and a
+    full probe still equals the exact top-k over the UNION corpus."""
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_append,
+        ivf_index_probe,
+        ivf_index_stats,
+        write_ivf_index,
+    )
+
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(old, path, num_cells=8, iters=2)
+    n_before = ivf_index_stats(spark, path).agg(
+        F.sum("n_vectors")
+    ).first()[0]
+    assert n_before == old.count()
+    ivf_index_append(spark, path, delta)
+    n_after = ivf_index_stats(spark, path).agg(
+        F.sum("n_vectors")
+    ).first()[0]
+    assert n_after == emb.count()
+    target = [float(x) for x in emb.first()["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in ivf_index_probe(spark, path, target, k=10, nprobe=8).collect()
+    ]
+    want = [r["vec_id"] for r in cosine_topk(emb, target, k=10).collect()]
+    assert got == want
