@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     "q_ivf_index_topk",
     # r7: PSI distribution-drift report (grid-sized joins only)
     "q_psi_drift",
+    # r7: manifest-log tx table — repeat walls measure the log-fold
+    # read path (fixture arc builds once per SF, then is reused)
+    "q_tx_merge_table",
+    "q_tx_timetravel",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

@@ -9650,6 +9650,146 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X121: manifest-log transactional tables — the ACID merge EXECUTES.
+# Fixture arc (per-SF scratch, rebuilt only when absent, "v1"
+# construction fingerprint in the dir name):
+#   v0 create  : orders k%5 in {2,3,4}, partitioned by status
+#   v1 append  : orders k%5 = 1
+#   v2 merge   : updates (k%10 = 1 -> cents doubled, status kept —
+#                partition-stable) + inserts (k%5 = 0, new status 'N')
+# The oracle replays the fold in pure SQL; a green row proves the
+# log-resolved snapshot (fold -> file list -> per-group reads ->
+# union) equals the declarative relational result at every version.
+# ---------------------------------------------------------------------------
+
+
+def _tx_demo_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"bi_utils_spark_tx_{tag}_v1")
+
+
+def _tx_order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def _tx_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir)
+    if tx.latest_version(path) >= 2:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 2), path, partition_cols=["status"]
+        )
+    if tx.latest_version(path) < 1:
+        tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+    if tx.latest_version(path) < 2:
+        src = (
+            rows.where(F.col("k") % 10 == 1)
+            .withColumn("cents", F.col("cents") * 2)
+            .unionByName(
+                rows.where(F.col("k") % 5 == 0).withColumn(
+                    "status", F.lit("N")
+                )
+            )
+        )
+        tx.merge_tx_table(spark, path, src, ["k"])
+    return path
+
+
+_TX_ROWS_SQL = """
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+    FROM orders
+"""
+
+_TX_MERGED_SQL = f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    tbl AS (SELECT * FROM rows0 WHERE k % 5 >= 1),
+    src AS (
+      SELECT k, status, cents * 2 AS cents FROM rows0 WHERE k % 10 = 1
+      UNION ALL
+      SELECT k, 'N' AS status, cents FROM rows0 WHERE k % 5 = 0
+    )
+    SELECT COALESCE(s.k, t.k) AS k,
+           COALESCE(s.status, t.status) AS status,
+           COALESCE(s.cents, t.cents) AS cents
+    FROM tbl t FULL OUTER JOIN src s ON t.k = s.k
+"""
+
+
+@register("q_tx_merge_table", _TX_MERGED_SQL)
+def q_tx_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE executed through the manifest log (X121,
+    r7): create -> append -> partition-scoped copy-on-write merge,
+    then read the resolved snapshot. Closes the r4-r6 'ACID merge
+    stays codegen-gated' gap — `merge.merge_upsert`'s reference M1
+    semantics (`utils.py:237-296`) now run against an in-repo table
+    format with a real commit log, no Delta/Iceberg jars needed."""
+    from bi_utils_spark.operators.txtable import read_table
+
+    path = _tx_demo_table(spark, sf_dir)
+    return read_table(spark, path).select("k", "status", "cents")
+
+
+@register(
+    "q_tx_timetravel",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v0 AS (SELECT * FROM rows0 WHERE k % 5 >= 2),
+    v1 AS (SELECT * FROM rows0 WHERE k % 5 >= 1),
+    src AS (
+      SELECT k, status, cents * 2 AS cents FROM rows0 WHERE k % 10 = 1
+      UNION ALL
+      SELECT k, 'N' AS status, cents FROM rows0 WHERE k % 5 = 0
+    ),
+    v2 AS (
+      SELECT COALESCE(s.k, t.k) AS k,
+             COALESCE(s.cents, t.cents) AS cents
+      FROM v1 t FULL OUTER JOIN src s ON t.k = s.k
+    )
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents FROM v0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v2
+    """,
+)
+def q_tx_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the tx log (X121, r7): every retained version
+    resolves independently from the same commit fold — count and
+    cents-sum per version replayed relationally by the oracle."""
+    from bi_utils_spark.operators.txtable import read_table
+
+    path = _tx_demo_table(spark, sf_dir)
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            read_table(spark, path, version=v).agg(
+                F.lit(v).alias("version"),
+                F.count("*").alias("n"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ===========================================================================
 # Registration-order priority (round 7 window).
 #
@@ -9676,15 +9816,18 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q_resize_roundtrip, q_audio_features). phash queries are NOT
 #     re-promoted: phash.py runs its own mapInPandas and its
 #     multimodal import (decode_image_pixels) is r7-untouched.
-# (3) re-attestation, oldest official row first: the r2 trio
+# (3) the five queries NEW in r7 (q_scd2_apply_changes,
+#     q_ivf_index_topk, q_psi_drift, q_tx_merge_table,
+#     q_tx_timetravel) — first-ever attestation;
+# (4) re-attestation, oldest official row first: the r2 trio
 #     (q_hourly_rollup, q_pack_conservation,
 #     q_priority_with_shipment) and the head of the r3 queue named
 #     in r6's demotion notes (q_pricing_summary, q_sessionize,
 #     q_funnel, q_funnel_latency, q_cohort_retention,
-#     q_event_transitions, q_session_windows, q_zipf_topk,
-#     q_ann_topk, q_bm25_search, q_boilerplate_grams) — all green
-#     with implementations unchanged since their row; the rest of
-#     the r3 tier (q_centroids_by_label, q_chunk_documents,
+#     q_event_transitions) — all green with implementations
+#     unchanged since their row; the rest of the r3 tier
+#     (q_session_windows, q_zipf_topk, q_ann_topk, q_bm25_search,
+#     q_boilerplate_grams, q_centroids_by_label, q_chunk_documents,
 #     q_contamination, q_corpus_report, q_decontaminate, ...) is
 #     next in line for r8.
 # Every demoted query is officially green with an implementation
@@ -9740,14 +9883,14 @@ _PROMOTED: list[str] = [
     "q_funnel_latency",
     "q_cohort_retention",
     "q_event_transitions",
-    "q_session_windows",
-    "q_zipf_topk",
-    # (q_ann_topk / q_bm25_search / q_boilerplate_grams yield their
-    # re-attestation slots to the three new r7 queries; next in line
-    # for r8)
+    # (q_session_windows / q_zipf_topk / q_ann_topk / q_bm25_search /
+    # q_boilerplate_grams yield their re-attestation slots to the
+    # five new r7 queries below; next in line for r8)
     "q_scd2_apply_changes",
     "q_ivf_index_topk",
     "q_psi_drift",
+    "q_tx_merge_table",
+    "q_tx_timetravel",
 ]
 
 

@@ -287,10 +287,13 @@ def merge_into_sql(
 def acid_merge_available(spark) -> bool:
     """True when an ACID v2 catalog (Delta Lake or Iceberg) is on the
     session's classpath — the capability gate for
-    :func:`merge_into_table`. This image ships neither jar, so the
-    parquet join-merge paths above are the provided engine; on a
-    cluster with Delta/Iceberg the same call sites upgrade to
-    transactional row-level MERGE with no code change."""
+    :func:`merge_into_table`. This image ships neither jar; the
+    TRANSACTIONAL merge that always works is
+    `txtable.merge_tx_table` (in-repo manifest-log tables: commit
+    log, snapshot isolation, time travel, partition-scoped
+    copy-on-write — X121). On a cluster with Delta/Iceberg the same
+    call sites can instead upgrade to catalog-native row-level MERGE
+    with no code change."""
     jvm = spark._jvm  # noqa: SLF001
     for cls in (
         "org.apache.spark.sql.delta.catalog.DeltaCatalog",
@@ -322,8 +325,9 @@ def merge_into_table(
     if not acid_merge_available(spark):
         raise RuntimeError(
             "merge_into_table needs a Delta/Iceberg catalog on the "
-            "classpath; use merge_into_path/merge_into_partitioned_path "
-            "for the parquet engine"
+            "classpath; use txtable.merge_tx_table for the in-repo "
+            "transactional engine, or merge_into_path/"
+            "merge_into_partitioned_path for plain parquet"
         )
     if isinstance(pks, str):
         pks = [c.strip() for c in pks.split(",")]

@@ -1,0 +1,622 @@
+"""Manifest-log transactional parquet tables (X121, r7) — the ACID
+engine that lets `merge.merge_into_table`'s semantics EXECUTE in a
+plain-parquet deployment, no Delta/Iceberg jars required.
+
+The reference's M1 merge (`utils.py:237-296`) runs against a
+database with a transaction log; Spark-on-parquet has no such log, so
+prior rounds carried `merge_into_table` as a capability-gated codegen
+path. This module supplies the missing piece: a minimal write-ahead
+manifest log in the style of the (public) Delta Lake protocol spec —
+ordered JSON commits, each listing the data files it adds and
+removes; a snapshot at version v is the fold of commits 0..v.
+
+Layout::
+
+    <path>/_txlog/00000000000000000000.json   commit 0, 1, ...
+    <path>/_txlog/00000000000000000010.ckpt.json  folded checkpoint
+    <path>/data/<commit-uuid>/part-*.parquet  (or .../<pcol>=<v>/...)
+
+Why this scales to 100 TB:
+
+- **Readers never LIST the data directory.** The live file set comes
+  from the log fold — O(#commits since last checkpoint) driver-side
+  JSON reads, bounded by automatic checkpoints every
+  ``CHECKPOINT_EVERY`` commits. Object-store listing of a million
+  files never happens.
+- **Partition pruning is manifest-level.** Each file's partition
+  values are recorded at commit time; a pruned read hands Spark only
+  the matching files, so probe I/O is proportional to the selected
+  partitions by construction (same discipline as
+  `vector_index.ivf_index_probe`).
+- **Merge is copy-on-write at PARTITION granularity.** A merge into a
+  date-partitioned 100 TB table whose source touches 3 days rewrites
+  3 partitions; every other file survives by reference (asserted in
+  test_txtable by file-list identity). Unpartitioned tables fall back
+  to full-snapshot rewrite — documented, and the reason production
+  tables declare partition columns.
+- **Compaction and vacuum are metadata swaps.** `compact_table`
+  rewrites live files into fewer and commits (added, removed) — old
+  versions still resolve for time travel until `vacuum_table` drops
+  files unreferenced by any retained version.
+- **Concurrency is optimistic, commit-claim by atomic link.** A
+  commit stages its JSON then `os.link`s it to the next version slot;
+  EEXIST means another writer won — appends rebase automatically,
+  rewriting commits re-validate and raise `ConcurrentWriteError` if
+  their read snapshot went stale (the Delta protocol's conflict
+  rule). On an object store the link swaps for a conditional PUT;
+  the local-file form follows `streaming/scd.py`'s `_VERSION`
+  precedent.
+- **Exactly-once streaming.** `foreach_batch_sink` stamps commits
+  with (app_id, batch_id); a redelivered micro-batch finds its
+  batch_id already in the log and commits nothing (idempotent sink,
+  the foreachBatch half of Structured Streaming's end-to-end
+  exactly-once contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+LOG_DIR = "_txlog"
+DATA_DIR = "data"
+CHECKPOINT_EVERY = 10
+_V_WIDTH = 20
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A rewriting commit (overwrite/merge/compact) lost an optimistic
+    race: the snapshot it read is no longer the latest version."""
+
+
+# ---------------------------------------------------------------------------
+# log primitives
+# ---------------------------------------------------------------------------
+
+
+def _log_path(path: str) -> str:
+    return os.path.join(path, LOG_DIR)
+
+
+def _commit_file(path: str, version: int) -> str:
+    return os.path.join(_log_path(path), f"{version:0{_V_WIDTH}d}.json")
+
+
+def _ckpt_file(path: str, version: int) -> str:
+    return os.path.join(_log_path(path), f"{version:0{_V_WIDTH}d}.ckpt.json")
+
+
+def _list_log(path: str) -> tuple[list[int], list[int]]:
+    """(commit versions, checkpoint versions), each sorted ascending."""
+    d = _log_path(path)
+    if not os.path.isdir(d):
+        return [], []
+    commits, ckpts = [], []
+    for name in os.listdir(d):
+        if name.endswith(".ckpt.json"):
+            ckpts.append(int(name[: -len(".ckpt.json")]))
+        elif name.endswith(".json"):
+            commits.append(int(name[: -len(".json")]))
+    return sorted(commits), sorted(ckpts)
+
+
+def latest_version(path: str) -> int:
+    """Highest committed version, or -1 for a nonexistent table."""
+    commits, _ = _list_log(path)
+    return commits[-1] if commits else -1
+
+
+@dataclass
+class Snapshot:
+    """The resolved state of the table at one version."""
+
+    version: int
+    schema: str  # StructType json
+    partition_cols: list[str]
+    # file relpath -> {"commit_dir": str, "partition_values": dict}
+    files: dict = field(default_factory=dict)
+    # (app_id) -> highest batch_id committed
+    app_batches: dict = field(default_factory=dict)
+
+    def spark_schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self.schema))
+
+
+def _fold(path: str, version: int | None = None) -> Snapshot:
+    """Fold the log into a snapshot at ``version`` (default: latest),
+    starting from the newest checkpoint at or below it."""
+    commits, ckpts = _list_log(path)
+    if not commits:
+        raise FileNotFoundError(f"no tx table at {path}")
+    target = commits[-1] if version is None else version
+    if target not in commits:
+        raise ValueError(
+            f"version {target} not in log (have {commits[0]}..{commits[-1]})"
+        )
+    base = max((c for c in ckpts if c <= target), default=None)
+    if base is not None:
+        with open(_ckpt_file(path, base)) as fh:
+            raw = json.load(fh)
+        snap = Snapshot(
+            version=base,
+            schema=raw["schema"],
+            partition_cols=raw["partition_cols"],
+            files=raw["files"],
+            app_batches=raw.get("app_batches", {}),
+        )
+        start = base + 1
+    else:
+        snap = Snapshot(version=-1, schema="", partition_cols=[])
+        start = commits[0]
+    for v in range(start, target + 1):
+        with open(_commit_file(path, v)) as fh:
+            entry = json.load(fh)
+        for rel in entry.get("removed", []):
+            snap.files.pop(rel, None)
+        for added in entry.get("added", []):
+            snap.files[added["path"]] = {
+                "commit_dir": added["commit_dir"],
+                "partition_values": added.get("partition_values", {}),
+            }
+        if entry.get("schema"):
+            snap.schema = entry["schema"]
+        if entry.get("partition_cols") is not None:
+            snap.partition_cols = entry["partition_cols"]
+        app = entry.get("app")
+        if app:
+            prev = snap.app_batches.get(app["app_id"], -1)
+            snap.app_batches[app["app_id"]] = max(prev, app["batch_id"])
+        snap.version = v
+    return snap
+
+
+def _claim(path: str, version: int, payload: dict) -> bool:
+    """Atomically claim commit slot ``version``. True on success,
+    False when another writer already owns the slot."""
+    os.makedirs(_log_path(path), exist_ok=True)
+    tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _commit_file(path, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _maybe_checkpoint(path: str, snap_version: int) -> None:
+    if (snap_version + 1) % CHECKPOINT_EVERY != 0:
+        return
+    snap = _fold(path, snap_version)
+    payload = {
+        "version": snap.version,
+        "schema": snap.schema,
+        "partition_cols": snap.partition_cols,
+        "files": snap.files,
+        "app_batches": snap.app_batches,
+    }
+    tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    try:
+        os.link(tmp, _ckpt_file(path, snap_version))
+    except FileExistsError:
+        pass  # another writer checkpointed the same version
+    finally:
+        os.unlink(tmp)
+
+
+# ---------------------------------------------------------------------------
+# staging writes
+# ---------------------------------------------------------------------------
+
+
+def _stage(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> list[dict]:
+    """Write ``df`` under a fresh commit dir; return the added-file
+    records (relpath, commit dir, partition values parsed from the
+    directory layout). Files are invisible to readers until a commit
+    references them — a failed job leaves only unreferenced files for
+    vacuum, never a partial table."""
+    commit_dir = os.path.join(DATA_DIR, uuid.uuid4().hex)
+    out = os.path.join(path, commit_dir)
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(out)
+    added = []
+    for root, _dirs, names in os.walk(out):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, path)
+            pvals: dict[str, str] = {}
+            for seg in os.path.relpath(root, out).split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    pvals[k] = v
+            added.append(
+                {
+                    "path": rel,
+                    "commit_dir": commit_dir,
+                    "partition_values": pvals,
+                }
+            )
+    return added
+
+
+def _schema_json(df: DataFrame) -> str:
+    return json.dumps(df.schema.jsonValue())
+
+
+# ---------------------------------------------------------------------------
+# table operations
+# ---------------------------------------------------------------------------
+
+
+def create_table(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] | None = None,
+) -> int:
+    """Create a tx table at ``path`` as commit 0. Raises if a log
+    already exists (use overwrite_table to replace contents)."""
+    if latest_version(path) >= 0:
+        raise FileExistsError(f"tx table already exists at {path}")
+    pcols = list(partition_cols or [])
+    added = _stage(df, path, pcols)
+    payload = {
+        "version": 0,
+        "action": "create",
+        "added": added,
+        "removed": [],
+        "schema": _schema_json(df),
+        "partition_cols": pcols,
+    }
+    if not _claim(path, 0, payload):
+        raise ConcurrentWriteError(f"concurrent create at {path}")
+    return 0
+
+
+def _append_schema(snap: Snapshot, df: DataFrame) -> str | None:
+    """Validate an append against the table schema. New nullable
+    columns widen the schema (returned); missing columns are fine
+    (old readers fill nulls); type conflicts raise."""
+    table = {f.name: f.dataType for f in snap.spark_schema().fields}
+    new_fields = []
+    for f in df.schema.fields:
+        if f.name in table:
+            if f.dataType != table[f.name]:
+                raise ValueError(
+                    f"append column {f.name!r}: {f.dataType} != table "
+                    f"{table[f.name]}"
+                )
+        else:
+            new_fields.append(f)
+    if not new_fields:
+        return None
+    merged = StructType(list(snap.spark_schema().fields) + new_fields)
+    return json.dumps(merged.jsonValue())
+
+
+def append_table(
+    df: DataFrame,
+    path: str,
+    app: tuple[str, int] | None = None,
+) -> int:
+    """Append ``df``; auto-rebases on commit races (an append
+    conflicts with nothing). ``app=(app_id, batch_id)`` makes the
+    commit idempotent: a batch_id at or below the app's high-water
+    mark is skipped (returns the current version unchanged)."""
+    snap = _fold(path)
+    if app is not None and snap.app_batches.get(app[0], -1) >= app[1]:
+        return snap.version
+    widened = _append_schema(snap, df)
+    added = _stage(df, path, snap.partition_cols)
+    version = snap.version + 1
+    while True:
+        payload = {
+            "version": version,
+            "action": "append",
+            "added": added,
+            "removed": [],
+            "schema": widened,
+            "partition_cols": None,
+        }
+        if app is not None:
+            payload["app"] = {"app_id": app[0], "batch_id": app[1]}
+        if _claim(path, version, payload):
+            _maybe_checkpoint(path, version)
+            return version
+        # lost the race: someone committed `version`. Re-check the
+        # idempotence mark, then rebase onto the new tip.
+        snap = _fold(path)
+        if app is not None and snap.app_batches.get(app[0], -1) >= app[1]:
+            return snap.version
+        version = snap.version + 1
+
+
+def _rewrite_commit(
+    path: str,
+    read_version: int,
+    action: str,
+    added: list[dict],
+    removed: list[str],
+    schema: str | None = None,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Commit a rewriting action claimed against ``read_version``'s
+    successor slot; a lost race means the snapshot is stale →
+    ConcurrentWriteError (caller re-reads and retries)."""
+    version = read_version + 1
+    payload = {
+        "version": version,
+        "action": action,
+        "added": added,
+        "removed": removed,
+        "schema": schema,
+        "partition_cols": partition_cols,
+    }
+    if not _claim(path, version, payload):
+        raise ConcurrentWriteError(
+            f"{action} at {path}: snapshot v{read_version} is stale"
+        )
+    _maybe_checkpoint(path, version)
+    return version
+
+
+def overwrite_table(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] | None = None,
+) -> int:
+    """Replace the table contents (full snapshot swap); old versions
+    remain time-travel-readable until vacuumed."""
+    snap = _fold(path)
+    pcols = (
+        list(partition_cols)
+        if partition_cols is not None
+        else snap.partition_cols
+    )
+    added = _stage(df, path, pcols)
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "overwrite",
+        added,
+        sorted(snap.files),
+        schema=_schema_json(df),
+        partition_cols=pcols,
+    )
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Read the table at ``version`` (default latest). The file set
+    comes from the log fold — no directory listing. With
+    ``partition_filter={col: value}``, pruning happens at the
+    MANIFEST level: Spark receives only the matching files.
+
+    Files are read per commit-group (each group one ``basePath`` so
+    directory-encoded partition columns re-materialize), then
+    unioned; compaction folds old groups so the union stays narrow.
+    """
+    snap = _fold(path, version)
+    schema = snap.spark_schema()
+    want = snap.files
+    if partition_filter:
+        want = {
+            rel: meta
+            for rel, meta in snap.files.items()
+            if all(
+                meta["partition_values"].get(k) == str(v)
+                for k, v in partition_filter.items()
+            )
+        }
+    if not want:
+        return spark.createDataFrame([], schema)
+    groups: dict[str, list[str]] = {}
+    for rel, meta in want.items():
+        groups.setdefault(meta["commit_dir"], []).append(
+            os.path.join(path, rel)
+        )
+    parts = []
+    for commit_dir, files in sorted(groups.items()):
+        reader = spark.read.schema(schema).option(
+            "basePath", os.path.join(path, commit_dir)
+        )
+        parts.append(reader.parquet(*sorted(files)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """The commit log as a DataFrame: one row per version with the
+    action and file-count deltas (the audit surface a warehouse
+    `DESCRIBE HISTORY` exposes)."""
+    commits, _ = _list_log(path)
+    rows = []
+    for v in commits:
+        with open(_commit_file(path, v)) as fh:
+            e = json.load(fh)
+        rows.append(
+            (
+                v,
+                e["action"],
+                len(e.get("added", [])),
+                len(e.get("removed", [])),
+                (e.get("app") or {}).get("app_id"),
+                (e.get("app") or {}).get("batch_id"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, action string, n_added int, n_removed int, "
+        "app_id string, batch_id long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge (partition-scoped copy-on-write)
+# ---------------------------------------------------------------------------
+
+
+def merge_tx_table(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    pks: Sequence[str] | str,
+    now=None,
+) -> int:
+    """MERGE ``source`` into the tx table with `merge.merge_upsert`'s
+    exact reference semantics (M1), executed as copy-on-write:
+
+    - **Partitioned table:** only partitions PRESENT IN THE SOURCE
+      are read, merged, and rewritten; every file in an untouched
+      partition survives by reference (file-list identity asserted in
+      test_txtable). Contract (same as Delta's practical rule): a
+      row's partition value is merge-stable — updates arriving with a
+      CHANGED partition value would strand the old row, so source
+      rows whose pk matches a target row OUTSIDE the touched
+      partitions are a caller error; enable full correctness by
+      merging on an unpartitioned table or repartitioning first.
+    - **Unpartitioned table:** full-snapshot rewrite (the honest
+      granularity without a file-level pk index).
+
+    Raises ConcurrentWriteError if another rewriting commit lands
+    between the snapshot read and the commit claim.
+    """
+    from bi_utils_spark.operators.merge import merge_upsert
+
+    snap = _fold(path)
+    if isinstance(pks, str):
+        pks = [c.strip() for c in pks.split(",")]
+    pcols = snap.partition_cols
+    if pcols:
+        touched = [
+            tuple(str(r[c]) for c in pcols)
+            for r in source.select(*pcols).distinct().collect()
+        ]
+        touched_set = set(touched)
+        removed = [
+            rel
+            for rel, meta in snap.files.items()
+            if tuple(meta["partition_values"].get(c) for c in pcols)
+            in touched_set
+        ]
+        groups: dict[str, list[str]] = {}
+        for rel in removed:
+            meta = snap.files[rel]
+            groups.setdefault(meta["commit_dir"], []).append(
+                os.path.join(path, rel)
+            )
+        schema = snap.spark_schema()
+        if groups:
+            parts = []
+            for commit_dir, files in sorted(groups.items()):
+                parts.append(
+                    spark.read.schema(schema)
+                    .option("basePath", os.path.join(path, commit_dir))
+                    .parquet(*sorted(files))
+                )
+            target = parts[0]
+            for p in parts[1:]:
+                target = target.unionByName(p)
+        else:
+            target = spark.createDataFrame([], schema)
+        merged = merge_upsert(target, source, pks, now=now)
+        added = _stage(merged, path, pcols)
+        return _rewrite_commit(
+            path, snap.version, "merge", added, sorted(removed)
+        )
+    target = read_table(spark, path)
+    merged = merge_upsert(target, source, pks, now=now)
+    added = _stage(merged, path, [])
+    return _rewrite_commit(
+        path, snap.version, "merge", added, sorted(snap.files)
+    )
+
+
+# ---------------------------------------------------------------------------
+# maintenance
+# ---------------------------------------------------------------------------
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Rewrite the live file set into ``target_files`` per partition
+    (metadata swap — row content identical, old versions still
+    resolve). The anti-small-files maintenance a streaming-append
+    table needs; also folds the read path's per-commit union back to
+    one group."""
+    snap = _fold(path)
+    df = read_table(spark, path, version=snap.version)
+    if snap.partition_cols:
+        df = df.repartition(target_files, *[F.col(c) for c in snap.partition_cols])
+    else:
+        df = df.coalesce(target_files)
+    added = _stage(df, path, snap.partition_cols)
+    return _rewrite_commit(
+        path, snap.version, "compact", added, sorted(snap.files)
+    )
+
+
+def vacuum_table(path: str, retain_versions: int = 2) -> list[str]:
+    """Delete data files referenced by NO retained version (the last
+    ``retain_versions`` snapshots stay readable; older time travel
+    dies — same tradeoff as Delta VACUUM). Returns deleted relpaths."""
+    commits, _ = _list_log(path)
+    if not commits:
+        return []
+    keep_from = max(0, len(commits) - retain_versions)
+    live: set[str] = set()
+    for v in commits[keep_from:]:
+        live.update(_fold(path, v).files)
+    deleted = []
+    data_root = os.path.join(path, DATA_DIR)
+    for root, _dirs, names in os.walk(data_root):
+        for name in names:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, path)
+            if name.endswith(".parquet") and rel not in live:
+                os.unlink(full)
+                deleted.append(rel)
+    return sorted(deleted)
+
+
+# ---------------------------------------------------------------------------
+# streaming: exactly-once foreachBatch sink
+# ---------------------------------------------------------------------------
+
+
+def foreach_batch_sink(path: str, app_id: str):
+    """An exactly-once `foreachBatch` append sink: each micro-batch
+    commits with (app_id, batch_id); on restart-and-replay the
+    redelivered batch finds its id at or below the log's high-water
+    mark and commits nothing. Pair with a checkpointed writeStream
+    for end-to-end exactly-once."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_table(batch_df, path, app=(app_id, int(batch_id)))
+
+    return _sink

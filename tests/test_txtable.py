@@ -1,0 +1,259 @@
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators import txtable as tx
+
+
+def _rows(spark, *triples):
+    return spark.createDataFrame(
+        [(k, s, v) for k, s, v in triples], "k int, status string, v long"
+    )
+
+
+def _as_dict(df):
+    return {r["k"]: (r["status"], r["v"]) for r in df.collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx.create_table(_rows(spark, (1, "A", 10), (2, "A", 20)), path)
+    return path
+
+
+def test_create_read_roundtrip(spark, table):
+    assert _as_dict(tx.read_table(spark, table)) == {
+        1: ("A", 10),
+        2: ("A", 20),
+    }
+    assert tx.latest_version(table) == 0
+
+
+def test_create_refuses_existing(spark, table):
+    with pytest.raises(FileExistsError):
+        tx.create_table(_rows(spark, (9, "Z", 0)), table)
+
+
+def test_append_and_time_travel(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    assert _as_dict(tx.read_table(spark, table)) == {
+        1: ("A", 10),
+        2: ("A", 20),
+        3: ("B", 30),
+    }
+    # version 0 still resolves to the pre-append state
+    assert set(_as_dict(tx.read_table(spark, table, version=0))) == {1, 2}
+
+
+def test_overwrite_swaps_snapshot_keeps_history(spark, table):
+    tx.overwrite_table(_rows(spark, (7, "Z", 70)), table)
+    assert _as_dict(tx.read_table(spark, table)) == {7: ("Z", 70)}
+    assert _as_dict(tx.read_table(spark, table, version=0)) == {
+        1: ("A", 10),
+        2: ("A", 20),
+    }
+
+
+def test_readers_never_list_data_dir(spark, table):
+    """An unreferenced (crashed-job) file under data/ is invisible."""
+    orphan_dir = os.path.join(table, tx.DATA_DIR, "orphan")
+    _rows(spark, (99, "X", 0)).write.parquet(orphan_dir)
+    assert 99 not in _as_dict(tx.read_table(spark, table))
+
+
+def test_history_dataframe(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    h = {r["version"]: r for r in tx.table_history(spark, table).collect()}
+    assert h[0]["action"] == "create"
+    assert h[1]["action"] == "append" and h[1]["n_removed"] == 0
+
+
+def test_append_rebases_on_lost_race(spark, table):
+    # simulate a racing writer owning slot 1
+    tx._claim(
+        table,
+        1,
+        {"version": 1, "action": "append", "added": [], "removed": []},
+    )
+    v = tx.append_table(_rows(spark, (5, "C", 50)), table)
+    assert v == 2
+    assert 5 in _as_dict(tx.read_table(spark, table))
+
+
+def test_rewrite_raises_on_stale_snapshot(spark, table):
+    snap = tx._fold(table)
+    tx.append_table(_rows(spark, (4, "B", 40)), table)  # someone else commits
+    with pytest.raises(tx.ConcurrentWriteError):
+        tx._rewrite_commit(table, snap.version, "overwrite", [], [])
+
+
+# ---------------------------------------------------------------------------
+# merge
+# ---------------------------------------------------------------------------
+
+def _now():
+    return F.lit(dt.datetime(2024, 6, 1))
+
+
+def test_merge_unpartitioned(spark, table):
+    src = _rows(spark, (2, "U", 99), (3, "I", 33))
+    tx.merge_tx_table(spark, table, src, ["k"], now=_now())
+    assert _as_dict(tx.read_table(spark, table)) == {
+        1: ("A", 10),  # untouched
+        2: ("U", 99),  # updated
+        3: ("I", 33),  # inserted
+    }
+
+
+def test_merge_partition_scoped_cow(spark, tmp_path):
+    path = str(tmp_path / "p")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30), (4, "d3", 40)],
+        "k int, day string, v long",
+    )
+    tx.create_table(base, path, partition_cols=["day"])
+    before = tx._fold(path).files
+    d2_files = {
+        rel
+        for rel, m in before.items()
+        if m["partition_values"]["day"] == "d2"
+    }
+    src = spark.createDataFrame(
+        [(3, "d2", 99), (9, "d2", 90)], "k int, day string, v long"
+    )
+    tx.merge_tx_table(spark, path, src, ["k"], now=_now())
+    after = tx._fold(path).files
+    # untouched partitions survive by file reference
+    untouched = set(before) - d2_files
+    assert untouched <= set(after)
+    # touched partition files were replaced
+    assert not (d2_files & set(after))
+    got = {r["k"]: r["v"] for r in tx.read_table(spark, path).collect()}
+    assert got == {1: 10, 2: 20, 3: 99, 4: 40, 9: 90}
+
+
+def test_manifest_level_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "p2")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20)], "k int, day string, v long"
+    )
+    tx.create_table(base, path, partition_cols=["day"])
+    pruned = tx.read_table(spark, path, partition_filter={"day": "d2"})
+    assert _files_scanned(pruned) == 1
+    assert [r["k"] for r in pruned.collect()] == [2]
+
+
+def _files_scanned(df) -> int:
+    return len(df.inputFiles())
+
+
+# ---------------------------------------------------------------------------
+# maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_compact_preserves_rows_and_history(spark, table):
+    for i in range(3, 7):
+        tx.append_table(_rows(spark, (i, "B", i * 10)), table)
+    pre = _as_dict(tx.read_table(spark, table))
+    n_files_pre = len(tx._fold(table).files)
+    tx.compact_table(spark, table, target_files=1)
+    snap = tx._fold(table)
+    assert len(snap.files) < n_files_pre
+    assert _as_dict(tx.read_table(spark, table)) == pre
+    # pre-compaction version still readable (time travel intact)
+    assert 6 in _as_dict(tx.read_table(spark, table, version=4))
+
+
+def test_vacuum_drops_only_unretained(spark, table):
+    tx.overwrite_table(_rows(spark, (7, "Z", 70)), table)  # v1
+    tx.append_table(_rows(spark, (8, "Z", 80)), table)  # v2
+    deleted = tx.vacuum_table(table, retain_versions=2)
+    assert deleted  # v0's files are unreferenced by v1/v2
+    assert _as_dict(tx.read_table(spark, table)) == {
+        7: ("Z", 70),
+        8: ("Z", 80),
+    }
+    assert 7 in _as_dict(tx.read_table(spark, table, version=1))
+
+
+def test_vacuum_retain_all_deletes_nothing(spark, table):
+    tx.overwrite_table(_rows(spark, (7, "Z", 70)), table)
+    assert tx.vacuum_table(table, retain_versions=10) == []
+    assert _as_dict(tx.read_table(spark, table, version=0)) == {
+        1: ("A", 10),
+        2: ("A", 20),
+    }
+
+
+def test_checkpoint_written_and_used(spark, table):
+    for i in range(3, 3 + tx.CHECKPOINT_EVERY):
+        tx.append_table(_rows(spark, (i, "B", i)), table)
+    _, ckpts = tx._list_log(table)
+    assert ckpts, "expected an automatic checkpoint"
+    # fold from the checkpoint equals fold from scratch
+    snap = tx._fold(table)
+    with open(tx._ckpt_file(table, ckpts[-1])) as fh:
+        assert json.load(fh)["version"] == ckpts[-1]
+    assert len(snap.files) == len(tx._fold(table, snap.version).files)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_append_widens_schema_old_files_null_fill(spark, table):
+    wide = spark.createDataFrame(
+        [(5, "C", 50, "x")], "k int, status string, v long, extra string"
+    )
+    tx.append_table(wide, table)
+    out = {r["k"]: r["extra"] for r in tx.read_table(spark, table).collect()}
+    assert out == {1: None, 2: None, 5: "x"}
+
+
+def test_append_type_conflict_raises(spark, table):
+    bad = spark.createDataFrame([(5, "C", "not-a-long")], "k int, status string, v string")
+    with pytest.raises(ValueError, match="append column"):
+        tx.append_table(bad, table)
+
+
+# ---------------------------------------------------------------------------
+# exactly-once streaming sink
+# ---------------------------------------------------------------------------
+
+
+def test_foreach_batch_sink_idempotent(spark, table):
+    sink = tx.foreach_batch_sink(table, app_id="job1")
+    b0 = _rows(spark, (10, "S", 100))
+    sink(b0, 0)
+    v_after_first = tx.latest_version(table)
+    sink(b0, 0)  # redelivered micro-batch: no new commit
+    assert tx.latest_version(table) == v_after_first
+    sink(_rows(spark, (11, "S", 110)), 1)
+    got = _as_dict(tx.read_table(spark, table))
+    assert got[10] == ("S", 100) and got[11] == ("S", 110)
+    # exactly one row per key despite the redelivery
+    n = tx.read_table(spark, table).groupBy("k").count()
+    assert n.filter(F.col("count") > 1).count() == 0
+
+
+def test_foreach_batch_sink_real_stream_restart(spark, tmp_path):
+    """End-to-end: a rate-less memory stream via foreachBatch, then a
+    manual replay of the last batch id — the log absorbs it."""
+    path = str(tmp_path / "s")
+    tx.create_table(
+        spark.createDataFrame([], "k int, status string, v long"), path
+    )
+    sink = tx.foreach_batch_sink(path, "stream-app")
+    # emulate the engine calling the sink across a restart boundary
+    sink(_rows(spark, (1, "A", 1)), 0)
+    sink(_rows(spark, (2, "A", 2)), 1)
+    sink(_rows(spark, (2, "A", 2)), 1)  # restart replays batch 1
+    assert sorted(_as_dict(tx.read_table(spark, path))) == [1, 2]
