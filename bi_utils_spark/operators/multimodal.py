@@ -107,7 +107,15 @@ def _map_in_pandas_batched(
         for pdf in batches:
             if not len(pdf):
                 continue
-            avg = int(pdf.memory_usage(deep=True).sum()) // len(pdf)
+            # avg-row estimate from a bounded sample: deep
+            # memory_usage walks every payload buffer it touches, so
+            # measuring the WHOLE batch costs O(batch bytes) — for a
+            # KB-payload corpus that was a measurable tax on every
+            # media query. 32 rows bound the walk while payload-size
+            # skew within one Arrow batch stays covered by the
+            # row-count cap.
+            probe = pdf if len(pdf) <= 32 else pdf.iloc[:32]
+            avg = int(probe.memory_usage(deep=True).sum()) // len(probe)
             rows = min(batch_size, max(1, max_slice_bytes // max(avg, 1)))
             for s in range(0, len(pdf), rows):
                 yield pdf.iloc[s : s + rows]
