@@ -9757,33 +9757,92 @@ def q_tx_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     v2 AS (
       SELECT COALESCE(s.k, t.k) AS k,
+             COALESCE(s.status, t.status) AS status,
              COALESCE(s.cents, t.cents) AS cents
       FROM v1 t FULL OUTER JOIN src s ON t.k = s.k
+    ),
+    d1 AS (
+      SELECT
+        CAST(SUM(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_added,
+        CAST(SUM(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        CAST(SUM(CASE WHEN n.k IS NOT NULL AND o.k IS NOT NULL
+                      AND (n.status <> o.status OR n.cents <> o.cents)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      FROM v1 n FULL OUTER JOIN v0 o ON n.k = o.k
+    ),
+    d2 AS (
+      SELECT
+        CAST(SUM(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_added,
+        CAST(SUM(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        CAST(SUM(CASE WHEN n.k IS NOT NULL AND o.k IS NOT NULL
+                      AND (n.status <> o.status OR n.cents <> o.cents)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      FROM v2 n FULL OUTER JOIN v1 o ON n.k = o.k
     )
     SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(cents) AS BIGINT) AS sum_cents FROM v0
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_added,
+           CAST(0 AS BIGINT) AS n_removed, CAST(0 AS BIGINT) AS n_changed
+    FROM v0
     UNION ALL
-    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v1
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+           d1.n_added, d1.n_removed, d1.n_changed
+    FROM v1, d1
+    GROUP BY d1.n_added, d1.n_removed, d1.n_changed
     UNION ALL
-    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v2
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+           d2.n_added, d2.n_removed, d2.n_changed
+    FROM v2, d2
+    GROUP BY d2.n_added, d2.n_removed, d2.n_changed
     """,
 )
 def q_tx_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel over the tx log (X121, r7): every retained version
-    resolves independently from the same commit fold — count and
-    cents-sum per version replayed relationally by the oracle."""
-    from bi_utils_spark.operators.txtable import read_table
+    """Time travel + change feed over the tx log (X121, r7): every
+    retained version resolves independently from the same commit
+    fold (count + cents-sum per version), and each transition's
+    row-level diff (`table_diff` = snapshot_diff over two time-travel
+    reads) is classified added/removed/changed — all replayed
+    relationally by the oracle. A green row proves both the
+    per-version snapshot isolation and the change-feed
+    classification."""
+    from bi_utils_spark.operators.txtable import read_table, table_diff
 
     path = _tx_demo_table(spark, sf_dir)
-    parts = []
-    for v in (0, 1, 2):
-        parts.append(
-            read_table(spark, path, version=v).agg(
-                F.lit(v).alias("version"),
-                F.count("*").alias("n"),
-                F.sum("cents").alias("sum_cents"),
-            )
+
+    def _stats(v: int) -> DataFrame:
+        return read_table(spark, path, version=v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
         )
+
+    def _diff_counts(v: int) -> DataFrame:
+        d = table_diff(spark, path, ["k"], from_version=v - 1, to_version=v)
+        return d.agg(
+            F.sum((F.col("change") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("change") == "removed").cast("long")).alias(
+                "n_removed"
+            ),
+            F.sum((F.col("change") == "changed").cast("long")).alias(
+                "n_changed"
+            ),
+        )
+
+    v0 = _stats(0).select(
+        "version",
+        "n",
+        "sum_cents",
+        F.col("n").alias("n_added"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.lit(0).cast("long").alias("n_changed"),
+    )
+    parts = [v0]
+    for v in (1, 2):
+        parts.append(_stats(v).crossJoin(_diff_counts(v)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

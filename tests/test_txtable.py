@@ -257,3 +257,58 @@ def test_foreach_batch_sink_real_stream_restart(spark, tmp_path):
     sink(_rows(spark, (2, "A", 2)), 1)
     sink(_rows(spark, (2, "A", 2)), 1)  # restart replays batch 1
     assert sorted(_as_dict(tx.read_table(spark, path))) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# change reads: table_diff / table_changes
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_classifies_transitions(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)  # v1
+    src = _rows(spark, (2, "U", 99), (4, "I", 44))
+    tx.merge_tx_table(spark, table, src, ["k"], now=_now())  # v2
+    d = {
+        r["k"]: r["change"]
+        for r in tx.table_diff(spark, table, ["k"], 1, 2).collect()
+    }
+    assert d == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "added"}
+    # changed_only drops the noise
+    co = tx.table_diff(spark, table, ["k"], 1, 2, changed_only=True)
+    assert {r["k"] for r in co.collect()} == {2, 4}
+    # diff against v0 sees the append as added
+    d01 = {
+        r["k"]: r["change"]
+        for r in tx.table_diff(spark, table, ["k"], 0, 1).collect()
+    }
+    assert d01[3] == "added" and d01[1] == "unchanged"
+
+
+def test_table_changes_incremental_appends(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)  # v1
+    tx.append_table(_rows(spark, (4, "B", 40)), table)  # v2
+    got = {r["k"] for r in tx.table_changes(spark, table, 0).collect()}
+    assert got == {3, 4}
+    # a consumer that already saw v1 reads only v2's delta
+    assert {
+        r["k"] for r in tx.table_changes(spark, table, 1).collect()
+    } == {4}
+    # the delta read touches ONLY the delta's files
+    delta = tx.table_changes(spark, table, 1)
+    assert all("data" in f for f in delta.inputFiles())
+    assert len(delta.inputFiles()) < len(
+        tx.read_table(spark, table).inputFiles()
+    )
+
+
+def test_table_changes_refuses_rewrites(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)  # v1
+    tx.merge_tx_table(
+        spark, table, _rows(spark, (1, "U", 11)), ["k"], now=_now()
+    )  # v2 rewrite
+    with pytest.raises(ValueError, match="not append-only"):
+        tx.table_changes(spark, table, 0)
+    # a purely-append suffix range still works
+    assert {
+        r["k"] for r in tx.table_changes(spark, table, 0, up_to=1).collect()
+    } == {3}
