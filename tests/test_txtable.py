@@ -312,3 +312,76 @@ def test_table_changes_refuses_rewrites(spark, table):
     assert {
         r["k"] for r in tx.table_changes(spark, table, 0, up_to=1).collect()
     } == {3}
+
+
+# ---------------------------------------------------------------------------
+# property: a random op sequence folds to the same state as a
+# driver-side model, at EVERY version (hypothesis, bounded examples)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "merge", "overwrite", "compact"]),
+        st.dictionaries(
+            st.integers(0, 9), st.integers(0, 99), max_size=4
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(ops=_ops)
+def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops):
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="txprop-")
+    shutil.rmtree(path)
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "k int, v long"
+        )
+
+    model: dict[int, int] = {0: 0}
+    tx.create_table(df_of(model), path)
+    snapshots = {0: dict(model)}
+    try:
+        for op, payload in ops:
+            if op == "append":
+                fresh = {
+                    k: v for k, v in payload.items() if k not in model
+                }
+                ver = tx.append_table(df_of(fresh), path)
+                model.update(fresh)
+            elif op == "merge":
+                ver = tx.merge_tx_table(
+                    spark, path, df_of(payload), ["k"], now=_now()
+                )
+                model.update(payload)
+            elif op == "overwrite":
+                ver = tx.overwrite_table(df_of(payload), path)
+                model = dict(payload)
+            else:
+                ver = tx.compact_table(spark, path)
+            snapshots[ver] = dict(model)
+        for ver, snap in snapshots.items():
+            got = {
+                r["k"]: r["v"]
+                for r in tx.read_table(spark, path, version=ver).collect()
+            }
+            assert got == snap, f"v{ver}: {got} != {snap}"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
