@@ -686,6 +686,21 @@ def table_changes(
 # ---------------------------------------------------------------------------
 
 
+def register_tx_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Expose the tx table (optionally a historical version) to
+    `spark.sql` as a temp view — the log-resolved file set becomes
+    the view's scan, so SQL consumers get the same snapshot isolation
+    and manifest pruning as the DataFrame API."""
+    df = read_table(spark, path, version=version)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def foreach_batch_sink(path: str, app_id: str):
     """An exactly-once `foreachBatch` append sink: each micro-batch
     commits with (app_id, batch_id); on restart-and-replay the

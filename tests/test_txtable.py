@@ -385,3 +385,13 @@ def test_random_op_sequence_matches_model(spark, tmp_path_factory, ops):
             assert got == snap, f"v{ver}: {got} != {snap}"
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_register_tx_table_sql_view(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    tx.register_tx_table(spark, "txv", table)
+    assert spark.sql("SELECT SUM(v) AS s FROM txv").first()["s"] == 60
+    tx.register_tx_table(spark, "txv0", table, version=0)
+    assert spark.sql("SELECT COUNT(*) AS n FROM txv0").first()["n"] == 2
+    spark.catalog.dropTempView("txv")
+    spark.catalog.dropTempView("txv0")
