@@ -38,22 +38,36 @@ def _gamma(alpha: float) -> float:
     return (1.0 + alpha) / (1.0 - alpha)
 
 
+# Reserved buckets must sort BELOW every positive-value bucket and
+# never collide with one. A positive value's index ceil(log_γ v) is
+# unbounded below as v → 0⁺ (at α = 0.01, v = 1e-300 → ≈ −34,500),
+# so small sentinels like 0/−1 sit INSIDE the positive index range:
+# the original +2-shifted encoding made positives ≤ γ⁻² ≈ 0.9607
+# land in the reserved ids and estimate as 0.0 (r7 review finding).
+# IEEE doubles bottom out near 1e−308, bounding |index| well under
+# 10⁷ for any representable α — −2⁶² is unreachable.
+_ZERO_BUCKET = -(1 << 62)
+_NEG_BUCKET = _ZERO_BUCKET - 1
+
+
 def qsketch_build(
     df: DataFrame,
     value_col: str,
     group_cols: tuple[str, ...] = (),
     alpha: float = 0.01,
 ) -> DataFrame:
-    """(group..., bucket, cnt) over positive values; zeros and
-    negatives count into reserved buckets 0 and −1 (their magnitude
-    is not sketched — shift the metric if it matters). NULLs drop.
+    """(group..., bucket, cnt): positive values at their DDSketch log
+    index ceil(log_γ v); zeros and negatives count into the reserved
+    sentinel buckets ``_ZERO_BUCKET``/``_NEG_BUCKET`` (their
+    magnitude is not sketched — shift the metric if it matters).
+    NULLs drop.
     """
     g = _gamma(alpha)
     v = F.col(value_col).cast("double")
     bucket = (
-        F.when(v > 0.0, F.ceil(F.log(v) / math.log(g)).cast("long") + 2)
-        .when(v == 0.0, F.lit(0).cast("long"))
-        .otherwise(F.lit(-1).cast("long"))
+        F.when(v > 0.0, F.ceil(F.log(v) / math.log(g)).cast("long"))
+        .when(v == 0.0, F.lit(_ZERO_BUCKET).cast("long"))
+        .otherwise(F.lit(_NEG_BUCKET).cast("long"))
     )
     return (
         df.where(v.isNotNull())
@@ -120,9 +134,9 @@ def qsketch_quantiles(
         ).alias("bucket")
     )
     est_val = F.when(
-        F.col("bucket") >= 2,
+        F.col("bucket") > _ZERO_BUCKET,
         2.0
-        * F.pow(F.lit(g), (F.col("bucket") - 2).cast("double"))
+        * F.pow(F.lit(g), F.col("bucket").cast("double"))
         / F.lit(g + 1.0),
     ).otherwise(F.lit(0.0))
     return picked.select(*gcols, "q", est_val.alias("est"))

@@ -55,12 +55,44 @@ def test_merge_equals_whole(spark, values):
 
 
 def test_zero_and_negative_reserved_buckets(spark):
+    from bi_utils_spark.operators.quantile_sketch import (
+        _NEG_BUCKET,
+        _ZERO_BUCKET,
+    )
+
     df = spark.createDataFrame(
         [(0.0,), (-3.0,), (5.0,), (None,)], ["v"]
     )
     sk = {r["bucket"]: r["cnt"] for r in qsketch_build(df, "v").collect()}
-    assert sk[0] == 1 and sk[-1] == 1
+    assert sk[_ZERO_BUCKET] == 1 and sk[_NEG_BUCKET] == 1
     assert sum(sk.values()) == 3  # null dropped
+
+
+def test_small_positive_values_do_not_collide_with_sentinels(spark):
+    """r7 review regression: with the old +2-shifted encoding,
+    positives <= gamma^-2 (~0.9607 at alpha=0.01) landed in the
+    reserved ids and every sub-1 quantile estimated as 0.0."""
+    from bi_utils_spark.operators.quantile_sketch import (
+        _NEG_BUCKET,
+        _ZERO_BUCKET,
+    )
+
+    alpha = 0.01
+    vals = [0.94, 0.5, 0.01, 1e-6, 0.9607]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    sk = qsketch_build(df, "v", alpha=alpha)
+    buckets = [r["bucket"] for r in sk.collect()]
+    assert _ZERO_BUCKET not in buckets and _NEG_BUCKET not in buckets
+    out = {
+        r["q"]: r["est"]
+        for r in qsketch_quantiles(sk, (0.2, 0.5, 0.9), alpha=alpha).collect()
+    }
+    import math
+
+    exact = sorted(vals)
+    for q, est in out.items():
+        truth = exact[math.ceil(q * len(exact)) - 1]
+        assert abs(est - truth) <= alpha * truth * 1.0001, (q, est, truth)
 
 
 def test_sketch_size_is_logarithmic(spark):
