@@ -164,6 +164,7 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
             snap.files[added["path"]] = {
                 "commit_dir": added["commit_dir"],
                 "partition_values": added.get("partition_values", {}),
+                "stats": added.get("stats", {}),
             }
         if entry.get("schema"):
             snap.schema = entry["schema"]
@@ -222,14 +223,62 @@ def _maybe_checkpoint(path: str, snap_version: int) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _footer_stats(full_path: str) -> dict:
+    """Per-file zone map from the parquet FOOTER (no data read):
+    {col: [min, max]} for top-level int/float/string/bool columns
+    whose row-group statistics are present. Values are kept
+    JSON-native; columns with missing stats are simply absent —
+    readers treat absence as 'cannot prune'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    per_rg: list[dict[str, tuple]] = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        cur: dict[str, tuple] = {}
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested leaf — skip
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                lo, hi = str(lo), str(hi)
+            cur[name] = (lo, hi)
+        per_rg.append(cur)
+    if not per_rg:
+        return {}
+    # a column's zone map is valid only when EVERY row group reports
+    # stats for it — a gap would leave rows outside the recorded range
+    names = set(per_rg[0])
+    for cur in per_rg[1:]:
+        names &= set(cur)
+    return {
+        n: [
+            min(cur[n][0] for cur in per_rg),
+            max(cur[n][1] for cur in per_rg),
+        ]
+        for n in names
+    }
+
+
 def _stage(
     df: DataFrame, path: str, partition_cols: Sequence[str]
 ) -> list[dict]:
     """Write ``df`` under a fresh commit dir; return the added-file
     records (relpath, commit dir, partition values parsed from the
-    directory layout). Files are invisible to readers until a commit
-    references them — a failed job leaves only unreferenced files for
-    vacuum, never a partial table."""
+    directory layout, per-file zone-map stats from the footers).
+    Files are invisible to readers until a commit references them — a
+    failed job leaves only unreferenced files for vacuum, never a
+    partial table."""
     commit_dir = os.path.join(DATA_DIR, uuid.uuid4().hex)
     out = os.path.join(path, commit_dir)
     w = df.write.mode("overwrite")
@@ -248,11 +297,16 @@ def _stage(
                 if "=" in seg:
                     k, _, v = seg.partition("=")
                     pvals[k] = v
+            try:
+                stats = _footer_stats(full)
+            except Exception:  # noqa: BLE001 — stats are best-effort
+                stats = {}
             added.append(
                 {
                     "path": rel,
                     "commit_dir": commit_dir,
                     "partition_values": pvals,
+                    "stats": stats,
                 }
             )
     return added
@@ -403,16 +457,39 @@ def overwrite_table(
     )
 
 
+def _zone_overlaps(meta: dict, skip: dict) -> bool:
+    """True when the file MAY contain rows in every requested range —
+    files lacking stats for a column cannot be pruned on it."""
+    for col, (lo, hi) in skip.items():
+        zs = meta.get("stats", {}).get(col)
+        if zs is None:
+            continue
+        fmin, fmax = zs
+        if (hi is not None and fmin > hi) or (
+            lo is not None and fmax < lo
+        ):
+            return False
+    return True
+
+
 def read_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    skip: dict | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default latest). The file set
     comes from the log fold — no directory listing. With
     ``partition_filter={col: value}``, pruning happens at the
-    MANIFEST level: Spark receives only the matching files.
+    MANIFEST level: Spark receives only the matching files. With
+    ``skip={col: (lo, hi)}``, zone-map pruning drops every file whose
+    footer min/max range (recorded at commit time) cannot intersect
+    the requested range — data skipping on NON-partition columns,
+    effective when the layout clusters the column
+    (:func:`compact_table` with ``zorder_by``). ``skip`` prunes
+    FILES only; apply the row-level ``.where`` as usual — results
+    are identical with or without ``skip``, only I/O changes.
 
     Files are read per commit-group (each group one ``basePath`` so
     directory-encoded partition columns re-materialize), then
@@ -424,11 +501,17 @@ def read_table(
     if partition_filter:
         want = {
             rel: meta
-            for rel, meta in snap.files.items()
+            for rel, meta in want.items()
             if all(
                 meta["partition_values"].get(k) == str(v)
                 for k, v in partition_filter.items()
             )
+        }
+    if skip:
+        want = {
+            rel: meta
+            for rel, meta in want.items()
+            if _zone_overlaps(meta, skip)
         }
     if not want:
         return spark.createDataFrame([], schema)
@@ -562,17 +645,53 @@ def merge_tx_table(
 
 
 def compact_table(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    zorder_by: Sequence[str] | None = None,
+    zorder_bits: int = 12,
 ) -> int:
     """Rewrite the live file set into ``target_files`` per partition
     (metadata swap — row content identical, old versions still
     resolve). The anti-small-files maintenance a streaming-append
     table needs; also folds the read path's per-commit union back to
-    one group."""
+    one group.
+
+    With ``zorder_by``, the rewrite clusters rows along the Morton
+    curve of those (numeric) columns — `layout.zorder_layout` over
+    min/max-bucketed dimensions — so the per-file zone maps recorded
+    at commit time become SELECTIVE on every listed column and
+    ``read_table(skip=...)`` prunes files on non-partition
+    predicates. The OPTIMIZE ZORDER maintenance verb, as a metadata
+    swap."""
     snap = _fold(path)
     df = read_table(spark, path, version=snap.version)
-    if snap.partition_cols:
-        df = df.repartition(target_files, *[F.col(c) for c in snap.partition_cols])
+    if zorder_by:
+        from bi_utils_spark.operators.layout import (
+            minmax_bucket,
+            zorder_layout,
+        )
+
+        bounds = df.agg(
+            *[F.min(c).alias(f"__lo_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"__hi_{c}") for c in zorder_by],
+        ).first()
+        bucketed = [
+            minmax_bucket(
+                c,
+                float(bounds[f"__lo_{c}"]),
+                float(bounds[f"__hi_{c}"]),
+                zorder_bits,
+            )
+            for c in zorder_by
+        ]
+        df = zorder_layout(
+            df, bucketed, bits=zorder_bits, num_partitions=target_files
+        )
+    elif snap.partition_cols:
+        df = df.repartition(
+            target_files, *[F.col(c) for c in snap.partition_cols]
+        )
     else:
         df = df.coalesce(target_files)
     added = _stage(df, path, snap.partition_cols)

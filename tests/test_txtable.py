@@ -395,3 +395,78 @@ def test_register_tx_table_sql_view(spark, table):
     assert spark.sql("SELECT COUNT(*) AS n FROM txv0").first()["n"] == 2
     spark.catalog.dropTempView("txv")
     spark.catalog.dropTempView("txv0")
+
+
+# ---------------------------------------------------------------------------
+# zone-map data skipping + z-order compaction
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_skip_prunes_files(spark, tmp_path):
+    path = str(tmp_path / "z")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(k, k * 10) for k in range(lo, hi)], "k int, v long"
+    ).coalesce(1)
+    tx.create_table(mk(0, 100), path)
+    tx.append_table(mk(100, 200), path)
+    tx.append_table(mk(200, 300), path)
+    full = tx.read_table(spark, path)
+    assert len(full.inputFiles()) == 3
+    pruned = tx.read_table(spark, path, skip={"k": (120, 180)})
+    assert len(pruned.inputFiles()) == 1
+    # pruning is I/O-only: same rows after the row-level filter
+    a = sorted(
+        r["k"] for r in pruned.where("k BETWEEN 120 AND 180").collect()
+    )
+    b = sorted(
+        r["k"] for r in full.where("k BETWEEN 120 AND 180").collect()
+    )
+    assert a == b and len(a) == 61
+    # open-ended ranges work
+    assert len(
+        tx.read_table(spark, path, skip={"k": (250, None)}).inputFiles()
+    ) == 1
+
+
+def test_zone_map_missing_stats_never_prunes(spark, tmp_path):
+    path = str(tmp_path / "z2")
+    tx.create_table(
+        spark.createDataFrame([(1, 10)], "k int, v long"), path
+    )
+    snap = tx._fold(path)
+    # simulate a writer that recorded no stats (e.g. older commit)
+    for meta in snap.files.values():
+        meta["stats"] = {}
+    assert all(
+        tx._zone_overlaps(m, {"k": (5, 9)}) for m in snap.files.values()
+    )
+
+
+def test_zorder_compact_enables_multi_dim_skipping(spark, tmp_path):
+    import random
+
+    path = str(tmp_path / "z3")
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "i int, x int, y int").repartition(8)
+    tx.create_table(df, path)
+    pre = tx.read_table(spark, path)
+    n_files_pre = len(pre.inputFiles())
+    tx.compact_table(spark, path, target_files=8, zorder_by=["x", "y"])
+    post = tx.read_table(spark, path)
+    # content identical
+    assert sorted(r["i"] for r in post.collect()) == sorted(
+        r["i"] for r in pre.collect()
+    )
+    # a narrow range on EITHER dimension prunes files after z-order
+    for col in ("x", "y"):
+        got = tx.read_table(spark, path, skip={col: (0, 60)})
+        assert len(got.inputFiles()) < len(post.inputFiles()), col
+        want = sorted(
+            r["i"] for r in post.where(f"{col} <= 60").collect()
+        )
+        have = sorted(
+            r["i"] for r in got.where(f"{col} <= 60").collect()
+        )
+        assert want == have
+    assert n_files_pre >= 1  # silence unused warning
