@@ -1,0 +1,138 @@
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bi_utils_spark.operators import txtable as tx
+from bi_utils_spark.sources.txsource import register_txtable_source
+
+
+def _rows(spark, *triples):
+    return spark.createDataFrame(
+        [(k, s, v) for k, s, v in triples], "k int, status string, v long"
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_txtable_source(spark)
+
+
+def _as_dict(df):
+    return {r["k"]: (r["status"], r["v"]) for r in df.collect()}
+
+
+def test_batch_read_matches_read_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx.create_table(_rows(spark, (1, "A", 10), (2, "A", 20)), path)
+    tx.append_table(_rows(spark, (3, "B", 30)), path)
+    got = spark.read.format("txtable").option("path", path).load()
+    assert _as_dict(got) == _as_dict(tx.read_table(spark, path))
+    # batch time travel through the same format
+    v0 = (
+        spark.read.format("txtable")
+        .option("path", path)
+        .option("version", 0)
+        .load()
+    )
+    assert set(_as_dict(v0)) == {1, 2}
+
+
+def test_batch_read_partitioned_restores_partition_cols(spark, tmp_path):
+    path = str(tmp_path / "p")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20)], "k int, day string, v long"
+    )
+    tx.create_table(base, path, partition_cols=["day"])
+    got = spark.read.format("txtable").option("path", path).load()
+    assert {(r["k"], r["day"]) for r in got.collect()} == {
+        (1, "d1"),
+        (2, "d2"),
+    }
+
+
+def test_stream_reads_appends_incrementally(spark, tmp_path):
+    path = str(tmp_path / "s")
+    ckpt = str(tmp_path / "ckpt")
+    tx.create_table(_rows(spark, (1, "A", 10)), path)
+    stream = (
+        spark.readStream.format("txtable").option("path", path).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("txstream")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def _wait_rows(n, timeout=60):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                got = spark.sql("SELECT * FROM txstream").count()
+                if got >= n:
+                    return got
+                time.sleep(0.5)
+            return spark.sql("SELECT * FROM txstream").count()
+
+        assert _wait_rows(1) == 1  # the create commit replays
+        tx.append_table(_rows(spark, (2, "B", 20), (3, "B", 30)), path)
+        assert _wait_rows(3) == 3
+        ks = {
+            r["k"] for r in spark.sql("SELECT * FROM txstream").collect()
+        }
+        assert ks == {1, 2, 3}
+    finally:
+        q.stop()
+
+
+def test_stream_fails_on_rewrite_unless_opted_in(spark, tmp_path):
+    path = str(tmp_path / "r")
+    tx.create_table(_rows(spark, (1, "A", 10)), path)
+    tx.merge_tx_table(
+        spark,
+        path,
+        _rows(spark, (1, "U", 11)),
+        ["k"],
+        now=F.lit("2024-06-01").cast("timestamp"),
+    )
+    tx.append_table(_rows(spark, (5, "C", 50)), path)
+
+    from bi_utils_spark.sources.txsource import TxStreamReader
+
+    snap = tx._fold(path)
+    strict = TxStreamReader(snap.spark_schema(), {"path": path})
+    with pytest.raises(ValueError, match="not an append"):
+        strict.partitions({"version": 0}, {"version": snap.version})
+    lax = TxStreamReader(
+        snap.spark_schema(), {"path": path, "skipRewrites": "true"}
+    )
+    parts = lax.partitions({"version": 0}, {"version": snap.version})
+    rows = [r for p in parts for r in lax.read(p)]
+    assert [r[0] for r in rows] == [5]  # only the append's delta
+
+
+def test_stream_offsets_replay_deterministically(spark, tmp_path):
+    path = str(tmp_path / "d")
+    tx.create_table(_rows(spark, (1, "A", 10)), path)
+    tx.append_table(_rows(spark, (2, "B", 20)), path)
+
+    from bi_utils_spark.sources.txsource import TxStreamReader
+
+    snap = tx._fold(path)
+    rd = TxStreamReader(snap.spark_schema(), {"path": path})
+    assert rd.initialOffset() == {"version": -1}
+    assert rd.latestOffset() == {"version": 1}
+    first = [
+        r
+        for p in rd.partitions({"version": -1}, {"version": 1})
+        for r in rd.read(p)
+    ]
+    second = [
+        r
+        for p in rd.partitions({"version": -1}, {"version": 1})
+        for r in rd.read(p)
+    ]
+    assert sorted(first) == sorted(second) and len(first) == 2
