@@ -60,6 +60,7 @@ import os
 import uuid
 from dataclasses import dataclass, field
 from typing import Sequence
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -296,7 +297,12 @@ def _stage(
             for seg in os.path.relpath(root, out).split(os.sep):
                 if "=" in seg:
                     k, _, v = seg.partition("=")
-                    pvals[k] = v
+                    # Spark Hive-escapes specials in partition dirs
+                    # ('/'→%2F, '%'→%25, ...); unquote restores the
+                    # DATA value so manifest-level comparisons match
+                    # str(value) ('%' is itself escaped, so unquote
+                    # is a faithful inverse).
+                    pvals[k] = unquote(v)
             try:
                 stats = _footer_stats(full)
             except Exception:  # noqa: BLE001 — stats are best-effort

@@ -470,3 +470,26 @@ def test_zorder_compact_enables_multi_dim_skipping(spark, tmp_path):
         )
         assert want == have
     assert n_files_pre >= 1  # silence unused warning
+
+
+def test_partition_values_with_special_chars_roundtrip(spark, tmp_path):
+    """Spark Hive-escapes '/', '=', '%', ... in partition dir names;
+    the manifest must record the DATA value so partition_filter and
+    the merge's touched-partition match work on str(value)."""
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a/b=c", 10), (2, "50%off", 20)], "k int, tag string, v long"
+    )
+    tx.create_table(df, path, partition_cols=["tag"])
+    snap = tx._fold(path)
+    vals = {m["partition_values"]["tag"] for m in snap.files.values()}
+    assert vals == {"a/b=c", "50%off"}
+    got = tx.read_table(spark, path, partition_filter={"tag": "a/b=c"})
+    assert [r["k"] for r in got.collect()] == [1]
+    # partition-scoped merge finds the escaped partition too
+    src = spark.createDataFrame(
+        [(1, "a/b=c", 99)], "k int, tag string, v long"
+    )
+    tx.merge_tx_table(spark, path, src, ["k"], now=_now())
+    out = {r["k"]: r["v"] for r in tx.read_table(spark, path).collect()}
+    assert out == {1: 99, 2: 20}
