@@ -706,6 +706,37 @@ def compact_table(
     )
 
 
+def table_file_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-partition live-file inventory (n_files, bytes, avg file
+    size) — the probe that decides WHEN to compact, straight from the
+    manifest + one os.stat per live file (bounded by the live file
+    count, which compaction itself keeps small; the maintenance
+    sibling of `maintenance.small_file_report` for log-resolved
+    tables)."""
+    snap = _fold(path)
+    rows = []
+    for rel, meta in snap.files.items():
+        try:
+            size = os.stat(os.path.join(path, rel)).st_size
+        except OSError:
+            size = 0
+        key = json.dumps(meta["partition_values"], sort_keys=True)
+        rows.append((key, size))
+    agg: dict[str, list[int]] = {}
+    for key, size in rows:
+        cur = agg.setdefault(key, [0, 0])
+        cur[0] += 1
+        cur[1] += size
+    return spark.createDataFrame(
+        [
+            (k, n, b, b // max(n, 1))
+            for k, (n, b) in sorted(agg.items())
+        ],
+        "partition_values string, n_files int, total_bytes long, "
+        "avg_bytes long",
+    )
+
+
 def vacuum_table(path: str, retain_versions: int = 2) -> list[str]:
     """Delete data files referenced by NO retained version (the last
     ``retain_versions`` snapshots stay readable; older time travel

@@ -493,3 +493,14 @@ def test_partition_values_with_special_chars_roundtrip(spark, tmp_path):
     tx.merge_tx_table(spark, path, src, ["k"], now=_now())
     out = {r["k"]: r["v"] for r in tx.read_table(spark, path).collect()}
     assert out == {1: 99, 2: 20}
+
+
+def test_table_file_report_drives_compaction(spark, table):
+    for i in range(3, 8):
+        tx.append_table(_rows(spark, (i, "B", i)), table)
+    rep = tx.table_file_report(spark, table).collect()
+    n_before = sum(r["n_files"] for r in rep)
+    assert n_before >= 6 and all(r["total_bytes"] > 0 for r in rep)
+    tx.compact_table(spark, table, target_files=1)
+    rep2 = tx.table_file_report(spark, table).collect()
+    assert sum(r["n_files"] for r in rep2) < n_before
