@@ -9651,7 +9651,7 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X121: manifest-log transactional tables — the ACID merge EXECUTES.
+# X110: manifest-log transactional tables — the ACID merge EXECUTES.
 # Fixture arc (per-SF scratch, rebuilt only when absent, "v1"
 # construction fingerprint in the dir name):
 #   v0 create  : orders k%5 in {2,3,4}, partitioned by status
@@ -9732,7 +9732,7 @@ _TX_MERGED_SQL = f"""
 
 @register("q_tx_merge_table", _TX_MERGED_SQL)
 def q_tx_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transactional MERGE executed through the manifest log (X121,
+    """Transactional MERGE executed through the manifest log (X110,
     r7): create -> append -> partition-scoped copy-on-write merge,
     then read the resolved snapshot. Closes the r4-r6 'ACID merge
     stays codegen-gated' gap — `merge.merge_upsert`'s reference M1
@@ -9801,7 +9801,7 @@ def q_tx_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tx_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time travel + change feed over the tx log (X121, r7): every
+    """Time travel + change feed over the tx log (X110, r7): every
     retained version resolves independently from the same commit
     fold (count + cents-sum per version), and each transition's
     row-level diff (`table_diff` = snapshot_diff over two time-travel

@@ -291,7 +291,7 @@ def acid_merge_available(spark) -> bool:
     TRANSACTIONAL merge that always works is
     `txtable.merge_tx_table` (in-repo manifest-log tables: commit
     log, snapshot isolation, time travel, partition-scoped
-    copy-on-write — X121). On a cluster with Delta/Iceberg the same
+    copy-on-write — X110). On a cluster with Delta/Iceberg the same
     call sites can instead upgrade to catalog-native row-level MERGE
     with no code change."""
     jvm = spark._jvm  # noqa: SLF001

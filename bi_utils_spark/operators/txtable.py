@@ -1,4 +1,4 @@
-"""Manifest-log transactional parquet tables (X121, r7) — the ACID
+"""Manifest-log transactional parquet tables (X110, r7) — the ACID
 engine that lets `merge.merge_into_table`'s semantics EXECUTE in a
 plain-parquet deployment, no Delta/Iceberg jars required.
 

@@ -1,4 +1,4 @@
-"""Python DataSource over manifest-log tx tables (X121, r7) — the
+"""Python DataSource over manifest-log tx tables (X110, r7) — the
 `spark.read.format("txtable")` / `readStream.format("txtable")`
 integration of `operators/txtable.py`, built on PySpark 4's public
 Python Data Source API (`pyspark.sql.datasource`).
