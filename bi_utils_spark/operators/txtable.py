@@ -376,14 +376,25 @@ def append_table(
     df: DataFrame,
     path: str,
     app: tuple[str, int] | None = None,
+    checks: list | None = None,
 ) -> int:
     """Append ``df``; auto-rebases on commit races (an append
     conflicts with nothing). ``app=(app_id, batch_id)`` makes the
     commit idempotent: a batch_id at or below the app's high-water
-    mark is skipped (returns the current version unchanged)."""
+    mark is skipped (returns the current version unchanged).
+
+    ``checks`` (a list of `dq.Check` constraints) enforces data
+    quality AT THE COMMIT BOUNDARY: the batch is gated by
+    `dq.dq_gate` BEFORE any file is staged, so a failing batch
+    leaves the table untouched at any isolation level — the
+    warehouse CHECK-constraint analog, scanning only the delta."""
     snap = _fold(path)
     if app is not None and snap.app_batches.get(app[0], -1) >= app[1]:
         return snap.version
+    if checks:
+        from bi_utils_spark.operators.dq import dq_gate
+
+        dq_gate(df, checks)
     widened = _append_schema(snap, df)
     added = _stage(df, path, snap.partition_cols)
     version = snap.version + 1

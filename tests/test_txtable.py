@@ -504,3 +504,22 @@ def test_table_file_report_drives_compaction(spark, table):
     tx.compact_table(spark, table, target_files=1)
     rep2 = tx.table_file_report(spark, table).collect()
     assert sum(r["n_files"] for r in rep2) < n_before
+
+
+def test_append_checks_gate_at_commit_boundary(spark, table):
+    from bi_utils_spark.operators.dq import Check
+
+    checks = [Check(kind="completeness", column="status", min_fraction=1.0)]
+    v_before = tx.latest_version(table)
+    bad = spark.createDataFrame(
+        [(9, None, 90)], "k int, status string, v long"
+    )
+    with pytest.raises(ValueError, match="data-quality gate failed"):
+        tx.append_table(bad, table, checks=checks)
+    # failing batch left no commit AND no orphan-visible rows
+    assert tx.latest_version(table) == v_before
+    assert 9 not in _as_dict(tx.read_table(spark, table))
+    tx.append_table(
+        _rows(spark, (9, "OK", 90)), table, checks=checks
+    )
+    assert 9 in _as_dict(tx.read_table(spark, table))
