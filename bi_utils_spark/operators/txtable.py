@@ -56,6 +56,7 @@ Why this scales to 100 TB:
 from __future__ import annotations
 
 import json
+import math
 import os
 import uuid
 from dataclasses import dataclass, field
@@ -102,9 +103,13 @@ def _list_log(path: str) -> tuple[list[int], list[int]]:
     commits, ckpts = [], []
     for name in os.listdir(d):
         if name.endswith(".ckpt.json"):
-            ckpts.append(int(name[: -len(".ckpt.json")]))
+            stem = name[: -len(".ckpt.json")]
+            if stem.isdigit():
+                ckpts.append(int(stem))
         elif name.endswith(".json"):
-            commits.append(int(name[: -len(".json")]))
+            stem = name[: -len(".json")]
+            if stem.isdigit():  # index sidecars live here too
+                commits.append(int(stem))
     return sorted(commits), sorted(ckpts)
 
 
@@ -495,6 +500,7 @@ def read_table(
     version: int | None = None,
     partition_filter: dict | None = None,
     skip: dict | None = None,
+    point: dict | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default latest). The file set
     comes from the log fold — no directory listing. With
@@ -504,9 +510,13 @@ def read_table(
     footer min/max range (recorded at commit time) cannot intersect
     the requested range — data skipping on NON-partition columns,
     effective when the layout clusters the column
-    (:func:`compact_table` with ``zorder_by``). ``skip`` prunes
-    FILES only; apply the row-level ``.where`` as usual — results
-    are identical with or without ``skip``, only I/O changes.
+    (:func:`compact_table` with ``zorder_by``). With
+    ``point={col: value}``, files whose bloom filter
+    (:func:`build_bloom_index`) proves the value absent are dropped —
+    the point-lookup complement for UNCLUSTERED columns; files
+    without a filter always stay. ``skip``/``point`` prune FILES
+    only; apply the row-level ``.where`` as usual — results are
+    identical with or without them, only I/O changes.
 
     Files are read per commit-group (each group one ``basePath`` so
     directory-encoded partition columns re-materialize), then
@@ -530,6 +540,8 @@ def read_table(
             for rel, meta in want.items()
             if _zone_overlaps(meta, skip)
         }
+    if point:
+        want = _bloom_prune(spark, path, want, point)
     if not want:
         return spark.createDataFrame([], schema)
     groups: dict[str, list[str]] = {}
@@ -769,6 +781,155 @@ def vacuum_table(path: str, retain_versions: int = 2) -> list[str]:
                 os.unlink(full)
                 deleted.append(rel)
     return sorted(deleted)
+
+
+# ---------------------------------------------------------------------------
+# bloom file index: point-lookup pruning on unclustered columns
+# ---------------------------------------------------------------------------
+
+
+def _bloom_sidecar(path: str, col: str) -> str:
+    return os.path.join(_log_path(path), f"bloom.{col}.json")
+
+
+def _bloom_positions_df(spark: SparkSession, value, k: int, ms: list[int]):
+    """The k bit positions of ``value`` for each distinct filter size
+    in ``ms`` — computed IN SPARK so the hash function is exactly the
+    one the build pass used (JVM xxhash64); one 1-row job."""
+    exprs = []
+    lit_v = F.lit(str(value))
+    for m in ms:
+        arr = F.array(
+            *[
+                F.pmod(F.xxhash64(lit_v, F.lit(i)), F.lit(m))
+                for i in range(k)
+            ]
+        )
+        exprs.append(arr.alias(f"m{m}"))
+    row = spark.range(1).select(*exprs).first()
+    return {m: [int(p) for p in row[f"m{m}"]] for m in ms}
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    fpp: float = 0.01,
+) -> dict:
+    """Build per-FILE bloom filters over ``col`` for every live file —
+    the point-lookup index for unclustered high-cardinality columns
+    (the case zone maps cannot prune: interleaved ids span every
+    file's min/max). The Delta 'bloom filter index' analog, stored as
+    a log sidecar keyed by file relpath; files are immutable, so a
+    filter stays valid for the file's whole life — files added AFTER
+    the build simply have no filter and are never pruned (bloom
+    pruning is best-effort by construction; rebuild on a maintenance
+    cadence or after compaction).
+
+    One distributed pass: per-file exact distinct counts size each
+    filter (m_i = n_i·k/ln 2, k = ceil(-log2 fpp)), a second pass
+    collects the set bit positions per file. Driver memory is the
+    index itself (~m_i/8 bytes per file). Values hash as strings via
+    JVM xxhash64(value, seed) so read-side probes are bit-compatible.
+    """
+    import base64
+
+    snap = _fold(path)
+    k = max(1, math.ceil(-math.log2(fpp)))
+    tagged = read_table(spark, path).select(
+        F.col(col).cast("string").alias("__v"),
+        F.input_file_name().alias("__f"),
+    ).where(F.col("__v").isNotNull())
+    counts = {
+        r["__f"]: r["__n"]
+        for r in tagged.groupBy("__f")
+        .agg(F.countDistinct("__v").alias("__n"))
+        .collect()
+    }
+    if not counts:
+        sidecar = {"k": k, "col": col, "files": {}}
+        with open(_bloom_sidecar(path, col), "w") as fh:
+            json.dump(sidecar, fh)
+        return sidecar
+    ms = {
+        f: max(64, int(math.ceil(n * k / math.log(2))))
+        for f, n in counts.items()
+    }
+    m_map = F.create_map(
+        *[x for f, m in ms.items() for x in (F.lit(f), F.lit(m))]
+    )
+    pos = tagged.withColumn("__m", m_map[F.col("__f")]).select(
+        "__f",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("__v"), F.lit(i)), F.col("__m"))
+                    for i in range(k)
+                ]
+            )
+        ).alias("__p"),
+    )
+    by_file = (
+        pos.groupBy("__f")
+        .agg(F.collect_set("__p").alias("__ps"))
+        .collect()
+    )
+    # file URIs from input_file_name -> manifest relpaths
+    abs_root = os.path.abspath(path)
+    files: dict[str, dict] = {}
+    for r in by_file:
+        fpath = r["__f"]
+        if fpath.startswith("file:"):
+            fpath = fpath[len("file:"):]
+        rel = os.path.relpath(fpath, abs_root)
+        m = ms[r["__f"]]
+        bits = bytearray((m + 7) // 8)
+        for p in r["__ps"]:
+            bits[p // 8] |= 1 << (p % 8)
+        files[rel] = {
+            "m": m,
+            "b64": base64.b64encode(bytes(bits)).decode(),
+        }
+    sidecar = {"k": k, "col": col, "files": files}
+    with open(_bloom_sidecar(path, col), "w") as fh:
+        json.dump(sidecar, fh)
+    return sidecar
+
+
+def _bloom_prune(
+    spark: SparkSession, path: str, want: dict, point: dict
+) -> dict:
+    """Drop files whose bloom filter PROVES a point value absent;
+    files without a filter (built later, or no index) always stay."""
+    import base64
+
+    for col, value in point.items():
+        sc_path = _bloom_sidecar(path, col)
+        if not os.path.exists(sc_path):
+            continue
+        with open(sc_path) as fh:
+            idx = json.load(fh)
+        k = idx["k"]
+        ms = sorted(
+            {meta["m"] for rel, meta in idx["files"].items() if rel in want}
+        )
+        if not ms:
+            continue
+        positions = _bloom_positions_df(spark, value, k, ms)
+        kept: dict = {}
+        for rel, meta in want.items():
+            entry = idx["files"].get(rel)
+            if entry is None:
+                kept[rel] = meta
+                continue
+            bits = base64.b64decode(entry["b64"])
+            if all(
+                bits[p // 8] & (1 << (p % 8))
+                for p in positions[entry["m"]]
+            ):
+                kept[rel] = meta
+        want = kept
+    return want
 
 
 # ---------------------------------------------------------------------------

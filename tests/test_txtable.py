@@ -523,3 +523,55 @@ def test_append_checks_gate_at_commit_boundary(spark, table):
         _rows(spark, (9, "OK", 90)), table, checks=checks
     )
     assert 9 in _as_dict(tx.read_table(spark, table))
+
+
+# ---------------------------------------------------------------------------
+# bloom file index: point-lookup pruning on unclustered columns
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_index_prunes_point_lookups(spark, tmp_path):
+    path = str(tmp_path / "bl")
+    # ids INTERLEAVED across files: every file spans ~the full id
+    # range, so zone maps cannot prune — the bloom case
+    mk = lambda off: spark.createDataFrame(  # noqa: E731
+        [(i * 3 + off, f"u{i * 3 + off}") for i in range(400)],
+        "k int, uid string",
+    ).coalesce(1)
+    tx.create_table(mk(0), path)
+    tx.append_table(mk(1), path)
+    tx.append_table(mk(2), path)
+    # zone maps are useless here (all files overlap on k)
+    assert len(
+        tx.read_table(spark, path, skip={"k": (500, 502)}).inputFiles()
+    ) == 3
+    tx.build_bloom_index(spark, path, "uid", fpp=0.01)
+    hit = tx.read_table(spark, path, point={"uid": "u601"})
+    assert len(hit.inputFiles()) == 1
+    assert [r["k"] for r in hit.where("uid = 'u601'").collect()] == [601]
+    # no false negatives across a sample of present values
+    for v in range(0, 1200, 97):
+        got = tx.read_table(spark, path, point={"uid": f"u{v}"})
+        assert [
+            r["k"] for r in got.where(f"uid = 'u{v}'").collect()
+        ] == [v], v
+    # an absent value prunes everything (or nearly): result still empty
+    miss = tx.read_table(spark, path, point={"uid": "nope"})
+    assert miss.where("uid = 'nope'").count() == 0
+
+
+def test_bloom_index_ignores_unindexed_files(spark, tmp_path):
+    path = str(tmp_path / "bl2")
+    tx.create_table(
+        spark.createDataFrame([(1, "a")], "k int, uid string"), path
+    )
+    tx.build_bloom_index(spark, path, "uid")
+    tx.append_table(
+        spark.createDataFrame([(2, "b")], "k int, uid string"), path
+    )
+    # the post-build file has no filter -> never pruned
+    got = tx.read_table(spark, path, point={"uid": "b"})
+    assert {r["k"] for r in got.collect()} >= {2}
+    # and a lookup for the indexed value still finds it
+    got_a = tx.read_table(spark, path, point={"uid": "a"})
+    assert 1 in {r["k"] for r in got_a.collect()}
