@@ -729,6 +729,45 @@ def compact_table(
     )
 
 
+def restore_table(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE: re-point the live set to ``version``'s files as a NEW
+    commit — pure metadata, no data moves, history preserved (the
+    bad commits stay inspectable; the restore is itself a commit and
+    can be restored away). Fails if vacuum already dropped any file
+    the target version references."""
+    snap_cur = _fold(path)
+    snap_old = _fold(path, version)
+    missing = [
+        rel
+        for rel in snap_old.files
+        if not os.path.exists(os.path.join(path, rel))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"restore to v{version}: {len(missing)} file(s) already "
+            f"vacuumed (first: {missing[0]!r})"
+        )
+    added = [
+        {
+            "path": rel,
+            "commit_dir": meta["commit_dir"],
+            "partition_values": meta["partition_values"],
+            "stats": meta.get("stats", {}),
+        }
+        for rel, meta in snap_old.files.items()
+    ]
+    removed = sorted(set(snap_cur.files) - set(snap_old.files))
+    return _rewrite_commit(
+        path,
+        snap_cur.version,
+        "restore",
+        added,
+        removed,
+        schema=snap_old.schema,
+        partition_cols=snap_old.partition_cols,
+    )
+
+
 def table_file_report(spark: SparkSession, path: str) -> DataFrame:
     """Per-partition live-file inventory (n_files, bytes, avg file
     size) — the probe that decides WHEN to compact, straight from the

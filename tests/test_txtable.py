@@ -575,3 +575,24 @@ def test_bloom_index_ignores_unindexed_files(spark, tmp_path):
     # and a lookup for the indexed value still finds it
     got_a = tx.read_table(spark, path, point={"uid": "a"})
     assert 1 in {r["k"] for r in got_a.collect()}
+
+
+def test_restore_rolls_back_as_new_commit(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)  # v1
+    tx.overwrite_table(_rows(spark, (7, "Z", 70)), table)  # v2 (bad load)
+    v = tx.restore_table(spark, table, 1)
+    assert v == 3
+    assert _as_dict(tx.read_table(spark, table)) == {
+        1: ("A", 10),
+        2: ("A", 20),
+        3: ("B", 30),
+    }
+    # the bad version stays inspectable
+    assert _as_dict(tx.read_table(spark, table, version=2)) == {
+        7: ("Z", 70)
+    }
+    # restore after vacuum dropped the target's files fails loudly
+    tx.overwrite_table(_rows(spark, (8, "Y", 80)), table)  # v4
+    tx.vacuum_table(table, retain_versions=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        tx.restore_table(spark, table, 2)
