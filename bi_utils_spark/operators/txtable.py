@@ -598,6 +598,7 @@ def merge_tx_table(
     source: DataFrame,
     pks: Sequence[str] | str,
     now=None,
+    delete_col: str | None = None,
 ) -> int:
     """MERGE ``source`` into the tx table with `merge.merge_upsert`'s
     exact reference semantics (M1), executed as copy-on-write:
@@ -614,6 +615,13 @@ def merge_tx_table(
     - **Unpartitioned table:** full-snapshot rewrite (the honest
       granularity without a file-level pk index).
 
+    ``delete_col`` names a boolean source column flagging deletes —
+    the ``WHEN MATCHED THEN DELETE`` clause: flagged keys are dropped
+    from the result (upserts fold first, then deletes win — so a key
+    both updated and delete-flagged in one batch deletes, matching
+    the CDC net-effect convention); unmatched delete flags are
+    no-ops. The column itself never lands in the table.
+
     Raises ConcurrentWriteError if another rewriting commit lands
     between the snapshot read and the commit claim.
     """
@@ -622,6 +630,21 @@ def merge_tx_table(
     snap = _fold(path)
     if isinstance(pks, str):
         pks = [c.strip() for c in pks.split(",")]
+    del_keys = None
+    if delete_col is not None:
+        del_keys = (
+            source.where(F.col(delete_col)).select(*pks).distinct()
+        )
+        source = source.drop(delete_col)
+
+    def _apply(target: DataFrame) -> DataFrame:
+        merged = merge_upsert(target, source, pks, now=now)
+        if del_keys is not None:
+            merged = merged.join(
+                F.broadcast(del_keys), list(pks), "left_anti"
+            )
+        return merged
+
     pcols = snap.partition_cols
     if pcols:
         touched = [
@@ -655,13 +678,13 @@ def merge_tx_table(
                 target = target.unionByName(p)
         else:
             target = spark.createDataFrame([], schema)
-        merged = merge_upsert(target, source, pks, now=now)
+        merged = _apply(target)
         added = _stage(merged, path, pcols)
         return _rewrite_commit(
             path, snap.version, "merge", added, sorted(removed)
         )
     target = read_table(spark, path)
-    merged = merge_upsert(target, source, pks, now=now)
+    merged = _apply(target)
     added = _stage(merged, path, [])
     return _rewrite_commit(
         path, snap.version, "merge", added, sorted(snap.files)

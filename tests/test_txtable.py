@@ -596,3 +596,33 @@ def test_restore_rolls_back_as_new_commit(spark, table):
     tx.vacuum_table(table, retain_versions=1)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         tx.restore_table(spark, table, 2)
+
+
+def test_merge_delete_clause(spark, table):
+    src = spark.createDataFrame(
+        [
+            (1, "X", 0, True),    # matched delete
+            (2, "U", 99, False),  # update
+            (3, "I", 33, False),  # insert
+            (4, "X", 0, True),    # unmatched delete flag: no-op
+        ],
+        "k int, status string, v long, _del boolean",
+    )
+    tx.merge_tx_table(
+        spark, table, src, ["k"], now=_now(), delete_col="_del"
+    )
+    out = tx.read_table(spark, table)
+    assert "_del" not in out.columns
+    assert _as_dict(out) == {2: ("U", 99), 3: ("I", 33)}
+
+
+def test_merge_delete_wins_over_same_batch_update(spark, table):
+    src = spark.createDataFrame(
+        [(2, "U", 99, False), (2, "X", 0, True)],
+        "k int, status string, v long, _del boolean",
+    )
+    tx.merge_tx_table(
+        spark, table, src, ["k"], now=_now(), delete_col="_del"
+    )
+    got = _as_dict(tx.read_table(spark, table))
+    assert 2 not in got and 1 in got
