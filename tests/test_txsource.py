@@ -136,3 +136,46 @@ def test_stream_offsets_replay_deterministically(spark, tmp_path):
         for r in rd.read(p)
     ]
     assert sorted(first) == sorted(second) and len(first) == 2
+
+
+def test_medallion_stream_tx_to_tx(spark, tmp_path):
+    """bronze tx table --readStream--> transform --foreachBatch-->
+    silver tx table: exactly-once on both ends (source offsets are
+    commit versions; the sink's (app_id, batch_id) high-water mark
+    absorbs replays)."""
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ck")
+    tx.create_table(_rows(spark, (1, "A", 10), (2, "B", 20)), bronze)
+    tx.create_table(
+        spark.createDataFrame([], "k int, v2 long"), silver
+    )
+    sink = tx.foreach_batch_sink(silver, "medallion")
+    stream = (
+        spark.readStream.format("txtable").option("path", bronze).load()
+    )
+    q = (
+        stream.select("k", (F.col("v") * 2).alias("v2"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def _wait(n, timeout=60):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if tx.read_table(spark, silver).count() >= n:
+                    return True
+                time.sleep(0.5)
+            return False
+
+        assert _wait(2)
+        tx.append_table(_rows(spark, (3, "C", 30)), bronze)
+        assert _wait(3)
+    finally:
+        q.stop()
+    got = {r["k"]: r["v2"] for r in tx.read_table(spark, silver).collect()}
+    assert got == {1: 20, 2: 40, 3: 60}
+    # no duplicates despite micro-batch boundaries
+    assert tx.read_table(spark, silver).count() == 3
