@@ -626,3 +626,19 @@ def test_merge_delete_wins_over_same_batch_update(spark, table):
     )
     got = _as_dict(tx.read_table(spark, table))
     assert 2 not in got and 1 in got
+
+
+def test_concurrent_appends_all_land(spark, table):
+    """8 threads race appends; the atomic-link claim serializes them
+    into 8 distinct versions with every row surviving."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def app(i: int) -> int:
+        return tx.append_table(_rows(spark, (100 + i, "T", i)), table)
+
+    with ThreadPoolExecutor(8) as ex:
+        versions = list(ex.map(app, range(8)))
+    assert sorted(versions) == list(range(1, 9))
+    got = _as_dict(tx.read_table(spark, table))
+    assert all(100 + i in got for i in range(8))
+    assert tx.latest_version(table) == 8
