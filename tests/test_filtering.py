@@ -176,3 +176,29 @@ def test_winsorize_null_rows_survive(spark):
     out = winsorize(df, "v", 0.0, 1.0).collect()
     assert len(out) == 3
     assert any(r["v"] is None and r["v_wins"] is None for r in out)
+
+
+def test_winsorize_random_parity_with_brute_force(spark):
+    """Seeded randomized parity for the r7 bucketed-CDF thresholds:
+    exact rank quantiles (value at ceil(q*n)) on tie-heavy pools
+    including sub-1 values."""
+    import math
+    import random
+
+    from bi_utils_spark.operators.filtering import winsorize
+
+    rng = random.Random(7)
+    pool = [0.01, 0.5, 0.94, 1.0, 2.5, 7.0, 7.0, 7.0, 100.0, 1e6]
+    for _ in range(8):
+        n = rng.randrange(3, 50)
+        vals = [rng.choice(pool) for _ in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        out = sorted(
+            r["v_w"]
+            for r in winsorize(df, "v", 0.1, 0.9, out_col="v_w").collect()
+        )
+        s = sorted(vals)
+        lo_t = s[max(0, math.ceil(0.1 * n) - 1)]
+        hi_t = s[max(0, math.ceil(0.9 * n) - 1)]
+        exp = sorted(min(max(v, lo_t), hi_t) for v in vals)
+        assert out == exp, (vals, lo_t, hi_t)

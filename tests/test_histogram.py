@@ -103,3 +103,37 @@ def test_width_constant_column(spark):
     df = spark.createDataFrame([(7.0,)] * 5, ["v"])
     h = {r["bin"]: r["n"] for r in equi_width_histogram(df, "v", 4).collect()}
     assert h[0] == 5 and h[1] == h[2] == h[3] == 0
+
+
+def test_equi_depth_random_parity_with_brute_force(spark):
+    """Seeded randomized parity against the integer-exact reference
+    assignment bucket(v) = (start(v)·bins) div total — heavy ties,
+    fewer distincts than bins, every bucketed-CDF seam."""
+    import collections
+    import random
+
+    from bi_utils_spark.operators.histogram import equi_depth_histogram
+
+    rng = random.Random(11)
+    for _ in range(8):
+        n = rng.randrange(2, 40)
+        vals = [float(rng.randrange(0, 8)) for _ in range(n)]
+        bins = rng.choice([2, 3, 4, 8])
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        got = sorted(
+            (r["bin"], r["lo"], r["hi"], r["n"], r["n_distinct"])
+            for r in equi_depth_histogram(df, "v", bins).collect()
+        )
+        s = sorted(set(vals))
+        total, acc, start = len(vals), 0, {}
+        for x in s:
+            start[x] = acc
+            acc += vals.count(x)
+        byb = collections.defaultdict(list)
+        for x in s:
+            byb[(start[x] * bins) // total].append(x)
+        exp = sorted(
+            (b, min(xs), max(xs), sum(vals.count(x) for x in xs), len(xs))
+            for b, xs in byb.items()
+        )
+        assert got == exp, (vals, bins)
