@@ -272,3 +272,65 @@ def test_label_propagation_deterministic_ties(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_cc_and_triangles_random_parity_with_brute_force(spark):
+    """Seeded random graphs: components equal a union-find reference,
+    per-node triangle counts equal exhaustive triple enumeration."""
+    import itertools
+    import random
+
+    from bi_utils_spark.operators.graph import (
+        connected_components,
+        triangle_counts,
+    )
+
+    rng = random.Random(42)
+    for _ in range(6):
+        n = rng.randrange(2, 12)
+        edges = set()
+        for _ in range(rng.randrange(1, 18)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        if not edges:
+            continue
+        df = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+        nodes = sorted({x for e in edges for x in e})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp_comp: dict[int, list[int]] = {}
+        for v in nodes:
+            exp_comp.setdefault(find(v), []).append(v)
+        exp_sets = sorted(sorted(v) for v in exp_comp.values())
+        comp: dict[int, list[int]] = {}
+        for r in connected_components(df).collect():
+            comp.setdefault(r["component"], []).append(r["id"])
+        assert sorted(sorted(v) for v in comp.values()) == exp_sets, edges
+
+        adj = {v: set() for v in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        exp_tri = {v: 0 for v in nodes}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for v in (a, b, c):
+                    exp_tri[v] += 1
+        got_tri = {
+            r["node"]: r["triangles"]
+            for r in triangle_counts(df, "id_a", "id_b").collect()
+        }
+        assert all(
+            got_tri.get(v, 0) == exp_tri[v] for v in nodes
+        ), edges
