@@ -315,7 +315,7 @@ def test_cc_and_triangles_random_parity_with_brute_force(spark):
         exp_sets = sorted(sorted(v) for v in exp_comp.values())
         comp: dict[int, list[int]] = {}
         for r in connected_components(df).collect():
-            comp.setdefault(r["component"], []).append(r["id"])
+            comp.setdefault(r["component"], []).append(r["node"])
         assert sorted(sorted(v) for v in comp.values()) == exp_sets, edges
 
         adj = {v: set() for v in nodes}
