@@ -356,6 +356,77 @@ def create_table(
     return 0
 
 
+def convert_to_tx(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str] | None = None,
+) -> int:
+    """Convert an EXISTING plain-parquet directory into a tx table in
+    METADATA time — commit 0 references the files in place, no data
+    rewrite (the CONVERT TO DELTA analog; a 100 TB lake converts in
+    one directory walk). After conversion every tx operation applies:
+    appends/merges write under data/ as usual; a converted file that
+    a later rewrite removes leaves the manifest but stays on disk
+    (vacuum only reclaims under data/ — conservative by design, the
+    original files remain a valid plain-parquet fallback until the
+    operator deletes them explicitly).
+
+    ``partition_cols`` must name the directory-encoded partition
+    columns if the layout has them (validated against the paths
+    found). The one-time LIST this performs is exactly the cost every
+    plain-parquet READ was already paying — and the last time anyone
+    pays it."""
+    if latest_version(path) >= 0:
+        raise FileExistsError(f"tx table already exists at {path}")
+    pcols = list(partition_cols or [])
+    schema = spark.read.parquet(path).schema
+    added = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if d not in (LOG_DIR, DATA_DIR)]
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, path)
+            pvals: dict[str, str] = {}
+            for seg in os.path.relpath(root, path).split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    pvals[k] = unquote(v)
+            if sorted(pvals) != sorted(pcols):
+                raise ValueError(
+                    f"convert: file {rel!r} has partition dirs "
+                    f"{sorted(pvals)}, expected {sorted(pcols)}"
+                )
+            try:
+                stats = _footer_stats(full)
+            except Exception:  # noqa: BLE001 — stats are best-effort
+                stats = {}
+            added.append(
+                {
+                    "path": rel,
+                    # basePath "." = the table root, so directory-
+                    # encoded partition columns re-materialize
+                    "commit_dir": ".",
+                    "partition_values": pvals,
+                    "stats": stats,
+                }
+            )
+    if not added:
+        raise FileNotFoundError(f"convert: no parquet files under {path}")
+    payload = {
+        "version": 0,
+        "action": "create",
+        "added": added,
+        "removed": [],
+        "schema": json.dumps(schema.jsonValue()),
+        "partition_cols": pcols,
+    }
+    if not _claim(path, 0, payload):
+        raise ConcurrentWriteError(f"concurrent create at {path}")
+    return 0
+
+
 def _append_schema(snap: Snapshot, df: DataFrame) -> str | None:
     """Validate an append against the table schema. New nullable
     columns widen the schema (returned); missing columns are fine

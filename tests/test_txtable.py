@@ -642,3 +642,58 @@ def test_concurrent_appends_all_land(spark, table):
     got = _as_dict(tx.read_table(spark, table))
     assert all(100 + i in got for i in range(8))
     assert tx.latest_version(table) == 8
+
+
+# ---------------------------------------------------------------------------
+# CONVERT: adopt an existing plain-parquet directory in metadata time
+# ---------------------------------------------------------------------------
+
+
+def test_convert_plain_parquet_in_place(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    _rows(spark, (1, "A", 10), (2, "B", 20)).write.parquet(path)
+    tx.convert_to_tx(spark, path)
+    assert _as_dict(tx.read_table(spark, path)) == {
+        1: ("A", 10),
+        2: ("B", 20),
+    }
+    # no data was rewritten: zero files under data/
+    assert not os.path.isdir(os.path.join(path, tx.DATA_DIR))
+    # the table is fully operational post-convert
+    tx.append_table(_rows(spark, (3, "C", 30)), path)
+    tx.merge_tx_table(
+        spark, path, _rows(spark, (1, "U", 99)), ["k"], now=_now()
+    )
+    assert _as_dict(tx.read_table(spark, path)) == {
+        1: ("U", 99),
+        2: ("B", 20),
+        3: ("C", 30),
+    }
+    # and v0 still reads as the original directory contents
+    assert set(_as_dict(tx.read_table(spark, path, version=0))) == {1, 2}
+
+
+def test_convert_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "plainp")
+    spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20)], "k int, day string, v long"
+    ).write.partitionBy("day").parquet(path)
+    tx.convert_to_tx(spark, path, partition_cols=["day"])
+    got = tx.read_table(spark, path, partition_filter={"day": "d2"})
+    assert [(r["k"], r["day"]) for r in got.collect()] == [(2, "d2")]
+    # partition-scoped merge works against converted files
+    src = spark.createDataFrame(
+        [(2, "d2", 99)], "k int, day string, v long"
+    )
+    tx.merge_tx_table(spark, path, src, ["k"], now=_now())
+    vals = {r["k"]: r["v"] for r in tx.read_table(spark, path).collect()}
+    assert vals == {1: 10, 2: 99}
+
+
+def test_convert_validates_partition_cols(spark, tmp_path):
+    path = str(tmp_path / "plainbad")
+    spark.createDataFrame(
+        [(1, "d1", 10)], "k int, day string, v long"
+    ).write.partitionBy("day").parquet(path)
+    with pytest.raises(ValueError, match="partition dirs"):
+        tx.convert_to_tx(spark, path)  # forgot partition_cols
