@@ -823,6 +823,82 @@ def compact_table(
     )
 
 
+def forget_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    pks: Sequence[str] | str,
+) -> dict:
+    """Right-to-be-forgotten: remove every row matching ``keys`` from
+    the table AND from history, verifiably. Three steps in one call:
+
+    1. a delete-merge commits the key removal (copy-on-write — the
+       files that held the rows are rewritten without them);
+    2. ``vacuum_table(retain_versions=1)`` physically deletes every
+       data file of every PRIOR version, so no time-travel read can
+       resurface the rows (the deliberate cost: history dies — that
+       is what forgetting means);
+    3. a verification anti-probe re-reads the live table and counts
+       surviving matches (must be 0, returned for the audit log).
+
+    Converted-in-place files (``convert_to_tx``) live OUTSIDE data/
+    where vacuum cannot reach; the returned ``unreclaimed`` count
+    discloses any such files dropped from the manifest but still on
+    disk — delete them out-of-band to complete the erasure."""
+    if isinstance(pks, str):
+        pks = [c.strip() for c in pks.split(",")]
+    snap = _fold(path)
+    schema = snap.spark_schema()
+    keyset = keys.select(*pks).distinct()
+    # Partitioned tables: the delete-merge rewrites only partitions
+    # PRESENT IN THE SOURCE, so locate which partitions hold the keys
+    # first (one semi-join — the honest cost of finding who holds a
+    # key without a global pk index; a bloom index on the pk turns
+    # this into a file-pruned probe).
+    anchor_cols = list(pks) + [
+        c for c in snap.partition_cols if c not in pks
+    ]
+    anchors = (
+        read_table(spark, path)
+        .join(F.broadcast(keyset), list(pks), "left_semi")
+        .select(*anchor_cols)
+        .distinct()
+    )
+    have = set(anchor_cols)
+    src_cols = []
+    for f in schema.fields:
+        if f.name in have:
+            src_cols.append(F.col(f.name))
+        else:
+            src_cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    source = anchors.select(*src_cols).withColumn(
+        "__forget", F.lit(True)
+    )
+    version = merge_tx_table(
+        spark, path, source, pks, delete_col="__forget"
+    )
+    deleted_files = vacuum_table(path, retain_versions=1)
+    live = _fold(path)
+    unreclaimed = sum(
+        1
+        for rel, meta in {**snap.files}.items()
+        if meta["commit_dir"] == "."
+        and rel not in live.files
+        and os.path.exists(os.path.join(path, rel))
+    )
+    survivors = (
+        read_table(spark, path)
+        .join(F.broadcast(keyset), list(pks), "left_semi")
+        .count()
+    )
+    return {
+        "version": version,
+        "files_reclaimed": len(deleted_files),
+        "unreclaimed": unreclaimed,
+        "surviving_matches": int(survivors),
+    }
+
+
 def restore_table(spark: SparkSession, path: str, version: int) -> int:
     """RESTORE: re-point the live set to ``version``'s files as a NEW
     commit — pure metadata, no data moves, history preserved (the

@@ -697,3 +697,49 @@ def test_convert_validates_partition_cols(spark, tmp_path):
     ).write.partitionBy("day").parquet(path)
     with pytest.raises(ValueError, match="partition dirs"):
         tx.convert_to_tx(spark, path)  # forgot partition_cols
+
+
+# ---------------------------------------------------------------------------
+# forget_keys: verifiable right-to-be-forgotten
+# ---------------------------------------------------------------------------
+
+
+def test_forget_keys_erases_rows_and_history(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    report = tx.forget_keys(
+        spark, table, spark.createDataFrame([(2,)], "k int"), ["k"]
+    )
+    assert report["surviving_matches"] == 0
+    assert report["files_reclaimed"] > 0
+    got = _as_dict(tx.read_table(spark, table))
+    assert 2 not in got and {1, 3} <= set(got)
+    # history that contained the key is GONE (the point of forgetting)
+    with pytest.raises(Exception):
+        tx.read_table(spark, table, version=0).collect()
+
+
+def test_forget_keys_partitioned_locates_partitions(spark, tmp_path):
+    path = str(tmp_path / "fp")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20), (3, "d2", 30), (4, "d3", 40)],
+        "k int, day string, v long",
+    )
+    tx.create_table(base, path, partition_cols=["day"])
+    report = tx.forget_keys(
+        spark, path, spark.createDataFrame([(2,)], "k int"), ["k"]
+    )
+    assert report["surviving_matches"] == 0
+    vals = {r["k"]: r["v"] for r in tx.read_table(spark, path).collect()}
+    assert vals == {1: 10, 3: 30, 4: 40}  # d2 sibling row survives
+
+
+def test_forget_keys_discloses_unreclaimed_converted_files(spark, tmp_path):
+    path = str(tmp_path / "fc")
+    _rows(spark, (1, "A", 10), (2, "B", 20)).write.parquet(path)
+    tx.convert_to_tx(spark, path)
+    report = tx.forget_keys(
+        spark, path, spark.createDataFrame([(1,)], "k int"), ["k"]
+    )
+    assert report["surviving_matches"] == 0
+    assert report["unreclaimed"] > 0  # converted files live outside data/
+    assert set(_as_dict(tx.read_table(spark, path))) == {2}
