@@ -58,6 +58,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Sequence
@@ -184,10 +185,23 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
     return snap
 
 
+def _commit_ts(path: str, version: int) -> float:
+    """Commit wall-clock time: the log's ``ts`` field (stamped by
+    ``_claim`` since r8), file mtime for pre-ts logs."""
+    with open(_commit_file(path, version)) as fh:
+        ts = json.load(fh).get("ts")
+    if ts is not None:
+        return float(ts)
+    return os.path.getmtime(_commit_file(path, version))
+
+
 def _claim(path: str, version: int, payload: dict) -> bool:
     """Atomically claim commit slot ``version``. True on success,
-    False when another writer already owns the slot."""
+    False when another writer already owns the slot. Every commit is
+    stamped with wall-clock ``ts`` — the basis for time-based vacuum
+    retention (and audit)."""
     os.makedirs(_log_path(path), exist_ok=True)
+    payload = {**payload, "ts": payload.get("ts", time.time())}
     tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
@@ -205,6 +219,12 @@ def _claim(path: str, version: int, payload: dict) -> bool:
 def _maybe_checkpoint(path: str, snap_version: int) -> None:
     if (snap_version + 1) % CHECKPOINT_EVERY != 0:
         return
+    _write_checkpoint(path, snap_version)
+
+
+def _write_checkpoint(path: str, snap_version: int) -> None:
+    """Fold and persist a checkpoint at ``snap_version`` (idempotent;
+    losing the link race to a concurrent checkpointer is fine)."""
     snap = _fold(path, snap_version)
     payload = {
         "version": snap.version,
@@ -463,7 +483,15 @@ def append_table(
     quality AT THE COMMIT BOUNDARY: the batch is gated by
     `dq.dq_gate` BEFORE any file is staged, so a failing batch
     leaves the table untouched at any isolation level — the
-    warehouse CHECK-constraint analog, scanning only the delta."""
+    warehouse CHECK-constraint analog, scanning only the delta.
+
+    Schema widening is recomputed against each rebase predecessor:
+    when a concurrent append widened the table with a DIFFERENT new
+    column, the rebased commit's schema merges against the actual
+    predecessor snapshot (not the pre-race one), so neither writer's
+    column is lost — and type validation re-runs per rebase (a
+    mid-rebase conflict raises, leaving only unreferenced staged
+    files for vacuum's stray pass)."""
     snap = _fold(path)
     if app is not None and snap.app_batches.get(app[0], -1) >= app[1]:
         return snap.version
@@ -471,10 +499,11 @@ def append_table(
         from bi_utils_spark.operators.dq import dq_gate
 
         dq_gate(df, checks)
-    widened = _append_schema(snap, df)
+    _append_schema(snap, df)  # validate before paying the stage write
     added = _stage(df, path, snap.partition_cols)
     version = snap.version + 1
     while True:
+        widened = _append_schema(snap, df)
         payload = {
             "version": version,
             "action": "append",
@@ -550,6 +579,42 @@ def overwrite_table(
     )
 
 
+def _render_pv(value) -> str:
+    """Render a Python value the way Spark renders it in a Hive
+    partition directory, so manifest-level comparisons are faithful:
+    None -> the Hive default-partition sentinel, bool -> 'true'/'false'
+    (Python's str(True) is 'True', Spark's is 'true'); dates, ints,
+    floats and strings all str() to the directory form."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def _read_files(
+    spark: SparkSession, path: str, files: dict, schema: StructType
+) -> DataFrame:
+    """Read a manifest-resolved file subset: grouped per commit dir
+    (each group one ``basePath`` so directory-encoded partition
+    columns re-materialize), then unioned."""
+    groups: dict[str, list[str]] = {}
+    for rel, meta in files.items():
+        groups.setdefault(meta["commit_dir"], []).append(
+            os.path.join(path, rel)
+        )
+    parts = []
+    for commit_dir, names in sorted(groups.items()):
+        reader = spark.read.schema(schema).option(
+            "basePath", os.path.join(path, commit_dir)
+        )
+        parts.append(reader.parquet(*sorted(names)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _zone_overlaps(meta: dict, skip: dict) -> bool:
     """True when the file MAY contain rows in every requested range —
     files lacking stats for a column cannot be pruned on it."""
@@ -601,7 +666,7 @@ def read_table(
             rel: meta
             for rel, meta in want.items()
             if all(
-                meta["partition_values"].get(k) == str(v)
+                meta["partition_values"].get(k) == _render_pv(v)
                 for k, v in partition_filter.items()
             )
         }
@@ -615,21 +680,7 @@ def read_table(
         want = _bloom_prune(spark, path, want, point)
     if not want:
         return spark.createDataFrame([], schema)
-    groups: dict[str, list[str]] = {}
-    for rel, meta in want.items():
-        groups.setdefault(meta["commit_dir"], []).append(
-            os.path.join(path, rel)
-        )
-    parts = []
-    for commit_dir, files in sorted(groups.items()):
-        reader = spark.read.schema(schema).option(
-            "basePath", os.path.join(path, commit_dir)
-        )
-        parts.append(reader.parquet(*sorted(files)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _read_files(spark, path, want, schema)
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:
@@ -670,6 +721,7 @@ def merge_tx_table(
     pks: Sequence[str] | str,
     now=None,
     delete_col: str | None = None,
+    broadcast_deletes: bool = True,
 ) -> int:
     """MERGE ``source`` into the tx table with `merge.merge_upsert`'s
     exact reference semantics (M1), executed as copy-on-write:
@@ -692,6 +744,11 @@ def merge_tx_table(
     both updated and delete-flagged in one batch deletes, matching
     the CDC net-effect convention); unmatched delete flags are
     no-ops. The column itself never lands in the table.
+    ``broadcast_deletes=False`` drops the broadcast hint on the
+    delete-key anti-join — for UNBOUNDED delete sets ("forget this
+    whole country") that must shuffle, not ship to every executor;
+    AQE still picks a broadcast at runtime when the set turns out
+    small, so the flag only removes the forced plan.
 
     Raises ConcurrentWriteError if another rewriting commit lands
     between the snapshot read and the commit claim.
@@ -711,15 +768,16 @@ def merge_tx_table(
     def _apply(target: DataFrame) -> DataFrame:
         merged = merge_upsert(target, source, pks, now=now)
         if del_keys is not None:
-            merged = merged.join(
-                F.broadcast(del_keys), list(pks), "left_anti"
+            dk = (
+                F.broadcast(del_keys) if broadcast_deletes else del_keys
             )
+            merged = merged.join(dk, list(pks), "left_anti")
         return merged
 
     pcols = snap.partition_cols
     if pcols:
         touched = [
-            tuple(str(r[c]) for c in pcols)
+            tuple(_render_pv(r[c]) for c in pcols)
             for r in source.select(*pcols).distinct().collect()
         ]
         touched_set = set(touched)
@@ -729,24 +787,14 @@ def merge_tx_table(
             if tuple(meta["partition_values"].get(c) for c in pcols)
             in touched_set
         ]
-        groups: dict[str, list[str]] = {}
-        for rel in removed:
-            meta = snap.files[rel]
-            groups.setdefault(meta["commit_dir"], []).append(
-                os.path.join(path, rel)
-            )
         schema = snap.spark_schema()
-        if groups:
-            parts = []
-            for commit_dir, files in sorted(groups.items()):
-                parts.append(
-                    spark.read.schema(schema)
-                    .option("basePath", os.path.join(path, commit_dir))
-                    .parquet(*sorted(files))
-                )
-            target = parts[0]
-            for p in parts[1:]:
-                target = target.unionByName(p)
+        if removed:
+            target = _read_files(
+                spark,
+                path,
+                {rel: snap.files[rel] for rel in removed},
+                schema,
+            )
         else:
             target = spark.createDataFrame([], schema)
         merged = _apply(target)
@@ -823,14 +871,47 @@ def compact_table(
     )
 
 
+def _truncate_history(path: str, version: int) -> None:
+    """Scrub everything the log remembers about versions before
+    ``version``: write a (forced) checkpoint at ``version``, delete
+    every older commit and checkpoint JSON, and rewrite the kept
+    commit with its ``removed`` list emptied. Readers fold from the
+    checkpoint, so the emptied list is never consulted; what it
+    bought: removed-file RELPATHS can embed partition VALUES
+    (``pk=123/part-*.parquet``), which for a forgotten partition key
+    is residue. Time travel before ``version`` raises ValueError
+    afterwards. Callers hold effective exclusive access (documented
+    on forget_keys)."""
+    _write_checkpoint(path, version)
+    commits, ckpts = _list_log(path)
+    for v in commits:
+        if v < version:
+            os.unlink(_commit_file(path, v))
+    for v in ckpts:
+        if v < version:
+            os.unlink(_ckpt_file(path, v))
+    cf = _commit_file(path, version)
+    with open(cf) as fh:
+        entry = json.load(fh)
+    if entry.get("removed"):
+        entry["removed"] = []
+        entry["removed_scrubbed"] = True
+        tmp = f"{cf}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(entry, fh)
+        os.replace(tmp, cf)
+
+
 def forget_keys(
     spark: SparkSession,
     path: str,
     keys: DataFrame,
     pks: Sequence[str] | str,
+    broadcast_keys: bool = True,
 ) -> dict:
     """Right-to-be-forgotten: remove every row matching ``keys`` from
-    the table AND from history, verifiably. Three steps in one call:
+    the table, its history, AND the log's metadata, verifiably. Five
+    steps in one call:
 
     1. a delete-merge commits the key removal (copy-on-write — the
        files that held the rows are rewritten without them);
@@ -838,8 +919,27 @@ def forget_keys(
        data file of every PRIOR version, so no time-travel read can
        resurface the rows (the deliberate cost: history dies — that
        is what forgetting means);
-    3. a verification anti-probe re-reads the live table and counts
+    3. the log is checkpoint-truncated at the delete commit
+       (`_truncate_history`) — old commit/checkpoint JSONs carry
+       per-file zone-map min/max (a forgotten pk that was a file's
+       min or max persists VERBATIM there), partition_values, and
+       removed-file relpaths; scrubbing metadata is part of
+       forgetting, not an optimization;
+    4. every bloom sidecar is dropped (a bloom filter stays
+       membership-TESTABLE for forgotten keys via its hash probes) —
+       rebuild with :func:`build_bloom_index` afterwards, from the
+       clean files;
+    5. a verification anti-probe re-reads the live table and counts
        surviving matches (must be 0, returned for the audit log).
+
+    ``broadcast_keys=False`` drops the broadcast hints on the keyset
+    joins (locate + delete + verify) for UNBOUNDED forget-lists
+    ("everyone in this jurisdiction") that must shuffle — results are
+    identical, AQE may still broadcast a runtime-small side.
+
+    Steps 2–4 assume no concurrent time-travel readers or writers
+    (vacuum + history truncation); run forget_keys with effective
+    exclusive access, like any Delta VACUUM at retention 0.
 
     Converted-in-place files (``convert_to_tx``) live OUTSIDE data/
     where vacuum cannot reach; the returned ``unreclaimed`` count
@@ -850,6 +950,7 @@ def forget_keys(
     snap = _fold(path)
     schema = snap.spark_schema()
     keyset = keys.select(*pks).distinct()
+    bkeys = F.broadcast(keyset) if broadcast_keys else keyset
     # Partitioned tables: the delete-merge rewrites only partitions
     # PRESENT IN THE SOURCE, so locate which partitions hold the keys
     # first (one semi-join — the honest cost of finding who holds a
@@ -860,7 +961,7 @@ def forget_keys(
     ]
     anchors = (
         read_table(spark, path)
-        .join(F.broadcast(keyset), list(pks), "left_semi")
+        .join(bkeys, list(pks), "left_semi")
         .select(*anchor_cols)
         .distinct()
     )
@@ -875,7 +976,12 @@ def forget_keys(
         "__forget", F.lit(True)
     )
     version = merge_tx_table(
-        spark, path, source, pks, delete_col="__forget"
+        spark,
+        path,
+        source,
+        pks,
+        delete_col="__forget",
+        broadcast_deletes=broadcast_keys,
     )
     deleted_files = vacuum_table(path, retain_versions=1)
     live = _fold(path)
@@ -886,9 +992,11 @@ def forget_keys(
         and rel not in live.files
         and os.path.exists(os.path.join(path, rel))
     )
+    blooms_dropped = _drop_bloom_sidecars(path)
+    _truncate_history(path, version)
     survivors = (
         read_table(spark, path)
-        .join(F.broadcast(keyset), list(pks), "left_semi")
+        .join(bkeys, list(pks), "left_semi")
         .count()
     )
     return {
@@ -896,6 +1004,8 @@ def forget_keys(
         "files_reclaimed": len(deleted_files),
         "unreclaimed": unreclaimed,
         "surviving_matches": int(survivors),
+        "history_truncated": True,
+        "bloom_indexes_dropped": blooms_dropped,
     }
 
 
@@ -969,26 +1079,68 @@ def table_file_report(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def vacuum_table(path: str, retain_versions: int = 2) -> list[str]:
-    """Delete data files referenced by NO retained version (the last
-    ``retain_versions`` snapshots stay readable; older time travel
-    dies — same tradeoff as Delta VACUUM). Returns deleted relpaths."""
+def vacuum_table(
+    path: str,
+    retain_versions: int = 2,
+    retain_hours: float | None = None,
+    stray_age_seconds: float = 3600.0,
+) -> list[str]:
+    """Delete data files referenced by NO retained version; older
+    time travel dies — same tradeoff as Delta VACUUM. Returns deleted
+    relpaths.
+
+    Retention is the UNION of two windows: the last
+    ``retain_versions`` snapshots always stay, and with
+    ``retain_hours`` every version COMMITTED inside the wall-clock
+    window stays too (the Delta retention contract — "time travel up
+    to N hours back keeps working"; commit times come from the log's
+    ``ts`` stamp, file mtime for pre-stamp logs).
+
+    Concurrent-writer safety: a file staged by an in-flight
+    append/merge exists on disk BEFORE the commit that references it,
+    so at that instant it is referenced by no version at all —
+    deleting it would make the imminent commit land pointing at
+    missing files. Files referenced by NO commit whatsoever (strays)
+    are therefore only reclaimed once older than
+    ``stray_age_seconds`` (default 1 h — far beyond any
+    stage-to-commit gap; failed-job debris IS eventually collected).
+    Files referenced by an unretained commit carry no such race — a
+    later commit already superseded them — and are deleted
+    immediately."""
     commits, _ = _list_log(path)
     if not commits:
         return []
-    keep_from = max(0, len(commits) - retain_versions)
+    retained = set(commits[max(0, len(commits) - retain_versions):])
+    if retain_hours is not None:
+        cutoff = time.time() - retain_hours * 3600.0
+        for v in commits:
+            if _commit_ts(path, v) >= cutoff:
+                retained.add(v)
+    referenced: set[str] = set()
+    for v in commits:
+        with open(_commit_file(path, v)) as fh:
+            entry = json.load(fh)
+        referenced.update(a["path"] for a in entry.get("added", []))
     live: set[str] = set()
-    for v in commits[keep_from:]:
+    for v in sorted(retained):
         live.update(_fold(path, v).files)
+    now = time.time()
     deleted = []
     data_root = os.path.join(path, DATA_DIR)
     for root, _dirs, names in os.walk(data_root):
         for name in names:
             full = os.path.join(root, name)
             rel = os.path.relpath(full, path)
-            if name.endswith(".parquet") and rel not in live:
-                os.unlink(full)
-                deleted.append(rel)
+            if not name.endswith(".parquet") or rel in live:
+                continue
+            if rel not in referenced:
+                try:
+                    if now - os.path.getmtime(full) < stray_age_seconds:
+                        continue  # possibly an in-flight stage
+                except OSError:
+                    continue  # claimed/removed underneath us
+            os.unlink(full)
+            deleted.append(rel)
     return sorted(deleted)
 
 
@@ -1001,12 +1153,38 @@ def _bloom_sidecar(path: str, col: str) -> str:
     return os.path.join(_log_path(path), f"bloom.{col}.json")
 
 
-def _bloom_positions_df(spark: SparkSession, value, k: int, ms: list[int]):
+def _drop_bloom_sidecars(path: str) -> int:
+    """Delete every bloom sidecar of the table; returns how many."""
+    d = _log_path(path)
+    n = 0
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.startswith("bloom.") and name.endswith(".json"):
+                os.unlink(os.path.join(d, name))
+                n += 1
+    return n
+
+
+def _bloom_positions_df(
+    spark: SparkSession,
+    value,
+    k: int,
+    ms: list[int],
+    col_type: str | None = None,
+):
     """The k bit positions of ``value`` for each distinct filter size
     in ``ms`` — computed IN SPARK so the hash function is exactly the
-    one the build pass used (JVM xxhash64); one 1-row job."""
+    one the build pass used (JVM xxhash64); one 1-row job. The probe
+    value is normalized through the SAME cast chain as the build
+    (value -> column type -> string), so a Python int 1 probed
+    against a double column hashes '1.0' exactly like the build did —
+    a str(value) mismatch would "prove" absence and silently prune
+    files that hold the rows."""
+    lit_v = F.lit(value)
+    if col_type:
+        lit_v = lit_v.cast(col_type)
+    lit_v = lit_v.cast("string")
     exprs = []
-    lit_v = F.lit(str(value))
     for m in ms:
         arr = F.array(
             *[
@@ -1024,6 +1202,7 @@ def build_bloom_index(
     path: str,
     col: str,
     fpp: float = 0.01,
+    only_new: bool = False,
 ) -> dict:
     """Build per-FILE bloom filters over ``col`` for every live file —
     the point-lookup index for unclustered high-cardinality columns
@@ -1032,36 +1211,84 @@ def build_bloom_index(
     a log sidecar keyed by file relpath; files are immutable, so a
     filter stays valid for the file's whole life — files added AFTER
     the build simply have no filter and are never pruned (bloom
-    pruning is best-effort by construction; rebuild on a maintenance
-    cadence or after compaction).
+    pruning is best-effort by construction).
 
-    One distributed pass: per-file exact distinct counts size each
-    filter (m_i = n_i·k/ln 2, k = ceil(-log2 fpp)), a second pass
-    collects the set bit positions per file. Driver memory is the
-    index itself (~m_i/8 bytes per file). Values hash as strings via
-    JVM xxhash64(value, seed) so read-side probes are bit-compatible.
-    """
+    ``only_new=True`` is the maintenance cadence: existing entries
+    whose file is still live are carried over BYTE-IDENTICAL (their
+    files are immutable and never rescanned), entries for
+    vacuumed/rewritten files are dropped, and only live files WITHOUT
+    an entry are scanned — so a daily refresh of a 100 TB table costs
+    the day's append, not the table. (If ``fpp`` changed, the carried
+    ``k`` no longer matches and the build falls back to a full
+    rescan.)
+
+    Two passes over the scanned files, both executor-side: (1) an
+    approx-distinct per file sizes each filter (m_i = 1.1·ñ_i·k/ln 2,
+    k = ceil(-log2 fpp) — single-pass partial-aggregable HLL; the 10%
+    headroom covers its rsd, and bloom sizing tolerates the slack),
+    collecting |files| count rows; (2) bit positions are computed
+    JVM-side (xxhash64 ⊕ seed, pmod m) and FOLDED INTO THE PACKED
+    BITMAP in the executors — `repartition(file)` puts each file's
+    positions in exactly one task, a `mapInPandas` fold ORs them
+    batch-by-batch into a numpy uint8 buffer (duplicate positions are
+    idempotent, so no dedup pass), and ONE (file, m, base64 bitmap)
+    row per file comes back. Driver memory is therefore the index
+    itself (~m_i/8 bytes per file) — never raw positions, which at
+    10⁹ distinct keys would be a ~50× blowup. Values hash as strings
+    (column cast to string) so read-side probes are bit-compatible;
+    the sidecar records the column type and probes re-render values
+    through it."""
     import base64
 
     snap = _fold(path)
     k = max(1, math.ceil(-math.log2(fpp)))
-    tagged = read_table(spark, path).select(
-        F.col(col).cast("string").alias("__v"),
-        F.input_file_name().alias("__f"),
-    ).where(F.col("__v").isNotNull())
+    col_type = next(
+        (
+            f.dataType.simpleString()
+            for f in snap.spark_schema().fields
+            if f.name == col
+        ),
+        None,
+    )
+    kept: dict[str, dict] = {}
+    sc_path = _bloom_sidecar(path, col)
+    if only_new and os.path.exists(sc_path):
+        with open(sc_path) as fh:
+            old = json.load(fh)
+        if old.get("k") == k:
+            kept = {
+                rel: entry
+                for rel, entry in old["files"].items()
+                if rel in snap.files
+            }
+    todo = {rel: meta for rel, meta in snap.files.items() if rel not in kept}
+
+    def _persist(files: dict) -> dict:
+        sidecar = {"k": k, "col": col, "type": col_type, "files": files}
+        with open(sc_path, "w") as fh:
+            json.dump(sidecar, fh)
+        return sidecar
+
+    if not todo:
+        return _persist(kept)
+    tagged = (
+        _read_files(spark, path, todo, snap.spark_schema())
+        .select(
+            F.col(col).cast("string").alias("__v"),
+            F.input_file_name().alias("__f"),
+        )
+        .where(F.col("__v").isNotNull())
+    )
     counts = {
-        r["__f"]: r["__n"]
+        r["__f"]: int(r["__n"])
         for r in tagged.groupBy("__f")
-        .agg(F.countDistinct("__v").alias("__n"))
+        .agg(F.approx_count_distinct("__v", 0.02).alias("__n"))
         .collect()
     }
     if not counts:
-        sidecar = {"k": k, "col": col, "files": {}}
-        with open(_bloom_sidecar(path, col), "w") as fh:
-            json.dump(sidecar, fh)
-        return sidecar
+        return _persist(kept)
     ms = {
-        f: max(64, int(math.ceil(n * k / math.log(2))))
+        f: max(64, int(math.ceil(1.1 * n * k / math.log(2))))
         for f, n in counts.items()
     }
     m_map = F.create_map(
@@ -1069,6 +1296,7 @@ def build_bloom_index(
     )
     pos = tagged.withColumn("__m", m_map[F.col("__f")]).select(
         "__f",
+        "__m",
         F.explode(
             F.array(
                 *[
@@ -1078,31 +1306,53 @@ def build_bloom_index(
             )
         ).alias("__p"),
     )
-    by_file = (
-        pos.groupBy("__f")
-        .agg(F.collect_set("__p").alias("__ps"))
+
+    def _pack(batches):
+        import base64 as b64mod
+
+        import numpy as np
+        import pandas as pd
+
+        bufs: dict[str, "np.ndarray"] = {}
+        sizes: dict[str, int] = {}
+        for pdf in batches:
+            for fname, grp in pdf.groupby("__f", sort=False):
+                buf = bufs.get(fname)
+                if buf is None:
+                    m = int(grp["__m"].iloc[0])
+                    buf = np.zeros((m + 7) // 8, dtype=np.uint8)
+                    bufs[fname] = buf
+                    sizes[fname] = m
+                ps = grp["__p"].to_numpy(dtype=np.int64)
+                np.bitwise_or.at(
+                    buf,
+                    ps >> 3,
+                    np.left_shift(
+                        np.uint8(1), (ps & 7).astype(np.uint8)
+                    ),
+                )
+        rows = [
+            (f, sizes[f], b64mod.b64encode(bufs[f].tobytes()).decode())
+            for f in bufs
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=["f", "m", "b64"])
+
+    packed = (
+        pos.repartition("__f")
+        .mapInPandas(_pack, "f string, m long, b64 string")
         .collect()
     )
     # file URIs from input_file_name -> manifest relpaths
     abs_root = os.path.abspath(path)
-    files: dict[str, dict] = {}
-    for r in by_file:
-        fpath = r["__f"]
+    files = dict(kept)
+    for r in packed:
+        fpath = r["f"]
         if fpath.startswith("file:"):
             fpath = fpath[len("file:"):]
-        rel = os.path.relpath(fpath, abs_root)
-        m = ms[r["__f"]]
-        bits = bytearray((m + 7) // 8)
-        for p in r["__ps"]:
-            bits[p // 8] |= 1 << (p % 8)
-        files[rel] = {
-            "m": m,
-            "b64": base64.b64encode(bytes(bits)).decode(),
-        }
-    sidecar = {"k": k, "col": col, "files": files}
-    with open(_bloom_sidecar(path, col), "w") as fh:
-        json.dump(sidecar, fh)
-    return sidecar
+        rel = os.path.relpath(unquote(fpath), abs_root)
+        files[rel] = {"m": int(r["m"]), "b64": r["b64"]}
+    return _persist(files)
 
 
 def _bloom_prune(
@@ -1124,7 +1374,9 @@ def _bloom_prune(
         )
         if not ms:
             continue
-        positions = _bloom_positions_df(spark, value, k, ms)
+        positions = _bloom_positions_df(
+            spark, value, k, ms, col_type=idx.get("type")
+        )
         kept: dict = {}
         for rel, meta in want.items():
             entry = idx["files"].get(rel)

@@ -166,3 +166,86 @@ def ivf_index_probe(
         .limit(k)
         .select(F.col("id").alias(man["id_col"]), "score")
     )
+
+
+def ivf_index_probe_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "qid",
+    query_vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Bulk probe: top-k per row of a query TABLE against the
+    persisted index — the serving shape for re-ranking / linking
+    jobs where thousands-to-millions of queries hit one corpus (the
+    `similarity.knn_join` topology, but over the stored layout
+    instead of a rebuilt one).
+
+    Queries are assigned to their ``nprobe`` nearest cells with the
+    SAME map-only assignment pass the build used; the union of
+    probed cell ids (≤ num_cells ints — index metadata, driver-safe
+    to collect) becomes an ``isin`` predicate on the vector scan, so
+    partition pruning caps I/O at |probed cells|/num_cells of the
+    corpus exactly like the single-query probe. Candidates meet in
+    an equi-join ON cell_id; exact dot re-rank inside (unit vectors,
+    dot == cosine); per-query top-k via a row_number window bounded
+    by each query's candidate count. A (query, vector) pair can meet
+    in several cells (multi-assigned corpus vectors × overlapping
+    probes) — a max-score groupBy restores uniqueness; the scores
+    are identical across cells, so this changes nothing but
+    multiplicity.
+
+    Exactness contract (oracle ``q_ivf_batch_topk``): with
+    ``nprobe = num_cells`` the result EQUALS the exact per-query
+    cosine top-k; partial probes trade recall for I/O like
+    ``ivf_topk``. ``broadcast_queries=True`` (default) broadcasts
+    the assigned query side — right while |queries|·nprobe rows fit
+    an executor; flip off for corpus-scale query tables and the join
+    shuffles on cell_id (AQE still picks a broadcast when the side
+    is runtime-small)."""
+    from pyspark.sql.window import Window
+
+    from bi_utils_spark.operators.similarity import dot, ivf_assign_multi
+
+    man = _load_manifest(path)
+    if query_id_col == man["id_col"]:
+        raise ValueError(
+            f"query_id_col {query_id_col!r} collides with the index id "
+            "column; alias the query id first"
+        )
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
+    q = ivf_assign_multi(
+        queries, centroids, nprobe, query_id_col, query_vec_col
+    ).select(
+        F.col("id").alias("__qid"), F.col("u").alias("__qu"), "cell_id"
+    )
+    probe_cells = sorted(
+        int(r["cell_id"])
+        for r in q.select("cell_id").distinct().collect()
+    )
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("cell_id").isin(probe_cells)
+    )
+    qj = F.broadcast(q) if broadcast_queries else q
+    scored = vecs.join(qj, "cell_id").select(
+        "__qid", "id", dot(F.col("u"), F.col("__qu")).alias("score")
+    )
+    if man["num_assign"] > 1 or nprobe > 1:
+        scored = scored.groupBy("__qid", "id").agg(
+            F.max("score").alias("score")
+        )
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("id").alias(man["id_col"]),
+            "score",
+        )
+    )

@@ -56,8 +56,11 @@ class TxFilePartition(InputPartition):
 
 def _coerce(value: str, spark_type: str):
     """Directory-encoded partition values are strings; coerce to the
-    schema's type for the common primitives."""
-    if value is None:
+    schema's type for every partitionable primitive (int/float/bool,
+    plus date/timestamp/decimal — Spark renders those ISO-style in
+    the directory name, so the stdlib parsers are faithful
+    inverses). The Hive default-partition sentinel is a NULL."""
+    if value is None or value == "__HIVE_DEFAULT_PARTITION__":
         return None
     t = spark_type.lower()
     if t in ("int", "integer", "smallint", "tinyint", "bigint", "long"):
@@ -66,6 +69,18 @@ def _coerce(value: str, spark_type: str):
         return float(value)
     if t == "boolean":
         return value.lower() == "true"
+    if t == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(value)
+    if t.startswith("timestamp"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(value)
+    if t.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(value)
     return value
 
 

@@ -232,3 +232,97 @@ def test_index_append_without_retrain(spark, emb, tmp_path):
     ]
     want = [r["vec_id"] for r in cosine_topk(emb, target, k=10).collect()]
     assert got == want
+
+
+def test_index_probe_many_full_equals_exact_per_query(spark, emb, tmp_path):
+    """Batch probe (r8): with nprobe = num_cells every query's top-k
+    EQUALS its exact cosine top-k — ids and scores."""
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_probe_many,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, num_cells=8, iters=2)
+    qids = [1, 7, 42]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    got = ivf_index_probe_many(
+        spark, path, queries, k=5, nprobe=8, query_id_col="qid"
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["score"]))
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        target = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        want = cosine_topk(emb, target, k=5).collect()
+        assert [p[0] for p in by_q[qid]] == [r["vec_id"] for r in want]
+        for (_, g), w in zip(by_q[qid], want):
+            assert abs(g - w["score"]) < 1e-9
+
+
+def test_index_probe_many_is_partition_pruned(spark, emb, tmp_path):
+    """The batch probe's union-of-cells predicate lands in
+    PartitionFilters — I/O is |probed cells|/num_cells by
+    construction, same as the single-query probe."""
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_probe_many,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, num_cells=8, iters=1)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    probe = ivf_index_probe_many(spark, path, queries, k=3, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert pf and any("cell_id" in line for line in pf), plan
+    got = probe.collect()
+    assert {r["qid"] for r in got} == {0, 1}
+    assert all(
+        len([r for r in got if r["qid"] == q]) == 3 for q in (0, 1)
+    )
+
+
+def test_index_probe_many_broadcast_off_identical(spark, emb, tmp_path):
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_probe_many,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, num_cells=8, iters=1)
+    queries = emb.filter(F.col("vec_id").isin([3, 9])).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    a = ivf_index_probe_many(
+        spark, path, queries, k=4, nprobe=8, broadcast_queries=True
+    ).collect()
+    b = ivf_index_probe_many(
+        spark, path, queries, k=4, nprobe=8, broadcast_queries=False
+    ).collect()
+    key = lambda r: (r["qid"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_index_probe_many_rejects_id_collision(spark, emb, tmp_path):
+    from bi_utils_spark.operators.vector_index import (
+        ivf_index_probe_many,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, num_cells=4, iters=1)
+    with pytest.raises(ValueError, match="collides"):
+        ivf_index_probe_many(
+            spark, path, emb, k=3, query_id_col="vec_id"
+        )

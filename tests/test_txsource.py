@@ -179,3 +179,43 @@ def test_medallion_stream_tx_to_tx(spark, tmp_path):
     assert got == {1: 20, 2: 40, 3: 60}
     # no duplicates despite micro-batch boundaries
     assert tx.read_table(spark, silver).count() == 3
+
+
+def test_batch_read_date_partitioned(spark, tmp_path):
+    """Date-partitioned tx tables read through format('txtable'):
+    directory strings coerce to datetime.date (r8 — previously the
+    raw string hit the row converter and the read failed)."""
+    import datetime as dt
+
+    path = str(tmp_path / "tds")
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), 10.0),
+            (2, dt.date(2024, 1, 2), 20.0),
+        ],
+        "k int, day date, v double",
+    )
+    tx.create_table(df, path, partition_cols=["day"])
+    got = (
+        spark.read.format("txtable").option("path", path).load()
+    ).collect()
+    vals = {r["k"]: r["day"] for r in got}
+    assert vals == {1: dt.date(2024, 1, 1), 2: dt.date(2024, 1, 2)}
+    assert all(isinstance(v, dt.date) for v in vals.values())
+
+
+def test_batch_read_timestamp_and_decimal_partitions(spark, tmp_path):
+    import datetime as dt
+    from decimal import Decimal
+
+    path = str(tmp_path / "tts")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 30), Decimal("9.50"))],
+        "k int, ts timestamp, amt decimal(5,2)",
+    )
+    tx.create_table(df, path, partition_cols=["ts", "amt"])
+    row = (
+        spark.read.format("txtable").option("path", path).load()
+    ).collect()[0]
+    assert row["ts"] == dt.datetime(2024, 1, 1, 12, 30)
+    assert row["amt"] == Decimal("9.50")

@@ -743,3 +743,286 @@ def test_forget_keys_discloses_unreclaimed_converted_files(spark, tmp_path):
     assert report["surviving_matches"] == 0
     assert report["unreclaimed"] > 0  # converted files live outside data/
     assert set(_as_dict(tx.read_table(spark, path))) == {2}
+
+
+# ---------------------------------------------------------------------------
+# r8 hardening: bloom build at scale, incremental maintenance, typed
+# probes, vacuum retention/safety, append schema race, history scrub
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_build_collects_only_packed_bitmaps(spark, tmp_path):
+    """The BUILD's driver payload is the packed index itself (~m/8
+    bytes per file as base64), never raw bit positions — the r7
+    scale defect: collect_set of int64 positions was ~50x the packed
+    size at high cardinality."""
+    import base64
+
+    path = str(tmp_path / "blp")
+    n = 3000
+    tx.create_table(
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(n)], "k int, uid string"
+        ).coalesce(1),
+        path,
+    )
+    idx = tx.build_bloom_index(spark, path, "uid", fpp=0.01)
+    (entry,) = idx["files"].values()
+    m = entry["m"]
+    raw = base64.b64decode(entry["b64"])
+    # bitmap is exactly m/8 bytes; raw positions would be ~8*k*n
+    assert len(raw) == (m + 7) // 8
+    k = idx["k"]
+    assert len(raw) < 8 * k * n / 4  # far below the position payload
+    # and it actually filters: ~half the bits set at the design fpp,
+    # never all (all-ones would prune nothing)
+    ones = sum(bin(b).count("1") for b in raw)
+    assert 0 < ones < m
+    hit = tx.read_table(spark, path, point={"uid": "u17"})
+    assert [r["k"] for r in hit.where("uid = 'u17'").collect()] == [17]
+
+
+def test_bloom_incremental_only_new(spark, tmp_path):
+    """only_new=True: carried entries are BYTE-IDENTICAL (old files
+    never rescanned), new files get filters and prune, entries for
+    vacuumed files are dropped."""
+    path = str(tmp_path / "bli")
+    mk = lambda off: spark.createDataFrame(  # noqa: E731
+        [(i * 3 + off, f"u{i * 3 + off}") for i in range(200)],
+        "k int, uid string",
+    ).coalesce(1)
+    tx.create_table(mk(0), path)
+    tx.append_table(mk(1), path)
+    first = tx.build_bloom_index(spark, path, "uid", fpp=0.01)
+    assert len(first["files"]) == 2
+    tx.append_table(mk(2), path)
+    second = tx.build_bloom_index(spark, path, "uid", fpp=0.01, only_new=True)
+    assert len(second["files"]) == 3
+    for rel, entry in first["files"].items():
+        assert second["files"][rel] == entry  # byte-identical carry
+    # the new file's filter prunes: a value only in file 3 hits 1 file
+    hit = tx.read_table(spark, path, point={"uid": "u302"})
+    assert len(hit.inputFiles()) == 1
+    assert [r["k"] for r in hit.where("uid = 'u302'").collect()] == [302]
+    # compact rewrites everything; incremental rebuild drops the dead
+    # entries and indexes the new file set
+    tx.compact_table(spark, path, target_files=1)
+    tx.vacuum_table(path, retain_versions=1)
+    third = tx.build_bloom_index(spark, path, "uid", fpp=0.01, only_new=True)
+    live = set(tx._fold(path).files)
+    assert set(third["files"]) == live
+    assert not set(third["files"]) & set(first["files"])
+
+
+def test_bloom_probe_coerces_value_through_column_type(spark, tmp_path):
+    """Probing a double column with a Python int must hash '1.0' like
+    the build did (CAST(col AS STRING)) — a str(value)='1' mismatch
+    would prove absence everywhere and silently drop existing rows."""
+    path = str(tmp_path / "blt")
+    tx.create_table(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(300)], "k int, price double"
+        ).coalesce(1),
+        path,
+    )
+    tx.build_bloom_index(spark, path, "price")
+    got = tx.read_table(spark, path, point={"price": 7})  # int probe
+    assert [r["k"] for r in got.where("price = 7.0").collect()] == [7]
+    got2 = tx.read_table(spark, path, point={"price": 7.0})
+    assert [r["k"] for r in got2.where("price = 7.0").collect()] == [7]
+    # boolean rendering: Python True vs Spark 'true'
+    path2 = str(tmp_path / "blb")
+    tx.create_table(
+        spark.createDataFrame(
+            [(1, True), (2, False)], "k int, flag boolean"
+        ).coalesce(1),
+        path2,
+    )
+    tx.build_bloom_index(spark, path2, "flag")
+    gotb = tx.read_table(spark, path2, point={"flag": True})
+    assert 1 in {r["k"] for r in gotb.collect()}
+
+
+def test_partition_filter_renders_bool_and_null(spark, tmp_path):
+    """Manifest-level partition pruning renders values the way Spark
+    renders directories: bool -> 'true'/'false', None -> the Hive
+    default-partition sentinel."""
+    path = str(tmp_path / "pvb")
+    tx.create_table(
+        spark.createDataFrame(
+            [(1, True), (2, False), (3, None)], "k int, flag boolean"
+        ),
+        path,
+        partition_cols=["flag"],
+    )
+    got = tx.read_table(spark, path, partition_filter={"flag": True})
+    assert {r["k"] for r in got.collect()} == {1}
+    got_null = tx.read_table(spark, path, partition_filter={"flag": None})
+    assert {r["k"] for r in got_null.collect()} == {3}
+
+
+def test_append_rebase_recomputes_widened_schema(spark, table, monkeypatch):
+    """Two racing appends widening with DIFFERENT new columns: the
+    rebased commit must merge against the actual predecessor
+    snapshot, not its pre-race read — otherwise the race winner's
+    column silently disappears from reads."""
+    state = {"raced": False}
+    orig_claim = tx._claim
+
+    def racing_claim(path, version, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            # another writer lands col_a in this very slot first
+            tx.append_table(
+                spark.createDataFrame(
+                    [(50, "A", 1, "x")],
+                    "k int, status string, v long, col_a string",
+                ),
+                path,
+            )
+        return orig_claim(path, version, payload)
+
+    monkeypatch.setattr(tx, "_claim", racing_claim)
+    tx.append_table(
+        spark.createDataFrame(
+            [(60, "B", 2, 9.5)],
+            "k int, status string, v long, col_b double",
+        ),
+        table,
+    )
+    got = tx.read_table(spark, table)
+    assert {"col_a", "col_b"} <= set(got.columns)
+    vals = {r["k"]: (r["col_a"], r["col_b"]) for r in got.collect()}
+    assert vals[50] == ("x", None)
+    assert vals[60] == (None, 9.5)
+
+
+def test_vacuum_spares_inflight_staged_files(spark, table):
+    """A file staged by an in-flight writer (on disk, referenced by
+    no commit yet) survives vacuum — deleting it would corrupt the
+    commit about to claim it. Aged strays ARE collected."""
+    staged = tx._stage(_rows(spark, (9, "S", 90)), table, [])
+    full = os.path.join(table, staged[0]["path"])
+    assert os.path.exists(full)
+    tx.overwrite_table(_rows(spark, (7, "Z", 70)), table)
+    deleted = tx.vacuum_table(table, retain_versions=1)
+    assert os.path.exists(full), "in-flight staged file was vacuumed"
+    assert staged[0]["path"] not in deleted
+    # ...but once older than the stray window it is reclaimed
+    old = os.path.getmtime(full) - 7200
+    os.utime(full, (old, old))
+    deleted2 = tx.vacuum_table(table, retain_versions=1)
+    assert staged[0]["path"] in deleted2
+    assert not os.path.exists(full)
+
+
+def test_vacuum_time_retention_keeps_recent_versions(spark, table):
+    """retain_hours keeps every version committed inside the window
+    readable even when retain_versions alone would drop it."""
+    tx.append_table(_rows(spark, (3, "B", 30)), table)  # v1
+    tx.overwrite_table(_rows(spark, (7, "Z", 70)), table)  # v2
+    # all commits are seconds old: a 1h window retains everything
+    deleted = tx.vacuum_table(table, retain_versions=1, retain_hours=1.0)
+    assert deleted == []
+    assert _as_dict(tx.read_table(spark, table, version=0)) == {
+        1: ("A", 10),
+        2: ("A", 20),
+    }
+    # age the early commits out of the window: only they get dropped
+    for v in (0, 1):
+        cf = tx._commit_file(table, v)
+        with open(cf) as fh:
+            e = json.load(fh)
+        e["ts"] = e["ts"] - 7200
+        with open(cf + ".tmp", "w") as fh:
+            json.dump(e, fh)
+        os.replace(cf + ".tmp", cf)
+    deleted2 = tx.vacuum_table(table, retain_versions=1, retain_hours=1.0)
+    assert deleted2  # v0/v1-only files reclaimed
+    with pytest.raises(Exception):
+        tx.read_table(spark, table, version=0).collect()
+    assert _as_dict(tx.read_table(spark, table)) == {7: ("Z", 70)}
+
+
+def test_forget_keys_scrubs_log_metadata_and_blooms(spark, tmp_path):
+    """After forget_keys, the forgotten value appears NOWHERE under
+    _txlog: old commit/checkpoint JSONs (zone-map min/max kept the
+    value verbatim) are truncated away and bloom sidecars (still
+    membership-testable) are dropped."""
+    path = str(tmp_path / "fs")
+    tx.create_table(
+        spark.createDataFrame(
+            [(i, f"user_{i:04d}") for i in range(100)],
+            "k int, uid string",
+        ).coalesce(1),
+        path,
+    )
+    tx.build_bloom_index(spark, path, "uid")
+    # uid 'user_0000' is the file's MIN -> lives verbatim in v0 stats
+    log_dir = os.path.join(path, tx.LOG_DIR)
+    pre = "".join(
+        open(os.path.join(log_dir, f)).read()
+        for f in os.listdir(log_dir)
+        if f.endswith(".json")
+    )
+    assert "user_0000" in pre
+    report = tx.forget_keys(
+        spark, path, spark.createDataFrame([("user_0000",)], "uid string"),
+        ["uid"],
+    )
+    assert report["surviving_matches"] == 0
+    assert report["history_truncated"] is True
+    assert report["bloom_indexes_dropped"] == 1
+    post_files = os.listdir(log_dir)
+    assert not [f for f in post_files if f.startswith("bloom.")]
+    post = "".join(
+        open(os.path.join(log_dir, f)).read()
+        for f in post_files
+        if f.endswith(".json")
+    )
+    assert "user_0000" not in post
+    # the table stays fully operational after truncation
+    tx.append_table(
+        spark.createDataFrame([(999, "user_new")], "k int, uid string"),
+        path,
+    )
+    got = {r["k"] for r in tx.read_table(spark, path).collect()}
+    assert 0 not in got and 999 in got and len(got) == 100
+
+
+def test_forget_keys_broadcast_off_identical(spark, tmp_path):
+    """broadcast_keys=False: identical erasure, and the keyset join
+    the locate step uses carries no forced broadcast (under
+    autoBroadcastJoinThreshold=-1 the plan has no BroadcastHashJoin;
+    with the default hint it does)."""
+    keys = lambda: spark.createDataFrame([(2,)], "k int")  # noqa: E731
+    paths = {}
+    for flag in (True, False):
+        p = str(tmp_path / f"fb{int(flag)}")
+        tx.create_table(_rows(spark, (1, "A", 10), (2, "A", 20)), p)
+        report = tx.forget_keys(spark, p, keys(), ["k"], broadcast_keys=flag)
+        assert report["surviving_matches"] == 0
+        paths[flag] = _as_dict(tx.read_table(spark, p))
+    assert paths[True] == paths[False]
+    # plan-level: the exact join shape forget_keys builds
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = tx.read_table(spark, str(tmp_path / "fb1"))
+        hinted = base.join(F.broadcast(keys()), ["k"], "left_semi")
+        plain = base.join(keys(), ["k"], "left_semi")
+        p_hint = hinted._jdf.queryExecution().executedPlan().toString()
+        p_plain = plain._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p_hint
+        assert "BroadcastHashJoin" not in p_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_commit_ts_stamped_and_monotonic_enough(spark, table):
+    import time as _t
+
+    t0 = _t.time()
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    ts = tx._commit_ts(table, 1)
+    assert t0 - 5 <= ts <= _t.time() + 5
