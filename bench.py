@@ -204,6 +204,12 @@ BENCH_QUERIES = [
     # read path (fixture arc builds once per SF, then is reused)
     "q_tx_merge_table",
     "q_tx_timetravel",
+    # r8: the honest merge wall (fresh COW merge per repeat via
+    # metadata-only restore reset), the restore arc's log-fold read,
+    # and the bulk IVF probe (raw: partition-pruned nprobe=3)
+    "q_tx_merge_raw",
+    "q_tx_restore",
+    "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",
