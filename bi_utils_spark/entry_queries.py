@@ -10099,6 +10099,10 @@ _PROMOTED: list[str] = [
     "q_tx_merge_table",
     "q_tx_timetravel",
     "q_ivf_index_topk",
+    # bpe_train now eagerly checkpoints the vocab-bounded model state
+    # (no corpus re-scan per merge step) — both its rows re-attest
+    "q_bpe_train",
+    "q_bpe_encode",
     # ---- tier 3a: r3-era official rows (oldest), registry order ----
     "q_lang_id",
     "q_quality_score",
@@ -10144,8 +10148,8 @@ _PROMOTED: list[str] = [
     "q_alert_should_send",
     "q_daily_count",
     "q_group_having",
-    "q_union_pages",
-    "q_topk_orders",
+    # (q_union_pages / q_topk_orders yield their slots to the two
+    # re-promoted bpe rows above; next in line for r9)
 ]
 
 

@@ -433,11 +433,18 @@ def bpe_train(
     steps so plan depth stays bounded (the mixing.py lineage-diet
     pattern). Ties break by pair text, so the merge sequence is
     deterministic and engine-portable.
+
+    The initial state is EAGERLY localCheckpoint-ed: the model table
+    is vocab-bounded by construction, but its LINEAGE reaches back to
+    the corpus aggregation that built it — without the cut, every one
+    of the n_merges sequential argmax jobs would re-run that corpus
+    scan (at 100 TB, n_merges full passes instead of zero; at sf0.1
+    this was the measured bulk of q_bpe_encode's wall).
     """
     spark = model.sparkSession
     state = model.select(
         "term", _spaced_symbols("term").alias("spaced"), "c"
-    )
+    ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for step_no in range(1, n_merges + 1):
         pairs = F.transform(
