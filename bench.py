@@ -206,9 +206,13 @@ BENCH_QUERIES = [
     "q_tx_timetravel",
     # r8: the honest merge wall (fresh COW merge per repeat via
     # metadata-only restore reset), the restore arc's log-fold read,
-    # and the bulk IVF probe (raw: partition-pruned nprobe=3)
+    # the lifecycle read paths (change feed / zone-map skip / bloom
+    # point probe), and the bulk IVF probe (raw: pruned nprobe=3)
     "q_tx_merge_raw",
     "q_tx_restore",
+    "q_tx_changes",
+    "q_tx_skip",
+    "q_tx_point",
     "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

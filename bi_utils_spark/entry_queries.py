@@ -9925,6 +9925,87 @@ def q_tx_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "q_tx_changes",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents FROM rows0 WHERE k % 5 = 1
+    """,
+)
+def q_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change consumption (X110, r8 attestation):
+    `table_changes(after_version=0, up_to=1)` reads EXACTLY the rows
+    commit 1 appended — from exactly the files that commit added,
+    never the table (the batch pole of the change feed; the
+    streaming pole is the txtable source whose offsets are commit
+    versions). The demo arc's v1 append is the k%5==1 slice, which
+    the oracle states declaratively."""
+    from bi_utils_spark.operators.txtable import table_changes
+
+    path = _tx_demo_table(spark, sf_dir)
+    return table_changes(spark, path, after_version=0, up_to=1).select(
+        "k", "status", "cents"
+    )
+
+
+@register(
+    "q_tx_skip",
+    f"""
+    WITH merged AS ({_TX_MERGED_SQL})
+    SELECT k, status, cents FROM merged
+    WHERE cents BETWEEN 5000000 AND 9000000
+    """,
+)
+def q_tx_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping under the hard gate (X110, r8
+    attestation): `read_table(skip={cents: (lo, hi)})` drops files
+    whose footer min/max cannot intersect the range — I/O-ONLY
+    pruning, so with the row predicate applied the result is
+    byte-identical to the declarative filter over the merged
+    snapshot. (File-level proof lives in test_txtable; this row
+    proves result-invariance officially.)"""
+    from bi_utils_spark.operators.txtable import read_table
+
+    path = _tx_demo_table(spark, sf_dir)
+    lo, hi = 5_000_000, 9_000_000
+    return (
+        read_table(spark, path, skip={"cents": (lo, hi)})
+        .where(F.col("cents").between(lo, hi))
+        .select("k", "status", "cents")
+    )
+
+
+@register(
+    "q_tx_point",
+    f"""
+    WITH merged AS ({_TX_MERGED_SQL})
+    SELECT k, status, cents FROM merged WHERE k = 41
+    """,
+)
+def q_tx_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom point-lookup under the hard gate (X110, r8): build the
+    per-file bloom index over the pk (incremental — after the first
+    call the sidecar already covers every live file, so the rebuild
+    scans nothing), then `read_table(point={k: 41})` prunes files
+    whose filter PROVES the key absent. Pruning is I/O-only and the
+    probe value re-renders through the column type (int vs bigint),
+    so the filtered result equals the declarative point query.
+    k=41 is k%10==1: an UPDATED key, so the row also witnesses the
+    merge's doubled cents through the bloom-pruned path."""
+    from bi_utils_spark.operators.txtable import (
+        build_bloom_index,
+        read_table,
+    )
+
+    path = _tx_demo_table(spark, sf_dir)
+    build_bloom_index(spark, path, "k", only_new=True)
+    return (
+        read_table(spark, path, point={"k": 41})
+        .where(F.col("k") == 41)
+        .select("k", "status", "cents")
+    )
+
+
 def _tx_restore_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Per-SF restore-arc fixture (idempotent, deterministic):
     v0 create (k%5>=2, status-partitioned) -> v1 append (k%5=1) ->
@@ -10094,6 +10175,9 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROMOTED: list[str] = [
     # ---- tier 1: new in r8 ----
     "q_tx_restore",
+    "q_tx_changes",
+    "q_tx_skip",
+    "q_tx_point",
     "q_ivf_batch_topk",
     # ---- tier 2: r8-changed implementations ----
     "q_tx_merge_table",
@@ -10145,11 +10229,10 @@ _PROMOTED: list[str] = [
     "q_extract_key",
     "q_watermark",
     "q_alert_top1",
-    "q_alert_should_send",
-    "q_daily_count",
-    "q_group_having",
-    # (q_union_pages / q_topk_orders yield their slots to the two
-    # re-promoted bpe rows above; next in line for r9)
+    # (q_alert_should_send / q_daily_count / q_group_having /
+    # q_union_pages / q_topk_orders yield their slots to the three
+    # tx lifecycle rows and two re-promoted bpe rows above; next in
+    # line for r9)
 ]
 
 
