@@ -722,6 +722,7 @@ def merge_tx_table(
     now=None,
     delete_col: str | None = None,
     broadcast_deletes: bool = True,
+    validate_partition_stability: bool = False,
 ) -> int:
     """MERGE ``source`` into the tx table with `merge.merge_upsert`'s
     exact reference semantics (M1), executed as copy-on-write:
@@ -735,6 +736,12 @@ def merge_tx_table(
       rows whose pk matches a target row OUTSIDE the touched
       partitions are a caller error; enable full correctness by
       merging on an unpartitioned table or repartitioning first.
+      ``validate_partition_stability=True`` turns that caller error
+      into a loud ValueError BEFORE anything commits: one
+      column-pruned semi-join of the source keys against the
+      untouched partitions' pk columns (the honest price of proving
+      no row strands; opt-in because a clean upstream contract makes
+      it a pure tax).
     - **Unpartitioned table:** full-snapshot rewrite (the honest
       granularity without a file-level pk index).
 
@@ -788,6 +795,34 @@ def merge_tx_table(
             in touched_set
         ]
         schema = snap.spark_schema()
+        if validate_partition_stability:
+            removed_set = set(removed)
+            outside = {
+                rel: meta
+                for rel, meta in snap.files.items()
+                if rel not in removed_set
+            }
+            if outside:
+                stranded = (
+                    _read_files(spark, path, outside, schema)
+                    .select(*pks)
+                    .join(
+                        source.select(*pks).distinct(),
+                        list(pks),
+                        "left_semi",
+                    )
+                    .count()
+                )
+                if stranded:
+                    raise ValueError(
+                        f"merge_tx_table: {stranded} source key(s) match "
+                        "target rows OUTSIDE the source's partitions — "
+                        "their partition value changed, and a "
+                        "partition-scoped merge would strand the old "
+                        "rows. Repartition the source's view of those "
+                        "rows (include their OLD partition value) or "
+                        "merge unpartitioned."
+                    )
         if removed:
             target = _read_files(
                 spark,

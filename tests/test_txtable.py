@@ -1026,3 +1026,38 @@ def test_commit_ts_stamped_and_monotonic_enough(spark, table):
     tx.append_table(_rows(spark, (3, "B", 30)), table)
     ts = tx._commit_ts(table, 1)
     assert t0 - 5 <= ts <= _t.time() + 5
+
+
+def test_merge_validate_partition_stability(spark, tmp_path):
+    """Opt-in guard: a source row whose partition value CHANGED
+    matches a target row outside the touched partitions — the
+    partition-scoped merge would strand the old row; the validator
+    raises before anything commits."""
+    path = str(tmp_path / "vps")
+    tx.create_table(
+        spark.createDataFrame(
+            [(1, "d1", 10), (2, "d2", 20)], "k int, day string, v long"
+        ),
+        path,
+        partition_cols=["day"],
+    )
+    moved = spark.createDataFrame(
+        [(1, "d2", 99)], "k int, day string, v long"  # k=1 moved d1->d2
+    )
+    with pytest.raises(ValueError, match="OUTSIDE"):
+        tx.merge_tx_table(
+            spark, path, moved, ["k"], now=_now(),
+            validate_partition_stability=True,
+        )
+    # nothing committed
+    assert tx.latest_version(path) == 0
+    # a partition-stable source passes the validator and merges
+    stable = spark.createDataFrame(
+        [(1, "d1", 99), (3, "d3", 30)], "k int, day string, v long"
+    )
+    tx.merge_tx_table(
+        spark, path, stable, ["k"], now=_now(),
+        validate_partition_stability=True,
+    )
+    vals = {r["k"]: r["v"] for r in tx.read_table(spark, path).collect()}
+    assert vals == {1: 99, 2: 20, 3: 30}
