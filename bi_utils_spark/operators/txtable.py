@@ -937,6 +937,54 @@ def _truncate_history(path: str, version: int) -> None:
         os.replace(tmp, cf)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 8,
+    target_files: int = 1,
+) -> int | None:
+    """Partition-scoped small-file compaction — the OPTIMIZE WHERE
+    form: rewrite ONLY partitions whose live file count exceeds
+    ``max_files``; every file in a healthy partition survives by
+    reference. This is the maintenance verb a streaming-append table
+    actually runs on a cadence: at 100 TB, `compact_table` is a
+    full-snapshot rewrite (right after a schema change or for a
+    global Z-order), while this touches the day's hot partitions and
+    nothing else — cost tracks the APPEND RATE, like every other
+    steady-state path in this module. Partition selection is pure
+    manifest metadata (no listing, no data read). Returns the new
+    version, or None when no partition qualifies (nothing commits).
+    Old versions stay time-travel-readable until vacuum, as with any
+    rewrite."""
+    snap = _fold(path)
+    groups: dict[tuple, list[str]] = {}
+    for rel, meta in snap.files.items():
+        key = tuple(sorted(meta["partition_values"].items()))
+        groups.setdefault(key, []).append(rel)
+    removed = [
+        rel
+        for rels in groups.values()
+        if len(rels) > max_files
+        for rel in rels
+    ]
+    if not removed:
+        return None
+    schema = snap.spark_schema()
+    df = _read_files(
+        spark, path, {rel: snap.files[rel] for rel in removed}, schema
+    )
+    if snap.partition_cols:
+        df = df.repartition(
+            target_files, *[F.col(c) for c in snap.partition_cols]
+        )
+    else:
+        df = df.coalesce(target_files)
+    added = _stage(df, path, snap.partition_cols)
+    return _rewrite_commit(
+        path, snap.version, "compact", added, sorted(removed)
+    )
+
+
 def forget_keys(
     spark: SparkSession,
     path: str,

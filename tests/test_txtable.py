@@ -1061,3 +1061,50 @@ def test_merge_validate_partition_stability(spark, tmp_path):
     )
     vals = {r["k"]: r["v"] for r in tx.read_table(spark, path).collect()}
     assert vals == {1: 99, 2: 20, 3: 30}
+
+
+def test_compact_partitions_rewrites_only_hot_partitions(spark, tmp_path):
+    """Partition-scoped compaction: the fragmented partition's files
+    fold to one; every healthy partition's files survive by IDENTITY
+    (never rewritten); rows and time travel are intact."""
+    path = str(tmp_path / "cp")
+    mk = lambda day, k, v: spark.createDataFrame(  # noqa: E731
+        [(k, day, v)], "k int, day string, v long"
+    )
+    tx.create_table(
+        mk("d1", 1, 10).unionByName(mk("d2", 2, 20)),
+        path,
+        partition_cols=["day"],
+    )
+    for i in range(4):  # fragment d1 with four 1-row appends
+        tx.append_table(mk("d1", 10 + i, 100 + i), path)
+    snap = tx._fold(path)
+    d1_files = [
+        r for r, m in snap.files.items()
+        if m["partition_values"].get("day") == "d1"
+    ]
+    d2_files = [
+        r for r, m in snap.files.items()
+        if m["partition_values"].get("day") == "d2"
+    ]
+    assert len(d1_files) == 5 and len(d2_files) == 1
+    v = tx.compact_partitions(spark, path, max_files=2, target_files=1)
+    assert v == snap.version + 1
+    after = tx._fold(path)
+    d1_after = [
+        r for r, m in after.files.items()
+        if m["partition_values"].get("day") == "d1"
+    ]
+    d2_after = [
+        r for r, m in after.files.items()
+        if m["partition_values"].get("day") == "d2"
+    ]
+    assert len(d1_after) == 1
+    assert d2_after == d2_files  # healthy partition untouched
+    vals = {r["k"]: r["v"] for r in tx.read_table(spark, path).collect()}
+    assert vals == {1: 10, 2: 20, 10: 100, 11: 101, 12: 102, 13: 103}
+    # pre-compaction version still resolves
+    assert len(tx.read_table(spark, path, version=v - 1).collect()) == 6
+    # nothing hot anymore -> no-op, no commit
+    assert tx.compact_partitions(spark, path, max_files=2) is None
+    assert tx.latest_version(path) == v
