@@ -1374,10 +1374,13 @@ def build_bloom_index(
         f: max(64, int(math.ceil(1.1 * n * k / math.log(2))))
         for f, n in counts.items()
     }
-    m_map = F.create_map(
-        *[x for f, m in ms.items() for x in (F.lit(f), F.lit(m))]
+    # sizing rides a broadcast join, not a map literal — a plan-side
+    # create_map over every file would bloat analysis at large file
+    # counts; the (file, m) frame is |files| rows either way
+    m_df = spark.createDataFrame(
+        [(f, m) for f, m in ms.items()], "__f string, __m long"
     )
-    pos = tagged.withColumn("__m", m_map[F.col("__f")]).select(
+    pos = tagged.join(F.broadcast(m_df), "__f").select(
         "__f",
         "__m",
         F.explode(
