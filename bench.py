@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "q_tx_changes",
     "q_tx_skip",
     "q_tx_point",
+    "q_tx_compact",
     "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

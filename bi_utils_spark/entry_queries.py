@@ -10006,6 +10006,42 @@ def q_tx_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_tx_compact",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents FROM rows0
+    """,
+)
+def q_tx_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped compaction under the hard gate (X110, r8):
+    a fragmented arc (create + two appends, status-partitioned) is
+    folded by `compact_partitions` — only over-threshold partitions
+    rewrite, the commit is a metadata swap — and the compacted
+    snapshot must equal the declarative union of everything ever
+    appended. (File-identity of healthy partitions and the no-op
+    fast path are asserted in test_txtable; this row proves row
+    content survives the rewrite officially.)"""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_compact"
+    if tx.latest_version(path) < 3:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 5 >= 2),
+                path,
+                partition_cols=["status"],
+            )
+        if tx.latest_version(path) < 1:
+            tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+        if tx.latest_version(path) < 2:
+            tx.append_table(rows.where(F.col("k") % 5 == 0), path)
+        if tx.latest_version(path) < 3:
+            tx.compact_partitions(spark, path, max_files=1)
+    return tx.read_table(spark, path).select("k", "status", "cents")
+
+
 def _tx_restore_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Per-SF restore-arc fixture (idempotent, deterministic):
     v0 create (k%5>=2, status-partitioned) -> v1 append (k%5=1) ->
@@ -10178,6 +10214,7 @@ _PROMOTED: list[str] = [
     "q_tx_changes",
     "q_tx_skip",
     "q_tx_point",
+    "q_tx_compact",
     "q_ivf_batch_topk",
     # ---- tier 2: r8-changed implementations ----
     "q_tx_merge_table",
@@ -10228,11 +10265,10 @@ _PROMOTED: list[str] = [
     "q_parse_timestamp",
     "q_extract_key",
     "q_watermark",
-    "q_alert_top1",
-    # (q_alert_should_send / q_daily_count / q_group_having /
-    # q_union_pages / q_topk_orders yield their slots to the three
-    # tx lifecycle rows and two re-promoted bpe rows above; next in
-    # line for r9)
+    # (q_alert_top1 / q_alert_should_send / q_daily_count /
+    # q_group_having / q_union_pages / q_topk_orders yield their
+    # slots to the four tx lifecycle rows and two re-promoted bpe
+    # rows above; next in line for r9)
 ]
 
 
