@@ -1066,7 +1066,13 @@ def forget_keys(
         delete_col="__forget",
         broadcast_deletes=broadcast_keys,
     )
-    deleted_files = vacuum_table(path, retain_versions=1)
+    # stray_age_seconds=0: erasure must also reclaim never-committed
+    # staged debris (a crashed job's file may hold forgotten rows);
+    # forget_keys already requires exclusive access, so the in-flight
+    # protection the default buys is moot here
+    deleted_files = vacuum_table(
+        path, retain_versions=1, stray_age_seconds=0.0
+    )
     live = _fold(path)
     unreclaimed = sum(
         1
@@ -1174,10 +1180,15 @@ def vacuum_table(
 
     Retention is the UNION of two windows: the last
     ``retain_versions`` snapshots always stay, and with
-    ``retain_hours`` every version COMMITTED inside the wall-clock
-    window stays too (the Delta retention contract — "time travel up
-    to N hours back keeps working"; commit times come from the log's
-    ``ts`` stamp, file mtime for pre-stamp logs).
+    ``retain_hours`` every version that was LIVE at any point inside
+    the wall-clock window stays too — that is, every version
+    committed inside the window PLUS the newest version committed
+    before it (which was the table until the window's first commit
+    superseded it). That is the Delta retention contract — "time
+    travel up to N hours back keeps working" — and what shields a
+    reader that resolved a snapshot moments before it was
+    superseded. Commit times come from the log's ``ts`` stamp, file
+    mtime for pre-stamp logs.
 
     Concurrent-writer safety: a file staged by an in-flight
     append/merge exists on disk BEFORE the commit that references it,
@@ -1194,16 +1205,28 @@ def vacuum_table(
     if not commits:
         return []
     retained = set(commits[max(0, len(commits) - retain_versions):])
-    if retain_hours is not None:
-        cutoff = time.time() - retain_hours * 3600.0
-        for v in commits:
-            if _commit_ts(path, v) >= cutoff:
-                retained.add(v)
+    # one parse per commit: ts for the retention window, added paths
+    # for the stray/referenced split below
     referenced: set[str] = set()
+    ts_by_v: dict[int, float] = {}
     for v in commits:
         with open(_commit_file(path, v)) as fh:
             entry = json.load(fh)
         referenced.update(a["path"] for a in entry.get("added", []))
+        ts = entry.get("ts")
+        ts_by_v[v] = (
+            float(ts)
+            if ts is not None
+            else os.path.getmtime(_commit_file(path, v))
+        )
+    if retain_hours is not None:
+        cutoff = time.time() - retain_hours * 3600.0
+        for v in commits:
+            if ts_by_v[v] >= cutoff:
+                retained.add(v)
+        older = [v for v in commits if ts_by_v[v] < cutoff]
+        if older:  # the version that was live when the window opened
+            retained.add(max(older))
     live: set[str] = set()
     for v in sorted(retained):
         live.update(_fold(path, v).files)
@@ -1522,12 +1545,23 @@ def table_changes(
     Raises ValueError when the range contains a rewriting commit
     (overwrite/merge/compact) — added files then double-count rows
     that merely moved, which is silent corruption for a consumer
-    expecting inserts."""
+    expecting inserts — or when part of the range was
+    checkpoint-truncated away (`forget_keys`): the consumer's
+    high-water mark predates surviving history, and resuming past
+    the gap would silently skip the truncated commits' rows."""
     snap = _fold(path)  # validates table exists; latest schema
     commits, _ = _list_log(path)
+    cset = set(commits)
     hi = commits[-1] if up_to is None else up_to
-    added: dict[str, list[str]] = {}
+    added: dict[str, dict] = {}
     for v in range(after_version + 1, hi + 1):
+        if v not in cset:
+            raise ValueError(
+                f"table_changes: commit v{v} is no longer in the log "
+                f"(surviving range starts at v{commits[0]}) — history "
+                "was truncated (forget_keys); re-baseline the "
+                "consumer from a full read_table snapshot"
+            )
         with open(_commit_file(path, v)) as fh:
             e = json.load(fh)
         if e["action"] not in ("append", "create"):
@@ -1537,23 +1571,14 @@ def table_changes(
                 "row-level changes across rewrites"
             )
         for a in e.get("added", []):
-            added.setdefault(a["commit_dir"], []).append(
-                os.path.join(path, a["path"])
-            )
+            added[a["path"]] = {
+                "commit_dir": a["commit_dir"],
+                "partition_values": a.get("partition_values", {}),
+            }
     schema = snap.spark_schema()
     if not added:
         return spark.createDataFrame([], schema)
-    parts = []
-    for commit_dir, files in sorted(added.items()):
-        parts.append(
-            spark.read.schema(schema)
-            .option("basePath", os.path.join(path, commit_dir))
-            .parquet(*sorted(files))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _read_files(spark, path, added, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -222,6 +222,10 @@ def ivf_index_probe_many(
     ).select(
         F.col("id").alias("__qid"), F.col("u").alias("__qu"), "cell_id"
     )
+    # the assignment pass (query scan + numpy matmul) feeds BOTH the
+    # probed-cell collect and the candidate join — materialize it
+    # once instead of recomputing per consumer
+    q = q.localCheckpoint(eager=True)
     probe_cells = sorted(
         int(r["cell_id"])
         for r in q.select("cell_id").distinct().collect()

@@ -916,10 +916,23 @@ def test_vacuum_spares_inflight_staged_files(spark, table):
     assert not os.path.exists(full)
 
 
-def test_vacuum_time_retention_keeps_recent_versions(spark, table):
-    """retain_hours keeps every version committed inside the window
-    readable even when retain_versions alone would drop it."""
-    tx.append_table(_rows(spark, (3, "B", 30)), table)  # v1
+def _age_commit(table, v, seconds):
+    cf = tx._commit_file(table, v)
+    with open(cf) as fh:
+        e = json.load(fh)
+    e["ts"] = e["ts"] - seconds
+    with open(cf + ".tmp", "w") as fh:
+        json.dump(e, fh)
+    os.replace(cf + ".tmp", cf)
+
+
+def test_vacuum_time_retention_keeps_window_live_versions(spark, table):
+    """retain_hours keeps every version that was LIVE inside the
+    window: versions committed inside it AND the newest version
+    committed before it (the table state at window start) — so
+    'time travel N hours back' genuinely keeps working and a reader
+    of a just-superseded snapshot never loses files."""
+    tx.overwrite_table(_rows(spark, (3, "B", 30)), table)  # v1
     tx.overwrite_table(_rows(spark, (7, "Z", 70)), table)  # v2
     # all commits are seconds old: a 1h window retains everything
     deleted = tx.vacuum_table(table, retain_versions=1, retain_hours=1.0)
@@ -928,20 +941,33 @@ def test_vacuum_time_retention_keeps_recent_versions(spark, table):
         1: ("A", 10),
         2: ("A", 20),
     }
-    # age the early commits out of the window: only they get dropped
-    for v in (0, 1):
-        cf = tx._commit_file(table, v)
-        with open(cf) as fh:
-            e = json.load(fh)
-        e["ts"] = e["ts"] - 7200
-        with open(cf + ".tmp", "w") as fh:
-            json.dump(e, fh)
-        os.replace(cf + ".tmp", cf)
+    # age v0 and v1 out of the window: v1 was still the LIVE table
+    # when the window opened, so only v0's files may die
+    _age_commit(table, 0, 7200)
+    _age_commit(table, 1, 7200)
     deleted2 = tx.vacuum_table(table, retain_versions=1, retain_hours=1.0)
-    assert deleted2  # v0/v1-only files reclaimed
+    assert deleted2  # v0-only files reclaimed
+    assert _as_dict(tx.read_table(spark, table, version=1)) == {
+        3: ("B", 30)
+    }
     with pytest.raises(Exception):
         tx.read_table(spark, table, version=0).collect()
     assert _as_dict(tx.read_table(spark, table)) == {7: ("Z", 70)}
+
+
+def test_forget_keys_reclaims_young_strays(spark, table):
+    """Erasure must delete never-committed staged debris too — a
+    crashed job's file may hold the forgotten rows; forget_keys
+    passes stray_age_seconds=0 (it requires exclusive access, so the
+    in-flight protection the default buys does not apply)."""
+    staged = tx._stage(_rows(spark, (2, "X", 99)), table, [])
+    full = os.path.join(table, staged[0]["path"])
+    assert os.path.exists(full)
+    report = tx.forget_keys(
+        spark, table, spark.createDataFrame([(2,)], "k int"), ["k"]
+    )
+    assert report["surviving_matches"] == 0
+    assert not os.path.exists(full), "young stray survived erasure"
 
 
 def test_forget_keys_scrubs_log_metadata_and_blooms(spark, tmp_path):
@@ -1108,3 +1134,12 @@ def test_compact_partitions_rewrites_only_hot_partitions(spark, tmp_path):
     # nothing hot anymore -> no-op, no commit
     assert tx.compact_partitions(spark, path, max_files=2) is None
     assert tx.latest_version(path) == v
+
+
+def test_table_changes_diagnoses_truncated_history(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    tx.forget_keys(
+        spark, table, spark.createDataFrame([(2,)], "k int"), ["k"]
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        tx.table_changes(spark, table, after_version=0)
