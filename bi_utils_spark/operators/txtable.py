@@ -723,6 +723,7 @@ def merge_tx_table(
     delete_col: str | None = None,
     broadcast_deletes: bool = True,
     validate_partition_stability: bool = False,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE ``source`` into the tx table with `merge.merge_upsert`'s
     exact reference semantics (M1), executed as copy-on-write:
@@ -757,6 +758,16 @@ def merge_tx_table(
     AQE still picks a broadcast at runtime when the set turns out
     small, so the flag only removes the forced plan.
 
+    Schema evolution: by default, source-only columns are silently
+    dropped — the target schema wins, `merge_upsert`'s reference
+    semantics. ``merge_schema=True`` is the Delta ``autoMerge``
+    analog: NEW nullable source columns widen the table schema at
+    the commit (same validation as append — type conflicts on shared
+    columns raise), target rows read null-filled for them, and
+    untouched partitions' files stay byte-identical (widening is a
+    manifest-schema change; old files null-fill at read, exactly
+    like a widened append).
+
     Raises ConcurrentWriteError if another rewriting commit lands
     between the snapshot read and the commit claim.
     """
@@ -771,6 +782,12 @@ def merge_tx_table(
             source.where(F.col(delete_col)).select(*pks).distinct()
         )
         source = source.drop(delete_col)
+    widened = _append_schema(snap, source) if merge_schema else None
+    schema = (
+        StructType.fromJson(json.loads(widened))
+        if widened
+        else snap.spark_schema()
+    )
 
     def _apply(target: DataFrame) -> DataFrame:
         merged = merge_upsert(target, source, pks, now=now)
@@ -794,7 +811,6 @@ def merge_tx_table(
             if tuple(meta["partition_values"].get(c) for c in pcols)
             in touched_set
         ]
-        schema = snap.spark_schema()
         if validate_partition_stability:
             removed_set = set(removed)
             outside = {
@@ -835,13 +851,26 @@ def merge_tx_table(
         merged = _apply(target)
         added = _stage(merged, path, pcols)
         return _rewrite_commit(
-            path, snap.version, "merge", added, sorted(removed)
+            path,
+            snap.version,
+            "merge",
+            added,
+            sorted(removed),
+            schema=widened,
         )
-    target = read_table(spark, path)
+    if snap.files:
+        target = _read_files(spark, path, snap.files, schema)
+    else:
+        target = spark.createDataFrame([], schema)
     merged = _apply(target)
     added = _stage(merged, path, [])
     return _rewrite_commit(
-        path, snap.version, "merge", added, sorted(snap.files)
+        path,
+        snap.version,
+        "merge",
+        added,
+        sorted(snap.files),
+        schema=widened,
     )
 
 

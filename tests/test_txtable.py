@@ -1143,3 +1143,61 @@ def test_table_changes_diagnoses_truncated_history(spark, table):
     )
     with pytest.raises(ValueError, match="truncated"):
         tx.table_changes(spark, table, after_version=0)
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True (the autoMerge analog): new nullable source
+    columns widen the table at the commit; matched rows take the
+    source value, unmatched target rows null-fill; untouched
+    partitions' files stay byte-identical; type conflicts raise.
+    Default (False): source-only columns are silently dropped —
+    target schema wins, the reference's merge semantics."""
+    path = str(tmp_path / "ms")
+    base = spark.createDataFrame(
+        [(1, "d1", 10), (2, "d2", 20)], "k int, day string, v long"
+    )
+    tx.create_table(base, path, partition_cols=["day"])
+    before = set(tx._fold(path).files)
+    d1_files = {
+        rel
+        for rel, m in tx._fold(path).files.items()
+        if m["partition_values"]["day"] == "d1"
+    }
+    src = spark.createDataFrame(
+        [(2, "d2", 99, "fresh")], "k int, day string, v long, note string"
+    )
+    # default: extra column dropped, schema unchanged
+    tx.merge_tx_table(spark, path, src, ["k"], now=_now())
+    assert "note" not in tx.read_table(spark, path).columns
+    # with merge_schema: widened, values land, nulls backfill
+    tx.merge_tx_table(
+        spark, path, src, ["k"], now=_now(), merge_schema=True
+    )
+    got = {
+        r["k"]: (r["v"], r["note"])
+        for r in tx.read_table(spark, path).collect()
+    }
+    assert got == {1: (10, None), 2: (99, "fresh")}
+    # untouched partition's files survived BOTH merges by identity
+    assert d1_files <= set(tx._fold(path).files)
+    # a later plain append must satisfy the WIDENED schema contract
+    tx.append_table(
+        spark.createDataFrame(
+            [(3, "d3", 30, "n3")], "k int, day string, v long, note string"
+        ),
+        path,
+    )
+    assert {r["k"] for r in tx.read_table(spark, path).collect()} == {
+        1, 2, 3,
+    }
+    # type conflict on a shared column raises, nothing commits
+    v_before = tx.latest_version(path)
+    bad = spark.createDataFrame(
+        [(2, "d2", "oops", 1.5)], "k int, day string, v string, z double"
+    )
+    with pytest.raises(ValueError, match="!= table"):
+        tx.merge_tx_table(
+            spark, path, bad, ["k"], now=_now(), merge_schema=True
+        )
+    assert tx.latest_version(path) == v_before
+    assert before  # silence unused warning
