@@ -533,10 +533,13 @@ def _rewrite_commit(
     removed: list[str],
     schema: str | None = None,
     partition_cols: list[str] | None = None,
+    app: tuple[str, int] | None = None,
 ) -> int:
     """Commit a rewriting action claimed against ``read_version``'s
     successor slot; a lost race means the snapshot is stale →
-    ConcurrentWriteError (caller re-reads and retries)."""
+    ConcurrentWriteError (caller re-reads and retries). ``app``
+    stamps the commit with an (app_id, batch_id) idempotence mark —
+    the same high-water mechanism appends use."""
     version = read_version + 1
     payload = {
         "version": version,
@@ -546,6 +549,8 @@ def _rewrite_commit(
         "schema": schema,
         "partition_cols": partition_cols,
     }
+    if app is not None:
+        payload["app"] = {"app_id": app[0], "batch_id": app[1]}
     if not _claim(path, version, payload):
         raise ConcurrentWriteError(
             f"{action} at {path}: snapshot v{read_version} is stale"
@@ -724,6 +729,7 @@ def merge_tx_table(
     broadcast_deletes: bool = True,
     validate_partition_stability: bool = False,
     merge_schema: bool = False,
+    app: tuple[str, int] | None = None,
 ) -> int:
     """MERGE ``source`` into the tx table with `merge.merge_upsert`'s
     exact reference semantics (M1), executed as copy-on-write:
@@ -770,10 +776,19 @@ def merge_tx_table(
 
     Raises ConcurrentWriteError if another rewriting commit lands
     between the snapshot read and the commit claim.
+
+    ``app=(app_id, batch_id)`` makes the merge IDEMPOTENT under
+    redelivery — the append high-water mechanism applied to a
+    rewrite: a batch_id at or below the app's mark returns the
+    current version and changes nothing. This is what
+    :func:`foreach_batch_merge_sink` rides for exactly-once
+    streaming upserts.
     """
     from bi_utils_spark.operators.merge import merge_upsert
 
     snap = _fold(path)
+    if app is not None and snap.app_batches.get(app[0], -1) >= app[1]:
+        return snap.version
     if isinstance(pks, str):
         pks = [c.strip() for c in pks.split(",")]
     del_keys = None
@@ -857,6 +872,7 @@ def merge_tx_table(
             added,
             sorted(removed),
             schema=widened,
+            app=app,
         )
     if snap.files:
         target = _read_files(spark, path, snap.files, schema)
@@ -871,6 +887,7 @@ def merge_tx_table(
         added,
         sorted(snap.files),
         schema=widened,
+        app=app,
     )
 
 
@@ -1639,5 +1656,45 @@ def foreach_batch_sink(path: str, app_id: str):
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         append_table(batch_df, path, app=(app_id, int(batch_id)))
+
+    return _sink
+
+
+def foreach_batch_merge_sink(
+    spark: SparkSession,
+    path: str,
+    pks: Sequence[str] | str,
+    app_id: str,
+    max_retries: int = 5,
+    **merge_kwargs,
+):
+    """An exactly-once `foreachBatch` MERGE sink — streaming CDC
+    upserts land transactionally (the Delta foreachBatch-merge
+    pattern): each micro-batch runs `merge_tx_table` stamped with
+    (app_id, batch_id), so a redelivered batch is a no-op, and a
+    batch applied twice cannot double-upsert. Lost optimistic races
+    against concurrent writers re-read the snapshot and retry up to
+    ``max_retries`` times (each retry re-reads, so the merge folds
+    against the racer's committed state — the retry is correct, not
+    just unstuck). ``merge_kwargs`` pass through (``delete_col`` for
+    the CDC delete stream, ``merge_schema`` for drifting sources,
+    ...). Pair with a checkpointed writeStream for end-to-end
+    exactly-once upserts."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        for attempt in range(max_retries + 1):
+            try:
+                merge_tx_table(
+                    spark,
+                    path,
+                    batch_df,
+                    pks,
+                    app=(app_id, int(batch_id)),
+                    **merge_kwargs,
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
 
     return _sink

@@ -1201,3 +1201,61 @@ def test_merge_schema_evolution(spark, tmp_path):
         )
     assert tx.latest_version(path) == v_before
     assert before  # silence unused warning
+
+
+def test_foreach_batch_merge_sink_exactly_once(spark, table):
+    """Streaming CDC upserts: redelivered micro-batches are no-ops
+    (no double-upsert, no extra commit); distinct batches fold as
+    merges (update + insert + delete clause)."""
+    sink = tx.foreach_batch_merge_sink(
+        spark, table, ["k"], app_id="cdc-app", now=_now(),
+        delete_col="_del",
+    )
+    b0 = spark.createDataFrame(
+        [(2, "U", 99, False), (3, "I", 33, False)],
+        "k int, status string, v long, _del boolean",
+    )
+    sink(b0, 0)
+    v1 = tx.latest_version(table)
+    sink(b0, 0)  # engine restart replays batch 0
+    assert tx.latest_version(table) == v1
+    assert _as_dict(tx.read_table(spark, table)) == {
+        1: ("A", 10),
+        2: ("U", 99),
+        3: ("I", 33),
+    }
+    b1 = spark.createDataFrame(
+        [(1, "X", 0, True), (4, "I", 44, False)],
+        "k int, status string, v long, _del boolean",
+    )
+    sink(b1, 1)
+    sink(b1, 1)  # replay again
+    got = _as_dict(tx.read_table(spark, table))
+    assert got == {2: ("U", 99), 3: ("I", 33), 4: ("I", 44)}
+    # mixed-app marks don't interfere: the append app's mark is separate
+    tx.append_table(_rows(spark, (9, "Z", 9)), table, app=("other", 0))
+    sink(b1, 1)  # still a no-op for cdc-app
+    assert 1 not in _as_dict(tx.read_table(spark, table))
+
+
+def test_foreach_batch_merge_sink_retries_lost_race(spark, table, monkeypatch):
+    """A concurrent writer steals the slot between snapshot read and
+    claim; the sink re-reads and retries, folding against the
+    racer's committed state."""
+    state = {"raced": False}
+    orig_claim = tx._claim
+
+    def racing_claim(path, version, payload):
+        if payload.get("action") == "merge" and not state["raced"]:
+            state["raced"] = True
+            tx.append_table(_rows(spark, (7, "R", 70)), path)
+        return orig_claim(path, version, payload)
+
+    monkeypatch.setattr(tx, "_claim", racing_claim)
+    sink = tx.foreach_batch_merge_sink(
+        spark, table, ["k"], app_id="race-app", now=_now()
+    )
+    sink(_rows(spark, (2, "U", 99)), 0)
+    got = _as_dict(tx.read_table(spark, table))
+    assert got[2] == ("U", 99)  # the merge landed on retry
+    assert got[7] == ("R", 70)  # the racer's append survived
