@@ -185,11 +185,14 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
     return snap
 
 
-def _commit_ts(path: str, version: int) -> float:
+def _commit_ts(path: str, version: int, entry: dict | None = None) -> float:
     """Commit wall-clock time: the log's ``ts`` field (stamped by
-    ``_claim`` since r8), file mtime for pre-ts logs."""
-    with open(_commit_file(path, version)) as fh:
-        ts = json.load(fh).get("ts")
+    ``_claim`` since r8), file mtime for pre-ts logs. Pass the
+    already-parsed ``entry`` to skip the file read (vacuum does)."""
+    if entry is None:
+        with open(_commit_file(path, version)) as fh:
+            entry = json.load(fh)
+    ts = entry.get("ts")
     if ts is not None:
         return float(ts)
     return os.path.getmtime(_commit_file(path, version))
@@ -797,7 +800,17 @@ def merge_tx_table(
             source.where(F.col(delete_col)).select(*pks).distinct()
         )
         source = source.drop(delete_col)
-    widened = _append_schema(snap, source) if merge_schema else None
+    # Managed timestamp columns never come from the source
+    # (merge_upsert's contract), so they neither widen the schema nor
+    # participate in type validation. Shared columns are ALWAYS
+    # type-validated — a type-drifted CDC source would otherwise
+    # stage parquet files that disagree with the manifest schema and
+    # brick every subsequent read; only the WIDENING is gated behind
+    # merge_schema.
+    src_schema_view = source.drop("insert_timestamp", "update_timestamp")
+    widened = _append_schema(snap, src_schema_view)
+    if not merge_schema:
+        widened = None  # validation ran; target schema wins
     schema = (
         StructType.fromJson(json.loads(widened))
         if widened
@@ -1259,12 +1272,7 @@ def vacuum_table(
         with open(_commit_file(path, v)) as fh:
             entry = json.load(fh)
         referenced.update(a["path"] for a in entry.get("added", []))
-        ts = entry.get("ts")
-        ts_by_v[v] = (
-            float(ts)
-            if ts is not None
-            else os.path.getmtime(_commit_file(path, v))
-        )
+        ts_by_v[v] = _commit_ts(path, v, entry)
     if retain_hours is not None:
         cutoff = time.time() - retain_hours * 3600.0
         for v in commits:
@@ -1599,6 +1607,11 @@ def table_changes(
     commits, _ = _list_log(path)
     cset = set(commits)
     hi = commits[-1] if up_to is None else up_to
+    if hi > commits[-1]:
+        raise ValueError(
+            f"table_changes: up_to=v{hi} exceeds the latest commit "
+            f"v{commits[-1]}"
+        )
     added: dict[str, dict] = {}
     for v in range(after_version + 1, hi + 1):
         if v not in cset:
@@ -1661,7 +1674,6 @@ def foreach_batch_sink(path: str, app_id: str):
 
 
 def foreach_batch_merge_sink(
-    spark: SparkSession,
     path: str,
     pks: Sequence[str] | str,
     app_id: str,
@@ -1679,13 +1691,23 @@ def foreach_batch_merge_sink(
     just unstuck). ``merge_kwargs`` pass through (``delete_col`` for
     the CDC delete stream, ``merge_schema`` for drifting sources,
     ...). Pair with a checkpointed writeStream for end-to-end
-    exactly-once upserts."""
+    exactly-once upserts.
+
+    Empty micro-batches (multi-source triggers, availableNow tails)
+    commit nothing: without the guard, an unpartitioned table would
+    pay a FULL-SNAPSHOT identity rewrite per empty batch. Skipping
+    the app-mark advance is safe — replaying an empty batch is
+    trivially idempotent. The session comes from the delivered
+    batch_df (the engine's own), so the sink needs no captured
+    SparkSession — same shape as :func:`foreach_batch_sink`."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
         for attempt in range(max_retries + 1):
             try:
                 merge_tx_table(
-                    spark,
+                    batch_df.sparkSession,
                     path,
                     batch_df,
                     pks,

@@ -223,9 +223,14 @@ def ivf_index_probe_many(
         F.col("id").alias("__qid"), F.col("u").alias("__qu"), "cell_id"
     )
     # the assignment pass (query scan + numpy matmul) feeds BOTH the
-    # probed-cell collect and the candidate join — materialize it
-    # once instead of recomputing per consumer
-    q = q.localCheckpoint(eager=True)
+    # probed-cell collect and the candidate join — cache it instead
+    # of recomputing per consumer. persist (NOT localCheckpoint)
+    # keeps the lineage: evicted/lost blocks recompute instead of
+    # failing the job on executor loss, and memory pressure spills
+    # to disk rather than pinning |queries|·nprobe rows
+    from pyspark import StorageLevel
+
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
     probe_cells = sorted(
         int(r["cell_id"])
         for r in q.select("cell_id").distinct().collect()

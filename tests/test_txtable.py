@@ -1208,8 +1208,7 @@ def test_foreach_batch_merge_sink_exactly_once(spark, table):
     (no double-upsert, no extra commit); distinct batches fold as
     merges (update + insert + delete clause)."""
     sink = tx.foreach_batch_merge_sink(
-        spark, table, ["k"], app_id="cdc-app", now=_now(),
-        delete_col="_del",
+        table, ["k"], app_id="cdc-app", now=_now(), delete_col="_del"
     )
     b0 = spark.createDataFrame(
         [(2, "U", 99, False), (3, "I", 33, False)],
@@ -1253,9 +1252,55 @@ def test_foreach_batch_merge_sink_retries_lost_race(spark, table, monkeypatch):
 
     monkeypatch.setattr(tx, "_claim", racing_claim)
     sink = tx.foreach_batch_merge_sink(
-        spark, table, ["k"], app_id="race-app", now=_now()
+        table, ["k"], app_id="race-app", now=_now()
     )
     sink(_rows(spark, (2, "U", 99)), 0)
     got = _as_dict(tx.read_table(spark, table))
     assert got[2] == ("U", 99)  # the merge landed on retry
     assert got[7] == ("R", 70)  # the racer's append survived
+
+
+def test_merge_type_drift_raises_even_without_merge_schema(spark, table):
+    """Shared-column type validation is NOT gated behind
+    merge_schema: a type-drifted source (v as string) must raise
+    before staging — otherwise the commit lands parquet files that
+    disagree with the manifest schema and the snapshot becomes
+    unreadable."""
+    bad = spark.createDataFrame(
+        [(2, "U", "oops")], "k int, status string, v string"
+    )
+    v0 = tx.latest_version(table)
+    with pytest.raises(ValueError, match="!= table"):
+        tx.merge_tx_table(spark, table, bad, ["k"], now=_now())
+    assert tx.latest_version(table) == v0
+    tx.read_table(spark, table).collect()  # still readable
+
+
+def test_merge_schema_ignores_managed_ts_columns(spark, table):
+    """A CDC source carrying insert_timestamp/update_timestamp must
+    not widen the table with columns merge_upsert will never fill
+    (managed ts come from the merge, not the source)."""
+    src = spark.createDataFrame(
+        [(2, "U", 99, dt.datetime(2020, 1, 1))],
+        "k int, status string, v long, insert_timestamp timestamp",
+    )
+    tx.merge_tx_table(spark, table, src, ["k"], now=_now(),
+                      merge_schema=True)
+    assert "insert_timestamp" not in tx.read_table(spark, table).columns
+
+
+def test_merge_sink_skips_empty_batches(spark, table):
+    """An empty micro-batch commits nothing — on an unpartitioned
+    table it would otherwise be a full-snapshot identity rewrite per
+    trigger."""
+    sink = tx.foreach_batch_merge_sink(table, ["k"], app_id="e", now=_now())
+    v0 = tx.latest_version(table)
+    empty = spark.createDataFrame([], "k int, status string, v long")
+    sink(empty, 0)
+    assert tx.latest_version(table) == v0
+
+
+def test_table_changes_rejects_future_up_to(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    with pytest.raises(ValueError, match="exceeds the latest"):
+        tx.table_changes(spark, table, after_version=0, up_to=99)
