@@ -1044,6 +1044,55 @@ def compact_partitions(
     )
 
 
+def maintain_table(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 8,
+    target_files: int = 1,
+    retain_versions: int = 2,
+    retain_hours: float | None = None,
+    bloom_cols: Sequence[str] | None = None,
+    bloom_fpp: float = 0.01,
+) -> dict:
+    """Nightly maintenance as one verb, in the only order that
+    composes correctly: (1) partition-scoped compaction of
+    fragmented partitions (`compact_partitions` — healthy partitions
+    untouched), (2) vacuum under the retention contract
+    (`retain_versions` ∪ the `retain_hours` window), (3) incremental
+    bloom refresh for ``bloom_cols`` — compaction replaced the hot
+    partitions' files, so their filters are exactly what
+    ``only_new=True`` re-scans, while every untouched file keeps its
+    filter byte-identical and vacuumed entries drop. Each step's
+    cost tracks the append rate; the whole verb is safe to run while
+    writers append (compaction is an optimistic rewrite — a lost
+    race raises ConcurrentWriteError and the next run picks it up;
+    vacuum's stray-age guard protects in-flight stages). Returns an
+    audit dict: compacted version (None when nothing was
+    fragmented), files reclaimed, and per-column indexed-file
+    counts. If a bloom index was built with a different ``fpp``, the
+    k mismatch triggers a full (still executor-packed) rebuild for
+    that column."""
+    compacted = compact_partitions(
+        spark, path, max_files=max_files, target_files=target_files
+    )
+    deleted = vacuum_table(
+        path,
+        retain_versions=retain_versions,
+        retain_hours=retain_hours,
+    )
+    bloom_files: dict[str, int] = {}
+    for col in bloom_cols or []:
+        idx = build_bloom_index(
+            spark, path, col, fpp=bloom_fpp, only_new=True
+        )
+        bloom_files[col] = len(idx["files"])
+    return {
+        "compacted_version": compacted,
+        "files_reclaimed": len(deleted),
+        "bloom_files": bloom_files,
+    }
+
+
 def forget_keys(
     spark: SparkSession,
     path: str,

@@ -1304,3 +1304,31 @@ def test_table_changes_rejects_future_up_to(spark, table):
     tx.append_table(_rows(spark, (3, "B", 30)), table)
     with pytest.raises(ValueError, match="exceeds the latest"):
         tx.table_changes(spark, table, after_version=0, up_to=99)
+
+
+def test_maintain_table_composes_compact_vacuum_bloom(spark, tmp_path):
+    path = str(tmp_path / "mt")
+    mk = lambda k, uid: spark.createDataFrame(  # noqa: E731
+        [(k, "d1", uid)], "k int, day string, uid string"
+    )
+    tx.create_table(mk(1, "u1"), path, partition_cols=["day"])
+    tx.build_bloom_index(spark, path, "uid")
+    for i in range(2, 6):  # fragment d1
+        tx.append_table(mk(i, f"u{i}"), path)
+    report = tx.maintain_table(
+        spark, path, max_files=2, retain_versions=1,
+        bloom_cols=["uid"],
+    )
+    assert report["compacted_version"] is not None
+    assert report["files_reclaimed"] > 0  # pre-compact files vacuumed
+    live = set(tx._fold(path).files)
+    assert len(live) == 1  # d1 folded to one file
+    assert report["bloom_files"] == {"uid": 1}
+    # the refreshed filter prunes and finds post-compaction
+    got = tx.read_table(spark, path, point={"uid": "u3"})
+    assert [r["k"] for r in got.where("uid = 'u3'").collect()] == [3]
+    # idempotent second run: nothing fragmented, nothing reclaimed
+    report2 = tx.maintain_table(
+        spark, path, max_files=2, retain_versions=1, bloom_cols=["uid"]
+    )
+    assert report2["compacted_version"] is None
