@@ -31,6 +31,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# The merge-managed timestamp column names (reference `utils.py:270`):
+# set by the merge itself, never taken from the source. Shared with
+# txtable's schema-evolution logic so the two contracts cannot drift.
+INSERT_TS_COL = "insert_timestamp"
+UPDATE_TS_COL = "update_timestamp"
+
 
 def _validate(target: DataFrame, source: DataFrame, pks: Sequence[str]) -> None:
     for pk in pks:
@@ -44,8 +50,8 @@ def merge_upsert(
     target: DataFrame,
     source: DataFrame,
     pks: Sequence[str] | str,
-    insert_ts_col: str = "insert_timestamp",
-    update_ts_col: str = "update_timestamp",
+    insert_ts_col: str = INSERT_TS_COL,
+    update_ts_col: str = UPDATE_TS_COL,
     now: Column | None = None,
 ) -> DataFrame:
     """Join-based MERGE of ``source`` into ``target`` keyed by ``pks``.

@@ -471,6 +471,48 @@ def _append_schema(snap: Snapshot, df: DataFrame) -> str | None:
     return json.dumps(merged.jsonValue())
 
 
+_UPCAST_ORDER = ["byte", "short", "integer", "long"]
+
+
+def _can_upcast(src_dt, tgt_dt) -> bool:
+    """True when a SOURCE value of ``src_dt`` coerces LOSSLESSLY to
+    the table's ``tgt_dt`` — the directions Spark's when/otherwise
+    coercion resolves to the table type, so the staged parquet still
+    agrees with the manifest (integral widening, float→double)."""
+    s, t = src_dt.typeName(), tgt_dt.typeName()
+    if s == t:
+        return src_dt == tgt_dt  # parameterized types compare fully
+    if s in _UPCAST_ORDER and t in _UPCAST_ORDER:
+        return _UPCAST_ORDER.index(s) <= _UPCAST_ORDER.index(t)
+    return s == "float" and t == "double"
+
+
+def _merge_schema_check(snap: Snapshot, df: DataFrame) -> str | None:
+    """merge_tx_table's schema validation — `_append_schema`'s
+    contract, but shared columns tolerate LOSSLESS upcasts
+    (int source into a long column is fine: merge_upsert's
+    when(source, target) coerces to the TABLE type, so the staged
+    files match the manifest — appends must stay strict because
+    they stage the source bytes as-is). Downcast/cross-kind drift
+    (long→int, string→long) still raises: the coerced output would
+    disagree with the manifest and brick reads."""
+    table = {f.name: f.dataType for f in snap.spark_schema().fields}
+    new_fields = []
+    for f in df.schema.fields:
+        if f.name in table:
+            if not _can_upcast(f.dataType, table[f.name]):
+                raise ValueError(
+                    f"merge column {f.name!r}: {f.dataType} != table "
+                    f"{table[f.name]} (and not a lossless upcast)"
+                )
+        else:
+            new_fields.append(f)
+    if not new_fields:
+        return None
+    merged = StructType(list(snap.spark_schema().fields) + new_fields)
+    return json.dumps(merged.jsonValue())
+
+
 def append_table(
     df: DataFrame,
     path: str,
@@ -805,10 +847,13 @@ def merge_tx_table(
     # participate in type validation. Shared columns are ALWAYS
     # type-validated — a type-drifted CDC source would otherwise
     # stage parquet files that disagree with the manifest schema and
-    # brick every subsequent read; only the WIDENING is gated behind
-    # merge_schema.
-    src_schema_view = source.drop("insert_timestamp", "update_timestamp")
-    widened = _append_schema(snap, src_schema_view)
+    # brick every subsequent read — but lossless upcasts pass (the
+    # merge coerces them to the table type); only the WIDENING is
+    # gated behind merge_schema.
+    from bi_utils_spark.operators.merge import INSERT_TS_COL, UPDATE_TS_COL
+
+    src_schema_view = source.drop(INSERT_TS_COL, UPDATE_TS_COL)
+    widened = _merge_schema_check(snap, src_schema_view)
     if not merge_schema:
         widened = None  # validation ran; target schema wins
     schema = (
@@ -1071,10 +1116,33 @@ def maintain_table(
     fragmented), files reclaimed, and per-column indexed-file
     counts. If a bloom index was built with a different ``fpp``, the
     k mismatch triggers a full (still executor-packed) rebuild for
-    that column."""
-    compacted = compact_partitions(
-        spark, path, max_files=max_files, target_files=target_files
-    )
+    that column.
+
+    Two guards keep the composite honest: a compaction that loses
+    its optimistic race (a busy append stream committed mid-rewrite)
+    is RECORDED (``compaction_raced=True``) instead of aborting —
+    vacuum and bloom refresh never conflict with writers, so they
+    must still run or a perpetually-racing table would never reclaim
+    disk nor refresh its indexes; and on an UNPARTITIONED table the
+    compaction step is skipped (``compaction_skipped`` gives the
+    reason) — there every live file is one group, so "partition-
+    scoped" would degrade to a full-snapshot rewrite per night; use
+    the explicit `compact_table` when that cost is intended."""
+    compacted = None
+    raced = False
+    skipped = None
+    if not _fold(path).partition_cols:
+        skipped = (
+            "unpartitioned table: partition-scoped compaction would "
+            "be a full-snapshot rewrite; run compact_table explicitly"
+        )
+    else:
+        try:
+            compacted = compact_partitions(
+                spark, path, max_files=max_files, target_files=target_files
+            )
+        except ConcurrentWriteError:
+            raced = True  # a writer committed mid-rewrite; next run retries
     deleted = vacuum_table(
         path,
         retain_versions=retain_versions,
@@ -1088,6 +1156,8 @@ def maintain_table(
         bloom_files[col] = len(idx["files"])
     return {
         "compacted_version": compacted,
+        "compaction_raced": raced,
+        "compaction_skipped": skipped,
         "files_reclaimed": len(deleted),
         "bloom_files": bloom_files,
     }
@@ -1660,6 +1730,12 @@ def table_changes(
         raise ValueError(
             f"table_changes: up_to=v{hi} exceeds the latest commit "
             f"v{commits[-1]}"
+        )
+    if after_version > commits[-1]:
+        raise ValueError(
+            f"table_changes: after_version=v{after_version} exceeds "
+            f"the latest commit v{commits[-1]} — a stale or foreign "
+            "high-water mark; silently returning nothing would hide it"
         )
     added: dict[str, dict] = {}
     for v in range(after_version + 1, hi + 1):

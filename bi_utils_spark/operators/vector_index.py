@@ -222,15 +222,16 @@ def ivf_index_probe_many(
     ).select(
         F.col("id").alias("__qid"), F.col("u").alias("__qu"), "cell_id"
     )
-    # the assignment pass (query scan + numpy matmul) feeds BOTH the
-    # probed-cell collect and the candidate join — cache it instead
-    # of recomputing per consumer. persist (NOT localCheckpoint)
-    # keeps the lineage: evicted/lost blocks recompute instead of
-    # failing the job on executor loss, and memory pressure spills
-    # to disk rather than pinning |queries|·nprobe rows
-    from pyspark import StorageLevel
-
-    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    # One materialization feeds BOTH the probed-cell collect and the
+    # candidate join. This must be a CHECKPOINT, not a lazy persist:
+    # probe_cells is collected from the first materialization, and a
+    # lost-then-recomputed cache block over a NONDETERMINISTIC query
+    # source (sample(), unordered limit()) could re-assign queries to
+    # cells outside probe_cells — silently dropping their candidates.
+    # The checkpoint pins exactly one assignment; on executor loss
+    # the job fails loudly and the caller retries, which beats
+    # silent-wrong top-k.
+    q = q.localCheckpoint(eager=True)
     probe_cells = sorted(
         int(r["cell_id"])
         for r in q.select("cell_id").distinct().collect()

@@ -1332,3 +1332,55 @@ def test_maintain_table_composes_compact_vacuum_bloom(spark, tmp_path):
         spark, path, max_files=2, retain_versions=1, bloom_cols=["uid"]
     )
     assert report2["compacted_version"] is None
+
+
+def test_merge_accepts_lossless_upcast_source(spark, table):
+    """Default merges tolerate lossless source upcasts (int source
+    into a long column — merge coercion lands the TABLE type); the
+    dangerous directions (downcast, cross-kind) still raise."""
+    up = spark.createDataFrame(
+        [(2, "U", 99)], "k int, status string, v int"  # v int -> long
+    )
+    tx.merge_tx_table(spark, table, up, ["k"], now=_now())
+    assert _as_dict(tx.read_table(spark, table))[2] == ("U", 99)
+    down = spark.createDataFrame(
+        [(2, "U", 1.5)], "k int, status string, v double"  # double -> long
+    )
+    with pytest.raises(ValueError, match="not a lossless upcast"):
+        tx.merge_tx_table(spark, table, down, ["k"], now=_now())
+
+
+def test_maintain_table_survives_compaction_race_and_unpartitioned(
+    spark, table, tmp_path, monkeypatch
+):
+    # unpartitioned: compaction skipped with a reason, rest runs
+    report = tx.maintain_table(spark, table, retain_versions=1)
+    assert report["compacted_version"] is None
+    assert "unpartitioned" in report["compaction_skipped"]
+    # partitioned + racing writer: race recorded, vacuum still runs
+    path = str(tmp_path / "mr")
+    mk = lambda k: spark.createDataFrame(  # noqa: E731
+        [(k, "d1", k)], "k int, day string, v long"
+    )
+    tx.create_table(mk(1), path, partition_cols=["day"])
+    for i in range(2, 5):
+        tx.append_table(mk(i), path)
+    state = {"raced": False}
+    orig_claim = tx._claim
+
+    def racing_claim(p, version, payload):
+        if payload.get("action") == "compact" and not state["raced"]:
+            state["raced"] = True
+            tx.append_table(mk(99), p)
+        return orig_claim(p, version, payload)
+
+    monkeypatch.setattr(tx, "_claim", racing_claim)
+    report2 = tx.maintain_table(spark, path, max_files=2, retain_versions=1)
+    assert report2["compaction_raced"] is True
+    assert report2["compacted_version"] is None
+    assert 99 in {r["k"] for r in tx.read_table(spark, path).collect()}
+
+
+def test_table_changes_rejects_future_after_version(spark, table):
+    with pytest.raises(ValueError, match="after_version"):
+        tx.table_changes(spark, table, after_version=99)
