@@ -642,6 +642,38 @@ def _render_pv(value) -> str:
     return str(value)
 
 
+def _coerce_pv(value, dt):
+    """Normalize a USER-SUPPLIED partition-filter value through the
+    column's DECLARED type before rendering — the same type-faithful
+    discipline `_bloom_positions_df` applies to point probes. Without
+    it, `partition_filter={"price": 1}` against a double partition
+    column renders '1' vs the manifest's '1.0' and silently selects
+    nothing (r8 ADVICE). Values already of the column's Python type
+    pass through unchanged; unknown/complex types fall back to the
+    raw value (str rendering, the pre-r9 behavior)."""
+    if value is None:
+        return None
+    t = dt.typeName()
+    try:
+        if t in ("byte", "short", "integer", "long"):
+            return int(value)
+        if t in ("double", "float"):
+            return float(value)
+        if t == "boolean":
+            if isinstance(value, str):
+                return value.lower() == "true"
+            return bool(value)
+        if t == "date" and isinstance(value, str):
+            import datetime
+
+            return datetime.date.fromisoformat(value)
+        if t == "string":
+            return str(value)
+    except (TypeError, ValueError):
+        return value
+    return value
+
+
 def _read_files(
     spark: SparkSession, path: str, files: dict, schema: StructType
 ) -> DataFrame:
@@ -712,12 +744,19 @@ def read_table(
     schema = snap.spark_schema()
     want = snap.files
     if partition_filter:
+        types = {f.name: f.dataType for f in schema.fields}
+        rendered = {
+            k: _render_pv(
+                _coerce_pv(v, types[k]) if k in types else v
+            )
+            for k, v in partition_filter.items()
+        }
         want = {
             rel: meta
             for rel, meta in want.items()
             if all(
-                meta["partition_values"].get(k) == _render_pv(v)
-                for k, v in partition_filter.items()
+                meta["partition_values"].get(k) == rv
+                for k, rv in rendered.items()
             )
         }
     if skip:
@@ -1543,9 +1582,16 @@ def build_bloom_index(
     todo = {rel: meta for rel, meta in snap.files.items() if rel not in kept}
 
     def _persist(files: dict) -> dict:
+        # tmp + os.replace: a crash mid-write must not leave truncated
+        # JSON that bricks every subsequent point probe / only_new
+        # rebuild — same atomic-write discipline as commits/checkpoints
         sidecar = {"k": k, "col": col, "type": col_type, "files": files}
-        with open(sc_path, "w") as fh:
+        tmp = f"{sc_path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
             json.dump(sidecar, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, sc_path)
         return sidecar
 
     if not todo:
@@ -1736,6 +1782,12 @@ def table_changes(
             f"table_changes: after_version=v{after_version} exceeds "
             f"the latest commit v{commits[-1]} — a stale or foreign "
             "high-water mark; silently returning nothing would hide it"
+        )
+    if up_to is not None and up_to < after_version:
+        raise ValueError(
+            f"table_changes: up_to=v{up_to} < after_version="
+            f"v{after_version} — swapped or stale arguments; an empty "
+            "range is only legal at equality (no new commits)"
         )
     added: dict[str, dict] = {}
     for v in range(after_version + 1, hi + 1):

@@ -1384,3 +1384,61 @@ def test_maintain_table_survives_compaction_race_and_unpartitioned(
 def test_table_changes_rejects_future_after_version(spark, table):
     with pytest.raises(ValueError, match="after_version"):
         tx.table_changes(spark, table, after_version=99)
+
+
+def test_table_changes_rejects_inverted_bounds(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    with pytest.raises(ValueError, match="swapped or stale"):
+        tx.table_changes(spark, table, after_version=1, up_to=0)
+    # equality = "no new commits" — an empty frame, not an error
+    assert tx.table_changes(spark, table, after_version=1, up_to=1).count() == 0
+
+
+def test_partition_filter_coerces_value_through_column_type(spark, tmp_path):
+    """partition_filter={col: 1} against a double partition column
+    must render '1.0' (the manifest's directory text), not '1' —
+    the same type-faithful chain bloom point probes use."""
+    path = str(tmp_path / "pf")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.5)], "k int, price double"
+    )
+    tx.create_table(df, path, partition_cols=["price"])
+    got = tx.read_table(spark, path, partition_filter={"price": 1})
+    assert [r["k"] for r in got.collect()] == [1]
+    # int column probed with a float that IS integral also matches
+    path2 = str(tmp_path / "pf2")
+    tx.create_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, b int"),
+        path2,
+        partition_cols=["b"],
+    )
+    got2 = tx.read_table(spark, path2, partition_filter={"b": 10.0})
+    assert [r["k"] for r in got2.collect()] == [1]
+
+
+def test_bloom_sidecar_write_is_atomic(spark, table, monkeypatch):
+    """A crash mid-persist must leave the OLD sidecar intact (or
+    none), never truncated JSON — build writes tmp + os.replace."""
+    tx.build_bloom_index(spark, table, "k")
+    sc = tx._bloom_sidecar(table, "k")
+    with open(sc) as fh:
+        before = json.load(fh)
+
+    boom = RuntimeError("crash mid-write")
+    orig_replace = os.replace
+
+    def failing_replace(src, dst):
+        if dst == sc:
+            raise boom
+        return orig_replace(src, dst)
+
+    monkeypatch.setattr(tx.os, "replace", failing_replace)
+    tx.append_table(_rows(spark, (7, "C", 70)), table)
+    with pytest.raises(RuntimeError, match="crash mid-write"):
+        tx.build_bloom_index(spark, table, "k", only_new=True)
+    monkeypatch.setattr(tx.os, "replace", orig_replace)
+    with open(sc) as fh:
+        assert json.load(fh) == before  # old sidecar intact, parseable
+    # probes still work off the stale-but-valid sidecar
+    got = tx.read_table(spark, table, point={"k": 1})
+    assert 1 in {r["k"] for r in got.collect()}
