@@ -172,6 +172,7 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
                 "commit_dir": added["commit_dir"],
                 "partition_values": added.get("partition_values", {}),
                 "stats": added.get("stats", {}),
+                "bytes": added.get("bytes"),
             }
         if entry.get("schema"):
             snap.schema = entry["schema"]
@@ -335,12 +336,17 @@ def _stage(
                 stats = _footer_stats(full)
             except Exception:  # noqa: BLE001 — stats are best-effort
                 stats = {}
+            try:
+                nbytes = os.stat(full).st_size
+            except OSError:
+                nbytes = 0
             added.append(
                 {
                     "path": rel,
                     "commit_dir": commit_dir,
                     "partition_values": pvals,
                     "stats": stats,
+                    "bytes": nbytes,
                 }
             )
     return added
@@ -425,6 +431,10 @@ def convert_to_tx(
                 stats = _footer_stats(full)
             except Exception:  # noqa: BLE001 — stats are best-effort
                 stats = {}
+            try:
+                nbytes = os.stat(full).st_size
+            except OSError:
+                nbytes = 0
             added.append(
                 {
                     "path": rel,
@@ -433,6 +443,7 @@ def convert_to_tx(
                     "commit_dir": ".",
                     "partition_values": pvals,
                     "stats": stats,
+                    "bytes": nbytes,
                 }
             )
     if not added:
@@ -579,29 +590,104 @@ def _rewrite_commit(
     schema: str | None = None,
     partition_cols: list[str] | None = None,
     app: tuple[str, int] | None = None,
+    conflict: str = "always",
+    touched_partitions: set[tuple] | None = None,
+    pcols: Sequence[str] | None = None,
 ) -> int:
     """Commit a rewriting action claimed against ``read_version``'s
-    successor slot; a lost race means the snapshot is stale →
-    ConcurrentWriteError (caller re-reads and retries). ``app``
-    stamps the commit with an (app_id, batch_id) idempotence mark —
-    the same high-water mechanism appends use."""
+    successor slot. ``app`` stamps the commit with an (app_id,
+    batch_id) idempotence mark — the same high-water mechanism
+    appends use.
+
+    A lost claim race is resolved by the Delta protocol's conflict
+    rule, per ``conflict`` mode:
+
+    - ``"always"``: any interleaved commit is a conflict →
+      ConcurrentWriteError (overwrite/restore — they reason about
+      the WHOLE snapshot).
+    - ``"files"``: conflict only when an interleaved commit REMOVED a
+      file this rewrite also removes (compaction: an interleaved
+      append lands files this rewrite never read — they stay live
+      beside the compacted output, the fold composes both).
+    - ``"partitions"``: ``"files"`` plus any interleaved file ADDED
+      into one of ``touched_partitions`` (tuples of rendered values
+      over ``pcols``) conflicts — a merge must have SEEN every row of
+      its partitions, so a racing append into one invalidates it,
+      while writes to disjoint partitions compose (two merges into
+      different days both commit, neither re-merges).
+
+    A disjoint race RE-CLAIMS the next slot with the SAME staged
+    files — the rewrite's data job never re-runs. Conservative
+    guards in every mode: an interleaved schema change conflicts with
+    a schema-changing rewrite, a repartitioning commit conflicts with
+    everything, and an interleaved commit bearing OUR (app_id,
+    batch_id) mark means a twin worker already applied this batch —
+    return its version without committing (exactly-once under
+    redelivery races)."""
     version = read_version + 1
-    payload = {
-        "version": version,
-        "action": action,
-        "added": added,
-        "removed": removed,
-        "schema": schema,
-        "partition_cols": partition_cols,
-    }
-    if app is not None:
-        payload["app"] = {"app_id": app[0], "batch_id": app[1]}
-    if not _claim(path, version, payload):
-        raise ConcurrentWriteError(
-            f"{action} at {path}: snapshot v{read_version} is stale"
-        )
-    _maybe_checkpoint(path, version)
-    return version
+    while True:
+        payload = {
+            "version": version,
+            "action": action,
+            "added": added,
+            "removed": removed,
+            "schema": schema,
+            "partition_cols": partition_cols,
+        }
+        if app is not None:
+            payload["app"] = {"app_id": app[0], "batch_id": app[1]}
+        if _claim(path, version, payload):
+            _maybe_checkpoint(path, version)
+            return version
+        commits, _ = _list_log(path)
+        tip = commits[-1]
+        removed_set = set(removed)
+        for v in range(version, tip + 1):
+            with open(_commit_file(path, v)) as fh:
+                entry = json.load(fh)
+            e_app = entry.get("app")
+            if (
+                app is not None
+                and e_app
+                and e_app.get("app_id") == app[0]
+                and e_app.get("batch_id", -1) >= app[1]
+            ):
+                return v  # a twin worker already committed this batch
+            if conflict == "always":
+                raise ConcurrentWriteError(
+                    f"{action} at {path}: snapshot v{read_version} is "
+                    f"stale (interleaved {entry['action']!r} at v{v})"
+                )
+            if entry.get("partition_cols") is not None and v > 0:
+                raise ConcurrentWriteError(
+                    f"{action} at {path}: interleaved commit v{v} "
+                    "repartitioned the table"
+                )
+            if entry.get("schema") and schema is not None:
+                raise ConcurrentWriteError(
+                    f"{action} at {path}: interleaved schema change "
+                    f"at v{v} conflicts with this rewrite's schema "
+                    "change"
+                )
+            overlap = removed_set.intersection(entry.get("removed", []))
+            if overlap:
+                raise ConcurrentWriteError(
+                    f"{action} at {path}: interleaved commit v{v} "
+                    f"removed {len(overlap)} file(s) this rewrite "
+                    "also removes"
+                )
+            if conflict == "partitions":
+                for a in entry.get("added", []):
+                    pv = a.get("partition_values", {})
+                    key = tuple(pv.get(c) for c in (pcols or []))
+                    if key in (touched_partitions or set()):
+                        raise ConcurrentWriteError(
+                            f"{action} at {path}: interleaved commit "
+                            f"v{v} wrote into touched partition "
+                            f"{key!r} — this rewrite did not see its "
+                            "rows"
+                        )
+        version = tip + 1  # disjoint: rebase the SAME staged files
 
 
 def overwrite_table(
@@ -814,6 +900,7 @@ def merge_tx_table(
     validate_partition_stability: bool = False,
     merge_schema: bool = False,
     app: tuple[str, int] | None = None,
+    max_source_partitions: int = 100_000,
 ) -> int:
     """MERGE ``source`` into the tx table with `merge.merge_upsert`'s
     exact reference semantics (M1), executed as copy-on-write:
@@ -858,8 +945,21 @@ def merge_tx_table(
     manifest-schema change; old files null-fill at read, exactly
     like a widened append).
 
-    Raises ConcurrentWriteError if another rewriting commit lands
-    between the snapshot read and the commit claim.
+    Concurrency (r9): a lost commit race REBASES when every
+    interleaved commit's file footprint is disjoint from this
+    merge's touched partitions — two merges into different days both
+    commit, the loser re-claims the next slot with the SAME staged
+    files, no re-merge. A genuinely overlapping race (an interleaved
+    write into a touched partition, or a rewrite removing the same
+    files) still raises ConcurrentWriteError — the caller re-reads
+    and retries, folding against the racer's committed state.
+
+    ``max_source_partitions`` bounds the driver-side collect of the
+    source's distinct partition values: beyond it the merge raises
+    instead of silently materializing millions of tuples — at that
+    scale the source touches most of the table, so merge into an
+    unpartitioned layout (full rewrite) or split the source into
+    waves.
 
     ``app=(app_id, batch_id)`` makes the merge IDEMPOTENT under
     redelivery — the append high-water mechanism applied to a
@@ -912,9 +1012,27 @@ def merge_tx_table(
 
     pcols = snap.partition_cols
     if pcols:
+        # LIMIT bound+1 caps the driver-side materialization: the
+        # guard costs nothing when the source is well-behaved and
+        # cannot OOM the driver when it is not
+        touched_rows = (
+            source.select(*pcols)
+            .distinct()
+            .limit(max_source_partitions + 1)
+            .collect()
+        )
+        if len(touched_rows) > max_source_partitions:
+            raise ValueError(
+                f"merge_tx_table: source touches more than "
+                f"{max_source_partitions} distinct partitions — the "
+                "partition-scoped merge would collect that many "
+                "tuples driver-side and rewrite most of the table "
+                "anyway. Merge unpartitioned (full rewrite), raise "
+                "max_source_partitions explicitly, or split the "
+                "source into waves."
+            )
         touched = [
-            tuple(_render_pv(r[c]) for c in pcols)
-            for r in source.select(*pcols).distinct().collect()
+            tuple(_render_pv(r[c]) for c in pcols) for r in touched_rows
         ]
         touched_set = set(touched)
         removed = [
@@ -970,6 +1088,9 @@ def merge_tx_table(
             sorted(removed),
             schema=widened,
             app=app,
+            conflict="partitions",
+            touched_partitions=touched_set,
+            pcols=list(pcols),
         )
     if snap.files:
         target = _read_files(spark, path, snap.files, schema)
@@ -993,32 +1114,120 @@ def merge_tx_table(
 # ---------------------------------------------------------------------------
 
 
-def compact_table(
-    spark: SparkSession,
+def _identity_seeds(spark: SparkSession, n: int) -> dict[int, int]:
+    """For every shuffle bucket b in [0, n): a long seed s with
+    ``pmod(hash(s), n) == b`` — found by probing Spark's OWN hash
+    (Murmur3, the exact function `repartition(n, col)` partitions by)
+    over a tiny `spark.range`. Tagging each row group with its
+    bucket's seed and repartitioning on the seed column places every
+    group in ITS OWN task deterministically: no hash collisions, so a
+    rewrite planned as Σ groups tasks writes EXACTLY one file per
+    group. Cost: one driver-side job over ~8n rows (coupon-collector
+    bound; the loop extends the probe range for stragglers) — noise
+    next to the terabytes the rewrite moves."""
+    seeds: dict[int, int] = {}
+    start, step = 0, max(8 * n, 1024)
+    while len(seeds) < n:
+        batch = (
+            spark.range(start, start + step)
+            .select(
+                F.col("id"),
+                F.pmod(F.hash("id"), F.lit(n)).alias("b"),
+            )
+            .groupBy("b")
+            .agg(F.min("id").alias("s"))
+            .collect()
+        )
+        for r in batch:
+            seeds.setdefault(int(r["b"]), int(r["s"]))
+        start += step
+    return seeds
+
+
+def _partition_key_expr(pcols: Sequence[str]):
+    """Row-side partition key rendered EXACTLY like the manifest's
+    directory-derived partition_values (Spark's string cast is the
+    directory form for every partitionable primitive; NULL is the
+    Hive sentinel), joined with a separator no partition value
+    contains ('/' is illegal in directory-encoded values)."""
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(
+                F.col(c).cast("string"),
+                F.lit("__HIVE_DEFAULT_PARTITION__"),
+            )
+            for c in pcols
+        ],
+    )
+
+
+def _group_counts(
+    snap: Snapshot,
     path: str,
-    target_files: int = 1,
+    rels: Sequence[str],
+    target_files: int,
+    target_bytes: int | None,
+) -> dict[tuple, int]:
+    """Per-partition output-file counts for a rewrite of ``rels``:
+    ``target_files`` per partition, or ⌈partition_bytes/target_bytes⌉
+    when ``target_bytes`` is set (sizes from the manifest, one
+    os.stat fallback per pre-r9 file lacking the ``bytes`` field)."""
+    sizes: dict[tuple, int] = {}
+    for rel in rels:
+        meta = snap.files[rel]
+        key = tuple(
+            meta["partition_values"].get(c) for c in snap.partition_cols
+        )
+        b = meta.get("bytes")
+        if b is None:
+            try:
+                b = os.stat(os.path.join(path, rel)).st_size
+            except OSError:
+                b = 0
+        sizes[key] = sizes.get(key, 0) + b
+    if target_bytes:
+        return {
+            k: max(1, math.ceil(b / target_bytes))
+            for k, b in sizes.items()
+        }
+    return {k: max(1, target_files) for k in sizes}
+
+
+def _compaction_layout(
+    spark: SparkSession,
+    df: DataFrame,
+    pcols: Sequence[str],
+    counts: dict[tuple, int],
     zorder_by: Sequence[str] | None = None,
     zorder_bits: int = 12,
-) -> int:
-    """Rewrite the live file set into ``target_files`` per partition
-    (metadata swap — row content identical, old versions still
-    resolve). The anti-small-files maintenance a streaming-append
-    table needs; also folds the read path's per-commit union back to
-    one group.
+) -> DataFrame:
+    """Shuffle the rewrite's rows into Σ group tasks — the write
+    topology that scales with BYTES REWRITTEN, never a single task
+    (the r8 scale defect: ``repartition(target_files, pcols)`` capped
+    the whole rewrite at ``target_files`` tasks, default ONE).
 
-    With ``zorder_by``, the rewrite clusters rows along the Morton
-    curve of those (numeric) columns — `layout.zorder_layout` over
-    min/max-bucketed dimensions — so the per-file zone maps recorded
-    at commit time become SELECTIVE on every listed column and
-    ``read_table(skip=...)`` prunes files on non-partition
-    predicates. The OPTIMIZE ZORDER maintenance verb, as a metadata
-    swap."""
-    snap = _fold(path)
-    df = read_table(spark, path, version=snap.version)
+    Plain path: each row takes a group number (whole-row hash mod its
+    partition's count), the (partition, group) pair maps to a global
+    group id, and an identity-seed column (:func:`_identity_seeds`)
+    places each group in its own task EXACTLY — so per-partition
+    output file counts honor the plan, not a hash-collision
+    approximation. Partition→count routing rides one broadcast join
+    (|partitions| rows), never a plan-bloating map literal.
+
+    Z-order path: one `repartitionByRange` on (partition cols, Morton
+    key) with Σ groups tasks + a within-task sort — range sampling
+    byte-balances the files, each file covers a contiguous curve
+    segment of ONE partition, and the zone maps recorded at commit
+    become selective on every listed dimension (Delta's OPTIMIZE
+    ZORDER topology). File counts per partition are then
+    sampling-proportional rather than exact — clustering is the verb.
+    """
+    total = int(sum(counts.values()))
     if zorder_by:
         from bi_utils_spark.operators.layout import (
             minmax_bucket,
-            zorder_layout,
+            zorder_key,
         )
 
         bounds = df.agg(
@@ -1034,18 +1243,115 @@ def compact_table(
             )
             for c in zorder_by
         ]
-        df = zorder_layout(
-            df, bucketed, bits=zorder_bits, num_partitions=target_files
+        keyed = df.withColumn("__z", zorder_key(bucketed, zorder_bits))
+        parts = [F.col(c) for c in pcols] + [F.col("__z")]
+        return (
+            keyed.repartitionByRange(max(total, 1), *parts)
+            .sortWithinPartitions(*parts)
+            .drop("__z")
         )
-    elif snap.partition_cols:
-        df = df.repartition(
-            target_files, *[F.col(c) for c in snap.partition_cols]
+    if total <= 1:
+        return df.coalesce(1)
+    offsets: dict[tuple, int] = {}
+    acc = 0
+    for key in sorted(counts, key=lambda t: tuple(map(str, t))):
+        offsets[key] = acc
+        acc += counts[key]
+    plan_df = spark.createDataFrame(
+        [
+            (
+                "\x1f".join(
+                    "__HIVE_DEFAULT_PARTITION__" if v is None else v
+                    for v in key
+                ),
+                counts[key],
+                offsets[key],
+            )
+            for key in counts
+        ],
+        "__pk string, __n long, __off long",
+    )
+    seeds = _identity_seeds(spark, total)
+    seed_df = spark.createDataFrame(
+        sorted(seeds.items()), "__gid long, __seed long"
+    )
+    data_cols = [c for c in df.columns if c not in pcols]
+    grp_hash = (
+        F.xxhash64(*[F.col(c) for c in data_cols])
+        if data_cols
+        else F.lit(0).cast("long")
+    )
+    # LEFT joins: a plan miss can never DROP rows; the guard inside
+    # the shuffle key (not a pruned side column) makes a manifest/row
+    # rendering divergence fail loudly instead of silently misplacing
+    # a file
+    guarded_seed = F.when(
+        F.col("__seed").isNotNull(), F.col("__seed")
+    ).otherwise(
+        F.assert_true(
+            F.col("__seed").isNotNull(),
+            F.concat(
+                F.lit(
+                    "compaction: partition key not in plan "
+                    "(manifest/row rendering diverged): "
+                ),
+                F.col("__pk"),
+            ),
+        ).cast("long")
+    )
+    out = (
+        df.withColumn("__pk", _partition_key_expr(pcols))
+        .join(F.broadcast(plan_df), "__pk", "left")
+        .withColumn(
+            "__gid", F.col("__off") + F.pmod(grp_hash, F.col("__n"))
         )
-    else:
-        df = df.coalesce(target_files)
+        .join(F.broadcast(seed_df), "__gid", "left")
+        .repartition(total, guarded_seed)
+        .drop("__pk", "__n", "__off", "__gid", "__seed")
+    )
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    target_bytes: int | None = None,
+    zorder_by: Sequence[str] | None = None,
+    zorder_bits: int = 12,
+) -> int:
+    """Rewrite the live file set into ``target_files`` files PER
+    PARTITION — or ⌈partition_bytes/target_bytes⌉ when
+    ``target_bytes`` is set, the byte-sized production form
+    (metadata swap — row content identical, old versions still
+    resolve). The anti-small-files maintenance a streaming-append
+    table needs; also folds the read path's per-commit union back to
+    one group. The rewrite runs as Σ per-partition groups tasks
+    (:func:`_compaction_layout`) — task count scales with the bytes
+    rewritten, and each output file gets its own task.
+
+    With ``zorder_by``, the rewrite clusters rows along the Morton
+    curve of those (numeric) columns so the per-file zone maps
+    recorded at commit time become SELECTIVE on every listed column
+    and ``read_table(skip=...)`` prunes files on non-partition
+    predicates. The OPTIMIZE ZORDER maintenance verb, as a metadata
+    swap."""
+    snap = _fold(path)
+    df = read_table(spark, path, version=snap.version)
+    counts = _group_counts(
+        snap, path, list(snap.files), target_files, target_bytes
+    )
+    df = _compaction_layout(
+        spark, df, snap.partition_cols, counts, zorder_by, zorder_bits
+    )
     added = _stage(df, path, snap.partition_cols)
     return _rewrite_commit(
-        path, snap.version, "compact", added, sorted(snap.files)
+        path,
+        snap.version,
+        "compact",
+        added,
+        sorted(snap.files),
+        conflict="files",
     )
 
 
@@ -1085,6 +1391,9 @@ def compact_partitions(
     path: str,
     max_files: int = 8,
     target_files: int = 1,
+    target_bytes: int | None = None,
+    zorder_by: Sequence[str] | None = None,
+    zorder_bits: int = 12,
 ) -> int | None:
     """Partition-scoped small-file compaction — the OPTIMIZE WHERE
     form: rewrite ONLY partitions whose live file count exceeds
@@ -1098,7 +1407,21 @@ def compact_partitions(
     manifest metadata (no listing, no data read). Returns the new
     version, or None when no partition qualifies (nothing commits).
     Old versions stay time-travel-readable until vacuum, as with any
-    rewrite."""
+    rewrite.
+
+    ``target_files`` is PER PARTITION (``target_bytes`` sizes the
+    counts from manifest bytes instead); the rewrite runs as Σ
+    groups tasks via :func:`_compaction_layout`, so the nightly verb
+    scales with the fragmented bytes, never a single task.
+    ``zorder_by`` curve-clusters the rewritten partitions — the
+    OPTIMIZE WHERE ZORDER form a streaming table needs to keep its
+    HOT partitions skippable without a full-table rewrite.
+
+    An interleaved APPEND no longer aborts the rewrite: the commit
+    rebases when every interleaved commit's file footprint is
+    disjoint from the rewritten set (``conflict="files"`` — an
+    appended file in a compacted partition simply stays live beside
+    the compacted output)."""
     snap = _fold(path)
     groups: dict[tuple, list[str]] = {}
     for rel, meta in snap.files.items():
@@ -1116,15 +1439,18 @@ def compact_partitions(
     df = _read_files(
         spark, path, {rel: snap.files[rel] for rel in removed}, schema
     )
-    if snap.partition_cols:
-        df = df.repartition(
-            target_files, *[F.col(c) for c in snap.partition_cols]
-        )
-    else:
-        df = df.coalesce(target_files)
+    counts = _group_counts(snap, path, removed, target_files, target_bytes)
+    df = _compaction_layout(
+        spark, df, snap.partition_cols, counts, zorder_by, zorder_bits
+    )
     added = _stage(df, path, snap.partition_cols)
     return _rewrite_commit(
-        path, snap.version, "compact", added, sorted(removed)
+        path,
+        snap.version,
+        "compact",
+        added,
+        sorted(removed),
+        conflict="files",
     )
 
 
@@ -1133,6 +1459,8 @@ def maintain_table(
     path: str,
     max_files: int = 8,
     target_files: int = 1,
+    target_bytes: int | None = None,
+    zorder_by: Sequence[str] | None = None,
     retain_versions: int = 2,
     retain_hours: float | None = None,
     bloom_cols: Sequence[str] | None = None,
@@ -1178,7 +1506,12 @@ def maintain_table(
     else:
         try:
             compacted = compact_partitions(
-                spark, path, max_files=max_files, target_files=target_files
+                spark,
+                path,
+                max_files=max_files,
+                target_files=target_files,
+                target_bytes=target_bytes,
+                zorder_by=zorder_by,
             )
         except ConcurrentWriteError:
             raced = True  # a writer committed mid-rewrite; next run retries
@@ -1339,6 +1672,7 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
             "commit_dir": meta["commit_dir"],
             "partition_values": meta["partition_values"],
             "stats": meta.get("stats", {}),
+            "bytes": meta.get("bytes"),
         }
         for rel, meta in snap_old.files.items()
     ]

@@ -1369,9 +1369,13 @@ def test_maintain_table_survives_compaction_race_and_unpartitioned(
     orig_claim = tx._claim
 
     def racing_claim(p, version, payload):
+        # a GENUINE conflict: the racing merge rewrites (removes) the
+        # very files the compaction is folding — disjoint-footprint
+        # races rebase since r9, so only an overlapping rewrite still
+        # records compaction_raced
         if payload.get("action") == "compact" and not state["raced"]:
             state["raced"] = True
-            tx.append_table(mk(99), p)
+            tx.merge_tx_table(spark, p, mk(99), ["k"])
         return orig_claim(p, version, payload)
 
     monkeypatch.setattr(tx, "_claim", racing_claim)
@@ -1442,3 +1446,251 @@ def test_bloom_sidecar_write_is_atomic(spark, table, monkeypatch):
     # probes still work off the stale-but-valid sidecar
     got = tx.read_table(spark, table, point={"k": 1})
     assert 1 in {r["k"] for r in got.collect()}
+
+
+# ---------------------------------------------------------------------------
+# r9: grouped compaction topology + partition-disjoint rewrite rebase
+# ---------------------------------------------------------------------------
+
+
+def _frag_table(spark, tmp_path, n_parts, files_per_part, name="frag"):
+    """A status-partitioned table with `n_parts` partitions, each
+    fragmented into `files_per_part` single-row commits."""
+    path = str(tmp_path / name)
+    mk = lambda k, s: _rows(spark, (k, s, k * 10))  # noqa: E731
+    tx.create_table(mk(0, "P00"), path, partition_cols=["status"])
+    k = 1
+    for p in range(n_parts):
+        s = f"P{p:02d}"
+        for _ in range(files_per_part - (1 if p == 0 else 0)):
+            tx.append_table(mk(k, s), path)
+            k += 1
+    return path
+
+
+def _files_per_partition(path):
+    snap = tx._fold(path)
+    out = {}
+    for meta in snap.files.values():
+        key = tuple(sorted(meta["partition_values"].items()))
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def test_compact_topology_scales_with_partitions(spark, tmp_path):
+    """The r8 scale defect: the rewrite ran as `target_files` tasks
+    (default ONE) regardless of how much data it moved. Now the
+    shuffle is planned as Σ per-partition groups tasks and
+    `target_files` means files PER PARTITION — exactly (identity-seed
+    placement, not hash-approximate)."""
+    path = _frag_table(spark, tmp_path, n_parts=8, files_per_part=4)
+    before = _files_per_partition(path)
+    assert all(n == 4 for n in before.values()) and len(before) == 8
+
+    # plan-level assertion: the layout the rewrite writes through has
+    # one task per output file — 8 partitions x 2 = 16 tasks
+    snap = tx._fold(path)
+    df = tx.read_table(spark, path)
+    counts = tx._group_counts(snap, path, list(snap.files), 2, None)
+    laid = tx._compaction_layout(spark, df, snap.partition_cols, counts)
+    assert laid.rdd.getNumPartitions() == 16
+
+    v = tx.compact_partitions(spark, path, max_files=2, target_files=2)
+    assert v is not None
+    after = _files_per_partition(path)
+    assert len(after) == 8
+    assert all(n == 2 for n in after.values()), after  # exact, per partition
+    # row content survives the rewrite
+    got = tx.read_table(spark, path)
+    assert got.count() == 32
+    assert {r["k"] for r in got.collect()} == set(range(32))
+
+
+def test_compact_target_bytes_sizes_counts_from_manifest(spark, tmp_path):
+    path = str(tmp_path / "tb")
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        F.lit("D1").alias("status"),
+        (F.col("id") * 7).alias("v"),
+    )
+    tx.create_table(big, path, partition_cols=["status"])
+    for i in range(3):  # fragment
+        tx.append_table(
+            spark.range(20000 + i, 20001 + i).select(
+                F.col("id").alias("k"),
+                F.lit("D1").alias("status"),
+                F.lit(0).cast("long").alias("v"),
+            ),
+            path,
+        )
+    snap = tx._fold(path)
+    part_bytes = sum(m.get("bytes") or 0 for m in snap.files.values())
+    assert part_bytes > 0  # manifest carries file sizes since r9
+    target = part_bytes // 3
+    v = tx.compact_partitions(
+        spark, path, max_files=2, target_bytes=target
+    )
+    assert v is not None
+    import math as _math
+
+    expected = _math.ceil(part_bytes / target)
+    after = _files_per_partition(path)
+    assert sum(after.values()) == expected
+    assert tx.read_table(spark, path).count() == 20003
+
+
+def test_compact_partitions_zorder_clusters_hot_partition(spark, tmp_path):
+    """OPTIMIZE WHERE ZORDER: a fragmented partition whose files each
+    span the whole v-domain (zero zone-map selectivity) compacts into
+    v-clustered files that `read_table(skip=...)` can prune."""
+    path = str(tmp_path / "zc")
+    import random
+
+    rnd = random.Random(7)
+
+    def mk(seed):
+        vals = [(i, "H", rnd.randrange(0, 100000)) for i in range(200)]
+        return spark.createDataFrame(
+            [(seed * 1000 + i, s, v) for i, s, v in vals],
+            "k long, status string, v long",
+        ).coalesce(1)  # one full-domain-span file per commit
+
+    tx.create_table(mk(0), path, partition_cols=["status"])
+    for i in range(1, 6):
+        tx.append_table(mk(i), path)
+    # before: every file spans ~the whole domain -> skip prunes nothing
+    snap0 = tx._fold(path)
+    lo, hi = 0, 5000
+    spanning = [
+        rel
+        for rel, m in snap0.files.items()
+        if tx._zone_overlaps(m, {"v": (lo, hi)})
+    ]
+    assert len(spanning) == len(snap0.files)  # no selectivity
+    v = tx.compact_partitions(
+        spark, path, max_files=2, target_files=4, zorder_by=["v"]
+    )
+    assert v is not None
+    snap1 = tx._fold(path)
+    kept = [
+        rel
+        for rel, m in snap1.files.items()
+        if tx._zone_overlaps(m, {"v": (lo, hi)})
+    ]
+    assert len(snap1.files) >= 3  # clustered output is multi-file
+    assert len(kept) < len(snap1.files)  # zone maps now prune
+    # and the pruned read is result-identical to the full filter
+    a = (
+        tx.read_table(spark, path, skip={"v": (lo, hi)})
+        .where(F.col("v").between(lo, hi))
+        .count()
+    )
+    b = tx.read_table(spark, path).where(F.col("v").between(lo, hi)).count()
+    assert a == b
+
+
+def test_merge_rebases_over_disjoint_partition_merge(spark, tmp_path, monkeypatch):
+    """Two merges into DIFFERENT partitions: the loser re-claims the
+    next slot with the SAME staged files — both commit, no re-merge
+    (stage dir count stays 2), both results land."""
+    path = str(tmp_path / "dj")
+    tx.create_table(
+        _rows(spark, (1, "A", 10), (2, "B", 20)),
+        path,
+        partition_cols=["status"],
+    )
+    orig_claim = tx._claim
+    state = {"interleaved": False}
+
+    def racing_claim(p, version, payload):
+        if payload.get("action") == "merge" and not state["interleaved"]:
+            state["interleaved"] = True
+            # merge B lands first, into partition B only
+            tx.merge_tx_table(
+                spark, p, _rows(spark, (2, "B", 99)), ["k"], now=_now()
+            )
+        return orig_claim(p, version, payload)
+
+    monkeypatch.setattr(tx, "_claim", racing_claim)
+    n_dirs_before = len(os.listdir(os.path.join(path, "data")))
+    # merge A: partition A only; its claim races against merge B
+    v = tx.merge_tx_table(
+        spark, path, _rows(spark, (1, "A", 77)), ["k"], now=_now()
+    )
+    monkeypatch.setattr(tx, "_claim", orig_claim)
+    n_dirs_after = len(os.listdir(os.path.join(path, "data")))
+    assert n_dirs_after - n_dirs_before == 2  # each merge staged ONCE
+    assert v == 2  # v1 = B's merge; A's rebase claimed the next slot
+    d = _as_dict(tx.read_table(spark, path))
+    assert d[1] == ("A", 77) and d[2] == ("B", 99)
+    # and the log shows both merges as separate commits
+    hist = {r["version"]: r["action"] for r in tx.table_history(spark, path).collect()}
+    assert list(hist.values()).count("merge") == 2
+
+
+def test_merge_overlapping_partition_race_still_raises(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "ov")
+    tx.create_table(
+        _rows(spark, (1, "A", 10), (2, "B", 20)),
+        path,
+        partition_cols=["status"],
+    )
+    orig_claim = tx._claim
+    state = {"interleaved": False}
+
+    def racing_claim(p, version, payload):
+        if payload.get("action") == "merge" and not state["interleaved"]:
+            state["interleaved"] = True
+            tx.merge_tx_table(
+                spark, p, _rows(spark, (3, "A", 30)), ["k"], now=_now()
+            )
+        return orig_claim(p, version, payload)
+
+    monkeypatch.setattr(tx, "_claim", racing_claim)
+    with pytest.raises(tx.ConcurrentWriteError):
+        tx.merge_tx_table(
+            spark, path, _rows(spark, (1, "A", 77)), ["k"], now=_now()
+        )
+
+
+def test_compact_rebases_over_interleaved_append(spark, tmp_path, monkeypatch):
+    """An append racing a compaction is NOT a conflict: the appended
+    file stays live beside the compacted output (the fold composes
+    both), and the compaction's staged files commit unchanged."""
+    path = _frag_table(spark, tmp_path, n_parts=2, files_per_part=4, name="ra")
+    orig_claim = tx._claim
+    state = {"interleaved": False}
+
+    def racing_claim(p, version, payload):
+        if payload.get("action") == "compact" and not state["interleaved"]:
+            state["interleaved"] = True
+            tx.append_table(_rows(spark, (500, "P00", 5000)), p)
+        return orig_claim(p, version, payload)
+
+    monkeypatch.setattr(tx, "_claim", racing_claim)
+    v = tx.compact_partitions(spark, path, max_files=2, target_files=1)
+    assert v is not None  # no ConcurrentWriteError
+    got = tx.read_table(spark, path)
+    assert got.count() == 9  # 8 original rows + the racing append
+    assert 500 in {r["k"] for r in got.collect()}
+    per = _files_per_partition(path)
+    # P00: 1 compacted + 1 appended-after-snapshot; P01: 1 compacted
+    assert per[(("status", "P00"),)] == 2
+    assert per[(("status", "P01"),)] == 1
+
+
+def test_merge_source_partition_bound_guard(spark, table):
+    src = _rows(spark, (1, "A", 1), (2, "B", 2), (3, "C", 3))
+    path = str(table) + "_bound"
+    tx.create_table(
+        _rows(spark, (1, "A", 10)), path, partition_cols=["status"]
+    )
+    with pytest.raises(ValueError, match="distinct partitions"):
+        tx.merge_tx_table(
+            spark, path, src, ["k"], now=_now(), max_source_partitions=2
+        )
+    # at or under the bound: merges fine
+    v = tx.merge_tx_table(
+        spark, path, src, ["k"], now=_now(), max_source_partitions=3
+    )
+    assert v == 1
