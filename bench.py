@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "q_tx_skip",
     "q_tx_point",
     "q_tx_compact",
+    # r9: row-level change feed across the rewriting arc
+    "q_tx_cdf",
     "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

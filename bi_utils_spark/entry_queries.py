@@ -10145,6 +10145,86 @@ def q_tx_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _tx_cdf_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF CDF-arc fixture (idempotent): v0 create (k%5>=2,
+    status-partitioned) -> v1 append (k%5=1) -> v2 merge carrying all
+    three clause kinds at once — updates (k%10=1, cents doubled),
+    inserts (k%5=0 into the new 'N' partition), and deletes
+    (k%10=6 via the delete flag)."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_cdf"
+    if tx.latest_version(path) >= 2:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 2), path, partition_cols=["status"]
+        )
+    if tx.latest_version(path) < 1:
+        tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+    if tx.latest_version(path) < 2:
+        src = (
+            rows.where(F.col("k") % 10 == 1)
+            .withColumn("cents", F.col("cents") * 2)
+            .unionByName(
+                rows.where(F.col("k") % 5 == 0).withColumn(
+                    "status", F.lit("N")
+                )
+            )
+            .withColumn("__del", F.lit(False))
+            .unionByName(
+                rows.where(F.col("k") % 10 == 6).withColumn(
+                    "__del", F.lit(True)
+                )
+            )
+        )
+        tx.merge_tx_table(spark, path, src, ["k"], delete_col="__del")
+    return path
+
+
+@register(
+    "q_tx_cdf",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
+    FROM rows0 WHERE k % 5 >= 2
+    UNION ALL
+    SELECT k, status, cents, 'insert', CAST(1 AS BIGINT)
+    FROM rows0 WHERE k % 5 = 1
+    UNION ALL
+    SELECT k, status, cents * 2, 'update_postimage', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 1
+    UNION ALL
+    SELECT k, 'N', cents, 'insert', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 5 = 0
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 6
+    """,
+)
+def q_tx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data feed over REWRITING commits (X110, r9):
+    `table_changes_cdf` replays a create -> append -> merge(+delete)
+    arc as typed change rows — per commit, the removed files are the
+    pre-image and the genuinely-new files the post-image, pk-joined
+    into insert / update_postimage / delete rows (deletes carry the
+    PRE-image payload; rows a rewrite merely MOVED emit nothing).
+    The Delta readChangeFeed analog over the manifest log; the oracle
+    states every commit's net change declaratively, so a green row
+    proves the classification AND the payload of all three change
+    kinds at once. Cost per commit is the commit's own footprint —
+    the feed's steady-state cost tracks the write rate, never the
+    table."""
+    from bi_utils_spark.operators.txtable import table_changes_cdf
+
+    path = _tx_cdf_demo_table(spark, sf_dir)
+    return table_changes_cdf(spark, path, ["k"], after_version=-1).select(
+        "k", "status", "cents", "_change_type", "_commit_version"
+    )
+
+
 def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MERGE wall (bench-only): each repeat resets a
     scratch tx table to its base snapshot via a metadata-only

@@ -2151,6 +2151,236 @@ def table_changes(
     return _read_files(spark, path, added, schema)
 
 
+CDF_TYPE_COL = "_change_type"
+CDF_VERSION_COL = "_commit_version"
+
+
+def _cdf_validate_range(
+    path: str, after_version: int, up_to: int | None
+) -> tuple[int, list[int]]:
+    commits, _ = _list_log(path)
+    if not commits:
+        raise FileNotFoundError(f"no tx table at {path}")
+    hi = commits[-1] if up_to is None else up_to
+    if hi > commits[-1]:
+        raise ValueError(
+            f"cdf: up_to=v{hi} exceeds the latest commit v{commits[-1]}"
+        )
+    if after_version > commits[-1]:
+        raise ValueError(
+            f"cdf: after_version=v{after_version} exceeds the latest "
+            f"commit v{commits[-1]} — a stale or foreign high-water mark"
+        )
+    if up_to is not None and up_to < after_version:
+        raise ValueError(
+            f"cdf: up_to=v{up_to} < after_version=v{after_version} — "
+            "swapped or stale arguments"
+        )
+    cset = set(commits)
+    for v in range(max(after_version, 0), hi + 1):
+        if v not in cset:
+            raise ValueError(
+                f"cdf: commit v{v} is no longer in the log (history "
+                "truncated by forget_keys) — re-baseline the consumer "
+                "from a full read_table snapshot"
+            )
+    return hi, commits
+
+
+def _cdf_commit_rows(
+    spark: SparkSession,
+    path: str,
+    entry: dict,
+    v: int,
+    live: dict,
+    schema: StructType,
+    pks: Sequence[str],
+) -> DataFrame | None:
+    """Typed change rows of ONE commit, given ``live`` = the file map
+    BEFORE it. Appends short-circuit to inserts; rewriting commits
+    join the pre-image (this commit's removed files) against the
+    post-image (its genuinely-new files) on pk. Restore's re-added
+    still-live files are excluded from the post-image, so unchanged
+    rows emit nothing."""
+    added_new = {
+        a["path"]: {
+            "commit_dir": a["commit_dir"],
+            "partition_values": a.get("partition_values", {}),
+        }
+        for a in entry.get("added", [])
+        if a["path"] not in live
+    }
+    removed_live = {p: live[p] for p in entry.get("removed", []) if p in live}
+    data_cols = [f.name for f in schema.fields if f.name not in pks]
+
+    def _typed(df: DataFrame, change: str) -> DataFrame:
+        return df.select(
+            *[F.col(f.name) for f in schema.fields],
+            F.lit(change).alias(CDF_TYPE_COL),
+            F.lit(v).cast("long").alias(CDF_VERSION_COL),
+        )
+
+    if entry["action"] in ("append", "create"):
+        if not added_new:
+            return None
+        return _typed(
+            _read_files(spark, path, added_new, schema), "insert"
+        )
+    pre = (
+        _read_files(spark, path, removed_live, schema)
+        if removed_live
+        else spark.createDataFrame([], schema)
+    )
+    post = (
+        _read_files(spark, path, added_new, schema)
+        if added_new
+        else spark.createDataFrame([], schema)
+    )
+    if data_cols:
+        pre_p = pre.select(
+            *pks, F.struct(*[F.col(c) for c in data_cols]).alias("__pre")
+        )
+        post_p = post.select(
+            *pks, F.struct(*[F.col(c) for c in data_cols]).alias("__post")
+        )
+    else:
+        pre_p = pre.select(*pks, F.lit(1).alias("__pre"))
+        post_p = post.select(*pks, F.lit(1).alias("__post"))
+    j = post_p.join(pre_p, list(pks), "full_outer")
+    ins_keys = j.where(F.col("__pre").isNull()).select(*pks)
+    del_keys = j.where(F.col("__post").isNull()).select(*pks)
+    upd_keys = j.where(
+        F.col("__pre").isNotNull()
+        & F.col("__post").isNotNull()
+        & ~F.col("__pre").eqNullSafe(F.col("__post"))
+    ).select(*pks)
+    parts = [
+        _typed(post.join(ins_keys, list(pks), "left_semi"), "insert"),
+        _typed(
+            post.join(upd_keys, list(pks), "left_semi"),
+            "update_postimage",
+        ),
+        _typed(pre.join(del_keys, list(pks), "left_semi"), "delete"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    path: str,
+    pks: Sequence[str] | str,
+    after_version: int,
+    up_to: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED across commits (after_version,
+    up_to] — the Delta ``readChangeFeed`` analog, and the form that
+    works over REWRITING commits where `table_changes` must refuse:
+    per commit, the removed files are the pre-image and the
+    genuinely-new added files the post-image of exactly the rewritten
+    region, joined on ``pks`` into typed rows — ``insert`` /
+    ``update_postimage`` / ``delete`` (+ every table column) stamped
+    with ``_commit_version``. A compaction emits NOTHING (its
+    pre/post rows are identical); a merge emits exactly its upserts
+    and deletes; ``after_version=-1`` replays history from the
+    create.
+
+    Scale shape: cost per commit is the commit's own footprint (its
+    added + removed files), never the table — the pre/post join
+    shuffles only the rewritten partitions' rows, and append commits
+    skip the join entirely (pure file reads, like `table_changes`).
+    Consumers resume from a persisted version high-water mark, so the
+    steady-state cost tracks the write rate. The per-commit frames
+    union; bound the range for month-long backfills (the driver plan
+    grows linearly with #commits in range).
+
+    Rows are read with the FINAL schema of the range (columns only
+    ever widen; old files null-fill), so one stable schema spans the
+    feed. `table_diff` remains the two-version NET form; this is the
+    per-commit LEDGER."""
+    if isinstance(pks, str):
+        pks = [c.strip() for c in pks.split(",")]
+    hi, _commits = _cdf_validate_range(path, after_version, up_to)
+    final = _fold(path, hi)
+    schema = final.spark_schema()
+    for pk in pks:
+        if pk not in schema.fieldNames():
+            raise ValueError(f"cdf: pk {pk!r} not a table column")
+    live: dict[str, dict] = (
+        dict(_fold(path, after_version).files) if after_version >= 0 else {}
+    )
+    parts: list[DataFrame] = []
+    for v in range(after_version + 1, hi + 1):
+        with open(_commit_file(path, v)) as fh:
+            entry = json.load(fh)
+        df = _cdf_commit_rows(spark, path, entry, v, live, schema, pks)
+        if df is not None:
+            parts.append(df)
+        for p in entry.get("removed", []):
+            live.pop(p, None)
+        for a in entry.get("added", []):
+            live[a["path"]] = {
+                "commit_dir": a["commit_dir"],
+                "partition_values": a.get("partition_values", {}),
+            }
+    if not parts:
+        return spark.createDataFrame([], schema).select(
+            "*",
+            F.lit(None).cast("string").alias(CDF_TYPE_COL),
+            F.lit(None).cast("long").alias(CDF_VERSION_COL),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cdf_apply_batch(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    pks: Sequence[str] | str,
+    app: tuple[str, int] | None = None,
+    **merge_kwargs,
+) -> int | None:
+    """Apply a CDF slice to a DOWNSTREAM tx table so it converges to
+    the upstream snapshot: fold to the NET change per pk (latest
+    ``_commit_version`` wins — a pk inserted at v1 and updated at v3
+    applies once, as the v3 row), then one `merge_tx_table` with the
+    delete clause driven by ``_change_type='delete'``. Idempotent
+    under ``app`` marks — the building block
+    :func:`foreach_batch_cdf_sink` rides."""
+    if isinstance(pks, str):
+        pks = [c.strip() for c in pks.split(",")]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*pks).orderBy(
+        F.col(CDF_VERSION_COL).desc(),
+        # within one commit a pk appears once; tiebreak determinism
+        F.col(CDF_TYPE_COL).desc(),
+    )
+    net = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("__is_delete", F.col(CDF_TYPE_COL) == F.lit("delete"))
+        .drop(CDF_TYPE_COL, CDF_VERSION_COL)
+    )
+    if net.isEmpty():
+        return None
+    return merge_tx_table(
+        spark,
+        target_path,
+        net,
+        pks,
+        delete_col="__is_delete",
+        app=app,
+        **merge_kwargs,
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming: exactly-once foreachBatch sink
 # ---------------------------------------------------------------------------

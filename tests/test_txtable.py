@@ -1694,3 +1694,128 @@ def test_merge_source_partition_bound_guard(spark, table):
         spark, path, src, ["k"], now=_now(), max_source_partitions=3
     )
     assert v == 1
+
+
+# ---------------------------------------------------------------------------
+# r9: row-level change data feed (CDF)
+# ---------------------------------------------------------------------------
+
+
+def _cdf_rows(df):
+    return {
+        (r["k"], r["_change_type"], r["_commit_version"]): (
+            r["status"],
+            r["v"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_cdf_replays_create_append_merge_delete_arc(spark, tmp_path):
+    path = str(tmp_path / "cdf")
+    tx.create_table(
+        _rows(spark, (1, "A", 10), (2, "B", 20)),
+        path,
+        partition_cols=["status"],
+    )
+    tx.append_table(_rows(spark, (3, "A", 30)), path)
+    src = _rows(spark, (1, "A", 11), (4, "B", 40), (3, "A", 0)).withColumn(
+        "__del", F.col("k") == 3
+    )
+    tx.merge_tx_table(
+        spark, path, src, ["k"], now=_now(), delete_col="__del"
+    )
+    got = _cdf_rows(tx.table_changes_cdf(spark, path, ["k"], after_version=-1))
+    assert got == {
+        (1, "insert", 0): ("A", 10),
+        (2, "insert", 0): ("B", 20),
+        (3, "insert", 1): ("A", 30),
+        (1, "update_postimage", 2): ("A", 11),
+        (4, "insert", 2): ("B", 40),
+        (3, "delete", 2): ("A", 30),  # delete carries the PRE-image
+    }
+    # resuming mid-stream sees only the merge's changes
+    tail = _cdf_rows(tx.table_changes_cdf(spark, path, ["k"], after_version=1))
+    assert set(tail) == {
+        (1, "update_postimage", 2),
+        (4, "insert", 2),
+        (3, "delete", 2),
+    }
+
+
+def test_cdf_compaction_and_unchanged_merge_rows_emit_nothing(spark, tmp_path):
+    path = str(tmp_path / "cdfc")
+    tx.create_table(
+        _rows(spark, (1, "A", 10)), path, partition_cols=["status"]
+    )
+    for i in range(2, 5):
+        tx.append_table(_rows(spark, (i, "A", i * 10)), path)
+    v = tx.compact_partitions(spark, path, max_files=2)
+    assert v is not None
+    cdf = tx.table_changes_cdf(spark, path, ["k"], after_version=v - 1, up_to=v)
+    assert cdf.count() == 0  # pure file movement: no row-level change
+    # a merge that rewrites a partition but changes ONE row emits one
+    tx.merge_tx_table(spark, path, _rows(spark, (2, "A", 999)), ["k"], now=_now())
+    tail = _cdf_rows(tx.table_changes_cdf(spark, path, ["k"], after_version=v))
+    assert set(tail) == {(2, "update_postimage", v + 1)}
+
+
+def test_cdf_restore_emits_net_changes_only(spark, tmp_path):
+    path = str(tmp_path / "cdfr")
+    tx.create_table(
+        _rows(spark, (1, "A", 10), (2, "A", 20)), path, partition_cols=["status"]
+    )
+    tx.merge_tx_table(spark, path, _rows(spark, (2, "A", 99)), ["k"], now=_now())
+    v = tx.restore_table(spark, path, 1 - 1)  # back to v0
+    tail = _cdf_rows(tx.table_changes_cdf(spark, path, ["k"], after_version=1))
+    # the restore undoes the update: one update back to the old value;
+    # row 1 (file unchanged between v0 and v2... rewritten partition) —
+    # only genuinely-changed rows appear
+    assert set(tail) == {(2, "update_postimage", v)}
+    assert tail[(2, "update_postimage", v)] == ("A", 20)
+
+
+def test_cdf_validates_bounds_and_truncation(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    with pytest.raises(ValueError, match="exceeds the latest"):
+        tx.table_changes_cdf(spark, table, ["k"], after_version=0, up_to=9)
+    with pytest.raises(ValueError, match="swapped or stale"):
+        tx.table_changes_cdf(spark, table, ["k"], after_version=1, up_to=0)
+    with pytest.raises(ValueError, match="not a table column"):
+        tx.table_changes_cdf(spark, table, ["nope"], after_version=0)
+
+
+def test_cdf_schema_evolution_null_fills_old_commits(spark, tmp_path):
+    path = str(tmp_path / "cdfw")
+    tx.create_table(_rows(spark, (1, "A", 10)), path)
+    widened = spark.createDataFrame(
+        [(2, "B", 20, "x")], "k int, status string, v long, extra string"
+    )
+    tx.append_table(widened, path)
+    cdf = tx.table_changes_cdf(spark, path, ["k"], after_version=-1)
+    rows = {r["k"]: (r["extra"], r["_change_type"]) for r in cdf.collect()}
+    assert rows == {1: (None, "insert"), 2: ("x", "insert")}
+
+
+def test_cdf_apply_batch_converges_downstream(spark, tmp_path):
+    up = str(tmp_path / "up")
+    down = str(tmp_path / "down")
+    tx.create_table(
+        _rows(spark, (1, "A", 10), (2, "B", 20)), up, partition_cols=["status"]
+    )
+    tx.create_table(
+        tx.read_table(spark, up).limit(0), down, partition_cols=["status"]
+    )
+    tx.append_table(_rows(spark, (3, "A", 30)), up)
+    src = _rows(spark, (1, "A", 11), (3, "A", 0)).withColumn(
+        "__del", F.col("k") == 3
+    )
+    tx.merge_tx_table(spark, up, src, ["k"], now=_now(), delete_col="__del")
+    changes = tx.table_changes_cdf(spark, up, ["k"], after_version=-1)
+    tx.cdf_apply_batch(spark, down, changes, ["k"], now=_now())
+    assert _as_dict(tx.read_table(spark, down)) == _as_dict(
+        tx.read_table(spark, up)
+    )
+    # net-effect fold: k=3 was inserted at v1 then deleted at v2 ->
+    # absent downstream (the delete won, not the stale insert)
+    assert 3 not in _as_dict(tx.read_table(spark, down))
