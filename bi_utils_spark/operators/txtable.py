@@ -2461,3 +2461,41 @@ def foreach_batch_merge_sink(
                     raise
 
     return _sink
+
+
+def foreach_batch_cdf_sink(
+    path: str,
+    pks: Sequence[str] | str,
+    app_id: str,
+    max_retries: int = 5,
+    **merge_kwargs,
+):
+    """An exactly-once `foreachBatch` sink for a CHANGE-FEED stream
+    (`readStream.format("txtable").option("changeFeed", "true")`):
+    each micro-batch of typed change rows folds to its net effect per
+    pk and applies via :func:`cdf_apply_batch` — inserts/updates
+    upsert, deletes delete — stamped with (app_id, batch_id) so a
+    redelivered batch is a no-op. The downstream table CONVERGES to
+    the upstream's live snapshot, merges and all: the replication
+    half of the Delta CDF pattern, end-to-end over the manifest
+    log."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for attempt in range(max_retries + 1):
+            try:
+                cdf_apply_batch(
+                    batch_df.sparkSession,
+                    path,
+                    batch_df,
+                    pks,
+                    app=(app_id, int(batch_id)),
+                    **merge_kwargs,
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+
+    return _sink

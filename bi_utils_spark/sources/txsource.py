@@ -17,7 +17,14 @@ Rewriting commits (merge/overwrite/compact) are NOT append deltas: by
 default the stream FAILS on one (silent double-counting of moved rows
 is corruption), ``skipRewrites=true`` opts into skipping them (the
 Delta ``ignoreChanges`` analog — downstream must tolerate missing
-row-level updates; `table_diff` is the row-level form).
+row-level updates). ``changeFeed=true`` (+ ``pks``) is the FULL
+answer (r9): every commit — appends AND rewrites — streams as typed
+row-level change rows (insert / update_postimage / delete +
+``_commit_version``), computed per micro-batch from the commit's
+pre-image (removed files) vs post-image (added files); pair with
+`txtable.foreach_batch_cdf_sink` for an exactly-once replica that
+converges to the upstream snapshot. The batch pole of the same feed
+is `txtable.table_changes_cdf`.
 
 Scale notes: offset math and file listing are O(commits in range)
 driver-side JSON; row I/O happens in executors, one task per delta
@@ -132,6 +139,32 @@ class TxBatchReader(DataSourceReader):
         )
 
 
+CDF_TYPE_COL = "_change_type"
+CDF_VERSION_COL = "_commit_version"
+
+
+class TxCdfPartition(InputPartition):
+    """One commit's change rows: ``pre`` = the files it removed (with
+    their partition values from the pre-commit live set), ``post`` =
+    the files it genuinely added. Appends ship one partition PER
+    ADDED FILE (pre empty — pure inserts, full scan parallelism);
+    rewriting commits ship ONE partition per commit, because the
+    pre/post pk-join needs both images together. The task therefore
+    holds one commit's footprint in memory — CDC-sized commits by
+    contract; bulk backfills use `txtable.table_changes_cdf`, whose
+    join is distributed."""
+
+    def __init__(
+        self,
+        version: int,
+        pre: list[tuple[str, dict]],
+        post: list[tuple[str, dict]],
+    ) -> None:
+        self.version = version
+        self.pre = pre
+        self.post = post
+
+
 class TxStreamReader(DataSourceStreamReader):
     """Micro-batch reader: offset = {"version": last consumed}."""
 
@@ -142,6 +175,40 @@ class TxStreamReader(DataSourceStreamReader):
         self._skip_rewrites = (
             str(options.get("skipRewrites", "false")).lower() == "true"
         )
+        self._change_feed = (
+            str(options.get("changeFeed", "false")).lower() == "true"
+        )
+        if self._change_feed:
+            if self._skip_rewrites:
+                raise ValueError(
+                    "txtable stream: changeFeed already consumes "
+                    "rewrites row-level; skipRewrites conflicts"
+                )
+            pks = options.get("pks")
+            if not pks:
+                raise ValueError(
+                    "txtable stream: changeFeed=true requires "
+                    'option("pks", "col1,col2") — the pre/post join key'
+                )
+            self._pks = [c.strip() for c in str(pks).split(",")]
+            # the TABLE schema (change columns stripped) drives file
+            # reads; the two feed columns are appended per row
+            self._table_schema = StructType(
+                [
+                    f
+                    for f in schema.fields
+                    if f.name not in (CDF_TYPE_COL, CDF_VERSION_COL)
+                ]
+            )
+            missing = [
+                c
+                for c in self._pks
+                if c not in self._table_schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"txtable stream: pk(s) {missing} not table columns"
+                )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -175,10 +242,85 @@ class TxStreamReader(DataSourceStreamReader):
                 )
         return parts
 
+    def _cdf_partitions(
+        self, after: int, up_to: int
+    ) -> list[TxCdfPartition]:
+        """Deterministic replay: the live-file map folds from the
+        immutable log, so any offset range always yields the same
+        pre/post images (the recovery contract). Driver cost is
+        O(commits in range) JSON reads — same as the append path."""
+        live: dict[str, dict] = (
+            dict(tx._fold(self._path, after).files) if after >= 0 else {}
+        )
+        parts: list[TxCdfPartition] = []
+        for v in range(after + 1, up_to + 1):
+            with open(tx._commit_file(self._path, v)) as fh:
+                entry = json.load(fh)
+            added_new = [
+                (
+                    os.path.join(self._path, a["path"]),
+                    a.get("partition_values", {}),
+                )
+                for a in entry.get("added", [])
+                if a["path"] not in live
+            ]
+            removed_live = [
+                (
+                    os.path.join(self._path, p),
+                    live[p]["partition_values"],
+                )
+                for p in entry.get("removed", [])
+                if p in live
+            ]
+            if entry["action"] in ("append", "create"):
+                parts.extend(
+                    TxCdfPartition(v, [], [f]) for f in added_new
+                )
+            elif added_new or removed_live:
+                parts.append(TxCdfPartition(v, removed_live, added_new))
+            for p in entry.get("removed", []):
+                live.pop(p, None)
+            for a in entry.get("added", []):
+                live[a["path"]] = {
+                    "commit_dir": a["commit_dir"],
+                    "partition_values": a.get("partition_values", {}),
+                }
+        return parts
+
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        if self._change_feed:
+            return self._cdf_partitions(
+                int(start["version"]), int(end["version"])
+            )
         return self._delta_files(int(start["version"]), int(end["version"]))
 
-    def read(self, partition: TxFilePartition) -> Iterator[tuple]:
+    def _read_cdf(self, partition: TxCdfPartition) -> Iterator[tuple]:
+        schema = self._table_schema
+        pk_idx = [schema.fieldNames().index(c) for c in self._pks]
+
+        def _keyed(files) -> dict[tuple, tuple]:
+            out: dict[tuple, tuple] = {}
+            for fp, pvals in files:
+                for row in _read_file_rows(fp, pvals, schema):
+                    out[tuple(row[i] for i in pk_idx)] = row
+            return out
+
+        post = _keyed(partition.post)
+        pre = _keyed(partition.pre) if partition.pre else {}
+        v = partition.version
+        for key, row in post.items():
+            old = pre.get(key)
+            if old is None:
+                yield (*row, "insert", v)
+            elif old != row:
+                yield (*row, "update_postimage", v)
+        for key, row in pre.items():
+            if key not in post:
+                yield (*row, "delete", v)
+
+    def read(self, partition) -> Iterator[tuple]:
+        if self._change_feed:
+            return self._read_cdf(partition)
         return _read_file_rows(
             partition.file_path, partition.partition_values, self._schema
         )
@@ -199,8 +341,19 @@ class TxTableDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField
+
         snap = tx._fold(self.options["path"])
-        return snap.spark_schema()
+        base = snap.spark_schema()
+        if str(self.options.get("changeFeed", "false")).lower() == "true":
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField(CDF_TYPE_COL, StringType()),
+                    StructField(CDF_VERSION_COL, LongType()),
+                ]
+            )
+        return base
 
     def reader(self, schema: StructType) -> TxBatchReader:
         return TxBatchReader(schema, self.options)

@@ -219,3 +219,118 @@ def test_batch_read_timestamp_and_decimal_partitions(spark, tmp_path):
     ).collect()[0]
     assert row["ts"] == dt.datetime(2024, 1, 1, 12, 30)
     assert row["amt"] == Decimal("9.50")
+
+
+# ---------------------------------------------------------------------------
+# r9: change-feed streaming
+# ---------------------------------------------------------------------------
+
+
+def _cdf_arc(spark, path):
+    tx.create_table(
+        _rows(spark, (1, "A", 10), (2, "B", 20)), path, partition_cols=["status"]
+    )
+    tx.append_table(_rows(spark, (3, "A", 30)), path)
+    src = _rows(spark, (1, "A", 11), (4, "B", 40), (3, "A", 0)).withColumn(
+        "__del", F.col("k") == 3
+    )
+    tx.merge_tx_table(spark, path, src, ["k"], delete_col="__del")
+
+
+def test_stream_change_feed_emits_typed_rows(spark, tmp_path):
+    path = str(tmp_path / "cf")
+    ckpt = str(tmp_path / "cf_ckpt")
+    _cdf_arc(spark, path)
+    stream = (
+        spark.readStream.format("txtable")
+        .option("path", path)
+        .option("changeFeed", "true")
+        .option("pks", "k")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cfstream")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"]): (r["status"], r["v"])
+        for r in spark.sql("SELECT * FROM cfstream").collect()
+    }
+    assert got == {
+        (1, "insert", 0): ("A", 10),
+        (2, "insert", 0): ("B", 20),
+        (3, "insert", 1): ("A", 30),
+        (1, "update_postimage", 2): ("A", 11),
+        (4, "insert", 2): ("B", 40),
+        (3, "delete", 2): ("A", 30),
+    }
+
+
+def test_stream_change_feed_requires_pks_rejects_skip(spark, tmp_path):
+    path = str(tmp_path / "cfbad")
+    tx.create_table(_rows(spark, (1, "A", 10)), path)
+    with pytest.raises(Exception, match="pks"):
+        (
+            spark.readStream.format("txtable")
+            .option("path", path)
+            .option("changeFeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cfbad1")
+            .option("checkpointLocation", str(tmp_path / "c1"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+
+
+def test_stream_cdf_replicates_merging_table_exactly_once(spark, tmp_path):
+    """The medallion form over an UPSERTING upstream: the change-feed
+    stream + foreach_batch_cdf_sink converge a downstream tx table to
+    the upstream live snapshot across merges and deletes; restarting
+    the stream (same checkpoint) re-delivers nothing, and new
+    upstream commits flow through the same checkpoint."""
+    up = str(tmp_path / "cfu")
+    down = str(tmp_path / "cfd")
+    ckpt = str(tmp_path / "cfu_ckpt")
+    _cdf_arc(spark, up)
+    tx.create_table(
+        tx.read_table(spark, up).limit(0), down, partition_cols=["status"]
+    )
+    sink = tx.foreach_batch_cdf_sink(down, ["k"], app_id="cf-repl")
+
+    def run_once():
+        q = (
+            spark.readStream.format("txtable")
+            .option("path", up)
+            .option("changeFeed", "true")
+            .option("pks", "k")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert _as_dict(tx.read_table(spark, down)) == _as_dict(
+        tx.read_table(spark, up)
+    )
+    v_after = tx.latest_version(down)
+    run_once()  # restart: no new upstream commits -> downstream untouched
+    assert tx.latest_version(down) == v_after
+    # more upstream churn: another merge (update + delete) flows through
+    src2 = _rows(spark, (4, "B", 41), (1, "A", 0)).withColumn(
+        "__del", F.col("k") == 1
+    )
+    tx.merge_tx_table(spark, up, src2, ["k"], delete_col="__del")
+    run_once()
+    assert _as_dict(tx.read_table(spark, down)) == _as_dict(
+        tx.read_table(spark, up)
+    )
+    assert 1 not in _as_dict(tx.read_table(spark, down))
