@@ -1688,6 +1688,76 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
     )
 
 
+MANIFEST_DIR = "_symlink_format_manifest"
+
+# the character set Hive/Spark percent-escape in partition directory
+# names (escapePathName): control chars, path/URI specials, '%' itself
+_HIVE_UNSAFE = (
+    {chr(c) for c in range(0x20)}
+    | set('"#%\'*/:=?\\{[]^')
+    | {chr(0x7F)}
+)
+
+
+def _escape_pv_dir(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_UNSAFE else ch for ch in value
+    )
+
+
+def write_symlink_manifest(
+    path: str, version: int | None = None
+) -> dict:
+    """Export the live snapshot's file list in the Hive
+    SYMLINK-MANIFEST format (the Delta ``GENERATE
+    symlink_format_manifest`` analog): one text file per partition at
+    ``<path>/_symlink_format_manifest/<pcol>=<v>/.../manifest``, each
+    line the absolute ``file://`` URI of a live data file. External
+    engines (Trino/Presto via SymlinkTextInputFormat, DuckDB/Athena
+    via the file lists) then read a CONSISTENT snapshot without
+    understanding the commit log — the interop escape hatch for the
+    one engine in the stack that speaks only paths.
+
+    The whole tree is rebuilt per call (stale partition dirs from
+    earlier exports are removed first) and each manifest file is
+    written tmp+rename, so a concurrent external reader sees either
+    the old or the new list, never a torn one. The export is a
+    SNAPSHOT, not a subscription: re-run after commits (nightly, next
+    to `maintain_table`), and keep `vacuum_table`'s retention longer
+    than the export cadence so a manifest's files outlive it.
+    Returns {"manifest_dir", "n_partitions", "n_files", "version"}.
+    """
+    import shutil
+
+    snap = _fold(path, version)
+    root = os.path.join(path, MANIFEST_DIR)
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    groups: dict[str, list[str]] = {}
+    for rel, meta in snap.files.items():
+        segs = [
+            f"{c}={_escape_pv_dir(str(meta['partition_values'].get(c)))}"
+            for c in snap.partition_cols
+        ]
+        d = os.path.join(root, *segs) if segs else root
+        uri = "file://" + os.path.abspath(os.path.join(path, rel))
+        groups.setdefault(d, []).append(uri)
+    n_files = 0
+    for d, uris in groups.items():
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".manifest.tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(uris)) + "\n")
+        os.replace(tmp, os.path.join(d, "manifest"))
+        n_files += len(uris)
+    return {
+        "manifest_dir": root,
+        "n_partitions": len(groups) if snap.partition_cols else 0,
+        "n_files": n_files,
+        "version": snap.version,
+    }
+
+
 def table_file_report(spark: SparkSession, path: str) -> DataFrame:
     """Per-partition live-file inventory (n_files, bytes, avg file
     size) — the probe that decides WHEN to compact, straight from the

@@ -1819,3 +1819,57 @@ def test_cdf_apply_batch_converges_downstream(spark, tmp_path):
     # net-effect fold: k=3 was inserted at v1 then deleted at v2 ->
     # absent downstream (the delete won, not the stale insert)
     assert 3 not in _as_dict(tx.read_table(spark, down))
+
+
+def test_symlink_manifest_external_engine_reads_snapshot(spark, tmp_path):
+    """The interop contract: an engine that only understands file
+    lists (DuckDB here) reads the manifest'd snapshot and matches
+    read_table row-for-row — across appends, a merge, and a stale
+    re-export."""
+    import duckdb
+
+    path = str(tmp_path / "sm")
+    tx.create_table(
+        _rows(spark, (1, "A", 10), (2, "B", 20)), path, partition_cols=["status"]
+    )
+    tx.append_table(_rows(spark, (3, "A", 30)), path)
+    tx.merge_tx_table(
+        spark, path, _rows(spark, (2, "B", 99), (4, "N", 40)), ["k"], now=_now()
+    )
+    rep = tx.write_symlink_manifest(path)
+    assert rep["n_partitions"] == 3  # A, B, N
+    files = []
+    for root, _dirs, names in os.walk(rep["manifest_dir"]):
+        for n in names:
+            if n == "manifest":
+                with open(os.path.join(root, n)) as fh:
+                    files += [
+                        ln[len("file://"):]
+                        for ln in fh.read().splitlines()
+                        if ln
+                    ]
+    assert rep["n_files"] == len(files)
+    got = duckdb.sql(
+        "SELECT k, status, v FROM read_parquet(?, hive_partitioning=true)",
+        params=[files],
+    ).fetchall()
+    assert {(k, s, v) for k, s, v in got} == {
+        (r["k"], r["status"], r["v"])
+        for r in tx.read_table(spark, path).collect()
+    }
+    # re-export after another commit drops stale partition manifests
+    tx.merge_tx_table(
+        spark,
+        path,
+        _rows(spark, (4, "N", 41)).withColumn("__d", F.lit(True)),
+        ["k"],
+        now=_now(),
+        delete_col="__d",
+    )
+    rep2 = tx.write_symlink_manifest(path)
+    dirs = {
+        d
+        for d in os.listdir(rep2["manifest_dir"])
+        if os.path.isdir(os.path.join(rep2["manifest_dir"], d))
+    }
+    assert dirs == {"status=A", "status=B"}  # N emptied -> manifest gone
