@@ -10260,95 +10260,90 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Registration-order priority (round 8 window).
+# Registration-order priority (round 9 window).
 #
 # The driver's correctness run evaluates the first 50 queries in dict
 # order. Standing rule (VERDICT r2 #2): every query whose
 # implementation changed since its last official CORRECTNESS row is
 # promoted into the window; remaining slots re-attest the queries
-# whose official green row is OLDEST. After r7, every one of the 198
-# registry queries has an official green row and the LATEST row of
-# each is green, so r8 is the steady-state rotation:
+# whose official green row is OLDEST. (r8's ledger comment miscounted
+# its tier-3b fill as "11 queries" — it was 5, as the list showed;
+# corrected per r8 ADVICE.) The r9 window:
 #
-# (1) NEW in r8: q_tx_restore (RESTORE-as-a-commit arc) and
-#     q_ivf_batch_topk (bulk probe of the persisted IVF index) —
+# (1) NEW in r9: q_tx_cdf — the row-level change data feed over
+#     rewriting commits (insert/update_postimage/delete typed rows),
 #     first-ever attestation.
-# (2) r8-changed implementations: q_tx_merge_table / q_tx_timetravel
-#     (txtable.py's commit stamping, partition-value rendering in the
-#     merge's touched-partition match, and the _read_files refactor
-#     sit on their execution path) and q_ivf_index_topk
-#     (vector_index.py changed; the single-query probe body is
-#     untouched but shares the module and the fixture with the new
-#     batch row — cheap insurance).
-# (3) re-attestation, oldest official row first: the entire r3 tier
-#     (34 queries, registry order — their last official rows are
-#     from CORRECTNESS_r03) and the head of the r4 tier (11 queries)
-#     to fill the window. All are green in the local strict sweep
+# (2) r9-changed implementations: the seven tx rows — txtable.py's
+#     write/maintenance paths changed shape this round (grouped
+#     compaction topology with per-partition target_files + identity-
+#     seed placement, partition-disjoint rewrite rebase in
+#     _rewrite_commit, manifest byte records, typed partition-filter
+#     coercion, atomic bloom sidecars), and every tx arc's fixture is
+#     rebuilt through those paths.
+# (3) re-attestation, oldest official row first: the remainder of the
+#     r4 tier (27 queries, registry order — official rows from
+#     CORRECTNESS_r04) and the head of the r5 tier (15 queries).
+#     1 + 7 + 27 + 15 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
-# Demoted: the r6/r7 tiers (attested freshly last round, unchanged).
+# Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
 
 _PROMOTED: list[str] = [
-    # ---- tier 1: new in r8 ----
-    "q_tx_restore",
+    # ---- tier 1: new in r9 ----
+    "q_tx_cdf",
+    # ---- tier 2: r9-changed implementation (txtable.py) ----
+    "q_tx_merge_table",
+    "q_tx_timetravel",
     "q_tx_changes",
     "q_tx_skip",
     "q_tx_point",
     "q_tx_compact",
-    "q_ivf_batch_topk",
-    # ---- tier 2: r8-changed implementations ----
-    "q_tx_merge_table",
-    "q_tx_timetravel",
-    "q_ivf_index_topk",
-    # bpe_train now eagerly checkpoints the vocab-bounded model state
-    # (no corpus re-scan per merge step) — both its rows re-attest
-    "q_bpe_train",
-    "q_bpe_encode",
-    # ---- tier 3a: r3-era official rows (oldest), registry order ----
-    "q_lang_id",
-    "q_quality_score",
-    "q_pii_audit",
-    "q_dedup_canonical",
-    "q_topk_cosine_exact",
-    "q_minhash_near_dup",
-    "q_simhash_near_dup",
-    "q_ann_topk",
-    "q_centroids_by_label",
-    "q_session_windows",
-    "q_emb_near_dup_ivf",
-    "q_ivf_topk",
-    "q_pq_topk",
-    "q_winnow_near_dup",
-    "q_chunk_documents",
-    "q_bm25_search",
-    "q_stratified_sample",
-    "q_unigram_logprob",
-    "q_oov_rate",
-    "q_contamination",
-    "q_decontaminate",
-    "q_remove_dup_spans",
-    "q_boilerplate_grams",
-    "q_dup_spans",
-    "q_zipf_topk",
-    "q_head_coverage",
-    "q_semantic_contamination",
-    "q_semantic_decontam",
-    "q_bpe_top_pairs",
-    "q_ivfpq_residual_topk",
-    "q_corpus_report",
-    "q_knn_join",
-    "q_encode_tokens",
-    "q_global_shuffle",
-    # ---- tier 3b: r4-era head (next-oldest), registry order ----
-    "q_latest_event_per_user",
-    "q_hash_id",
-    "q_parse_timestamp",
-    "q_extract_key",
-    "q_watermark",
-    # (q_alert_top1 / q_alert_should_send / q_daily_count /
-    # q_group_having / q_union_pages / q_topk_orders yield their
-    # slots to the four tx lifecycle rows and two re-promoted bpe
-    # rows above; next in line for r9)
+    "q_tx_restore",
+    # ---- tier 3a: r4-era official rows (oldest), registry order ----
+    "q_alert_top1",
+    "q_alert_should_send",
+    "q_daily_count",
+    "q_group_having",
+    "q_union_pages",
+    "q_topk_orders",
+    "q_project_existing",
+    "q_in_list",
+    "q_flatten_lineitems",
+    "q_flatten_depth2",
+    "q_json_normalize_props",
+    "q_merge_upsert",
+    "q_alert_decide_batch",
+    "q_text_stats",
+    "q_clean_text",
+    "q_llm_pipeline",
+    "q_emb_label_stats",
+    "q_shipping_priority",
+    "q_revenue_by_nation",
+    "q_top_suppliers",
+    "q_sql_script",
+    "q_approx_stats",
+    "q_asof_click_before_purchase",
+    "q_range_clicks_before_error",
+    "q_hll_daily_users",
+    "q_repetition_stats",
+    "q_pack_sequences",
+    # ---- tier 3b: r5-era head (next-oldest), registry order ----
+    "q_schema_maxlen",
+    "q_schema_drift",
+    "q_dedup_exact",
+    "q_token_counts",
+    "q_doc_stats_by_lang",
+    "q_jaccard_pairs",
+    "q_hash_split",
+    "q_det_sample",
+    "q_dedup_clusters",
+    "q_cosine_pairs",
+    "q_kmeans_clusters",
+    "q_cluster_balanced_sample",
+    "q_embedding_outliers",
+    "q_rollup_flags",
+    "q_pivot_events",
+    # (q_emb_simhash_pairs onward: next in line for r10)
 ]
 
 

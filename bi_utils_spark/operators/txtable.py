@@ -2306,6 +2306,9 @@ def _cdf_commit_rows(
         if added_new
         else spark.createDataFrame([], schema)
     )
+    # ONE full-outer join per commit: the structs carry the whole
+    # payload through the join, so change rows project straight out of
+    # it — no key-collection pass, no semi-joins back into the images
     if data_cols:
         pre_p = pre.select(
             *pks, F.struct(*[F.col(c) for c in data_cols]).alias("__pre")
@@ -2317,25 +2320,36 @@ def _cdf_commit_rows(
         pre_p = pre.select(*pks, F.lit(1).alias("__pre"))
         post_p = post.select(*pks, F.lit(1).alias("__post"))
     j = post_p.join(pre_p, list(pks), "full_outer")
-    ins_keys = j.where(F.col("__pre").isNull()).select(*pks)
-    del_keys = j.where(F.col("__post").isNull()).select(*pks)
-    upd_keys = j.where(
-        F.col("__pre").isNotNull()
-        & F.col("__post").isNotNull()
-        & ~F.col("__pre").eqNullSafe(F.col("__post"))
-    ).select(*pks)
-    parts = [
-        _typed(post.join(ins_keys, list(pks), "left_semi"), "insert"),
-        _typed(
-            post.join(upd_keys, list(pks), "left_semi"),
-            "update_postimage",
-        ),
-        _typed(pre.join(del_keys, list(pks), "left_semi"), "delete"),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    change = (
+        F.when(F.col("__pre").isNull(), F.lit("insert"))
+        .when(F.col("__post").isNull(), F.lit("delete"))
+        .when(
+            ~F.col("__pre").eqNullSafe(F.col("__post")),
+            F.lit("update_postimage"),
+        )
+        .otherwise(F.lit(None))  # unchanged (moved by the rewrite)
+    )
+    payload = F.when(
+        F.col("__post").isNull(), F.col("__pre")
+    ).otherwise(F.col("__post"))
+    keyed = j.select(
+        *pks,
+        payload.alias("__p"),
+        change.alias(CDF_TYPE_COL),
+    ).where(F.col(CDF_TYPE_COL).isNotNull())
+    cols = [F.col(f.name) for f in schema.fields]
+    if data_cols:
+        cols = [
+            F.col(f.name)
+            if f.name in pks
+            else F.col("__p").getField(f.name).alias(f.name)
+            for f in schema.fields
+        ]
+    return keyed.select(
+        *cols,
+        F.col(CDF_TYPE_COL),
+        F.lit(v).cast("long").alias(CDF_VERSION_COL),
+    )
 
 
 def table_changes_cdf(
