@@ -798,10 +798,39 @@ def _zone_overlaps(meta: dict, skip: dict) -> bool:
     return True
 
 
+def version_at_timestamp(path: str, ts) -> int:
+    """The version that was LIVE at wall-clock ``ts`` — the newest
+    commit whose stamp is <= ts (Delta's TIMESTAMP AS OF resolution).
+    ``ts`` is a unix-seconds float, a datetime, or an ISO-8601
+    string. Raises if ``ts`` predates the first commit. Resolution is
+    one driver-side pass over the commit stamps — O(log length),
+    no data touched."""
+    import datetime
+
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        ts = ts.timestamp()
+    ts = float(ts)
+    commits, _ = _list_log(path)
+    if not commits:
+        raise FileNotFoundError(f"no tx table at {path}")
+    best = None
+    for v in commits:
+        if _commit_ts(path, v) <= ts:
+            best = v  # stamps are claim-ordered; keep the newest
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit of {path}"
+        )
+    return best
+
+
 def read_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
+    timestamp=None,
     partition_filter: dict | None = None,
     skip: dict | None = None,
     point: dict | None = None,
@@ -822,10 +851,22 @@ def read_table(
     only; apply the row-level ``.where`` as usual — results are
     identical with or without them, only I/O changes.
 
+    ``timestamp`` is TIMESTAMP AS OF: the snapshot that was live at
+    that wall-clock instant (:func:`version_at_timestamp`) — mutually
+    exclusive with ``version``. Keep `vacuum_table(retain_hours=)` at
+    least as long as the lookback you query.
+
     Files are read per commit-group (each group one ``basePath`` so
     directory-encoded partition columns re-materialize), then
     unioned; compaction folds old groups so the union stays narrow.
     """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "read_table: version and timestamp are mutually "
+                "exclusive"
+            )
+        version = version_at_timestamp(path, timestamp)
     snap = _fold(path, version)
     schema = snap.spark_schema()
     want = snap.files
@@ -901,6 +942,7 @@ def merge_tx_table(
     merge_schema: bool = False,
     app: tuple[str, int] | None = None,
     max_source_partitions: int = 100_000,
+    checks: list | None = None,
 ) -> int:
     """MERGE ``source`` into the tx table with `merge.merge_upsert`'s
     exact reference semantics (M1), executed as copy-on-write:
@@ -975,6 +1017,21 @@ def merge_tx_table(
         return snap.version
     if isinstance(pks, str):
         pks = [c.strip() for c in pks.split(",")]
+    if checks:
+        # commit-boundary CHECK constraints, append_table's contract
+        # extended to upserts: gate the rows that will LAND (delete-
+        # flagged rows only remove — a tombstone carrying nulls must
+        # not fail a not-null check) BEFORE anything stages, so a
+        # failing batch leaves the table untouched
+        from bi_utils_spark.operators.dq import dq_gate
+
+        landing = (
+            source.where(~F.coalesce(F.col(delete_col), F.lit(False)))
+            .drop(delete_col)
+            if delete_col is not None
+            else source
+        )
+        dq_gate(landing, checks)
     del_keys = None
     if delete_col is not None:
         del_keys = (
@@ -1194,6 +1251,35 @@ def _group_counts(
     return {k: max(1, target_files) for k in sizes}
 
 
+def _zorder_bounds_from_manifest(
+    snap: Snapshot, rels: Sequence[str], cols: Sequence[str]
+) -> dict[str, tuple[float, float]] | None:
+    """Per-column (lo, hi) over the rewrite's input files, read from
+    the MANIFEST's zone-map stats — zero data scanned. Returns None
+    when any file lacks numeric stats for any column (pre-stats file,
+    string column, …); the caller then falls back to one bounded agg.
+    Bucketing only needs bounds that COVER the data (values clamp to
+    edge buckets), so footer-derived bounds are exactly as good as
+    scanned ones."""
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
+    for rel in rels:
+        stats = snap.files[rel].get("stats") or {}
+        for c in cols:
+            zs = stats.get(c)
+            if (
+                zs is None
+                or not isinstance(zs[0], (int, float))
+                or isinstance(zs[0], bool)
+            ):
+                return None
+            lo[c] = min(lo.get(c, float(zs[0])), float(zs[0]))
+            hi[c] = max(hi.get(c, float(zs[1])), float(zs[1]))
+    if len(lo) != len(cols):
+        return None
+    return {c: (lo[c], hi[c]) for c in cols}
+
+
 def _compaction_layout(
     spark: SparkSession,
     df: DataFrame,
@@ -1201,6 +1287,7 @@ def _compaction_layout(
     counts: dict[tuple, int],
     zorder_by: Sequence[str] | None = None,
     zorder_bits: int = 12,
+    zorder_bounds: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Shuffle the rewrite's rows into Σ group tasks — the write
     topology that scales with BYTES REWRITTEN, never a single task
@@ -1230,16 +1317,21 @@ def _compaction_layout(
             zorder_key,
         )
 
-        bounds = df.agg(
-            *[F.min(c).alias(f"__lo_{c}") for c in zorder_by],
-            *[F.max(c).alias(f"__hi_{c}") for c in zorder_by],
-        ).first()
+        if zorder_bounds is None:
+            # fallback: one bounded agg over the rewrite's rows —
+            # callers pass manifest-derived bounds when the footers
+            # have them, making this pass free
+            row = df.agg(
+                *[F.min(c).alias(f"__lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"__hi_{c}") for c in zorder_by],
+            ).first()
+            zorder_bounds = {
+                c: (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
+                for c in zorder_by
+            }
         bucketed = [
             minmax_bucket(
-                c,
-                float(bounds[f"__lo_{c}"]),
-                float(bounds[f"__hi_{c}"]),
-                zorder_bits,
+                c, zorder_bounds[c][0], zorder_bounds[c][1], zorder_bits
             )
             for c in zorder_by
         ]
@@ -1341,8 +1433,19 @@ def compact_table(
     counts = _group_counts(
         snap, path, list(snap.files), target_files, target_bytes
     )
+    bounds = (
+        _zorder_bounds_from_manifest(snap, list(snap.files), zorder_by)
+        if zorder_by
+        else None
+    )
     df = _compaction_layout(
-        spark, df, snap.partition_cols, counts, zorder_by, zorder_bits
+        spark,
+        df,
+        snap.partition_cols,
+        counts,
+        zorder_by,
+        zorder_bits,
+        zorder_bounds=bounds,
     )
     added = _stage(df, path, snap.partition_cols)
     return _rewrite_commit(
@@ -1440,8 +1543,19 @@ def compact_partitions(
         spark, path, {rel: snap.files[rel] for rel in removed}, schema
     )
     counts = _group_counts(snap, path, removed, target_files, target_bytes)
+    bounds = (
+        _zorder_bounds_from_manifest(snap, removed, zorder_by)
+        if zorder_by
+        else None
+    )
     df = _compaction_layout(
-        spark, df, snap.partition_cols, counts, zorder_by, zorder_bits
+        spark,
+        df,
+        snap.partition_cols,
+        counts,
+        zorder_by,
+        zorder_bits,
+        zorder_bounds=bounds,
     )
     added = _stage(df, path, snap.partition_cols)
     return _rewrite_commit(
@@ -2265,6 +2379,7 @@ def _cdf_commit_rows(
     live: dict,
     schema: StructType,
     pks: Sequence[str],
+    include_preimage: bool = False,
 ) -> DataFrame | None:
     """Typed change rows of ONE commit, given ``live`` = the file map
     BEFORE it. Appends short-circuit to inserts; rewriting commits
@@ -2329,14 +2444,42 @@ def _cdf_commit_rows(
         )
         .otherwise(F.lit(None))  # unchanged (moved by the rewrite)
     )
-    payload = F.when(
-        F.col("__post").isNull(), F.col("__pre")
-    ).otherwise(F.col("__post"))
-    keyed = j.select(
-        *pks,
-        payload.alias("__p"),
-        change.alias(CDF_TYPE_COL),
-    ).where(F.col(CDF_TYPE_COL).isNotNull())
+    if include_preimage and data_cols:
+        # Delta-parity: updates emit BOTH images (update_preimage +
+        # update_postimage) — one explode over a 1- or 2-entry array,
+        # rows unchanged by the rewrite explode away on the NULL array
+        def _ent(p: str, t: str):
+            return F.struct(
+                F.col(p).alias("p"), F.lit(t).alias("t")
+            )
+
+        entries = (
+            F.when(F.col("__pre").isNull(), F.array(_ent("__post", "insert")))
+            .when(F.col("__post").isNull(), F.array(_ent("__pre", "delete")))
+            .when(
+                ~F.col("__pre").eqNullSafe(F.col("__post")),
+                F.array(
+                    _ent("__pre", "update_preimage"),
+                    _ent("__post", "update_postimage"),
+                ),
+            )
+        )
+        keyed = j.select(
+            *pks, F.explode(entries).alias("__e")
+        ).select(
+            *pks,
+            F.col("__e.p").alias("__p"),
+            F.col("__e.t").alias(CDF_TYPE_COL),
+        )
+    else:
+        payload = F.when(
+            F.col("__post").isNull(), F.col("__pre")
+        ).otherwise(F.col("__post"))
+        keyed = j.select(
+            *pks,
+            payload.alias("__p"),
+            change.alias(CDF_TYPE_COL),
+        ).where(F.col(CDF_TYPE_COL).isNotNull())
     cols = [F.col(f.name) for f in schema.fields]
     if data_cols:
         cols = [
@@ -2358,6 +2501,7 @@ def table_changes_cdf(
     pks: Sequence[str] | str,
     after_version: int,
     up_to: int | None = None,
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Row-level CHANGE DATA FEED across commits (after_version,
     up_to] — the Delta ``readChangeFeed`` analog, and the form that
@@ -2383,7 +2527,10 @@ def table_changes_cdf(
     Rows are read with the FINAL schema of the range (columns only
     ever widen; old files null-fill), so one stable schema spans the
     feed. `table_diff` remains the two-version NET form; this is the
-    per-commit LEDGER."""
+    per-commit LEDGER. ``include_preimage=True`` additionally emits
+    ``update_preimage`` rows (the old payload of every update, same
+    version stamp) — full Delta readChangeFeed parity for consumers
+    that reconcile deltas."""
     if isinstance(pks, str):
         pks = [c.strip() for c in pks.split(",")]
     hi, _commits = _cdf_validate_range(path, after_version, up_to)
@@ -2399,7 +2546,16 @@ def table_changes_cdf(
     for v in range(after_version + 1, hi + 1):
         with open(_commit_file(path, v)) as fh:
             entry = json.load(fh)
-        df = _cdf_commit_rows(spark, path, entry, v, live, schema, pks)
+        df = _cdf_commit_rows(
+            spark,
+            path,
+            entry,
+            v,
+            live,
+            schema,
+            pks,
+            include_preimage=include_preimage,
+        )
         if df is not None:
             parts.append(df)
         for p in entry.get("removed", []):
@@ -2446,7 +2602,10 @@ def cdf_apply_batch(
         F.col(CDF_TYPE_COL).desc(),
     )
     net = (
-        changes.withColumn("__rn", F.row_number().over(w))
+        # pre-images are documentation, not state: applying one would
+        # resurrect the OLD payload of its own update
+        changes.where(F.col(CDF_TYPE_COL) != F.lit("update_preimage"))
+        .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
         .withColumn("__is_delete", F.col(CDF_TYPE_COL) == F.lit("delete"))

@@ -1873,3 +1873,117 @@ def test_symlink_manifest_external_engine_reads_snapshot(spark, tmp_path):
         if os.path.isdir(os.path.join(rep2["manifest_dir"], d))
     }
     assert dirs == {"status=A", "status=B"}  # N emptied -> manifest gone
+
+
+# ---------------------------------------------------------------------------
+# r9 follow-ups: TIMESTAMP AS OF, merge checks, CDF pre-images,
+# manifest-derived zorder bounds
+# ---------------------------------------------------------------------------
+
+
+def test_read_table_timestamp_as_of(spark, table, monkeypatch):
+    # deterministic stamps: v0 at t=1000, v1 at t=2000
+    cf = tx._commit_file(table, 0)
+    e = json.loads(open(cf).read())
+    e["ts"] = 1000.0
+    open(cf, "w").write(json.dumps(e))
+    orig_time = tx.time.time
+    monkeypatch.setattr(tx.time, "time", lambda: 2000.0)
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    monkeypatch.setattr(tx.time, "time", orig_time)
+    assert tx.version_at_timestamp(table, 1500.0) == 0
+    assert tx.version_at_timestamp(table, 2000.0) == 1
+    assert set(_as_dict(tx.read_table(spark, table, timestamp=1500.0))) == {1, 2}
+    assert set(_as_dict(tx.read_table(spark, table, timestamp=9e9))) == {1, 2, 3}
+    with pytest.raises(ValueError, match="predates"):
+        tx.version_at_timestamp(table, 10.0)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tx.read_table(spark, table, version=0, timestamp=1500.0)
+    # ISO string form resolves through the same path
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(1500.0).isoformat()
+    assert tx.version_at_timestamp(table, iso) == 0
+
+
+def test_merge_checks_gate_before_staging(spark, table):
+    from bi_utils_spark.operators.dq import Check
+
+    checks = [Check(kind="completeness", column="status", min_fraction=1.0)]
+    bad = spark.createDataFrame(
+        [(2, None, 99)], "k int, status string, v long"
+    )
+    v_before = tx.latest_version(table)
+    n_dirs = len(os.listdir(os.path.join(table, "data")))
+    with pytest.raises(ValueError, match="data-quality gate failed"):
+        tx.merge_tx_table(spark, table, bad, ["k"], now=_now(), checks=checks)
+    assert tx.latest_version(table) == v_before
+    assert len(os.listdir(os.path.join(table, "data"))) == n_dirs  # nothing staged
+    # delete tombstones carrying nulls pass: only LANDING rows are gated
+    tomb = spark.createDataFrame(
+        [(2, None, None, True), (1, "A", 11, False)],
+        "k int, status string, v long, is_del boolean",
+    )
+    tx.merge_tx_table(
+        spark, table, tomb, ["k"], now=_now(), delete_col="is_del", checks=checks
+    )
+    assert _as_dict(tx.read_table(spark, table)) == {1: ("A", 11)}
+
+
+def test_cdf_include_preimage(spark, tmp_path):
+    path = str(tmp_path / "cdfpre")
+    tx.create_table(_rows(spark, (1, "A", 10)), path)
+    tx.merge_tx_table(spark, path, _rows(spark, (1, "A", 11)), ["k"], now=_now())
+    got = _cdf_rows(
+        tx.table_changes_cdf(
+            spark, path, ["k"], after_version=0, include_preimage=True
+        )
+    )
+    assert got == {
+        (1, "update_preimage", 1): ("A", 10),
+        (1, "update_postimage", 1): ("A", 11),
+    }
+    # apply ignores pre-images: downstream converges, not regresses
+    down = str(tmp_path / "cdfpre_down")
+    tx.create_table(_rows(spark, (1, "A", 10)), down)
+    full = tx.table_changes_cdf(
+        spark, path, ["k"], after_version=0, include_preimage=True
+    )
+    tx.cdf_apply_batch(spark, down, full, ["k"], now=_now())
+    assert _as_dict(tx.read_table(spark, down)) == {1: ("A", 11)}
+
+
+def test_zorder_bounds_come_from_manifest(spark, tmp_path, monkeypatch):
+    """When every input file's footer stats cover the zorder columns,
+    the bounds agg never runs — the rewrite reads the data exactly
+    once."""
+    path = str(tmp_path / "zb")
+    mk = lambda lo: spark.createDataFrame(  # noqa: E731
+        [(i, "H", lo + i) for i in range(50)], "k long, status string, v long"
+    ).coalesce(1)
+    tx.create_table(mk(0), path, partition_cols=["status"])
+    for i in range(1, 4):
+        tx.append_table(mk(i * 1000), path)
+    snap = tx._fold(path)
+    b = tx._zorder_bounds_from_manifest(snap, list(snap.files), ["v"])
+    assert b == {"v": (0.0, 3049.0)}
+    calls = {"agg": 0}
+    orig_agg = type(tx.read_table(spark, path)).agg
+
+    def counting_agg(self, *a, **kw):
+        calls["agg"] += 1
+        return orig_agg(self, *a, **kw)
+
+    monkeypatch.setattr("pyspark.sql.DataFrame.agg", counting_agg)
+    v = tx.compact_partitions(
+        spark, path, max_files=2, target_files=2, zorder_by=["v"]
+    )
+    monkeypatch.undo()
+    assert v is not None
+    assert calls["agg"] == 0  # bounds came from the manifest
+    assert tx.read_table(spark, path).count() == 200
+    # a column with no numeric stats falls back to None (caller aggs)
+    assert (
+        tx._zorder_bounds_from_manifest(snap, list(snap.files), ["status"])
+        is None
+    )
