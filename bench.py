@@ -214,8 +214,10 @@ BENCH_QUERIES = [
     "q_tx_skip",
     "q_tx_point",
     "q_tx_compact",
-    # r9: row-level change feed across the rewriting arc
+    # r9: row-level change feed across the rewriting arc; zorder'd
+    # partition-scoped compaction read path
     "q_tx_cdf",
+    "q_tx_zorder",
     "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

@@ -10145,6 +10145,55 @@ def q_tx_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "q_tx_zorder",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents FROM rows0
+    WHERE cents BETWEEN 5000000 AND 9000000
+    """,
+)
+def q_tx_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE ZORDER under the hard gate (r9): a
+    fragmented arc (create + three appends, status-partitioned) is
+    compacted with `compact_partitions(zorder_by=["cents"])` — the
+    r9 grouped topology range-partitions each hot partition along the
+    Morton curve with bucket bounds derived from the MANIFEST's
+    footer stats (no extra data pass), so the rewritten files carry
+    selective zone maps. The read then goes through
+    `read_table(skip=...)` + the row predicate: pruning is I/O-only,
+    so the result must equal the declarative range filter over
+    everything ever written — which the oracle states directly.
+    (File-level selectivity and the exact per-partition file counts
+    are asserted in test_txtable; this row proves result invariance
+    through the zorder'd layout officially.)"""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_zorder"
+    if tx.latest_version(path) < 4:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 4 == 0),
+                path,
+                partition_cols=["status"],
+            )
+        for m in (1, 2, 3):
+            if tx.latest_version(path) < m:
+                tx.append_table(rows.where(F.col("k") % 4 == m), path)
+        if tx.latest_version(path) < 4:
+            tx.compact_partitions(
+                spark, path, max_files=1, target_files=2,
+                zorder_by=["cents"],
+            )
+    lo, hi = 5_000_000, 9_000_000
+    return (
+        tx.read_table(spark, path, skip={"cents": (lo, hi)})
+        .where(F.col("cents").between(lo, hi))
+        .select("k", "status", "cents")
+    )
+
+
 def _tx_cdf_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Per-SF CDF-arc fixture (idempotent): v0 create (k%5>=2,
     status-partitioned) -> v1 append (k%5=1) -> v2 merge carrying all
@@ -10271,8 +10320,9 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corrected per r8 ADVICE.) The r9 window:
 #
 # (1) NEW in r9: q_tx_cdf — the row-level change data feed over
-#     rewriting commits (insert/update_postimage/delete typed rows),
-#     first-ever attestation.
+#     rewriting commits (insert/update_postimage/delete typed rows) —
+#     and q_tx_zorder — partition-scoped OPTIMIZE ZORDER result
+#     invariance through read_table(skip=...); first attestations.
 # (2) r9-changed implementations: the seven tx rows — txtable.py's
 #     write/maintenance paths changed shape this round (grouped
 #     compaction topology with per-partition target_files + identity-
@@ -10282,8 +10332,8 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     rebuilt through those paths.
 # (3) re-attestation, oldest official row first: the remainder of the
 #     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (15 queries).
-#     1 + 7 + 27 + 15 = 50. All are green in the local strict sweep
+#     CORRECTNESS_r04) and the head of the r5 tier (14 queries).
+#     2 + 7 + 27 + 14 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
 # Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
@@ -10291,6 +10341,7 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROMOTED: list[str] = [
     # ---- tier 1: new in r9 ----
     "q_tx_cdf",
+    "q_tx_zorder",
     # ---- tier 2: r9-changed implementation (txtable.py) ----
     "q_tx_merge_table",
     "q_tx_timetravel",
@@ -10342,8 +10393,7 @@ _PROMOTED: list[str] = [
     "q_cluster_balanced_sample",
     "q_embedding_outliers",
     "q_rollup_flags",
-    "q_pivot_events",
-    # (q_emb_simhash_pairs onward: next in line for r10)
+    # (q_pivot_events onward: next in line for r10)
 ]
 
 
