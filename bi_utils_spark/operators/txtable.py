@@ -901,8 +901,9 @@ def read_table(
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """The commit log as a DataFrame: one row per version with the
-    action and file-count deltas (the audit surface a warehouse
-    `DESCRIBE HISTORY` exposes)."""
+    action, commit wall-clock time (epoch seconds — the stamp
+    `version_at_timestamp` resolves against), and file-count deltas
+    (the audit surface a warehouse `DESCRIBE HISTORY` exposes)."""
     commits, _ = _list_log(path)
     rows = []
     for v in commits:
@@ -912,6 +913,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
             (
                 v,
                 e["action"],
+                float(_commit_ts(path, v, e)),
                 len(e.get("added", [])),
                 len(e.get("removed", [])),
                 (e.get("app") or {}).get("app_id"),
@@ -920,8 +922,8 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
         )
     return spark.createDataFrame(
         rows,
-        "version int, action string, n_added int, n_removed int, "
-        "app_id string, batch_id long",
+        "version int, action string, commit_ts double, n_added int, "
+        "n_removed int, app_id string, batch_id long",
     )
 
 
@@ -1579,6 +1581,7 @@ def maintain_table(
     retain_hours: float | None = None,
     bloom_cols: Sequence[str] | None = None,
     bloom_fpp: float = 0.01,
+    refresh_symlink_manifest: bool = False,
 ) -> dict:
     """Nightly maintenance as one verb, in the only order that
     composes correctly: (1) partition-scoped compaction of
@@ -1640,12 +1643,17 @@ def maintain_table(
             spark, path, col, fpp=bloom_fpp, only_new=True
         )
         bloom_files[col] = len(idx["files"])
+    manifest = None
+    if refresh_symlink_manifest:
+        # last, so external readers see the post-compaction layout
+        manifest = write_symlink_manifest(path)
     return {
         "compacted_version": compacted,
         "compaction_raced": raced,
         "compaction_skipped": skipped,
         "files_reclaimed": len(deleted),
         "bloom_files": bloom_files,
+        "symlink_manifest": manifest,
     }
 
 
@@ -1908,10 +1916,14 @@ def vacuum_table(
     retain_versions: int = 2,
     retain_hours: float | None = None,
     stray_age_seconds: float = 3600.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files referenced by NO retained version; older
     time travel dies — same tradeoff as Delta VACUUM. Returns deleted
     relpaths.
+
+    ``dry_run=True`` returns what WOULD be deleted without touching
+    disk (the VACUUM DRY RUN audit step before a retention change).
 
     Retention is the UNION of two windows: the last
     ``retain_versions`` snapshots always stay, and with
@@ -1975,7 +1987,8 @@ def vacuum_table(
                         continue  # possibly an in-flight stage
                 except OSError:
                     continue  # claimed/removed underneath us
-            os.unlink(full)
+            if not dry_run:
+                os.unlink(full)
             deleted.append(rel)
     return sorted(deleted)
 

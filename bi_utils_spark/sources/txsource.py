@@ -50,6 +50,7 @@ from pyspark.sql.types import StructType
 
 from bi_utils_spark.operators import txtable as tx
 
+
 FORMAT_NAME = "txtable"
 
 
@@ -175,6 +176,26 @@ class TxStreamReader(DataSourceStreamReader):
         self._skip_rewrites = (
             str(options.get("skipRewrites", "false")).lower() == "true"
         )
+        # admission control (Delta's maxFilesPerTrigger analog, in
+        # commit units): a backlogged consumer — or a fresh checkpoint
+        # on a long-lived table — otherwise gets the ENTIRE backlog as
+        # ONE micro-batch, which at 100 TB is an operational wall.
+        # Capping latestOffset slices the catch-up into bounded
+        # batches; each is still deterministic (offsets are versions).
+        # The floor the cap advances from starts at startingVersion
+        # and is re-learned from partitions()/commit() offsets. On a
+        # RESTART the engine re-primes partitions() with the
+        # checkpoint's offsets BEFORE asking latestOffset (verified in
+        # test_txsource restart assertions), so the floor catches up
+        # to the committed offset first and the returned offset never
+        # falls behind it — catch-up stays exactly-once AND bounded.
+        mv = options.get("maxVersionsPerBatch")
+        self._max_versions = int(mv) if mv is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError(
+                "txtable stream: maxVersionsPerBatch must be >= 1"
+            )
+        self._floor: int | None = self._start
         self._change_feed = (
             str(options.get("changeFeed", "false")).lower() == "true"
         )
@@ -210,11 +231,22 @@ class TxStreamReader(DataSourceStreamReader):
                     f"txtable stream: pk(s) {missing} not table columns"
                 )
 
+    def _learn_floor(self, version: int) -> None:
+        if self._floor is None or version > self._floor:
+            self._floor = version
+
     def initialOffset(self) -> dict:
+        self._learn_floor(self._start)
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": tx.latest_version(self._path)}
+        tip = tx.latest_version(self._path)
+        if self._max_versions is not None and self._floor is not None:
+            tip = max(
+                min(tip, self._floor + self._max_versions), self._floor
+            )
+        self._learn_floor(tip)
+        return {"version": tip}
 
     def _delta_files(
         self, after: int, up_to: int
@@ -288,6 +320,9 @@ class TxStreamReader(DataSourceStreamReader):
         return parts
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._learn_floor(
+            max(int(start["version"]), int(end["version"]))
+        )
         if self._change_feed:
             return self._cdf_partitions(
                 int(start["version"]), int(end["version"])
@@ -326,7 +361,9 @@ class TxStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # commits are immutable; nothing to clean up
+        # commits are immutable — nothing to clean up; the completed
+        # offset only advances the admission-control floor
+        self._learn_floor(int(end["version"]))
 
 
 class TxTableDataSource(DataSource):
@@ -334,7 +371,8 @@ class TxTableDataSource(DataSource):
     ``spark.read.format("txtable").option("path", p).load()`` or
     ``spark.readStream.format("txtable").option("path", p).load()``.
     Options: path (required), version (batch time travel),
-    startingVersion / skipRewrites (streaming)."""
+    startingVersion / skipRewrites / changeFeed (+pks) /
+    maxVersionsPerBatch (streaming)."""
 
     @classmethod
     def name(cls) -> str:

@@ -334,3 +334,73 @@ def test_stream_cdf_replicates_merging_table_exactly_once(spark, tmp_path):
         tx.read_table(spark, up)
     )
     assert 1 not in _as_dict(tx.read_table(spark, down))
+
+
+def test_stream_max_versions_per_batch_bounds_catchup(spark, tmp_path):
+    """A backlogged stream slices its catch-up into bounded
+    micro-batches instead of one giant one: 6 commits with
+    maxVersionsPerBatch=2 arrive over >= 3 batches, all rows exactly
+    once. (The cap governs per-trigger offset advancement —
+    availableNow's wrapper plans to a fixed end and is out of scope.)
+    """
+    path = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "mv_ckpt")
+    tx.create_table(_rows(spark, (0, "A", 0)), path)
+    for i in range(1, 6):
+        tx.append_table(_rows(spark, (i, "A", i * 10)), path)
+    batches = []
+    sink = lambda df, bid: batches.append(  # noqa: E731
+        sorted(r["k"] for r in df.collect())
+    )
+    q = (
+        spark.readStream.format("txtable")
+        .option("path", path)
+        .option("maxVersionsPerBatch", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 90
+        while _t.time() < deadline:
+            if sorted(k for b in batches for k in b) == list(range(6)):
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    non_empty = [b for b in batches if b]
+    assert sorted(k for b in non_empty for k in b) == list(range(6))
+    assert len(non_empty) >= 3  # 6 commits / 2 per batch
+    assert max(len(b) for b in non_empty) <= 2
+    # RESTART safety: the engine re-primes partitions() with the
+    # checkpoint's offsets before asking latestOffset, so the cap's
+    # floor catches up to the committed offset — new commits arrive
+    # exactly once, still in bounded batches, no replays
+    for i in range(6, 9):
+        tx.append_table(_rows(spark, (i, "A", i * 10)), path)
+    batches.clear()
+    q2 = (
+        spark.readStream.format("txtable")
+        .option("path", path)
+        .option("maxVersionsPerBatch", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 90
+        while _t.time() < deadline:
+            if sorted(k for b in batches for k in b) == [6, 7, 8]:
+                break
+            _t.sleep(0.5)
+    finally:
+        q2.stop()
+    tail = [b for b in batches if b]
+    assert sorted(k for b in tail for k in b) == [6, 7, 8]  # no dups
+    assert max(len(b) for b in tail) <= 2

@@ -1987,3 +1987,47 @@ def test_zorder_bounds_come_from_manifest(spark, tmp_path, monkeypatch):
         tx._zorder_bounds_from_manifest(snap, list(snap.files), ["status"])
         is None
     )
+
+
+def test_table_history_carries_commit_ts(spark, table):
+    tx.append_table(_rows(spark, (3, "B", 30)), table)
+    hist = tx.table_history(spark, table).orderBy("version").collect()
+    assert [r["version"] for r in hist] == [0, 1]
+    assert all(r["commit_ts"] > 0 for r in hist)
+    assert hist[0]["commit_ts"] <= hist[1]["commit_ts"]
+    # the stamp is the TIMESTAMP AS OF resolution basis
+    assert tx.version_at_timestamp(table, hist[0]["commit_ts"]) == 0
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, table):
+    tx.overwrite_table(_rows(spark, (9, "Z", 90)), table)
+    would = tx.vacuum_table(table, retain_versions=1, dry_run=True)
+    assert would  # v0's files are reclaimable
+    for rel in would:
+        assert os.path.exists(os.path.join(table, rel))  # still there
+    done = tx.vacuum_table(table, retain_versions=1)
+    assert done == would  # the dry run predicted exactly the deletion
+    for rel in done:
+        assert not os.path.exists(os.path.join(table, rel))
+
+
+def test_maintain_table_refreshes_symlink_manifest(spark, tmp_path):
+    path = str(tmp_path / "msm")
+    mk = lambda k: spark.createDataFrame(  # noqa: E731
+        [(k, "d1", k)], "k int, day string, v long"
+    )
+    tx.create_table(mk(1), path, partition_cols=["day"])
+    for i in range(2, 5):
+        tx.append_table(mk(i), path)
+    report = tx.maintain_table(
+        spark, path, max_files=2, retain_versions=1,
+        refresh_symlink_manifest=True,
+    )
+    m = report["symlink_manifest"]
+    assert m is not None and m["n_files"] == 1  # post-compaction layout
+    with open(os.path.join(m["manifest_dir"], "day=d1", "manifest")) as fh:
+        uris = [ln for ln in fh.read().splitlines() if ln]
+    live = set(tx._fold(path).files)
+    assert {u[len("file://"):] for u in uris} == {
+        os.path.abspath(os.path.join(path, rel)) for rel in live
+    }
