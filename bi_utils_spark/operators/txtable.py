@@ -168,12 +168,26 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
         for rel in entry.get("removed", []):
             snap.files.pop(rel, None)
         for added in entry.get("added", []):
-            snap.files[added["path"]] = {
+            meta = {
                 "commit_dir": added["commit_dir"],
                 "partition_values": added.get("partition_values", {}),
                 "stats": added.get("stats", {}),
                 "bytes": added.get("bytes"),
+                "rows": added.get("rows"),
             }
+            if added.get("dv"):  # restore re-points at a DV'd file
+                meta["dv"] = added["dv"]
+            snap.files[added["path"]] = meta
+        for rec in entry.get("dv", []):
+            # a merge-on-read delete commit: the file's deletion
+            # vector pointer advances (the new sidecar is the UNION
+            # of all deletes ever applied to the file, so one pointer
+            # per file suffices)
+            if rec["file"] in snap.files:
+                snap.files[rec["file"]]["dv"] = {
+                    "path": rec["dv_path"],
+                    "cardinality": rec["cardinality"],
+                }
         if entry.get("schema"):
             snap.schema = entry["schema"]
         if entry.get("partition_cols") is not None:
@@ -253,15 +267,18 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _footer_stats(full_path: str) -> dict:
-    """Per-file zone map from the parquet FOOTER (no data read):
-    {col: [min, max]} for top-level int/float/string/bool columns
-    whose row-group statistics are present. Values are kept
+def _footer_stats(full_path: str) -> tuple[dict, int]:
+    """Per-file (zone map, row count) from the parquet FOOTER (no
+    data read): {col: [min, max]} for top-level int/float/string/bool
+    columns whose row-group statistics are present. Values are kept
     JSON-native; columns with missing stats are simply absent —
-    readers treat absence as 'cannot prune'."""
+    readers treat absence as 'cannot prune'. The row count sizes
+    deletion-vector maintenance decisions (deleted fraction per
+    file)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(full_path).metadata
+    num_rows = int(md.num_rows)
     per_rg: list[dict[str, tuple]] = []
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -285,7 +302,7 @@ def _footer_stats(full_path: str) -> dict:
             cur[name] = (lo, hi)
         per_rg.append(cur)
     if not per_rg:
-        return {}
+        return {}, num_rows
     # a column's zone map is valid only when EVERY row group reports
     # stats for it — a gap would leave rows outside the recorded range
     names = set(per_rg[0])
@@ -297,7 +314,7 @@ def _footer_stats(full_path: str) -> dict:
             max(cur[n][1] for cur in per_rg),
         ]
         for n in names
-    }
+    }, num_rows
 
 
 def _stage(
@@ -333,9 +350,9 @@ def _stage(
                     # is a faithful inverse).
                     pvals[k] = unquote(v)
             try:
-                stats = _footer_stats(full)
+                stats, nrows = _footer_stats(full)
             except Exception:  # noqa: BLE001 — stats are best-effort
-                stats = {}
+                stats, nrows = {}, None
             try:
                 nbytes = os.stat(full).st_size
             except OSError:
@@ -347,6 +364,7 @@ def _stage(
                     "partition_values": pvals,
                     "stats": stats,
                     "bytes": nbytes,
+                    "rows": nrows,
                 }
             )
     return added
@@ -428,9 +446,9 @@ def convert_to_tx(
                     f"{sorted(pvals)}, expected {sorted(pcols)}"
                 )
             try:
-                stats = _footer_stats(full)
+                stats, nrows = _footer_stats(full)
             except Exception:  # noqa: BLE001 — stats are best-effort
-                stats = {}
+                stats, nrows = {}, None
             try:
                 nbytes = os.stat(full).st_size
             except OSError:
@@ -444,6 +462,7 @@ def convert_to_tx(
                     "partition_values": pvals,
                     "stats": stats,
                     "bytes": nbytes,
+                    "rows": nrows,
                 }
             )
     if not added:
@@ -593,6 +612,8 @@ def _rewrite_commit(
     conflict: str = "always",
     touched_partitions: set[tuple] | None = None,
     pcols: Sequence[str] | None = None,
+    dv: list[dict] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Commit a rewriting action claimed against ``read_version``'s
     successor slot. ``app`` stamps the commit with an (app_id,
@@ -634,6 +655,10 @@ def _rewrite_commit(
             "schema": schema,
             "partition_cols": partition_cols,
         }
+        if dv:
+            payload["dv"] = dv
+        if extra:
+            payload.update(extra)
         if app is not None:
             payload["app"] = {"app_id": app[0], "batch_id": app[1]}
         if _claim(path, version, payload):
@@ -641,7 +666,10 @@ def _rewrite_commit(
             return version
         commits, _ = _list_log(path)
         tip = commits[-1]
-        removed_set = set(removed)
+        # a rewrite's row-level footprint: the files it removes PLUS
+        # the files whose deletion vectors it advances — two writers
+        # touching the same file in either way is a lost update
+        removed_set = set(removed) | {d["file"] for d in (dv or [])}
         for v in range(version, tip + 1):
             with open(_commit_file(path, v)) as fh:
                 entry = json.load(fh)
@@ -669,12 +697,15 @@ def _rewrite_commit(
                     f"at v{v} conflicts with this rewrite's schema "
                     "change"
                 )
-            overlap = removed_set.intersection(entry.get("removed", []))
+            e_touched = set(entry.get("removed", [])) | {
+                d["file"] for d in entry.get("dv", [])
+            }
+            overlap = removed_set & e_touched
             if overlap:
                 raise ConcurrentWriteError(
                     f"{action} at {path}: interleaved commit v{v} "
-                    f"removed {len(overlap)} file(s) this rewrite "
-                    "also removes"
+                    f"removed or re-deleted-from {len(overlap)} "
+                    "file(s) this rewrite also touches"
                 )
             if conflict == "partitions":
                 for a in entry.get("added", []):
@@ -783,6 +814,232 @@ def _read_files(
     return out
 
 
+# ---------------------------------------------------------------------------
+# deletion vectors: merge-on-read row-level deletes
+# ---------------------------------------------------------------------------
+
+DELETES_DIR = "deletes"
+# above this many TOTAL masked rows in one read, the anti-join stops
+# being forced-broadcast (the positions frame would strain the driver)
+# and falls back to a shuffled anti-join — still correct, and the
+# signal that `materialize_deletes` is overdue
+DV_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _dv_encode(positions) -> dict:
+    """Serialize a set of row ordinals, roaring-style economy: the
+    sorted-positions form costs 8 B/row, the bitmap ceil(bits/8) B —
+    pick whichever is smaller (sparse deletes stay tiny, dense
+    deletes amortize). Explicit little-endian so sidecars are
+    portable artifacts, not process state."""
+    import base64
+
+    import numpy as np
+
+    pos = np.unique(np.asarray(list(positions), dtype=np.int64))
+    card = int(pos.size)
+    bits = int(pos[-1]) + 1 if card else 0
+    if card * 8 <= (bits + 7) // 8:
+        payload, enc = pos.astype("<i8").tobytes(), "pos"
+    else:
+        buf = np.zeros((bits + 7) // 8, dtype=np.uint8)
+        np.bitwise_or.at(
+            buf,
+            pos >> 3,
+            np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)),
+        )
+        payload, enc = buf.tobytes(), "bitmap"
+    return {
+        "enc": enc,
+        "bits": bits,
+        "cardinality": card,
+        "payload": base64.b64encode(payload).decode(),
+    }
+
+
+def _dv_decode(rec: dict):
+    """Inverse of `_dv_encode`: sorted int64 row ordinals."""
+    import base64
+
+    import numpy as np
+
+    raw = base64.b64decode(rec["payload"])
+    if rec["enc"] == "pos":
+        return np.frombuffer(raw, dtype="<i8").astype(np.int64)
+    return np.flatnonzero(
+        np.unpackbits(np.frombuffer(raw, dtype=np.uint8), bitorder="little")
+    ).astype(np.int64)
+
+
+def _dv_write(path: str, file_rel: str, positions) -> dict:
+    """Persist a deletion vector sidecar (tmp + os.replace, the
+    commit-log atomic-write discipline) and return the commit-entry
+    record. Sidecars are immutable once linked into a commit — a new
+    delete on the same file writes a NEW sidecar holding the union,
+    so time travel through the old pointer stays valid until
+    vacuum."""
+    rec = _dv_encode(positions)
+    rel = os.path.join(DELETES_DIR, f"{uuid.uuid4().hex}.json")
+    full = os.path.join(path, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    tmp = f"{full}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"file": file_rel, **rec}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, full)
+    return {
+        "file": file_rel,
+        "dv_path": rel,
+        "cardinality": rec["cardinality"],
+    }
+
+
+def _dv_load(path: str, dv_rel: str) -> dict:
+    with open(os.path.join(path, dv_rel)) as fh:
+        return json.load(fh)
+
+
+def _strip_uri_scheme(col):
+    """file:/x, file:///x -> /x — aligns `_metadata.file_path` URIs
+    with the os.path absolute paths the manifest math derives, so the
+    two sides of the DV anti-join agree on the key."""
+    return F.regexp_replace(col, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+
+def _read_files_meta(
+    spark: SparkSession, path: str, files: dict, schema: StructType
+) -> DataFrame:
+    """`_read_files` + physical row addresses: every row carries its
+    file's absolute path (``__f``) and row ordinal within the file
+    (``__pos``, parquet ``_metadata.row_index``) — the coordinates
+    deletion vectors address rows by. Metadata columns are
+    constant-folded by the scan, so the plan stays JVM-only."""
+    groups: dict[str, list[str]] = {}
+    for rel, meta in files.items():
+        groups.setdefault(meta["commit_dir"], []).append(
+            os.path.join(path, rel)
+        )
+    parts = []
+    for commit_dir, names in sorted(groups.items()):
+        reader = spark.read.schema(schema).option(
+            "basePath", os.path.join(path, commit_dir)
+        )
+        parts.append(
+            reader.parquet(*sorted(names)).select(
+                "*",
+                _strip_uri_scheme(F.col("_metadata.file_path")).alias(
+                    "__f"
+                ),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_positions_frame(
+    spark: SparkSession, path: str, dvd: dict
+) -> DataFrame:
+    """(file absolute path, masked row ordinal) for every DV'd file —
+    decoded IN EXECUTORS from one descriptor row per file, so the
+    driver never materializes position lists (the bloom-build
+    packed-rows discipline, in reverse)."""
+    rows = [
+        (
+            os.path.abspath(os.path.join(path, rel)),
+            os.path.join(path, meta["dv"]["path"]),
+        )
+        for rel, meta in dvd.items()
+    ]
+    desc = spark.createDataFrame(rows, "f string, dv string")
+
+    def _decode(batches):
+        import base64 as b64mod
+        import json as jsonmod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for f, dvp in zip(pdf["f"], pdf["dv"]):
+                with open(dvp) as fh:
+                    rec = jsonmod.load(fh)
+                raw = b64mod.b64decode(rec["payload"])
+                if rec["enc"] == "pos":
+                    pos = np.frombuffer(raw, dtype="<i8").astype("int64")
+                else:
+                    pos = np.flatnonzero(
+                        np.unpackbits(
+                            np.frombuffer(raw, dtype=np.uint8),
+                            bitorder="little",
+                        )
+                    ).astype("int64")
+                yield pd.DataFrame({"f": f, "pos": pos})
+
+    return desc.repartition(max(1, min(len(rows), 64))).mapInPandas(
+        _decode, "f string, pos long"
+    )
+
+
+def _dv_total(dvd: dict) -> int:
+    return sum(
+        int(m["dv"].get("cardinality") or 0) for m in dvd.values()
+    )
+
+
+def _read_files_live_meta(
+    spark: SparkSession, path: str, files: dict, schema: StructType
+) -> DataFrame:
+    """Live rows (deletion vectors applied) WITH their (__f, __pos)
+    physical addresses — the working set row-level deletes match
+    against. Files without a DV skip the anti-join leg entirely."""
+    plain = {r: m for r, m in files.items() if not m.get("dv")}
+    dvd = {r: m for r, m in files.items() if m.get("dv")}
+    parts = []
+    if plain:
+        parts.append(_read_files_meta(spark, path, plain, schema))
+    if dvd:
+        raw = _read_files_meta(spark, path, dvd, schema)
+        pos = _dv_positions_frame(spark, path, dvd)
+        if _dv_total(dvd) <= DV_BROADCAST_MAX_ROWS:
+            pos = F.broadcast(pos)
+        cond = (raw["__f"] == pos["f"]) & (raw["__pos"] == pos["pos"])
+        parts.append(raw.join(pos, cond, "left_anti"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _read_files_live(
+    spark: SparkSession, path: str, files: dict, schema: StructType
+) -> DataFrame:
+    """DV-aware snapshot read: files without deletion vectors read
+    pure-JVM through `_read_files` (zero extra plan nodes — the
+    common path); DV'd files read with physical row addresses and
+    drop their masked positions via a LEFT ANTI join, broadcast while
+    the manifest-known masked-row total is small, shuffled beyond
+    that (the signal `materialize_deletes` is overdue)."""
+    plain = {r: m for r, m in files.items() if not m.get("dv")}
+    dvd = {r: m for r, m in files.items() if m.get("dv")}
+    parts = []
+    if plain:
+        parts.append(_read_files(spark, path, plain, schema))
+    if dvd:
+        parts.append(
+            _read_files_live_meta(spark, path, dvd, schema).select(
+                *[F.col(f.name) for f in schema.fields]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _zone_overlaps(meta: dict, skip: dict) -> bool:
     """True when the file MAY contain rows in every requested range —
     files lacking stats for a column cannot be pruned on it."""
@@ -859,6 +1116,10 @@ def read_table(
     Files are read per commit-group (each group one ``basePath`` so
     directory-encoded partition columns re-materialize), then
     unioned; compaction folds old groups so the union stays narrow.
+    Files carrying deletion vectors (:func:`delete_from_table` with
+    ``mode="mor"``) have their masked rows dropped transparently;
+    ``skip``/``point`` pruning stays sound because file stats are a
+    SUPERSET of the live rows.
     """
     if timestamp is not None:
         if version is not None:
@@ -896,7 +1157,7 @@ def read_table(
         want = _bloom_prune(spark, path, want, point)
     if not want:
         return spark.createDataFrame([], schema)
-    return _read_files(spark, path, want, schema)
+    return _read_files_live(spark, path, want, schema)
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:
@@ -1109,7 +1370,7 @@ def merge_tx_table(
             }
             if outside:
                 stranded = (
-                    _read_files(spark, path, outside, schema)
+                    _read_files_live(spark, path, outside, schema)
                     .select(*pks)
                     .join(
                         source.select(*pks).distinct(),
@@ -1129,7 +1390,7 @@ def merge_tx_table(
                         "merge unpartitioned."
                     )
         if removed:
-            target = _read_files(
+            target = _read_files_live(
                 spark,
                 path,
                 {rel: snap.files[rel] for rel in removed},
@@ -1152,7 +1413,7 @@ def merge_tx_table(
             pcols=list(pcols),
         )
     if snap.files:
-        target = _read_files(spark, path, snap.files, schema)
+        target = _read_files_live(spark, path, snap.files, schema)
     else:
         target = spark.createDataFrame([], schema)
     merged = _apply(target)
@@ -1165,6 +1426,225 @@ def merge_tx_table(
         sorted(snap.files),
         schema=widened,
         app=app,
+    )
+
+
+# ---------------------------------------------------------------------------
+# row-level DELETE: merge-on-read (deletion vectors) or copy-on-write
+# ---------------------------------------------------------------------------
+
+
+def delete_from_table(
+    spark: SparkSession,
+    path: str,
+    condition,
+    mode: str = "mor",
+    partition_filter: dict | None = None,
+    max_dv_rows: int = 10_000_000,
+) -> dict:
+    """Row-level ``DELETE FROM <table> WHERE condition`` — the verb
+    the reference's pipelines reach through SQL DELETE, with Delta
+    Lake's two execution strategies:
+
+    - ``mode="mor"`` (merge-on-read, the default): NO data file is
+      rewritten. The matched rows' physical addresses (file, row
+      ordinal from parquet ``_metadata.row_index``) are folded into
+      per-file DELETION VECTOR sidecars and one metadata commit
+      advances each touched file's DV pointer. Deleting 0.1% of a
+      100 TB table costs one predicate scan plus kilobytes of
+      bitmap — not a rewrite of every touched file. Readers apply
+      DVs transparently (see `read_table`); `materialize_deletes`
+      or any compaction/merge rewrite later makes them physical.
+    - ``mode="cow"`` (copy-on-write): files containing matches are
+      rewritten without them (file-granularity, finer than the
+      merge path's partition granularity); files with no match
+      survive by reference. Right for bulk deletes where the masked
+      fraction would be large.
+
+    SQL NULL semantics: rows where ``condition`` is NULL are KEPT
+    (DELETE removes only rows where the predicate is true).
+    ``condition`` is a Column or a SQL string. ``partition_filter``
+    prunes the candidate scan at the manifest level first — a
+    date-scoped delete touches only its partitions' files.
+
+    A MOR delete computes the NEWLY-matched set against the LIVE
+    rows (existing DVs applied), so re-running the same predicate
+    commits nothing and the change feed emits each row's delete
+    exactly once. New sidecars hold the UNION of a file's masked
+    rows; the old sidecar stays for time travel until vacuum.
+    ``max_dv_rows`` bounds the driver-side collect of packed
+    positions (8 B/row) — beyond it the delete raises with
+    ``mode="cow"`` guidance, because masking that fraction is worse
+    than rewriting it.
+
+    Concurrency: appends compose (WriteSerializable — the delete
+    applies to rows as of its snapshot); any interleaved commit that
+    removed OR re-deleted-from a touched file conflicts; disjoint
+    rewrites rebase with the same sidecars. Returns
+    ``{"version", "mode", "rows_deleted", "files_touched"}`` —
+    ``version`` None when nothing matched (no commit).
+    """
+    if mode not in ("mor", "cow"):
+        raise ValueError(f"delete_from_table: unknown mode {mode!r}")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    pred_repr = condition if isinstance(condition, str) else str(condition)
+    snap = _fold(path)
+    schema = snap.spark_schema()
+    want = snap.files
+    if partition_filter:
+        types = {f.name: f.dataType for f in schema.fields}
+        rendered = {
+            k: _render_pv(_coerce_pv(v, types[k]) if k in types else v)
+            for k, v in partition_filter.items()
+        }
+        want = {
+            rel: meta
+            for rel, meta in want.items()
+            if all(
+                meta["partition_values"].get(k) == rv
+                for k, rv in rendered.items()
+            )
+        }
+    none = {
+        "version": None,
+        "mode": mode,
+        "rows_deleted": 0,
+        "files_touched": 0,
+    }
+    if not want:
+        return none
+    live = _read_files_live_meta(spark, path, want, schema)
+    matched = live.where(F.coalesce(cond, F.lit(False))).select(
+        "__f", "__pos"
+    )
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, rel)): rel for rel in want
+    }
+    if mode == "cow":
+        hit_rows = (
+            matched.groupBy("__f").agg(F.count("*").alias("n")).collect()
+        )
+        if not hit_rows:
+            return none
+        hit = {
+            abs_to_rel[r["__f"]]: want[abs_to_rel[r["__f"]]]
+            for r in hit_rows
+        }
+        kept = _read_files_live(spark, path, hit, schema).where(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        added = _stage(kept, path, snap.partition_cols)
+        version = _rewrite_commit(
+            path,
+            snap.version,
+            "delete",
+            added,
+            sorted(hit),
+            conflict="files",
+            extra={"predicate": pred_repr},
+        )
+        return {
+            "version": version,
+            "mode": "cow",
+            "rows_deleted": sum(int(r["n"]) for r in hit_rows),
+            "files_touched": len(hit),
+        }
+    n_new = matched.count()
+    if n_new == 0:
+        return none
+    if n_new > max_dv_rows:
+        raise ValueError(
+            f"delete_from_table: {n_new} matched rows exceed "
+            f"max_dv_rows={max_dv_rows} — masking that fraction is "
+            'worse than rewriting it; use mode="cow" (or raise the '
+            "bound explicitly)"
+        )
+
+    def _pack(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pos = np.unique(pdf["__pos"].to_numpy(dtype="int64"))
+        return pd.DataFrame(
+            {
+                "f": [key[0]],
+                "n": [int(pos.size)],
+                "payload": [pos.astype("<i8").tobytes()],
+            }
+        )
+
+    packed = (
+        matched.groupBy("__f")
+        .applyInPandas(_pack, "f string, n long, payload binary")
+        .collect()
+    )
+    import numpy as np
+
+    dv_records = []
+    for r in packed:
+        rel = abs_to_rel[r["f"]]
+        new_pos = np.frombuffer(r["payload"], dtype="<i8")
+        old = want[rel].get("dv")
+        if old:
+            new_pos = np.union1d(
+                new_pos, _dv_decode(_dv_load(path, old["path"]))
+            )
+        dv_records.append(_dv_write(path, rel, new_pos))
+    version = _rewrite_commit(
+        path,
+        snap.version,
+        "delete",
+        [],
+        [],
+        conflict="files",
+        dv=dv_records,
+        extra={"predicate": pred_repr},
+    )
+    return {
+        "version": version,
+        "mode": "mor",
+        "rows_deleted": int(n_new),
+        "files_touched": len(dv_records),
+    }
+
+
+def materialize_deletes(
+    spark: SparkSession, path: str, min_dv_rows: int = 1
+) -> int | None:
+    """Rewrite every live file whose deletion vector masks at least
+    ``min_dv_rows`` rows — physically dropping the masked rows (the
+    Delta ``REORG TABLE ... APPLY (PURGE)`` analog). Read results are
+    identical before and after; what changes is that the rows stop
+    existing in any live parquet byte (the GDPR prerequisite —
+    `forget_keys` runs this first) and reads stop paying the DV
+    anti-join. Files without a DV survive by reference; the rewrite
+    uses the grouped compaction topology, so task count scales with
+    the bytes rewritten. Returns the new version, or None when no
+    file qualifies. Old sidecars/files stay time-travel-readable
+    until vacuum."""
+    snap = _fold(path)
+    dvd = {
+        rel: m
+        for rel, m in snap.files.items()
+        if m.get("dv")
+        and int(m["dv"].get("cardinality") or 0) >= min_dv_rows
+    }
+    if not dvd:
+        return None
+    schema = snap.spark_schema()
+    df = _read_files_live(spark, path, dvd, schema)
+    counts = _group_counts(snap, path, list(dvd), 1, None)
+    df = _compaction_layout(
+        spark, df, snap.partition_cols, counts, None, 12
+    )
+    added = _stage(df, path, snap.partition_cols)
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "purge",
+        added,
+        sorted(dvd),
+        conflict="files",
     )
 
 
@@ -1541,7 +2021,7 @@ def compact_partitions(
     if not removed:
         return None
     schema = snap.spark_schema()
-    df = _read_files(
+    df = _read_files_live(
         spark, path, {rel: snap.files[rel] for rel in removed}, schema
     )
     counts = _group_counts(snap, path, removed, target_files, target_bytes)
@@ -1582,6 +2062,7 @@ def maintain_table(
     bloom_cols: Sequence[str] | None = None,
     bloom_fpp: float = 0.01,
     refresh_symlink_manifest: bool = False,
+    purge_dv_rows: int | None = None,
 ) -> dict:
     """Nightly maintenance as one verb, in the only order that
     composes correctly: (1) partition-scoped compaction of
@@ -1611,10 +2092,25 @@ def maintain_table(
     compaction step is skipped (``compaction_skipped`` gives the
     reason) — there every live file is one group, so "partition-
     scoped" would degrade to a full-snapshot rewrite per night; use
-    the explicit `compact_table` when that cost is intended."""
+    the explicit `compact_table` when that cost is intended.
+
+    ``purge_dv_rows`` adds a step 0: files whose deletion vector
+    masks at least that many rows are rewritten without them
+    (`materialize_deletes`) before compaction, so MOR delete debt is
+    paid on the same nightly cadence that pays the small-file debt
+    (``purged_version`` in the audit dict; a lost purge race is
+    recorded like a compaction race)."""
     compacted = None
     raced = False
     skipped = None
+    purged = None
+    if purge_dv_rows is not None:
+        try:
+            purged = materialize_deletes(
+                spark, path, min_dv_rows=purge_dv_rows
+            )
+        except ConcurrentWriteError:
+            raced = True
     if not _fold(path).partition_cols:
         skipped = (
             "unpartitioned table: partition-scoped compaction would "
@@ -1651,6 +2147,7 @@ def maintain_table(
         "compacted_version": compacted,
         "compaction_raced": raced,
         "compaction_skipped": skipped,
+        "purged_version": purged,
         "files_reclaimed": len(deleted),
         "bloom_files": bloom_files,
         "symlink_manifest": manifest,
@@ -1702,6 +2199,11 @@ def forget_keys(
     disk — delete them out-of-band to complete the erasure."""
     if isinstance(pks, str):
         pks = [c.strip() for c in pks.split(",")]
+    # Step 0: MOR-deleted rows are MASKED, not gone — a file whose DV
+    # hides a matching row would never be located by the live-read
+    # semi-join below, leaving the bytes on disk. Materialize every
+    # deletion vector first so erasure reasons over physical rows.
+    materialize_deletes(spark, path)
     snap = _fold(path)
     schema = snap.spark_schema()
     keyset = keys.select(*pks).distinct()
@@ -1783,6 +2285,12 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
         for rel in snap_old.files
         if not os.path.exists(os.path.join(path, rel))
     ]
+    missing += [
+        meta["dv"]["path"]
+        for meta in snap_old.files.values()
+        if meta.get("dv")
+        and not os.path.exists(os.path.join(path, meta["dv"]["path"]))
+    ]
     if missing:
         raise FileNotFoundError(
             f"restore to v{version}: {len(missing)} file(s) already "
@@ -1795,6 +2303,10 @@ def restore_table(spark: SparkSession, path: str, version: int) -> int:
             "partition_values": meta["partition_values"],
             "stats": meta.get("stats", {}),
             "bytes": meta.get("bytes"),
+            "rows": meta.get("rows"),
+            # the restored state's deletion vectors ride the added
+            # record — the fold re-attaches them
+            **({"dv": meta["dv"]} if meta.get("dv") else {}),
         }
         for rel, meta in snap_old.files.items()
     ]
@@ -1852,6 +2364,14 @@ def write_symlink_manifest(
     import shutil
 
     snap = _fold(path, version)
+    dvd = [rel for rel, m in snap.files.items() if m.get("dv")]
+    if dvd:
+        raise ValueError(
+            f"write_symlink_manifest: {len(dvd)} live file(s) carry "
+            "deletion vectors — an external engine reading the "
+            "manifest cannot apply them and would resurface deleted "
+            "rows; run materialize_deletes(path) first"
+        )
     root = os.path.join(path, MANIFEST_DIR)
     if os.path.isdir(root):
         shutil.rmtree(root)
@@ -1960,6 +2480,14 @@ def vacuum_table(
         with open(_commit_file(path, v)) as fh:
             entry = json.load(fh)
         referenced.update(a["path"] for a in entry.get("added", []))
+        referenced.update(
+            d["dv_path"] for d in entry.get("dv", [])
+        )
+        referenced.update(
+            a["dv"]["path"]
+            for a in entry.get("added", [])
+            if a.get("dv")
+        )
         ts_by_v[v] = _commit_ts(path, v, entry)
     if retain_hours is not None:
         cutoff = time.time() - retain_hours * 3600.0
@@ -1971,25 +2499,40 @@ def vacuum_table(
             retained.add(max(older))
     live: set[str] = set()
     for v in sorted(retained):
-        live.update(_fold(path, v).files)
+        fs = _fold(path, v).files
+        live.update(fs)
+        live.update(
+            m["dv"]["path"] for m in fs.values() if m.get("dv")
+        )
     now = time.time()
     deleted = []
-    data_root = os.path.join(path, DATA_DIR)
-    for root, _dirs, names in os.walk(data_root):
-        for name in names:
-            full = os.path.join(root, name)
-            rel = os.path.relpath(full, path)
-            if not name.endswith(".parquet") or rel in live:
-                continue
-            if rel not in referenced:
-                try:
-                    if now - os.path.getmtime(full) < stray_age_seconds:
-                        continue  # possibly an in-flight stage
-                except OSError:
-                    continue  # claimed/removed underneath us
-            if not dry_run:
-                os.unlink(full)
-            deleted.append(rel)
+    # deletion-vector sidecars obey the same contract as data files:
+    # a sidecar referenced by a retained version stays, one written
+    # by an in-flight delete (referenced by no commit yet) is
+    # protected by the stray-age guard, everything else reclaims
+    sweeps = [
+        (os.path.join(path, DATA_DIR), ".parquet"),
+        (os.path.join(path, DELETES_DIR), ".json"),
+    ]
+    for sweep_root, suffix in sweeps:
+        for root, _dirs, names in os.walk(sweep_root):
+            for name in names:
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, path)
+                if not name.endswith(suffix) or rel in live:
+                    continue
+                if rel not in referenced:
+                    try:
+                        if (
+                            now - os.path.getmtime(full)
+                            < stray_age_seconds
+                        ):
+                            continue  # possibly an in-flight stage
+                    except OSError:
+                        continue  # claimed/removed underneath us
+                if not dry_run:
+                    os.unlink(full)
+                deleted.append(rel)
     return sorted(deleted)
 
 
@@ -2384,6 +2927,84 @@ def _cdf_validate_range(
     return hi, commits
 
 
+def _dv_delete_rows(
+    spark: SparkSession,
+    path: str,
+    entry: dict,
+    v: int,
+    live: dict,
+    schema: StructType,
+) -> DataFrame | None:
+    """Typed ``delete`` rows of one MOR delete commit: per file, the
+    NEWLY masked positions are the new sidecar minus the previous one
+    (diffed in executors), and the payloads come from a LEFT SEMI
+    join of the file's raw rows against those positions — cost is the
+    commit's own delete footprint, never the table."""
+    files: dict[str, dict] = {}
+    descs: list[tuple] = []
+    total = 0
+    for rec in entry.get("dv", []):
+        rel = rec["file"]
+        meta = live.get(rel)
+        if meta is None:
+            continue
+        files[rel] = {k: x for k, x in meta.items() if k != "dv"}
+        old = meta.get("dv")
+        descs.append(
+            (
+                os.path.abspath(os.path.join(path, rel)),
+                os.path.join(path, rec["dv_path"]),
+                os.path.join(path, old["path"]) if old else None,
+            )
+        )
+        total += int(rec.get("cardinality") or 0)
+    if not files:
+        return None
+    desc = spark.createDataFrame(descs, "f string, new string, old string")
+
+    def _diff(batches):
+        import base64 as b64mod
+        import json as jsonmod
+
+        import numpy as np
+        import pandas as pd
+
+        def _load(p):
+            with open(p) as fh:
+                rec = jsonmod.load(fh)
+            raw = b64mod.b64decode(rec["payload"])
+            if rec["enc"] == "pos":
+                return np.frombuffer(raw, dtype="<i8").astype("int64")
+            return np.flatnonzero(
+                np.unpackbits(
+                    np.frombuffer(raw, dtype=np.uint8),
+                    bitorder="little",
+                )
+            ).astype("int64")
+
+        for pdf in batches:
+            for f, new, old in zip(pdf["f"], pdf["new"], pdf["old"]):
+                pos = _load(new)
+                if old is not None and not (
+                    isinstance(old, float)
+                ):  # pandas renders SQL NULL as None or NaN
+                    pos = np.setdiff1d(pos, _load(old))
+                yield pd.DataFrame({"f": f, "pos": pos})
+
+    pos = desc.repartition(max(1, min(len(descs), 64))).mapInPandas(
+        _diff, "f string, pos long"
+    )
+    if total <= DV_BROADCAST_MAX_ROWS:
+        pos = F.broadcast(pos)
+    raw = _read_files_meta(spark, path, files, schema)
+    cond = (raw["__f"] == pos["f"]) & (raw["__pos"] == pos["pos"])
+    return raw.join(pos, cond, "left_semi").select(
+        *[F.col(f.name) for f in schema.fields],
+        F.lit("delete").alias(CDF_TYPE_COL),
+        F.lit(v).cast("long").alias(CDF_VERSION_COL),
+    )
+
+
 def _cdf_commit_rows(
     spark: SparkSession,
     path: str,
@@ -2395,15 +3016,19 @@ def _cdf_commit_rows(
     include_preimage: bool = False,
 ) -> DataFrame | None:
     """Typed change rows of ONE commit, given ``live`` = the file map
-    BEFORE it. Appends short-circuit to inserts; rewriting commits
-    join the pre-image (this commit's removed files) against the
-    post-image (its genuinely-new files) on pk. Restore's re-added
-    still-live files are excluded from the post-image, so unchanged
-    rows emit nothing."""
+    BEFORE it. Appends short-circuit to inserts; MOR deletes diff
+    their deletion vectors (`_dv_delete_rows`); rewriting commits
+    join the pre-image (this commit's removed files, their DVs at
+    pre-commit state applied) against the post-image (its
+    genuinely-new files) on pk. Restore's re-added still-live files
+    are excluded from the post-image, so unchanged rows emit
+    nothing; a purge (DV materialization) emits nothing because its
+    masked pre-image equals its post-image."""
     added_new = {
         a["path"]: {
             "commit_dir": a["commit_dir"],
             "partition_values": a.get("partition_values", {}),
+            **({"dv": a["dv"]} if a.get("dv") else {}),
         }
         for a in entry.get("added", [])
         if a["path"] not in live
@@ -2424,13 +3049,15 @@ def _cdf_commit_rows(
         return _typed(
             _read_files(spark, path, added_new, schema), "insert"
         )
+    if entry.get("dv"):
+        return _dv_delete_rows(spark, path, entry, v, live, schema)
     pre = (
-        _read_files(spark, path, removed_live, schema)
+        _read_files_live(spark, path, removed_live, schema)
         if removed_live
         else spark.createDataFrame([], schema)
     )
     post = (
-        _read_files(spark, path, added_new, schema)
+        _read_files_live(spark, path, added_new, schema)
         if added_new
         else spark.createDataFrame([], schema)
     )
@@ -2577,7 +3204,17 @@ def table_changes_cdf(
             live[a["path"]] = {
                 "commit_dir": a["commit_dir"],
                 "partition_values": a.get("partition_values", {}),
+                **({"dv": a["dv"]} if a.get("dv") else {}),
             }
+        for rec in entry.get("dv", []):
+            if rec["file"] in live:
+                live[rec["file"]] = {
+                    **live[rec["file"]],
+                    "dv": {
+                        "path": rec["dv_path"],
+                        "cardinality": rec["cardinality"],
+                    },
+                }
     if not parts:
         return spark.createDataFrame([], schema).select(
             "*",

@@ -56,10 +56,16 @@ FORMAT_NAME = "txtable"
 
 class TxFilePartition(InputPartition):
     def __init__(
-        self, file_path: str, partition_values: dict[str, str]
+        self,
+        file_path: str,
+        partition_values: dict[str, str],
+        dv_path: str | None = None,
     ) -> None:
         self.file_path = file_path
         self.partition_values = partition_values
+        # absolute path of the file's deletion-vector sidecar (None
+        # for files with no masked rows)
+        self.dv_path = dv_path
 
 
 def _coerce(value: str, spark_type: str):
@@ -92,10 +98,31 @@ def _coerce(value: str, spark_type: str):
     return value
 
 
+def _dv_positions(dv_path: str) -> set[int]:
+    """Masked row ordinals from a deletion-vector sidecar."""
+    import base64
+
+    import numpy as np
+
+    with open(dv_path) as fh:
+        rec = json.load(fh)
+    raw = base64.b64decode(rec["payload"])
+    if rec["enc"] == "pos":
+        pos = np.frombuffer(raw, dtype="<i8")
+    else:
+        pos = np.flatnonzero(
+            np.unpackbits(
+                np.frombuffer(raw, dtype=np.uint8), bitorder="little"
+            )
+        )
+    return set(int(p) for p in pos)
+
+
 def _read_file_rows(
     file_path: str,
     partition_values: dict[str, str],
     schema: StructType,
+    dv_path: str | None = None,
 ) -> Iterator[tuple]:
     import pyarrow.parquet as pq
 
@@ -115,7 +142,14 @@ def _read_file_rows(
             out_cols.append([v] * n)
         else:
             out_cols.append([None] * n)  # schema-widened old file
-    yield from zip(*out_cols) if n else iter(())
+    rows = zip(*out_cols) if n else iter(())
+    if dv_path is None:
+        yield from rows
+        return
+    # pyarrow preserves file row order, so the ordinal IS the
+    # deletion vector's row_index coordinate
+    masked = _dv_positions(dv_path)
+    yield from (row for i, row in enumerate(rows) if i not in masked)
 
 
 class TxBatchReader(DataSourceReader):
@@ -129,14 +163,23 @@ class TxBatchReader(DataSourceReader):
         snap = tx._fold(self._path, self._version)
         return [
             TxFilePartition(
-                os.path.join(self._path, rel), meta["partition_values"]
+                os.path.join(self._path, rel),
+                meta["partition_values"],
+                dv_path=(
+                    os.path.join(self._path, meta["dv"]["path"])
+                    if meta.get("dv")
+                    else None
+                ),
             )
             for rel, meta in sorted(snap.files.items())
         ]
 
     def read(self, partition: TxFilePartition) -> Iterator[tuple]:
         return _read_file_rows(
-            partition.file_path, partition.partition_values, self._schema
+            partition.file_path,
+            partition.partition_values,
+            self._schema,
+            dv_path=partition.dv_path,
         )
 
 
@@ -146,11 +189,14 @@ CDF_VERSION_COL = "_commit_version"
 
 class TxCdfPartition(InputPartition):
     """One commit's change rows: ``pre`` = the files it removed (with
-    their partition values from the pre-commit live set), ``post`` =
-    the files it genuinely added. Appends ship one partition PER
-    ADDED FILE (pre empty — pure inserts, full scan parallelism);
-    rewriting commits ship ONE partition per commit, because the
-    pre/post pk-join needs both images together. The task therefore
+    their partition values and pre-commit deletion-vector sidecar
+    from the pre-commit live set), ``post`` = the files it genuinely
+    added. Appends ship one partition PER ADDED FILE (pre empty —
+    pure inserts, full scan parallelism); rewriting commits ship ONE
+    partition per commit, because the pre/post pk-join needs both
+    images together. MOR delete commits carry ``dv_diff`` instead:
+    (file, partition values, new sidecar, previous sidecar or None) —
+    the newly masked positions read back as typed deletes. The task
     holds one commit's footprint in memory — CDC-sized commits by
     contract; bulk backfills use `txtable.table_changes_cdf`, whose
     join is distributed."""
@@ -158,12 +204,14 @@ class TxCdfPartition(InputPartition):
     def __init__(
         self,
         version: int,
-        pre: list[tuple[str, dict]],
-        post: list[tuple[str, dict]],
+        pre: list[tuple[str, dict, str | None]],
+        post: list[tuple[str, dict, str | None]],
+        dv_diff: list[tuple[str, dict, str, str | None]] | None = None,
     ) -> None:
         self.version = version
         self.pre = pre
         self.post = post
+        self.dv_diff = dv_diff or []
 
 
 class TxStreamReader(DataSourceStreamReader):
@@ -284,6 +332,11 @@ class TxStreamReader(DataSourceStreamReader):
         live: dict[str, dict] = (
             dict(tx._fold(self._path, after).files) if after >= 0 else {}
         )
+
+        def _dv_abs(meta: dict) -> str | None:
+            dv = meta.get("dv")
+            return os.path.join(self._path, dv["path"]) if dv else None
+
         parts: list[TxCdfPartition] = []
         for v in range(after + 1, up_to + 1):
             with open(tx._commit_file(self._path, v)) as fh:
@@ -292,6 +345,7 @@ class TxStreamReader(DataSourceStreamReader):
                 (
                     os.path.join(self._path, a["path"]),
                     a.get("partition_values", {}),
+                    _dv_abs(a),
                 )
                 for a in entry.get("added", [])
                 if a["path"] not in live
@@ -300,6 +354,7 @@ class TxStreamReader(DataSourceStreamReader):
                 (
                     os.path.join(self._path, p),
                     live[p]["partition_values"],
+                    _dv_abs(live[p]),
                 )
                 for p in entry.get("removed", [])
                 if p in live
@@ -308,6 +363,21 @@ class TxStreamReader(DataSourceStreamReader):
                 parts.extend(
                     TxCdfPartition(v, [], [f]) for f in added_new
                 )
+            elif entry.get("dv"):
+                # MOR delete: newly masked positions = new sidecar
+                # minus the file's previous one
+                diff = [
+                    (
+                        os.path.join(self._path, rec["file"]),
+                        live[rec["file"]]["partition_values"],
+                        os.path.join(self._path, rec["dv_path"]),
+                        _dv_abs(live[rec["file"]]),
+                    )
+                    for rec in entry["dv"]
+                    if rec["file"] in live
+                ]
+                if diff:
+                    parts.append(TxCdfPartition(v, [], [], dv_diff=diff))
             elif added_new or removed_live:
                 parts.append(TxCdfPartition(v, removed_live, added_new))
             for p in entry.get("removed", []):
@@ -316,7 +386,17 @@ class TxStreamReader(DataSourceStreamReader):
                 live[a["path"]] = {
                     "commit_dir": a["commit_dir"],
                     "partition_values": a.get("partition_values", {}),
+                    **({"dv": a["dv"]} if a.get("dv") else {}),
                 }
+            for rec in entry.get("dv", []):
+                if rec["file"] in live:
+                    live[rec["file"]] = {
+                        **live[rec["file"]],
+                        "dv": {
+                            "path": rec["dv_path"],
+                            "cardinality": rec["cardinality"],
+                        },
+                    }
         return parts
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -331,18 +411,33 @@ class TxStreamReader(DataSourceStreamReader):
 
     def _read_cdf(self, partition: TxCdfPartition) -> Iterator[tuple]:
         schema = self._table_schema
+        v = partition.version
+        if partition.dv_diff:
+            # MOR delete commit: rows at (new sidecar − old sidecar)
+            # positions stream as typed deletes
+            for fp, pvals, new_dv, old_dv in partition.dv_diff:
+                fresh = _dv_positions(new_dv)
+                if old_dv:
+                    fresh -= _dv_positions(old_dv)
+                for i, row in enumerate(
+                    _read_file_rows(fp, pvals, schema)
+                ):
+                    if i in fresh:
+                        yield (*row, "delete", v)
+            return
         pk_idx = [schema.fieldNames().index(c) for c in self._pks]
 
         def _keyed(files) -> dict[tuple, tuple]:
             out: dict[tuple, tuple] = {}
-            for fp, pvals in files:
-                for row in _read_file_rows(fp, pvals, schema):
+            for fp, pvals, dv_path in files:
+                for row in _read_file_rows(
+                    fp, pvals, schema, dv_path=dv_path
+                ):
                     out[tuple(row[i] for i in pk_idx)] = row
             return out
 
         post = _keyed(partition.post)
         pre = _keyed(partition.pre) if partition.pre else {}
-        v = partition.version
         for key, row in post.items():
             old = pre.get(key)
             if old is None:
