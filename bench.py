@@ -215,9 +215,14 @@ BENCH_QUERIES = [
     "q_tx_point",
     "q_tx_compact",
     # r9: row-level change feed across the rewriting arc; zorder'd
-    # partition-scoped compaction read path
+    # partition-scoped compaction read path; deletion vectors — the
+    # DV-masked read, the CDF delete emission, and the honest MOR
+    # delete wall (fresh delete per repeat via restore reset)
     "q_tx_cdf",
     "q_tx_zorder",
+    "q_tx_delete",
+    "q_tx_dv_cdf",
+    "q_tx_delete_raw",
     "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

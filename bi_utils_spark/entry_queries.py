@@ -10274,6 +10274,137 @@ def q_tx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tx_dv_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF deletion-vector arc fixture (idempotent): v0 create
+    (ALL order rows, status-partitioned) -> v1 MOR delete (k%7=0 —
+    sidecar masks across every partition, no file rewritten) -> v2
+    MOR delete (k%10=3 — unions onto v1's sidecars) -> v3 COW delete
+    (k%10=4 in status 'P' — file-granularity rewrite of only the hit
+    files). The final snapshot deliberately MIXES masked files, a
+    rewritten partition, and untouched files, so the read exercises
+    both reader legs plus their union."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_dv"
+    if tx.latest_version(path) >= 3:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(rows, path, partition_cols=["status"])
+    if tx.latest_version(path) < 1:
+        tx.delete_from_table(spark, path, F.col("k") % 7 == 0)
+    if tx.latest_version(path) < 2:
+        tx.delete_from_table(spark, path, F.col("k") % 10 == 3)
+    if tx.latest_version(path) < 3:
+        tx.delete_from_table(
+            spark,
+            path,
+            (F.col("k") % 10 == 4) & (F.col("status") == "P"),
+            mode="cow",
+        )
+    return path
+
+
+@register(
+    "q_tx_delete",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v1 AS (SELECT * FROM rows0 WHERE NOT (k % 7 = 0)),
+    v2 AS (SELECT * FROM v1 WHERE NOT (k % 10 = 3)),
+    v3 AS (SELECT * FROM v2 WHERE NOT (k % 10 = 4 AND status = 'P'))
+    SELECT 1 AS version, k, status, cents FROM v1
+    UNION ALL
+    SELECT 2 AS version, k, status, cents FROM v2
+    UNION ALL
+    SELECT 3 AS version, k, status, cents FROM v3
+    """,
+)
+def q_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE with merge-on-read deletion vectors (X110,
+    r9): two MOR deletes mask rows in per-file DV sidecars — zero
+    data files rewritten, the 100 TB delete shape — then a COW delete
+    rewrites only the files its predicate hits. Reading versions 1-3
+    proves (a) the DV anti-join read path (masked + plain legs
+    unioned) equals the declarative filter, (b) sidecar UNION
+    semantics across stacked deletes, and (c) time travel resolves
+    every intermediate DV pointer — all value-level against the
+    oracle's nested NOT-filters. Delta-protocol deletion-vector
+    analog; design per the public spec, engine re-derived on parquet
+    `_metadata.row_index`."""
+    from bi_utils_spark.operators.txtable import read_table
+
+    path = _tx_dv_demo_table(spark, sf_dir)
+    parts = [
+        read_table(spark, path, version=v).select(
+            F.lit(v).alias("version"), "k", "status", "cents"
+        )
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q_tx_dv_cdf",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents, 'delete' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM rows0 WHERE k % 7 = 0
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 3 AND NOT (k % 7 = 0)
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(3 AS BIGINT)
+    FROM rows0
+    WHERE k % 10 = 4 AND status = 'P'
+      AND NOT (k % 7 = 0) AND NOT (k % 10 = 3)
+    """,
+)
+def q_tx_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over deletion-vector commits (X110, r9): a
+    MOR delete emits exactly its NEWLY masked rows (new sidecar minus
+    previous, diffed in executors, payloads via one LEFT SEMI join on
+    physical row addresses) — re-deleted rows never re-emit; the COW
+    delete flows through the generic pre/post join. The oracle
+    states each commit's delete set declaratively with the
+    prior-delete exclusions, so a green row proves exactly-once
+    delete emission across stacked MOR deletes AND payload fidelity
+    of masked rows."""
+    from bi_utils_spark.operators.txtable import table_changes_cdf
+
+    path = _tx_dv_demo_table(spark, sf_dir)
+    return table_changes_cdf(spark, path, ["k"], after_version=0).select(
+        "k", "status", "cents", "_change_type", "_commit_version"
+    )
+
+
+def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest MOR DELETE wall (bench-only): each repeat resets a
+    scratch tx table via metadata-only RESTORE (+ vacuum, which also
+    reclaims the prior repeat's sidecars), then times
+    `delete_from_table` end-to-end — predicate scan with physical
+    row addresses, executor-side position packing, sidecar write,
+    commit. The registry row `q_tx_delete` times reads of the
+    pre-built fixture (its oracle proves delete CORRECTNESS); this
+    row is the delete COST."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_rawdelete"
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(rows, path, partition_cols=["status"])
+    else:
+        tx.restore_table(spark, path, 0)
+        tx.vacuum_table(path, retain_versions=1, stray_age_seconds=0.0)
+    tx.delete_from_table(spark, path, F.col("k") % 7 == 0)
+    return tx.read_table(spark, path).groupBy("status").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+    )
+
+
 def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MERGE wall (bench-only): each repeat resets a
     scratch tx table to its base snapshot via a metadata-only
@@ -10321,19 +10452,22 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # (1) NEW in r9: q_tx_cdf — the row-level change data feed over
 #     rewriting commits (insert/update_postimage/delete typed rows) —
-#     and q_tx_zorder — partition-scoped OPTIMIZE ZORDER result
-#     invariance through read_table(skip=...); first attestations.
+#     q_tx_zorder — partition-scoped OPTIMIZE ZORDER result
+#     invariance through read_table(skip=...) — and the deletion-
+#     vector pair q_tx_delete (MOR + COW row-level DELETE with time
+#     travel through DV pointers) and q_tx_dv_cdf (exactly-once
+#     delete emission in the change feed); first attestations.
 # (2) r9-changed implementations: the seven tx rows — txtable.py's
 #     write/maintenance paths changed shape this round (grouped
 #     compaction topology with per-partition target_files + identity-
 #     seed placement, partition-disjoint rewrite rebase in
 #     _rewrite_commit, manifest byte records, typed partition-filter
-#     coercion, atomic bloom sidecars), and every tx arc's fixture is
-#     rebuilt through those paths.
+#     coercion, atomic bloom sidecars, DV-aware readers), and every
+#     tx arc's fixture is rebuilt through those paths.
 # (3) re-attestation, oldest official row first: the remainder of the
 #     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (14 queries).
-#     2 + 7 + 27 + 14 = 50. All are green in the local strict sweep
+#     CORRECTNESS_r04) and the head of the r5 tier (12 queries).
+#     4 + 7 + 27 + 12 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
 # Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
@@ -10342,6 +10476,8 @@ _PROMOTED: list[str] = [
     # ---- tier 1: new in r9 ----
     "q_tx_cdf",
     "q_tx_zorder",
+    "q_tx_delete",
+    "q_tx_dv_cdf",
     # ---- tier 2: r9-changed implementation (txtable.py) ----
     "q_tx_merge_table",
     "q_tx_timetravel",
@@ -10391,9 +10527,7 @@ _PROMOTED: list[str] = [
     "q_cosine_pairs",
     "q_kmeans_clusters",
     "q_cluster_balanced_sample",
-    "q_embedding_outliers",
-    "q_rollup_flags",
-    # (q_pivot_events onward: next in line for r10)
+    # (q_embedding_outliers onward: next in line for r10)
 ]
 
 
@@ -10467,6 +10601,7 @@ RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_index_topk": raw_ivf_index_probe,
     "q_ivf_batch_topk": raw_ivf_batch_probe,
     "q_tx_merge_raw": raw_tx_merge,
+    "q_tx_delete_raw": raw_tx_delete,
     "q_minhash_near_dup": raw_minhash_near_dup,
     "q_simhash_near_dup": raw_simhash_near_dup,
     "q_winnow_near_dup": raw_winnow_near_dup,
