@@ -10381,6 +10381,37 @@ def q_tx_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_tx_clone",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v1 AS (SELECT * FROM rows0 WHERE NOT (k % 7 = 0)),
+    v2 AS (SELECT * FROM v1 WHERE NOT (k % 10 = 3)),
+    v3 AS (SELECT * FROM v2 WHERE NOT (k % 10 = 4 AND status = 'P'))
+    SELECT k, status, cents FROM v3 WHERE NOT (k % 10 = 8)
+    """,
+)
+def q_tx_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (X111, r9): the deletion-vector arc's
+    final snapshot clones in metadata time — commit 0 references the
+    source's files AND deletion-vector sidecars in place, nothing
+    copied — then the clone DIVERGES with its own MOR delete
+    (k%10=8). Reading the clone proves (a) borrowed files + borrowed
+    DVs resolve through relative paths, (b) the clone's own commits
+    compose on top, and (c) the source is untouched (its fixture
+    re-attests under q_tx_delete in the same run). The Delta CLONE
+    analog — the dev/test branch-and-discard workflow verb."""
+    from bi_utils_spark.operators import txtable as tx
+
+    src = _tx_dv_demo_table(spark, sf_dir)
+    dst = _tx_demo_dir(sf_dir) + "_dvclone"
+    if tx.latest_version(dst) < 0:
+        tx.clone_table(spark, src, dst)
+    if tx.latest_version(dst) < 1:
+        tx.delete_from_table(spark, dst, F.col("k") % 10 == 8)
+    return tx.read_table(spark, dst).select("k", "status", "cents")
+
+
 def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MOR DELETE wall (bench-only): each repeat resets a
     scratch tx table via metadata-only RESTORE (+ vacuum, which also
@@ -10455,8 +10486,10 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q_tx_zorder — partition-scoped OPTIMIZE ZORDER result
 #     invariance through read_table(skip=...) — and the deletion-
 #     vector pair q_tx_delete (MOR + COW row-level DELETE with time
-#     travel through DV pointers) and q_tx_dv_cdf (exactly-once
-#     delete emission in the change feed); first attestations.
+#     travel through DV pointers), q_tx_dv_cdf (exactly-once
+#     delete emission in the change feed), and q_tx_clone (zero-copy
+#     shallow clone with borrowed DVs + divergence); first
+#     attestations.
 # (2) r9-changed implementations: the seven tx rows — txtable.py's
 #     write/maintenance paths changed shape this round (grouped
 #     compaction topology with per-partition target_files + identity-
@@ -10466,8 +10499,8 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     tx arc's fixture is rebuilt through those paths.
 # (3) re-attestation, oldest official row first: the remainder of the
 #     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (12 queries).
-#     4 + 7 + 27 + 12 = 50. All are green in the local strict sweep
+#     CORRECTNESS_r04) and the head of the r5 tier (11 queries).
+#     5 + 7 + 27 + 11 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
 # Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
@@ -10478,6 +10511,7 @@ _PROMOTED: list[str] = [
     "q_tx_zorder",
     "q_tx_delete",
     "q_tx_dv_cdf",
+    "q_tx_clone",
     # ---- tier 2: r9-changed implementation (txtable.py) ----
     "q_tx_merge_table",
     "q_tx_timetravel",
@@ -10526,8 +10560,7 @@ _PROMOTED: list[str] = [
     "q_dedup_clusters",
     "q_cosine_pairs",
     "q_kmeans_clusters",
-    "q_cluster_balanced_sample",
-    # (q_embedding_outliers onward: next in line for r10)
+    # (q_cluster_balanced_sample onward: next in line for r10)
 ]
 
 

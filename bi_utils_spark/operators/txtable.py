@@ -1440,6 +1440,7 @@ def delete_from_table(
     condition,
     mode: str = "mor",
     partition_filter: dict | None = None,
+    skip: dict | None = None,
     max_dv_rows: int = 10_000_000,
 ) -> dict:
     """Row-level ``DELETE FROM <table> WHERE condition`` — the verb
@@ -1466,6 +1467,11 @@ def delete_from_table(
     ``condition`` is a Column or a SQL string. ``partition_filter``
     prunes the candidate scan at the manifest level first — a
     date-scoped delete touches only its partitions' files.
+    ``skip={col: (lo, hi)}`` adds zone-map pruning of the candidate
+    scan, same contract as `read_table(skip=)` — CAUTION: the range
+    must be IMPLIED BY ``condition`` (files outside it are never
+    scanned, so matching rows there would silently survive); it is a
+    pure I/O hint, not a second predicate.
 
     A MOR delete computes the NEWLY-matched set against the LIVE
     rows (existing DVs applied), so re-running the same predicate
@@ -1504,6 +1510,12 @@ def delete_from_table(
                 meta["partition_values"].get(k) == rv
                 for k, rv in rendered.items()
             )
+        }
+    if skip:
+        want = {
+            rel: meta
+            for rel, meta in want.items()
+            if _zone_overlaps(meta, skip)
         }
     none = {
         "version": None,
@@ -2251,7 +2263,10 @@ def forget_keys(
     unreclaimed = sum(
         1
         for rel, meta in {**snap.files}.items()
-        if meta["commit_dir"] == "."
+        # files OUTSIDE data/ — convert_to_tx adoptions (".") and
+        # shallow-clone borrows ("../src/...") — are beyond vacuum's
+        # reach; disclose any dropped from the manifest but on disk
+        if not meta["commit_dir"].startswith(DATA_DIR)
         and rel not in live.files
         and os.path.exists(os.path.join(path, rel))
     )
@@ -2270,6 +2285,77 @@ def forget_keys(
         "history_truncated": True,
         "bloom_indexes_dropped": blooms_dropped,
     }
+
+
+def clone_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    shallow: bool = True,
+    version: int | None = None,
+) -> int:
+    """CLONE the table at ``src`` (optionally a historical
+    ``version``) to a NEW table at ``dst`` — the Delta CLONE analog.
+
+    ``shallow=True`` (default) is METADATA-ONLY: ``dst``'s commit 0
+    references ``src``'s data files (and deletion-vector sidecars) in
+    place via relative paths — a 100 TB table clones in driver
+    milliseconds, zero bytes copied. The clone then lives its own
+    life: appends/merges/deletes at ``dst`` stage under ``dst``'s own
+    data dir and never touch ``src``; ``vacuum_table(dst)`` walks only
+    ``dst``'s directories, so borrowed files are never reclaimed from
+    the clone side. The standing Delta caveat applies in reverse:
+    VACUUM or forget_keys on the SOURCE can delete files the clone
+    still references (the source's log does not know about clones) —
+    keep source retention longer than the clone's lifetime, or use a
+    deep clone.
+
+    ``shallow=False`` copies the data: one distributed read of the
+    source snapshot staged fresh under ``dst`` — fully independent,
+    at full I/O cost.
+
+    The dev/test workflow verb: clone prod, run the risky migration
+    against the clone, diff, throw it away."""
+    snap = _fold(src, version)
+    if latest_version(dst) >= 0:
+        raise FileExistsError(f"tx table already exists at {dst}")
+    if not shallow:
+        df = _read_files_live(spark, src, snap.files, snap.spark_schema())
+        return create_table(df, dst, partition_cols=snap.partition_cols)
+    os.makedirs(dst, exist_ok=True)
+
+    def _rebase(rel: str) -> str:
+        return os.path.relpath(os.path.join(src, rel), dst)
+
+    added = []
+    for rel, meta in snap.files.items():
+        rec = {
+            "path": _rebase(rel),
+            "commit_dir": _rebase(meta["commit_dir"]),
+            "partition_values": meta["partition_values"],
+            "stats": meta.get("stats", {}),
+            "bytes": meta.get("bytes"),
+            "rows": meta.get("rows"),
+        }
+        if meta.get("dv"):
+            rec["dv"] = {
+                **meta["dv"],
+                "path": _rebase(meta["dv"]["path"]),
+            }
+        added.append(rec)
+    payload = {
+        "version": 0,
+        "action": "clone",
+        "added": added,
+        "removed": [],
+        "schema": snap.schema,
+        "partition_cols": snap.partition_cols,
+        "clone_source": os.path.abspath(src),
+        "clone_version": snap.version,
+    }
+    if not _claim(dst, 0, payload):
+        raise ConcurrentWriteError(f"concurrent create at {dst}")
+    return 0
 
 
 def restore_table(spark: SparkSession, path: str, version: int) -> int:
@@ -2874,7 +2960,7 @@ def table_changes(
             )
         with open(_commit_file(path, v)) as fh:
             e = json.load(fh)
-        if e["action"] not in ("append", "create"):
+        if e["action"] not in ("append", "create", "clone"):
             raise ValueError(
                 f"table_changes: commit v{v} is {e['action']!r} — the "
                 "range is not append-only; use table_diff for "
@@ -3043,11 +3129,14 @@ def _cdf_commit_rows(
             F.lit(v).cast("long").alias(CDF_VERSION_COL),
         )
 
-    if entry["action"] in ("append", "create"):
+    if entry["action"] in ("append", "create", "clone"):
         if not added_new:
             return None
+        # _read_files_live: identical to the raw read for plain
+        # appends; a shallow CLONE of a DV'd source must insert the
+        # MASKED rows, not the physical ones
         return _typed(
-            _read_files(spark, path, added_new, schema), "insert"
+            _read_files_live(spark, path, added_new, schema), "insert"
         )
     if entry.get("dv"):
         return _dv_delete_rows(spark, path, entry, v, live, schema)

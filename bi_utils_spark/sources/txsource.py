@@ -303,7 +303,7 @@ class TxStreamReader(DataSourceStreamReader):
         for v in range(after + 1, up_to + 1):
             with open(tx._commit_file(self._path, v)) as fh:
                 entry = json.load(fh)
-            if entry["action"] not in ("append", "create"):
+            if entry["action"] not in ("append", "create", "clone"):
                 if self._skip_rewrites:
                     continue
                 raise ValueError(
@@ -318,6 +318,11 @@ class TxStreamReader(DataSourceStreamReader):
                     TxFilePartition(
                         os.path.join(self._path, a["path"]),
                         a.get("partition_values", {}),
+                        dv_path=(
+                            os.path.join(self._path, a["dv"]["path"])
+                            if a.get("dv")
+                            else None
+                        ),
                     )
                 )
         return parts
@@ -359,7 +364,7 @@ class TxStreamReader(DataSourceStreamReader):
                 for p in entry.get("removed", [])
                 if p in live
             ]
-            if entry["action"] in ("append", "create"):
+            if entry["action"] in ("append", "create", "clone"):
                 parts.extend(
                     TxCdfPartition(v, [], [f]) for f in added_new
                 )

@@ -397,13 +397,11 @@ def test_concurrent_deletes_same_file_conflict(spark, ptable):
     loser's snapshot read and its commit."""
     snap = tx._fold(ptable)
     # winner commits first
-    tx.delete_from_table(spark, ptable, F.col("k") == 1)
-    # loser staged against the stale snapshot: same file's DV
-    a_file = next(
-        rel
-        for rel, m in snap.files.items()
-        if m["partition_values"].get("status") == "A"
-    )
+    out = tx.delete_from_table(spark, ptable, F.col("k") == 1)
+    # loser staged against the stale snapshot: the SAME file's DV
+    # (read the winner's touched file from its commit entry)
+    with open(tx._commit_file(ptable, out["version"])) as fh:
+        a_file = json.load(fh)["dv"][0]["file"]
     rec = tx._dv_write(ptable, a_file, np.array([1], dtype=np.int64))
     with pytest.raises(tx.ConcurrentWriteError):
         tx._rewrite_commit(
@@ -622,3 +620,124 @@ def test_stream_change_feed_emits_mor_deletes(spark, ptable, tmp_path):
     assert (1, "delete", 2) not in typed
     inserts_v0 = {t for t in typed if t[2] == 0}
     assert len(inserts_v0) == 6
+
+
+# ---------------------------------------------------------------------------
+# clone
+# ---------------------------------------------------------------------------
+
+
+def test_shallow_clone_is_metadata_only(spark, ptable, tmp_path):
+    dst = str(tmp_path / "clone")
+    v = tx.clone_table(spark, ptable, dst)
+    assert v == 0
+    # zero data copied: the clone's own data dir doesn't exist yet
+    assert not os.path.isdir(os.path.join(dst, tx.DATA_DIR))
+    assert _as_dict(tx.read_table(spark, dst)) == _as_dict(
+        tx.read_table(spark, ptable)
+    )
+
+
+def test_shallow_clone_carries_deletion_vectors(spark, ptable, tmp_path):
+    tx.delete_from_table(spark, ptable, F.col("k").isin(1, 5))
+    dst = str(tmp_path / "clone")
+    tx.clone_table(spark, ptable, dst)
+    assert set(_as_dict(tx.read_table(spark, dst))) == {2, 3, 4, 6}
+
+
+def test_clone_diverges_without_touching_source(spark, ptable, tmp_path):
+    dst = str(tmp_path / "clone")
+    tx.clone_table(spark, ptable, dst)
+    tx.append_table(_rows(spark, (9, "B", 90)), dst)
+    tx.delete_from_table(spark, dst, F.col("k") == 1)
+    assert set(_as_dict(tx.read_table(spark, dst))) == {2, 3, 4, 5, 6, 9}
+    # source untouched, both data and log
+    assert set(_as_dict(tx.read_table(spark, ptable))) == {
+        1,
+        2,
+        3,
+        4,
+        5,
+        6,
+    }
+    assert tx.latest_version(ptable) == 0
+
+
+def test_clone_vacuum_never_reclaims_borrowed_files(
+    spark, ptable, tmp_path
+):
+    dst = str(tmp_path / "clone")
+    tx.clone_table(spark, ptable, dst)
+    # rewrite everything at the clone, then vacuum hard
+    tx.overwrite_table(_rows(spark, (7, "Z", 70)), dst)
+    tx.vacuum_table(dst, retain_versions=1, stray_age_seconds=0.0)
+    # the source's files are all still there
+    assert set(_as_dict(tx.read_table(spark, ptable))) == {
+        1,
+        2,
+        3,
+        4,
+        5,
+        6,
+    }
+
+
+def test_clone_historical_version(spark, ptable, tmp_path):
+    tx.delete_from_table(spark, ptable, F.col("k") == 1)
+    dst = str(tmp_path / "clone")
+    tx.clone_table(spark, ptable, dst, version=0)
+    assert set(_as_dict(tx.read_table(spark, dst))) == {1, 2, 3, 4, 5, 6}
+
+
+def test_deep_clone_copies_data(spark, ptable, tmp_path):
+    tx.delete_from_table(spark, ptable, F.col("k") == 1)
+    dst = str(tmp_path / "deep")
+    tx.clone_table(spark, ptable, dst, shallow=False)
+    assert set(_as_dict(tx.read_table(spark, dst))) == {2, 3, 4, 5, 6}
+    # fully independent: no borrowed paths in the manifest
+    snap = tx._fold(dst)
+    assert all(
+        m["commit_dir"].startswith(tx.DATA_DIR)
+        for m in snap.files.values()
+    )
+    # masked rows were materialized by the copy, no DVs carried
+    assert not any(m.get("dv") for m in snap.files.values())
+
+
+def test_clone_refuses_existing_destination(spark, ptable, tmp_path):
+    dst = str(tmp_path / "clone")
+    tx.clone_table(spark, ptable, dst)
+    with pytest.raises(FileExistsError):
+        tx.clone_table(spark, ptable, dst)
+
+
+def test_clone_cdf_inserts_masked_rows(spark, ptable, tmp_path):
+    tx.delete_from_table(spark, ptable, F.col("k") == 1)
+    dst = str(tmp_path / "clone")
+    tx.clone_table(spark, ptable, dst)
+    feed = tx.table_changes_cdf(spark, dst, ["k"], after_version=-1)
+    rows = {(r["k"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {(k, "insert") for k in (2, 3, 4, 5, 6)}
+
+
+def test_clone_batch_source_reads_masked(spark, ptable, tmp_path):
+    from bi_utils_spark.sources.txsource import register_txtable_source
+
+    register_txtable_source(spark)
+    tx.delete_from_table(spark, ptable, F.col("k") == 1)
+    dst = str(tmp_path / "clone")
+    tx.clone_table(spark, ptable, dst)
+    got = (
+        spark.read.format("txtable").option("path", dst).load().collect()
+    )
+    assert {r["k"] for r in got} == {2, 3, 4, 5, 6}
+
+
+def test_delete_skip_hint_prunes_scan(spark, ptable):
+    # zone maps on v: the A files hold 10..30, B files 40..60 — a
+    # skip range implied by the predicate prunes the B files
+    out = tx.delete_from_table(
+        spark, ptable, F.col("v") <= 20, skip={"v": (None, 20)}
+    )
+    assert out["rows_deleted"] == 2
+    assert set(_as_dict(tx.read_table(spark, ptable))) == {3, 4, 5, 6}
