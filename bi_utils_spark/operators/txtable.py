@@ -58,6 +58,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -1042,17 +1043,286 @@ def _read_files_live(
 
 def _zone_overlaps(meta: dict, skip: dict) -> bool:
     """True when the file MAY contain rows in every requested range —
-    files lacking stats for a column cannot be pruned on it."""
+    files lacking stats for a column cannot be pruned on it. A
+    type-incompatible comparison (string bound vs numeric stats)
+    fails open: the file stays."""
     for col, (lo, hi) in skip.items():
         zs = meta.get("stats", {}).get(col)
         if zs is None:
             continue
         fmin, fmax = zs
-        if (hi is not None and fmin > hi) or (
-            lo is not None and fmax < lo
-        ):
-            return False
+        try:
+            if (hi is not None and fmin > hi) or (
+                lo is not None and fmax < lo
+            ):
+                return False
+        except TypeError:
+            continue
     return True
+
+
+# ---------------------------------------------------------------------------
+# predicate-derived data skipping
+# ---------------------------------------------------------------------------
+
+_PRED_FLIP = {">": "<", ">=": "<=", "<": ">", "<=": ">=", "=": "="}
+
+
+def _parse_pred(t: str, i: int):
+    """Recursive-descent parse of Spark's prefix expression rendering
+    (``and(>(cents, 100), =(status, 'P'))``) into ("call", op, args) /
+    ("lit", v) / ("ident", name) nodes. Raises on anything it does
+    not fully understand — the caller fails OPEN (no pruning)."""
+    while i < len(t) and t[i] == " ":
+        i += 1
+    if i < len(t) and t[i] == "'":
+        j = i + 1
+        while j < len(t) and t[j] != "'":
+            j += 1
+        if j >= len(t):
+            raise ValueError("unterminated string")
+        return ("lit", t[i + 1 : j]), j + 1
+    j = i
+    while j < len(t) and t[j] not in "(),":
+        j += 1
+    tok = t[i:j].strip()
+    if j < len(t) and t[j] == "(":
+        if not tok:
+            raise ValueError("empty call name")
+        args = []
+        j += 1
+        while True:
+            node, j = _parse_pred(t, j)
+            args.append(node)
+            while j < len(t) and t[j] == " ":
+                j += 1
+            if j < len(t) and t[j] == ",":
+                j += 1
+                continue
+            if j < len(t) and t[j] == ")":
+                return ("call", tok, args), j + 1
+            raise ValueError("bad call syntax")
+    if not tok:
+        raise ValueError("empty token")
+    try:
+        return ("lit", int(tok)), j
+    except ValueError:
+        pass
+    try:
+        return ("lit", float(tok)), j
+    except ValueError:
+        pass
+    return ("ident", tok), j
+
+
+def _pred_ranges(node) -> dict | None:
+    """(lo, hi) bounds per column IMPLIED by the parsed predicate.
+    Only AND-conjunctions of ``col <op> literal`` (either side) and
+    numeric/string IN-lists contribute; every other shape returns
+    None for its subtree — under AND an unknown conjunct simply
+    contributes no constraint, which keeps the derived ranges a
+    sound implication (never narrower than the predicate)."""
+    if node[0] != "call":
+        return None
+    _, op, args = node
+    if op == "and":
+        out: dict = {}
+        for a in args:
+            r = _pred_ranges(a)
+            if not r:
+                continue
+            for c, (lo, hi) in r.items():
+                plo, phi = out.get(c, (None, None))
+                nlo = plo if lo is None else (lo if plo is None else max(lo, plo))
+                nhi = phi if hi is None else (hi if phi is None else min(hi, phi))
+                out[c] = (nlo, nhi)
+        return out or None
+    if op in _PRED_FLIP and len(args) == 2:
+        a, b = args
+        if a[0] == "ident" and b[0] == "lit":
+            col, v = a[1], b[1]
+        elif a[0] == "lit" and b[0] == "ident":
+            col, v = b[1], a[1]
+            op = _PRED_FLIP[op]
+        else:
+            return None
+        if op in (">", ">="):
+            return {col: (v, None)}
+        if op in ("<", "<="):
+            return {col: (None, v)}
+        return {col: (v, v)}
+    if op == "in" and len(args) >= 2:
+        head, vals = args[0], args[1:]
+        if head[0] == "ident" and all(x[0] == "lit" for x in vals):
+            vlist = [x[1] for x in vals]
+            return {head[1]: (min(vlist), max(vlist))}
+        return None
+    return None
+
+
+def _merge_range(out: dict, col: str, lo, hi) -> None:
+    plo, phi = out.get(col, (None, None))
+    nlo = plo if lo is None else (lo if plo is None else max(lo, plo))
+    nhi = phi if hi is None else (hi if phi is None else min(hi, phi))
+    out[col] = (nlo, nhi)
+
+
+_SQL_TOKEN_RE = re.compile(
+    r"\s*(>=|<=|!=|<>|=|<|>|\(|\)|,|'[^']*'"
+    r"|[A-Za-z_][A-Za-z_0-9.]*|-?\d+\.\d+|-?\d+)"
+)
+
+
+def _tokenize_sql(s: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        m = _SQL_TOKEN_RE.match(s, i)
+        if not m:
+            if s[i:].strip():
+                raise ValueError(f"bad token at {s[i:]!r}")
+            break
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+def _sql_lit(tok: str):
+    if tok.startswith("'"):
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return None
+
+
+def _one_sql_pred(p: list[str]) -> dict | None:
+    cmps = {">", ">=", "<", "<=", "="}
+    if len(p) == 3 and p[1] in cmps:
+        a, op, b = p
+        la, lb = _sql_lit(a), _sql_lit(b)
+        if la is None and lb is not None:
+            col, v = a, lb
+        elif lb is None and la is not None:
+            col, v, op = b, la, _PRED_FLIP[op]
+        else:
+            return None
+        if not re.fullmatch(r"[A-Za-z_][\w.]*", col):
+            return None
+        if op in (">", ">="):
+            return {col: (v, None)}
+        if op in ("<", "<="):
+            return {col: (None, v)}
+        return {col: (v, v)}
+    low = [t.lower() for t in p]
+    if len(p) == 5 and low[1] == "between" and low[3] == "and":
+        v1, v2 = _sql_lit(p[2]), _sql_lit(p[4])
+        if v1 is None or v2 is None:
+            return None
+        return {p[0]: (v1, v2)}
+    if len(p) >= 5 and low[1] == "in" and p[2] == "(" and p[-1] == ")":
+        vals = [_sql_lit(t) for t in p[3:-1] if t != ","]
+        if not vals or any(v is None for v in vals):
+            return None
+        return {p[0]: (min(vals), max(vals))}
+    return None
+
+
+def _sql_conj_ranges(tokens: list[str]) -> dict:
+    """Ranges implied by a tokenized infix conjunction. Splits on
+    top-level AND (BETWEEN's own AND kept inline), strips wrapping
+    parens, recurses into nested conjunctions; an unparseable
+    conjunct contributes nothing. The caller has already rejected
+    OR/NOT anywhere in the expression."""
+    parts: list[list[str]] = []
+    cur: list[str] = []
+    depth, between = 0, False
+    for t in tokens:
+        tl = t.lower()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError("unbalanced parens")
+        elif depth == 0 and tl == "and":
+            if between:
+                between = False
+                cur.append(t)
+                continue
+            parts.append(cur)
+            cur = []
+            continue
+        elif depth == 0 and tl == "between":
+            between = True
+        cur.append(t)
+    if depth != 0:
+        raise ValueError("unbalanced parens")
+    parts.append(cur)
+    out: dict = {}
+    for part in parts:
+        while (
+            len(part) >= 2
+            and part[0] == "("
+            and part[-1] == ")"
+            and _parens_wrap_whole(part)
+        ):
+            part = part[1:-1]
+        r = _one_sql_pred(part)
+        if r is None and any(t.lower() == "and" for t in part):
+            r = _sql_conj_ranges(part)
+        for c, (lo, hi) in (r or {}).items():
+            _merge_range(out, c, lo, hi)
+    return out
+
+
+def _parens_wrap_whole(part: list[str]) -> bool:
+    """True when the outermost parens wrap the WHOLE slice (depth
+    never returns to zero before the last token)."""
+    depth = 0
+    for i, t in enumerate(part):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0 and i != len(part) - 1:
+                return False
+    return True
+
+
+def predicate_skip_ranges(condition) -> dict:
+    """Zone-map skip ranges IMPLIED by a predicate — the automatic
+    half of data skipping. Parses the simple conjunctive shapes
+    (``col <op> literal`` under ANDs, BETWEEN, literal IN-lists) out
+    of a Column (Spark's prefix rendering) or a SQL string (infix);
+    anything it cannot prove implied (ORs, NOTs, function-wrapped
+    columns, cross-column terms) contributes NOTHING, so the returned
+    dict is always safe to hand to `read_table(skip=)` /
+    `delete_from_table` — pruning with it can only drop files that
+    contain no matching row. Returns {} when nothing is derivable
+    (fail-open)."""
+    try:
+        if isinstance(condition, str):
+            toks = _tokenize_sql(condition)
+            low = {t.lower() for t in toks}
+            if "or" in low or "not" in low:
+                return {}
+            return {
+                c: r for c, r in _sql_conj_ranges(toks).items()
+            }
+        m = re.match(r"^Column<'(.*)'>$", str(condition), re.S)
+        if not m:
+            return {}
+        node, i = _parse_pred(m.group(1), 0)
+        if i != len(m.group(1)):
+            return {}
+        out = _pred_ranges(node)
+        return dict(out) if out else {}
+    except Exception:  # noqa: BLE001 — fail open
+        return {}
 
 
 def version_at_timestamp(path: str, ts) -> int:
@@ -1091,6 +1361,7 @@ def read_table(
     partition_filter: dict | None = None,
     skip: dict | None = None,
     point: dict | None = None,
+    where=None,
 ) -> DataFrame:
     """Read the table at ``version`` (default latest). The file set
     comes from the log fold — no directory listing. With
@@ -1120,6 +1391,13 @@ def read_table(
     ``mode="mor"``) have their masked rows dropped transparently;
     ``skip``/``point`` pruning stays sound because file stats are a
     SUPERSET of the live rows.
+
+    ``where`` (Column or SQL string) is the one-argument form of
+    predicate + pruning: the row filter is applied AND its implied
+    zone-map ranges (`predicate_skip_ranges`) merge into ``skip``
+    automatically — ``read_table(where="cents > 100")`` prunes files
+    and filters rows in one call, fail-open to a full scan when the
+    predicate is not derivable.
     """
     if timestamp is not None:
         if version is not None:
@@ -1131,6 +1409,13 @@ def read_table(
     snap = _fold(path, version)
     schema = snap.spark_schema()
     want = snap.files
+    if where is not None:
+        derived = predicate_skip_ranges(where)
+        if derived:
+            merged = dict(skip or {})
+            for c, (lo, hi) in derived.items():
+                _merge_range(merged, c, lo, hi)
+            skip = merged
     if partition_filter:
         types = {f.name: f.dataType for f in schema.fields}
         rendered = {
@@ -1156,8 +1441,14 @@ def read_table(
     if point:
         want = _bloom_prune(spark, path, want, point)
     if not want:
-        return spark.createDataFrame([], schema)
-    return _read_files_live(spark, path, want, schema)
+        out = spark.createDataFrame([], schema)
+    else:
+        out = _read_files_live(spark, path, want, schema)
+    if where is not None:
+        out = out.where(
+            F.expr(where) if isinstance(where, str) else where
+        )
+    return out
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:
@@ -1467,11 +1758,14 @@ def delete_from_table(
     ``condition`` is a Column or a SQL string. ``partition_filter``
     prunes the candidate scan at the manifest level first — a
     date-scoped delete touches only its partitions' files.
-    ``skip={col: (lo, hi)}`` adds zone-map pruning of the candidate
-    scan, same contract as `read_table(skip=)` — CAUTION: the range
-    must be IMPLIED BY ``condition`` (files outside it are never
-    scanned, so matching rows there would silently survive); it is a
-    pure I/O hint, not a second predicate.
+    Zone-map pruning of the candidate scan is AUTOMATIC for simple
+    conjunctive predicates (`predicate_skip_ranges` derives the
+    implied per-column bounds; anything underivable fails open to a
+    full candidate scan). ``skip={col: (lo, hi)}`` overrides the
+    derivation — CAUTION: a manual range must be IMPLIED BY
+    ``condition`` (files outside it are never scanned, so matching
+    rows there would silently survive); it is an I/O hint, not a
+    second predicate.
 
     A MOR delete computes the NEWLY-matched set against the LIVE
     rows (existing DVs applied), so re-running the same predicate
@@ -1511,6 +1805,8 @@ def delete_from_table(
                 for k, rv in rendered.items()
             )
         }
+    if skip is None:
+        skip = predicate_skip_ranges(cond)
     if skip:
         want = {
             rel: meta
@@ -1983,6 +2279,67 @@ def _truncate_history(path: str, version: int) -> None:
         os.replace(tmp, cf)
 
 
+def expire_log(
+    path: str,
+    retain_versions: int = 100,
+    retain_hours: float | None = None,
+) -> dict:
+    """Bound COMMIT-LOG growth — the Delta ``logRetentionDuration``
+    cleanup. Checkpoints bound how many JSONs a fold READS, but the
+    log directory itself grows one file per commit forever: at one
+    commit a minute, two years is ~a million files, and every
+    `_list_log` pays that os.listdir. This verb writes a (forced)
+    checkpoint at the retention cutoff and deletes every commit and
+    checkpoint JSON below it, so the listing stays proportional to
+    the retention window.
+
+    Retention mirrors `vacuum_table`'s contract: the last
+    ``retain_versions`` commits always stay, and with
+    ``retain_hours`` every version live inside the wall-clock window
+    (plus its predecessor) stays too. Time travel below the cutoff
+    raises afterwards (the log no longer has those versions) — run
+    `vacuum_table` with a retention at least as long, or old DATA
+    files become unreachable-but-undeleted strays. Incremental
+    consumers (`table_changes*`) whose high-water mark predates the
+    cutoff get the existing truncation diagnosis and must
+    re-baseline. Like vacuum, callers run this on the maintenance
+    cadence, not per-write. Returns
+    {"cutoff_version", "commits_deleted", "checkpoints_deleted"}."""
+    commits, ckpts = _list_log(path)
+    if not commits:
+        return {
+            "cutoff_version": None,
+            "commits_deleted": 0,
+            "checkpoints_deleted": 0,
+        }
+    cutoff = commits[max(0, len(commits) - retain_versions)]
+    if retain_hours is not None:
+        boundary = time.time() - retain_hours * 3600.0
+        inside = [v for v in commits if _commit_ts(path, v) >= boundary]
+        if inside:
+            older = [v for v in commits if v < min(inside)]
+            # the predecessor was the live table when the window
+            # opened — keep it, the vacuum contract
+            window_cut = max(older) if older else commits[0]
+        else:
+            window_cut = commits[-1]
+        cutoff = min(cutoff, window_cut)
+    if cutoff <= commits[0]:
+        return {
+            "cutoff_version": cutoff,
+            "commits_deleted": 0,
+            "checkpoints_deleted": 0,
+        }
+    n_c = sum(1 for v in commits if v < cutoff)
+    n_k = sum(1 for v in ckpts if v < cutoff)
+    _truncate_history(path, cutoff)
+    return {
+        "cutoff_version": cutoff,
+        "commits_deleted": n_c,
+        "checkpoints_deleted": n_k,
+    }
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -2075,6 +2432,7 @@ def maintain_table(
     bloom_fpp: float = 0.01,
     refresh_symlink_manifest: bool = False,
     purge_dv_rows: int | None = None,
+    log_retain_versions: int | None = None,
 ) -> dict:
     """Nightly maintenance as one verb, in the only order that
     composes correctly: (1) partition-scoped compaction of
@@ -2111,7 +2469,11 @@ def maintain_table(
     (`materialize_deletes`) before compaction, so MOR delete debt is
     paid on the same nightly cadence that pays the small-file debt
     (``purged_version`` in the audit dict; a lost purge race is
-    recorded like a compaction race)."""
+    recorded like a compaction race). ``log_retain_versions`` adds a
+    final `expire_log` step so the commit log's file count stays
+    bounded on the same cadence — pass a horizon at least as long as
+    the vacuum retention, or time travel dies before its data
+    does."""
     compacted = None
     raced = False
     skipped = None
@@ -2155,6 +2517,13 @@ def maintain_table(
     if refresh_symlink_manifest:
         # last, so external readers see the post-compaction layout
         manifest = write_symlink_manifest(path)
+    expired = None
+    if log_retain_versions is not None:
+        expired = expire_log(
+            path,
+            retain_versions=log_retain_versions,
+            retain_hours=retain_hours,
+        )
     return {
         "compacted_version": compacted,
         "compaction_raced": raced,
@@ -2163,6 +2532,7 @@ def maintain_table(
         "files_reclaimed": len(deleted),
         "bloom_files": bloom_files,
         "symlink_manifest": manifest,
+        "log_expired": expired,
     }
 
 

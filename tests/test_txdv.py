@@ -741,3 +741,176 @@ def test_delete_skip_hint_prunes_scan(spark, ptable):
     )
     assert out["rows_deleted"] == 2
     assert set(_as_dict(tx.read_table(spark, ptable))) == {3, 4, 5, 6}
+
+
+# ---------------------------------------------------------------------------
+# predicate-derived data skipping
+# ---------------------------------------------------------------------------
+
+
+def test_predicate_skip_ranges_conjunction(spark):
+    r = tx.predicate_skip_ranges(
+        (F.col("cents") > 100) & (F.col("status") == "P") & (F.col("k") <= 50)
+    )
+    assert r == {
+        "cents": (100, None),
+        "status": ("P", "P"),
+        "k": (None, 50),
+    }
+
+
+def test_predicate_skip_ranges_sql_string_and_flip(spark):
+    assert tx.predicate_skip_ranges("k = 1") == {"k": (1, 1)}
+    assert tx.predicate_skip_ranges("100 <= cents") == {
+        "cents": (100, None)
+    }
+    assert tx.predicate_skip_ranges("x between 3 and 9") == {"x": (3, 9)}
+
+
+def test_predicate_skip_ranges_same_column_intersects(spark):
+    r = tx.predicate_skip_ranges("v >= 10 and v < 20 and v >= 12")
+    assert r == {"v": (12, 20)}
+
+
+def test_predicate_skip_ranges_in_list(spark):
+    assert tx.predicate_skip_ranges(F.col("k").isin(7, 3, 5)) == {
+        "k": (3, 7)
+    }
+
+
+def test_predicate_skip_ranges_fails_open(spark):
+    # OR is not a conjunction — no implied range
+    assert tx.predicate_skip_ranges("k = 1 or k = 99") == {}
+    # function-wrapped column — unknown
+    assert tx.predicate_skip_ranges("abs(k) < 5") == {}
+    # unknown conjunct under AND contributes nothing, the rest holds
+    assert tx.predicate_skip_ranges("abs(k) < 5 and v > 3") == {
+        "v": (3, None)
+    }
+    # garbage string
+    assert tx.predicate_skip_ranges("not even ( sql") == {}
+
+
+def test_delete_auto_prunes_from_predicate(spark, tmp_path):
+    """Files provably outside the predicate's derived range are never
+    scanned NOR touched: the delete commits DVs only for files whose
+    zone maps overlap."""
+    path = str(tmp_path / "t")
+    lo = spark.range(0, 100).selectExpr("id AS k", "id AS v")
+    hi = spark.range(1000, 1100).selectExpr("id AS k", "id AS v")
+    tx.create_table(lo, path)
+    tx.append_table(hi, path)
+    out = tx.delete_from_table(spark, path, F.col("v") >= 1050)
+    assert out["rows_deleted"] == 50
+    # only the high file(s) carry DVs — the low file was pruned by
+    # the derived (1050, None) range before any scan
+    snap = tx._fold(path)
+    for rel, m in snap.files.items():
+        stats = m.get("stats", {}).get("v")
+        if m.get("dv"):
+            assert stats and stats[1] >= 1050
+        elif stats:
+            assert stats[1] < 1050
+    assert tx.read_table(spark, path).count() == 150
+
+
+def test_zone_overlaps_type_mismatch_fails_open():
+    meta = {"stats": {"v": [1, 9]}}
+    assert tx._zone_overlaps(meta, {"v": ("a", "z")}) is True
+
+
+# ---------------------------------------------------------------------------
+# log expiry
+# ---------------------------------------------------------------------------
+
+
+def test_expire_log_bounds_listing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx.create_table(_rows(spark, (0, "A", 0)), path)
+    for i in range(1, 12):
+        tx.append_table(_rows(spark, (i, "A", i * 10)), path)
+    assert tx.latest_version(path) == 11
+    out = tx.expire_log(path, retain_versions=3)
+    assert out["cutoff_version"] == 9
+    assert out["commits_deleted"] == 9
+    commits, _ = tx._list_log(path)
+    assert commits == [9, 10, 11]
+    # the full snapshot still reads (fold from the forced checkpoint)
+    assert len(_as_dict(tx.read_table(spark, path))) == 12
+    # time travel below the cutoff is gone, at the cutoff works
+    assert len(_as_dict(tx.read_table(spark, path, version=9))) == 10
+    with pytest.raises(ValueError, match="not in log"):
+        tx.read_table(spark, path, version=5)
+
+
+def test_expire_log_noop_within_retention(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx.create_table(_rows(spark, (0, "A", 0)), path)
+    tx.append_table(_rows(spark, (1, "A", 10)), path)
+    out = tx.expire_log(path, retain_versions=100)
+    assert out["commits_deleted"] == 0
+    assert tx._list_log(path)[0] == [0, 1]
+
+
+def test_expire_log_retain_hours_keeps_window(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx.create_table(_rows(spark, (0, "A", 0)), path)
+    for i in range(1, 6):
+        tx.append_table(_rows(spark, (i, "A", i)), path)
+    # all commits are seconds old -> inside any sane window; version
+    # retention alone would cut, the window must hold it back
+    out = tx.expire_log(path, retain_versions=2, retain_hours=24.0)
+    assert out["commits_deleted"] == 0
+    assert tx._list_log(path)[0] == [0, 1, 2, 3, 4, 5]
+
+
+def test_expire_log_then_changes_gap_diagnosed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx.create_table(_rows(spark, (0, "A", 0)), path)
+    for i in range(1, 6):
+        tx.append_table(_rows(spark, (i, "A", i)), path)
+    tx.expire_log(path, retain_versions=2)
+    with pytest.raises(ValueError, match="truncated"):
+        tx.table_changes(spark, path, after_version=1)
+    # resuming from the surviving range works
+    got = tx.table_changes(spark, path, after_version=4)
+    assert {r["k"] for r in got.collect()} == {5}
+
+
+def test_maintain_table_expires_log(spark, ptable):
+    for i in range(7, 20):
+        tx.append_table(_rows(spark, (i, "A", i)), ptable)
+    out = tx.maintain_table(
+        spark,
+        ptable,
+        max_files=10_000,  # no compaction churn
+        retain_versions=2,
+        log_retain_versions=4,
+    )
+    assert out["log_expired"]["commits_deleted"] > 0
+    commits, _ = tx._list_log(ptable)
+    assert len(commits) == 4
+
+
+def test_read_table_where_filters_and_prunes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    lo = spark.range(0, 100).selectExpr("id AS k", "id AS v")
+    hi = spark.range(1000, 1100).selectExpr("id AS k", "id AS v")
+    tx.create_table(lo, path)
+    tx.append_table(hi, path)
+    got = tx.read_table(spark, path, where="v >= 1050")
+    assert got.count() == 50
+    # files provably outside the derived range never reach the plan:
+    # every surviving input file's zone max is >= 1050
+    snap = tx._fold(path)
+    maxes = {
+        os.path.basename(rel): m.get("stats", {}).get("v", [None, None])[1]
+        for rel, m in snap.files.items()
+    }
+    in_files = [os.path.basename(f) for f in got.inputFiles()]
+    assert in_files and all(maxes[f] >= 1050 for f in in_files)
+    # Column form + underivable predicate both stay correct
+    assert tx.read_table(spark, path, where=F.col("v") < 10).count() == 10
+    assert (
+        tx.read_table(spark, path, where="v = 5 or v = 1005").count() == 2
+    )
