@@ -10382,6 +10382,64 @@ def q_tx_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tx_update",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v1 AS (
+      SELECT k, status,
+             CASE WHEN k % 9 = 2 THEN cents * 2 ELSE cents END AS cents
+      FROM rows0
+    ),
+    v2 AS (
+      SELECT k, status,
+             CASE WHEN status = 'O' AND k % 9 = 5 THEN cents + 7
+                  ELSE cents END AS cents
+      FROM v1
+    )
+    SELECT 1 AS version, k, status, cents FROM v1
+    UNION ALL
+    SELECT 2 AS version, k, status, cents FROM v2
+    """,
+)
+def q_tx_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (X111, r9): a merge-on-read update masks the
+    matched rows via deletion vectors and stages their post-images in
+    ONE commit — cost is the matched rows, not a rewrite of every
+    touched file — then a copy-on-write update rewrites only hit
+    files in place. Reading both versions proves the MOR read path
+    (mask + post-image union), the stacked-DV interplay, and time
+    travel through an update — value-level against the oracle's CASE
+    projections. Completes the DML verb set (INSERT/MERGE/DELETE/
+    UPDATE) on the manifest-log tier."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_upd"
+    if tx.latest_version(path) < 2:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(rows, path, partition_cols=["status"])
+        if tx.latest_version(path) < 1:
+            tx.update_table(
+                spark, path, F.col("k") % 9 == 2, {"cents": "cents * 2"}
+            )
+        if tx.latest_version(path) < 2:
+            tx.update_table(
+                spark,
+                path,
+                (F.col("status") == "O") & (F.col("k") % 9 == 5),
+                {"cents": "cents + 7"},
+                mode="cow",
+            )
+    parts = [
+        tx.read_table(spark, path, version=v).select(
+            F.lit(v).alias("version"), "k", "status", "cents"
+        )
+        for v in (1, 2)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+@register(
     "q_tx_clone",
     f"""
     WITH rows0 AS ({_TX_ROWS_SQL}),
@@ -10487,9 +10545,9 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     invariance through read_table(skip=...) — and the deletion-
 #     vector pair q_tx_delete (MOR + COW row-level DELETE with time
 #     travel through DV pointers), q_tx_dv_cdf (exactly-once
-#     delete emission in the change feed), and q_tx_clone (zero-copy
-#     shallow clone with borrowed DVs + divergence); first
-#     attestations.
+#     delete emission in the change feed), q_tx_clone (zero-copy
+#     shallow clone with borrowed DVs + divergence), and q_tx_update
+#     (MOR + COW row-level UPDATE); first attestations.
 # (2) r9-changed implementations: the seven tx rows — txtable.py's
 #     write/maintenance paths changed shape this round (grouped
 #     compaction topology with per-partition target_files + identity-
@@ -10499,8 +10557,8 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     tx arc's fixture is rebuilt through those paths.
 # (3) re-attestation, oldest official row first: the remainder of the
 #     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (11 queries).
-#     5 + 7 + 27 + 11 = 50. All are green in the local strict sweep
+#     CORRECTNESS_r04) and the head of the r5 tier (10 queries).
+#     6 + 7 + 27 + 10 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
 # Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
@@ -10512,6 +10570,7 @@ _PROMOTED: list[str] = [
     "q_tx_delete",
     "q_tx_dv_cdf",
     "q_tx_clone",
+    "q_tx_update",
     # ---- tier 2: r9-changed implementation (txtable.py) ----
     "q_tx_merge_table",
     "q_tx_timetravel",
@@ -10559,8 +10618,7 @@ _PROMOTED: list[str] = [
     "q_det_sample",
     "q_dedup_clusters",
     "q_cosine_pairs",
-    "q_kmeans_clusters",
-    # (q_cluster_balanced_sample onward: next in line for r10)
+    # (q_kmeans_clusters onward: next in line for r10)
 ]
 
 

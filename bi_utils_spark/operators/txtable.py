@@ -1916,6 +1916,215 @@ def delete_from_table(
     }
 
 
+def update_table(
+    spark: SparkSession,
+    path: str,
+    condition,
+    set: dict,
+    mode: str = "mor",
+    partition_filter: dict | None = None,
+    max_dv_rows: int = 10_000_000,
+) -> dict:
+    """Row-level ``UPDATE <table> SET col = expr WHERE condition`` —
+    the last DML verb (INSERT=`append_table`, MERGE=`merge_tx_table`,
+    DELETE=`delete_from_table`), with Delta's deletion-vector UPDATE
+    shape:
+
+    - ``mode="mor"`` (default): matched rows are MASKED in their
+      files via deletion vectors and their updated images land as
+      newly-staged files, all in ONE commit — cost is the matched
+      ROWS (scan + small write), never a rewrite of every touched
+      file. Updating 0.1% of a 100 TB table writes 0.1% of the data.
+    - ``mode="cow"``: files containing matches are rewritten with
+      the SET applied in place (file-granularity copy-on-write) —
+      right when the matched fraction is large.
+
+    ``set`` maps column name -> Column/SQL-string expression,
+    evaluated against the matched row (``{"cents": "cents * 2"}``).
+    Unknown columns raise; partition columns cannot be SET (a row
+    changing partitions is a delete+insert — express it through
+    `merge_tx_table`, which owns that contract). SQL NULL semantics:
+    predicate-NULL rows are untouched. Candidate files prune via
+    `predicate_skip_ranges` automatically. The change feed emits the
+    update as ``update_postimage`` (plus ``update_preimage`` when
+    asked) by joining the commit's masked pre-image against its
+    staged post-image — exactly the Delta readChangeFeed rendering.
+
+    Concurrency matches DELETE: appends compose, any interleaved
+    commit touching the same files conflicts, disjoint rewrites
+    rebase. Returns ``{"version", "mode", "rows_updated",
+    "files_touched"}`` (version None when nothing matched)."""
+    if mode not in ("mor", "cow"):
+        raise ValueError(f"update_table: unknown mode {mode!r}")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    pred_repr = condition if isinstance(condition, str) else str(condition)
+    snap = _fold(path)
+    schema = snap.spark_schema()
+    names = schema.fieldNames()
+    for c in set:
+        if c not in names:
+            raise ValueError(f"update_table: SET column {c!r} not in table")
+        if c in snap.partition_cols:
+            raise ValueError(
+                f"update_table: {c!r} is a partition column — a row "
+                "changing partitions is a delete+insert; use "
+                "merge_tx_table"
+            )
+    set_cols = {
+        c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
+    }
+    want = snap.files
+    if partition_filter:
+        types = {f.name: f.dataType for f in schema.fields}
+        rendered = {
+            k: _render_pv(_coerce_pv(v, types[k]) if k in types else v)
+            for k, v in partition_filter.items()
+        }
+        want = {
+            rel: meta
+            for rel, meta in want.items()
+            if all(
+                meta["partition_values"].get(k) == rv
+                for k, rv in rendered.items()
+            )
+        }
+    derived = predicate_skip_ranges(cond)
+    if derived:
+        want = {
+            rel: meta
+            for rel, meta in want.items()
+            if _zone_overlaps(meta, derived)
+        }
+    none = {
+        "version": None,
+        "mode": mode,
+        "rows_updated": 0,
+        "files_touched": 0,
+    }
+    if not want:
+        return none
+    matched_pred = F.coalesce(cond, F.lit(False))
+
+    def _updated(df: DataFrame) -> DataFrame:
+        # SET expressions see the ORIGINAL row: compute all the new
+        # values from the input columns before any replacement
+        out = df
+        tmp = {}
+        for c, e in set_cols.items():
+            t = f"__set_{c}"
+            tmp[c] = t
+            out = out.withColumn(t, e)
+        for c, t in tmp.items():
+            field = next(f for f in schema.fields if f.name == c)
+            out = out.withColumn(c, F.col(t).cast(field.dataType))
+        return out.drop(*tmp.values())
+
+    live = _read_files_live_meta(spark, path, want, schema)
+    if mode == "cow":
+        hit_rows = (
+            live.where(matched_pred)
+            .groupBy("__f")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        if not hit_rows:
+            return none
+        abs_to_rel = {
+            os.path.abspath(os.path.join(path, rel)): rel for rel in want
+        }
+        hit = {
+            abs_to_rel[r["__f"]]: want[abs_to_rel[r["__f"]]]
+            for r in hit_rows
+        }
+        src = _read_files_live(spark, path, hit, schema)
+        rewritten = src.where(~matched_pred).unionByName(
+            _updated(src.where(matched_pred))
+        )
+        added = _stage(
+            rewritten.select(*names), path, snap.partition_cols
+        )
+        version = _rewrite_commit(
+            path,
+            snap.version,
+            "update",
+            added,
+            sorted(hit),
+            conflict="files",
+            extra={"predicate": pred_repr, "set": sorted(set)},
+        )
+        return {
+            "version": version,
+            "mode": "cow",
+            "rows_updated": sum(int(r["n"]) for r in hit_rows),
+            "files_touched": len(hit),
+        }
+    matched = live.where(matched_pred)
+    n_new = matched.count()
+    if n_new == 0:
+        return none
+    if n_new > max_dv_rows:
+        raise ValueError(
+            f"update_table: {n_new} matched rows exceed "
+            f'max_dv_rows={max_dv_rows} — use mode="cow" (or raise '
+            "the bound explicitly)"
+        )
+    # stage the POST-images first (data lands before the commit that
+    # references it — crash leaves only vacuum-able strays)
+    added = _stage(
+        _updated(matched).select(*names), path, snap.partition_cols
+    )
+
+    def _pack(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pos = np.unique(pdf["__pos"].to_numpy(dtype="int64"))
+        return pd.DataFrame(
+            {
+                "f": [key[0]],
+                "payload": [pos.astype("<i8").tobytes()],
+            }
+        )
+
+    packed = (
+        matched.select("__f", "__pos")
+        .groupBy("__f")
+        .applyInPandas(_pack, "f string, payload binary")
+        .collect()
+    )
+    import numpy as np
+
+    abs_to_rel = {
+        os.path.abspath(os.path.join(path, rel)): rel for rel in want
+    }
+    dv_records = []
+    for r in packed:
+        rel = abs_to_rel[r["f"]]
+        new_pos = np.frombuffer(r["payload"], dtype="<i8")
+        old = want[rel].get("dv")
+        if old:
+            new_pos = np.union1d(
+                new_pos, _dv_decode(_dv_load(path, old["path"]))
+            )
+        dv_records.append(_dv_write(path, rel, new_pos))
+    version = _rewrite_commit(
+        path,
+        snap.version,
+        "update",
+        added,
+        [],
+        conflict="files",
+        dv=dv_records,
+        extra={"predicate": pred_repr, "set": sorted(set)},
+    )
+    return {
+        "version": version,
+        "mode": "mor",
+        "rows_updated": int(n_new),
+        "files_touched": len(dv_records),
+    }
+
+
 def materialize_deletes(
     spark: SparkSession, path: str, min_dv_rows: int = 1
 ) -> int | None:
@@ -3383,19 +3592,19 @@ def _cdf_validate_range(
     return hi, commits
 
 
-def _dv_delete_rows(
+def _dv_fresh_mask_rows(
     spark: SparkSession,
     path: str,
     entry: dict,
-    v: int,
     live: dict,
     schema: StructType,
 ) -> DataFrame | None:
-    """Typed ``delete`` rows of one MOR delete commit: per file, the
-    NEWLY masked positions are the new sidecar minus the previous one
-    (diffed in executors), and the payloads come from a LEFT SEMI
-    join of the file's raw rows against those positions — cost is the
-    commit's own delete footprint, never the table."""
+    """The rows a commit NEWLY masked: per file, the new sidecar's
+    positions minus the previous one's (diffed in executors), with
+    payloads from a LEFT SEMI join of the file's raw rows against
+    those positions — cost is the commit's own mask footprint, never
+    the table. These are a MOR delete's deleted rows and a MOR
+    update's pre-images."""
     files: dict[str, dict] = {}
     descs: list[tuple] = []
     total = 0
@@ -3455,9 +3664,7 @@ def _dv_delete_rows(
     raw = _read_files_meta(spark, path, files, schema)
     cond = (raw["__f"] == pos["f"]) & (raw["__pos"] == pos["pos"])
     return raw.join(pos, cond, "left_semi").select(
-        *[F.col(f.name) for f in schema.fields],
-        F.lit("delete").alias(CDF_TYPE_COL),
-        F.lit(v).cast("long").alias(CDF_VERSION_COL),
+        *[F.col(f.name) for f in schema.fields]
     )
 
 
@@ -3472,14 +3679,16 @@ def _cdf_commit_rows(
     include_preimage: bool = False,
 ) -> DataFrame | None:
     """Typed change rows of ONE commit, given ``live`` = the file map
-    BEFORE it. Appends short-circuit to inserts; MOR deletes diff
-    their deletion vectors (`_dv_delete_rows`); rewriting commits
-    join the pre-image (this commit's removed files, their DVs at
-    pre-commit state applied) against the post-image (its
-    genuinely-new files) on pk. Restore's re-added still-live files
-    are excluded from the post-image, so unchanged rows emit
-    nothing; a purge (DV materialization) emits nothing because its
-    masked pre-image equals its post-image."""
+    BEFORE it. Appends short-circuit to inserts; a MOR DELETE's
+    freshly-masked rows (`_dv_fresh_mask_rows`) type directly as
+    deletes; a MOR UPDATE (dv + staged post-images in one commit)
+    feeds its masked rows as the PRE-image of the generic pk-join;
+    other rewriting commits join the pre-image (this commit's removed
+    files, their DVs at pre-commit state applied) against the
+    post-image (its genuinely-new files) on pk. Restore's re-added
+    still-live files are excluded from the post-image, so unchanged
+    rows emit nothing; a purge (DV materialization) emits nothing
+    because its masked pre-image equals its post-image."""
     added_new = {
         a["path"]: {
             "commit_dir": a["commit_dir"],
@@ -3508,18 +3717,32 @@ def _cdf_commit_rows(
         return _typed(
             _read_files_live(spark, path, added_new, schema), "insert"
         )
+    if entry.get("dv") and not added_new:
+        masked = _dv_fresh_mask_rows(spark, path, entry, live, schema)
+        if masked is None:
+            return None
+        return _typed(masked, "delete")
     if entry.get("dv"):
-        return _dv_delete_rows(spark, path, entry, v, live, schema)
-    pre = (
-        _read_files_live(spark, path, removed_live, schema)
-        if removed_live
-        else spark.createDataFrame([], schema)
-    )
-    post = (
-        _read_files_live(spark, path, added_new, schema)
-        if added_new
-        else spark.createDataFrame([], schema)
-    )
+        # MOR update: masked rows are the pre-image, staged files the
+        # post-image — the generic join classifies update/insert
+        masked = _dv_fresh_mask_rows(spark, path, entry, live, schema)
+        pre = (
+            masked
+            if masked is not None
+            else spark.createDataFrame([], schema)
+        )
+        post = _read_files_live(spark, path, added_new, schema)
+    else:
+        pre = (
+            _read_files_live(spark, path, removed_live, schema)
+            if removed_live
+            else spark.createDataFrame([], schema)
+        )
+        post = (
+            _read_files_live(spark, path, added_new, schema)
+            if added_new
+            else spark.createDataFrame([], schema)
+        )
     # ONE full-outer join per commit: the structs carry the whole
     # payload through the join, so change rows project straight out of
     # it — no key-collection pass, no semi-joins back into the images

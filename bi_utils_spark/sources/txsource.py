@@ -369,8 +369,10 @@ class TxStreamReader(DataSourceStreamReader):
                     TxCdfPartition(v, [], [f]) for f in added_new
                 )
             elif entry.get("dv"):
-                # MOR delete: newly masked positions = new sidecar
-                # minus the file's previous one
+                # MOR delete/update: newly masked positions = new
+                # sidecar minus the file's previous one; an update
+                # commit also ships its staged post-images so the
+                # reader classifies update_postimage vs insert
                 diff = [
                     (
                         os.path.join(self._path, rec["file"]),
@@ -381,8 +383,10 @@ class TxStreamReader(DataSourceStreamReader):
                     for rec in entry["dv"]
                     if rec["file"] in live
                 ]
-                if diff:
-                    parts.append(TxCdfPartition(v, [], [], dv_diff=diff))
+                if diff or added_new:
+                    parts.append(
+                        TxCdfPartition(v, [], added_new, dv_diff=diff)
+                    )
             elif added_new or removed_live:
                 parts.append(TxCdfPartition(v, removed_live, added_new))
             for p in entry.get("removed", []):
@@ -417,9 +421,10 @@ class TxStreamReader(DataSourceStreamReader):
     def _read_cdf(self, partition: TxCdfPartition) -> Iterator[tuple]:
         schema = self._table_schema
         v = partition.version
-        if partition.dv_diff:
-            # MOR delete commit: rows at (new sidecar − old sidecar)
-            # positions stream as typed deletes
+
+        def _fresh_rows():
+            # rows a MOR commit NEWLY masked: (new − old) sidecar
+            # positions, read back by file ordinal
             for fp, pvals, new_dv, old_dv in partition.dv_diff:
                 fresh = _dv_positions(new_dv)
                 if old_dv:
@@ -428,7 +433,12 @@ class TxStreamReader(DataSourceStreamReader):
                     _read_file_rows(fp, pvals, schema)
                 ):
                     if i in fresh:
-                        yield (*row, "delete", v)
+                        yield row
+
+        if partition.dv_diff and not partition.post:
+            # MOR delete: freshly masked rows ARE the deletes
+            for row in _fresh_rows():
+                yield (*row, "delete", v)
             return
         pk_idx = [schema.fieldNames().index(c) for c in self._pks]
 
@@ -443,6 +453,9 @@ class TxStreamReader(DataSourceStreamReader):
 
         post = _keyed(partition.post)
         pre = _keyed(partition.pre) if partition.pre else {}
+        for row in partition.dv_diff and _fresh_rows() or ():
+            # MOR update: masked rows are the pre-image
+            pre[tuple(row[i] for i in pk_idx)] = row
         for key, row in post.items():
             old = pre.get(key)
             if old is None:

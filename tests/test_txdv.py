@@ -914,3 +914,193 @@ def test_read_table_where_filters_and_prunes(spark, tmp_path):
     assert (
         tx.read_table(spark, path, where="v = 5 or v = 1005").count() == 2
     )
+
+
+# ---------------------------------------------------------------------------
+# UPDATE
+# ---------------------------------------------------------------------------
+
+
+def test_mor_update_masks_and_stages(spark, ptable):
+    before = set(tx._fold(ptable).files)
+    out = tx.update_table(
+        spark, ptable, F.col("k") == 2, {"v": F.col("v") + 1000}
+    )
+    assert out["mode"] == "mor" and out["rows_updated"] == 1
+    got = _as_dict(tx.read_table(spark, ptable))
+    assert got[2] == ("A", 1020)
+    assert len(got) == 6
+    after = tx._fold(ptable)
+    # every pre-existing file survives by reference; the post-image
+    # landed as a NEW staged file
+    assert before <= set(after.files)
+    assert len(after.files) > len(before)
+    assert any(m.get("dv") for m in after.files.values())
+    # time travel shows the original value
+    assert _as_dict(tx.read_table(spark, ptable, version=0))[2] == (
+        "A",
+        20,
+    )
+
+
+def test_mor_update_sql_forms_and_original_row_semantics(spark, ptable):
+    # SET expressions see the ORIGINAL row: swap-like updates work
+    tx.update_table(
+        spark,
+        ptable,
+        "k = 1",
+        {"v": "v * 10"},
+    )
+    assert _as_dict(tx.read_table(spark, ptable))[1] == ("A", 100)
+
+
+def test_cow_update_rewrites_hit_files_only(spark, ptable):
+    before = dict(tx._fold(ptable).files)
+    out = tx.update_table(
+        spark,
+        ptable,
+        F.col("status") == "B",
+        {"v": F.col("v") * 2},
+        mode="cow",
+    )
+    assert out["mode"] == "cow" and out["rows_updated"] == 3
+    got = _as_dict(tx.read_table(spark, ptable))
+    assert got[4] == ("B", 80) and got[1] == ("A", 10)
+    after = tx._fold(ptable)
+    a_files = {
+        rel
+        for rel, m in before.items()
+        if m["partition_values"].get("status") == "A"
+    }
+    assert a_files <= set(after.files)
+    assert not any(m.get("dv") for m in after.files.values())
+
+
+def test_update_guards(spark, ptable):
+    with pytest.raises(ValueError, match="not in table"):
+        tx.update_table(spark, ptable, "k = 1", {"nope": F.lit(1)})
+    with pytest.raises(ValueError, match="partition column"):
+        tx.update_table(spark, ptable, "k = 1", {"status": F.lit("Z")})
+    with pytest.raises(ValueError, match="unknown mode"):
+        tx.update_table(spark, ptable, "k = 1", {"v": "v"}, mode="x")
+    out = tx.update_table(spark, ptable, "k = 999", {"v": "v"})
+    assert out["version"] is None  # no match -> no commit
+
+
+def test_update_null_predicate_rows_untouched(spark, tmp_path):
+    path = str(tmp_path / "t")
+    tx.create_table(
+        spark.createDataFrame([(1, 10), (2, None)], "k int, v int"), path
+    )
+    out = tx.update_table(spark, path, F.col("v") > 5, {"v": "v + 1"})
+    assert out["rows_updated"] == 1
+    got = {r["k"]: r["v"] for r in tx.read_table(spark, path).collect()}
+    assert got == {1: 11, 2: None}
+
+
+def test_update_then_delete_stack(spark, ptable):
+    tx.update_table(spark, ptable, "k = 2", {"v": "v + 1"})
+    tx.delete_from_table(spark, ptable, "k = 2")
+    got = _as_dict(tx.read_table(spark, ptable))
+    assert 2 not in got and len(got) == 5
+
+
+def test_update_set_cast_to_table_type(spark, ptable):
+    # v is long; an int-typed SET expression must land as long
+    tx.update_table(spark, ptable, "k = 3", {"v": F.lit(7)})
+    snap = tx._fold(ptable)
+    assert snap.spark_schema()["v"].dataType.typeName() == "long"
+    assert _as_dict(tx.read_table(spark, ptable))[3] == ("A", 7)
+
+
+def test_cdf_mor_update_emits_postimage(spark, ptable):
+    out = tx.update_table(
+        spark, ptable, F.col("k").isin(1, 5), {"v": F.col("v") + 1}
+    )
+    feed = tx.table_changes_cdf(
+        spark,
+        ptable,
+        ["k"],
+        after_version=out["version"] - 1,
+        up_to=out["version"],
+    )
+    rows = {
+        (r["k"], r["_change_type"], r["v"]) for r in feed.collect()
+    }
+    assert rows == {
+        (1, "update_postimage", 11),
+        (5, "update_postimage", 51),
+    }
+
+
+def test_cdf_mor_update_preimage_parity(spark, ptable):
+    out = tx.update_table(spark, ptable, "k = 1", {"v": "v + 1"})
+    feed = tx.table_changes_cdf(
+        spark,
+        ptable,
+        ["k"],
+        after_version=out["version"] - 1,
+        include_preimage=True,
+    )
+    rows = {(r["_change_type"], r["v"]) for r in feed.collect()}
+    assert rows == {("update_preimage", 10), ("update_postimage", 11)}
+
+
+def test_cdf_replay_converges_through_updates(spark, ptable, tmp_path):
+    tx.update_table(spark, ptable, "k = 2", {"v": "v * 3"})
+    tx.delete_from_table(spark, ptable, "k = 6")
+    tx.update_table(
+        spark, ptable, "status = 'B'", {"v": "v + 5"}, mode="cow"
+    )
+    target = str(tmp_path / "replica")
+    tx.create_table(
+        spark.createDataFrame([], tx._fold(ptable).spark_schema()),
+        target,
+        partition_cols=["status"],
+    )
+    feed = tx.table_changes_cdf(spark, ptable, ["k"], after_version=-1)
+    tx.cdf_apply_batch(spark, target, feed, ["k"])
+    assert _as_dict(tx.read_table(spark, target)) == _as_dict(
+        tx.read_table(spark, ptable)
+    )
+
+
+def test_stream_change_feed_emits_mor_updates(spark, ptable, tmp_path):
+    from bi_utils_spark.sources.txsource import register_txtable_source
+
+    register_txtable_source(spark)
+    tx.update_table(spark, ptable, "k = 4", {"v": "v + 2"})  # v1
+    stream = (
+        spark.readStream.format("txtable")
+        .option("path", ptable)
+        .option("changeFeed", "true")
+        .option("pks", "k")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("txdv_upd")
+        .option("checkpointLocation", str(tmp_path / "ck_upd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select k, v, _change_type, _commit_version from txdv_upd"
+    ).collect()
+    typed = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in rows
+    }
+    assert (4, 42, "update_postimage", 1) in typed
+    assert not any(t[2] == "delete" for t in typed)
+
+
+def test_materialize_after_update_keeps_result(spark, ptable):
+    tx.update_table(spark, ptable, "k = 2", {"v": "v + 1"})
+    before = _as_dict(tx.read_table(spark, ptable))
+    tx.materialize_deletes(spark, ptable)
+    assert _as_dict(tx.read_table(spark, ptable)) == before
+    assert not any(
+        m.get("dv") for m in tx._fold(ptable).files.values()
+    )
