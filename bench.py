@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "q_tx_delete_raw",
     "q_tx_clone",
     "q_tx_update",
+    "q_tx_rename",
     "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

@@ -10440,6 +10440,52 @@ def q_tx_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tx_rename",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status,
+           CASE WHEN k % 11 = 4 THEN cents + 1 ELSE cents END AS amount
+    FROM rows0
+    """,
+)
+def q_tx_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column RENAME via column mapping (X111, r9):
+    every column carries a stable PHYSICAL name (what the parquet
+    bytes are keyed by), so renaming relabels the manifest in commit
+    time — zero files rewritten. The arc reads files written BEFORE
+    the rename (physical name 'cents'), files appended AFTER it
+    (still written as 'cents' physically, labeled 'amount'), and a
+    MOR update flowing through the new label — one result under the
+    final schema, stated declaratively by the oracle. The Delta
+    column-mapping 'name' mode analog."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_ren"
+    if tx.latest_version(path) < 3:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 3 > 0),
+                path,
+                partition_cols=["status"],
+            )
+        if tx.latest_version(path) < 1:
+            tx.rename_column(path, "cents", "amount")
+        if tx.latest_version(path) < 2:
+            tx.append_table(
+                rows.where(F.col("k") % 3 == 0).withColumnRenamed(
+                    "cents", "amount"
+                ),
+                path,
+            )
+        if tx.latest_version(path) < 3:
+            tx.update_table(
+                spark, path, F.col("k") % 11 == 4, {"amount": "amount + 1"}
+            )
+    return tx.read_table(spark, path).select("k", "status", "amount")
+
+
+@register(
     "q_tx_clone",
     f"""
     WITH rows0 AS ({_TX_ROWS_SQL}),
@@ -10546,8 +10592,9 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     vector pair q_tx_delete (MOR + COW row-level DELETE with time
 #     travel through DV pointers), q_tx_dv_cdf (exactly-once
 #     delete emission in the change feed), q_tx_clone (zero-copy
-#     shallow clone with borrowed DVs + divergence), and q_tx_update
-#     (MOR + COW row-level UPDATE); first attestations.
+#     shallow clone with borrowed DVs + divergence), q_tx_update
+#     (MOR + COW row-level UPDATE), and q_tx_rename (metadata-only
+#     column rename via mapping); first attestations.
 # (2) r9-changed implementations: the seven tx rows — txtable.py's
 #     write/maintenance paths changed shape this round (grouped
 #     compaction topology with per-partition target_files + identity-
@@ -10557,8 +10604,8 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     tx arc's fixture is rebuilt through those paths.
 # (3) re-attestation, oldest official row first: the remainder of the
 #     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (10 queries).
-#     6 + 7 + 27 + 10 = 50. All are green in the local strict sweep
+#     CORRECTNESS_r04) and the head of the r5 tier (9 queries).
+#     7 + 7 + 27 + 9 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
 # Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
@@ -10571,6 +10618,7 @@ _PROMOTED: list[str] = [
     "q_tx_dv_cdf",
     "q_tx_clone",
     "q_tx_update",
+    "q_tx_rename",
     # ---- tier 2: r9-changed implementation (txtable.py) ----
     "q_tx_merge_table",
     "q_tx_timetravel",
@@ -10617,8 +10665,7 @@ _PROMOTED: list[str] = [
     "q_hash_split",
     "q_det_sample",
     "q_dedup_clusters",
-    "q_cosine_pairs",
-    # (q_kmeans_clusters onward: next in line for r10)
+    # (q_cosine_pairs onward: next in line for r10)
 ]
 
 

@@ -319,14 +319,29 @@ def _footer_stats(full_path: str) -> tuple[dict, int]:
 
 
 def _stage(
-    df: DataFrame, path: str, partition_cols: Sequence[str]
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    table_schema: StructType | None = None,
 ) -> list[dict]:
     """Write ``df`` under a fresh commit dir; return the added-file
     records (relpath, commit dir, partition values parsed from the
     directory layout, per-file zone-map stats from the footers).
     Files are invisible to readers until a commit references them — a
     failed job leaves only unreferenced files for vacuum, never a
-    partial table."""
+    partial table. When ``table_schema`` carries a column mapping,
+    the frame's logical names rewrite to their stable PHYSICAL names
+    before the write, so every file of the table agrees on the bytes'
+    keys regardless of renames."""
+    if table_schema is not None:
+        pmap = _phys_map(table_schema)
+        if pmap:
+            df = df.select(
+                *[
+                    F.col(c).alias(pmap.get(c, c))
+                    for c in df.columns
+                ]
+            )
     commit_dir = os.path.join(DATA_DIR, uuid.uuid4().hex)
     out = os.path.join(path, commit_dir)
     w = df.write.mode("overwrite")
@@ -373,6 +388,67 @@ def _stage(
 
 def _schema_json(df: DataFrame) -> str:
     return json.dumps(df.schema.jsonValue())
+
+
+# ---------------------------------------------------------------------------
+# column mapping: metadata-only rename/drop
+# ---------------------------------------------------------------------------
+
+_PHYS_KEY = "__physical"
+
+
+def _phys_of(field) -> str:
+    """A column's PHYSICAL name — what the parquet bytes are keyed by.
+    Stable for the column's whole life; the logical name is just the
+    manifest's label for it (the public Delta column-mapping 'name'
+    mode). Absent metadata means physical == logical — every table
+    that never renamed/dropped stays byte-identical in behavior."""
+    meta = field.metadata or {}
+    return meta.get(_PHYS_KEY, field.name)
+
+
+def _phys_map(schema: StructType) -> dict:
+    """logical -> physical for fields where they differ ({} when the
+    mapping is inactive — the common fast path)."""
+    out = {}
+    for f in schema.fields:
+        p = _phys_of(f)
+        if p != f.name:
+            out[f.name] = p
+    return out
+
+
+def _mapping_enabled(schema: StructType) -> bool:
+    """True once rename/drop stamped explicit physical names — from
+    then on NEW columns get fresh uuid physical names so a re-added
+    logical name can never resurrect a dropped column's bytes."""
+    return any(
+        _PHYS_KEY in (f.metadata or {}) for f in schema.fields
+    )
+
+
+def _to_physical(schema: StructType) -> StructType:
+    """The schema as the FILES spell it (fields renamed to physical,
+    mapping metadata stripped)."""
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(_phys_of(f), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _translate_cols(d: dict | None, schema: StructType) -> dict | None:
+    """Rekey a {logical_col: ...} dict to physical names (zone stats
+    and bloom sidecars live in physical space)."""
+    if not d:
+        return d
+    pmap = _phys_map(schema)
+    if not pmap:
+        return d
+    return {pmap.get(k, k): v for k, v in d.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -481,6 +557,30 @@ def convert_to_tx(
     return 0
 
 
+def _fresh_physical_fields(new_fields: list, base: StructType) -> list:
+    """New (widening) columns on a mapping-enabled table get FRESH
+    uuid physical names, so a logical name that was dropped earlier
+    can never resurrect the dropped column's bytes; guard against a
+    new logical name colliding with any physical name in use."""
+    if not _mapping_enabled(base):
+        return new_fields
+    from pyspark.sql.types import StructField
+
+    in_use = {_phys_of(f) for f in base.fields}
+    out = []
+    for f in new_fields:
+        if f.name in in_use:
+            raise ValueError(
+                f"column {f.name!r} collides with a physical column "
+                "name still present in the table's files (a renamed "
+                "or dropped column) — pick a different name"
+            )
+        meta = dict(f.metadata or {})
+        meta[_PHYS_KEY] = f"col-{uuid.uuid4().hex[:8]}"
+        out.append(StructField(f.name, f.dataType, f.nullable, meta))
+    return out
+
+
 def _append_schema(snap: Snapshot, df: DataFrame) -> str | None:
     """Validate an append against the table schema. New nullable
     columns widen the schema (returned); missing columns are fine
@@ -498,7 +598,10 @@ def _append_schema(snap: Snapshot, df: DataFrame) -> str | None:
             new_fields.append(f)
     if not new_fields:
         return None
-    merged = StructType(list(snap.spark_schema().fields) + new_fields)
+    base = snap.spark_schema()
+    merged = StructType(
+        list(base.fields) + _fresh_physical_fields(new_fields, base)
+    )
     return json.dumps(merged.jsonValue())
 
 
@@ -540,7 +643,10 @@ def _merge_schema_check(snap: Snapshot, df: DataFrame) -> str | None:
             new_fields.append(f)
     if not new_fields:
         return None
-    merged = StructType(list(snap.spark_schema().fields) + new_fields)
+    base = snap.spark_schema()
+    merged = StructType(
+        list(base.fields) + _fresh_physical_fields(new_fields, base)
+    )
     return json.dumps(merged.jsonValue())
 
 
@@ -576,10 +682,50 @@ def append_table(
 
         dq_gate(df, checks)
     _append_schema(snap, df)  # validate before paying the stage write
-    added = _stage(df, path, snap.partition_cols)
+    # physical names for OUR new (widening) columns are assigned ONCE,
+    # before staging — the staged bytes must spell exactly what the
+    # committed schema will say, across every rebase
+    base = snap.spark_schema()
+    my_new = _fresh_physical_fields(
+        [f for f in df.schema.fields if f.name not in base.fieldNames()],
+        base,
+    )
+    staged_schema = (
+        StructType(list(base.fields) + my_new) if my_new else base
+    )
+    added = _stage(
+        df, path, snap.partition_cols, table_schema=staged_schema
+    )
     version = snap.version + 1
     while True:
         widened = _append_schema(snap, df)
+        if my_new and _mapping_enabled(base):
+            # rebase-stable widening on a mapping-enabled table: the
+            # committed schema must carry OUR pre-assigned physical
+            # names; a racer claiming the same new logical name with
+            # a different physical would silently null our bytes
+            pred = snap.spark_schema()
+            pred_by_name = {f.name: f for f in pred.fields}
+            still_new = []
+            for f in my_new:
+                ex = pred_by_name.get(f.name)
+                if ex is None:
+                    still_new.append(f)
+                elif _phys_of(ex) != _phys_of(f):
+                    raise ConcurrentWriteError(
+                        f"append at {path}: a concurrent append "
+                        f"added column {f.name!r} with a different "
+                        "physical name — re-run the append"
+                    )
+            widened = (
+                json.dumps(
+                    StructType(
+                        list(pred.fields) + still_new
+                    ).jsonValue()
+                )
+                if still_new
+                else None
+            )
         payload = {
             "version": version,
             "action": "append",
@@ -797,7 +943,12 @@ def _read_files(
 ) -> DataFrame:
     """Read a manifest-resolved file subset: grouped per commit dir
     (each group one ``basePath`` so directory-encoded partition
-    columns re-materialize), then unioned."""
+    columns re-materialize), then unioned. Files spell columns by
+    their PHYSICAL names; the result aliases back to the logical
+    schema (a pure projection — no extra plan nodes when the column
+    mapping is inactive)."""
+    phys = _to_physical(schema)
+    pmap = _phys_map(schema)
     groups: dict[str, list[str]] = {}
     for rel, meta in files.items():
         groups.setdefault(meta["commit_dir"], []).append(
@@ -805,13 +956,20 @@ def _read_files(
         )
     parts = []
     for commit_dir, names in sorted(groups.items()):
-        reader = spark.read.schema(schema).option(
+        reader = spark.read.schema(phys).option(
             "basePath", os.path.join(path, commit_dir)
         )
         parts.append(reader.parquet(*sorted(names)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if pmap:
+        out = out.select(
+            *[
+                F.col(_phys_of(f)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
     return out
 
 
@@ -916,6 +1074,8 @@ def _read_files_meta(
     (``__pos``, parquet ``_metadata.row_index``) — the coordinates
     deletion vectors address rows by. Metadata columns are
     constant-folded by the scan, so the plan stays JVM-only."""
+    phys = _to_physical(schema)
+    pmap = _phys_map(schema)
     groups: dict[str, list[str]] = {}
     for rel, meta in files.items():
         groups.setdefault(meta["commit_dir"], []).append(
@@ -923,7 +1083,7 @@ def _read_files_meta(
         )
     parts = []
     for commit_dir, names in sorted(groups.items()):
-        reader = spark.read.schema(schema).option(
+        reader = spark.read.schema(phys).option(
             "basePath", os.path.join(path, commit_dir)
         )
         parts.append(
@@ -938,6 +1098,15 @@ def _read_files_meta(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if pmap:
+        out = out.select(
+            *[
+                F.col(_phys_of(f)).alias(f.name)
+                for f in schema.fields
+            ],
+            "__f",
+            "__pos",
+        )
     return out
 
 
@@ -1433,13 +1602,16 @@ def read_table(
             )
         }
     if skip:
+        skip_p = _translate_cols(skip, schema)
         want = {
             rel: meta
             for rel, meta in want.items()
-            if _zone_overlaps(meta, skip)
+            if _zone_overlaps(meta, skip_p)
         }
     if point:
-        want = _bloom_prune(spark, path, want, point)
+        want = _bloom_prune(
+            spark, path, want, _translate_cols(point, schema)
+        )
     if not want:
         out = spark.createDataFrame([], schema)
     else:
@@ -1690,7 +1862,7 @@ def merge_tx_table(
         else:
             target = spark.createDataFrame([], schema)
         merged = _apply(target)
-        added = _stage(merged, path, pcols)
+        added = _stage(merged, path, pcols, table_schema=schema)
         return _rewrite_commit(
             path,
             snap.version,
@@ -1708,7 +1880,7 @@ def merge_tx_table(
     else:
         target = spark.createDataFrame([], schema)
     merged = _apply(target)
-    added = _stage(merged, path, [])
+    added = _stage(merged, path, [], table_schema=schema)
     return _rewrite_commit(
         path,
         snap.version,
@@ -1808,10 +1980,11 @@ def delete_from_table(
     if skip is None:
         skip = predicate_skip_ranges(cond)
     if skip:
+        skip_p = _translate_cols(skip, schema)
         want = {
             rel: meta
             for rel, meta in want.items()
-            if _zone_overlaps(meta, skip)
+            if _zone_overlaps(meta, skip_p)
         }
     none = {
         "version": None,
@@ -1841,7 +2014,9 @@ def delete_from_table(
         kept = _read_files_live(spark, path, hit, schema).where(
             ~F.coalesce(cond, F.lit(False))
         )
-        added = _stage(kept, path, snap.partition_cols)
+        added = _stage(
+            kept, path, snap.partition_cols, table_schema=schema
+        )
         version = _rewrite_commit(
             path,
             snap.version,
@@ -1988,7 +2163,7 @@ def update_table(
                 for k, rv in rendered.items()
             )
         }
-    derived = predicate_skip_ranges(cond)
+    derived = _translate_cols(predicate_skip_ranges(cond), schema)
     if derived:
         want = {
             rel: meta
@@ -2041,7 +2216,10 @@ def update_table(
             _updated(src.where(matched_pred))
         )
         added = _stage(
-            rewritten.select(*names), path, snap.partition_cols
+            rewritten.select(*names),
+            path,
+            snap.partition_cols,
+            table_schema=schema,
         )
         version = _rewrite_commit(
             path,
@@ -2071,7 +2249,10 @@ def update_table(
     # stage the POST-images first (data lands before the commit that
     # references it — crash leaves only vacuum-able strays)
     added = _stage(
-        _updated(matched).select(*names), path, snap.partition_cols
+        _updated(matched).select(*names),
+        path,
+        snap.partition_cols,
+        table_schema=schema,
     )
 
     def _pack(key, pdf):
@@ -2154,7 +2335,9 @@ def materialize_deletes(
     df = _compaction_layout(
         spark, df, snap.partition_cols, counts, None, 12
     )
-    added = _stage(df, path, snap.partition_cols)
+    added = _stage(
+        df, path, snap.partition_cols, table_schema=schema
+    )
     return _rewrite_commit(
         path,
         snap.version,
@@ -2260,12 +2443,13 @@ def _zorder_bounds_from_manifest(
     Bucketing only needs bounds that COVER the data (values clamp to
     edge buckets), so footer-derived bounds are exactly as good as
     scanned ones."""
+    pmap = _phys_map(snap.spark_schema())
     lo: dict[str, float] = {}
     hi: dict[str, float] = {}
     for rel in rels:
         stats = snap.files[rel].get("stats") or {}
         for c in cols:
-            zs = stats.get(c)
+            zs = stats.get(pmap.get(c, c))
             if (
                 zs is None
                 or not isinstance(zs[0], (int, float))
@@ -2428,6 +2612,7 @@ def compact_table(
     predicates. The OPTIMIZE ZORDER maintenance verb, as a metadata
     swap."""
     snap = _fold(path)
+    schema = snap.spark_schema()
     df = read_table(spark, path, version=snap.version)
     counts = _group_counts(
         snap, path, list(snap.files), target_files, target_bytes
@@ -2446,7 +2631,9 @@ def compact_table(
         zorder_bits,
         zorder_bounds=bounds,
     )
-    added = _stage(df, path, snap.partition_cols)
+    added = _stage(
+        df, path, snap.partition_cols, table_schema=schema
+    )
     return _rewrite_commit(
         path,
         snap.version,
@@ -2617,7 +2804,9 @@ def compact_partitions(
         zorder_bits,
         zorder_bounds=bounds,
     )
-    added = _stage(df, path, snap.partition_cols)
+    added = _stage(
+        df, path, snap.partition_cols, table_schema=schema
+    )
     return _rewrite_commit(
         path,
         snap.version,
@@ -2866,6 +3055,102 @@ def forget_keys(
     }
 
 
+def rename_column(path: str, old: str, new: str) -> int:
+    """Metadata-only column RENAME — the Delta column-mapping 'name'
+    mode: the manifest schema relabels the field while its stable
+    PHYSICAL name (what every parquet file keys the bytes by) stays;
+    zero files rewritten, old versions time-travel with their old
+    labels. First use stamps every field's physical name explicitly,
+    after which NEW columns get fresh uuid physical names (so a later
+    add can never collide with renamed/dropped bytes). Partition
+    columns can't rename (the directory layout is physical).
+    Readers/writers translate transparently; zone-map skips, bloom
+    indexes, and zorder bounds key by physical name so every index
+    survives the rename. `write_symlink_manifest` refuses
+    mapping-enabled tables — external engines would read physical
+    names."""
+    snap = _fold(path)
+    schema = snap.spark_schema()
+    if old not in schema.fieldNames():
+        raise ValueError(f"rename_column: no column {old!r}")
+    if new in schema.fieldNames():
+        raise ValueError(f"rename_column: column {new!r} exists")
+    if old in snap.partition_cols:
+        raise ValueError(
+            f"rename_column: {old!r} is a partition column — the "
+            "directory layout is physical; repartition the table "
+            "instead"
+        )
+    in_use = {_phys_of(f) for f in schema.fields}
+    if new in in_use:
+        raise ValueError(
+            f"rename_column: {new!r} collides with a physical column "
+            "name still present in the table's files"
+        )
+    from pyspark.sql.types import StructField
+
+    fields = []
+    for f in schema.fields:
+        meta = dict(f.metadata or {})
+        meta[_PHYS_KEY] = _phys_of(f)  # stamp everyone explicitly
+        name = new if f.name == old else f.name
+        fields.append(StructField(name, f.dataType, f.nullable, meta))
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "rename_column",
+        [],
+        [],
+        schema=json.dumps(StructType(fields).jsonValue()),
+        conflict="files",
+        extra={"renamed": [old, new]},
+    )
+
+
+def drop_column(path: str, col: str) -> int:
+    """Metadata-only column DROP: the field leaves the manifest
+    schema; its bytes stay in the files (invisible to every reader)
+    until a rewrite naturally sheds them — compact/merge/update write
+    only the live schema's columns. Old versions time-travel with the
+    column intact. Re-adding the same logical name later gets a FRESH
+    physical name, so the dropped bytes can never resurface. For
+    contractual erasure of the VALUES (not just the label), follow
+    with `compact_table` — the forget_keys-grade rewrite. Partition
+    columns can't drop."""
+    snap = _fold(path)
+    schema = snap.spark_schema()
+    if col not in schema.fieldNames():
+        raise ValueError(f"drop_column: no column {col!r}")
+    if col in snap.partition_cols:
+        raise ValueError(
+            f"drop_column: {col!r} is a partition column — "
+            "repartition the table instead"
+        )
+    if len(schema.fields) == 1:
+        raise ValueError("drop_column: cannot drop the last column")
+    from pyspark.sql.types import StructField
+
+    fields = []
+    for f in schema.fields:
+        if f.name == col:
+            continue
+        meta = dict(f.metadata or {})
+        meta[_PHYS_KEY] = _phys_of(f)
+        fields.append(
+            StructField(f.name, f.dataType, f.nullable, meta)
+        )
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "drop_column",
+        [],
+        [],
+        schema=json.dumps(StructType(fields).jsonValue()),
+        conflict="files",
+        extra={"dropped": col},
+    )
+
+
 def clone_table(
     spark: SparkSession,
     src: str,
@@ -3036,6 +3321,14 @@ def write_symlink_manifest(
             "deletion vectors — an external engine reading the "
             "manifest cannot apply them and would resurface deleted "
             "rows; run materialize_deletes(path) first"
+        )
+    if _phys_map(snap.spark_schema()):
+        raise ValueError(
+            "write_symlink_manifest: the table has renamed columns "
+            "(column mapping) — external engines reading the files "
+            "directly would see the PHYSICAL column names; rewrite "
+            "via compact_table after an overwrite-style schema "
+            "normalization, or read through read_table"
         )
     root = os.path.join(path, MANIFEST_DIR)
     if os.path.isdir(root):
@@ -3308,7 +3601,10 @@ def build_bloom_index(
         None,
     )
     kept: dict[str, dict] = {}
-    sc_path = _bloom_sidecar(path, col)
+    # sidecars key by the PHYSICAL column name, so a rename never
+    # orphans an index and probes after the rename still find it
+    phys_col = _phys_map(snap.spark_schema()).get(col, col)
+    sc_path = _bloom_sidecar(path, phys_col)
     if only_new and os.path.exists(sc_path):
         with open(sc_path) as fh:
             old = json.load(fh)

@@ -133,8 +133,10 @@ def _read_file_rows(
     n = tbl.num_rows
     out_cols = []
     for f in schema.fields:
-        if f.name in cols:
-            out_cols.append(cols[f.name])
+        # files spell columns by their PHYSICAL name (column mapping)
+        pname = (f.metadata or {}).get("__physical", f.name)
+        if pname in cols:
+            out_cols.append(cols[pname])
         elif f.name in partition_values:
             v = _coerce(
                 partition_values[f.name], f.dataType.simpleString()
