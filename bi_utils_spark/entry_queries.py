@@ -10516,6 +10516,87 @@ def q_tx_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.read_table(spark, dst).select("k", "status", "cents")
 
 
+@register(
+    "q_tx_stats",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v1 AS (SELECT * FROM rows0 WHERE NOT (k % 7 = 0)),
+    v2 AS (SELECT * FROM v1 WHERE NOT (k % 10 = 3)),
+    v3 AS (SELECT * FROM v2 WHERE NOT (k % 10 = 4 AND status = 'P'))
+    SELECT CAST(0 AS BIGINT) AS version, 'all' AS scope,
+           CAST(COUNT(*) AS BIGINT) AS num_rows,
+           CAST(MIN(cents) AS BIGINT) AS cents_min,
+           CAST(MAX(cents) AS BIGINT) AS cents_max
+    FROM rows0
+    UNION ALL
+    SELECT 1, 'all', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v1
+    UNION ALL
+    SELECT 2, 'all', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v2
+    UNION ALL
+    SELECT 3, 'all', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v3
+    UNION ALL
+    SELECT 3, 'P', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(cents) AS BIGINT), CAST(MAX(cents) AS BIGINT)
+    FROM v3 WHERE status = 'P'
+    UNION ALL
+    SELECT 3, 'O', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM v3 WHERE status = 'O'
+    """,
+)
+def q_tx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only statistics (X113, r9): COUNT(*) across the
+    deletion-vector arc's four versions — and a partition-scoped
+    count — answered from the manifest fold alone, ZERO data files
+    opened (the Delta metadata-only-query analog; on a 100 TB table
+    this is driver milliseconds vs a full scan). Counts stay exact
+    under merge-on-read deletes because sidecars record exact
+    cardinality; column min/max is reported only when provably exact
+    (every live file contributes a zone map and none carries a DV) —
+    version 0 qualifies, the DV'd versions honestly return NULL
+    rather than a zone-map bound presented as a value. Version 3's
+    two partition-scoped rows split exactly on that gate: the COW
+    delete rewrote every 'P' file (fresh zone maps, no DVs — exact
+    min/max again) while 'O' still carries the earlier MOR sidecars
+    (NULL). The oracle states every count declaratively, so a green
+    row proves the manifest row-count arithmetic, the DV cardinality
+    subtraction, the partition-filter scoping, and the exactness
+    gate at once."""
+    from bi_utils_spark.operators.txtable import table_stats
+
+    path = _tx_dv_demo_table(spark, sf_dir)
+    rows = []
+    for version, scope, pf in [
+        (0, "all", None),
+        (1, "all", None),
+        (2, "all", None),
+        (3, "all", None),
+        (3, "P", {"status": "P"}),
+        (3, "O", {"status": "O"}),
+    ]:
+        st = table_stats(
+            path, version=version, columns=["cents"], partition_filter=pf
+        )
+        mm = st["columns"]["cents"]
+        rows.append(
+            (
+                version,
+                scope,
+                st["num_rows"],
+                mm["min"] if mm else None,
+                mm["max"] if mm else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, scope string, num_rows bigint, "
+        "cents_min bigint, cents_max bigint",
+    )
+
+
 def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MOR DELETE wall (bench-only): each repeat resets a
     scratch tx table via metadata-only RESTORE (+ vacuum, which also
