@@ -10597,6 +10597,70 @@ def q_tx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_tx_generated",
+    """
+    WITH rows0 AS (
+      SELECT o_orderkey AS k, o_orderdate AS d,
+             CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    upd AS (
+      SELECT k, d,
+             CASE WHEN k % 10 = 1 THEN cents * 2 ELSE cents END AS cents
+      FROM rows0
+    )
+    SELECT k, CAST(year(d) AS INTEGER) AS y, cents
+    FROM upd
+    WHERE d BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                AND TIMESTAMP '1996-12-31 23:59:59'
+    """,
+)
+def q_tx_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns with derived partition pruning (X114, r9):
+    the table is partitioned by ``y = year(d)`` which no writer ever
+    supplies — create computes it, append computes it, the MOR update
+    recomputes it on post-images — and the read filters ONLY on the
+    base timestamp ``d``. The range on ``d`` extends through the
+    monotone generated expression to a range on ``y``, which prunes
+    partitions at the MANIFEST level (a partition value is an exact
+    zone map): the 100 TB ``partition by date, filter by timestamp``
+    pattern with no user-visible denormalization, the Delta
+    generated-column pruning analog. The oracle restates table
+    contents and filter declaratively, proving compute-on-write,
+    recompute-on-update, and that pruning dropped no qualifying
+    row."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_gen"
+    if tx.latest_version(path) < 2:
+        rows = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0))
+            .cast("long")
+            .alias("cents"),
+        )
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 3 > 0),
+                path,
+                partition_cols=["y"],
+                generated={"y": "year(d)"},
+            )
+        if tx.latest_version(path) < 1:
+            tx.append_table(rows.where(F.col("k") % 3 == 0), path)
+        if tx.latest_version(path) < 2:
+            tx.update_table(
+                spark, path, F.col("k") % 10 == 1, {"cents": "cents * 2"}
+            )
+    return tx.read_table(
+        spark,
+        path,
+        where="d BETWEEN '1995-01-01 00:00:00' AND '1996-12-31 23:59:59'",
+    ).select("k", "y", "cents")
+
+
 def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MOR DELETE wall (bench-only): each repeat resets a
     scratch tx table via metadata-only RESTORE (+ vacuum, which also

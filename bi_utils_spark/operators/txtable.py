@@ -100,7 +100,7 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"deletionVectors", "columnMapping"}
 )
 SUPPORTED_WRITER_FEATURES = frozenset(
-    {"deletionVectors", "columnMapping"}
+    {"deletionVectors", "columnMapping", "generatedColumns"}
 )
 
 
@@ -158,6 +158,8 @@ class Snapshot:
     app_batches: dict = field(default_factory=dict)
     # {"reader": [...], "writer": [...]} — table features in use
     protocol: dict = field(default_factory=dict)
+    # {col: sql expr} — generated-column definitions (writer-enforced)
+    generated: dict = field(default_factory=dict)
 
     def spark_schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema))
@@ -185,6 +187,7 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
             files=raw["files"],
             app_batches=raw.get("app_batches", {}),
             protocol=raw.get("protocol", {}),
+            generated=raw.get("generated", {}),
         )
         start = base + 1
     else:
@@ -227,6 +230,8 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
         if entry.get("protocol"):
             # commits record the full feature union — replace, never merge
             snap.protocol = entry["protocol"]
+        if entry.get("generated") is not None:
+            snap.generated = entry["generated"]
         snap.version = v
     unknown = set(snap.protocol.get("reader", [])) - SUPPORTED_READER_FEATURES
     if unknown:
@@ -290,6 +295,7 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
         "files": snap.files,
         "app_batches": snap.app_batches,
         "protocol": snap.protocol,
+        "generated": snap.generated,
     }
     tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -525,25 +531,84 @@ def _translate_cols(d: dict | None, schema: StructType) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
+def _apply_generated(
+    df: DataFrame, generated: dict, recompute: bool = False
+) -> DataFrame:
+    """Enforce generated-column definitions on rows about to be
+    written. A missing generated column is COMPUTED (the common
+    path — zero extra jobs, the expression fuses into the write
+    stage). A caller-provided one is VALIDATED with one bounded probe
+    over the delta (``take(1)`` of the violations — the write fails
+    before any file stages, never after). ``recompute=True``
+    overwrites unconditionally (UPDATE post-images, where a SET on a
+    base column staled the derived one)."""
+    for col, expr in generated.items():
+        if recompute or col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            bad = df.filter(
+                ~F.col(col).eqNullSafe(F.expr(expr))
+            ).take(1)
+            if bad:
+                raise ValueError(
+                    f"generated column {col!r} violates its "
+                    f"definition {expr!r}: provided "
+                    f"{bad[0][col]!r} for a row where the "
+                    "expression disagrees — omit the column to have "
+                    "it computed, or fix the value"
+                )
+    return df
+
+
 def create_table(
     df: DataFrame,
     path: str,
     partition_cols: Sequence[str] | None = None,
+    generated: dict | None = None,
 ) -> int:
     """Create a tx table at ``path`` as commit 0. Raises if a log
-    already exists (use overwrite_table to replace contents)."""
+    already exists (use overwrite_table to replace contents).
+
+    ``generated={col: sql_expr}`` declares GENERATED columns (the
+    Delta analog): every writer computes a missing generated column
+    from its expression and validates a provided one, so the
+    invariant ``col == expr`` holds on every row ever written. Declare
+    the generated column as a partition column and reads whose
+    ``where`` constrains the BASE column prune partitions
+    automatically (`q_tx_generated`): the classic
+    ``partition by date, filter by timestamp`` pattern with no
+    user-visible denormalization. Stamps the ``generatedColumns``
+    writer feature — a library build that wouldn't maintain the
+    invariant refuses to write."""
     if latest_version(path) >= 0:
         raise FileExistsError(f"tx table already exists at {path}")
     pcols = list(partition_cols or [])
-    added = _stage(df, path, pcols)
+    gen = dict(generated or {})
+    for col, expr in gen.items():
+        refs = re.findall(r"[A-Za-z_]\w*", expr)
+        if col in refs:
+            raise ValueError(
+                f"generated column {col!r} references itself in "
+                f"{expr!r}"
+            )
+    if gen:
+        df = _apply_generated(df, gen)
     payload = {
         "version": 0,
         "action": "create",
-        "added": added,
+        "added": None,  # filled below — staging needs the final df
         "removed": [],
         "schema": _schema_json(df),
         "partition_cols": pcols,
     }
+    if gen:
+        payload["generated"] = gen
+        up = _protocol_upgrade(
+            Snapshot(version=-1, schema="", partition_cols=[]),
+            writer=["generatedColumns"],
+        )
+        payload["protocol"] = up
+    payload["added"] = _stage(df, path, pcols)
     if not _claim(path, 0, payload):
         raise ConcurrentWriteError(f"concurrent create at {path}")
     return 0
@@ -751,6 +816,8 @@ def append_table(
         from bi_utils_spark.operators.dq import dq_gate
 
         dq_gate(df, checks)
+    if snap.generated:
+        df = _apply_generated(df, snap.generated)
     _append_schema(snap, df)  # validate before paying the stage write
     # physical names for OUR new (widening) columns are assigned ONCE,
     # before staging — the staged bytes must spell exactly what the
@@ -952,6 +1019,8 @@ def overwrite_table(
         if partition_cols is not None
         else snap.partition_cols
     )
+    if snap.generated:
+        df = _apply_generated(df, snap.generated)
     added = _stage(df, path, pcols)
     return _rewrite_commit(
         path,
@@ -1301,6 +1370,143 @@ def _zone_overlaps(meta: dict, skip: dict) -> bool:
     return True
 
 
+_GEN_DATE_RE = re.compile(
+    r"^\s*(?:cast\s*\(\s*(\w+)\s+as\s+date\s*\)"
+    r"|to_date\s*\(\s*(\w+)\s*\))\s*$",
+    re.I,
+)
+_GEN_YEAR_RE = re.compile(r"^\s*year\s*\(\s*(\w+)\s*\)\s*$", re.I)
+_GEN_PREFIX_RE = re.compile(
+    r"^\s*substr(?:ing)?\s*\(\s*(\w+)\s*,\s*1\s*,\s*(\d+)\s*\)\s*$", re.I
+)
+
+
+def _parse_generated_expr(expr: str):
+    """Recognize the provably-MONOTONE generated-column forms range
+    derivation supports: date truncation (``CAST(x AS DATE)`` /
+    ``TO_DATE(x)``), ``YEAR(x)``, and string prefix
+    (``SUBSTRING(x, 1, n)`` — lexicographic prefix truncation is
+    order-preserving, the Iceberg ``truncate`` transform). Returns
+    ("date"|"year"|"prefix", base_col, arg) or None — unrecognized
+    forms simply contribute no pruning (fail-open)."""
+    m = _GEN_DATE_RE.match(expr)
+    if m:
+        return ("date", m.group(1) or m.group(2), None)
+    m = _GEN_YEAR_RE.match(expr)
+    if m:
+        return ("year", m.group(1), None)
+    m = _GEN_PREFIX_RE.match(expr)
+    if m:
+        return ("prefix", m.group(1), int(m.group(2)))
+    return None
+
+
+def _gen_bound(kind: str, arg, v):
+    """Map one predicate bound through a monotone generated
+    expression; None = could not derive (that side falls open)."""
+    import datetime as _dt
+
+    if kind == "prefix":
+        return v[:arg] if isinstance(v, str) else None
+    if isinstance(v, _dt.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+    elif isinstance(v, _dt.date):
+        s = v.isoformat()
+    elif isinstance(v, str):
+        s = v
+    else:
+        return None
+    if not re.match(r"^\d{4}-\d{2}-\d{2}", s):
+        return None
+    return s[:10] if kind == "date" else int(s[:4])
+
+
+def _extend_generated(skip: dict, generated: dict) -> dict:
+    """Extend a {col: (lo, hi)} range map through the table's
+    generated-column definitions: a range on the BASE column implies
+    a range on every monotone derived column — the mechanism behind
+    'partition by generated date, filter by timestamp' pruning. Sides
+    that can't be derived fall open (None bound); explicit ranges the
+    caller already placed on the derived column are intersected, not
+    replaced."""
+    out = dict(skip)
+    for gcol, expr in (generated or {}).items():
+        parsed = _parse_generated_expr(expr)
+        if parsed is None:
+            continue
+        kind, base, arg = parsed
+        if base not in out:
+            continue
+        lo, hi = out[base]
+        glo = _gen_bound(kind, arg, lo) if lo is not None else None
+        ghi = _gen_bound(kind, arg, hi) if hi is not None else None
+        if glo is None and ghi is None:
+            continue
+        _merge_range(out, gcol, glo, ghi)
+    return out
+
+
+def _pv_stats(meta: dict, ptypes: dict) -> dict:
+    """A file's zone maps EXTENDED with its partition values — a
+    partition value is an exact [v, v] zone map, so range skipping
+    works on partition columns too (footer stats never cover them:
+    they are directory-encoded). Integers/floats compare numerically;
+    dates/timestamps/strings compare as their rendered ISO strings,
+    which order correctly lexicographically."""
+    from pyspark.sql import types as T
+
+    out = dict(meta.get("stats") or {})
+    for c, dt in ptypes.items():
+        raw = meta.get("partition_values", {}).get(c)
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            continue
+        try:
+            if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                v = int(raw)
+            elif isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+                v = float(raw)
+            elif isinstance(dt, T.BooleanType):
+                v = raw == "true"
+            else:
+                v = raw
+        except (TypeError, ValueError):
+            continue
+        out.setdefault(c, [v, v])
+    return out
+
+
+def _prune_files(
+    want: dict, skip: dict, schema: StructType, pcols, generated=None
+) -> dict:
+    """Shared file-pruning step for every verb that takes a range map
+    (read/delete/update): extend ranges through generated columns,
+    rekey to physical names, then drop files whose zone maps OR
+    partition values prove no row can match."""
+    if generated:
+        skip = _extend_generated(skip, generated)
+    if not skip:
+        return want
+    skip_p = _translate_cols(skip, schema)
+    ptypes = {
+        f.name: f.dataType
+        for f in schema.fields
+        if f.name in (pcols or []) and f.name in skip_p
+    }
+    if not ptypes:
+        return {
+            rel: meta
+            for rel, meta in want.items()
+            if _zone_overlaps(meta, skip_p)
+        }
+    return {
+        rel: meta
+        for rel, meta in want.items()
+        if _zone_overlaps({"stats": _pv_stats(meta, ptypes)}, skip_p)
+    }
+
+
 # ---------------------------------------------------------------------------
 # predicate-derived data skipping
 # ---------------------------------------------------------------------------
@@ -1421,7 +1627,17 @@ def _tokenize_sql(s: str) -> list[str]:
             if s[i:].strip():
                 raise ValueError(f"bad token at {s[i:]!r}")
             break
-        out.append(m.group(1))
+        tok = m.group(1)
+        # ANSI typed literals: DATE '2024-01-15' / TIMESTAMP '…' —
+        # fold the keyword into the literal (a column can never be
+        # adjacent to a quoted string, so this is unambiguous)
+        if (
+            tok.startswith("'")
+            and out
+            and out[-1].upper() in ("DATE", "TIMESTAMP")
+        ):
+            out.pop()
+        out.append(tok)
         i = m.end()
     return out
 
@@ -1673,12 +1889,9 @@ def read_table(
             )
         }
     if skip:
-        skip_p = _translate_cols(skip, schema)
-        want = {
-            rel: meta
-            for rel, meta in want.items()
-            if _zone_overlaps(meta, skip_p)
-        }
+        want = _prune_files(
+            want, skip, schema, snap.partition_cols, snap.generated
+        )
     if point:
         want = _bloom_prune(
             spark, path, want, _translate_cols(point, schema)
@@ -1836,6 +2049,10 @@ def merge_tx_table(
             source.where(F.col(delete_col)).select(*pks).distinct()
         )
         source = source.drop(delete_col)
+    if snap.generated:
+        # upserted rows are the only NEW values — computing/validating
+        # on the source keeps the cost at the delta, not the rewrite
+        source = _apply_generated(source, snap.generated)
     # Managed timestamp columns never come from the source
     # (merge_upsert's contract), so they neither widen the schema nor
     # participate in type validation. Shared columns are ALWAYS
@@ -2053,12 +2270,9 @@ def delete_from_table(
     if skip is None:
         skip = predicate_skip_ranges(cond)
     if skip:
-        skip_p = _translate_cols(skip, schema)
-        want = {
-            rel: meta
-            for rel, meta in want.items()
-            if _zone_overlaps(meta, skip_p)
-        }
+        want = _prune_files(
+            want, skip, schema, snap.partition_cols, snap.generated
+        )
     none = {
         "version": None,
         "mode": mode,
@@ -2220,6 +2434,11 @@ def update_table(
                 "changing partitions is a delete+insert; use "
                 "merge_tx_table"
             )
+        if c in snap.generated:
+            raise ValueError(
+                f"update_table: {c!r} is a generated column — SET its "
+                "base column(s) and it recomputes automatically"
+            )
     set_cols = {
         c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
     }
@@ -2238,13 +2457,11 @@ def update_table(
                 for k, rv in rendered.items()
             )
         }
-    derived = _translate_cols(predicate_skip_ranges(cond), schema)
+    derived = predicate_skip_ranges(cond)
     if derived:
-        want = {
-            rel: meta
-            for rel, meta in want.items()
-            if _zone_overlaps(meta, derived)
-        }
+        want = _prune_files(
+            want, derived, schema, snap.partition_cols, snap.generated
+        )
     none = {
         "version": None,
         "mode": mode,
@@ -2267,7 +2484,12 @@ def update_table(
         for c, t in tmp.items():
             field = next(f for f in schema.fields if f.name == c)
             out = out.withColumn(c, F.col(t).cast(field.dataType))
-        return out.drop(*tmp.values())
+        out = out.drop(*tmp.values())
+        if snap.generated:
+            # a SET on a base column stales its derived columns —
+            # recompute unconditionally on the post-image rows
+            out = _apply_generated(out, snap.generated, recompute=True)
+        return out
 
     live = _read_files_live_meta(spark, path, want, schema)
     if mode == "cow":
@@ -3166,6 +3388,13 @@ def rename_column(path: str, old: str, new: str) -> int:
             "directory layout is physical; repartition the table "
             "instead"
         )
+    for gcol, gexpr in snap.generated.items():
+        if old == gcol or old in re.findall(r"[A-Za-z_]\w*", gexpr):
+            raise ValueError(
+                f"rename_column: {old!r} participates in generated "
+                f"column {gcol!r} = {gexpr!r} — expressions are "
+                "stored by logical name and would dangle"
+            )
     in_use = {_phys_of(f) for f in schema.fields}
     if new in in_use:
         raise ValueError(
@@ -3219,6 +3448,13 @@ def drop_column(path: str, col: str) -> int:
             f"drop_column: {col!r} is a partition column — "
             "repartition the table instead"
         )
+    for gcol, gexpr in snap.generated.items():
+        if col == gcol or col in re.findall(r"[A-Za-z_]\w*", gexpr):
+            raise ValueError(
+                f"drop_column: {col!r} participates in generated "
+                f"column {gcol!r} = {gexpr!r} — expressions are "
+                "stored by logical name and would dangle"
+            )
     if len(schema.fields) == 1:
         raise ValueError("drop_column: cannot drop the last column")
     from pyspark.sql.types import StructField
@@ -3285,7 +3521,12 @@ def clone_table(
         raise FileExistsError(f"tx table already exists at {dst}")
     if not shallow:
         df = _read_files_live(spark, src, snap.files, snap.spark_schema())
-        return create_table(df, dst, partition_cols=snap.partition_cols)
+        return create_table(
+            df,
+            dst,
+            partition_cols=snap.partition_cols,
+            generated=snap.generated or None,
+        )
     os.makedirs(dst, exist_ok=True)
 
     def _rebase(rel: str) -> str:
@@ -3319,6 +3560,8 @@ def clone_table(
     }
     if snap.protocol:  # borrowed DVs etc. bind the clone's readers too
         payload["protocol"] = snap.protocol
+    if snap.generated:
+        payload["generated"] = snap.generated
     if not _claim(dst, 0, payload):
         raise ConcurrentWriteError(f"concurrent create at {dst}")
     return 0
