@@ -10661,6 +10661,60 @@ def q_tx_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("k", "y", "cents")
 
 
+@register(
+    "q_tx_identity",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    live12 AS (SELECT * FROM rows0 WHERE NOT k % 7 = 0),
+    b3 AS (SELECT * FROM rows0 WHERE k % 5 = 2)
+    SELECT
+      CAST((SELECT COUNT(*) FROM live12)
+           + (SELECT COUNT(*) FROM b3) AS BIGINT) AS n_rows,
+      CAST((SELECT COUNT(*) FROM live12)
+           + (SELECT COUNT(*) FROM b3) AS BIGINT) AS n_distinct,
+      CAST((SELECT COUNT(*) FROM rows0)
+           + (SELECT COUNT(*) FROM b3) AS BIGINT) AS max_id,
+      CAST((SELECT COUNT(*) FROM b3) AS BIGINT) AS n_above
+    """,
+)
+def q_tx_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY columns (X115, r9): GENERATED ALWAYS surrogate keys
+    allocated contiguously above the log's high-water mark with no
+    global sort — create takes ids 1..n0, the second append continues
+    at n0+1, a MOR delete retires rows WITHOUT freeing their ids, and
+    the third append starts above the mark regardless. Assignment
+    order across partitions is deliberately unspecified (the Delta
+    identity contract), so the oracle pins the order-free invariants:
+    every live row has an id, all distinct, the maximum equals TOTAL
+    EVER ALLOCATED (proving post-delete allocation never reuses), and
+    exactly the last batch sits above the pre-delete mark."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_ident"
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 2 == 0),
+            path,
+            identity={"id": {"start": 1, "step": 1}},
+        )
+    if tx.latest_version(path) < 1:
+        tx.append_table(rows.where(F.col("k") % 2 == 1), path)
+    if tx.latest_version(path) < 2:
+        tx.delete_from_table(spark, path, F.col("k") % 7 == 0)
+    if tx.latest_version(path) < 3:
+        tx.append_table(rows.where(F.col("k") % 5 == 2), path)
+    n_pre = rows.count()  # ids allocated before the third append
+    return tx.read_table(spark, path).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("id").cast("long").alias("n_distinct"),
+        F.max("id").cast("long").alias("max_id"),
+        F.sum(
+            F.when(F.col("id") > n_pre, 1).otherwise(0)
+        ).cast("long").alias("n_above"),
+    )
+
+
 def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MOR DELETE wall (bench-only): each repeat resets a
     scratch tx table via metadata-only RESTORE (+ vacuum, which also
@@ -10739,18 +10793,23 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     delete emission in the change feed), q_tx_clone (zero-copy
 #     shallow clone with borrowed DVs + divergence), q_tx_update
 #     (MOR + COW row-level UPDATE), and q_tx_rename (metadata-only
-#     column rename via mapping); first attestations.
+#     column rename via mapping); plus the second r9 wave —
+#     q_tx_stats (metadata-only COUNT/MIN/MAX with the DV exactness
+#     gate), q_tx_generated (generated columns with derived partition
+#     pruning), q_tx_identity (GENERATED ALWAYS surrogate keys with
+#     high-water-mark allocation); first attestations.
 # (2) r9-changed implementations: the seven tx rows — txtable.py's
 #     write/maintenance paths changed shape this round (grouped
 #     compaction topology with per-partition target_files + identity-
 #     seed placement, partition-disjoint rewrite rebase in
 #     _rewrite_commit, manifest byte records, typed partition-filter
-#     coercion, atomic bloom sidecars, DV-aware readers), and every
-#     tx arc's fixture is rebuilt through those paths.
+#     coercion, atomic bloom sidecars, DV-aware readers, protocol
+#     gating, generated/identity enforcement in every write verb),
+#     and every tx arc's fixture is rebuilt through those paths.
 # (3) re-attestation, oldest official row first: the remainder of the
 #     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (9 queries).
-#     7 + 7 + 27 + 9 = 50. All are green in the local strict sweep
+#     CORRECTNESS_r04) and the head of the r5 tier (6 queries).
+#     10 + 7 + 27 + 6 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
 # Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
@@ -10764,6 +10823,9 @@ _PROMOTED: list[str] = [
     "q_tx_clone",
     "q_tx_update",
     "q_tx_rename",
+    "q_tx_stats",
+    "q_tx_generated",
+    "q_tx_identity",
     # ---- tier 2: r9-changed implementation (txtable.py) ----
     "q_tx_merge_table",
     "q_tx_timetravel",
@@ -10807,10 +10869,7 @@ _PROMOTED: list[str] = [
     "q_token_counts",
     "q_doc_stats_by_lang",
     "q_jaccard_pairs",
-    "q_hash_split",
-    "q_det_sample",
-    "q_dedup_clusters",
-    # (q_cosine_pairs onward: next in line for r10)
+    # (q_hash_split onward: next in line for r10)
 ]
 
 

@@ -100,7 +100,8 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"deletionVectors", "columnMapping"}
 )
 SUPPORTED_WRITER_FEATURES = frozenset(
-    {"deletionVectors", "columnMapping", "generatedColumns"}
+    {"deletionVectors", "columnMapping", "generatedColumns",
+     "identityColumns"}
 )
 
 
@@ -160,6 +161,10 @@ class Snapshot:
     protocol: dict = field(default_factory=dict)
     # {col: sql expr} — generated-column definitions (writer-enforced)
     generated: dict = field(default_factory=dict)
+    # {col: {"start": int, "step": int}} — identity-column definitions
+    identity: dict = field(default_factory=dict)
+    # {col: last allocated value} — identity high-water marks
+    identity_hwm: dict = field(default_factory=dict)
 
     def spark_schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema))
@@ -188,6 +193,8 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
             app_batches=raw.get("app_batches", {}),
             protocol=raw.get("protocol", {}),
             generated=raw.get("generated", {}),
+            identity=raw.get("identity", {}),
+            identity_hwm=raw.get("identity_hwm", {}),
         )
         start = base + 1
     else:
@@ -232,6 +239,13 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
             snap.protocol = entry["protocol"]
         if entry.get("generated") is not None:
             snap.generated = entry["generated"]
+        if entry.get("identity") is not None:
+            snap.identity = entry["identity"]
+        for c, hv in (entry.get("identity_hwm") or {}).items():
+            # max, not replace: a rebased append's stamp may carry a
+            # mark the interleaved commit already exceeded
+            prev = snap.identity_hwm.get(c)
+            snap.identity_hwm[c] = hv if prev is None else max(prev, hv)
         snap.version = v
     unknown = set(snap.protocol.get("reader", [])) - SUPPORTED_READER_FEATURES
     if unknown:
@@ -296,6 +310,8 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
         "app_batches": snap.app_batches,
         "protocol": snap.protocol,
         "generated": snap.generated,
+        "identity": snap.identity,
+        "identity_hwm": snap.identity_hwm,
     }
     tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -560,11 +576,74 @@ def _apply_generated(
     return df
 
 
+def _apply_identity(
+    df: DataFrame, identity: dict, hwms: dict
+) -> tuple[DataFrame, dict]:
+    """Allocate identity values for every row of ``df``, contiguously
+    above the snapshot high-water marks. Returns (df with the columns
+    added, {col: new high-water mark}).
+
+    Distributed allocation with NO global sort and NO driver
+    round-trip of data: the delta is pinned with one eager
+    localCheckpoint (so partition sizes and intra-partition order are
+    stable across jobs), per-partition row counts (one tiny count
+    job) become a broadcast offset map, and each row's dense rank is
+    pure column arithmetic on ``monotonically_increasing_id`` (which
+    encodes partition_id << 33 | row_offset). Everything stays in
+    whole-stage codegen; cost is one materialization of the DELTA —
+    never of the table. No ordering guarantee across partitions
+    (same contract as Delta identity columns): uniqueness and
+    monotone growth, not insertion order."""
+    for col in identity:
+        if col in df.columns:
+            raise ValueError(
+                f"identity column {col!r} is GENERATED ALWAYS — "
+                "writers must not supply it"
+            )
+    df = df.localCheckpoint(eager=True)
+    counts = (
+        df.select(F.spark_partition_id().alias("__p"))
+        .groupBy("__p")
+        .count()
+        .collect()
+    )
+    offs: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__p"]):
+        offs[r["__p"]] = acc
+        acc += r["count"]
+    if acc == 0:
+        # nothing to allocate — marks unchanged
+        for col, spec in identity.items():
+            df = df.withColumn(col, F.lit(None).cast("long"))
+        return df, {}
+    off_map = F.create_map(
+        *[F.lit(x) for p, o in offs.items() for x in (p, o)]
+    )
+    mid = F.monotonically_increasing_id()
+    rank = (
+        F.element_at(off_map, F.shiftright(mid, 33).cast("int"))
+        + mid.bitwiseAND(F.lit((1 << 33) - 1))
+    ).cast("long")
+    new_hwm: dict[str, int] = {}
+    for col, spec in identity.items():
+        start = int(spec.get("start", 1))
+        step = int(spec.get("step", 1))
+        base = hwms.get(col)
+        nxt = start if base is None else base + step
+        df = df.withColumn(
+            col, (F.lit(nxt) + F.lit(step) * rank).cast("long")
+        )
+        new_hwm[col] = nxt + step * (acc - 1)
+    return df, new_hwm
+
+
 def create_table(
     df: DataFrame,
     path: str,
     partition_cols: Sequence[str] | None = None,
     generated: dict | None = None,
+    identity: dict | None = None,
 ) -> int:
     """Create a tx table at ``path`` as commit 0. Raises if a log
     already exists (use overwrite_table to replace contents).
@@ -579,11 +658,21 @@ def create_table(
     ``partition by date, filter by timestamp`` pattern with no
     user-visible denormalization. Stamps the ``generatedColumns``
     writer feature — a library build that wouldn't maintain the
-    invariant refuses to write."""
+    invariant refuses to write.
+
+    ``identity={col: {"start": 1, "step": 1}}`` declares IDENTITY
+    columns (GENERATED ALWAYS — writers must not supply them): every
+    append allocates values contiguously above the log's high-water
+    mark, distributed with no global sort (`_apply_identity`), unique
+    across concurrent writers (a lost race that interleaved with
+    another allocation re-allocates above the new mark before
+    rebasing), and never reused after deletes. Stamps the
+    ``identityColumns`` writer feature."""
     if latest_version(path) >= 0:
         raise FileExistsError(f"tx table already exists at {path}")
     pcols = list(partition_cols or [])
     gen = dict(generated or {})
+    ident = dict(identity or {})
     for col, expr in gen.items():
         refs = re.findall(r"[A-Za-z_]\w*", expr)
         if col in refs:
@@ -591,8 +680,26 @@ def create_table(
                 f"generated column {col!r} references itself in "
                 f"{expr!r}"
             )
+        if col in ident:
+            raise ValueError(
+                f"{col!r} cannot be both generated and identity"
+            )
+    for col, spec in ident.items():
+        if int(spec.get("step", 1)) < 1:
+            raise ValueError(
+                f"identity column {col!r}: step must be a positive "
+                "integer"
+            )
+        if col in pcols:
+            raise ValueError(
+                f"identity column {col!r} cannot partition the table "
+                "(every row would get its own partition)"
+            )
     if gen:
         df = _apply_generated(df, gen)
+    hwm: dict = {}
+    if ident:
+        df, hwm = _apply_identity(df, ident, {})
     payload = {
         "version": 0,
         "action": "create",
@@ -601,13 +708,20 @@ def create_table(
         "schema": _schema_json(df),
         "partition_cols": pcols,
     }
+    feats = (["generatedColumns"] if gen else []) + (
+        ["identityColumns"] if ident else []
+    )
     if gen:
         payload["generated"] = gen
-        up = _protocol_upgrade(
+    if ident:
+        payload["identity"] = ident
+        if hwm:
+            payload["identity_hwm"] = hwm
+    if feats:
+        payload["protocol"] = _protocol_upgrade(
             Snapshot(version=-1, schema="", partition_cols=[]),
-            writer=["generatedColumns"],
+            writer=feats,
         )
-        payload["protocol"] = up
     payload["added"] = _stage(df, path, pcols)
     if not _claim(path, 0, payload):
         raise ConcurrentWriteError(f"concurrent create at {path}")
@@ -818,6 +932,10 @@ def append_table(
         dq_gate(df, checks)
     if snap.generated:
         df = _apply_generated(df, snap.generated)
+    df_pre_identity = df
+    my_hwm: dict = {}
+    if snap.identity:
+        df, my_hwm = _apply_identity(df, snap.identity, snap.identity_hwm)
     _append_schema(snap, df)  # validate before paying the stage write
     # physical names for OUR new (widening) columns are assigned ONCE,
     # before staging — the staged bytes must spell exactly what the
@@ -873,14 +991,31 @@ def append_table(
         }
         if app is not None:
             payload["app"] = {"app_id": app[0], "batch_id": app[1]}
+        if my_hwm:
+            payload["identity_hwm"] = my_hwm
         if _claim(path, version, payload):
             _maybe_checkpoint(path, version)
             return version
         # lost the race: someone committed `version`. Re-check the
         # idempotence mark, then rebase onto the new tip.
+        prev_hwm = snap.identity_hwm
         snap = _fold(path)
         if app is not None and snap.app_batches.get(app[0], -1) >= app[1]:
             return snap.version
+        if snap.identity and any(
+            snap.identity_hwm.get(c) != prev_hwm.get(c)
+            for c in snap.identity
+        ):
+            # an interleaved commit allocated identity values our
+            # staged files may collide with — re-allocate above the
+            # new mark and re-stage (the old staged files become
+            # strays for vacuum; uniqueness beats a cheap rebase)
+            df, my_hwm = _apply_identity(
+                df_pre_identity, snap.identity, snap.identity_hwm
+            )
+            added = _stage(
+                df, path, snap.partition_cols, table_schema=staged_schema
+            )
         version = snap.version + 1
 
 
@@ -1021,6 +1156,13 @@ def overwrite_table(
     )
     if snap.generated:
         df = _apply_generated(df, snap.generated)
+    extra = None
+    if snap.identity:
+        # identity never restarts: an overwrite's rows continue above
+        # the existing mark, so ids stay unique across the swap
+        df, hwm = _apply_identity(df, snap.identity, snap.identity_hwm)
+        if hwm:
+            extra = {"identity_hwm": hwm}
     added = _stage(df, path, pcols)
     return _rewrite_commit(
         path,
@@ -1030,6 +1172,7 @@ def overwrite_table(
         sorted(snap.files),
         schema=_schema_json(df),
         partition_cols=pcols,
+        extra=extra,
     )
 
 
@@ -2049,6 +2192,14 @@ def merge_tx_table(
             source.where(F.col(delete_col)).select(*pks).distinct()
         )
         source = source.drop(delete_col)
+    if snap.identity:
+        raise ValueError(
+            f"merge into {path}: the table has identity column(s) "
+            f"{sorted(snap.identity)} — MERGE cannot tell inserts "
+            "from updates before the join, so allocation would race "
+            "itself; append new rows (ids allocate there) or carry "
+            "your own key column"
+        )
     if snap.generated:
         # upserted rows are the only NEW values — computing/validating
         # on the source keeps the cost at the delta, not the rewrite
@@ -2438,6 +2589,11 @@ def update_table(
             raise ValueError(
                 f"update_table: {c!r} is a generated column — SET its "
                 "base column(s) and it recomputes automatically"
+            )
+        if c in snap.identity:
+            raise ValueError(
+                f"update_table: {c!r} is an identity column "
+                "(GENERATED ALWAYS) — it cannot be SET"
             )
     set_cols = {
         c: (F.expr(e) if isinstance(e, str) else e) for c, e in set.items()
@@ -3395,6 +3551,12 @@ def rename_column(path: str, old: str, new: str) -> int:
                 f"column {gcol!r} = {gexpr!r} — expressions are "
                 "stored by logical name and would dangle"
             )
+    if old in snap.identity:
+        raise ValueError(
+            f"rename_column: {old!r} is an identity column — its "
+            "definition and high-water mark are stored by logical "
+            "name and would dangle"
+        )
     in_use = {_phys_of(f) for f in schema.fields}
     if new in in_use:
         raise ValueError(
@@ -3455,6 +3617,12 @@ def drop_column(path: str, col: str) -> int:
                 f"column {gcol!r} = {gexpr!r} — expressions are "
                 "stored by logical name and would dangle"
             )
+    if col in snap.identity:
+        raise ValueError(
+            f"drop_column: {col!r} is an identity column — its "
+            "definition and high-water mark are stored by logical "
+            "name and would dangle"
+        )
     if len(schema.fields) == 1:
         raise ValueError("drop_column: cannot drop the last column")
     from pyspark.sql.types import StructField
@@ -3521,12 +3689,36 @@ def clone_table(
         raise FileExistsError(f"tx table already exists at {dst}")
     if not shallow:
         df = _read_files_live(spark, src, snap.files, snap.spark_schema())
-        return create_table(
+        create_table(
             df,
             dst,
             partition_cols=snap.partition_cols,
             generated=snap.generated or None,
         )
+        if snap.identity:
+            # existing ids copy over as data; re-arm the definition
+            # and mark with a metadata commit so future appends keep
+            # allocating above the source's high-water mark
+            fresh = _fold(dst)
+            up = _protocol_upgrade(fresh, writer=["identityColumns"])
+            ok = _claim(
+                dst,
+                fresh.version + 1,
+                {
+                    "version": fresh.version + 1,
+                    "action": "set_identity",
+                    "added": [],
+                    "removed": [],
+                    "identity": snap.identity,
+                    "identity_hwm": snap.identity_hwm,
+                    **({"protocol": up} if up else {}),
+                },
+            )
+            if not ok:
+                raise ConcurrentWriteError(
+                    f"concurrent write during deep clone at {dst}"
+                )
+        return latest_version(dst)
     os.makedirs(dst, exist_ok=True)
 
     def _rebase(rel: str) -> str:
@@ -3562,6 +3754,14 @@ def clone_table(
         payload["protocol"] = snap.protocol
     if snap.generated:
         payload["generated"] = snap.generated
+    if snap.identity:
+        # the clone keeps allocating above the source's mark — ids
+        # stay unique WITHIN the clone (and never collide with the
+        # borrowed rows), though both tables allocate independently
+        # from here on
+        payload["identity"] = snap.identity
+        if snap.identity_hwm:
+            payload["identity_hwm"] = snap.identity_hwm
     if not _claim(dst, 0, payload):
         raise ConcurrentWriteError(f"concurrent create at {dst}")
     return 0
