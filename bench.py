@@ -226,6 +226,12 @@ BENCH_QUERIES = [
     "q_tx_clone",
     "q_tx_update",
     "q_tx_rename",
+    # r9 second wave: metadata-only stats (the wall is the log fold —
+    # zero tasks), generated-column pruning read (base-column filter
+    # prunes year partitions at the manifest), identity read path
+    "q_tx_stats",
+    "q_tx_generated",
+    "q_tx_identity",
     "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

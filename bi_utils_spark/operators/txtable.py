@@ -3655,6 +3655,87 @@ def drop_column(path: str, col: str) -> int:
     )
 
 
+def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
+    """Downgrade the table's protocol: stop REQUIRING ``feature`` so
+    older library builds can use the table again (the Delta
+    ``DROP FEATURE`` analog). Because the protocol is versioned like
+    every other table property, no history truncation is needed:
+    time travel to a version where the feature was in use still
+    carries its stamp and still refuses an incapable reader — only
+    the table's PRESENT (and future) requires less.
+
+    Per-feature preconditions, checked before the commit:
+
+    - ``deletionVectors``: no LIVE file may carry a deletion vector —
+      run :func:`materialize_deletes` first (historical DVs are fine,
+      their versions keep the stamp).
+    - ``columnMapping``: every field's physical name must equal its
+      logical name — after a rename the mismatch is permanent (bytes
+      on disk spell the physical name), so this only succeeds when
+      mapping was enabled but never diverged.
+    - ``generatedColumns`` / ``identityColumns``: REMOVES the
+      definitions in the same commit — the columns stay as plain
+      data, writers stop computing/validating/allocating, and (for
+      identity) the high-water mark is retired with the feature.
+    """
+    snap = _fold(path)
+    _require_writer(snap, path)
+    have_r = set(snap.protocol.get("reader", []))
+    have_w = set(snap.protocol.get("writer", []))
+    if feature not in have_r | have_w:
+        raise ValueError(
+            f"drop_table_feature: {feature!r} is not required by "
+            f"{path} (protocol: {snap.protocol or {}})"
+        )
+    extra: dict = {}
+    if feature == "deletionVectors":
+        dv_files = [
+            rel for rel, meta in snap.files.items() if meta.get("dv")
+        ]
+        if dv_files:
+            raise ValueError(
+                f"drop_table_feature: {len(dv_files)} live file(s) "
+                "still carry deletion vectors — run "
+                "materialize_deletes(spark, path) first "
+                f"(first: {dv_files[0]!r})"
+            )
+    elif feature == "columnMapping":
+        mismatched = [
+            f.name
+            for f in snap.spark_schema().fields
+            if _phys_of(f) != f.name
+        ]
+        if mismatched:
+            raise ValueError(
+                "drop_table_feature: column mapping has diverged — "
+                f"{mismatched} have physical names differing from "
+                "their logical names, which older readers would "
+                "misread; this is permanent for renamed columns"
+            )
+    elif feature == "generatedColumns":
+        extra["generated"] = {}
+    elif feature == "identityColumns":
+        extra["identity"] = {}
+        extra["identity_hwm_retired"] = snap.identity_hwm
+    else:
+        raise ValueError(
+            f"drop_table_feature: unknown feature {feature!r}"
+        )
+    proto = {
+        "reader": sorted(have_r - {feature}),
+        "writer": sorted(have_w - {feature}),
+    }
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "drop_feature",
+        [],
+        [],
+        conflict="always",  # reasons about the whole snapshot
+        extra={"protocol": proto, "dropped_feature": feature, **extra},
+    )
+
+
 def clone_table(
     spark: SparkSession,
     src: str,

@@ -149,6 +149,22 @@ def test_survives_checkpoint_and_clones(spark, itable, tmp_path):
     assert len(set(deep_ids)) == len(deep_ids)
 
 
+def test_streaming_sink_allocates_exactly_once(spark, itable):
+    """foreach_batch_sink appends ride the same allocation path: each
+    micro-batch gets fresh ids and a REDELIVERED batch allocates
+    nothing (the idempotence mark short-circuits before staging)."""
+    sink = tx.foreach_batch_sink(itable, app_id="ident-stream")
+    b0 = _rows(spark, range(100, 105))
+    sink(b0, 0)
+    hwm_after = tx._fold(itable).identity_hwm["id"]
+    assert hwm_after == 25
+    sink(b0, 0)  # redelivery: no allocation, no commit
+    assert tx._fold(itable).identity_hwm["id"] == 25
+    sink(_rows(spark, range(200, 203)), 1)
+    ids = [r["id"] for r in tx.read_table(spark, itable).collect()]
+    assert sorted(ids) == list(range(1, 29))
+
+
 def test_identity_cannot_partition_or_double_as_generated(spark, tmp_path):
     with pytest.raises(ValueError, match="partition"):
         tx.create_table(

@@ -152,3 +152,78 @@ def test_purge_does_not_downgrade(spark, table):
     tx.delete_from_table(spark, table, F.col("k") == 1)
     tx.materialize_deletes(spark, table)
     assert tx._fold(table).protocol["reader"] == ["deletionVectors"]
+
+
+# ---------------------------------------------------------------------------
+# DROP FEATURE
+# ---------------------------------------------------------------------------
+
+
+def test_drop_deletion_vectors_requires_purge(spark, table):
+    tx.delete_from_table(spark, table, F.col("k") == 1)
+    dv_version = tx.latest_version(table)
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        tx.drop_table_feature(spark, table, "deletionVectors")
+    tx.materialize_deletes(spark, table)
+    tx.drop_table_feature(spark, table, "deletionVectors")
+    snap = tx._fold(table)
+    assert "deletionVectors" not in snap.protocol["reader"]
+    assert "deletionVectors" not in snap.protocol["writer"]
+    # no history truncation needed: the DV'd version keeps its stamp
+    old = tx._fold(table, dv_version)
+    assert old.protocol["reader"] == ["deletionVectors"]
+    assert tx.read_table(spark, table).count() == 2
+
+
+def test_drop_column_mapping_only_when_undiverged(spark, table):
+    tx.rename_column(table, "v", "val")
+    with pytest.raises(ValueError, match="diverged"):
+        tx.drop_table_feature(spark, table, "columnMapping")
+    # renaming back does NOT help: the physical name is permanent
+    tx.rename_column(table, "val", "v2")
+    with pytest.raises(ValueError, match="diverged"):
+        tx.drop_table_feature(spark, table, "columnMapping")
+
+
+def test_drop_generated_stops_enforcement(spark, tmp_path):
+    path = str(tmp_path / "g")
+    df = _rows(spark, (1, "A", 10)).withColumn("d", F.lit("x"))
+    tx.create_table(df, path, generated={"l": "length(d)"})
+    tx.drop_table_feature(spark, path, "generatedColumns")
+    snap = tx._fold(path)
+    assert snap.generated == {}
+    assert "generatedColumns" not in snap.protocol["writer"]
+    # a value the definition would have rejected now passes
+    bad = _rows(spark, (2, "A", 20)).withColumn("d", F.lit("x")).withColumn(
+        "l", F.lit(999)
+    )
+    tx.append_table(bad, path)
+    got = {r["l"] for r in tx.read_table(spark, path).collect()}
+    assert got == {1, 999}
+
+
+def test_drop_identity_retires_allocation(spark, tmp_path):
+    path = str(tmp_path / "i")
+    tx.create_table(
+        _rows(spark, (1, "A", 10), (2, "B", 20)), path,
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    tx.drop_table_feature(spark, path, "identityColumns")
+    snap = tx._fold(path)
+    assert snap.identity == {}
+    assert "identityColumns" not in snap.protocol["writer"]
+    # the column is plain data now: writers supply it themselves
+    tx.append_table(
+        _rows(spark, (3, "A", 30)).withColumn("id", F.lit(99).cast("long")),
+        path,
+    )
+    assert {
+        r["id"] for r in tx.read_table(spark, path).collect()
+    } == {1, 2, 99}
+
+
+def test_drop_unused_feature_raises(spark, table):
+    with pytest.raises(ValueError, match="not required"):
+        tx.drop_table_feature(spark, table, "deletionVectors")
+    with pytest.raises(ValueError, match="not required"):
+        tx.drop_table_feature(spark, table, "deletionVektors")  # typo'd
