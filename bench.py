@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "q_tx_stats",
     "q_tx_generated",
     "q_tx_identity",
+    "q_tx_evolve",
     "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

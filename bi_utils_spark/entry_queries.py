@@ -10715,6 +10715,65 @@ def q_tx_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_tx_evolve",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT CAST(k AS INTEGER) AS k, status,
+           CASE WHEN k % 3 = 0 THEN cents * 1000
+                ELSE cents % 1000000 END AS amount,
+           CASE WHEN k % 3 = 0 THEN 'n' || CAST(k AS VARCHAR)
+                ELSE NULL END AS note
+    FROM rows0
+    """,
+)
+def q_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-time schema evolution (X116, r9): the arc creates an
+    INT amount column, WIDENS it to BIGINT (`widen_column_type` — one
+    JSON commit, Spark's parquet reader upcasts the narrow files'
+    physical values at scan), ADDs a string column
+    (`add_column` — old files null-fill), then appends rows that
+    need both (amounts beyond int32, notes populated). One read under
+    the final schema must see the narrow-era rows upcast, the
+    pre-ADD rows as NULL, and the new rows verbatim — the oracle
+    states all three eras declaratively. Zero files rewritten by
+    either ALTER."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_evolve"
+    if tx.latest_version(path) < 3:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 3 > 0).select(
+                    F.col("k").cast("int").alias("k"),
+                    "status",
+                    (F.col("cents") % 1000000)
+                    .cast("int")
+                    .alias("amount"),
+                ),
+                path,
+                partition_cols=["status"],
+            )
+        if tx.latest_version(path) < 1:
+            tx.widen_column_type(path, "amount", "bigint")
+        if tx.latest_version(path) < 2:
+            tx.add_column(path, "note", "string")
+        if tx.latest_version(path) < 3:
+            tx.append_table(
+                rows.where(F.col("k") % 3 == 0).select(
+                    F.col("k").cast("int").alias("k"),
+                    "status",
+                    (F.col("cents") * 1000).alias("amount"),
+                    F.concat(
+                        F.lit("n"), F.col("k").cast("string")
+                    ).alias("note"),
+                ),
+                path,
+            )
+    return tx.read_table(spark, path).select("k", "status", "amount", "note")
+
+
 def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MOR DELETE wall (bench-only): each repeat resets a
     scratch tx table via metadata-only RESTORE (+ vacuum, which also
@@ -10797,7 +10856,9 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q_tx_stats (metadata-only COUNT/MIN/MAX with the DV exactness
 #     gate), q_tx_generated (generated columns with derived partition
 #     pruning), q_tx_identity (GENERATED ALWAYS surrogate keys with
-#     high-water-mark allocation); first attestations.
+#     high-water-mark allocation), q_tx_evolve (metadata-only ADD
+#     COLUMN + type widening read under the final schema); first
+#     attestations.
 # (2) r9-changed implementations: the seven tx rows — txtable.py's
 #     write/maintenance paths changed shape this round (grouped
 #     compaction topology with per-partition target_files + identity-
@@ -10808,8 +10869,8 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     and every tx arc's fixture is rebuilt through those paths.
 # (3) re-attestation, oldest official row first: the remainder of the
 #     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (6 queries).
-#     10 + 7 + 27 + 6 = 50. All are green in the local strict sweep
+#     CORRECTNESS_r04) and the head of the r5 tier (5 queries).
+#     11 + 7 + 27 + 5 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
 # Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
@@ -10826,6 +10887,7 @@ _PROMOTED: list[str] = [
     "q_tx_stats",
     "q_tx_generated",
     "q_tx_identity",
+    "q_tx_evolve",
     # ---- tier 2: r9-changed implementation (txtable.py) ----
     "q_tx_merge_table",
     "q_tx_timetravel",
@@ -10868,8 +10930,7 @@ _PROMOTED: list[str] = [
     "q_dedup_exact",
     "q_token_counts",
     "q_doc_stats_by_lang",
-    "q_jaccard_pairs",
-    # (q_hash_split onward: next in line for r10)
+    # (q_jaccard_pairs onward: next in line for r10)
 ]
 
 

@@ -101,7 +101,7 @@ SUPPORTED_READER_FEATURES = frozenset(
 )
 SUPPORTED_WRITER_FEATURES = frozenset(
     {"deletionVectors", "columnMapping", "generatedColumns",
-     "identityColumns"}
+     "identityColumns", "checkConstraints"}
 )
 
 
@@ -165,6 +165,8 @@ class Snapshot:
     identity: dict = field(default_factory=dict)
     # {col: last allocated value} — identity high-water marks
     identity_hwm: dict = field(default_factory=dict)
+    # {name: sql expr} — persisted CHECK constraints (writer-enforced)
+    constraints: dict = field(default_factory=dict)
 
     def spark_schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema))
@@ -195,6 +197,7 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
             generated=raw.get("generated", {}),
             identity=raw.get("identity", {}),
             identity_hwm=raw.get("identity_hwm", {}),
+            constraints=raw.get("constraints", {}),
         )
         start = base + 1
     else:
@@ -241,6 +244,8 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
             snap.generated = entry["generated"]
         if entry.get("identity") is not None:
             snap.identity = entry["identity"]
+        if entry.get("constraints") is not None:
+            snap.constraints = entry["constraints"]
         for c, hv in (entry.get("identity_hwm") or {}).items():
             # max, not replace: a rebased append's stamp may carry a
             # mark the interleaved commit already exceeded
@@ -312,6 +317,7 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
         "generated": snap.generated,
         "identity": snap.identity,
         "identity_hwm": snap.identity_hwm,
+        "constraints": snap.constraints,
     }
     tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -638,6 +644,41 @@ def _apply_identity(
     return df, new_hwm
 
 
+class CheckViolation(ValueError):
+    """A batch violated a persisted CHECK constraint; nothing staged."""
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict) -> None:
+    """Gate rows about to be written against every persisted CHECK
+    constraint with ONE bounded probe over the delta (SQL CHECK
+    semantics: NULL passes, only FALSE violates). The probe runs
+    BEFORE anything stages, so a failing batch leaves the table
+    untouched; the failure path pays extra per-constraint probes to
+    name the violated constraint."""
+    if not constraints:
+        return
+    ok = None
+    for expr in constraints.values():
+        c = F.coalesce(F.expr(expr), F.lit(True))
+        ok = c if ok is None else ok & c
+    if not df.filter(~ok).take(1):
+        return
+    for name, expr in constraints.items():
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).take(1)
+        if bad:
+            raise CheckViolation(
+                f"CHECK constraint {name!r} ({expr}) violated by row "
+                f"{bad[0].asDict()!r} — batch rejected, nothing "
+                "written"
+            )
+    raise CheckViolation(  # pragma: no cover - combined-only flake
+        "a CHECK constraint was violated (could not attribute a "
+        "single constraint; re-run with one constraint at a time)"
+    )
+
+
 def create_table(
     df: DataFrame,
     path: str,
@@ -932,6 +973,7 @@ def append_table(
         dq_gate(df, checks)
     if snap.generated:
         df = _apply_generated(df, snap.generated)
+    _enforce_constraints(df, snap.constraints)
     df_pre_identity = df
     my_hwm: dict = {}
     if snap.identity:
@@ -1156,6 +1198,7 @@ def overwrite_table(
     )
     if snap.generated:
         df = _apply_generated(df, snap.generated)
+    _enforce_constraints(df, snap.constraints)
     extra = None
     if snap.identity:
         # identity never restarts: an overwrite's rows continue above
@@ -2204,6 +2247,15 @@ def merge_tx_table(
         # upserted rows are the only NEW values — computing/validating
         # on the source keeps the cost at the delta, not the rewrite
         source = _apply_generated(source, snap.generated)
+    if snap.constraints:
+        # persisted CHECK constraints gate the rows that will LAND
+        # (tombstones only remove), same contract as the checks= arg
+        _enforce_constraints(
+            source.join(
+                del_keys, list(pks), "left_anti"
+            ) if del_keys is not None else source,
+            snap.constraints,
+        )
     # Managed timestamp columns never come from the source
     # (merge_upsert's contract), so they neither widen the schema nor
     # participate in type validation. Shared columns are ALWAYS
@@ -2665,9 +2717,9 @@ def update_table(
             for r in hit_rows
         }
         src = _read_files_live(spark, path, hit, schema)
-        rewritten = src.where(~matched_pred).unionByName(
-            _updated(src.where(matched_pred))
-        )
+        post = _updated(src.where(matched_pred))
+        _enforce_constraints(post, snap.constraints)
+        rewritten = src.where(~matched_pred).unionByName(post)
         added = _stage(
             rewritten.select(*names),
             path,
@@ -2701,8 +2753,10 @@ def update_table(
         )
     # stage the POST-images first (data lands before the commit that
     # references it — crash leaves only vacuum-able strays)
+    post = _updated(matched).select(*names)
+    _enforce_constraints(post, snap.constraints)
     added = _stage(
-        _updated(matched).select(*names),
+        post,
         path,
         snap.partition_cols,
         table_schema=schema,
@@ -3655,6 +3709,154 @@ def drop_column(path: str, col: str) -> int:
     )
 
 
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Persist a CHECK constraint in the table metadata (the Delta
+    ``ALTER TABLE ADD CONSTRAINT`` analog): from this commit on,
+    EVERY writer gates its delta — appends, merge landings, update
+    post-images, overwrites — with one bounded probe before staging
+    (SQL semantics: NULL passes, FALSE rejects the whole batch).
+    Adding the constraint validates ALL existing live rows first (one
+    scan — the price of the guarantee, same as Delta), and conflicts
+    with ANY concurrent write (rows we did not validate). Stamps the
+    ``checkConstraints`` writer feature so an enforcement-oblivious
+    build refuses to write rather than silently let violations in."""
+    snap = _fold(path)
+    _require_writer(snap, path)
+    if name in snap.constraints:
+        raise ValueError(
+            f"add_check_constraint: {name!r} already exists "
+            f"({snap.constraints[name]!r}) — drop it first"
+        )
+    F.expr(expr)  # parse errors surface here, not at first append
+    if snap.files:
+        live = _read_files_live(
+            spark, path, snap.files, snap.spark_schema()
+        )
+        _enforce_constraints(live, {name: expr})
+    up = _protocol_upgrade(snap, writer=["checkConstraints"])
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "add_constraint",
+        [],
+        [],
+        conflict="always",  # unvalidated concurrent rows = conflict
+        extra={
+            "constraints": {**snap.constraints, name: expr},
+            **({"protocol": up} if up else {}),
+        },
+    )
+
+
+def drop_check_constraint(path: str, name: str) -> int:
+    """Remove a persisted CHECK constraint (metadata-only; the
+    ``checkConstraints`` feature stays required until
+    :func:`drop_table_feature` retires it with the last one)."""
+    snap = _fold(path)
+    _require_writer(snap, path)
+    if name not in snap.constraints:
+        raise ValueError(
+            f"drop_check_constraint: no constraint {name!r} "
+            f"(have {sorted(snap.constraints)})"
+        )
+    remaining = {
+        k: v for k, v in snap.constraints.items() if k != name
+    }
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "drop_constraint",
+        [],
+        [],
+        conflict="files",
+        extra={"constraints": remaining, "dropped_constraint": name},
+    )
+
+
+def add_column(path: str, name: str, dtype: str) -> int:
+    """Metadata-only ADD COLUMN: the field joins the manifest schema
+    as nullable; every existing file simply lacks it, so readers
+    null-fill — zero files rewritten, zero data read, the 100 TB
+    ALTER TABLE in one JSON commit. On a mapping-enabled table the
+    new column takes a fresh uuid physical name so it can never
+    collide with renamed/dropped bytes. (Appends could already widen
+    implicitly; this is the explicit form that needs no batch.)"""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    snap = _fold(path)
+    _require_writer(snap, path)
+    schema = snap.spark_schema()
+    if name in schema.fieldNames():
+        raise ValueError(f"add_column: column {name!r} exists")
+    dt = _parse_datatype_string(dtype)
+    new_field = StructField(name, dt, True)
+    if _mapping_enabled(schema):
+        new_field = _fresh_physical_fields([new_field], schema)[0]
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "add_column",
+        [],
+        [],
+        schema=json.dumps(
+            StructType(list(schema.fields) + [new_field]).jsonValue()
+        ),
+        conflict="files",
+        extra={"added_column": name},
+    )
+
+
+def widen_column_type(path: str, col: str, new_type: str) -> int:
+    """Metadata-only TYPE WIDENING (the Delta type-widening feature):
+    relabel a column to a strictly wider type — integral widening or
+    float→double, exactly `_can_upcast`'s lossless directions — and
+    Spark's parquet reader upcasts the existing files' narrower
+    physical values at scan time (verified against Spark 4.1). Zero
+    files rewritten; zone maps and bloom probes stay valid because
+    the VALUES are unchanged. Partition columns are refused (their
+    type is baked into directory-string coercion)."""
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    snap = _fold(path)
+    _require_writer(snap, path)
+    schema = snap.spark_schema()
+    if col not in schema.fieldNames():
+        raise ValueError(f"widen_column_type: no column {col!r}")
+    if col in snap.partition_cols:
+        raise ValueError(
+            f"widen_column_type: {col!r} is a partition column"
+        )
+    cur = next(f for f in schema.fields if f.name == col)
+    dt = _parse_datatype_string(new_type)
+    if cur.dataType == dt:
+        raise ValueError(
+            f"widen_column_type: {col!r} is already {new_type}"
+        )
+    if not _can_upcast(cur.dataType, dt):
+        raise ValueError(
+            f"widen_column_type: {cur.dataType.simpleString()} -> "
+            f"{dt.simpleString()} is not a lossless widening "
+            "(integral up-chain or float->double only)"
+        )
+    fields = [
+        StructField(f.name, dt if f.name == col else f.dataType,
+                    f.nullable, f.metadata)
+        for f in schema.fields
+    ]
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "widen_column",
+        [],
+        [],
+        schema=json.dumps(StructType(fields).jsonValue()),
+        conflict="files",
+        extra={"widened": [col, new_type]},
+    )
+
+
 def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
     """Downgrade the table's protocol: stop REQUIRING ``feature`` so
     older library builds can use the table again (the Delta
@@ -3677,6 +3879,8 @@ def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
       definitions in the same commit — the columns stay as plain
       data, writers stop computing/validating/allocating, and (for
       identity) the high-water mark is retired with the feature.
+    - ``checkConstraints``: REMOVES all persisted constraints in the
+      same commit (use :func:`drop_check_constraint` to retire one).
     """
     snap = _fold(path)
     _require_writer(snap, path)
@@ -3717,6 +3921,8 @@ def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
     elif feature == "identityColumns":
         extra["identity"] = {}
         extra["identity_hwm_retired"] = snap.identity_hwm
+    elif feature == "checkConstraints":
+        extra["constraints"] = {}
     else:
         raise ValueError(
             f"drop_table_feature: unknown feature {feature!r}"
