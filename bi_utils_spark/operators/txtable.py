@@ -1977,7 +1977,10 @@ def version_at_timestamp(path: str, ts) -> int:
     import datetime
 
     if isinstance(ts, str):
-        ts = datetime.datetime.fromisoformat(ts)
+        try:  # stream options arrive stringly — unix seconds first
+            ts = float(ts)
+        except ValueError:
+            ts = datetime.datetime.fromisoformat(ts)
     if isinstance(ts, datetime.datetime):
         ts = ts.timestamp()
     ts = float(ts)
@@ -4054,12 +4057,30 @@ def clone_table(
     return 0
 
 
-def restore_table(spark: SparkSession, path: str, version: int) -> int:
+def restore_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
+) -> int:
     """RESTORE: re-point the live set to ``version``'s files as a NEW
     commit — pure metadata, no data moves, history preserved (the
     bad commits stay inspectable; the restore is itself a commit and
     can be restored away). Fails if vacuum already dropped any file
-    the target version references."""
+    the target version references. ``timestamp`` is the RESTORE
+    TIMESTAMP AS OF form (mutually exclusive with ``version``):
+    restore to whatever was live at that wall-clock instant."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "restore_table: version and timestamp are mutually "
+                "exclusive"
+            )
+        version = version_at_timestamp(path, timestamp)
+    if version is None:
+        raise ValueError(
+            "restore_table: one of version / timestamp is required"
+        )
     snap_cur = _fold(path)
     _require_writer(snap_cur, path)
     snap_old = _fold(path, version)
@@ -5049,9 +5070,11 @@ def table_changes_cdf(
     spark: SparkSession,
     path: str,
     pks: Sequence[str] | str,
-    after_version: int,
+    after_version: int | None = None,
     up_to: int | None = None,
     include_preimage: bool = False,
+    after_timestamp=None,
+    up_to_timestamp=None,
 ) -> DataFrame:
     """Row-level CHANGE DATA FEED across commits (after_version,
     up_to] — the Delta ``readChangeFeed`` analog, and the form that
@@ -5080,9 +5103,35 @@ def table_changes_cdf(
     per-commit LEDGER. ``include_preimage=True`` additionally emits
     ``update_preimage`` rows (the old payload of every update, same
     version stamp) — full Delta readChangeFeed parity for consumers
-    that reconcile deltas."""
+    that reconcile deltas.
+
+    Wall-clock bounds: ``after_timestamp`` / ``up_to_timestamp``
+    resolve through the log's commit stamps (`version_at_timestamp`,
+    the startingTimestamp/endingTimestamp analog) — each is mutually
+    exclusive with its version twin; ``after_timestamp`` means
+    "changes strictly after the snapshot that was live at that
+    instant"."""
     if isinstance(pks, str):
         pks = [c.strip() for c in pks.split(",")]
+    if after_timestamp is not None:
+        if after_version is not None:
+            raise ValueError(
+                "table_changes_cdf: after_version and after_timestamp "
+                "are mutually exclusive"
+            )
+        after_version = version_at_timestamp(path, after_timestamp)
+    if after_version is None:
+        raise ValueError(
+            "table_changes_cdf: one of after_version / after_timestamp "
+            "is required (use after_version=-1 for the full history)"
+        )
+    if up_to_timestamp is not None:
+        if up_to is not None:
+            raise ValueError(
+                "table_changes_cdf: up_to and up_to_timestamp are "
+                "mutually exclusive"
+            )
+        up_to = version_at_timestamp(path, up_to_timestamp)
     hi, _commits = _cdf_validate_range(path, after_version, up_to)
     final = _fold(path, hi)
     schema = final.spark_schema()

@@ -222,7 +222,23 @@ class TxStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self._schema = schema
         self._path = options["path"]
-        self._start = int(options.get("startingVersion", -1))
+        if "startingTimestamp" in options:
+            if "startingVersion" in options:
+                raise ValueError(
+                    "txtable stream: startingVersion and "
+                    "startingTimestamp are mutually exclusive"
+                )
+            from bi_utils_spark.operators.txtable import (
+                version_at_timestamp,
+            )
+
+            # "from this instant on": the snapshot live AT the
+            # timestamp is the baseline, changes AFTER it stream
+            self._start = version_at_timestamp(
+                self._path, options["startingTimestamp"]
+            )
+        else:
+            self._start = int(options.get("startingVersion", -1))
         self._skip_rewrites = (
             str(options.get("skipRewrites", "false")).lower() == "true"
         )
@@ -486,8 +502,8 @@ class TxTableDataSource(DataSource):
     ``spark.read.format("txtable").option("path", p).load()`` or
     ``spark.readStream.format("txtable").option("path", p).load()``.
     Options: path (required), version (batch time travel),
-    startingVersion / skipRewrites / changeFeed (+pks) /
-    maxVersionsPerBatch (streaming)."""
+    startingVersion or startingTimestamp / skipRewrites /
+    changeFeed (+pks) / maxVersionsPerBatch (streaming)."""
 
     @classmethod
     def name(cls) -> str:

@@ -404,3 +404,43 @@ def test_stream_max_versions_per_batch_bounds_catchup(spark, tmp_path):
     tail = [b for b in batches if b]
     assert sorted(k for b in tail for k in b) == [6, 7, 8]  # no dups
     assert max(len(b) for b in tail) <= 2
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves through the commit stamps: the
+    snapshot live AT the instant is the baseline, only later commits
+    stream."""
+    path = str(tmp_path / "st")
+    ckpt = str(tmp_path / "st_ckpt")
+    tx.create_table(_rows(spark, (1, "A", 10)), path)
+    ts0 = tx._commit_ts(path, 0)
+    tx.append_table(_rows(spark, (2, "B", 20)), path)
+    stream = (
+        spark.readStream.format("txtable")
+        .option("path", path)
+        .option("startingTimestamp", ts0)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("txstream_ts")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = {r["k"] for r in spark.sql("SELECT * FROM txstream_ts").collect()}
+    assert ks == {2}  # v0's row predates the baseline
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.readStream.format("txtable")
+            .option("path", path)
+            .option("startingVersion", 0)
+            .option("startingTimestamp", ts0)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "x"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )

@@ -103,3 +103,26 @@ def test_minmax_survives_rename(spark, ptable):
     tx.rename_column(ptable, "v", "val")
     st = tx.table_stats(ptable, columns=["val"])
     assert st["columns"]["val"] == {"min": 10, "max": 60}
+
+
+def test_timestamp_forms(spark, ptable):
+    """RESTORE TIMESTAMP AS OF and CDF timestamp bounds resolve
+    through the log's commit stamps."""
+    v0_ts = tx._commit_ts(ptable, 0)
+    tx.append_table(_rows(spark, (7, "A", 70)), ptable)
+    tx.restore_table(spark, ptable, timestamp=v0_ts)
+    assert tx.read_table(spark, ptable).count() == 6
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tx.restore_table(spark, ptable, version=0, timestamp=v0_ts)
+    with pytest.raises(ValueError, match="required"):
+        tx.restore_table(spark, ptable)
+    feed = tx.table_changes_cdf(
+        spark, ptable, ["k"], after_timestamp=v0_ts
+    )
+    assert feed.count() > 0
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        tx.table_changes_cdf(
+            spark, ptable, ["k"], after_version=0, after_timestamp=v0_ts
+        )
+    with pytest.raises(ValueError, match="required"):
+        tx.table_changes_cdf(spark, ptable, ["k"])
