@@ -1075,6 +1075,7 @@ def _rewrite_commit(
     pcols: Sequence[str] | None = None,
     dv: list[dict] | None = None,
     extra: dict | None = None,
+    identity_cols: set | None = None,
 ) -> int:
     """Commit a rewriting action claimed against ``read_version``'s
     successor slot. ``app`` stamps the commit with an (app_id,
@@ -1151,6 +1152,18 @@ def _rewrite_commit(
                 raise ConcurrentWriteError(
                     f"{action} at {path}: interleaved commit v{v} "
                     "repartitioned the table"
+                )
+            if identity_cols and any(
+                c in (entry.get("identity_hwm") or {})
+                for c in identity_cols
+            ):
+                # our staged files carry ids allocated below the
+                # interleaved commit's mark — rebasing would commit
+                # duplicates; the caller re-runs and re-allocates
+                raise ConcurrentWriteError(
+                    f"{action} at {path}: interleaved commit v{v} "
+                    "allocated identity values this rewrite's staged "
+                    "ids may collide with — re-run to re-allocate"
                 )
             if entry.get("schema") and schema is not None:
                 raise ConcurrentWriteError(
@@ -2239,13 +2252,14 @@ def merge_tx_table(
         )
         source = source.drop(delete_col)
     if snap.identity:
-        raise ValueError(
-            f"merge into {path}: the table has identity column(s) "
-            f"{sorted(snap.identity)} — MERGE cannot tell inserts "
-            "from updates before the join, so allocation would race "
-            "itself; append new rows (ids allocate there) or carry "
-            "your own key column"
-        )
+        supplied = [c for c in snap.identity if c in source.columns]
+        if supplied:
+            raise ValueError(
+                f"merge into {path}: identity column(s) {supplied} "
+                "are GENERATED ALWAYS — the source must not supply "
+                "them (matched rows keep their target id, inserted "
+                "rows allocate at commit)"
+            )
     if snap.generated:
         # upserted rows are the only NEW values — computing/validating
         # on the source keeps the cost at the delta, not the rewrite
@@ -2287,6 +2301,27 @@ def merge_tx_table(
             )
             merged = merged.join(dk, list(pks), "left_anti")
         return merged
+
+    def _allocate(merged: DataFrame) -> tuple[DataFrame, dict]:
+        # identity under MERGE: matched rows kept their target id
+        # through the fold; inserted rows surfaced with a NULL id.
+        # One eager checkpoint materializes the rewrite set (so the
+        # split below doesn't run the merge join twice), then only
+        # the null-id slice pays allocation. An interleaved
+        # allocation is a commit-time CONFLICT, not a rebase — ids
+        # are baked into the staged files (see _rewrite_commit).
+        if not snap.identity:
+            return merged, {}
+        merged = merged.localCheckpoint(eager=True)
+        idc = list(snap.identity)
+        have = None
+        for c in idc:
+            n = F.col(c).isNotNull()
+            have = n if have is None else have & n
+        keep = merged.where(have)
+        need = merged.where(~have).drop(*idc)
+        need, hwm = _apply_identity(need, snap.identity, snap.identity_hwm)
+        return keep.unionByName(need), hwm
 
     pcols = snap.partition_cols
     if pcols:
@@ -2356,7 +2391,7 @@ def merge_tx_table(
             )
         else:
             target = spark.createDataFrame([], schema)
-        merged = _apply(target)
+        merged, hwm = _allocate(_apply(target))
         added = _stage(merged, path, pcols, table_schema=schema)
         return _rewrite_commit(
             path,
@@ -2369,12 +2404,14 @@ def merge_tx_table(
             conflict="partitions",
             touched_partitions=touched_set,
             pcols=list(pcols),
+            identity_cols=set(snap.identity),
+            extra={"identity_hwm": hwm} if hwm else None,
         )
     if snap.files:
         target = _read_files_live(spark, path, snap.files, schema)
     else:
         target = spark.createDataFrame([], schema)
-    merged = _apply(target)
+    merged, hwm = _allocate(_apply(target))
     added = _stage(merged, path, [], table_schema=schema)
     return _rewrite_commit(
         path,
@@ -2384,6 +2421,8 @@ def merge_tx_table(
         sorted(snap.files),
         schema=widened,
         app=app,
+        identity_cols=set(snap.identity),
+        extra={"identity_hwm": hwm} if hwm else None,
     )
 
 

@@ -85,9 +85,88 @@ def test_overwrite_continues_not_restarts(spark, itable):
     assert ids == [21, 22, 23]
 
 
-def test_merge_rejected(spark, itable):
-    with pytest.raises(ValueError, match="identity column"):
-        tx.merge_tx_table(spark, itable, _rows(spark, [1]), ["name"])
+def test_merge_allocates_inserts_keeps_updates(spark, itable):
+    # u3 exists (update — keeps its id), u777/u888 are new (inserts —
+    # allocate above the high-water mark)
+    before = {
+        r["name"]: r["id"]
+        for r in tx.read_table(spark, itable).collect()
+    }
+    src = spark.createDataFrame(
+        [("u3", 999), ("u777", 1), ("u888", 2)], "name string, v long"
+    )
+    tx.merge_tx_table(spark, itable, src, ["name"])
+    after = {
+        r["name"]: (r["id"], r["v"])
+        for r in tx.read_table(spark, itable).collect()
+    }
+    assert after["u3"] == (before["u3"], 999)  # id stable, value new
+    assert {after["u777"][0], after["u888"][0]} == {21, 22}
+    ids = [i for i, _ in after.values()]
+    assert len(set(ids)) == len(ids)
+    assert tx._fold(itable).identity_hwm == {"id": 22}
+
+
+def test_merge_source_must_not_supply_identity(spark, itable):
+    src = spark.createDataFrame(
+        [("u1", 1, 5)], "name string, v long, id long"
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        tx.merge_tx_table(spark, itable, src, ["name"])
+
+
+def test_merge_with_delete_col_allocates_only_landings(spark, itable):
+    src = spark.createDataFrame(
+        [("u1", 0, True), ("u900", 9, False)],
+        "name string, v long, _del boolean",
+    )
+    tx.merge_tx_table(spark, itable, src, ["name"], delete_col="_del")
+    got = {
+        r["name"]: r["id"] for r in tx.read_table(spark, itable).collect()
+    }
+    assert "u1" not in got
+    assert got["u900"] == 21
+    assert len(got) == 20  # 20 - 1 deleted + 1 inserted
+
+
+def test_concurrent_merge_and_append_never_duplicate_ids(spark, itable):
+    """A merge racing an append either commits cleanly or raises the
+    identity-allocation conflict; a retry re-allocates. Either way
+    ids stay unique."""
+    errs = []
+
+    def _merge():
+        src = spark.createDataFrame(
+            [("m1", 1), ("m2", 2)], "name string, v long"
+        )
+        for _ in range(3):
+            try:
+                tx.merge_tx_table(spark, itable, src, ["name"])
+                return
+            except tx.ConcurrentWriteError:
+                continue
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+        errs.append(RuntimeError("merge never committed"))
+
+    def _append():
+        try:
+            tx.append_table(_rows(spark, range(700, 705)), itable)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    import threading as _t
+
+    ts = [_t.Thread(target=_merge), _t.Thread(target=_append)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    ids = [r["id"] for r in tx.read_table(spark, itable).collect()]
+    assert len(ids) == 27
+    assert len(set(ids)) == 27, "race allocated duplicate ids"
 
 
 def test_rename_drop_guards(spark, itable):
