@@ -4378,6 +4378,43 @@ def table_stats(
     }
 
 
+def describe_table(spark: SparkSession, path: str) -> DataFrame:
+    """One-row DESCRIBE DETAIL analog: format metadata, live-set
+    size, and every table property (partitioning, protocol features,
+    generated/identity definitions, constraints) — all from the
+    manifest fold, no data read. `table_history` is the per-commit
+    ledger; this is the current-state card."""
+    snap = _fold(path)
+    st = table_stats(path)
+    row = {
+        "format": "txtable",
+        "location": os.path.abspath(path),
+        "version": snap.version,
+        "num_files": st["num_files"],
+        "size_bytes": st["num_bytes"],
+        "num_rows": st["num_rows"],
+        "partition_columns": list(snap.partition_cols),
+        "reader_features": sorted(snap.protocol.get("reader", [])),
+        "writer_features": sorted(snap.protocol.get("writer", [])),
+        "generated_columns": json.dumps(snap.generated, sort_keys=True),
+        "identity_columns": json.dumps(snap.identity, sort_keys=True),
+        "identity_high_water": json.dumps(
+            snap.identity_hwm, sort_keys=True
+        ),
+        "check_constraints": json.dumps(
+            snap.constraints, sort_keys=True
+        ),
+    }
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        "format string, location string, version long, num_files long, "
+        "size_bytes long, num_rows long, partition_columns array<string>, "
+        "reader_features array<string>, writer_features array<string>, "
+        "generated_columns string, identity_columns string, "
+        "identity_high_water string, check_constraints string",
+    )
+
+
 def vacuum_table(
     path: str,
     retain_versions: int = 2,

@@ -126,3 +126,14 @@ def test_timestamp_forms(spark, ptable):
         )
     with pytest.raises(ValueError, match="required"):
         tx.table_changes_cdf(spark, ptable, ["k"])
+
+
+def test_describe_table(spark, ptable):
+    tx.add_check_constraint(spark, ptable, "v_pos", "v > 0")
+    row = tx.describe_table(spark, ptable).first()
+    assert row["format"] == "txtable"
+    assert row["version"] == 1
+    assert row["num_rows"] == 6
+    assert row["partition_columns"] == ["status"]
+    assert "checkConstraints" in row["writer_features"]
+    assert '"v_pos": "v > 0"' in row["check_constraints"]
