@@ -215,6 +215,7 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
                 "stats": added.get("stats", {}),
                 "bytes": added.get("bytes"),
                 "rows": added.get("rows"),
+                "nulls": added.get("nulls", {}),
             }
             if added.get("dv"):  # restore re-points at a DV'd file
                 meta["dv"] = added["dv"]
@@ -365,29 +366,36 @@ def _require_writer(snap: Snapshot, path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _footer_stats(full_path: str) -> tuple[dict, int]:
-    """Per-file (zone map, row count) from the parquet FOOTER (no
-    data read): {col: [min, max]} for top-level int/float/string/bool
-    columns whose row-group statistics are present. Values are kept
-    JSON-native; columns with missing stats are simply absent —
-    readers treat absence as 'cannot prune'. The row count sizes
-    deletion-vector maintenance decisions (deleted fraction per
-    file)."""
+def _footer_stats(full_path: str) -> tuple[dict, int, dict]:
+    """Per-file (zone map, row count, null counts) from the parquet
+    FOOTER (no data read): {col: [min, max]} for top-level
+    int/float/string/bool columns whose row-group statistics are
+    present, plus {col: null_count} where EVERY row group reports it.
+    Values are kept JSON-native; columns with missing stats are
+    simply absent — readers treat absence as 'cannot prune' /
+    'unknown'. The row count sizes deletion-vector maintenance
+    decisions (deleted fraction per file)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(full_path).metadata
     num_rows = int(md.num_rows)
     per_rg: list[dict[str, tuple]] = []
+    null_rg: list[dict[str, int]] = []
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         cur: dict[str, tuple] = {}
+        nul: dict[str, int] = {}
         for ci in range(g.num_columns):
             c = g.column(ci)
             name = c.path_in_schema
             if "." in name:  # nested leaf — skip
                 continue
             st = c.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nul[name] = int(st.null_count)
+            if not st.has_min_max:
                 continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
@@ -399,20 +407,28 @@ def _footer_stats(full_path: str) -> tuple[dict, int]:
                 lo, hi = str(lo), str(hi)
             cur[name] = (lo, hi)
         per_rg.append(cur)
+        null_rg.append(nul)
     if not per_rg:
-        return {}, num_rows
-    # a column's zone map is valid only when EVERY row group reports
-    # stats for it — a gap would leave rows outside the recorded range
+        return {}, num_rows, {}
+    # a column's zone map / null count is valid only when EVERY row
+    # group reports it — a gap would leave rows unaccounted for
     names = set(per_rg[0])
     for cur in per_rg[1:]:
         names &= set(cur)
-    return {
-        n: [
-            min(cur[n][0] for cur in per_rg),
-            max(cur[n][1] for cur in per_rg),
-        ]
-        for n in names
-    }, num_rows
+    nnames = set(null_rg[0])
+    for nul in null_rg[1:]:
+        nnames &= set(nul)
+    return (
+        {
+            n: [
+                min(cur[n][0] for cur in per_rg),
+                max(cur[n][1] for cur in per_rg),
+            ]
+            for n in names
+        },
+        num_rows,
+        {n: sum(nul[n] for nul in null_rg) for n in nnames},
+    )
 
 
 def _stage(
@@ -463,9 +479,9 @@ def _stage(
                     # is a faithful inverse).
                     pvals[k] = unquote(v)
             try:
-                stats, nrows = _footer_stats(full)
+                stats, nrows, nulls = _footer_stats(full)
             except Exception:  # noqa: BLE001 — stats are best-effort
-                stats, nrows = {}, None
+                stats, nrows, nulls = {}, None, {}
             try:
                 nbytes = os.stat(full).st_size
             except OSError:
@@ -478,6 +494,7 @@ def _stage(
                     "stats": stats,
                     "bytes": nbytes,
                     "rows": nrows,
+                    "nulls": nulls,
                 }
             )
     return added
@@ -812,9 +829,9 @@ def convert_to_tx(
                     f"{sorted(pvals)}, expected {sorted(pcols)}"
                 )
             try:
-                stats, nrows = _footer_stats(full)
+                stats, nrows, nulls = _footer_stats(full)
             except Exception:  # noqa: BLE001 — stats are best-effort
-                stats, nrows = {}, None
+                stats, nrows, nulls = {}, None, {}
             try:
                 nbytes = os.stat(full).st_size
             except OSError:
@@ -829,6 +846,7 @@ def convert_to_tx(
                     "stats": stats,
                     "bytes": nbytes,
                     "rows": nrows,
+                    "nulls": nulls,
                 }
             )
     if not added:
@@ -1578,6 +1596,16 @@ _GEN_YEAR_RE = re.compile(r"^\s*year\s*\(\s*(\w+)\s*\)\s*$", re.I)
 _GEN_PREFIX_RE = re.compile(
     r"^\s*substr(?:ing)?\s*\(\s*(\w+)\s*,\s*1\s*,\s*(\d+)\s*\)\s*$", re.I
 )
+# date_trunc('unit', ts) -> timestamp; trunc(date, 'unit') -> date
+_GEN_DTRUNC_RE = re.compile(
+    r"^\s*date_trunc\s*\(\s*'(year|month|week|day)'\s*,\s*(\w+)\s*\)\s*$",
+    re.I,
+)
+_GEN_TRUNC_RE = re.compile(
+    r"^\s*trunc\s*\(\s*(\w+)\s*,\s*'(year|yyyy|yy|month|mon|mm|week)'"
+    r"\s*\)\s*$",
+    re.I,
+)
 
 
 def _parse_generated_expr(expr: str):
@@ -1597,6 +1625,15 @@ def _parse_generated_expr(expr: str):
     m = _GEN_PREFIX_RE.match(expr)
     if m:
         return ("prefix", m.group(1), int(m.group(2)))
+    m = _GEN_DTRUNC_RE.match(expr)
+    if m:  # returns TIMESTAMP — bounds render as 'Y-m-d 00:00:00'
+        return ("dtrunc", m.group(2), m.group(1).lower())
+    m = _GEN_TRUNC_RE.match(expr)
+    if m:  # returns DATE — bounds render as 'Y-m-d'
+        unit = {
+            "yyyy": "year", "yy": "year", "mon": "month", "mm": "month",
+        }.get(m.group(2).lower(), m.group(2).lower())
+        return ("trunc", m.group(1), unit)
     return None
 
 
@@ -1617,7 +1654,24 @@ def _gen_bound(kind: str, arg, v):
         return None
     if not re.match(r"^\d{4}-\d{2}-\d{2}", s):
         return None
-    return s[:10] if kind == "date" else int(s[:4])
+    if kind == "date":
+        return s[:10]
+    if kind == "year":
+        return int(s[:4])
+    # calendar truncation (date_trunc / trunc): monotone nondecreasing
+    try:
+        d = _dt.date.fromisoformat(s[:10])
+    except ValueError:
+        return None
+    if arg == "year":
+        d = d.replace(month=1, day=1)
+    elif arg == "month":
+        d = d.replace(day=1)
+    elif arg == "week":
+        d = d - _dt.timedelta(days=d.weekday())
+    # arg == "day": the date itself
+    iso = d.isoformat()
+    return iso + " 00:00:00" if kind == "dtrunc" else iso
 
 
 def _extend_generated(skip: dict, generated: dict) -> dict:
@@ -4062,6 +4116,7 @@ def clone_table(
             "stats": meta.get("stats", {}),
             "bytes": meta.get("bytes"),
             "rows": meta.get("rows"),
+            "nulls": meta.get("nulls", {}),
         }
         if meta.get("dv"):
             rec["dv"] = {
@@ -4147,6 +4202,7 @@ def restore_table(
             "stats": meta.get("stats", {}),
             "bytes": meta.get("bytes"),
             "rows": meta.get("rows"),
+            "nulls": meta.get("nulls", {}),
             # the restored state's deletion vectors ride the added
             # record — the fold re-attaches them
             **({"dv": meta["dv"]} if meta.get("dv") else {}),
@@ -4341,7 +4397,44 @@ def table_stats(
         num_rows += int(meta["rows"])
         if meta.get("dv"):
             num_rows -= int(meta["dv"]["cardinality"])
+    out_nulls: dict[str, int | None] = {}
     out_cols: dict[str, dict | None] = {}
+    if columns:
+        pmap_n = _phys_map(schema)
+        for col in columns:
+            if col in snap.partition_cols:
+                # a partition column's nullness is the directory's:
+                # every row of a default-partition file is null, no
+                # row elsewhere is — exact even under DVs (masking
+                # can't change a file-constant value)
+                n = 0
+                ok = True
+                for meta in want.values():
+                    pv = meta["partition_values"].get(col)
+                    if pv == "__HIVE_DEFAULT_PARTITION__":
+                        if meta.get("rows") is None:
+                            ok = False
+                            break
+                        n += int(meta["rows"])
+                        if meta.get("dv"):
+                            n -= int(meta["dv"]["cardinality"])
+                out_nulls[col] = n if ok else None
+                continue
+            phys = pmap_n.get(col, col)
+            if (
+                any_dv  # a masked row may be one of the nulls
+                or not want
+                or col not in schema.fieldNames()
+                or not all(
+                    phys in (meta.get("nulls") or {})
+                    for meta in want.values()
+                )
+            ):
+                out_nulls[col] = None
+            else:
+                out_nulls[col] = sum(
+                    int(meta["nulls"][phys]) for meta in want.values()
+                )
     if columns:
         from pyspark.sql import types as T
 
@@ -4375,6 +4468,7 @@ def table_stats(
         "num_bytes": num_bytes,
         "num_rows": num_rows,
         "columns": out_cols,
+        "null_counts": out_nulls,
     }
 
 

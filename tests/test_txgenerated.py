@@ -175,6 +175,19 @@ def test_generated_range_derivation_forms():
         "prefix", "url", 8,
     )
     assert tx._parse_generated_expr("month(ts)") is None  # not monotone
+    assert tx._parse_generated_expr("date_trunc('month', ts)") == (
+        "dtrunc", "ts", "month",
+    )
+    assert tx._parse_generated_expr("trunc(ts, 'MM')") == (
+        "trunc", "ts", "month",
+    )
+    # calendar truncation bounds: month floor, week floor (Monday)
+    out = tx._extend_generated(
+        {"ts": ("1995-03-17 10:00:00", "1995-09-02 23:59:59")},
+        {"m": "date_trunc('month', ts)", "w": "trunc(ts, 'week')"},
+    )
+    assert out["m"] == ("1995-03-01 00:00:00", "1995-09-01 00:00:00")
+    assert out["w"] == ("1995-03-13", "1995-08-28")
     out = tx._extend_generated(
         {"ts": ("1995-03-04 10:00:00", "1995-09-30 23:59:59")},
         {"dt": "CAST(ts AS DATE)", "y": "year(ts)", "m": "month(ts)"},

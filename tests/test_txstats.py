@@ -137,3 +137,20 @@ def test_describe_table(spark, ptable):
     assert row["partition_columns"] == ["status"]
     assert "checkConstraints" in row["writer_features"]
     assert '"v_pos": "v > 0"' in row["check_constraints"]
+
+
+def test_null_counts(spark, ptable):
+    nulls = spark.createDataFrame(
+        [(10, "A", None), (11, "A", 110)], "k int, status string, v long"
+    )
+    tx.append_table(nulls, ptable)
+    st = tx.table_stats(ptable, columns=["v", "status"])
+    assert st["null_counts"]["v"] == 1
+    assert st["null_counts"]["status"] == 0  # strings count too
+    # COUNT(col) = num_rows - nulls, the metadata-only form
+    assert st["num_rows"] - st["null_counts"]["v"] == 7
+    # DVs gate null counts like min/max (a masked row may be null)
+    tx.delete_from_table(spark, ptable, F.col("k") == 10)
+    st = tx.table_stats(ptable, columns=["v"])
+    assert st["null_counts"]["v"] is None
+    assert st["num_rows"] == 7
