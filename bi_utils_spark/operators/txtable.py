@@ -640,14 +640,25 @@ def _apply_identity(
         for col, spec in identity.items():
             df = df.withColumn(col, F.lit(None).cast("long"))
         return df, {}
-    off_map = F.create_map(
-        *[F.lit(x) for p, o in offs.items() for x in (p, o)]
+    # offsets land via a BROADCAST join, not a create_map literal —
+    # element_at on a map literal is a linear scan per ROW in codegen
+    # (the same trap the bloom build's sizing map hit in r8), while a
+    # BHJ probe is O(1) per row however many partitions the delta has
+    spark = df.sparkSession
+    offs_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offs.items()], "__p int, __off long"
+        )
     )
     mid = F.monotonically_increasing_id()
-    rank = (
-        F.element_at(off_map, F.shiftright(mid, 33).cast("int"))
-        + mid.bitwiseAND(F.lit((1 << 33) - 1))
-    ).cast("long")
+    df = (
+        df.withColumn("__p", F.shiftright(mid, 33).cast("int"))
+        .withColumn(
+            "__within", mid.bitwiseAND(F.lit((1 << 33) - 1))
+        )
+        .join(offs_df, "__p")
+    )
+    rank = (F.col("__off") + F.col("__within")).cast("long")
     new_hwm: dict[str, int] = {}
     for col, spec in identity.items():
         start = int(spec.get("start", 1))
@@ -658,7 +669,7 @@ def _apply_identity(
             col, (F.lit(nxt) + F.lit(step) * rank).cast("long")
         )
         new_hwm[col] = nxt + step * (acc - 1)
-    return df, new_hwm
+    return df.drop("__p", "__within", "__off"), new_hwm
 
 
 class CheckViolation(ValueError):
