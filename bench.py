@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "q_tx_generated",
     "q_tx_identity",
     "q_tx_evolve",
+    "q_tx_respec",
     "q_ivf_batch_topk",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)

@@ -10774,6 +10774,55 @@ def q_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.read_table(spark, path).select("k", "status", "amount", "note")
 
 
+@register(
+    "q_tx_respec",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status,
+           CASE WHEN k % 10 = 3 THEN cents * 2 ELSE cents END AS cents,
+           CAST(k % 5 AS INTEGER) AS bucket
+    FROM rows0
+    WHERE k % 5 = 3
+    """,
+)
+def q_tx_respec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION (X118, r9 — the Iceberg analog Delta
+    lacks): the table is created partitioned by status, respec'd to
+    bucket in ONE metadata commit (zero files rewritten), appended
+    under the new spec, then a MOR UPDATE masks rows across BOTH
+    spec eras. The read scopes to ``partition_filter={"bucket": 3}``:
+    new-spec files prune at the manifest, old-spec files survive
+    fail-open (bucket is plain data there) and the automatic
+    row-level filter scopes them — so a green row proves the respec
+    commit, mixed-spec unioned reads, manifest-prune + row-filter
+    equivalence, and deletion-vector masking across spec eras, all
+    against the oracle's declarative restatement."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_respec"
+    if tx.latest_version(path) < 3:
+        rows = _tx_order_rows(spark, sf_dir).withColumn(
+            "bucket", (F.col("k") % 5).cast("int")
+        )
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 2 == 0),
+                path,
+                partition_cols=["status"],
+            )
+        if tx.latest_version(path) < 1:
+            tx.repartition_table(path, ["bucket"])
+        if tx.latest_version(path) < 2:
+            tx.append_table(rows.where(F.col("k") % 2 == 1), path)
+        if tx.latest_version(path) < 3:
+            tx.update_table(
+                spark, path, F.col("k") % 10 == 3, {"cents": "cents * 2"}
+            )
+    return tx.read_table(
+        spark, path, partition_filter={"bucket": 3}
+    ).select("k", "status", "cents", "bucket")
+
+
 def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MOR DELETE wall (bench-only): each repeat resets a
     scratch tx table via metadata-only RESTORE (+ vacuum, which also
@@ -10857,7 +10906,9 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     gate), q_tx_generated (generated columns with derived partition
 #     pruning), q_tx_identity (GENERATED ALWAYS surrogate keys with
 #     high-water-mark allocation), q_tx_evolve (metadata-only ADD
-#     COLUMN + type widening read under the final schema); first
+#     COLUMN + type widening read under the final schema), and
+#     q_tx_respec (partition evolution: metadata respec, mixed-spec
+#     fail-open reads, MOR update across spec eras); first
 #     attestations.
 # (2) r9-changed implementations: the seven tx rows — txtable.py's
 #     write/maintenance paths changed shape this round (grouped
@@ -10869,8 +10920,8 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     and every tx arc's fixture is rebuilt through those paths.
 # (3) re-attestation, oldest official row first: the remainder of the
 #     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (5 queries).
-#     11 + 7 + 27 + 5 = 50. All are green in the local strict sweep
+#     CORRECTNESS_r04) and the head of the r5 tier (4 queries).
+#     12 + 7 + 27 + 4 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
 # Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
@@ -10888,6 +10939,7 @@ _PROMOTED: list[str] = [
     "q_tx_generated",
     "q_tx_identity",
     "q_tx_evolve",
+    "q_tx_respec",
     # ---- tier 2: r9-changed implementation (txtable.py) ----
     "q_tx_merge_table",
     "q_tx_timetravel",
@@ -10929,8 +10981,7 @@ _PROMOTED: list[str] = [
     "q_schema_drift",
     "q_dedup_exact",
     "q_token_counts",
-    "q_doc_stats_by_lang",
-    # (q_jaccard_pairs onward: next in line for r10)
+    # (q_doc_stats_by_lang onward: next in line for r10)
 ]
 
 

@@ -1741,6 +1741,34 @@ def _pv_stats(meta: dict, ptypes: dict) -> dict:
     return out
 
 
+def _pf_prune(want: dict, rendered: dict) -> tuple[dict, bool]:
+    """Manifest-level partition-filter prune, FAIL-OPEN for files
+    written under an older partition spec (after
+    :func:`repartition_table` the column is DATA in those files — the
+    manifest cannot decide row membership, so the file stays).
+    Returns (kept, exact): ``exact`` is False when any kept file was
+    admitted fail-open, i.e. a row-level filter must finish the job
+    (reads add it automatically; metadata-only answers must refuse)."""
+    kept: dict = {}
+    exact = True
+    for rel, meta in want.items():
+        pv = meta["partition_values"]
+        keep = True
+        decided = True
+        for k, rv in rendered.items():
+            if k in pv:
+                if pv[k] != rv:
+                    keep = False
+                    break
+            else:
+                decided = False
+        if keep:
+            kept[rel] = meta
+            if not decided:
+                exact = False
+    return kept, exact
+
+
 def _prune_files(
     want: dict, skip: dict, schema: StructType, pcols, generated=None
 ) -> dict:
@@ -2139,6 +2167,7 @@ def read_table(
             for c, (lo, hi) in derived.items():
                 _merge_range(merged, c, lo, hi)
             skip = merged
+    pf_exact = True
     if partition_filter:
         types = {f.name: f.dataType for f in schema.fields}
         rendered = {
@@ -2147,14 +2176,7 @@ def read_table(
             )
             for k, v in partition_filter.items()
         }
-        want = {
-            rel: meta
-            for rel, meta in want.items()
-            if all(
-                meta["partition_values"].get(k) == rv
-                for k, rv in rendered.items()
-            )
-        }
+        want, pf_exact = _pf_prune(want, rendered)
     if skip:
         want = _prune_files(
             want, skip, schema, snap.partition_cols, snap.generated
@@ -2167,6 +2189,15 @@ def read_table(
         out = spark.createDataFrame([], schema)
     else:
         out = _read_files_live(spark, path, want, schema)
+    if partition_filter and not pf_exact:
+        # files from an older partition spec survived fail-open — a
+        # row-level filter finishes the job (a no-op on current-spec
+        # files, where every row already matches)
+        for k, v in partition_filter.items():
+            cv = _coerce_pv(v, types[k]) if k in types else v
+            out = out.where(
+                F.col(k).isNull() if cv is None else F.col(k) == F.lit(cv)
+            )
     if where is not None:
         out = out.where(
             F.expr(where) if isinstance(where, str) else where
@@ -2419,6 +2450,19 @@ def merge_tx_table(
             if tuple(meta["partition_values"].get(c) for c in pcols)
             in touched_set
         ]
+        # files written under an OLDER partition spec (before a
+        # repartition_table) are always part of the merge: the
+        # manifest cannot scope them by the current partitioning, and
+        # a source key may live in any of them. They re-stage under
+        # the current spec — every merge migrates them a little, and
+        # compact_table migrates them all at once.
+        stale = [
+            rel
+            for rel, meta in snap.files.items()
+            if set(meta["partition_values"]) != set(pcols)
+        ]
+        if stale:
+            removed = sorted(set(removed) | set(stale))
         if validate_partition_stability:
             removed_set = set(removed)
             outside = {
@@ -2569,14 +2613,16 @@ def delete_from_table(
             k: _render_pv(_coerce_pv(v, types[k]) if k in types else v)
             for k, v in partition_filter.items()
         }
-        want = {
-            rel: meta
-            for rel, meta in want.items()
-            if all(
-                meta["partition_values"].get(k) == rv
-                for k, rv in rendered.items()
-            )
-        }
+        want, pf_exact = _pf_prune(want, rendered)
+        if not pf_exact:
+            # older-spec files survived fail-open: the partition
+            # scope becomes part of the row predicate so no row
+            # outside it can match
+            for k, v in partition_filter.items():
+                cv = _coerce_pv(v, types[k]) if k in types else v
+                cond = cond & (
+                    F.col(k).isNull() if cv is None else F.col(k) == F.lit(cv)
+                )
     if skip is None:
         skip = predicate_skip_ranges(cond)
     if skip:
@@ -2764,14 +2810,13 @@ def update_table(
             k: _render_pv(_coerce_pv(v, types[k]) if k in types else v)
             for k, v in partition_filter.items()
         }
-        want = {
-            rel: meta
-            for rel, meta in want.items()
-            if all(
-                meta["partition_values"].get(k) == rv
-                for k, rv in rendered.items()
-            )
-        }
+        want, pf_exact = _pf_prune(want, rendered)
+        if not pf_exact:
+            for k, v in partition_filter.items():
+                cv = _coerce_pv(v, types[k]) if k in types else v
+                cond = cond & (
+                    F.col(k).isNull() if cv is None else F.col(k) == F.lit(cv)
+                )
     derived = predicate_skip_ranges(cond)
     if derived:
         want = _prune_files(
@@ -3964,6 +4009,69 @@ def widen_column_type(path: str, col: str, new_type: str) -> int:
     )
 
 
+def repartition_table(
+    path: str, new_partition_cols: Sequence[str]
+) -> int:
+    """PARTITION EVOLUTION (the Iceberg analog, which Delta lacks):
+    change the table's partition spec in ONE metadata commit — zero
+    files rewritten. New writes lay out under the new spec; files
+    written under the old spec stay live and correct because every
+    file's manifest record carries ITS OWN partition values:
+
+    - reads with ``partition_filter`` prune new-spec files at the
+      manifest and keep old-spec files FAIL-OPEN with an automatic
+      row-level filter (the column is plain data there);
+    - DELETE/UPDATE fold the partition scope into the row predicate
+      the same way;
+    - MERGE treats old-spec files as always-touched (a source key
+      could live in any of them), re-staging them under the current
+      spec — each merge migrates a little;
+    - ``table_stats`` with a partition filter answers None rather
+      than guess while old-spec files remain;
+    - ``compact_table`` rewrites everything under the current spec —
+      the one-shot migration that restores full manifest pruning.
+
+    Every new partition column must be an existing schema column
+    with an undiverged physical name (the directory layout is
+    physical); identity columns are refused (one row per
+    partition)."""
+    snap = _fold(path)
+    _require_writer(snap, path)
+    new_pcols = list(new_partition_cols)
+    if new_pcols == snap.partition_cols:
+        raise ValueError(
+            f"repartition_table: table is already partitioned by "
+            f"{new_pcols}"
+        )
+    schema = snap.spark_schema()
+    by_name = {f.name: f for f in schema.fields}
+    for c in new_pcols:
+        f = by_name.get(c)
+        if f is None:
+            raise ValueError(
+                f"repartition_table: no column {c!r} in the schema"
+            )
+        if _phys_of(f) != c:
+            raise ValueError(
+                f"repartition_table: {c!r} has a divergent physical "
+                "name — partition directories are physical"
+            )
+        if c in snap.identity:
+            raise ValueError(
+                f"repartition_table: {c!r} is an identity column — "
+                "every row would get its own partition"
+            )
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "repartition",
+        [],
+        [],
+        partition_cols=new_pcols,
+        conflict="always",  # any concurrent write raced the spec
+    )
+
+
 def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
     """Downgrade the table's protocol: stop REQUIRING ``feature`` so
     older library builds can use the table again (the Delta
@@ -4390,14 +4498,22 @@ def table_stats(
             k: _render_pv(_coerce_pv(v, types[k]) if k in types else v)
             for k, v in partition_filter.items()
         }
-        want = {
-            rel: meta
-            for rel, meta in want.items()
-            if all(
-                meta["partition_values"].get(k) == rv
-                for k, rv in rendered.items()
-            )
-        }
+        want, pf_exact = _pf_prune(want, rendered)
+        if not pf_exact:
+            # files from an older partition spec survived fail-open —
+            # the manifest cannot count their matching rows; honest
+            # unknowns beat a silent overcount (compact_table migrates
+            # the old files and restores exactness)
+            return {
+                "version": snap.version,
+                "num_files": len(want),
+                "num_bytes": sum(
+                    meta.get("bytes") or 0 for meta in want.values()
+                ),
+                "num_rows": None,
+                "columns": {c: None for c in (columns or [])},
+                "null_counts": {c: None for c in (columns or [])},
+            }
     num_bytes = sum(meta.get("bytes") or 0 for meta in want.values())
     any_dv = any(meta.get("dv") for meta in want.values())
     num_rows: int | None = 0
@@ -4421,6 +4537,15 @@ def table_stats(
                 n = 0
                 ok = True
                 for meta in want.values():
+                    if col not in meta["partition_values"]:
+                        # older-spec file: the column is DATA there —
+                        # use its footer null count, or give up
+                        fn = (meta.get("nulls") or {}).get(col)
+                        if fn is None or meta.get("dv"):
+                            ok = False
+                            break
+                        n += int(fn)
+                        continue
                     pv = meta["partition_values"].get(col)
                     if pv == "__HIVE_DEFAULT_PARTITION__":
                         if meta.get("rows") is None:
