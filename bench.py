@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "q_tx_evolve",
     "q_tx_respec",
     "q_ivf_batch_topk",
+    # r9: map-only FIM rewrite (fuses into the scan — the wall IS the scan)
+    "q_fim",
     # composed end-to-end training-data pipeline (clean → dedup tiers
     # → near-dup canonical → quality/lang stats)
     "q_llm_pipeline",

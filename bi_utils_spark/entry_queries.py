@@ -10823,6 +10823,31 @@ def q_tx_respec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("k", "status", "cents", "bucket")
 
 
+from bi_utils_spark.operators.fim import fim_oracle_sql as _fim_sql  # noqa: E402
+
+
+@register(
+    "q_fim",
+    _fim_sql("documents", "doc_id", "text", rate=0.5),
+)
+def q_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-Middle transformation (X119, r9): a deterministic
+    half of the corpus rewrites to the PSM layout
+    ``<PRE> prefix <SUF> suffix <MID> middle`` with md5-derived cut
+    points — map-only column arithmetic that fuses into the feeding
+    scan, zero Python, zero shuffle, re-run/retry stable by
+    construction. The oracle SQL is generated from the SAME module
+    (`fim_oracle_sql`) so the two derivations cannot drift; a green
+    row proves gating, cut-point selection, and all three splice
+    segments byte-for-byte across every document."""
+    from bi_utils_spark.operators.fim import fim_transform
+
+    docs = load(spark, sf_dir, "documents")
+    return fim_transform(docs, "doc_id", "text", rate=0.5).select(
+        "doc_id", "fim_text", "fim_text_applied"
+    )
+
+
 def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MOR DELETE wall (bench-only): each repeat resets a
     scratch tx table via metadata-only RESTORE (+ vacuum, which also
@@ -10908,8 +10933,9 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     high-water-mark allocation), q_tx_evolve (metadata-only ADD
 #     COLUMN + type widening read under the final schema), and
 #     q_tx_respec (partition evolution: metadata respec, mixed-spec
-#     fail-open reads, MOR update across spec eras); first
-#     attestations.
+#     fail-open reads, MOR update across spec eras), and q_fim (the
+#     PSM fill-in-the-middle rewrite, oracle generated from the same
+#     module as the implementation); first attestations.
 # (2) r9-changed implementations: the seven tx rows — txtable.py's
 #     write/maintenance paths changed shape this round (grouped
 #     compaction topology with per-partition target_files + identity-
@@ -10920,8 +10946,8 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     and every tx arc's fixture is rebuilt through those paths.
 # (3) re-attestation, oldest official row first: the remainder of the
 #     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (4 queries).
-#     12 + 7 + 27 + 4 = 50. All are green in the local strict sweep
+#     CORRECTNESS_r04) and the head of the r5 tier (3 queries).
+#     13 + 7 + 27 + 3 = 50. All are green in the local strict sweep
 #     with implementations unchanged since their official rows.
 # Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
 # ===========================================================================
@@ -10940,6 +10966,7 @@ _PROMOTED: list[str] = [
     "q_tx_identity",
     "q_tx_evolve",
     "q_tx_respec",
+    "q_fim",
     # ---- tier 2: r9-changed implementation (txtable.py) ----
     "q_tx_merge_table",
     "q_tx_timetravel",
@@ -10980,8 +11007,7 @@ _PROMOTED: list[str] = [
     "q_schema_maxlen",
     "q_schema_drift",
     "q_dedup_exact",
-    "q_token_counts",
-    # (q_doc_stats_by_lang onward: next in line for r10)
+    # (q_token_counts onward: next in line for r10)
 ]
 
 

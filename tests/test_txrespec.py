@@ -143,3 +143,45 @@ def test_cdf_spans_a_respec(spark, rtable):
     feed = tx.table_changes_cdf(spark, rtable, ["k"], after_version=-1)
     ins = feed.where("_change_type = 'insert'")
     assert ins.count() == 20
+
+
+# ---------------------------------------------------------------------------
+# FIM transform (co-located here to avoid a one-test file; it has no
+# tx dependency)
+# ---------------------------------------------------------------------------
+
+
+def test_fim_transform_segments_and_determinism(spark):
+    from bi_utils_spark.operators import fim
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, None), (4, "xy")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["fim_text"], r["fim_text_applied"])
+        for r in fim.fim_transform(df, "doc_id", "text", rate=1.0).collect()
+    }
+    assert out[2] == ("", False)  # shorter than min_chars
+    assert out[3] == (None, False)
+    for doc_id, text in [(1, "abcdefghij"), (4, "xy")]:
+        t, applied = out[doc_id]
+        assert applied
+        pre, rest = t.split(fim.SUF_TOK)
+        pre = pre.removeprefix(fim.PRE_TOK)
+        suf, mid = rest.split(fim.MID_TOK)
+        assert pre + mid + suf == text  # splice identity
+    # rate=0 is the identity
+    out0 = {
+        r["doc_id"]: r["fim_text"]
+        for r in fim.fim_transform(df, "doc_id", "text", rate=0.0).collect()
+    }
+    assert out0[1] == "abcdefghij"
+    # deterministic across invocations
+    again = {
+        r["doc_id"]: r["fim_text"]
+        for r in fim.fim_transform(df, "doc_id", "text", rate=1.0).collect()
+    }
+    assert again[1] == out[1][0]
+    with pytest.raises(ValueError, match="rate"):
+        fim.fim_transform(df, "doc_id", "text", rate=1.5)
