@@ -2251,6 +2251,7 @@ def merge_tx_table(
     app: tuple[str, int] | None = None,
     max_source_partitions: int = 100_000,
     checks: list | None = None,
+    on_partition_move: str = "migrate",
 ) -> int:
     """MERGE ``source`` into the tx table with `merge.merge_upsert`'s
     exact reference semantics (M1), executed as copy-on-write:
@@ -2264,12 +2265,20 @@ def merge_tx_table(
       rows whose pk matches a target row OUTSIDE the touched
       partitions are a caller error; enable full correctness by
       merging on an unpartitioned table or repartitioning first.
-      ``validate_partition_stability=True`` turns that caller error
-      into a loud ValueError BEFORE anything commits: one
-      column-pruned semi-join of the source keys against the
-      untouched partitions' pk columns (the honest price of proving
-      no row strands; opt-in because a clean upstream contract makes
-      it a pure tax).
+      ``on_partition_move`` decides what happens when a source row's
+      partition value CHANGED (its old target row lives outside the
+      touched partitions — trivial to hit with a generated partition
+      column, where updating the base timestamp moves the derived
+      partition): ``"migrate"`` (default) pulls the files holding
+      moved keys into the rewrite so the old copies retire —
+      correctness by construction, priced at one tiny source-range
+      agg, zone-map prefiltering of the untouched files on the pk
+      ranges, and one column-pruned semi-join over the survivors;
+      ``"error"`` raises loudly BEFORE anything commits
+      (``validate_partition_stability=True`` is the back-compat
+      alias); ``"ignore"`` restores the scope-strict behavior for
+      upstreams that contractually never move keys (zero extra cost,
+      strands duplicates if the contract is broken).
     - **Unpartitioned table:** full-snapshot rewrite (the honest
       granularity without a file-level pk index).
 
@@ -2463,34 +2472,76 @@ def merge_tx_table(
         ]
         if stale:
             removed = sorted(set(removed) | set(stale))
-        if validate_partition_stability:
-            removed_set = set(removed)
-            outside = {
-                rel: meta
-                for rel, meta in snap.files.items()
-                if rel not in removed_set
+        pm = "error" if validate_partition_stability else on_partition_move
+        if pm not in ("migrate", "error", "ignore"):
+            raise ValueError(
+                f"merge_tx_table: on_partition_move must be "
+                f"'migrate' | 'error' | 'ignore', got {pm!r}"
+            )
+        removed_set = set(removed)
+        outside = {
+            rel: meta
+            for rel, meta in snap.files.items()
+            if rel not in removed_set
+        }
+        if outside and pm != "ignore":
+            # a source row whose partition value CHANGED (trivial to
+            # hit with a generated partition column — update the base
+            # timestamp and the derived partition moves) matches a
+            # target row OUTSIDE the touched partitions; left there it
+            # becomes a duplicate key. Candidates are prefiltered by
+            # the source's per-pk-column value ranges against each
+            # file's zone maps (one tiny agg job; fail-open on
+            # non-comparable types), then one COLUMN-PRUNED semi-join
+            # finds the files actually holding moved keys.
+            rng = source.select(
+                *[F.min(c).alias(f"__lo_{c}") for c in pks],
+                *[F.max(c).alias(f"__hi_{c}") for c in pks],
+            ).first()
+            pk_ranges = {
+                c: (rng[f"__lo_{c}"], rng[f"__hi_{c}"])
+                for c in pks
+                if rng[f"__lo_{c}"] is not None
             }
-            if outside:
-                stranded = (
-                    _read_files_live(spark, path, outside, schema)
-                    .select(*pks)
+            cand = (
+                _prune_files(outside, pk_ranges, schema, pcols)
+                if pk_ranges
+                else outside
+            )
+            if cand:
+                hit_rows = (
+                    _read_files_live_meta(spark, path, cand, schema)
+                    .select("__f", *pks)
                     .join(
                         source.select(*pks).distinct(),
                         list(pks),
                         "left_semi",
                     )
-                    .count()
+                    .select("__f")
+                    .distinct()
+                    .collect()
                 )
-                if stranded:
+                if hit_rows and pm == "error":
                     raise ValueError(
-                        f"merge_tx_table: {stranded} source key(s) match "
-                        "target rows OUTSIDE the source's partitions — "
-                        "their partition value changed, and a "
+                        f"merge_tx_table: {len(hit_rows)} file(s) hold "
+                        "target rows OUTSIDE the source's partitions "
+                        "whose keys the source matches — their "
+                        "partition value changed, and a "
                         "partition-scoped merge would strand the old "
-                        "rows. Repartition the source's view of those "
-                        "rows (include their OLD partition value) or "
-                        "merge unpartitioned."
+                        "rows. Use the default "
+                        "on_partition_move='migrate', or include the "
+                        "rows' OLD partition value in the source."
                     )
+                if hit_rows:
+                    cand_abs = {
+                        os.path.abspath(os.path.join(path, rel)): rel
+                        for rel in cand
+                    }
+                    moved = [cand_abs[r["__f"]] for r in hit_rows]
+                    # the hit files join the rewrite: moved keys' old
+                    # copies retire, bystander rows restage into their
+                    # own (unchanged) partitions
+                    removed = sorted(set(removed) | set(moved))
         if removed:
             target = _read_files_live(
                 spark,

@@ -123,3 +123,94 @@ def test_pf_prune_partition_of_reads(spark, tmp_path):
         ]
         assert set().union(*parts) == everything
         assert sum(len(p) for p in parts) == len(everything)
+
+
+def test_kitchen_sink_feature_interplay(spark, tmp_path):
+    """Every r9 feature on ONE table, end to end: generated partition
+    column + identity + persisted constraint + MOR delete/update +
+    merge + compaction + vacuum + stats + describe — asserting the
+    final contents against a pure-python model at each hop."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ks")
+    rows = spark.createDataFrame(
+        [
+            (f"u{k}", dtm.datetime(1994 + k % 3, 1 + k % 12, 3), k * 10)
+            for k in range(30)
+        ],
+        "name string, d timestamp, v long",
+    )
+    tx.create_table(
+        rows,
+        path,
+        partition_cols=["y"],
+        generated={"y": "year(d)"},
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    tx.add_check_constraint(spark, path, "v_nonneg", "v >= 0")
+    snap = tx._fold(path)
+    assert set(snap.protocol["writer"]) >= {
+        "generatedColumns", "identityColumns", "checkConstraints",
+    }
+    # constraint + generated validation both gate an append
+    import pytest as _pytest
+
+    with _pytest.raises(tx.CheckViolation):
+        tx.append_table(
+            rows.limit(1).withColumn("v", F.lit(-5)).drop("y")
+            if "y" in rows.columns else rows.limit(1).withColumn("v", F.lit(-5)),
+            path,
+        )
+    # MOR delete a slice, MOR update another (recomputes y), merge an
+    # insert + an update through the full stack
+    tx.delete_from_table(spark, path, "v >= 250")
+    tx.update_table(
+        spark, path, F.col("name") == "u1", {"d": "d + interval 370 days"}
+    )
+    src = spark.createDataFrame(
+        [
+            ("u2", dtm.datetime(2000, 5, 5), 777),
+            ("u_new", dtm.datetime(2001, 6, 6), 888),
+        ],
+        "name string, d timestamp, v long",
+    )
+    tx.merge_tx_table(spark, path, src, ["name"])
+    got = {
+        r["name"]: (r["y"], r["v"], r["id"])
+        for r in tx.read_table(spark, path).collect()
+    }
+    assert len(got) == 26  # 30 - 5 deleted + 1 insert
+    assert got["u_new"][1] == 888 and got["u_new"][0] == 2001
+    assert got["u2"] == (2000, 777, got["u2"][2])
+    assert got["u1"][0] == 1995 + 1  # update recomputed the partition year
+    ids = [i for (_, _, i) in got.values()]
+    assert len(set(ids)) == len(ids)
+    # maintenance: purge DVs, compact, vacuum — contents invariant
+    before = dict(got)
+    tx.materialize_deletes(spark, path)
+    tx.compact_table(spark, path)
+    tx.vacuum_table(path, retain_versions=1, stray_age_seconds=0.0)
+    after = {
+        r["name"]: (r["y"], r["v"], r["id"])
+        for r in tx.read_table(spark, path).collect()
+    }
+    assert after == before
+    # metadata answers stay exact post-compaction
+    st = tx.table_stats(path, columns=["v"])
+    assert st["num_rows"] == 26
+    assert st["columns"]["v"]["min"] == 0
+    card = tx.describe_table(spark, path).first()
+    assert card["num_rows"] == 26
+    assert "deletionVectors" in card["reader_features"]
+    # wind the features down: constraints then identity then DVs
+    tx.drop_check_constraint(path, "v_nonneg")
+    tx.drop_table_feature(spark, path, "checkConstraints")
+    tx.drop_table_feature(spark, path, "identityColumns")
+    tx.drop_table_feature(spark, path, "deletionVectors")
+    snap = tx._fold(path)
+    assert set(snap.protocol["writer"]) == {"generatedColumns"}
+    assert (
+        tx.read_table(spark, path).count() == 26
+    )  # nothing lost on the way down

@@ -185,3 +185,45 @@ def test_fim_transform_segments_and_determinism(spark):
     assert again[1] == out[1][0]
     with pytest.raises(ValueError, match="rate"):
         fim.fim_transform(df, "doc_id", "text", rate=1.5)
+
+
+def test_merge_on_partition_move_modes(spark, tmp_path):
+    """A source row whose partition value changed: 'migrate' (the
+    default) retires the old copy, 'error' raises pre-commit,
+    'ignore' keeps the scope-strict zero-cost contract (and strands,
+    documented)."""
+
+    def fresh(tag):
+        p = str(tmp_path / tag)
+        tx.create_table(
+            spark.createDataFrame(
+                [(1, "d1", 10), (2, "d2", 20), (3, "d3", 30)],
+                "k int, day string, v long",
+            ),
+            p,
+            partition_cols=["day"],
+        )
+        return p
+
+    moved = spark.createDataFrame(
+        [(1, "d2", 99)], "k int, day string, v long"
+    )
+    p = fresh("migrate")
+    tx.merge_tx_table(spark, p, moved, ["k"])
+    rows = {(r["k"], r["day"], r["v"])
+            for r in tx.read_table(spark, p).collect()}
+    assert rows == {(1, "d2", 99), (2, "d2", 20), (3, "d3", 30)}
+
+    p = fresh("err")
+    with pytest.raises(ValueError, match="OUTSIDE"):
+        tx.merge_tx_table(spark, p, moved, ["k"], on_partition_move="error")
+    assert tx.latest_version(p) == 0
+
+    p = fresh("ign")
+    tx.merge_tx_table(spark, p, moved, ["k"], on_partition_move="ignore")
+    ks = [r["k"] for r in tx.read_table(spark, p).collect()]
+    assert sorted(ks) == [1, 1, 2, 3]  # the documented strand
+
+    with pytest.raises(ValueError, match="on_partition_move"):
+        tx.merge_tx_table(spark, fresh("bad"), moved, ["k"],
+                          on_partition_move="nope")
