@@ -10274,6 +10274,100 @@ def q_tx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tx_cdc_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF COMMIT-TIME change-data arc fixture (idempotent, r10):
+    v0 create (k%5>=2, status-partitioned) -> v1 enable_change_data ->
+    v2 append (k%5=1) -> v3 merge (updates k%10=1 cents doubled,
+    inserts k%5=0 into 'N', deletes k%10=6) -> v4 MOR UPDATE
+    (k%10=2, cents+7). The merge and update commits persist their
+    typed rows as _change_data files (the Delta
+    enableChangeDataFeed pattern), so the feed below reads as a pure
+    scan — NO pks passed anywhere."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_cdc"
+    if tx.latest_version(path) >= 4:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 2), path, partition_cols=["status"]
+        )
+    if tx.latest_version(path) < 1:
+        tx.enable_change_data(path)
+    if tx.latest_version(path) < 2:
+        tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+    if tx.latest_version(path) < 3:
+        src = (
+            rows.where(F.col("k") % 10 == 1)
+            .withColumn("cents", F.col("cents") * 2)
+            .unionByName(
+                rows.where(F.col("k") % 5 == 0).withColumn(
+                    "status", F.lit("N")
+                )
+            )
+            .withColumn("__del", F.lit(False))
+            .unionByName(
+                rows.where(F.col("k") % 10 == 6).withColumn(
+                    "__del", F.lit(True)
+                )
+            )
+        )
+        tx.merge_tx_table(spark, path, src, ["k"], delete_col="__del")
+    if tx.latest_version(path) < 4:
+        tx.update_table(
+            spark, path, "k % 10 = 2", {"cents": "cents + 7"}, mode="mor"
+        )
+    return path
+
+
+@register(
+    "q_tx_cdc",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
+    FROM rows0 WHERE k % 5 >= 2
+    UNION ALL
+    SELECT k, status, cents, 'insert', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 5 = 1
+    UNION ALL
+    SELECT k, status, cents * 2, 'update_postimage', CAST(3 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 1
+    UNION ALL
+    SELECT k, 'N', cents, 'insert', CAST(3 AS BIGINT)
+    FROM rows0 WHERE k % 5 = 0
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(3 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 6
+    UNION ALL
+    SELECT k, status, cents + 7, 'update_postimage', CAST(4 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 2
+    """,
+)
+def q_tx_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMIT-TIME change data (X110, r10 — the Delta
+    ``enableChangeDataFeed`` / ``_change_data`` analog): the same
+    create -> append -> merge -> row-level UPDATE arc as `q_tx_cdf`,
+    but every rewriting commit PERSISTED its typed change rows at
+    commit time, so this feed is read with NO primary keys at all —
+    `table_changes_cdf(path)` — as a pure scan of the recorded
+    change files (appends derive their inserts from the added files,
+    as before). A green row proves the writer-side classification
+    (merge join, update pre/post pairing) matches the declaratively
+    stated net change of every commit, row for row — the done
+    criterion for replacing the read-time pk-join with commit-time
+    recording. At 100 TB the feed's stream pole ships one task per
+    change file (see test_txcdc), closing the r9 single-task
+    verdict."""
+    from bi_utils_spark.operators.txtable import table_changes_cdf
+
+    path = _tx_cdc_demo_table(spark, sf_dir)
+    return table_changes_cdf(spark, path, after_version=-1).select(
+        "k", "status", "cents", "_change_type", "_commit_version"
+    )
+
+
 def _tx_dv_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Per-SF deletion-vector arc fixture (idempotent): v0 create
     (ALL order rows, status-partitioned) -> v1 MOR delete (k%7=0 —
@@ -10907,57 +11001,54 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Registration-order priority (round 9 window).
+# Registration-order priority (round 10 window).
 #
 # The driver's correctness run evaluates the first 50 queries in dict
 # order. Standing rule (VERDICT r2 #2): every query whose
 # implementation changed since its last official CORRECTNESS row is
 # promoted into the window; remaining slots re-attest the queries
-# whose official green row is OLDEST. (r8's ledger comment miscounted
-# its tier-3b fill as "11 queries" — it was 5, as the list showed;
-# corrected per r8 ADVICE.) The r9 window:
+# whose official green row is OLDEST. The r10 window:
 #
-# (1) NEW in r9: q_tx_cdf — the row-level change data feed over
-#     rewriting commits (insert/update_postimage/delete typed rows) —
-#     q_tx_zorder — partition-scoped OPTIMIZE ZORDER result
-#     invariance through read_table(skip=...) — and the deletion-
-#     vector pair q_tx_delete (MOR + COW row-level DELETE with time
-#     travel through DV pointers), q_tx_dv_cdf (exactly-once
-#     delete emission in the change feed), q_tx_clone (zero-copy
-#     shallow clone with borrowed DVs + divergence), q_tx_update
-#     (MOR + COW row-level UPDATE), and q_tx_rename (metadata-only
-#     column rename via mapping); plus the second r9 wave —
-#     q_tx_stats (metadata-only COUNT/MIN/MAX with the DV exactness
-#     gate), q_tx_generated (generated columns with derived partition
-#     pruning), q_tx_identity (GENERATED ALWAYS surrogate keys with
-#     high-water-mark allocation), q_tx_evolve (metadata-only ADD
-#     COLUMN + type widening read under the final schema), and
-#     q_tx_respec (partition evolution: metadata respec, mixed-spec
-#     fail-open reads, MOR update across spec eras), and q_fim (the
-#     PSM fill-in-the-middle rewrite, oracle generated from the same
-#     module as the implementation); first attestations.
-# (2) r9-changed implementations: the seven tx rows — txtable.py's
-#     write/maintenance paths changed shape this round (grouped
-#     compaction topology with per-partition target_files + identity-
-#     seed placement, partition-disjoint rewrite rebase in
-#     _rewrite_commit, manifest byte records, typed partition-filter
-#     coercion, atomic bloom sidecars, DV-aware readers, protocol
-#     gating, generated/identity enforcement in every write verb),
-#     and every tx arc's fixture is rebuilt through those paths.
-# (3) re-attestation, oldest official row first: the remainder of the
-#     r4 tier (27 queries, registry order — official rows from
-#     CORRECTNESS_r04) and the head of the r5 tier (3 queries).
-#     13 + 7 + 27 + 3 = 50. All are green in the local strict sweep
-#     with implementations unchanged since their official rows.
-# Demoted: the r3 tier and the r6-r8 tiers (attested freshly in r8).
+# (1) NEW in r10: q_tx_cdc — COMMIT-TIME change data (the Delta
+#     enableChangeDataFeed/_change_data analog): rewriting DML
+#     commits persist their typed change rows, so the feed reads
+#     pk-less as a pure scan and the stream ships one task per
+#     change file (the r9 verdict's single-task defect, closed).
+# (2) r10-changed implementation — every tx row: txtable.py's shared
+#     spine changed this round (fold/checkpoint carry cdc_enabled;
+#     _footer_stats survives per-column pyarrow statistic errors;
+#     _cdf_commit_rows refactored onto _typed_change_rows with
+#     optional pks; merge/delete/update gained change-data emission;
+#     _rewrite_commit gained the add-constraint conflict rule and
+#     allocation-aware identity conflicts; append_table re-validates
+#     constraints on rebase; version_at_timestamp parses calendar
+#     forms first; clone carries constraints + cdc; table_stats
+#     compares decimals numerically; vacuum sweeps _change_data).
+#     Every tx arc's fixture rebuilds through those paths. 19 rows.
+# (3) re-attestation, oldest official row first: the r5-era tier from
+#     q_token_counts (exactly where r9's ledger left off), registry
+#     order, 30 rows. 1 + 19 + 30 = 50. All are green in the local
+#     strict sweep with implementations unchanged since their
+#     official rows.
+# Demoted: the r4 tier and r5 head (attested freshly in r9); the
+# r6-r8 tiers (attested in r8).
 # ===========================================================================
 
 _PROMOTED: list[str] = [
-    # ---- tier 1: new in r9 ----
+    # ---- tier 1: new in r10 ----
+    "q_tx_cdc",
+    # ---- tier 2: r10-changed implementation (txtable.py spine) ----
     "q_tx_cdf",
+    "q_tx_dv_cdf",
+    "q_tx_merge_table",
+    "q_tx_timetravel",
+    "q_tx_changes",
+    "q_tx_skip",
+    "q_tx_point",
+    "q_tx_compact",
+    "q_tx_restore",
     "q_tx_zorder",
     "q_tx_delete",
-    "q_tx_dv_cdf",
     "q_tx_clone",
     "q_tx_update",
     "q_tx_rename",
@@ -10966,48 +11057,39 @@ _PROMOTED: list[str] = [
     "q_tx_identity",
     "q_tx_evolve",
     "q_tx_respec",
-    "q_fim",
-    # ---- tier 2: r9-changed implementation (txtable.py) ----
-    "q_tx_merge_table",
-    "q_tx_timetravel",
-    "q_tx_changes",
-    "q_tx_skip",
-    "q_tx_point",
-    "q_tx_compact",
-    "q_tx_restore",
-    # ---- tier 3a: r4-era official rows (oldest), registry order ----
-    "q_alert_top1",
-    "q_alert_should_send",
-    "q_daily_count",
-    "q_group_having",
-    "q_union_pages",
-    "q_topk_orders",
-    "q_project_existing",
-    "q_in_list",
-    "q_flatten_lineitems",
-    "q_flatten_depth2",
-    "q_json_normalize_props",
-    "q_merge_upsert",
-    "q_alert_decide_batch",
-    "q_text_stats",
-    "q_clean_text",
-    "q_llm_pipeline",
-    "q_emb_label_stats",
-    "q_shipping_priority",
-    "q_revenue_by_nation",
-    "q_top_suppliers",
-    "q_sql_script",
-    "q_approx_stats",
-    "q_asof_click_before_purchase",
-    "q_range_clicks_before_error",
-    "q_hll_daily_users",
-    "q_repetition_stats",
-    "q_pack_sequences",
-    # ---- tier 3b: r5-era head (next-oldest), registry order ----
-    "q_schema_maxlen",
-    "q_schema_drift",
-    "q_dedup_exact",
-    # (q_token_counts onward: next in line for r10)
+    # ---- tier 3: r5-era official rows (oldest), registry order,
+    # resuming at q_token_counts per the r9 ledger note ----
+    "q_token_counts",
+    "q_lang_id",
+    "q_quality_score",
+    "q_doc_stats_by_lang",
+    "q_jaccard_pairs",
+    "q_pii_audit",
+    "q_hash_split",
+    "q_det_sample",
+    "q_dedup_clusters",
+    "q_dedup_canonical",
+    "q_topk_cosine_exact",
+    "q_cosine_pairs",
+    "q_minhash_near_dup",
+    "q_simhash_near_dup",
+    "q_ann_topk",
+    "q_kmeans_clusters",
+    "q_cluster_balanced_sample",
+    "q_embedding_outliers",
+    "q_centroids_by_label",
+    "q_pricing_summary",
+    "q_sessionize",
+    "q_session_windows",
+    "q_rollup_flags",
+    "q_pivot_events",
+    "q_media_stats",
+    "q_media_features",
+    "q_media_decode",
+    "q_jpeg_roundtrip",
+    "q_resize_roundtrip",
+    "q_audio_features",
+    # (q_phash_near_dup onward: next in line for r11)
 ]
 
 

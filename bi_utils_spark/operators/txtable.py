@@ -71,8 +71,17 @@ from pyspark.sql.types import StructType
 
 LOG_DIR = "_txlog"
 DATA_DIR = "data"
+# commit-time CHANGE DATA files (the public Delta `_change_data`
+# pattern): rewriting commits of a cdc-enabled table persist their
+# typed change rows at commit time, so the change feed is a pure SCAN
+# for those commits — no pk requirement, no read-time join
+CDC_DIR = "_change_data"
 CHECKPOINT_EVERY = 10
 _V_WIDTH = 20
+
+# change-feed column names (Delta readChangeFeed parity)
+CDF_TYPE_COL = "_change_type"
+CDF_VERSION_COL = "_commit_version"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -101,7 +110,7 @@ SUPPORTED_READER_FEATURES = frozenset(
 )
 SUPPORTED_WRITER_FEATURES = frozenset(
     {"deletionVectors", "columnMapping", "generatedColumns",
-     "identityColumns", "checkConstraints"}
+     "identityColumns", "checkConstraints", "changeDataFeed"}
 )
 
 
@@ -167,6 +176,9 @@ class Snapshot:
     identity_hwm: dict = field(default_factory=dict)
     # {name: sql expr} — persisted CHECK constraints (writer-enforced)
     constraints: dict = field(default_factory=dict)
+    # change-data-feed property: rewriting writers persist their typed
+    # change rows as _change_data files at commit time
+    cdc_enabled: bool = False
 
     def spark_schema(self) -> StructType:
         return StructType.fromJson(json.loads(self.schema))
@@ -198,6 +210,7 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
             identity=raw.get("identity", {}),
             identity_hwm=raw.get("identity_hwm", {}),
             constraints=raw.get("constraints", {}),
+            cdc_enabled=raw.get("cdc_enabled", False),
         )
         start = base + 1
     else:
@@ -247,6 +260,8 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
             snap.identity = entry["identity"]
         if entry.get("constraints") is not None:
             snap.constraints = entry["constraints"]
+        if entry.get("cdc_enabled") is not None:
+            snap.cdc_enabled = bool(entry["cdc_enabled"])
         for c, hv in (entry.get("identity_hwm") or {}).items():
             # max, not replace: a rebased append's stamp may carry a
             # mark the interleaved commit already exceeded
@@ -319,6 +334,7 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
         "identity": snap.identity,
         "identity_hwm": snap.identity_hwm,
         "constraints": snap.constraints,
+        "cdc_enabled": snap.cdc_enabled,
     }
     tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -390,14 +406,21 @@ def _footer_stats(full_path: str) -> tuple[dict, int, dict]:
             name = c.path_in_schema
             if "." in name:  # nested leaf — skip
                 continue
-            st = c.statistics
-            if st is None:
+            try:
+                st = c.statistics
+                if st is None:
+                    continue
+                if st.null_count is not None:
+                    nul[name] = int(st.null_count)
+                if not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+            except Exception:  # noqa: BLE001
+                # pyarrow refuses some physical types ("Cannot extract
+                # statistics for type", e.g. Spark-written decimals) —
+                # degrade to no stats for THIS column, never for the
+                # whole file (row counts and sibling columns stay)
                 continue
-            if st.null_count is not None:
-                nul[name] = int(st.null_count)
-            if not st.has_min_max:
-                continue
-            lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()
@@ -1003,6 +1026,7 @@ def append_table(
     if snap.generated:
         df = _apply_generated(df, snap.generated)
     _enforce_constraints(df, snap.constraints)
+    validated_constraints = snap.constraints
     df_pre_identity = df
     my_hwm: dict = {}
     if snap.identity:
@@ -1087,6 +1111,14 @@ def append_table(
             added = _stage(
                 df, path, snap.partition_cols, table_schema=staged_schema
             )
+        if snap.constraints != validated_constraints:
+            # an interleaved ALTER ADD CONSTRAINT landed between our
+            # validation and the claim — every writer gates its delta,
+            # even when it loses the race, so re-validate against the
+            # NEW constraint set before rebasing (a violation raises
+            # here, leaving only unreferenced staged files for vacuum)
+            _enforce_constraints(df, snap.constraints)
+            validated_constraints = snap.constraints
         version = snap.version + 1
 
 
@@ -1199,6 +1231,20 @@ def _rewrite_commit(
                     f"{action} at {path}: interleaved schema change "
                     f"at v{v} conflicts with this rewrite's schema "
                     "change"
+                )
+            if (
+                entry.get("constraints")  # non-empty new set
+                and "dropped_constraint" not in entry
+            ):
+                # an interleaved ADD CONSTRAINT means our staged rows
+                # were never validated against it — rebasing would
+                # silently break the 'every writer gates its delta'
+                # guarantee. (A pure DROP only loosens the set and
+                # composes.) The caller re-runs and re-validates.
+                raise ConcurrentWriteError(
+                    f"{action} at {path}: interleaved commit v{v} "
+                    "added a CHECK constraint this rewrite's rows "
+                    "were not validated against — re-run"
                 )
             e_touched = set(entry.get("removed", [])) | {
                 d["file"] for d in entry.get("dv", [])
@@ -2083,10 +2129,22 @@ def version_at_timestamp(path: str, ts) -> int:
     import datetime
 
     if isinstance(ts, str):
-        try:  # stream options arrive stringly — unix seconds first
-            ts = float(ts)
-        except ValueError:
-            ts = datetime.datetime.fromisoformat(ts)
+        # stream options arrive stringly. Calendar forms win over the
+        # numeric unix-seconds reading: a bare year like '2024' (or
+        # '2024-06', or any ISO date/datetime) resolves as a date —
+        # never as epoch seconds (~1970). Only a string that is not a
+        # calendar form at all takes the numeric path.
+        s = ts.strip()
+        m = re.match(r"^(\d{4})(?:-(\d{1,2}))?$", s)
+        if m:
+            ts = datetime.datetime(
+                int(m.group(1)), int(m.group(2) or 1), 1
+            )
+        else:
+            try:
+                ts = datetime.datetime.fromisoformat(s)
+            except ValueError:
+                ts = float(s)
     if isinstance(ts, datetime.datetime):
         ts = ts.timestamp()
     ts = float(ts)
@@ -2236,6 +2294,162 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # merge (partition-scoped copy-on-write)
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# commit-time change data: typed change rows persisted BY THE WRITER
+# ---------------------------------------------------------------------------
+
+
+def enable_change_data(path: str) -> int:
+    """Turn on commit-time CHANGE DATA for the table (the public
+    Delta ``delta.enableChangeDataFeed`` analog): from this commit
+    on, every rewriting DML commit (merge / delete / update) also
+    persists its typed change rows — ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage`` — as parquet files
+    under ``_change_data/``, referenced by the commit entry.
+
+    What this buys at 100 TB:
+
+    - **The change feed becomes a pure SCAN for those commits.**
+      `table_changes_cdf` and the stream's ``changeFeed`` mode read
+      the persisted rows file-per-task — no read-time pre/post join,
+      no single-task funnel, cost proportional to the CHANGES.
+    - **No primary-key requirement.** The join-derived feed needs
+      caller-asserted-unique pks; commit-time rows are recorded by
+      the DML that computed them, so a table without a unique key
+      streams its feed too (pass no pks).
+
+    The price is Delta's: each DML pays one extra write of its change
+    rows (appends pay nothing — the feed derives inserts from the
+    added files directly). Stamps the ``changeDataFeed`` WRITER
+    feature so an enforcement-oblivious build refuses to write rather
+    than silently starve the feed. Disable with
+    ``drop_table_feature(spark, path, "changeDataFeed")``.
+    Idempotent; composes with concurrent appends."""
+    snap = _fold(path)
+    _require_writer(snap, path)
+    if snap.cdc_enabled:
+        return snap.version
+    up = _protocol_upgrade(snap, writer=["changeDataFeed"])
+    return _rewrite_commit(
+        path,
+        snap.version,
+        "set_cdc",
+        [],
+        [],
+        conflict="files",
+        extra={"cdc_enabled": True, **({"protocol": up} if up else {})},
+    )
+
+
+def _stage_change_data(
+    spark: SparkSession,
+    path: str,
+    change_df: DataFrame,
+    table_schema: StructType,
+) -> list[dict]:
+    """Write typed change rows (table columns + ``_change_type``)
+    under a fresh ``_change_data/<uuid>/`` dir and return the
+    commit-entry records ``[{path, rows, bytes}]``. Columns land
+    under their PHYSICAL names (column-mapping discipline, same as
+    `_stage`), so the files survive renames; partition columns land
+    as plain data columns (change files are not partitioned — each
+    parquet file is one independent stream/scan task).
+    ``_commit_version`` is stamped at READ time: a lost claim race
+    rebases to a different slot, so the version cannot be baked into
+    the bytes. Files are invisible until a commit references them —
+    a failed job leaves only strays for vacuum."""
+    pmap = _phys_map(table_schema)
+    cols = [
+        F.col(f.name).alias(pmap.get(f.name, f.name))
+        for f in table_schema.fields
+    ]
+    cols.append(F.col(CDF_TYPE_COL))
+    rel_dir = os.path.join(CDC_DIR, uuid.uuid4().hex)
+    out = os.path.join(path, rel_dir)
+    change_df.select(*cols).write.mode("overwrite").parquet(out)
+    recs = []
+    for root, _dirs, names in os.walk(out):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            try:
+                _stats, nrows, _nulls = _footer_stats(full)
+            except Exception:  # noqa: BLE001 — keep the file, rows unknown
+                nrows = None
+            if nrows == 0:
+                # empty part files would become empty read tasks
+                os.unlink(full)
+                continue
+            recs.append(
+                {
+                    "path": os.path.relpath(full, path),
+                    "rows": nrows,
+                    "bytes": os.stat(full).st_size,
+                }
+            )
+    return recs
+
+
+def _typed_change_rows(
+    pre: DataFrame,
+    post: DataFrame,
+    pks: Sequence[str],
+    schema: StructType,
+) -> DataFrame:
+    """ONE full-outer pk-join of a rewrite's pre-image vs post-image
+    into typed change rows: pk only in post → ``insert``, only in
+    pre → ``delete``, in both with different payloads → an
+    ``update_preimage`` + ``update_postimage`` pair, identical
+    payloads (rows merely MOVED by the rewrite) → nothing. The
+    structs carry the whole payload through the join, so change rows
+    project straight out of it. Returns schema columns +
+    ``_change_type``."""
+    data_cols = [f.name for f in schema.fields if f.name not in pks]
+    if data_cols:
+        pre_p = pre.select(
+            *pks, F.struct(*[F.col(c) for c in data_cols]).alias("__pre")
+        )
+        post_p = post.select(
+            *pks, F.struct(*[F.col(c) for c in data_cols]).alias("__post")
+        )
+    else:
+        pre_p = pre.select(*pks, F.lit(1).alias("__pre"))
+        post_p = post.select(*pks, F.lit(1).alias("__post"))
+    j = post_p.join(pre_p, list(pks), "full_outer")
+
+    def _ent(p: str, t: str):
+        return F.struct(F.col(p).alias("p"), F.lit(t).alias("t"))
+
+    # a 1- or 2-entry array per key; unchanged keys explode away on
+    # the NULL array
+    entries = (
+        F.when(F.col("__pre").isNull(), F.array(_ent("__post", "insert")))
+        .when(F.col("__post").isNull(), F.array(_ent("__pre", "delete")))
+        .when(
+            ~F.col("__pre").eqNullSafe(F.col("__post")),
+            F.array(
+                _ent("__pre", "update_preimage"),
+                _ent("__post", "update_postimage"),
+            ),
+        )
+    )
+    keyed = j.select(*pks, F.explode(entries).alias("__e")).select(
+        *pks,
+        F.col("__e.p").alias("__p"),
+        F.col("__e.t").alias(CDF_TYPE_COL),
+    )
+    cols = [F.col(f.name) for f in schema.fields]
+    if data_cols:
+        cols = [
+            F.col(f.name)
+            if f.name in pks
+            else F.col("__p").getField(f.name).alias(f.name)
+            for f in schema.fields
+        ]
+    return keyed.select(*cols, F.col(CDF_TYPE_COL))
 
 
 def merge_tx_table(
@@ -2553,6 +2767,11 @@ def merge_tx_table(
             target = spark.createDataFrame([], schema)
         merged, hwm = _allocate(_apply(target))
         added = _stage(merged, path, pcols, table_schema=schema)
+        extra: dict = {"identity_hwm": hwm} if hwm else {}
+        if snap.cdc_enabled:
+            extra["cdc"] = _merge_change_data(
+                spark, path, target, added, pks, schema
+            )
         return _rewrite_commit(
             path,
             snap.version,
@@ -2564,8 +2783,11 @@ def merge_tx_table(
             conflict="partitions",
             touched_partitions=touched_set,
             pcols=list(pcols),
-            identity_cols=set(snap.identity),
-            extra={"identity_hwm": hwm} if hwm else None,
+            # only an ALLOCATING rewrite can collide with an
+            # interleaved allocation — a merge with zero inserts
+            # stages only existing ids at or below the old mark
+            identity_cols=set(snap.identity) if hwm else None,
+            extra=extra or None,
         )
     if snap.files:
         target = _read_files_live(spark, path, snap.files, schema)
@@ -2573,6 +2795,11 @@ def merge_tx_table(
         target = spark.createDataFrame([], schema)
     merged, hwm = _allocate(_apply(target))
     added = _stage(merged, path, [], table_schema=schema)
+    extra = {"identity_hwm": hwm} if hwm else {}
+    if snap.cdc_enabled:
+        extra["cdc"] = _merge_change_data(
+            spark, path, target, added, pks, schema
+        )
     return _rewrite_commit(
         path,
         snap.version,
@@ -2581,8 +2808,43 @@ def merge_tx_table(
         sorted(snap.files),
         schema=widened,
         app=app,
-        identity_cols=set(snap.identity),
-        extra={"identity_hwm": hwm} if hwm else None,
+        identity_cols=set(snap.identity) if hwm else None,
+        extra=extra or None,
+    )
+
+
+def _merge_change_data(
+    spark: SparkSession,
+    path: str,
+    target: DataFrame,
+    added: list[dict],
+    pks: Sequence[str],
+    schema: StructType,
+) -> list[dict]:
+    """A merge commit's change rows, persisted at commit time: the
+    pre-image is the rewrite's target (the removed files' live rows,
+    already a pure file scan), the post-image is read BACK from the
+    just-staged files (another pure scan — never a re-run of the
+    merge join), and `_typed_change_rows` classifies. Bystander rows
+    the rewrite merely restaged are identical pre/post and emit
+    nothing."""
+    staged = {
+        rec["path"]: {
+            "commit_dir": rec["commit_dir"],
+            "partition_values": rec.get("partition_values", {}),
+        }
+        for rec in added
+    }
+    post = (
+        _read_files(spark, path, staged, schema)
+        if staged
+        else spark.createDataFrame([], schema)
+    )
+    return _stage_change_data(
+        spark,
+        path,
+        _typed_change_rows(target, post, pks, schema),
+        schema,
     )
 
 
@@ -2711,6 +2973,16 @@ def delete_from_table(
         added = _stage(
             kept, path, snap.partition_cols, table_schema=schema
         )
+        extra: dict = {"predicate": pred_repr}
+        if snap.cdc_enabled:
+            # the deleted rows ARE the change rows — no join needed
+            gone = (
+                _read_files_live(spark, path, hit, schema)
+                .where(F.coalesce(cond, F.lit(False)))
+                .select(*[F.col(f.name) for f in schema.fields])
+                .withColumn(CDF_TYPE_COL, F.lit("delete"))
+            )
+            extra["cdc"] = _stage_change_data(spark, path, gone, schema)
         version = _rewrite_commit(
             path,
             snap.version,
@@ -2718,7 +2990,7 @@ def delete_from_table(
             added,
             sorted(hit),
             conflict="files",
-            extra={"predicate": pred_repr},
+            extra=extra,
         )
         return {
             "version": version,
@@ -2768,6 +3040,15 @@ def delete_from_table(
             )
         dv_records.append(_dv_write(path, rel, new_pos))
     up = _protocol_upgrade(snap, reader=["deletionVectors"])
+    extra = {"predicate": pred_repr, **({"protocol": up} if up else {})}
+    if snap.cdc_enabled:
+        # the newly-masked rows ARE the change rows (the same LIVE
+        # predicate scan that produced the mask — existing DVs
+        # applied, so a re-run emits nothing)
+        gone = live.where(F.coalesce(cond, F.lit(False))).select(
+            *[F.col(f.name) for f in schema.fields]
+        ).withColumn(CDF_TYPE_COL, F.lit("delete"))
+        extra["cdc"] = _stage_change_data(spark, path, gone, schema)
     version = _rewrite_commit(
         path,
         snap.version,
@@ -2776,7 +3057,7 @@ def delete_from_table(
         [],
         conflict="files",
         dv=dv_records,
-        extra={"predicate": pred_repr, **({"protocol": up} if up else {})},
+        extra=extra,
     )
     return {
         "version": version,
@@ -2929,6 +3210,23 @@ def update_table(
             snap.partition_cols,
             table_schema=schema,
         )
+        extra: dict = {"predicate": pred_repr, "set": sorted(set)}
+        if snap.cdc_enabled:
+            # the UPDATE knows its pre/post pairs by construction —
+            # no join, and no pk requirement
+            extra["cdc"] = _stage_change_data(
+                spark,
+                path,
+                src.where(matched_pred)
+                .select(*names)
+                .withColumn(CDF_TYPE_COL, F.lit("update_preimage"))
+                .unionByName(
+                    post.select(*names).withColumn(
+                        CDF_TYPE_COL, F.lit("update_postimage")
+                    )
+                ),
+                schema,
+            )
         version = _rewrite_commit(
             path,
             snap.version,
@@ -2936,7 +3234,7 @@ def update_table(
             added,
             sorted(hit),
             conflict="files",
-            extra={"predicate": pred_repr, "set": sorted(set)},
+            extra=extra,
         )
         return {
             "version": version,
@@ -2999,6 +3297,24 @@ def update_table(
             )
         dv_records.append(_dv_write(path, rel, new_pos))
     up = _protocol_upgrade(snap, reader=["deletionVectors"])
+    extra = {
+        "predicate": pred_repr,
+        "set": sorted(set),
+        **({"protocol": up} if up else {}),
+    }
+    if snap.cdc_enabled:
+        extra["cdc"] = _stage_change_data(
+            spark,
+            path,
+            matched.select(*names)
+            .withColumn(CDF_TYPE_COL, F.lit("update_preimage"))
+            .unionByName(
+                post.select(*names).withColumn(
+                    CDF_TYPE_COL, F.lit("update_postimage")
+                )
+            ),
+            schema,
+        )
     version = _rewrite_commit(
         path,
         snap.version,
@@ -3007,11 +3323,7 @@ def update_table(
         [],
         conflict="files",
         dv=dv_records,
-        extra={
-            "predicate": pred_repr,
-            "set": sorted(set),
-            **({"protocol": up} if up else {}),
-        },
+        extra=extra,
     )
     return {
         "version": version,
@@ -4147,6 +4459,10 @@ def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
       identity) the high-water mark is retired with the feature.
     - ``checkConstraints``: REMOVES all persisted constraints in the
       same commit (use :func:`drop_check_constraint` to retire one).
+    - ``changeDataFeed``: writers stop persisting commit-time change
+      rows; the feed falls back to the pk-join derivation for later
+      commits, and existing ``_change_data`` files stay readable for
+      their versions until vacuum.
     """
     snap = _fold(path)
     _require_writer(snap, path)
@@ -4189,6 +4505,11 @@ def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
         extra["identity_hwm_retired"] = snap.identity_hwm
     elif feature == "checkConstraints":
         extra["constraints"] = {}
+    elif feature == "changeDataFeed":
+        # writers stop persisting change rows; already-written
+        # _change_data files stay readable for their versions until
+        # vacuum reclaims them
+        extra["cdc_enabled"] = False
     else:
         raise ValueError(
             f"drop_table_feature: unknown feature {feature!r}"
@@ -4248,25 +4569,39 @@ def clone_table(
             partition_cols=snap.partition_cols,
             generated=snap.generated or None,
         )
-        if snap.identity:
-            # existing ids copy over as data; re-arm the definition
-            # and mark with a metadata commit so future appends keep
-            # allocating above the source's high-water mark
+        if snap.identity or snap.constraints or snap.cdc_enabled:
+            # existing ids copy over as data; re-arm the identity
+            # definition + high-water mark, the persisted CHECK
+            # constraints, and the change-data property with a
+            # metadata commit, so the clone keeps allocating above
+            # the source's mark and keeps ENFORCING/RECORDING what
+            # the source did (Delta CLONE carries table properties;
+            # a clone that silently stops gating writes or starves
+            # its change feed would diverge)
             fresh = _fold(dst)
-            up = _protocol_upgrade(fresh, writer=["identityColumns"])
-            ok = _claim(
-                dst,
-                fresh.version + 1,
-                {
-                    "version": fresh.version + 1,
-                    "action": "set_identity",
-                    "added": [],
-                    "removed": [],
-                    "identity": snap.identity,
-                    "identity_hwm": snap.identity_hwm,
-                    **({"protocol": up} if up else {}),
-                },
-            )
+            want_w = []
+            if snap.identity:
+                want_w.append("identityColumns")
+            if snap.constraints:
+                want_w.append("checkConstraints")
+            if snap.cdc_enabled:
+                want_w.append("changeDataFeed")
+            up = _protocol_upgrade(fresh, writer=want_w)
+            payload = {
+                "version": fresh.version + 1,
+                "action": "set_identity",
+                "added": [],
+                "removed": [],
+                **({"protocol": up} if up else {}),
+            }
+            if snap.identity:
+                payload["identity"] = snap.identity
+                payload["identity_hwm"] = snap.identity_hwm
+            if snap.constraints:
+                payload["constraints"] = snap.constraints
+            if snap.cdc_enabled:
+                payload["cdc_enabled"] = True
+            ok = _claim(dst, fresh.version + 1, payload)
             if not ok:
                 raise ConcurrentWriteError(
                     f"concurrent write during deep clone at {dst}"
@@ -4316,6 +4651,16 @@ def clone_table(
         payload["identity"] = snap.identity
         if snap.identity_hwm:
             payload["identity_hwm"] = snap.identity_hwm
+    if snap.constraints:
+        # the clone keeps enforcing the source's CHECK constraints —
+        # the protocol copy above already carries the
+        # checkConstraints writer feature stamp
+        payload["constraints"] = snap.constraints
+    if snap.cdc_enabled:
+        # the clone keeps recording commit-time change rows (its own,
+        # under its own _change_data dir; the borrowed history's
+        # change files belong to the source)
+        payload["cdc_enabled"] = True
     if not _claim(dst, 0, payload):
         raise ConcurrentWriteError(f"concurrent create at {dst}")
     return 0
@@ -4648,7 +4993,22 @@ def table_stats(
                 continue
             los = [meta["stats"][phys][0] for meta in want.values()]
             his = [meta["stats"][phys][1] for meta in want.values()]
-            out_cols[col] = {"min": min(los), "max": max(his)}
+            if isinstance(f.dataType, T.DecimalType):
+                # footers store decimal extremes as exact strings
+                # (JSON-native); compare NUMERICALLY — a lexicographic
+                # min('9.5','10.2') would return '10.2'. Decimal
+                # arithmetic is exact, so the claim holds.
+                import decimal
+
+                try:
+                    lo_d = min(decimal.Decimal(str(v)) for v in los)
+                    hi_d = max(decimal.Decimal(str(v)) for v in his)
+                except decimal.InvalidOperation:
+                    out_cols[col] = None
+                    continue
+                out_cols[col] = {"min": str(lo_d), "max": str(hi_d)}
+            else:
+                out_cols[col] = {"min": min(los), "max": max(his)}
     return {
         "version": snap.version,
         "num_files": len(want),
@@ -4741,6 +5101,7 @@ def vacuum_table(
     # for the stray/referenced split below
     referenced: set[str] = set()
     ts_by_v: dict[int, float] = {}
+    cdc_by_v: dict[int, list[str]] = {}
     for v in commits:
         with open(_commit_file(path, v)) as fh:
             entry = json.load(fh)
@@ -4753,6 +5114,8 @@ def vacuum_table(
             for a in entry.get("added", [])
             if a.get("dv")
         )
+        cdc_by_v[v] = [r["path"] for r in entry.get("cdc", [])]
+        referenced.update(cdc_by_v[v])
         ts_by_v[v] = _commit_ts(path, v, entry)
     if retain_hours is not None:
         cutoff = time.time() - retain_hours * 3600.0
@@ -4772,6 +5135,16 @@ def vacuum_table(
         live.update(
             m["dv"]["path"] for m in fs.values() if m.get("dv")
         )
+    # change-data files belong to their COMMIT, not to any snapshot:
+    # they stay readable while the commit is inside the retention
+    # window (so the change feed can replay it) and reclaim below it —
+    # the Delta rule that CDF range reads are bounded by vacuum
+    # retention. In-flight writers' change files are strays and ride
+    # the same age guard as staged data.
+    min_ret = min(retained)
+    for v, ps in cdc_by_v.items():
+        if v >= min_ret:
+            live.update(ps)
     now = time.time()
     deleted = []
     # deletion-vector sidecars obey the same contract as data files:
@@ -4781,6 +5154,7 @@ def vacuum_table(
     sweeps = [
         (os.path.join(path, DATA_DIR), ".parquet"),
         (os.path.join(path, DELETES_DIR), ".json"),
+        (os.path.join(path, CDC_DIR), ".parquet"),
     ]
     for sweep_root, suffix in sweeps:
         for root, _dirs, names in os.walk(sweep_root):
@@ -5162,10 +5536,6 @@ def table_changes(
     return _read_files(spark, path, added, schema)
 
 
-CDF_TYPE_COL = "_change_type"
-CDF_VERSION_COL = "_commit_version"
-
-
 def _cdf_validate_range(
     path: str, after_version: int, up_to: int | None
 ) -> tuple[int, list[int]]:
@@ -5274,6 +5644,47 @@ def _dv_fresh_mask_rows(
     )
 
 
+def _cdf_change_file_rows(
+    spark: SparkSession,
+    path: str,
+    entry: dict,
+    v: int,
+    schema: StructType,
+    include_preimage: bool,
+) -> DataFrame | None:
+    """Typed change rows of a commit that PERSISTED them at commit
+    time (``enable_change_data``): a pure scan of the commit's
+    ``_change_data`` files — no join, no pk requirement, one read
+    task per file. Files spell columns by physical name (column
+    mapping); the version stamp is applied here because a rebased
+    commit's slot is not known when the bytes are written."""
+    recs = entry.get("cdc") or []
+    if not recs:
+        return None
+    from pyspark.sql.types import StringType, StructField
+
+    phys = _to_physical(schema)
+    read_schema = StructType(
+        list(phys.fields) + [StructField(CDF_TYPE_COL, StringType())]
+    )
+    df = spark.read.schema(read_schema).parquet(
+        *sorted(os.path.join(path, r["path"]) for r in recs)
+    )
+    pmap = _phys_map(schema)
+    if pmap:
+        df = df.select(
+            *[F.col(_phys_of(f)).alias(f.name) for f in schema.fields],
+            F.col(CDF_TYPE_COL),
+        )
+    if not include_preimage:
+        df = df.where(F.col(CDF_TYPE_COL) != F.lit("update_preimage"))
+    return df.select(
+        *[F.col(f.name) for f in schema.fields],
+        F.col(CDF_TYPE_COL),
+        F.lit(v).cast("long").alias(CDF_VERSION_COL),
+    )
+
+
 def _cdf_commit_rows(
     spark: SparkSession,
     path: str,
@@ -5281,20 +5692,27 @@ def _cdf_commit_rows(
     v: int,
     live: dict,
     schema: StructType,
-    pks: Sequence[str],
+    pks: Sequence[str] | None,
     include_preimage: bool = False,
 ) -> DataFrame | None:
     """Typed change rows of ONE commit, given ``live`` = the file map
-    BEFORE it. Appends short-circuit to inserts; a MOR DELETE's
-    freshly-masked rows (`_dv_fresh_mask_rows`) type directly as
-    deletes; a MOR UPDATE (dv + staged post-images in one commit)
-    feeds its masked rows as the PRE-image of the generic pk-join;
-    other rewriting commits join the pre-image (this commit's removed
-    files, their DVs at pre-commit state applied) against the
-    post-image (its genuinely-new files) on pk. Restore's re-added
-    still-live files are excluded from the post-image, so unchanged
-    rows emit nothing; a purge (DV materialization) emits nothing
-    because its masked pre-image equals its post-image."""
+    BEFORE it. A commit that persisted its change rows
+    (``enable_change_data``) short-circuits to a pure scan of them.
+    Appends short-circuit to inserts; a MOR DELETE's freshly-masked
+    rows (`_dv_fresh_mask_rows`) type directly as deletes; a MOR
+    UPDATE (dv + staged post-images in one commit) feeds its masked
+    rows as the PRE-image of the generic pk-join; other rewriting
+    commits join the pre-image (this commit's removed files, their
+    DVs at pre-commit state applied) against the post-image (its
+    genuinely-new files) on pk. Restore's re-added still-live files
+    are excluded from the post-image, so unchanged rows emit nothing;
+    a purge (DV materialization) emits nothing because its masked
+    pre-image equals its post-image. ``pks`` may be None — only the
+    generic pk-join leg needs them, and it raises with guidance."""
+    if "cdc" in entry:
+        return _cdf_change_file_rows(
+            spark, path, entry, v, schema, include_preimage
+        )
     added_new = {
         a["path"]: {
             "commit_dir": a["commit_dir"],
@@ -5305,7 +5723,6 @@ def _cdf_commit_rows(
         if a["path"] not in live
     }
     removed_live = {p: live[p] for p in entry.get("removed", []) if p in live}
-    data_cols = [f.name for f in schema.fields if f.name not in pks]
 
     def _typed(df: DataFrame, change: str) -> DataFrame:
         return df.select(
@@ -5328,6 +5745,15 @@ def _cdf_commit_rows(
         if masked is None:
             return None
         return _typed(masked, "delete")
+    if not added_new and not removed_live and not entry.get("dv"):
+        return None  # metadata-only commit: nothing changed row-level
+    if pks is None:
+        raise ValueError(
+            f"cdf: commit v{v} is a rewriting {entry['action']!r} "
+            "without commit-time change data — pass pks=... for the "
+            "pre/post join, or enable_change_data(path) so future "
+            "commits persist their typed rows"
+        )
     if entry.get("dv"):
         # MOR update: masked rows are the pre-image, staged files the
         # post-image — the generic join classifies update/insert
@@ -5349,84 +5775,25 @@ def _cdf_commit_rows(
             if added_new
             else spark.createDataFrame([], schema)
         )
-    # ONE full-outer join per commit: the structs carry the whole
-    # payload through the join, so change rows project straight out of
-    # it — no key-collection pass, no semi-joins back into the images
-    if data_cols:
-        pre_p = pre.select(
-            *pks, F.struct(*[F.col(c) for c in data_cols]).alias("__pre")
+    # ONE full-outer join per commit (`_typed_change_rows` — the same
+    # classification the writer persists under enable_change_data):
+    # the structs carry the whole payload through the join, so change
+    # rows project straight out of it — no key-collection pass, no
+    # semi-joins back into the images
+    typed = _typed_change_rows(pre, post, pks, schema)
+    if not include_preimage:
+        typed = typed.where(
+            F.col(CDF_TYPE_COL) != F.lit("update_preimage")
         )
-        post_p = post.select(
-            *pks, F.struct(*[F.col(c) for c in data_cols]).alias("__post")
-        )
-    else:
-        pre_p = pre.select(*pks, F.lit(1).alias("__pre"))
-        post_p = post.select(*pks, F.lit(1).alias("__post"))
-    j = post_p.join(pre_p, list(pks), "full_outer")
-    change = (
-        F.when(F.col("__pre").isNull(), F.lit("insert"))
-        .when(F.col("__post").isNull(), F.lit("delete"))
-        .when(
-            ~F.col("__pre").eqNullSafe(F.col("__post")),
-            F.lit("update_postimage"),
-        )
-        .otherwise(F.lit(None))  # unchanged (moved by the rewrite)
-    )
-    if include_preimage and data_cols:
-        # Delta-parity: updates emit BOTH images (update_preimage +
-        # update_postimage) — one explode over a 1- or 2-entry array,
-        # rows unchanged by the rewrite explode away on the NULL array
-        def _ent(p: str, t: str):
-            return F.struct(
-                F.col(p).alias("p"), F.lit(t).alias("t")
-            )
-
-        entries = (
-            F.when(F.col("__pre").isNull(), F.array(_ent("__post", "insert")))
-            .when(F.col("__post").isNull(), F.array(_ent("__pre", "delete")))
-            .when(
-                ~F.col("__pre").eqNullSafe(F.col("__post")),
-                F.array(
-                    _ent("__pre", "update_preimage"),
-                    _ent("__post", "update_postimage"),
-                ),
-            )
-        )
-        keyed = j.select(
-            *pks, F.explode(entries).alias("__e")
-        ).select(
-            *pks,
-            F.col("__e.p").alias("__p"),
-            F.col("__e.t").alias(CDF_TYPE_COL),
-        )
-    else:
-        payload = F.when(
-            F.col("__post").isNull(), F.col("__pre")
-        ).otherwise(F.col("__post"))
-        keyed = j.select(
-            *pks,
-            payload.alias("__p"),
-            change.alias(CDF_TYPE_COL),
-        ).where(F.col(CDF_TYPE_COL).isNotNull())
-    cols = [F.col(f.name) for f in schema.fields]
-    if data_cols:
-        cols = [
-            F.col(f.name)
-            if f.name in pks
-            else F.col("__p").getField(f.name).alias(f.name)
-            for f in schema.fields
-        ]
-    return keyed.select(
-        *cols,
-        F.col(CDF_TYPE_COL),
-        F.lit(v).cast("long").alias(CDF_VERSION_COL),
+    return typed.select(
+        "*", F.lit(v).cast("long").alias(CDF_VERSION_COL)
     )
 
 
 def table_changes_cdf(
     spark: SparkSession,
     path: str,
-    pks: Sequence[str] | str,
+    pks: Sequence[str] | str | None = None,
     after_version: int | None = None,
     up_to: int | None = None,
     include_preimage: bool = False,
@@ -5467,7 +5834,15 @@ def table_changes_cdf(
     the startingTimestamp/endingTimestamp analog) — each is mutually
     exclusive with its version twin; ``after_timestamp`` means
     "changes strictly after the snapshot that was live at that
-    instant"."""
+    instant".
+
+    ``pks`` is OPTIONAL when the range needs no join: appends and MOR
+    deletes derive their rows directly, and commits that persisted
+    commit-time change data (:func:`enable_change_data`) read as a
+    pure scan of their ``_change_data`` files — the pk-less, no-join
+    path, with real ``update_preimage`` fidelity recorded by the DML
+    itself. A rewriting commit with neither change files nor ``pks``
+    raises with guidance (never a silent guess)."""
     if isinstance(pks, str):
         pks = [c.strip() for c in pks.split(",")]
     if after_timestamp is not None:
@@ -5492,7 +5867,7 @@ def table_changes_cdf(
     hi, _commits = _cdf_validate_range(path, after_version, up_to)
     final = _fold(path, hi)
     schema = final.spark_schema()
-    for pk in pks:
+    for pk in pks or []:
         if pk not in schema.fieldNames():
             raise ValueError(f"cdf: pk {pk!r} not a table column")
     live: dict[str, dict] = (

@@ -17,11 +17,16 @@ Rewriting commits (merge/overwrite/compact) are NOT append deltas: by
 default the stream FAILS on one (silent double-counting of moved rows
 is corruption), ``skipRewrites=true`` opts into skipping them (the
 Delta ``ignoreChanges`` analog — downstream must tolerate missing
-row-level updates). ``changeFeed=true`` (+ ``pks``) is the FULL
-answer (r9): every commit — appends AND rewrites — streams as typed
+row-level updates). ``changeFeed=true`` is the FULL answer (r9, finished
+r10): every commit — appends AND rewrites — streams as typed
 row-level change rows (insert / update_postimage / delete +
-``_commit_version``), computed per micro-batch from the commit's
-pre-image (removed files) vs post-image (added files); pair with
+``_commit_version``). A table with `txtable.enable_change_data`
+streams rewrites from the COMMIT-TIME change files, one task per
+file — distributed, no pks needed. Without change files, rewrites
+fall back to a per-commit pre/post pk-join in one task, gated by
+``pks`` and ``maxRewriteBytesPerTask`` (default 256 MiB of manifest
+footprint — beyond it the stream raises with guidance instead of
+funneling gigabytes through one Python worker). Pair with
 `txtable.foreach_batch_cdf_sink` for an exactly-once replica that
 converges to the upstream snapshot. The batch pole of the same feed
 is `txtable.table_changes_cdf`.
@@ -194,14 +199,16 @@ class TxCdfPartition(InputPartition):
     their partition values and pre-commit deletion-vector sidecar
     from the pre-commit live set), ``post`` = the files it genuinely
     added. Appends ship one partition PER ADDED FILE (pre empty —
-    pure inserts, full scan parallelism); rewriting commits ship ONE
-    partition per commit, because the pre/post pk-join needs both
-    images together. MOR delete commits carry ``dv_diff`` instead:
+    pure inserts, full scan parallelism); rewriting commits WITHOUT
+    commit-time change data ship ONE partition per commit, because
+    the pre/post pk-join needs both images together — admissible only
+    under ``maxRewriteBytesPerTask`` (the footprint funnels through
+    one Python worker). MOR delete commits carry ``dv_diff`` instead:
     (file, partition values, new sidecar, previous sidecar or None) —
-    the newly masked positions read back as typed deletes. The task
-    holds one commit's footprint in memory — CDC-sized commits by
-    contract; bulk backfills use `txtable.table_changes_cdf`, whose
-    join is distributed."""
+    the newly masked positions read back as typed deletes. Tables
+    with `txtable.enable_change_data` never take this shape for
+    rewrites: their commits ship `TxCdcFilePartition`s, one per
+    change file — the distributed path."""
 
     def __init__(
         self,
@@ -214,6 +221,18 @@ class TxCdfPartition(InputPartition):
         self.pre = pre
         self.post = post
         self.dv_diff = dv_diff or []
+
+
+class TxCdcFilePartition(InputPartition):
+    """One COMMIT-TIME CHANGE-DATA file (`txtable.enable_change_data`):
+    the writer already classified and persisted the commit's typed
+    rows, so the stream reads them file-per-task — a rewriting
+    commit's feed parallelism scales with its change volume, and no
+    pk-join happens at read time."""
+
+    def __init__(self, version: int, file_path: str) -> None:
+        self.version = version
+        self.file_path = file_path
 
 
 class TxStreamReader(DataSourceStreamReader):
@@ -261,6 +280,20 @@ class TxStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "txtable stream: maxVersionsPerBatch must be >= 1"
             )
+        # byte-denominated admission control: versions bound the
+        # COUNT of commits per micro-batch, bytes bound their SIZE —
+        # one fat backfill commit otherwise lands whole in one batch
+        # no matter how low maxVersionsPerBatch is set. Derived from
+        # manifest byte records (driver-side JSON); a single commit
+        # larger than the cap is still admitted ALONE in its batch
+        # (progress beats starvation, the Delta maxBytesPerTrigger
+        # contract).
+        mb = options.get("maxBytesPerBatch")
+        self._max_bytes = int(mb) if mb is not None else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError(
+                "txtable stream: maxBytesPerBatch must be >= 1"
+            )
         self._floor: int | None = self._start
         self._change_feed = (
             str(options.get("changeFeed", "false")).lower() == "true"
@@ -271,13 +304,22 @@ class TxStreamReader(DataSourceStreamReader):
                     "txtable stream: changeFeed already consumes "
                     "rewrites row-level; skipRewrites conflicts"
                 )
+            # a rewriting commit WITHOUT commit-time change data
+            # joins its pre/post images in ONE task — bounded by this
+            # manifest-derived footprint cap (default 256 MiB).
+            # Tables with enable_change_data never hit the bound:
+            # their rewrites stream file-per-task.
+            mrb = options.get("maxRewriteBytesPerTask")
+            self._max_rewrite_bytes = (
+                int(mrb) if mrb is not None else 256 * 1024 * 1024
+            )
             pks = options.get("pks")
-            if not pks:
-                raise ValueError(
-                    "txtable stream: changeFeed=true requires "
-                    'option("pks", "col1,col2") — the pre/post join key'
-                )
-            self._pks = [c.strip() for c in str(pks).split(",")]
+            # pks are OPTIONAL: appends, MOR deletes, and change-data
+            # commits never join; a joining commit without pks raises
+            # at partition-planning time with guidance
+            self._pks = (
+                [c.strip() for c in str(pks).split(",")] if pks else None
+            )
             # the TABLE schema (change columns stripped) drives file
             # reads; the two feed columns are appended per row
             self._table_schema = StructType(
@@ -289,7 +331,7 @@ class TxStreamReader(DataSourceStreamReader):
             )
             missing = [
                 c
-                for c in self._pks
+                for c in (self._pks or [])
                 if c not in self._table_schema.fieldNames()
             ]
             if missing:
@@ -305,12 +347,42 @@ class TxStreamReader(DataSourceStreamReader):
         self._learn_floor(self._start)
         return {"version": self._start}
 
+    def _commit_bytes(self, v: int) -> int:
+        """One commit's admission weight from manifest byte records:
+        added data files, plus change-data files when streaming the
+        feed (the rows a changeFeed batch actually reads)."""
+        with open(tx._commit_file(self._path, v)) as fh:
+            entry = json.load(fh)
+        n = sum(int(a.get("bytes") or 0) for a in entry.get("added", []))
+        if self._change_feed:
+            n += sum(
+                int(r.get("bytes") or 0) for r in entry.get("cdc", [])
+            )
+        return n
+
     def latestOffset(self) -> dict:
         tip = tx.latest_version(self._path)
         if self._max_versions is not None and self._floor is not None:
             tip = max(
                 min(tip, self._floor + self._max_versions), self._floor
             )
+        if (
+            self._max_bytes is not None
+            and self._floor is not None
+            and tip > self._floor
+        ):
+            # admit the first pending commit unconditionally, then
+            # keep admitting while the running total stays under the
+            # cap — a fat commit rides alone, thin commits coalesce
+            total = 0
+            admitted = self._floor
+            for v in range(self._floor + 1, tip + 1):
+                b = self._commit_bytes(v)
+                if admitted > self._floor and total + b > self._max_bytes:
+                    break
+                total += b
+                admitted = v
+            tip = admitted
         self._learn_floor(tip)
         return {"version": tip}
 
@@ -360,10 +432,22 @@ class TxStreamReader(DataSourceStreamReader):
             dv = meta.get("dv")
             return os.path.join(self._path, dv["path"]) if dv else None
 
-        parts: list[TxCdfPartition] = []
+        parts: list[InputPartition] = []
         for v in range(after + 1, up_to + 1):
             with open(tx._commit_file(self._path, v)) as fh:
                 entry = json.load(fh)
+            if "cdc" in entry:
+                # the writer persisted this commit's typed rows at
+                # commit time — one partition PER CHANGE FILE, fully
+                # distributed, no join, no pks
+                parts.extend(
+                    TxCdcFilePartition(
+                        v, os.path.join(self._path, rec["path"])
+                    )
+                    for rec in entry["cdc"]
+                )
+                self._replay_live(live, entry)
+                continue
             added_new = [
                 (
                     os.path.join(self._path, a["path"]),
@@ -402,29 +486,84 @@ class TxStreamReader(DataSourceStreamReader):
                     if rec["file"] in live
                 ]
                 if diff or added_new:
+                    if added_new:  # an UPDATE joins; a pure delete not
+                        self._require_join_ok(v, entry, live)
                     parts.append(
                         TxCdfPartition(v, [], added_new, dv_diff=diff)
                     )
             elif added_new or removed_live:
+                self._require_join_ok(v, entry, live)
                 parts.append(TxCdfPartition(v, removed_live, added_new))
-            for p in entry.get("removed", []):
-                live.pop(p, None)
-            for a in entry.get("added", []):
-                live[a["path"]] = {
-                    "commit_dir": a["commit_dir"],
-                    "partition_values": a.get("partition_values", {}),
-                    **({"dv": a["dv"]} if a.get("dv") else {}),
-                }
-            for rec in entry.get("dv", []):
-                if rec["file"] in live:
-                    live[rec["file"]] = {
-                        **live[rec["file"]],
-                        "dv": {
-                            "path": rec["dv_path"],
-                            "cardinality": rec["cardinality"],
-                        },
-                    }
+            self._replay_live(live, entry)
         return parts
+
+    @staticmethod
+    def _replay_live(live: dict, entry: dict) -> None:
+        """Advance the pre-commit live-file map past ``entry``
+        (bytes kept — the join-footprint bound reads them)."""
+        for p in entry.get("removed", []):
+            live.pop(p, None)
+        for a in entry.get("added", []):
+            live[a["path"]] = {
+                "commit_dir": a["commit_dir"],
+                "partition_values": a.get("partition_values", {}),
+                "bytes": a.get("bytes"),
+                **({"dv": a["dv"]} if a.get("dv") else {}),
+            }
+        for rec in entry.get("dv", []):
+            if rec["file"] in live:
+                live[rec["file"]] = {
+                    **live[rec["file"]],
+                    "dv": {
+                        "path": rec["dv_path"],
+                        "cardinality": rec["cardinality"],
+                    },
+                }
+
+    def _require_join_ok(self, v: int, entry: dict, live: dict) -> None:
+        """Gate the ONE-TASK pre/post join a rewriting commit without
+        commit-time change data needs: pks must exist and the
+        commit's manifest-derived footprint (removed live files +
+        genuinely-new added files) must fit ``maxRewriteBytesPerTask``
+        — beyond it the single Python worker becomes the wall-clock
+        and OOM bottleneck the bound exists to prevent."""
+        if self._pks is None:
+            raise ValueError(
+                f"txtable stream: commit v{v} is a rewriting "
+                f"{entry['action']!r} without commit-time change "
+                "data and no pks were given — set option('pks', ...) "
+                "for the pre/post join, or enable_change_data(path) "
+                "so commits persist their typed rows"
+            )
+        fp = (
+            sum(
+                int(live[p].get("bytes") or 0)
+                for p in entry.get("removed", [])
+                if p in live
+            )
+            + sum(
+                int(a.get("bytes") or 0)
+                for a in entry.get("added", [])
+                if a["path"] not in live
+            )
+            # a MOR update's pre-image scans the DV'd files themselves
+            + sum(
+                int(live[rec["file"]].get("bytes") or 0)
+                for rec in entry.get("dv", [])
+                if rec["file"] in live
+            )
+        )
+        if fp > self._max_rewrite_bytes:
+            raise ValueError(
+                f"txtable stream: commit v{v} ({entry['action']!r}) "
+                f"has a {fp}-byte pre+post footprint, over "
+                f"maxRewriteBytesPerTask={self._max_rewrite_bytes} — "
+                "the join-derived feed would funnel it through ONE "
+                "task. enable_change_data(path) to stream rewrites "
+                "file-per-task, replay the range with "
+                "txtable.table_changes_cdf (distributed join), or "
+                "raise the bound explicitly"
+            )
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         self._learn_floor(
@@ -436,9 +575,26 @@ class TxStreamReader(DataSourceStreamReader):
             )
         return self._delta_files(int(start["version"]), int(end["version"]))
 
-    def _read_cdf(self, partition: TxCdfPartition) -> Iterator[tuple]:
+    def _read_cdf(self, partition) -> Iterator[tuple]:
         schema = self._table_schema
         v = partition.version
+        if isinstance(partition, TxCdcFilePartition):
+            # commit-time change data: the file already holds typed
+            # rows (table columns + _change_type, physical names);
+            # update_preimage rows are the batch feed's opt-in extra —
+            # the stream keeps its documented three-type contract
+            from pyspark.sql.types import StringType, StructField
+
+            read_schema = StructType(
+                list(schema.fields)
+                + [StructField(CDF_TYPE_COL, StringType())]
+            )
+            for row in _read_file_rows(
+                partition.file_path, {}, read_schema
+            ):
+                if row[-1] != "update_preimage":
+                    yield (*row[:-1], row[-1], v)
+            return
 
         def _fresh_rows():
             # rows a MOR commit NEWLY masked: (new − old) sidecar
@@ -457,6 +613,15 @@ class TxStreamReader(DataSourceStreamReader):
             # MOR delete: freshly masked rows ARE the deletes
             for row in _fresh_rows():
                 yield (*row, "delete", v)
+            return
+        if not partition.pre and not partition.dv_diff:
+            # append/create/clone delta: pure inserts, streamed
+            # straight off the file — no keying, no pks needed
+            for fp, pvals, dv_path in partition.post:
+                for row in _read_file_rows(
+                    fp, pvals, schema, dv_path=dv_path
+                ):
+                    yield (*row, "insert", v)
             return
         pk_idx = [schema.fieldNames().index(c) for c in self._pks]
 
@@ -503,7 +668,10 @@ class TxTableDataSource(DataSource):
     ``spark.readStream.format("txtable").option("path", p).load()``.
     Options: path (required), version (batch time travel),
     startingVersion or startingTimestamp / skipRewrites /
-    changeFeed (+pks) / maxVersionsPerBatch (streaming)."""
+    changeFeed (+pks — optional for tables with
+    `txtable.enable_change_data`, whose rewrites stream one task per
+    persisted change file) / maxVersionsPerBatch / maxBytesPerBatch /
+    maxRewriteBytesPerTask (streaming)."""
 
     @classmethod
     def name(cls) -> str:

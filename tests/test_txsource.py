@@ -271,8 +271,11 @@ def test_stream_change_feed_emits_typed_rows(spark, tmp_path):
 
 
 def test_stream_change_feed_requires_pks_rejects_skip(spark, tmp_path):
+    # pks are needed only when a commit actually JOINS: a rewriting
+    # merge without commit-time change data raises at planning time
+    # (r10 — append-only pk-less feeds work, see test_txcdc)
     path = str(tmp_path / "cfbad")
-    tx.create_table(_rows(spark, (1, "A", 10)), path)
+    _cdf_arc(spark, path)
     with pytest.raises(Exception, match="pks"):
         (
             spark.readStream.format("txtable")
