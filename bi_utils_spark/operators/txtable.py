@@ -38,14 +38,18 @@ Why this scales to 100 TB:
   rewrites live files into fewer and commits (added, removed) — old
   versions still resolve for time travel until `vacuum_table` drops
   files unreferenced by any retained version.
-- **Concurrency is optimistic, commit-claim by atomic link.** A
-  commit stages its JSON then `os.link`s it to the next version slot;
-  EEXIST means another writer won — appends rebase automatically,
-  rewriting commits re-validate and raise `ConcurrentWriteError` if
-  their read snapshot went stale (the Delta protocol's conflict
-  rule). On an object store the link swaps for a conditional PUT;
-  the local-file form follows `streaming/scd.py`'s `_VERSION`
-  precedent.
+- **Concurrency is optimistic, commit-claim = put-if-absent.** A
+  commit claims the next version slot through the installed
+  `LogStore` backend (r10 seam, the public Delta LogStore pattern):
+  the default `LinkingLogStore` stages the JSON then `os.link`s it —
+  EEXIST means another writer won — correct wherever link creation
+  is atomic (local fs, NFS, HDFS-like). An object-store deployment
+  installs a conditional-PUT backend via `set_log_store` — a
+  BACKEND, not a rewrite; the double in tests/test_txlogstore.py
+  pins the required semantics. Appends rebase automatically on a
+  lost race; rewriting commits re-validate and raise
+  `ConcurrentWriteError` if their read snapshot went stale (the
+  Delta protocol's conflict rule).
 - **Exactly-once streaming.** `foreach_batch_sink` stamps commits
   with (app_id, batch_id); a redelivered micro-batch finds its
   batch_id already in the log and commits nothing (idempotent sink,
@@ -82,6 +86,83 @@ _V_WIDTH = 20
 # change-feed column names (Delta readChangeFeed parity)
 CDF_TYPE_COL = "_change_type"
 CDF_VERSION_COL = "_commit_version"
+
+
+class LogStore:
+    """Pluggable commit-log backend (the public Delta LogStore
+    pattern): the ONLY atomicity the tx protocol ever needs is
+    PUT-IF-ABSENT of one immutable blob per commit slot — every
+    conflict rule above builds on "exactly one writer owns version
+    N". Subclass for storage whose rename/link is not atomic.
+
+    Contract per method:
+
+    - ``put_if_absent(full_path, data)``: atomically create
+      ``full_path`` with ``data`` iff it does not exist; True on
+      success, False when ANY other writer owns it (losing must be
+      detectable, never silent overwrite). Durability: the bytes must
+      survive a crash once True is returned.
+    - ``list_names(log_dir)``: the directory's current entry names
+      ([] when absent). Listings may lag writes on eventually-
+      consistent stores ONLY for entries this process did not write —
+      read-your-own-writes is required (version math folds from it).
+
+    Which backend guarantees what: `LinkingLogStore` (the default) is
+    correct wherever hard-link creation is atomic-and-exclusive —
+    local filesystems, NFS, HDFS-like mounts. S3-style object stores
+    need a conditional-PUT implementation (`If-None-Match: *` /
+    DynamoDB mutex — the public S3DynamoDBLogStore design); the test
+    double in tests/test_txlogstore.py pins the semantics such a
+    backend must satisfy, including lost-race and transient-failure
+    injection."""
+
+    def put_if_absent(self, full_path: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+    def list_names(self, log_dir: str) -> list[str]:
+        raise NotImplementedError
+
+
+class LinkingLogStore(LogStore):
+    """Default backend: write a tmp file (fsync'd), then ``os.link``
+    it to the target — EEXIST means another writer won. Atomic and
+    durable on rename-atomic filesystems; follows
+    `streaming/scd.py`'s `_VERSION` precedent."""
+
+    def put_if_absent(self, full_path: str, data: bytes) -> bool:
+        d = os.path.dirname(full_path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, full_path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def list_names(self, log_dir: str) -> list[str]:
+        if not os.path.isdir(log_dir):
+            return []
+        return os.listdir(log_dir)
+
+
+_LOG_STORE: LogStore = LinkingLogStore()
+
+
+def set_log_store(store: LogStore | None) -> LogStore:
+    """Install a commit-log backend (None restores the default
+    `LinkingLogStore`); returns the previous one. Process-global,
+    like the Delta LogStore config — all tables this process writes
+    claim through it."""
+    global _LOG_STORE
+    prev = _LOG_STORE
+    _LOG_STORE = store if store is not None else LinkingLogStore()
+    return prev
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -133,11 +214,8 @@ def _ckpt_file(path: str, version: int) -> str:
 
 def _list_log(path: str) -> tuple[list[int], list[int]]:
     """(commit versions, checkpoint versions), each sorted ascending."""
-    d = _log_path(path)
-    if not os.path.isdir(d):
-        return [], []
     commits, ckpts = [], []
-    for name in os.listdir(d):
+    for name in _LOG_STORE.list_names(_log_path(path)):
         if name.endswith(".ckpt.json"):
             stem = name[: -len(".ckpt.json")]
             if stem.isdigit():
@@ -230,6 +308,8 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
                 "rows": added.get("rows"),
                 "nulls": added.get("nulls", {}),
             }
+            if added.get("stats_trunc"):
+                meta["stats_trunc"] = added["stats_trunc"]
             if added.get("dv"):  # restore re-points at a DV'd file
                 meta["dv"] = added["dv"]
             snap.files[added["path"]] = meta
@@ -293,24 +373,15 @@ def _commit_ts(path: str, version: int, entry: dict | None = None) -> float:
 
 
 def _claim(path: str, version: int, payload: dict) -> bool:
-    """Atomically claim commit slot ``version``. True on success,
-    False when another writer already owns the slot. Every commit is
-    stamped with wall-clock ``ts`` — the basis for time-based vacuum
-    retention (and audit)."""
-    os.makedirs(_log_path(path), exist_ok=True)
+    """Atomically claim commit slot ``version`` through the installed
+    `LogStore` (put-if-absent — see `LogStore` for the backend
+    contract). True on success, False when another writer already
+    owns the slot. Every commit is stamped with wall-clock ``ts`` —
+    the basis for time-based vacuum retention (and audit)."""
     payload = {**payload, "ts": payload.get("ts", time.time())}
-    tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, _commit_file(path, version))
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.unlink(tmp)
+    return _LOG_STORE.put_if_absent(
+        _commit_file(path, version), json.dumps(payload).encode()
+    )
 
 
 def _maybe_checkpoint(path: str, snap_version: int) -> None:
@@ -336,15 +407,11 @@ def _write_checkpoint(path: str, snap_version: int) -> None:
         "constraints": snap.constraints,
         "cdc_enabled": snap.cdc_enabled,
     }
-    tmp = os.path.join(_log_path(path), f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-    try:
-        os.link(tmp, _ckpt_file(path, snap_version))
-    except FileExistsError:
-        pass  # another writer checkpointed the same version
-    finally:
-        os.unlink(tmp)
+    # losing the put race to a concurrent checkpointer is fine —
+    # both fold the same immutable commits
+    _LOG_STORE.put_if_absent(
+        _ckpt_file(path, snap_version), json.dumps(payload).encode()
+    )
 
 
 def _protocol_upgrade(
@@ -382,21 +449,46 @@ def _require_writer(snap: Snapshot, path: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _footer_stats(full_path: str) -> tuple[dict, int, dict]:
-    """Per-file (zone map, row count, null counts) from the parquet
-    FOOTER (no data read): {col: [min, max]} for top-level
-    int/float/string/bool columns whose row-group statistics are
-    present, plus {col: null_count} where EVERY row group reports it.
-    Values are kept JSON-native; columns with missing stats are
-    simply absent — readers treat absence as 'cannot prune' /
-    'unknown'. The row count sizes deletion-vector maintenance
-    decisions (deleted fraction per file)."""
+_STR_STAT_MAX = 64  # recorded string-bound length cap (chars)
+
+
+def _str_upper_bound(s: str) -> str | None:
+    """A string ≥ every string having prefix ``s[:_STR_STAT_MAX]`` —
+    Delta/Iceberg's truncate-and-increment discipline: take the
+    prefix, bump its last incrementable code point, drop the tail.
+    None when no bound exists (all code points at the maximum)."""
+    p = s[:_STR_STAT_MAX]
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i])
+        if cp < 0x10FFFF:
+            return p[:i] + chr(cp + 1)
+    return None
+
+
+def _footer_stats(full_path: str) -> tuple[dict, int, dict, list[str]]:
+    """Per-file (zone map, row count, null counts, truncated columns)
+    from the parquet FOOTER (no data read): {col: [min, max]} for
+    top-level int/float/string/bool columns whose row-group
+    statistics are present, plus {col: null_count} where EVERY row
+    group reports it. Values are kept JSON-native; columns with
+    missing stats are simply absent — readers treat absence as
+    'cannot prune' / 'unknown'. The row count sizes deletion-vector
+    maintenance decisions (deleted fraction per file).
+
+    String bounds longer than ``_STR_STAT_MAX`` are recorded
+    TRUNCATED with conservative semantics — min as a prefix (≤ every
+    value), max via truncate-and-increment (≥ every value) — and the
+    column is listed in the returned truncated set, so skipping stays
+    sound while `table_stats` refuses to call the bound exact (the
+    Delta truncation-flag discipline). A manifest never carries
+    multi-KB document bodies as zone maps."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(full_path).metadata
     num_rows = int(md.num_rows)
     per_rg: list[dict[str, tuple]] = []
     null_rg: list[dict[str, int]] = []
+    trunc: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         cur: dict[str, tuple] = {}
@@ -428,11 +520,23 @@ def _footer_stats(full_path: str) -> tuple[dict, int, dict]:
                     continue
             if not isinstance(lo, (int, float, str, bool)):
                 lo, hi = str(lo), str(hi)
+            if isinstance(lo, str) and (
+                len(lo) > _STR_STAT_MAX or len(hi) > _STR_STAT_MAX
+            ):
+                ub = (
+                    _str_upper_bound(hi)
+                    if len(hi) > _STR_STAT_MAX
+                    else hi
+                )
+                trunc.add(name)
+                if ub is None:
+                    continue  # unboundable above — no stat, marked
+                lo, hi = lo[:_STR_STAT_MAX], ub
             cur[name] = (lo, hi)
         per_rg.append(cur)
         null_rg.append(nul)
     if not per_rg:
-        return {}, num_rows, {}
+        return {}, num_rows, {}, sorted(trunc)
     # a column's zone map / null count is valid only when EVERY row
     # group reports it — a gap would leave rows unaccounted for
     names = set(per_rg[0])
@@ -451,6 +555,7 @@ def _footer_stats(full_path: str) -> tuple[dict, int, dict]:
         },
         num_rows,
         {n: sum(nul[n] for nul in null_rg) for n in nnames},
+        sorted(trunc),
     )
 
 
@@ -502,9 +607,9 @@ def _stage(
                     # is a faithful inverse).
                     pvals[k] = unquote(v)
             try:
-                stats, nrows, nulls = _footer_stats(full)
+                stats, nrows, nulls, trunc = _footer_stats(full)
             except Exception:  # noqa: BLE001 — stats are best-effort
-                stats, nrows, nulls = {}, None, {}
+                stats, nrows, nulls, trunc = {}, None, {}, []
             try:
                 nbytes = os.stat(full).st_size
             except OSError:
@@ -518,6 +623,7 @@ def _stage(
                     "bytes": nbytes,
                     "rows": nrows,
                     "nulls": nulls,
+                    **({"stats_trunc": trunc} if trunc else {}),
                 }
             )
     return added
@@ -863,9 +969,9 @@ def convert_to_tx(
                     f"{sorted(pvals)}, expected {sorted(pcols)}"
                 )
             try:
-                stats, nrows, nulls = _footer_stats(full)
+                stats, nrows, nulls, trunc = _footer_stats(full)
             except Exception:  # noqa: BLE001 — stats are best-effort
-                stats, nrows, nulls = {}, None, {}
+                stats, nrows, nulls, trunc = {}, None, {}, []
             try:
                 nbytes = os.stat(full).st_size
             except OSError:
@@ -881,6 +987,7 @@ def convert_to_tx(
                     "bytes": nbytes,
                     "rows": nrows,
                     "nulls": nulls,
+                    **({"stats_trunc": trunc} if trunc else {}),
                 }
             )
     if not added:
@@ -2376,7 +2483,7 @@ def _stage_change_data(
                 continue
             full = os.path.join(root, name)
             try:
-                _stats, nrows, _nulls = _footer_stats(full)
+                _stats, nrows, _nulls, _trunc = _footer_stats(full)
             except Exception:  # noqa: BLE001 — keep the file, rows unknown
                 nrows = None
             if nrows == 0:
@@ -2853,6 +2960,72 @@ def _merge_change_data(
 # ---------------------------------------------------------------------------
 
 
+def _dv_write_distributed(
+    path: str,
+    matched: DataFrame,
+    want: dict,
+) -> list[dict]:
+    """Write per-file deletion-vector sidecars EXECUTOR-SIDE: matched
+    (file, position) rows shuffle once by file, each group's task
+    unions with the file's previous sidecar, encodes, and writes its
+    own sidecar with the tmp+os.replace discipline (`_dv_write` run
+    where the data is) — the driver receives ONLY (file, dv_path,
+    cardinality) pointer rows, bounded by the touched FILE count,
+    never the masked row count. This lifts the `max_dv_rows` driver
+    bound: masking any fraction of a 100 TB table streams positions
+    through executors. Requires executors to share the table's
+    filesystem with the driver — the same property staged data files
+    already rely on. A crash leaves unreferenced sidecars (strays)
+    that readers never consult and vacuum reaps after the age
+    guard."""
+    info = {
+        os.path.abspath(os.path.join(path, rel)): (
+            rel,
+            (meta.get("dv") or {}).get("path"),
+        )
+        for rel, meta in want.items()
+    }
+    table_root = os.path.abspath(path)
+
+    def _pack_write(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        from bi_utils_spark.operators import txtable as _t
+
+        rel, old_rel = info[key[0]]
+        pos = np.unique(pdf["__pos"].to_numpy(dtype="int64"))
+        if old_rel:
+            pos = np.union1d(
+                pos, _t._dv_decode(_t._dv_load(table_root, old_rel))
+            )
+        rec = _t._dv_write(table_root, rel, pos)
+        return pd.DataFrame(
+            {
+                "file": [rec["file"]],
+                "dv_path": [rec["dv_path"]],
+                "cardinality": [rec["cardinality"]],
+            }
+        )
+
+    rows = (
+        matched.select("__f", "__pos")
+        .groupBy("__f")
+        .applyInPandas(
+            _pack_write, "file string, dv_path string, cardinality long"
+        )
+        .collect()
+    )
+    return [
+        {
+            "file": r["file"],
+            "dv_path": r["dv_path"],
+            "cardinality": int(r["cardinality"]),
+        }
+        for r in rows
+    ]
+
+
 def delete_from_table(
     spark: SparkSession,
     path: str,
@@ -2900,10 +3073,14 @@ def delete_from_table(
     commits nothing and the change feed emits each row's delete
     exactly once. New sidecars hold the UNION of a file's masked
     rows; the old sidecar stays for time travel until vacuum.
-    ``max_dv_rows`` bounds the driver-side collect of packed
-    positions (8 B/row) — beyond it the delete raises with
-    ``mode="cow"`` guidance, because masking that fraction is worse
-    than rewriting it.
+    ``max_dv_rows`` picks the sidecar-write topology (r10): at or
+    below it, packed positions collect to the driver (8 B/row, one
+    round trip); above it, each touched file's task writes its own
+    sidecar EXECUTOR-SIDE (`_dv_write_distributed`) and the driver
+    collects only (file, pointer, cardinality) rows — masking any
+    fraction succeeds in MOR mode, no driver bound. (When the masked
+    fraction is large, ``mode="cow"`` is usually still cheaper than
+    carrying huge masks — a topology choice, no longer an error.)
 
     Concurrency: appends compose (WriteSerializable — the delete
     applies to rows as of its snapshot); any interleaved commit that
@@ -3002,43 +3179,41 @@ def delete_from_table(
     if n_new == 0:
         return none
     if n_new > max_dv_rows:
-        raise ValueError(
-            f"delete_from_table: {n_new} matched rows exceed "
-            f"max_dv_rows={max_dv_rows} — masking that fraction is "
-            'worse than rewriting it; use mode="cow" (or raise the '
-            "bound explicitly)"
-        )
+        # too many positions to pack through the driver — write the
+        # sidecars where the data is; the driver sees only pointers
+        dv_records = _dv_write_distributed(path, matched, want)
+    else:
 
-    def _pack(key, pdf):
-        import numpy as np
-        import pandas as pd
+        def _pack(key, pdf):
+            import numpy as np
+            import pandas as pd
 
-        pos = np.unique(pdf["__pos"].to_numpy(dtype="int64"))
-        return pd.DataFrame(
-            {
-                "f": [key[0]],
-                "n": [int(pos.size)],
-                "payload": [pos.astype("<i8").tobytes()],
-            }
-        )
-
-    packed = (
-        matched.groupBy("__f")
-        .applyInPandas(_pack, "f string, n long, payload binary")
-        .collect()
-    )
-    import numpy as np
-
-    dv_records = []
-    for r in packed:
-        rel = abs_to_rel[r["f"]]
-        new_pos = np.frombuffer(r["payload"], dtype="<i8")
-        old = want[rel].get("dv")
-        if old:
-            new_pos = np.union1d(
-                new_pos, _dv_decode(_dv_load(path, old["path"]))
+            pos = np.unique(pdf["__pos"].to_numpy(dtype="int64"))
+            return pd.DataFrame(
+                {
+                    "f": [key[0]],
+                    "n": [int(pos.size)],
+                    "payload": [pos.astype("<i8").tobytes()],
+                }
             )
-        dv_records.append(_dv_write(path, rel, new_pos))
+
+        packed = (
+            matched.groupBy("__f")
+            .applyInPandas(_pack, "f string, n long, payload binary")
+            .collect()
+        )
+        import numpy as np
+
+        dv_records = []
+        for r in packed:
+            rel = abs_to_rel[r["f"]]
+            new_pos = np.frombuffer(r["payload"], dtype="<i8")
+            old = want[rel].get("dv")
+            if old:
+                new_pos = np.union1d(
+                    new_pos, _dv_decode(_dv_load(path, old["path"]))
+                )
+            dv_records.append(_dv_write(path, rel, new_pos))
     up = _protocol_upgrade(snap, reader=["deletionVectors"])
     extra = {"predicate": pred_repr, **({"protocol": up} if up else {})}
     if snap.cdc_enabled:
@@ -3246,12 +3421,6 @@ def update_table(
     n_new = matched.count()
     if n_new == 0:
         return none
-    if n_new > max_dv_rows:
-        raise ValueError(
-            f"update_table: {n_new} matched rows exceed "
-            f'max_dv_rows={max_dv_rows} — use mode="cow" (or raise '
-            "the bound explicitly)"
-        )
     # stage the POST-images first (data lands before the commit that
     # references it — crash leaves only vacuum-able strays)
     post = _updated(matched).select(*names)
@@ -3263,39 +3432,44 @@ def update_table(
         table_schema=schema,
     )
 
-    def _pack(key, pdf):
-        import numpy as np
-        import pandas as pd
+    if n_new > max_dv_rows:
+        # positions stream through executors; driver sees pointers
+        dv_records = _dv_write_distributed(path, matched, want)
+    else:
 
-        pos = np.unique(pdf["__pos"].to_numpy(dtype="int64"))
-        return pd.DataFrame(
-            {
-                "f": [key[0]],
-                "payload": [pos.astype("<i8").tobytes()],
-            }
-        )
+        def _pack(key, pdf):
+            import numpy as np
+            import pandas as pd
 
-    packed = (
-        matched.select("__f", "__pos")
-        .groupBy("__f")
-        .applyInPandas(_pack, "f string, payload binary")
-        .collect()
-    )
-    import numpy as np
-
-    abs_to_rel = {
-        os.path.abspath(os.path.join(path, rel)): rel for rel in want
-    }
-    dv_records = []
-    for r in packed:
-        rel = abs_to_rel[r["f"]]
-        new_pos = np.frombuffer(r["payload"], dtype="<i8")
-        old = want[rel].get("dv")
-        if old:
-            new_pos = np.union1d(
-                new_pos, _dv_decode(_dv_load(path, old["path"]))
+            pos = np.unique(pdf["__pos"].to_numpy(dtype="int64"))
+            return pd.DataFrame(
+                {
+                    "f": [key[0]],
+                    "payload": [pos.astype("<i8").tobytes()],
+                }
             )
-        dv_records.append(_dv_write(path, rel, new_pos))
+
+        packed = (
+            matched.select("__f", "__pos")
+            .groupBy("__f")
+            .applyInPandas(_pack, "f string, payload binary")
+            .collect()
+        )
+        import numpy as np
+
+        abs_to_rel = {
+            os.path.abspath(os.path.join(path, rel)): rel for rel in want
+        }
+        dv_records = []
+        for r in packed:
+            rel = abs_to_rel[r["f"]]
+            new_pos = np.frombuffer(r["payload"], dtype="<i8")
+            old = want[rel].get("dv")
+            if old:
+                new_pos = np.union1d(
+                    new_pos, _dv_decode(_dv_load(path, old["path"]))
+                )
+            dv_records.append(_dv_write(path, rel, new_pos))
     up = _protocol_upgrade(snap, reader=["deletionVectors"])
     extra = {
         "predicate": pred_repr,
@@ -4622,6 +4796,11 @@ def clone_table(
             "bytes": meta.get("bytes"),
             "rows": meta.get("rows"),
             "nulls": meta.get("nulls", {}),
+            **(
+                {"stats_trunc": meta["stats_trunc"]}
+                if meta.get("stats_trunc")
+                else {}
+            ),
         }
         if meta.get("dv"):
             rec["dv"] = {
@@ -4718,6 +4897,11 @@ def restore_table(
             "bytes": meta.get("bytes"),
             "rows": meta.get("rows"),
             "nulls": meta.get("nulls", {}),
+            **(
+                {"stats_trunc": meta["stats_trunc"]}
+                if meta.get("stats_trunc")
+                else {}
+            ),
             # the restored state's deletion vectors ride the added
             # record — the fold re-attaches them
             **({"dv": meta["dv"]} if meta.get("dv") else {}),
@@ -4876,11 +5060,13 @@ def table_stats(
       only when provably exact: EVERY live file must contribute a
       zone map for the column and NONE may carry a deletion vector
       (a masked row might hold the recorded extreme — the same caveat
-      Delta documents). Otherwise ``None``. Restricted to
-      numeric/boolean columns because parquet footers may silently
-      truncate string statistics. Column-mapping tables resolve
-      logical names to the physical zone-map keys, so stats survive
-      renames.
+      Delta documents). Otherwise ``None``. Numeric/boolean/decimal
+      columns always qualify; STRING columns qualify unless any live
+      file recorded the column's bounds TRUNCATED
+      (``_STR_STAT_MAX``-char prefix discipline — truncated bounds
+      stay sound for skipping but are never reported as exact
+      extremes). Column-mapping tables resolve logical names to the
+      physical zone-map keys, so stats survive renames.
     - ``partition_filter`` scopes everything at the manifest level
       with the same typed value coercion as :func:`read_table` —
       a per-partition COUNT costs no I/O either.
@@ -4973,6 +5159,7 @@ def table_stats(
         exact_types = (
             T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.BooleanType, T.DecimalType,
+            T.StringType,
         )
         pmap = _phys_map(schema)
         by_name = {f.name: f for f in schema.fields}
@@ -4987,6 +5174,17 @@ def table_stats(
                 or not all(
                     phys in (meta.get("stats") or {})
                     for meta in want.values()
+                )
+                # a TRUNCATED string bound is a sound skip range but
+                # not an exact extreme — None, never a prefix posing
+                # as the real min/max (the Delta truncation-flag
+                # honesty rule)
+                or (
+                    isinstance(f.dataType, T.StringType)
+                    and any(
+                        phys in (meta.get("stats_trunc") or [])
+                        for meta in want.values()
+                    )
                 )
             ):
                 out_cols[col] = None
@@ -5161,7 +5359,12 @@ def vacuum_table(
             for name in names:
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, path)
-                if not name.endswith(suffix) or rel in live:
+                # ".tmp-" files are crash debris from atomic-write
+                # sequences (sidecars, change files) — referenced by
+                # nothing, reapable after the age guard
+                if (
+                    not name.endswith(suffix) and ".tmp-" not in name
+                ) or rel in live:
                     continue
                 if rel not in referenced:
                     try:

@@ -161,11 +161,12 @@ def test_mor_delete_partition_filter_prunes_scan(spark, ptable):
     assert set(_as_dict(tx.read_table(spark, ptable))) == {1, 4, 5, 6}
 
 
-def test_mor_delete_guard_raises_beyond_max_dv_rows(spark, ptable):
-    with pytest.raises(ValueError, match="cow"):
-        tx.delete_from_table(
-            spark, ptable, F.lit(True), max_dv_rows=3
-        )
+def test_mor_delete_beyond_max_dv_rows_goes_distributed(spark, ptable):
+    # r10: beyond the bound the delete no longer raises — sidecars
+    # are written executor-side (full coverage in test_txdvdist)
+    out = tx.delete_from_table(spark, ptable, F.lit(True), max_dv_rows=3)
+    assert out["mode"] == "mor"
+    assert tx.read_table(spark, ptable).count() == 0
 
 
 def test_delete_unknown_mode_raises(spark, ptable):
