@@ -5243,6 +5243,7 @@ def describe_table(spark: SparkSession, path: str) -> DataFrame:
         "check_constraints": json.dumps(
             snap.constraints, sort_keys=True
         ),
+        "change_data_feed": snap.cdc_enabled,
     }
     return spark.createDataFrame(
         [tuple(row.values())],
@@ -5250,7 +5251,8 @@ def describe_table(spark: SparkSession, path: str) -> DataFrame:
         "size_bytes long, num_rows long, partition_columns array<string>, "
         "reader_features array<string>, writer_features array<string>, "
         "generated_columns string, identity_columns string, "
-        "identity_high_water string, check_constraints string",
+        "identity_high_water string, check_constraints string, "
+        "change_data_feed boolean",
     )
 
 
@@ -5916,6 +5918,13 @@ def _cdf_commit_rows(
         return _cdf_change_file_rows(
             spark, path, entry, v, schema, include_preimage
         )
+    if entry["action"] in ("compact", "purge"):
+        # movement-only by construction: a compaction re-stages the
+        # LIVE rows identically and a purge materializes already-
+        # emitted DV deletes — the pre/post join would provably yield
+        # zero rows, so skip it (and its cost) outright; pk-less
+        # tables keep their feed across maintenance
+        return None
     added_new = {
         a["path"]: {
             "commit_dir": a["commit_dir"],

@@ -448,6 +448,11 @@ class TxStreamReader(DataSourceStreamReader):
                 )
                 self._replay_live(live, entry)
                 continue
+            if entry["action"] in ("compact", "purge"):
+                # movement-only by construction — emits nothing; skip
+                # the no-op join task (and its pks/footprint gates)
+                self._replay_live(live, entry)
+                continue
             added_new = [
                 (
                     os.path.join(self._path, a["path"]),

@@ -421,6 +421,31 @@ def test_clone_carries_cdc_property(spark, tmp_path):
         assert e["cdc"], "the clone keeps recording change rows"
 
 
+def test_pkless_feed_survives_maintenance(spark, tmp_path):
+    """Compaction and DV purge are movement-only by construction —
+    they emit nothing and must neither demand pks nor plan a no-op
+    join task."""
+    path = str(tmp_path / "mx")
+    tx.create_table(_rows(spark, (1, "A", 10), (2, "A", 20)), path)
+    tx.enable_change_data(path)
+    tx.append_table(_rows(spark, (3, "A", 30)), path)
+    tx.delete_from_table(spark, path, "k = 2", mode="mor")
+    tx.materialize_deletes(spark, path)  # 'purge'
+    tx.compact_table(spark, path)  # 'compact'
+    feed = tx.table_changes_cdf(spark, path, after_version=-1)  # NO pks
+    got = {(r["k"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(1, "insert"), (2, "insert"), (3, "insert"), (2, "delete")}
+    # the stream plans ZERO partitions for the maintenance commits
+    reader = txsource.TxStreamReader(
+        txsource.TxTableDataSource(
+            {"path": path, "changeFeed": "true"}
+        ).schema(),
+        {"path": path, "changeFeed": "true"},
+    )
+    tip = tx.latest_version(path)
+    assert reader.partitions({"version": tip - 2}, {"version": tip}) == []
+
+
 def test_cdc_survives_rename_column_mapping(spark, tmp_path):
     """Change files spell PHYSICAL names; a later rename must not
     orphan them (the symlink-export lesson applied here)."""
