@@ -446,6 +446,51 @@ def test_pkless_feed_survives_maintenance(spark, tmp_path):
     assert reader.partitions({"version": tip - 2}, {"version": tip}) == []
 
 
+def test_cdc_change_files_null_fill_widened_schema(spark, tmp_path):
+    """Change files written under an OLDER schema read null-filled
+    under the range's FINAL schema — same discipline as data files."""
+    path = str(tmp_path / "wide")
+    tx.create_table(_rows(spark, (1, "A", 10), (2, "A", 20)), path)
+    tx.enable_change_data(path)
+    tx.update_table(spark, path, "k = 1", {"v": "11"}, mode="cow")
+    tx.add_column(path, "note", "string")
+    src = spark.createDataFrame(
+        [(2, "A", 22, "hi")], "k int, status string, v long, note string"
+    )
+    tx.merge_tx_table(spark, path, src, ["k"])
+    feed = tx.table_changes_cdf(spark, path, after_version=0)
+    got = {
+        (r["k"], r["_change_type"], r["v"], r["note"])
+        for r in feed.collect()
+    }
+    # the pre-widen update's change file lacks 'note' -> null-filled
+    assert (1, "update_postimage", 11, None) in got
+    assert (2, "update_postimage", 22, "hi") in got
+
+
+def test_cdc_with_identity_columns(spark, tmp_path):
+    """Inserted rows' change records carry their ALLOCATED ids (the
+    post-image is read back from the staged files, where allocation
+    already happened)."""
+    path = str(tmp_path / "ident")
+    tx.create_table(
+        spark.createDataFrame([("a", 1)], "name string, v long"),
+        path,
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    tx.enable_change_data(path)
+    tx.merge_tx_table(
+        spark,
+        path,
+        spark.createDataFrame([("b", 2)], "name string, v long"),
+        ["name"],
+    )
+    feed = tx.table_changes_cdf(spark, path, after_version=1)
+    (row,) = feed.collect()
+    assert row["_change_type"] == "insert" and row["name"] == "b"
+    assert row["id"] == 2  # allocated above the create's high-water mark
+
+
 def test_cdc_survives_rename_column_mapping(spark, tmp_path):
     """Change files spell PHYSICAL names; a later rename must not
     orphan them (the symlink-export lesson applied here)."""
