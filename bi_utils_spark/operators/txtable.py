@@ -114,7 +114,16 @@ class LogStore:
     DynamoDB mutex — the public S3DynamoDBLogStore design); the test
     double in tests/test_txlogstore.py pins the semantics such a
     backend must satisfy, including lost-race and transient-failure
-    injection."""
+    injection.
+
+    Scope: this seam abstracts the WRITE-side atomicity (claims,
+    checkpoints) and the log listing — the pieces whose semantics
+    differ across storage. Reads still `open()` the commit path
+    directly, so a backend must leave its blobs readable at
+    ``full_path`` through the filesystem the process sees (a POSIX
+    mount, a fuse/NFS gateway, or a write-through cache). A pure-API
+    object-store backend additionally needs a read method here —
+    a deliberate non-goal until one exists to test against."""
 
     def put_if_absent(self, full_path: str, data: bytes) -> bool:
         raise NotImplementedError
@@ -465,7 +474,9 @@ def _str_upper_bound(s: str) -> str | None:
     return None
 
 
-def _footer_stats(full_path: str) -> tuple[dict, int, dict, list[str]]:
+def _footer_stats(
+    full_path: str, foreign: bool = False
+) -> tuple[dict, int, dict, list[str]]:
     """Per-file (zone map, row count, null counts, truncated columns)
     from the parquet FOOTER (no data read): {col: [min, max]} for
     top-level int/float/string/bool columns whose row-group
@@ -481,7 +492,17 @@ def _footer_stats(full_path: str) -> tuple[dict, int, dict, list[str]]:
     column is listed in the returned truncated set, so skipping stays
     sound while `table_stats` refuses to call the bound exact (the
     Delta truncation-flag discipline). A manifest never carries
-    multi-KB document bodies as zone maps."""
+    multi-KB document bodies as zone maps.
+
+    ``foreign=True`` (files NOT staged by this library —
+    `convert_to_tx` adoption) marks EVERY string bound truncated:
+    the original writer may itself have truncated its footer
+    statistics (parquet-mr's truncate-and-increment), which this
+    pyarrow version cannot detect — such bounds are still valid
+    skip ranges per the parquet spec, but never provably exact
+    row values. Files Spark stages here are exempt: Spark's writer
+    OMITS over-long string stats rather than truncating (probed),
+    so a present bound is a real value."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(full_path).metadata
@@ -521,17 +542,20 @@ def _footer_stats(full_path: str) -> tuple[dict, int, dict, list[str]]:
             if not isinstance(lo, (int, float, str, bool)):
                 lo, hi = str(lo), str(hi)
             if isinstance(lo, str) and (
-                len(lo) > _STR_STAT_MAX or len(hi) > _STR_STAT_MAX
+                foreign
+                or len(lo) > _STR_STAT_MAX
+                or len(hi) > _STR_STAT_MAX
             ):
-                ub = (
-                    _str_upper_bound(hi)
-                    if len(hi) > _STR_STAT_MAX
-                    else hi
-                )
                 trunc.add(name)
-                if ub is None:
-                    continue  # unboundable above — no stat, marked
-                lo, hi = lo[:_STR_STAT_MAX], ub
+                if len(lo) > _STR_STAT_MAX or len(hi) > _STR_STAT_MAX:
+                    ub = (
+                        _str_upper_bound(hi)
+                        if len(hi) > _STR_STAT_MAX
+                        else hi
+                    )
+                    if ub is None:
+                        continue  # unboundable above — no stat, marked
+                    lo, hi = lo[:_STR_STAT_MAX], ub
             cur[name] = (lo, hi)
         per_rg.append(cur)
         null_rg.append(nul)
@@ -969,7 +993,12 @@ def convert_to_tx(
                     f"{sorted(pvals)}, expected {sorted(pcols)}"
                 )
             try:
-                stats, nrows, nulls, trunc = _footer_stats(full)
+                # foreign=True: the adopted files' writer may have
+                # truncated its own string stats undetectably —
+                # bounds skip soundly but are never claimed exact
+                stats, nrows, nulls, trunc = _footer_stats(
+                    full, foreign=True
+                )
             except Exception:  # noqa: BLE001 — stats are best-effort
                 stats, nrows, nulls, trunc = {}, None, {}, []
             try:
@@ -1352,6 +1381,18 @@ def _rewrite_commit(
                     f"{action} at {path}: interleaved commit v{v} "
                     "added a CHECK constraint this rewrite's rows "
                     "were not validated against — re-run"
+                )
+            if entry.get("cdc_enabled"):
+                # an interleaved enable_change_data: this rewrite
+                # staged NO change rows, so rebasing past it would
+                # silently starve the feed's 'every rewriting DML
+                # from this commit on' guarantee. (Disabling only
+                # loosens and composes.) The caller re-runs and
+                # persists its typed rows.
+                raise ConcurrentWriteError(
+                    f"{action} at {path}: interleaved commit v{v} "
+                    "enabled the change data feed this rewrite "
+                    "recorded no change rows for — re-run"
                 )
             e_touched = set(entry.get("removed", [])) | {
                 d["file"] for d in entry.get("dv", [])
@@ -2489,6 +2530,9 @@ def _stage_change_data(
             if nrows == 0:
                 # empty part files would become empty read tasks
                 os.unlink(full)
+                crc = os.path.join(root, f".{name}.crc")
+                if os.path.exists(crc):  # Hadoop checksum sibling
+                    os.unlink(crc)
                 continue
             recs.append(
                 {
@@ -3175,6 +3219,14 @@ def delete_from_table(
             "rows_deleted": sum(int(r["n"]) for r in hit_rows),
             "files_touched": len(hit),
         }
+    matched_full = None
+    if snap.cdc_enabled:
+        # ONE materialization shared by the count, the position pack,
+        # and the change-row staging — not three predicate scans
+        matched_full = live.where(
+            F.coalesce(cond, F.lit(False))
+        ).localCheckpoint(eager=True)
+        matched = matched_full.select("__f", "__pos")
     n_new = matched.count()
     if n_new == 0:
         return none
@@ -3217,10 +3269,10 @@ def delete_from_table(
     up = _protocol_upgrade(snap, reader=["deletionVectors"])
     extra = {"predicate": pred_repr, **({"protocol": up} if up else {})}
     if snap.cdc_enabled:
-        # the newly-masked rows ARE the change rows (the same LIVE
-        # predicate scan that produced the mask — existing DVs
-        # applied, so a re-run emits nothing)
-        gone = live.where(F.coalesce(cond, F.lit(False))).select(
+        # the newly-masked rows ARE the change rows (read back from
+        # the checkpointed match — existing DVs were applied by the
+        # live read, so a re-run emits nothing)
+        gone = matched_full.select(
             *[F.col(f.name) for f in schema.fields]
         ).withColumn(CDF_TYPE_COL, F.lit("delete"))
         extra["cdc"] = _stage_change_data(spark, path, gone, schema)
@@ -3376,7 +3428,12 @@ def update_table(
             for r in hit_rows
         }
         src = _read_files_live(spark, path, hit, schema)
-        post = _updated(src.where(matched_pred))
+        pre_rows = src.where(matched_pred)
+        if snap.cdc_enabled:
+            # one materialization feeds the constraint probe, the
+            # rewrite stage, and both change-row legs
+            pre_rows = pre_rows.localCheckpoint(eager=True)
+        post = _updated(pre_rows)
         _enforce_constraints(post, snap.constraints)
         rewritten = src.where(~matched_pred).unionByName(post)
         added = _stage(
@@ -3392,8 +3449,7 @@ def update_table(
             extra["cdc"] = _stage_change_data(
                 spark,
                 path,
-                src.where(matched_pred)
-                .select(*names)
+                pre_rows.select(*names)
                 .withColumn(CDF_TYPE_COL, F.lit("update_preimage"))
                 .unionByName(
                     post.select(*names).withColumn(
@@ -3418,6 +3474,10 @@ def update_table(
             "files_touched": len(hit),
         }
     matched = live.where(matched_pred)
+    if snap.cdc_enabled:
+        # one materialization feeds the count, the post-image stage,
+        # the position pack, and the change-row staging
+        matched = matched.localCheckpoint(eager=True)
     n_new = matched.count()
     if n_new == 0:
         return none
@@ -5380,6 +5440,37 @@ def vacuum_table(
                 if not dry_run:
                     os.unlink(full)
                 deleted.append(rel)
+    if not dry_run:
+        # debris pass: Hadoop checksum siblings whose payload file is
+        # gone, then commit dirs holding nothing (or only _SUCCESS
+        # markers) — age-guarded so a just-created in-flight stage
+        # dir is never pulled out from under its writer
+        for sweep_root, _suffix in sweeps:
+            for root, _dirs, _names in os.walk(sweep_root, topdown=False):
+                if os.path.abspath(root) == os.path.abspath(sweep_root):
+                    continue
+                try:
+                    entries = os.listdir(root)
+                    for n in entries:
+                        if (
+                            n.startswith(".")
+                            and n.endswith(".crc")
+                            and n[1:-4] not in entries
+                        ):
+                            os.unlink(os.path.join(root, n))
+                    entries = os.listdir(root)
+                    if set(entries) <= {
+                        "_SUCCESS",
+                        "._SUCCESS.crc",
+                    } and (
+                        now - os.path.getmtime(root)
+                        >= stray_age_seconds
+                    ):
+                        for n in entries:
+                            os.unlink(os.path.join(root, n))
+                        os.rmdir(root)
+                except OSError:
+                    continue  # racing writer — leave it alone
     return sorted(deleted)
 
 
@@ -5932,7 +6023,10 @@ def _cdf_commit_rows(
             **({"dv": a["dv"]} if a.get("dv") else {}),
         }
         for a in entry.get("added", [])
-        if a["path"] not in live
+        # manifest-known-empty files (a rewrite with no survivors
+        # stages one) contribute no rows and must not defeat the
+        # insert-only / delete-only classification below
+        if a["path"] not in live and a.get("rows") != 0
     }
     removed_live = {p: live[p] for p in entry.get("removed", []) if p in live}
 
@@ -5959,12 +6053,42 @@ def _cdf_commit_rows(
         return _typed(masked, "delete")
     if not added_new and not removed_live and not entry.get("dv"):
         return None  # metadata-only commit: nothing changed row-level
+    if not entry.get("dv") and not removed_live:
+        # insert-only rewrite (e.g. a merge landing only brand-new
+        # partitions): no pre-image exists, so every added row is an
+        # insert — join-free and pk-free, like an append
+        return _typed(
+            _read_files_live(spark, path, added_new, schema), "insert"
+        )
+    if not entry.get("dv") and not added_new:
+        # delete-only rewrite (e.g. a COW delete whose hit files had
+        # no survivors): every removed live row is a delete
+        return _typed(
+            _read_files_live(spark, path, removed_live, schema),
+            "delete",
+        )
+    if pks is None and entry["action"] in ("overwrite", "restore"):
+        # blind-rewrite rendering (the Delta overwrite CDF shape):
+        # every removed live row reads back as a delete, every
+        # genuinely-new row as an insert — join-free and pk-free. A
+        # pk'd feed refines the same commit into update rows instead;
+        # both replay to the same snapshot.
+        return _typed(
+            _read_files_live(spark, path, removed_live, schema),
+            "delete",
+        ).unionByName(
+            _typed(
+                _read_files_live(spark, path, added_new, schema),
+                "insert",
+            )
+        )
     if pks is None:
         raise ValueError(
             f"cdf: commit v{v} is a rewriting {entry['action']!r} "
             "without commit-time change data — pass pks=... for the "
-            "pre/post join, or enable_change_data(path) so future "
-            "commits persist their typed rows"
+            "pre/post join (merge/update commits), or "
+            "enable_change_data(path) so future DML commits persist "
+            "their typed rows"
         )
     if entry.get("dv"):
         # MOR update: masked rows are the pre-image, staged files the

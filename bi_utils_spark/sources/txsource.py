@@ -350,7 +350,14 @@ class TxStreamReader(DataSourceStreamReader):
     def _commit_bytes(self, v: int) -> int:
         """One commit's admission weight from manifest byte records:
         added data files, plus change-data files when streaming the
-        feed (the rows a changeFeed batch actually reads)."""
+        feed (the rows a changeFeed batch actually reads). Memoized —
+        commits are immutable, and a backlogged stream would
+        otherwise re-parse the same JSONs every trigger."""
+        cache = getattr(self, "_bytes_cache", None)
+        if cache is None:
+            cache = self._bytes_cache = {}
+        if v in cache:
+            return cache[v]
         with open(tx._commit_file(self._path, v)) as fh:
             entry = json.load(fh)
         n = sum(int(a.get("bytes") or 0) for a in entry.get("added", []))
@@ -358,6 +365,7 @@ class TxStreamReader(DataSourceStreamReader):
             n += sum(
                 int(r.get("bytes") or 0) for r in entry.get("cdc", [])
             )
+        cache[v] = n
         return n
 
     def latestOffset(self) -> dict:
@@ -460,7 +468,9 @@ class TxStreamReader(DataSourceStreamReader):
                     _dv_abs(a),
                 )
                 for a in entry.get("added", [])
-                if a["path"] not in live
+                # manifest-known-empty files contribute nothing and
+                # must not defeat insert/delete-only classification
+                if a["path"] not in live and a.get("rows") != 0
             ]
             removed_live = [
                 (
@@ -496,9 +506,37 @@ class TxStreamReader(DataSourceStreamReader):
                     parts.append(
                         TxCdfPartition(v, [], added_new, dv_diff=diff)
                     )
+            elif not removed_live and added_new:
+                # insert-only rewrite: no pre-image exists — pure
+                # inserts, one task per file, no join, no pks
+                parts.extend(
+                    TxCdfPartition(v, [], [f]) for f in added_new
+                )
+            elif not added_new and removed_live:
+                # delete-only rewrite (COW delete, no survivors):
+                # pure deletes, one task per removed file
+                parts.extend(
+                    TxCdfPartition(v, [f], []) for f in removed_live
+                )
             elif added_new or removed_live:
-                self._require_join_ok(v, entry, live)
-                parts.append(TxCdfPartition(v, removed_live, added_new))
+                if self._pks is None and entry["action"] in (
+                    "overwrite",
+                    "restore",
+                ):
+                    # blind-rewrite rendering (Delta overwrite CDF):
+                    # removed rows stream as deletes, new rows as
+                    # inserts — per-file tasks, join-free
+                    parts.extend(
+                        TxCdfPartition(v, [f], []) for f in removed_live
+                    )
+                    parts.extend(
+                        TxCdfPartition(v, [], [f]) for f in added_new
+                    )
+                else:
+                    self._require_join_ok(v, entry, live)
+                    parts.append(
+                        TxCdfPartition(v, removed_live, added_new)
+                    )
             self._replay_live(live, entry)
         return parts
 
@@ -627,6 +665,16 @@ class TxStreamReader(DataSourceStreamReader):
                     fp, pvals, schema, dv_path=dv_path
                 ):
                     yield (*row, "insert", v)
+            return
+        if not partition.post and not partition.dv_diff:
+            # pre-image-only partition (delete-only rewrite, or the
+            # delete leg of a pk-less blind overwrite/restore): every
+            # live row of the file reads back as a delete
+            for fp, pvals, dv_path in partition.pre:
+                for row in _read_file_rows(
+                    fp, pvals, schema, dv_path=dv_path
+                ):
+                    yield (*row, "delete", v)
             return
         pk_idx = [schema.fieldNames().index(c) for c in self._pks]
 

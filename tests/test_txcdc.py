@@ -421,6 +421,125 @@ def test_clone_carries_cdc_property(spark, tmp_path):
         assert e["cdc"], "the clone keeps recording change rows"
 
 
+def test_rewrite_conflicts_with_interleaved_enable(
+    spark, tmp_path, monkeypatch
+):
+    """A rewrite that lost the race to enable_change_data staged NO
+    change rows — rebasing past it would silently starve the feed,
+    so it must conflict (the add-constraint race rule, applied to
+    the cdc property)."""
+    path = str(tmp_path / "race")
+    tx.create_table(_rows(spark, (1, "A", 10), (2, "A", 20)), path)
+    real_claim = tx._claim
+    state = {"done": False}
+
+    def racy(p, version, payload):
+        if not state["done"] and payload.get("action") == "update":
+            state["done"] = True
+            tx.enable_change_data(p)  # claims the slot first
+        return real_claim(p, version, payload)
+
+    monkeypatch.setattr(tx, "_claim", racy)
+    with pytest.raises(tx.ConcurrentWriteError, match="change data"):
+        tx.update_table(spark, path, "k = 1", {"v": "0"}, mode="cow")
+    # the re-run sees cdc enabled and records its rows
+    tx.update_table(spark, path, "k = 1", {"v": "0"}, mode="cow")
+    e = json.loads(
+        open(tx._commit_file(path, tx.latest_version(path))).read()
+    )
+    assert e["cdc"]
+
+
+def test_pkless_blind_overwrite_and_restore(spark, tmp_path):
+    """Without pks, overwrite/restore render join-free as delete-all
+    + insert-all (the Delta overwrite CDF shape); with pks the same
+    commits refine into update rows — both replay to one snapshot."""
+    path = str(tmp_path / "ow")
+    tx.create_table(_rows(spark, (1, "A", 10), (2, "A", 20)), path)
+    tx.overwrite_table(_rows(spark, (2, "A", 99), (3, "B", 30)), path)
+    feed = tx.table_changes_cdf(spark, path, after_version=0)  # pk-less
+    got = {
+        (r["k"], r["_change_type"], r["v"]) for r in feed.collect()
+    }
+    assert got == {
+        (1, "delete", 10),
+        (2, "delete", 20),
+        (2, "insert", 99),
+        (3, "insert", 30),
+    }
+    # the pk'd rendering of the SAME commit refines into an update
+    got_pk = {
+        (r["k"], r["_change_type"], r["v"])
+        for r in tx.table_changes_cdf(
+            spark, path, ["k"], after_version=0
+        ).collect()
+    }
+    assert (2, "update_postimage", 99) in got_pk
+    # restore renders pk-less too
+    tx.restore_table(spark, path, version=0)
+    feed2 = tx.table_changes_cdf(spark, path, after_version=1)
+    got2 = {
+        (r["k"], r["_change_type"], r["v"]) for r in feed2.collect()
+    }
+    assert got2 == {
+        (2, "delete", 99),
+        (3, "delete", 30),
+        (1, "insert", 10),
+        (2, "insert", 20),
+    }
+
+
+def test_pkless_insert_only_and_delete_only_rewrites(spark, tmp_path):
+    path = str(tmp_path / "io")
+    base = spark.createDataFrame(
+        [(1, "d1", 10)], "k int, day string, v long"
+    )
+    tx.create_table(base, path, partition_cols=["day"])
+    # merge landing ONLY a brand-new partition: removed=[] -> pure
+    # inserts, pk-less and join-free
+    src = spark.createDataFrame(
+        [(2, "d2", 20), (3, "d2", 30)], "k int, day string, v long"
+    )
+    tx.merge_tx_table(spark, path, src, ["k"])
+    v_merge = tx.latest_version(path)
+    feed = tx.table_changes_cdf(
+        spark, path, after_version=v_merge - 1
+    )  # NO pks
+    assert {(r["k"], r["_change_type"]) for r in feed.collect()} == {
+        (2, "insert"),
+        (3, "insert"),
+    }
+    # COW delete wiping a whole partition's rows: no survivors ->
+    # pure deletes, pk-less
+    tx.delete_from_table(
+        spark, path, "day = 'd2'", mode="cow",
+        partition_filter={"day": "d2"},
+    )
+    v_del = tx.latest_version(path)
+    feed2 = tx.table_changes_cdf(spark, path, after_version=v_del - 1)
+    assert {(r["k"], r["_change_type"]) for r in feed2.collect()} == {
+        (2, "delete"),
+        (3, "delete"),
+    }
+    # the stream plans these per-file, join-free, without pks
+    reader = txsource.TxStreamReader(
+        txsource.TxTableDataSource(
+            {"path": path, "changeFeed": "true"}
+        ).schema(),
+        {"path": path, "changeFeed": "true"},
+    )
+    parts = reader.partitions(
+        {"version": v_merge - 1}, {"version": v_del}
+    )
+    rows = [r for p in parts for r in reader.read(p)]
+    assert sorted((r[0], r[-2]) for r in rows) == [
+        (2, "delete"),
+        (2, "insert"),
+        (3, "delete"),
+        (3, "insert"),
+    ]
+
+
 def test_pkless_feed_survives_maintenance(spark, tmp_path):
     """Compaction and DV purge are movement-only by construction —
     they emit nothing and must neither demand pks nor plan a no-op
