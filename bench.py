@@ -236,8 +236,11 @@ BENCH_QUERIES = [
     "q_tx_respec",
     "q_ivf_batch_topk",
     # r10: commit-time change data — the pk-less feed read as a pure
-    # scan of the persisted change files (no read-time join)
+    # scan of the persisted change files (no read-time join) — and
+    # the pk-less blind-rewrite rendering (overwrite/restore as
+    # delete-all+insert-all, join-free)
     "q_tx_cdc",
+    "q_tx_ow_cdf",
     # r9: map-only FIM rewrite (fuses into the scan — the wall IS the scan)
     "q_fim",
     # composed end-to-end training-data pipeline (clean → dedup tiers

@@ -10368,6 +10368,71 @@ def q_tx_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tx_ow_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF blind-rewrite feed fixture (idempotent, r10): v0 create
+    (k%3=0) -> v1 OVERWRITE (k%3<=1, cents+5) -> v2 RESTORE to v0.
+    Neither commit records change data and the feed is read with NO
+    pks — blind rewrites render join-free as delete-all+insert-all,
+    the Delta overwrite readChangeFeed shape."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_ow"
+    if tx.latest_version(path) >= 2:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(rows.where(F.col("k") % 3 == 0), path)
+    if tx.latest_version(path) < 1:
+        tx.overwrite_table(
+            rows.where(F.col("k") % 3 <= 1).withColumn(
+                "cents", F.col("cents") + 5
+            ),
+            path,
+        )
+    if tx.latest_version(path) < 2:
+        tx.restore_table(spark, path, version=0)
+    return path
+
+
+@register(
+    "q_tx_ow_cdf",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
+    FROM rows0 WHERE k % 3 = 0
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(1 AS BIGINT)
+    FROM rows0 WHERE k % 3 = 0
+    UNION ALL
+    SELECT k, status, cents + 5, 'insert', CAST(1 AS BIGINT)
+    FROM rows0 WHERE k % 3 <= 1
+    UNION ALL
+    SELECT k, status, cents + 5, 'delete', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 3 <= 1
+    UNION ALL
+    SELECT k, status, cents, 'insert', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 3 = 0
+    """,
+)
+def q_tx_ow_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pk-less BLIND-REWRITE change feed (r10): an overwrite and a
+    restore replay with NO primary keys and NO commit-time change
+    data — every removed live row reads back as a delete and every
+    genuinely-new row as an insert, join-free (the Delta overwrite
+    readChangeFeed rendering; a pk'd feed refines the same commits
+    into update rows). The oracle states each commit's net change
+    declaratively, so a green row pins the rendering's classification
+    AND payloads across both blind verbs, including restore's
+    re-added-file inserts."""
+    from bi_utils_spark.operators.txtable import table_changes_cdf
+
+    path = _tx_ow_demo_table(spark, sf_dir)
+    return table_changes_cdf(spark, path, after_version=-1).select(
+        "k", "status", "cents", "_change_type", "_commit_version"
+    )
+
+
 def _tx_dv_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Per-SF deletion-vector arc fixture (idempotent): v0 create
     (ALL order rows, status-partitioned) -> v1 MOR delete (k%7=0 —
@@ -11013,7 +11078,9 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     enableChangeDataFeed/_change_data analog): rewriting DML
 #     commits persist their typed change rows, so the feed reads
 #     pk-less as a pure scan and the stream ships one task per
-#     change file (the r9 verdict's single-task defect, closed).
+#     change file (the r9 verdict's single-task defect, closed) —
+#     and q_tx_ow_cdf, the pk-less BLIND-REWRITE rendering
+#     (overwrite/restore as delete-all+insert-all, join-free).
 # (2) r10-changed implementation — every tx row: txtable.py's shared
 #     spine changed this round (fold/checkpoint carry cdc_enabled;
 #     _footer_stats survives per-column pyarrow statistic errors;
@@ -11027,7 +11094,7 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     Every tx arc's fixture rebuilds through those paths. 19 rows.
 # (3) re-attestation, oldest official row first: the r5-era tier from
 #     q_token_counts (exactly where r9's ledger left off), registry
-#     order, 30 rows. 1 + 19 + 30 = 50. All are green in the local
+#     order, 29 rows. 2 + 19 + 29 = 50. All are green in the local
 #     strict sweep with implementations unchanged since their
 #     official rows.
 # Demoted: the r4 tier and r5 head (attested freshly in r9); the
@@ -11037,6 +11104,7 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROMOTED: list[str] = [
     # ---- tier 1: new in r10 ----
     "q_tx_cdc",
+    "q_tx_ow_cdf",
     # ---- tier 2: r10-changed implementation (txtable.py spine) ----
     "q_tx_cdf",
     "q_tx_dv_cdf",
@@ -11088,8 +11156,7 @@ _PROMOTED: list[str] = [
     "q_media_decode",
     "q_jpeg_roundtrip",
     "q_resize_roundtrip",
-    "q_audio_features",
-    # (q_phash_near_dup onward: next in line for r11)
+    # (q_audio_features onward: next in line for r11)
 ]
 
 
