@@ -106,6 +106,10 @@ class LogStore:
       ([] when absent). Listings may lag writes on eventually-
       consistent stores ONLY for entries this process did not write —
       read-your-own-writes is required (version math folds from it).
+    - ``read_bytes(full_path)``: the blob's content. Commit blobs are
+      immutable once a put succeeded, so caching is always legal.
+      The base-class default reads the local filesystem — override
+      it together with put_if_absent for a pure-API object store.
 
     Which backend guarantees what: `LinkingLogStore` (the default) is
     correct wherever hard-link creation is atomic-and-exclusive —
@@ -116,20 +120,25 @@ class LogStore:
     backend must satisfy, including lost-race and transient-failure
     injection.
 
-    Scope: this seam abstracts the WRITE-side atomicity (claims,
-    checkpoints) and the log listing — the pieces whose semantics
-    differ across storage. Reads still `open()` the commit path
-    directly, so a backend must leave its blobs readable at
-    ``full_path`` through the filesystem the process sees (a POSIX
-    mount, a fuse/NFS gateway, or a write-through cache). A pure-API
-    object-store backend additionally needs a read method here —
-    a deliberate non-goal until one exists to test against."""
+    Scope: the seam covers the whole LOG lifecycle — claims and
+    checkpoints (put_if_absent), listing (list_names), and entry
+    reads (read_bytes), so a pure-API object-store backend needs no
+    local files for the log itself. DATA files (parquet, DV
+    sidecars, change files) read through Spark/pyarrow and therefore
+    still need a filesystem or connector the executors can see (s3a
+    etc.) — the normal lakehouse arrangement. Maintenance that
+    REWRITES log entries in place (`forget_keys`' history scrub)
+    documents exclusive access and uses the local filesystem."""
 
     def put_if_absent(self, full_path: str, data: bytes) -> bool:
         raise NotImplementedError
 
     def list_names(self, log_dir: str) -> list[str]:
         raise NotImplementedError
+
+    def read_bytes(self, full_path: str) -> bytes:
+        with open(full_path, "rb") as fh:
+            return fh.read()
 
 
 class LinkingLogStore(LogStore):
@@ -221,6 +230,16 @@ def _ckpt_file(path: str, version: int) -> str:
     return os.path.join(_log_path(path), f"{version:0{_V_WIDTH}d}.ckpt.json")
 
 
+def _load_entry(path: str, version: int) -> dict:
+    """One parsed commit entry, read through the installed LogStore
+    (commit blobs are immutable — backends may cache)."""
+    return json.loads(_LOG_STORE.read_bytes(_commit_file(path, version)))
+
+
+def _load_ckpt(path: str, version: int) -> dict:
+    return json.loads(_LOG_STORE.read_bytes(_ckpt_file(path, version)))
+
+
 def _list_log(path: str) -> tuple[list[int], list[int]]:
     """(commit versions, checkpoint versions), each sorted ascending."""
     commits, ckpts = [], []
@@ -284,8 +303,7 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
         )
     base = max((c for c in ckpts if c <= target), default=None)
     if base is not None:
-        with open(_ckpt_file(path, base)) as fh:
-            raw = json.load(fh)
+        raw = _load_ckpt(path, base)
         snap = Snapshot(
             version=base,
             schema=raw["schema"],
@@ -304,8 +322,7 @@ def _fold(path: str, version: int | None = None) -> Snapshot:
         snap = Snapshot(version=-1, schema="", partition_cols=[])
         start = commits[0]
     for v in range(start, target + 1):
-        with open(_commit_file(path, v)) as fh:
-            entry = json.load(fh)
+        entry = _load_entry(path, v)
         for rel in entry.get("removed", []):
             snap.files.pop(rel, None)
         for added in entry.get("added", []):
@@ -373,8 +390,7 @@ def _commit_ts(path: str, version: int, entry: dict | None = None) -> float:
     ``_claim`` since r8), file mtime for pre-ts logs. Pass the
     already-parsed ``entry`` to skip the file read (vacuum does)."""
     if entry is None:
-        with open(_commit_file(path, version)) as fh:
-            entry = json.load(fh)
+        entry = _load_entry(path, version)
     ts = entry.get("ts")
     if ts is not None:
         return float(ts)
@@ -1330,8 +1346,7 @@ def _rewrite_commit(
         # touching the same file in either way is a lost update
         removed_set = set(removed) | {d["file"] for d in (dv or [])}
         for v in range(version, tip + 1):
-            with open(_commit_file(path, v)) as fh:
-                entry = json.load(fh)
+            entry = _load_entry(path, v)
             e_app = entry.get("app")
             if (
                 app is not None
@@ -2419,8 +2434,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     commits, _ = _list_log(path)
     rows = []
     for v in commits:
-        with open(_commit_file(path, v)) as fh:
-            e = json.load(fh)
+        e = _load_entry(path, v)
         rows.append(
             (
                 v,
@@ -5363,8 +5377,7 @@ def vacuum_table(
     ts_by_v: dict[int, float] = {}
     cdc_by_v: dict[int, list[str]] = {}
     for v in commits:
-        with open(_commit_file(path, v)) as fh:
-            entry = json.load(fh)
+        entry = _load_entry(path, v)
         referenced.update(a["path"] for a in entry.get("added", []))
         referenced.update(
             d["dv_path"] for d in entry.get("dv", [])
@@ -5813,8 +5826,7 @@ def table_changes(
                 "was truncated (forget_keys); re-baseline the "
                 "consumer from a full read_table snapshot"
             )
-        with open(_commit_file(path, v)) as fh:
-            e = json.load(fh)
+        e = _load_entry(path, v)
         if e["action"] not in ("append", "create", "clone"):
             raise ValueError(
                 f"table_changes: commit v{v} is {e['action']!r} — the "
@@ -6211,8 +6223,7 @@ def table_changes_cdf(
     )
     parts: list[DataFrame] = []
     for v in range(after_version + 1, hi + 1):
-        with open(_commit_file(path, v)) as fh:
-            entry = json.load(fh)
+        entry = _load_entry(path, v)
         df = _cdf_commit_rows(
             spark,
             path,

@@ -358,8 +358,7 @@ class TxStreamReader(DataSourceStreamReader):
             cache = self._bytes_cache = {}
         if v in cache:
             return cache[v]
-        with open(tx._commit_file(self._path, v)) as fh:
-            entry = json.load(fh)
+        entry = tx._load_entry(self._path, v)
         n = sum(int(a.get("bytes") or 0) for a in entry.get("added", []))
         if self._change_feed:
             n += sum(
@@ -399,8 +398,7 @@ class TxStreamReader(DataSourceStreamReader):
     ) -> list[TxFilePartition]:
         parts: list[TxFilePartition] = []
         for v in range(after + 1, up_to + 1):
-            with open(tx._commit_file(self._path, v)) as fh:
-                entry = json.load(fh)
+            entry = tx._load_entry(self._path, v)
             if entry["action"] not in ("append", "create", "clone"):
                 if self._skip_rewrites:
                     continue
@@ -442,8 +440,7 @@ class TxStreamReader(DataSourceStreamReader):
 
         parts: list[InputPartition] = []
         for v in range(after + 1, up_to + 1):
-            with open(tx._commit_file(self._path, v)) as fh:
-                entry = json.load(fh)
+            entry = tx._load_entry(self._path, v)
             if "cdc" in entry:
                 # the writer persisted this commit's typed rows at
                 # commit time — one partition PER CHANGE FILE, fully

@@ -161,6 +161,36 @@ def test_transient_fault_leaves_no_partial_commit(
     assert set(_as_dict(tx.read_table(spark, path))) == {1, 2}
 
 
+def test_entry_reads_route_through_store(spark, tmp_path):
+    """The seam covers the whole log lifecycle: folds and feed reads
+    fetch commit blobs via read_bytes, not bare open() — a pure-API
+    backend needs no local files for the log."""
+
+    class CountingStore(ConditionalPutStore):
+        def __init__(self) -> None:
+            super().__init__()
+            self.reads = 0
+
+        def read_bytes(self, full_path: str) -> bytes:
+            self.reads += 1
+            return tx.LogStore.read_bytes(self, full_path)
+
+    store = CountingStore()
+    prev = tx.set_log_store(store)
+    try:
+        path = str(tmp_path / "t")
+        tx.create_table(_rows(spark, (1, "A", 10)), path)
+        tx.append_table(_rows(spark, (2, "B", 20)), path)
+        store.reads = 0
+        snap = tx._fold(path)
+        assert snap.version == 1 and store.reads >= 2
+        store.reads = 0
+        tx.table_changes_cdf(spark, path, after_version=-1).count()
+        assert store.reads >= 2
+    finally:
+        tx.set_log_store(prev)
+
+
 def test_threaded_appends_race_through_double(spark, tmp_path, cond_store):
     path = str(tmp_path / "t")
     tx.create_table(_rows(spark, (0, "A", 0)), path)
