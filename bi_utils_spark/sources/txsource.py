@@ -320,6 +320,12 @@ class TxStreamReader(DataSourceStreamReader):
             self._pks = (
                 [c.strip() for c in str(pks).split(",")] if pks else None
             )
+            # Delta readChangeFeed parity: updates can emit BOTH
+            # images; default stays the three-type contract
+            self._include_preimages = (
+                str(options.get("includePreimages", "false")).lower()
+                == "true"
+            )
             # the TABLE schema (change columns stripped) drives file
             # reads; the two feed columns are appended per row
             self._table_schema = StructType(
@@ -621,8 +627,8 @@ class TxStreamReader(DataSourceStreamReader):
         if isinstance(partition, TxCdcFilePartition):
             # commit-time change data: the file already holds typed
             # rows (table columns + _change_type, physical names);
-            # update_preimage rows are the batch feed's opt-in extra —
-            # the stream keeps its documented three-type contract
+            # update_preimage rows stream only under the opt-in
+            # includePreimages=true (Delta readChangeFeed parity)
             from pyspark.sql.types import StringType, StructField
 
             read_schema = StructType(
@@ -632,7 +638,7 @@ class TxStreamReader(DataSourceStreamReader):
             for row in _read_file_rows(
                 partition.file_path, {}, read_schema
             ):
-                if row[-1] != "update_preimage":
+                if self._include_preimages or row[-1] != "update_preimage":
                     yield (*row[:-1], row[-1], v)
             return
 
@@ -694,6 +700,8 @@ class TxStreamReader(DataSourceStreamReader):
             if old is None:
                 yield (*row, "insert", v)
             elif old != row:
+                if self._include_preimages:
+                    yield (*old, "update_preimage", v)
                 yield (*row, "update_postimage", v)
         for key, row in pre.items():
             if key not in post:
@@ -720,7 +728,9 @@ class TxTableDataSource(DataSource):
     startingVersion or startingTimestamp / skipRewrites /
     changeFeed (+pks — optional for tables with
     `txtable.enable_change_data`, whose rewrites stream one task per
-    persisted change file) / maxVersionsPerBatch / maxBytesPerBatch /
+    persisted change file; includePreimages=true adds
+    update_preimage rows, the Delta readChangeFeed parity) /
+    maxVersionsPerBatch / maxBytesPerBatch /
     maxRewriteBytesPerTask (streaming)."""
 
     @classmethod

@@ -250,6 +250,47 @@ def test_stream_pkless_cdc_table_end_to_end(spark, tmp_path):
     assert all(t[1] != "update_preimage" for t in got)
 
 
+def test_stream_include_preimages(spark, tmp_path):
+    """includePreimages=true streams update_preimage rows too — from
+    change files (cdc tables) AND from the join fallback — matching
+    the batch feed's include_preimage=True rendering."""
+    for name, cdc in (("cdcp", True), ("plainp", False)):
+        path = str(tmp_path / name)
+        ckpt = str(tmp_path / f"{name}_ckpt")
+        _arc(spark, path, cdc=cdc)
+        opts = {"changeFeed": "true", "includePreimages": "true"}
+        if not cdc:
+            opts["pks"] = "k"
+        stream = spark.readStream.format("txtable").option("path", path)
+        for k_, v_ in opts.items():
+            stream = stream.option(k_, v_)
+        q = (
+            stream.load()
+            .writeStream.format("memory")
+            .queryName(f"pre_{name}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["k"], r["_change_type"], r["status"], r["v"])
+            for r in spark.sql(f"SELECT * FROM pre_{name}").collect()
+        }
+        want = {
+            (r["k"], r["_change_type"], r["status"], r["v"])
+            for r in tx.table_changes_cdf(
+                spark,
+                path,
+                None if cdc else ["k"],
+                after_version=-1,
+                include_preimage=True,
+            ).collect()
+        }
+        assert got == want
+        assert any(t[1] == "update_preimage" for t in got)
+
+
 def test_stream_cdf_sink_replicates_cdc_table(spark, tmp_path):
     up = str(tmp_path / "up")
     down = str(tmp_path / "down")
