@@ -651,6 +651,58 @@ def test_cdc_with_identity_columns(spark, tmp_path):
     assert row["id"] == 2  # allocated above the create's high-water mark
 
 
+def test_cdc_across_partition_evolution(spark, tmp_path):
+    """Change files store partition columns as plain data, so the
+    feed is spec-agnostic: a merge AFTER repartition_table (which
+    pulls old-spec files into the rewrite) still records exactly its
+    net changes, readable pk-less."""
+    path = str(tmp_path / "respec")
+    base = spark.createDataFrame(
+        [(1, "d1", "A", 10), (2, "d2", "B", 20)],
+        "k int, day string, status string, v long",
+    )
+    tx.create_table(base, path, partition_cols=["day"])
+    tx.enable_change_data(path)
+    tx.repartition_table(path, ["status"])
+    src = spark.createDataFrame(
+        [(1, "d1", "A", 11), (3, "d3", "B", 30)],
+        "k int, day string, status string, v long",
+    )
+    tx.merge_tx_table(spark, path, src, ["k"])
+    v = tx.latest_version(path)
+    feed = tx.table_changes_cdf(spark, path, after_version=v - 1)
+    got = {(r["k"], r["_change_type"], r["v"]) for r in feed.collect()}
+    assert (1, "update_postimage", 11) in got
+    assert (3, "insert", 30) in got
+    assert not any(t[0] == 2 and t[1] != "insert" for t in got)
+
+
+def test_cdc_with_generated_columns(spark, tmp_path):
+    """Generated columns recompute on the post-image; change rows
+    carry the derived values on both sides of an update pair."""
+    import datetime as dt
+
+    path = str(tmp_path / "gen")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2023, 5, 1)), (2, dt.datetime(2024, 6, 2))],
+        "k int, ts timestamp",
+    )
+    tx.create_table(
+        df, path, partition_cols=["y"], generated={"y": "year(ts)"}
+    )
+    tx.enable_change_data(path)
+    tx.update_table(
+        spark, path, "k = 1", {"ts": "ts + INTERVAL 370 DAYS"}, mode="cow"
+    )
+    feed = tx.table_changes_cdf(
+        spark, path, after_version=1, include_preimage=True
+    )
+    got = {(r["k"], r["_change_type"], r["y"]) for r in feed.collect()}
+    # the derived partition value moved 2023 -> 2024 across the pair
+    assert (1, "update_preimage", 2023) in got
+    assert (1, "update_postimage", 2024) in got
+
+
 def test_cdc_survives_rename_column_mapping(spark, tmp_path):
     """Change files spell PHYSICAL names; a later rename must not
     orphan them (the symlink-export lesson applied here)."""
