@@ -5969,6 +5969,20 @@ def _cdf_change_file_rows(
     recs = entry.get("cdc") or []
     if not recs:
         return None
+    missing = [
+        r["path"]
+        for r in recs
+        if not os.path.exists(os.path.join(path, r["path"]))
+    ]
+    if missing:
+        raise ValueError(
+            f"cdf: commit v{v}'s change files were already vacuumed "
+            f"({len(missing)} missing, first: {missing[0]!r}) — change "
+            "data is retained only as long as its commit's vacuum "
+            "window (the Delta rule); narrow the range past it "
+            f"(after_version >= {v}) or re-baseline the consumer from "
+            "a read_table snapshot"
+        )
     from pyspark.sql.types import StringType, StructField
 
     phys = _to_physical(schema)

@@ -450,13 +450,22 @@ class TxStreamReader(DataSourceStreamReader):
             if "cdc" in entry:
                 # the writer persisted this commit's typed rows at
                 # commit time — one partition PER CHANGE FILE, fully
-                # distributed, no join, no pks
-                parts.extend(
-                    TxCdcFilePartition(
-                        v, os.path.join(self._path, rec["path"])
-                    )
-                    for rec in entry["cdc"]
-                )
+                # distributed, no join, no pks. A stale checkpoint
+                # resuming past the vacuum window gets the diagnosis
+                # at planning time, not an executor FileNotFound.
+                cdc_parts = []
+                for rec in entry["cdc"]:
+                    fp = os.path.join(self._path, rec["path"])
+                    if not os.path.exists(fp):
+                        raise ValueError(
+                            f"txtable stream: commit v{v}'s change "
+                            f"files were already vacuumed "
+                            f"({rec['path']!r} missing) — restart "
+                            "the feed from a newer startingVersion "
+                            "or re-baseline from a snapshot"
+                        )
+                    cdc_parts.append(TxCdcFilePartition(v, fp))
+                parts.extend(cdc_parts)
                 self._replay_live(live, entry)
                 continue
             if entry["action"] in ("compact", "purge"):

@@ -418,6 +418,44 @@ def test_vacuum_reclaims_expired_change_files(spark, tmp_path):
         assert not os.path.exists(os.path.join(path, rel))
 
 
+def test_vacuumed_change_files_diagnose_clearly(spark, tmp_path):
+    """A feed range spanning a commit whose change files were
+    vacuumed raises the retention diagnosis at PLANNING time (batch
+    and stream), never an executor FileNotFound; a narrowed range
+    keeps working."""
+    path = str(tmp_path / "vdiag")
+    tx.create_table(_rows(spark, (1, "A", 10), (2, "A", 20)), path)
+    tx.enable_change_data(path)
+    tx.update_table(spark, path, "k = 1", {"v": "11"}, mode="cow")
+    v_upd = tx.latest_version(path)
+    for i in range(3):
+        tx.append_table(_rows(spark, (50 + i, "B", i)), path)
+    # reclaim ONLY the update's change files (what a vacuum whose
+    # window excludes v_upd does — data files may outlive them when
+    # later snapshots still reference them)
+    e = json.loads(open(tx._commit_file(path, v_upd)).read())
+    for rec in e["cdc"]:
+        os.unlink(os.path.join(path, rec["path"]))
+    with pytest.raises(ValueError, match="vacuumed"):
+        tx.table_changes_cdf(spark, path, after_version=-1)
+    # the surviving tail still replays
+    feed = tx.table_changes_cdf(spark, path, after_version=v_upd)
+    assert {r["k"] for r in feed.collect()} == {50, 51, 52}
+    reader = txsource.TxStreamReader(
+        txsource.TxTableDataSource(
+            {"path": path, "changeFeed": "true"}
+        ).schema(),
+        {"path": path, "changeFeed": "true"},
+    )
+    with pytest.raises(ValueError, match="vacuumed"):
+        reader.partitions(
+            {"version": v_upd - 1}, {"version": v_upd}
+        )
+    assert reader.partitions(
+        {"version": v_upd}, {"version": tx.latest_version(path)}
+    )
+
+
 def test_vacuum_stray_change_files_ride_age_guard(spark, tmp_path):
     path = str(tmp_path / "stray")
     tx.create_table(_rows(spark, (1, "A", 10)), path)
