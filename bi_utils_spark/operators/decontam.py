@@ -276,6 +276,7 @@ def semantic_contamination_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     round_digits: int = 9,
+    max_broadcast_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """(corpus_id, bench_id, score) — corpus embeddings whose cosine
     to ANY benchmark embedding reaches ``threshold``: the semantic
@@ -302,9 +303,21 @@ def semantic_contamination_pairs(
     dot/(norm·norm) is the same expression tree as ``cosine()``, so
     scores are bit-identical to the unhoisted form. Measured ~3× on
     this stage at sf0.1.
+
+    ``max_broadcast_rows`` enforces the "benchmark side is tiny"
+    contract: a bench set over the bound raises ``BroadcastSizeError``
+    (pointing at the IVF probe path) instead of planning a runaway
+    BNLJ. None = caller-attested size.
     """
+    from bi_utils_spark.operators.guards import require_broadcastable
     from bi_utils_spark.operators.similarity import _as_double, dot, norm
 
+    benchmark = require_broadcastable(
+        benchmark, max_broadcast_rows, "benchmark",
+        "semantic_contamination_pairs",
+        "similarity.ivf_topk probes per benchmark item (verify "
+        "candidates exactly)",
+    )
     c = corpus.select(
         F.col(corpus_id).alias("corpus_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
@@ -330,11 +343,14 @@ def semantic_decontaminate(
     bench_id: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_broadcast_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Corpus rows with NO benchmark embedding at cosine ≥ threshold —
-    the drop step. Same broadcast map-only shape; the anti-join keeps
-    the corpus unshuffled."""
+    the drop step. Same broadcast map-only shape (and the same
+    ``max_broadcast_rows`` contract on the bench side); the anti-join
+    keeps the corpus unshuffled."""
     hits = semantic_contamination_pairs(
-        corpus, benchmark, corpus_id, bench_id, vec_col, threshold
+        corpus, benchmark, corpus_id, bench_id, vec_col, threshold,
+        max_broadcast_rows=max_broadcast_rows,
     ).select(F.col("corpus_id").alias(corpus_id)).distinct()
     return corpus.join(hits, corpus_id, "left_anti")

@@ -35,6 +35,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     round_digits: int = 6,
+    max_query_terms: int = 256,
 ) -> DataFrame:
     """(doc_id, score) for every document matching ≥ 1 query term.
 
@@ -43,8 +44,27 @@ def bm25_scores(
     Lucene variant). Returning the full match set (tf > 0 is an
     integer property) keeps the result deterministic across engines;
     rank with :func:`bm25_topk` when only the head is needed.
+
+    Size contract: this direct path compiles ONE tf expression + one
+    broadcast stat per distinct term (the 1-row stats broadcast is
+    the plan's benign BroadcastNestedLoopJoin), so its cost is linear
+    in the term count and it is meant for ad-hoc queries, not bulk
+    term sets. ``max_query_terms`` (default 256) raises with guidance
+    toward :func:`bm25_from_index` — which touches only the queried
+    terms' postings of a prebuilt index — instead of compiling a
+    multi-thousand-column plan.
     """
     terms = list(dict.fromkeys(w.lower() for w in query_terms))
+    if len(terms) > max_query_terms:
+        raise ValueError(
+            f"bm25_scores: {len(terms)} distinct query terms exceeds "
+            f"max_query_terms={max_query_terms} — the direct path "
+            f"compiles one expression per term and is for ad-hoc "
+            f"queries. Build an inverted index once "
+            f"(ranking.build_inverted_index) and score with "
+            f"ranking.bm25_from_index, or raise max_query_terms if the "
+            f"plan size is genuinely acceptable."
+        )
     staged = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
     )

@@ -114,7 +114,22 @@ def hybrid_topk(
     cosine-scored embeddings}). Each leg is cut to its top-``depth``
     before fusing (the standard fusion depth); final order is
     (rrf_score DESC, id ASC). One TakeOrdered per leg + one k-row
-    TakeOrdered — no corpus joins, no corpus shuffles."""
+    TakeOrdered — no corpus joins, no corpus shuffles.
+
+    Size contract: the fused set is ≤ depth·len(legs) rows by
+    construction, so the fusion never sees corpus-scale data — the
+    only BNLJ in a typical composition is the 1-row stats broadcast
+    inside a bm25 leg (benign). ``depth`` is capped at 1_000_000 to
+    keep that invariant loud: a bigger depth means the caller wants a
+    full-corpus fusion, which should be a plain join on scores, not
+    RRF."""
+    if depth > 1_000_000:
+        raise ValueError(
+            f"hybrid_topk: depth={depth} exceeds 1_000_000 — RRF fusion "
+            f"is for head-of-ranking sets (the fused input is "
+            f"depth x n_legs rows). For full-corpus fusion join the "
+            f"scored legs directly instead."
+        )
     ranked = {
         name: ranked_topk(df, depth, id_col) for name, df in scored_legs.items()
     }

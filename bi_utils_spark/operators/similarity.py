@@ -584,6 +584,7 @@ def knn_join_exact(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 9,
+    max_broadcast_rows: int | None = 100_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, score, rank) — for every QUERY vector,
     its top-``k`` corpus neighbors by cosine: the retrieval join a
@@ -601,8 +602,16 @@ def knn_join_exact(
     to ~10⁴ queries × 10⁷ corpus rows per run; beyond that use
     :func:`knn_join_blocked` (per-partition numpy top-k shrinks the
     shuffle to |Q|·k·partitions rows) or probe the IVF/PQ index per
-    query batch.
+    query batch. ``max_broadcast_rows`` enforces that contract: a
+    query side over the bound raises ``BroadcastSizeError`` instead
+    of planning a runaway BNLJ (None = caller has sized the batch).
     """
+    from bi_utils_spark.operators.guards import require_broadcastable
+
+    queries = require_broadcastable(
+        queries, max_broadcast_rows, "query",
+        "knn_join_exact", "similarity.knn_join_blocked",
+    )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"),
