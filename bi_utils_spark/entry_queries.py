@@ -11079,6 +11079,178 @@ def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_iceberg_export",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    live AS (SELECT * FROM rows0 WHERE k % 9 <> 5)
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_amount
+    FROM live GROUP BY status
+    """,
+)
+def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-format metadata export arc (r10 verdict task 1,
+    operators/iceberg.py): create partitioned -> append -> RENAME a
+    column (column mapping, the case write_symlink_manifest refuses)
+    -> merge-on-read DELETE (deletion vectors, the other refused
+    case) -> export with materialize=True -> read the table back THE
+    ICEBERG WAY (version-hint -> metadata.json -> manifest-list ->
+    manifests; partition values from the manifest, physical->logical
+    projection from the exported schema.name-mapping.default) and
+    aggregate. DuckDB recomputes the expected content from orders, so
+    a hash match pins export == log fold across rename + DVs."""
+    import shutil
+
+    from bi_utils_spark.operators import txtable as tx
+    from bi_utils_spark.operators.iceberg import (
+        export_iceberg_metadata,
+        read_iceberg_export,
+    )
+
+    path = _tx_demo_dir(sf_dir) + "_iceberg"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # full rebuild: the arc IS the fixture
+    rows = _tx_order_rows(spark, sf_dir)
+    tx.create_table(
+        rows.where(F.col("k") % 4 != 3), path, partition_cols=["status"]
+    )
+    tx.append_table(rows.where(F.col("k") % 4 == 3), path)
+    tx.rename_column(path, "cents", "amount")
+    tx.delete_from_table(spark, path, "k % 9 = 5", mode="mor")
+    export_iceberg_metadata(path, spark=spark, materialize=True)
+    export = read_iceberg_export(path)
+    phys = export["physical_of"]
+    logical = [f["name"] for f in export["schema_fields"]]
+    by_part: dict[str, list[str]] = {}
+    for f in export["files"]:
+        by_part.setdefault(f["partition"]["status"], []).append(f["path"])
+    parts = []
+    for status_v, paths in sorted(by_part.items()):
+        df = spark.read.parquet(*paths)
+        cols = [
+            F.lit(status_v).alias(c)
+            if c == "status"  # identity partition value from the manifest
+            else F.col(phys[c]).alias(c)
+            for c in logical
+        ]
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("amount").cast("long").alias("sum_amount"),
+    )
+
+
+@register(
+    "q_sql_dml_arc",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    base AS (SELECT * FROM rows0 WHERE k % 5 >= 1),
+    ins AS (SELECT k, status, cents FROM rows0
+            WHERE k % 5 = 0 AND k % 10 <> 0),
+    after_ins AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+    after_upd AS (
+      SELECT k, status,
+             CASE WHEN k % 3 = 0 THEN cents + 7 ELSE cents END AS cents
+      FROM after_ins),
+    after_del AS (SELECT * FROM after_upd WHERE NOT (k % 11 = 4)),
+    src AS (
+      SELECT k, status, cents * 2 AS cents, k % 13 = 2 AS is_del
+      FROM rows0 WHERE k % 10 = 1
+      UNION ALL
+      SELECT k, 'N' AS status, cents, k % 13 = 2 AS is_del
+      FROM rows0 WHERE k % 10 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(s.k, t.k) AS k,
+             COALESCE(s.status, t.status) AS status,
+             COALESCE(s.cents, t.cents) AS cents,
+             COALESCE(s.is_del, FALSE) AS is_del
+      FROM after_del t FULL OUTER JOIN src s ON t.k = s.k
+    ),
+    final AS (SELECT k, status, cents FROM merged WHERE NOT is_del),
+    cur AS (SELECT status, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM final GROUP BY status),
+    v0 AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM base)
+    SELECT cur.status, cur.n, cur.sum_cents, v0.n0
+    FROM cur CROSS JOIN v0
+    """,
+)
+def q_sql_dml_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string DML front-end arc (r10 verdict task 2,
+    operators/sqldml.py): the write-side completion of the
+    reference's S1/S2 script semantics (`utils.py:265-290`) — INSERT,
+    UPDATE, DELETE, MERGE (upsert + flagged delete), and a VERSION AS
+    OF read, every step driven purely through SQL STRINGS dispatched
+    to the tx verbs. DuckDB recomputes the whole chain from orders;
+    the verb-driven arc is attested separately (q_tx_merge_table et
+    al.), so a hash match here pins string-path == verb-path."""
+    from bi_utils_spark.operators import txtable as tx
+    from bi_utils_spark.operators.sqldml import tx_sql
+
+    path = _tx_demo_dir(sf_dir) + "_sqldml"
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 1), path, partition_cols=["status"]
+        )
+    else:
+        tx.restore_table(spark, path, 0)
+        tx.vacuum_table(path, retain_versions=1, stray_age_seconds=0.0)
+    rows.createOrReplaceTempView("sqldml_rows")
+    t = {"orders_tx": path}
+    tx_sql(
+        spark,
+        "INSERT INTO orders_tx SELECT k, status, cents FROM sqldml_rows "
+        "WHERE k % 5 = 0 AND k % 10 <> 0",
+        t,
+    )
+    tx_sql(
+        spark,
+        "UPDATE orders_tx SET cents = cents + 7 WHERE k % 3 = 0",
+        t,
+    )
+    tx_sql(spark, "DELETE FROM orders_tx WHERE k % 11 = 4", t)
+    tx_sql(
+        spark,
+        """
+        MERGE INTO orders_tx AS t
+        USING (
+          SELECT k, status, cents * 2 AS cents, k % 13 = 2 AS is_del
+          FROM sqldml_rows WHERE k % 10 = 1
+          UNION ALL
+          SELECT k, 'N' AS status, cents, k % 13 = 2 AS is_del
+          FROM sqldml_rows WHERE k % 10 = 0
+        ) AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN MATCHED AND s.is_del THEN DELETE
+        """,
+        t,
+    )
+    return tx_sql(
+        spark,
+        """
+        WITH cur AS (
+          SELECT status, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM orders_tx GROUP BY status
+        ),
+        v0 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n0
+          FROM orders_tx VERSION AS OF 0
+        )
+        SELECT cur.status, cur.n, cur.sum_cents, v0.n0
+        FROM cur CROSS JOIN v0
+        """,
+        t,
+    )
+
+
+@register(
     "q_tx_merge_raw",
     f"""
     WITH merged AS ({_TX_MERGED_SQL})

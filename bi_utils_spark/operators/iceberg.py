@@ -1,0 +1,514 @@
+"""Apache-Iceberg-format metadata export for tx tables (r10 verdict
+task 1) — the external-engine read path that survives column renames.
+
+`write_symlink_manifest` (txtable.py) hands engines a bare file list,
+so it must REFUSE column-mapped tables (files spell physical names)
+and DV'd snapshots (no way to express masked rows). The Iceberg table
+format (public spec, format-version 2) expresses both concepts
+natively on the READ side this export needs:
+
+- **Renames**: the Iceberg schema carries the CURRENT logical names
+  with stable field-ids, and the standard ``schema.name-mapping.
+  default`` table property (Iceberg spec "Column Projection",
+  name-mapping JSON) maps each field-id to the PHYSICAL column name
+  the parquet files spell — exactly the job of txtable's column
+  mapping, so a rename survives the export with zero file rewrites.
+- **DVs**: refused by default, same contract as the symlink export
+  (materialize first); ``materialize=True`` runs
+  `materialize_deletes` and exports the resulting clean snapshot.
+
+Layout (a self-contained HadoopTables-convention tree; data files
+are referenced in place by absolute URI — Iceberg allows absolute
+``file_path`` — so nothing is copied)::
+
+    <table>/_iceberg/metadata/v<N>.metadata.json
+    <table>/_iceberg/metadata/snap-<snapshot-id>-...-m-list.avro
+    <table>/_iceberg/metadata/<commit-uuid>-m0.avro
+    <table>/_iceberg/metadata/version-hint.text
+
+Manifests are Avro object-container files per spec, written with the
+zero-dep codec in `operators/avroio.py` and cross-verified in tests
+by the INDEPENDENT Avro Java implementation on Spark's classpath.
+(DuckDB's iceberg extension would be the third reader; it cannot be
+installed in this offline environment, so the tests verify what it
+would consume: the spec-shaped metadata tree, plus row-for-row
+equality between `read_table` and a DuckDB parquet scan of the
+exported file list with the exported name mapping applied.)
+
+Each export is a standalone snapshot (one snapshot entry whose id is
+the tx version, sequence-number 1) — the commit LOG stays the source
+of truth; re-export after commits, like the symlink manifest. Field
+ids are schema-order positions at export time; within one metadata
+tree that is spec-exact, and the name mapping keys every projection
+by the stable physical name, so consumers never depend on id
+stability ACROSS exports.
+
+Scale: driver-side metadata only — one manifest entry per live file,
+bytes proportional to the manifest fold the tx layer already holds;
+no data file is opened unless a pre-r8 commit lacks a recorded row
+count (then one parquet-footer read per such file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql.types import StructType
+
+from bi_utils_spark.operators import txtable as tx
+from bi_utils_spark.operators.avroio import write_ocf
+
+ICEBERG_DIR = "_iceberg"
+
+# ---------------------------------------------------------------------------
+# Spark type -> Iceberg type
+# ---------------------------------------------------------------------------
+
+_PRIMS = {
+    "boolean": "boolean",
+    "integer": "int",
+    "byte": "int",
+    "short": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _iceberg_type(dt) -> str:
+    t = dt.typeName()
+    if t in _PRIMS:
+        return _PRIMS[t]
+    if t == "decimal":
+        return f"decimal({dt.precision}, {dt.scale})"
+    raise ValueError(
+        f"export_iceberg_metadata: column type {t!r} has no Iceberg "
+        f"primitive mapping (nested/array columns are not exported — "
+        f"flatten first or read through read_table)"
+    )
+
+
+# Avro schema type for a partition value of the given Iceberg type
+_AVRO_OF = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _field_id(name: str, prop: str = "field-id") -> dict:
+    return {"name": name, "type": None, prop: None}  # template only
+
+
+def _manifest_entry_schema(part_fields: list[dict]) -> dict:
+    """Avro schema for a v2 manifest_entry with the required data_file
+    fields (optional stats omitted — legal per spec)."""
+    partition = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": f["name"],
+                "type": ["null", f["avro"]],
+                "default": None,
+                "field-id": f["field-id"],
+            }
+            for f in part_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _typed_pv(raw, dt):
+    """Manifest partition values are rendered strings; Iceberg stores
+    them TYPED — coerce through the declared column type."""
+    if raw is None:
+        return None
+    v = tx._coerce_pv(raw, dt)
+    t = dt.typeName()
+    if t == "date":
+        import datetime
+
+        if isinstance(v, str):
+            v = datetime.date.fromisoformat(v)
+        return (v - datetime.date(1970, 1, 1)).days
+    return v
+
+
+def export_iceberg_metadata(
+    path: str,
+    version: int | None = None,
+    spark=None,
+    materialize: bool = False,
+) -> dict:
+    """Export the snapshot at ``version`` (default latest) as an
+    Iceberg-format metadata tree under ``<path>/_iceberg``.
+
+    DV'd snapshots refuse by default (an Iceberg reader of this
+    export would resurface masked rows); pass ``materialize=True``
+    with a SparkSession to run :func:`txtable.materialize_deletes`
+    first and export the clean snapshot that results (only valid when
+    exporting the LATEST version — history can't be rewritten).
+
+    Returns {"metadata_path", "version_hint", "snapshot_id",
+    "n_files", "n_rows", "version", "name_mapping"}.
+    """
+    snap = tx._fold(path, version)
+    dvd = [rel for rel, m in snap.files.items() if m.get("dv")]
+    if dvd and materialize:
+        if spark is None:
+            raise ValueError(
+                "export_iceberg_metadata: materialize=True needs a "
+                "SparkSession (the rewrite is a Spark job)"
+            )
+        if version is not None and version != tx.latest_version(path):
+            raise ValueError(
+                "export_iceberg_metadata: materialize=True only "
+                "applies to the latest version — history is immutable"
+            )
+        tx.materialize_deletes(spark, path)
+        snap = tx._fold(path)
+        dvd = [rel for rel, m in snap.files.items() if m.get("dv")]
+    if dvd:
+        raise ValueError(
+            f"export_iceberg_metadata: {len(dvd)} live file(s) carry "
+            "deletion vectors — an Iceberg reader of this export "
+            "would resurface the masked rows; run "
+            "materialize_deletes(spark, path) first or pass "
+            "materialize=True"
+        )
+
+    schema = snap.spark_schema()
+    fields = []
+    name_mapping = []
+    for i, f in enumerate(schema.fields, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType),
+            }
+        )
+        # files spell the PHYSICAL name; the mapping projects it onto
+        # this field-id (spec: "schema.name-mapping.default")
+        phys = tx._phys_of(f)
+        names = [phys] if phys == f.name else [phys, f.name]
+        name_mapping.append({"field-id": i, "names": names})
+    id_of = {f.name: spec["id"] for f, spec in zip(schema.fields, fields)}
+    dt_of = {f.name: f.dataType for f in schema.fields}
+
+    spec_fields = []
+    part_fields = []
+    for j, pcol in enumerate(snap.partition_cols):
+        ice_t = _iceberg_type(dt_of[pcol])
+        if ice_t not in _AVRO_OF:
+            raise ValueError(
+                f"export_iceberg_metadata: partition column {pcol!r} "
+                f"type {ice_t!r} is not exportable"
+            )
+        spec_fields.append(
+            {
+                "name": pcol,
+                "transform": "identity",
+                "source-id": id_of[pcol],
+                "field-id": 1000 + j,
+            }
+        )
+        part_fields.append(
+            {"name": pcol, "avro": _AVRO_OF[ice_t], "field-id": 1000 + j}
+        )
+
+    meta_dir = os.path.join(path, ICEBERG_DIR, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    snapshot_id = snap.version
+    seq = 1
+
+    # --- manifest: one entry per live file
+    entries = []
+    n_rows = 0
+    for rel, meta in sorted(snap.files.items()):
+        full = os.path.abspath(os.path.join(path, rel))
+        rows = meta.get("rows")
+        if rows is None:  # pre-stats commit: one footer read
+            import pyarrow.parquet as pq
+
+            rows = pq.ParquetFile(full).metadata.num_rows
+        size = meta.get("bytes")
+        if size is None:
+            size = os.stat(full).st_size
+        n_rows += int(rows)
+        entries.append(
+            {
+                "status": 1,  # ADDED in this snapshot
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherited from the manifest
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": "file://" + full,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        p["name"]: _typed_pv(
+                            meta["partition_values"].get(p["name"]),
+                            dt_of[p["name"]],
+                        )
+                        for p in part_fields
+                    },
+                    "record_count": int(rows),
+                    "file_size_in_bytes": int(size),
+                },
+            }
+        )
+    commit_uuid = uuid.uuid4().hex
+    manifest_name = f"{commit_uuid}-m0.avro"
+    manifest_path = os.path.join(meta_dir, manifest_name)
+    manifest_len = write_ocf(
+        manifest_path,
+        _manifest_entry_schema(part_fields),
+        entries,
+        metadata={
+            "schema": json.dumps(
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": fields,
+                },
+                separators=(",", ":"),
+            ),
+            "partition-spec": json.dumps(
+                spec_fields, separators=(",", ":")
+            ),
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+
+    # --- manifest list
+    mlist_name = f"snap-{snapshot_id}-1-{commit_uuid}.avro"
+    mlist_path = os.path.join(meta_dir, mlist_name)
+    write_ocf(
+        mlist_path,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": "file://" + os.path.abspath(manifest_path),
+                "manifest_length": manifest_len,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+        metadata={"format-version": "2"},
+    )
+
+    # --- vN.metadata.json (HadoopTables convention + version hint)
+    hint_path = os.path.join(meta_dir, "version-hint.text")
+    n_meta = 1
+    if os.path.exists(hint_path):
+        with open(hint_path) as fh:
+            try:
+                n_meta = int(fh.read().strip()) + 1
+            except ValueError:
+                n_meta = 1
+    now_ms = int(time.time() * 1000)
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(path))),
+        "location": "file://" + os.path.abspath(path),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(fields),
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "schema.name-mapping.default": json.dumps(
+                name_mapping, separators=(",", ":")
+            ),
+            "write.format.default": "parquet",
+        },
+        "current-snapshot-id": snapshot_id,
+        "refs": {
+            "main": {"snapshot-id": snapshot_id, "type": "branch"}
+        },
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "timestamp-ms": now_ms,
+                "sequence-number": seq,
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(entries)),
+                    "added-records": str(n_rows),
+                },
+                "manifest-list": "file://" + os.path.abspath(mlist_path),
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ],
+        "metadata-log": [],
+    }
+    meta_path = os.path.join(meta_dir, f"v{n_meta}.metadata.json")
+    tmp = meta_path + f".tmp-{commit_uuid}"
+    with open(tmp, "w") as fh:
+        json.dump(metadata, fh, indent=2)
+    os.replace(tmp, meta_path)
+    with open(hint_path + ".tmp", "w") as fh:
+        fh.write(str(n_meta))
+    os.replace(hint_path + ".tmp", hint_path)
+    return {
+        "metadata_path": meta_path,
+        "version_hint": n_meta,
+        "snapshot_id": snapshot_id,
+        "n_files": len(entries),
+        "n_rows": n_rows,
+        "version": snap.version,
+        "name_mapping": {
+            m["names"][0]: m["field-id"] for m in name_mapping
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# read-back (audit / verification surface)
+# ---------------------------------------------------------------------------
+
+
+def read_iceberg_export(path: str) -> dict:
+    """Resolve an export written by :func:`export_iceberg_metadata`
+    the way an Iceberg reader would: version-hint → metadata.json →
+    current snapshot → manifest list → manifests → data files.
+
+    Returns {"metadata", "files": [{path, rows, bytes, partition}],
+    "physical_of": {logical: physical}, "schema_fields": [...]} —
+    the audit surface the q_iceberg_export oracle row and the
+    external-read tests consume.
+    """
+    from bi_utils_spark.operators.avroio import read_ocf
+
+    meta_dir = os.path.join(path, ICEBERG_DIR, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        n = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{n}.metadata.json")) as fh:
+        md = json.load(fh)
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, mlist = read_ocf(snap["manifest-list"].replace("file://", ""))
+    files = []
+    for mf in mlist:
+        _, recs = read_ocf(mf["manifest_path"].replace("file://", ""))
+        for e in recs:
+            if e["status"] == 2:  # DELETED
+                continue
+            df = e["data_file"]
+            files.append(
+                {
+                    "path": df["file_path"].replace("file://", ""),
+                    "rows": df["record_count"],
+                    "bytes": df["file_size_in_bytes"],
+                    "partition": df["partition"],
+                }
+            )
+    mapping = json.loads(
+        md["properties"]["schema.name-mapping.default"]
+    )
+    by_id = {m["field-id"]: m["names"][0] for m in mapping}
+    schema_fields = md["schemas"][md["current-schema-id"]]["fields"]
+    physical_of = {
+        f["name"]: by_id.get(f["id"], f["name"]) for f in schema_fields
+    }
+    return {
+        "metadata": md,
+        "files": files,
+        "physical_of": physical_of,
+        "schema_fields": schema_fields,
+    }

@@ -1,0 +1,568 @@
+"""SQL DML front-end over manifest-log tx tables (r10 verdict task 2).
+
+The reference drives its warehouse through SQL STRINGS — S1/S2 script
+execution (`utils.py:265-290`, `utils.py:312-352`) renders a template
+and ships it to the engine. `sources/sql_scripts.py` covers the
+read/DDL side with Catalyst; this module completes the WRITE side for
+tx tables: ``MERGE INTO`` / ``DELETE FROM`` / ``UPDATE`` / ``INSERT``
+statements (plus ``VERSION AS OF`` / ``TIMESTAMP AS OF`` reads and the
+maintenance verbs) parse against a name→path mapping and dispatch to
+the existing `operators.txtable` verbs — the strings a reference user
+already writes keep working, with the tx layer's ACID semantics
+underneath.
+
+Design choices, deliberately:
+
+- **Parse, don't reimplement.** The front-end extracts the statement
+  SHAPE (which table, which predicate, which set-clauses) and hands
+  every expression string to the verbs unchanged — Catalyst parses
+  predicates and set expressions (`F.expr`), and DML execution is the
+  verbs' already-tested copy-on-write / merge-on-read machinery. No
+  second SQL engine, no drift between the string path and the
+  programmatic path.
+- **Supported shapes are exact; everything else raises with
+  guidance.** SQL MERGE is a large grammar; `merge_tx_table`
+  implements the reference's M1 upsert semantics (`utils.py:237-296`)
+  plus flagged deletes. The shapes below map onto that 1:1. A MERGE
+  whose clauses mean something ELSE (partial-column updates,
+  conditional inserts) gets a loud error naming the programmatic
+  verb to use instead — never a silently-different semantic.
+- **String-literal safety.** Statements are scanned with literals
+  masked, so a WHERE value like ``'DELETE FROM x'`` never confuses
+  the dispatcher, and time-travel rewriting never touches quoted
+  text.
+
+Supported statements (keywords case-insensitive; one statement per
+call):
+
+- ``SELECT ...`` — any Spark SELECT; every occurrence of a mapped
+  table name (optionally followed by ``VERSION AS OF n`` or
+  ``TIMESTAMP AS OF 'ts'``) is bound to a snapshot temp view first.
+- ``INSERT INTO t [(cols)] VALUES (...), (...)`` /
+  ``INSERT INTO t [(cols)] SELECT ...`` — positional, like SQL.
+- ``INSERT OVERWRITE t SELECT ...`` — full snapshot swap.
+- ``UPDATE t SET c = expr[, ...] [WHERE p]``
+- ``DELETE FROM t [WHERE p]``
+- ``MERGE INTO t [AS] a USING (src|view) [AS] b ON <pk equi-join>``
+  with clauses ``WHEN MATCHED THEN UPDATE SET *`` + ``WHEN NOT
+  MATCHED THEN INSERT *`` (the upsert pair — both required, order
+  free) and optionally ``WHEN MATCHED AND <expr> THEN DELETE``
+  (expr over source columns → `delete_col`; source columns beyond
+  the target schema are readable by that condition and projected
+  away before landing — ``*`` lands exactly the target schema).
+- ``RESTORE TABLE t TO VERSION AS OF n`` (or ``TIMESTAMP AS OF``)
+- ``DESCRIBE HISTORY t``
+- ``VACUUM t [RETAIN n VERSIONS]``
+
+Scale: identical to the verbs — the front-end adds only driver-side
+string work; plans, pruning, and commit protocol are untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bi_utils_spark.operators import txtable as tx
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+class SqlDmlError(ValueError):
+    """Malformed or unsupported statement — message carries guidance."""
+
+
+# ---------------------------------------------------------------------------
+# literal masking + top-level splitting
+# ---------------------------------------------------------------------------
+
+
+def _strip_comments(sql: str) -> str:
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal: copy verbatim ('' escapes)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    break
+                else:
+                    j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif sql.startswith("--", i):
+            while i < n and sql[i] != "\n":
+                i += 1
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            out.append(" ")
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals with \x00<idx>\x00 placeholders so
+    keyword scans never match quoted text."""
+    lits: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return re.sub(r"'(?:[^']|'')*'", repl, sql), lits
+
+
+def _unmask(s: str, lits: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], s)
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` at paren depth 0 (literals already masked)."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# time-travel binding for reads
+# ---------------------------------------------------------------------------
+
+_ASOF = (
+    r"\b(?P<name>{n})\b"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>\x00\d+\x00))?"
+)
+
+
+def _bind_reads(
+    spark: SparkSession, masked: str, lits: list[str],
+    tables: dict[str, str],
+) -> str:
+    """Bind every mapped table reference (with optional AS OF) to a
+    snapshot temp view; return the rewritten masked SQL."""
+    counter = [0]
+
+    def one(name: str, path: str, s: str) -> str:
+        def repl(m: re.Match) -> str:
+            version = int(m.group("v")) if m.group("v") else None
+            ts = m.group("ts")
+            ts_val = _unmask(ts, lits).strip("'") if ts else None
+            df = tx.read_table(spark, path, version=version, timestamp=ts_val)
+            view = f"__tx_sql_{name}_{counter[0]}"
+            counter[0] += 1
+            df.createOrReplaceTempView(view)
+            return view
+
+        return re.sub(
+            _ASOF.format(n=re.escape(name)), repl, s, flags=re.IGNORECASE
+        )
+
+    for name, path in tables.items():
+        masked = one(name, path, masked)
+    return masked
+
+
+# ---------------------------------------------------------------------------
+# statement handlers
+# ---------------------------------------------------------------------------
+
+
+def _resolve(tables: dict[str, str], name: str, stmt: str) -> str:
+    if name not in tables:
+        raise SqlDmlError(
+            f"tx_sql: table {name!r} in {stmt.split()[0]} statement is "
+            f"not in the tables mapping (have {sorted(tables)}). Pass "
+            f"tables={{name: table_path}} for every tx table the "
+            f"statement touches."
+        )
+    return tables[name]
+
+
+def _source_df(
+    spark: SparkSession, src: str, lits: list[str],
+    tables: dict[str, str],
+) -> DataFrame:
+    src = src.strip()
+    if src.startswith("("):
+        inner = _bind_reads(spark, src[1:-1], lits, tables)
+        return spark.sql(_unmask(inner, lits))
+    if src in tables:
+        return tx.read_table(spark, tables[src])
+    return spark.sql(f"SELECT * FROM {src}")
+
+
+def _positional_align(df: DataFrame, cols: list[str]) -> DataFrame:
+    if len(df.columns) != len(cols):
+        raise SqlDmlError(
+            f"tx_sql INSERT: source has {len(df.columns)} columns, "
+            f"target expects {len(cols)} ({cols})"
+        )
+    return df.toDF(*cols)
+
+
+def _do_insert(spark, masked, lits, tables, m) -> dict:
+    name, overwrite = m.group("tbl"), m.group(1).upper() == "OVERWRITE"
+    path = _resolve(tables, name, "INSERT")
+    rest = masked[m.end():].strip()
+    cols_m = re.match(r"\(\s*(" + _IDENT + r"(?:\s*,\s*" + _IDENT + r")*)\s*\)\s*",
+                      rest)
+    explicit_cols = None
+    if cols_m and not rest[: cols_m.end()].upper().lstrip("( ").startswith(
+        "SELECT"
+    ):
+        explicit_cols = [c.strip() for c in cols_m.group(1).split(",")]
+        rest = rest[cols_m.end():].strip()
+    from pyspark.sql import functions as F
+
+    schema = tx._fold(path).spark_schema()
+    snap_cols = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+    target_cols = explicit_cols or snap_cols
+    unknown = [c for c in target_cols if c not in types]
+    if unknown:
+        raise SqlDmlError(
+            f"tx_sql INSERT: column(s) {unknown} not in table schema "
+            f"({snap_cols})"
+        )
+    up = rest.upper()
+    if up.startswith("VALUES"):
+        df = spark.sql(f"SELECT * FROM ( {_unmask(rest, lits)} )")
+    elif up.startswith("SELECT") or up.startswith("("):
+        bound = _bind_reads(spark, rest, lits, tables)
+        df = spark.sql(_unmask(bound, lits))
+    else:
+        raise SqlDmlError(
+            "tx_sql INSERT: expected VALUES (...) or SELECT ... after "
+            f"the target, got: {rest[:60]!r}"
+        )
+    df = _positional_align(df, target_cols)
+    # SQL INSERT semantics: positional assignment casts to the target
+    # column types; unlisted columns fill with NULL.
+    out = df.select(
+        *[
+            (
+                F.col(c) if c in target_cols else F.lit(None)
+            ).cast(types[c]).alias(c)
+            for c in snap_cols
+        ]
+    )
+    if overwrite:
+        if explicit_cols:
+            raise SqlDmlError(
+                "tx_sql INSERT OVERWRITE: column lists are not "
+                "supported — OVERWRITE replaces the full snapshot"
+            )
+        return {"op": "insert_overwrite", "version": tx.overwrite_table(out, path)}
+    return {"op": "insert", "version": tx.append_table(out, path)}
+
+
+def _do_delete(spark, masked, lits, tables, m, mode) -> dict:
+    path = _resolve(tables, m.group("tbl"), "DELETE")
+    cond = m.group("cond")
+    cond_sql = _unmask(cond, lits).strip() if cond else "true"
+    res = tx.delete_from_table(spark, path, cond_sql, mode=mode)
+    return {"op": "delete", **res}
+
+
+def _do_update(spark, masked, lits, tables, m, mode) -> dict:
+    path = _resolve(tables, m.group("tbl"), "UPDATE")
+    sets_raw = m.group("sets")
+    cond = m.group("cond")
+    sets: dict[str, str] = {}
+    for part in _split_top(sets_raw, ","):
+        eq = part.find("=")
+        if eq < 0:
+            raise SqlDmlError(
+                f"tx_sql UPDATE: malformed SET clause {part.strip()!r} "
+                f"(expected col = expr)"
+            )
+        col = part[:eq].strip()
+        if not re.fullmatch(_IDENT, col):
+            raise SqlDmlError(
+                f"tx_sql UPDATE: {col!r} is not a column name"
+            )
+        sets[col] = _unmask(part[eq + 1 :], lits).strip()
+    cond_sql = _unmask(cond, lits).strip() if cond else "true"
+    res = tx.update_table(spark, path, cond_sql, sets, mode=mode)
+    return {"op": "update", **res}
+
+
+_MERGE_GUIDE = (
+    "Supported MERGE shape: MERGE INTO t [AS] a USING (src|view) [AS] b "
+    "ON a.pk = b.pk [AND ...] WHEN MATCHED THEN UPDATE SET * WHEN NOT "
+    "MATCHED THEN INSERT * [WHEN MATCHED AND <expr over source> THEN "
+    "DELETE]. For partial-column updates or conditional inserts call "
+    "operators.txtable.merge_tx_table / update_table directly."
+)
+
+
+def _do_merge(spark, masked, lits, tables, m) -> dict:
+    from pyspark.sql import functions as F
+
+    path = _resolve(tables, m.group("tbl"), "MERGE")
+    t_alias = m.group("talias") or m.group("tbl")
+    s_alias = m.group("salias") or (
+        m.group("src") if not m.group("src").startswith("(") else None
+    )
+    on = m.group("on").strip()
+    clauses_raw = m.group("clauses")
+
+    # --- ON: conjunction of alias-qualified pk equalities
+    pks: list[str] = []
+    for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        em = re.fullmatch(
+            r"\s*(" + _IDENT + r")\.(" + _IDENT + r")\s*=\s*("
+            + _IDENT + r")\.(" + _IDENT + r")\s*",
+            conj,
+        )
+        if not em:
+            raise SqlDmlError(
+                f"tx_sql MERGE: ON must be a conjunction of "
+                f"t.col = s.col equalities, got {conj.strip()!r}. "
+                + _MERGE_GUIDE
+            )
+        a1, c1, a2, c2 = em.groups()
+        sides = {a1: c1, a2: c2}
+        if t_alias not in sides or (s_alias and s_alias not in sides):
+            raise SqlDmlError(
+                f"tx_sql MERGE: ON term {conj.strip()!r} does not join "
+                f"the target alias {t_alias!r} to the source. "
+                + _MERGE_GUIDE
+            )
+        if c1 != c2:
+            raise SqlDmlError(
+                f"tx_sql MERGE: pk columns must match by name "
+                f"({c1!r} vs {c2!r}) — merge_tx_table merges on shared "
+                f"pk names. " + _MERGE_GUIDE
+            )
+        pks.append(c1)
+
+    # --- clauses
+    upd = ins = False
+    delete_expr: str | None = None
+    for cl in re.split(r"(?=\bWHEN\b)", clauses_raw, flags=re.IGNORECASE):
+        cl = cl.strip()
+        if not cl:
+            continue
+        if re.fullmatch(
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", cl, re.IGNORECASE
+        ):
+            upd = True
+        elif re.fullmatch(
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", cl, re.IGNORECASE
+        ):
+            ins = True
+        else:
+            dm = re.fullmatch(
+                r"WHEN\s+MATCHED\s+AND\s+(?P<expr>.+?)\s+THEN\s+DELETE",
+                cl,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if dm:
+                if delete_expr is not None:
+                    raise SqlDmlError(
+                        "tx_sql MERGE: at most one WHEN MATCHED AND ... "
+                        "THEN DELETE clause. " + _MERGE_GUIDE
+                    )
+                delete_expr = dm.group("expr")
+            else:
+                raise SqlDmlError(
+                    f"tx_sql MERGE: unsupported clause {cl!r}. "
+                    + _MERGE_GUIDE
+                )
+    if not (upd and ins):
+        raise SqlDmlError(
+            "tx_sql MERGE: both WHEN MATCHED THEN UPDATE SET * and WHEN "
+            "NOT MATCHED THEN INSERT * are required — merge_tx_table is "
+            "an upsert; a lone clause would silently change semantics. "
+            + _MERGE_GUIDE
+        )
+
+    src = _source_df(spark, m.group("src"), lits, tables)
+    dcol = None
+    if delete_expr is not None:
+        expr_sql = _unmask(delete_expr, lits).strip()
+        if s_alias:
+            expr_sql = re.sub(
+                r"\b" + re.escape(s_alias) + r"\.", "", expr_sql
+            )
+        if re.search(r"\b" + re.escape(t_alias) + r"\.", expr_sql):
+            raise SqlDmlError(
+                "tx_sql MERGE: the DELETE condition may reference "
+                "SOURCE columns only (it maps to merge_tx_table's "
+                "delete_col, evaluated on the source batch). "
+                + _MERGE_GUIDE
+            )
+        dcol = "__tx_sql_del"
+        src = src.withColumn(dcol, F.expr(expr_sql))
+    # UPDATE SET * / INSERT * land the TARGET schema: the DELETE
+    # condition is evaluated above against the full source relation,
+    # then extra source columns (flags, lineage) are projected away.
+    # Missing target columns are an error — * means every column.
+    target_cols = [f.name for f in tx._fold(path).spark_schema().fields]
+    missing = [c for c in target_cols if c not in src.columns]
+    if missing:
+        raise SqlDmlError(
+            f"tx_sql MERGE: source is missing target column(s) "
+            f"{missing} — UPDATE SET * / INSERT * require every "
+            f"target column in the source"
+        )
+    src = src.select(*target_cols, *([dcol] if dcol else []))
+    version = tx.merge_tx_table(spark, path, src, pks, delete_col=dcol)
+    return {"op": "merge", "version": version}
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+_RE_INSERT = re.compile(
+    r"^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<tbl>" + _IDENT + r")\s*",
+    re.IGNORECASE,
+)
+_RE_DELETE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<tbl>" + _IDENT + r")"
+    r"(?:\s+WHERE\s+(?P<cond>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_UPDATE = re.compile(
+    r"^UPDATE\s+(?P<tbl>" + _IDENT + r")\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<cond>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_MERGE = re.compile(
+    r"^MERGE\s+INTO\s+(?P<tbl>" + _IDENT + r")"
+    r"(?:\s+AS)?(?:\s+(?P<talias>" + _IDENT + r"))?"
+    r"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|" + _IDENT + r")"
+    r"(?:\s+AS)?(?:\s+(?P<salias>" + _IDENT + r"))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"\s+(?P<clauses>WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_RESTORE = re.compile(
+    r"^RESTORE\s+TABLE\s+(?P<tbl>" + _IDENT + r")\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>\x00\d+\x00))$",
+    re.IGNORECASE,
+)
+_RE_HISTORY = re.compile(
+    r"^DESCRIBE\s+HISTORY\s+(?P<tbl>" + _IDENT + r")$", re.IGNORECASE
+)
+_RE_VACUUM = re.compile(
+    r"^VACUUM\s+(?P<tbl>" + _IDENT + r")"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?$",
+    re.IGNORECASE,
+)
+
+
+def tx_sql(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, str],
+    mode: str = "mor",
+):
+    """Execute ONE SQL statement against tx tables.
+
+    ``tables`` maps statement table names to tx-table paths. Reads
+    (SELECT / the USING source) may reference mapped names with
+    ``VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'``. ``mode`` picks the
+    DELETE/UPDATE execution strategy (``"mor"`` deletion vectors /
+    ``"cow"`` rewrite), same default as the verbs.
+
+    Returns a DataFrame for SELECT / DESCRIBE HISTORY, else a dict
+    with at least ``op`` and ``version``.
+    """
+    stmt = _strip_comments(statement).strip().rstrip(";").strip()
+    if not stmt:
+        raise SqlDmlError("tx_sql: empty statement")
+    masked, lits = _mask_literals(stmt)
+    head = masked.split(None, 1)[0].upper()
+
+    if head in ("SELECT", "WITH"):
+        bound = _bind_reads(spark, masked, lits, tables)
+        return spark.sql(_unmask(bound, lits))
+    if head == "INSERT":
+        m = _RE_INSERT.match(masked)
+        if not m:
+            raise SqlDmlError(
+                "tx_sql: malformed INSERT — expected INSERT INTO|"
+                "OVERWRITE <table> [(cols)] VALUES ... | SELECT ..."
+            )
+        return _do_insert(spark, masked, lits, tables, m)
+    if head == "DELETE":
+        m = _RE_DELETE.match(masked)
+        if not m:
+            raise SqlDmlError(
+                "tx_sql: malformed DELETE — expected DELETE FROM "
+                "<table> [WHERE <predicate>]"
+            )
+        return _do_delete(spark, masked, lits, tables, m, mode)
+    if head == "UPDATE":
+        m = _RE_UPDATE.match(masked)
+        if not m:
+            raise SqlDmlError(
+                "tx_sql: malformed UPDATE — expected UPDATE <table> "
+                "SET col = expr[, ...] [WHERE <predicate>]"
+            )
+        return _do_update(spark, masked, lits, tables, m, mode)
+    if head == "MERGE":
+        m = _RE_MERGE.match(masked)
+        if not m:
+            raise SqlDmlError("tx_sql: malformed MERGE. " + _MERGE_GUIDE)
+        return _do_merge(spark, masked, lits, tables, m)
+    if head == "RESTORE":
+        m = _RE_RESTORE.match(masked)
+        if not m:
+            raise SqlDmlError(
+                "tx_sql: malformed RESTORE — expected RESTORE TABLE "
+                "<table> TO VERSION AS OF <n> | TIMESTAMP AS OF '<ts>'"
+            )
+        path = _resolve(tables, m.group("tbl"), "RESTORE")
+        ts = m.group("ts")
+        version = tx.restore_table(
+            spark, path,
+            version=int(m.group("v")) if m.group("v") else None,
+            timestamp=_unmask(ts, lits).strip("'") if ts else None,
+        )
+        return {"op": "restore", "version": version}
+    if head == "DESCRIBE":
+        m = _RE_HISTORY.match(masked)
+        if not m:
+            raise SqlDmlError(
+                "tx_sql: only DESCRIBE HISTORY <table> is supported"
+            )
+        return tx.table_history(
+            spark, _resolve(tables, m.group("tbl"), "DESCRIBE")
+        )
+    if head == "VACUUM":
+        m = _RE_VACUUM.match(masked)
+        if not m:
+            raise SqlDmlError(
+                "tx_sql: malformed VACUUM — expected VACUUM <table> "
+                "[RETAIN <n> VERSIONS]"
+            )
+        path = _resolve(tables, m.group("tbl"), "VACUUM")
+        kw = {"retain_versions": int(m.group("n"))} if m.group("n") else {}
+        deleted = tx.vacuum_table(path, **kw)
+        return {"op": "vacuum", "version": tx.latest_version(path),
+                "files_deleted": len(deleted)}
+    raise SqlDmlError(
+        f"tx_sql: unsupported statement kind {head!r} — supported: "
+        f"SELECT/WITH, INSERT, UPDATE, DELETE, MERGE, RESTORE TABLE, "
+        f"DESCRIBE HISTORY, VACUUM. DDL (CREATE/ALTER) goes through "
+        f"operators.txtable.create_table / schema-management verbs."
+    )

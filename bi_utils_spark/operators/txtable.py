@@ -1325,6 +1325,14 @@ def _rewrite_commit(
         payload = {
             "version": version,
             "action": action,
+            # the snapshot this rewrite COMPUTED from (Delta's
+            # commitInfo.readVersion): under WriteSerializable a
+            # rewrite may commit at a later slot after rebasing over
+            # blind appends it never read, so its position in the
+            # equivalent SERIAL order is read_version, not the commit
+            # slot — recorded so audits/replays can reconstruct that
+            # order (pinned by tests/test_txfuzz.py).
+            "read_version": read_version,
             "added": added,
             "removed": removed,
             "schema": schema,

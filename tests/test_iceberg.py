@@ -1,0 +1,229 @@
+"""Iceberg-format metadata export (operators/iceberg.py): spec-shaped
+metadata tree, independent-reader verification (Avro JAVA library on
+Spark's classpath — a second implementation the zero-dep writer never
+touches), DuckDB row-for-row equality of the exported file set with
+the exported name mapping applied, DV refusal/materialization, and
+post-vacuum consistency."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from bi_utils_spark.operators import txtable as tx
+from bi_utils_spark.operators.iceberg import (
+    export_iceberg_metadata,
+    read_iceberg_export,
+)
+
+
+def _mk(spark, tmp_path, partitioned=True):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "a"), (4, 40, "b")],
+        "k int, v long, s string",
+    )
+    tx.create_table(df, path, partition_cols=["s"] if partitioned else None)
+    return path
+
+
+def _duckdb_rows(export, logical_cols):
+    """Read the exported file list the way an external engine would:
+    plain parquet scan + the exported name mapping + manifest
+    partition values for identity-partition columns."""
+    con = duckdb.connect()
+    rows = []
+    for f in export["files"]:
+        phys = export["physical_of"]
+        file_cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet(['{f['path']}'])"
+            ).fetchall()
+        ]
+        sel = []
+        for c in logical_cols:
+            if phys[c] in file_cols:
+                sel.append(f'"{phys[c]}"')
+            else:  # identity partition value from the manifest
+                v = f["partition"][c]
+                sel.append("NULL" if v is None else repr(v))
+        got = con.execute(
+            f"SELECT {', '.join(sel)} FROM read_parquet(['{f['path']}'])"
+        ).fetchall()
+        rows.extend(map(tuple, got))
+    return sorted(rows)
+
+
+def _spark_rows(spark, path, cols):
+    return sorted(
+        tuple(r) for r in tx.read_table(spark, path).select(*cols).collect()
+    )
+
+
+def test_export_matches_read_table(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    res = export_iceberg_metadata(path)
+    assert res["n_rows"] == 4 and res["version"] == 0
+    export = read_iceberg_export(path)
+    assert len(export["files"]) == res["n_files"]
+    assert _duckdb_rows(export, ["k", "v", "s"]) == _spark_rows(
+        spark, path, ["k", "v", "s"]
+    )
+    # every referenced file exists and sizes match the manifest
+    for f in export["files"]:
+        assert os.stat(f["path"]).st_size == f["bytes"]
+
+
+def test_rename_survives_export(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    tx.rename_column(path, "v", "val")
+    tx.append_table(
+        spark.createDataFrame([(5, 50, "a")], "k int, val long, s string"),
+        path,
+    )
+    # the symlink export refuses a column-mapped table; this one is
+    # exactly the path that must NOT refuse (r10 verdict task 1)
+    with pytest.raises(ValueError, match="renamed"):
+        tx.write_symlink_manifest(path)
+    export_iceberg_metadata(path)
+    export = read_iceberg_export(path)
+    assert export["physical_of"] == {"k": "k", "val": "v", "s": "s"}
+    names = [f["name"] for f in export["schema_fields"]]
+    assert names == ["k", "val", "s"]
+    assert _duckdb_rows(export, ["k", "val", "s"]) == _spark_rows(
+        spark, path, ["k", "val", "s"]
+    )
+    # name-mapping property is the spec shape: field-id + names
+    mapping = json.loads(
+        export["metadata"]["properties"]["schema.name-mapping.default"]
+    )
+    assert {"field-id": 2, "names": ["v", "val"]} in mapping
+
+
+def test_dv_refusal_and_materialize(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    tx.delete_from_table(spark, path, "k = 2", mode="mor")
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        export_iceberg_metadata(path)
+    res = export_iceberg_metadata(path, spark=spark, materialize=True)
+    assert res["n_rows"] == 3
+    export = read_iceberg_export(path)
+    assert _duckdb_rows(export, ["k", "v", "s"]) == _spark_rows(
+        spark, path, ["k", "v", "s"]
+    )
+    # materialize only applies to the latest version: version 1 is
+    # the DV'd snapshot, now superseded by the materialize commit
+    with pytest.raises(ValueError, match="latest"):
+        export_iceberg_metadata(
+            path, version=1, spark=spark, materialize=True
+        )
+
+
+def test_export_after_vacuum_purge(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    tx.delete_from_table(spark, path, "k <= 2", mode="cow")
+    tx.compact_table(spark, path)
+    tx.vacuum_table(path, retain_versions=1, stray_age_seconds=0.0)
+    export_iceberg_metadata(path)
+    export = read_iceberg_export(path)
+    for f in export["files"]:
+        assert os.path.exists(f["path"])  # nothing points at purged files
+    assert _duckdb_rows(export, ["k", "v", "s"]) == _spark_rows(
+        spark, path, ["k", "v", "s"]
+    )
+
+
+def test_export_old_version_time_travel(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    tx.delete_from_table(spark, path, "k = 1", mode="cow")
+    res = export_iceberg_metadata(path, version=0)
+    assert res["n_rows"] == 4 and res["snapshot_id"] == 0
+    export = read_iceberg_export(path)
+    assert sorted(r[0] for r in _duckdb_rows(export, ["k"])) == [1, 2, 3, 4]
+
+
+def test_reexport_bumps_version_hint(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    assert export_iceberg_metadata(path)["version_hint"] == 1
+    tx.append_table(
+        spark.createDataFrame([(9, 90, "a")], "k int, v long, s string"),
+        path,
+    )
+    res = export_iceberg_metadata(path)
+    assert res["version_hint"] == 2
+    export = read_iceberg_export(path)  # hint resolves the NEW tree
+    assert export["metadata"]["current-snapshot-id"] == res["snapshot_id"]
+    assert sum(f["rows"] for f in export["files"]) == 5
+
+
+def test_unpartitioned_and_metadata_shape(spark, tmp_path):
+    path = _mk(spark, tmp_path, partitioned=False)
+    export_iceberg_metadata(path)
+    export = read_iceberg_export(path)
+    md = export["metadata"]
+    assert md["format-version"] == 2
+    assert md["partition-specs"] == [{"spec-id": 0, "fields": []}]
+    assert md["current-schema-id"] == 0
+    snap_ids = [s["snapshot-id"] for s in md["snapshots"]]
+    assert md["current-snapshot-id"] in snap_ids
+    assert md["refs"]["main"]["snapshot-id"] == md["current-snapshot-id"]
+    fields = md["schemas"][0]["fields"]
+    assert [(f["id"], f["name"], f["type"]) for f in fields] == [
+        (1, "k", "int"),
+        (2, "v", "long"),
+        (3, "s", "string"),
+    ]
+    assert _duckdb_rows(export, ["k", "v", "s"]) == _spark_rows(
+        spark, path, ["k", "v", "s"]
+    )
+
+
+def test_jvm_avro_reads_manifests(spark, tmp_path):
+    """Independent-implementation check: the Avro JAVA library parses
+    both OCF files and agrees on paths + counts."""
+    path = _mk(spark, tmp_path)
+    export_iceberg_metadata(path)
+    export = read_iceberg_export(path)
+    jvm = spark._jvm
+
+    def jvm_records(avro_path):
+        rd = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(avro_path),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        out = []
+        while rd.hasNext():
+            out.append(json.loads(str(rd.next())))
+        rd.close()
+        return out
+
+    md = export["metadata"]
+    snap = md["snapshots"][0]
+    mlist = jvm_records(snap["manifest-list"].replace("file://", ""))
+    assert len(mlist) == 1
+    assert mlist[0]["added_files_count"] == len(export["files"])
+    assert mlist[0]["added_rows_count"] == sum(
+        f["rows"] for f in export["files"]
+    )
+    entries = jvm_records(mlist[0]["manifest_path"].replace("file://", ""))
+    jvm_paths = sorted(
+        e["data_file"]["file_path"].replace("file://", "") for e in entries
+    )
+    assert jvm_paths == sorted(f["path"] for f in export["files"])
+    for e in entries:
+        assert e["status"] == 1
+        assert e["data_file"]["file_format"] == "PARQUET"
+        assert e["data_file"]["content"] == 0
+
+
+def test_nested_type_refused_with_guidance(spark, tmp_path):
+    path = str(tmp_path / "nested")
+    tx.create_table(
+        spark.createDataFrame([(1, [1, 2])], "k int, a array<int>"), path
+    )
+    with pytest.raises(ValueError, match="flatten"):
+        export_iceberg_metadata(path)
