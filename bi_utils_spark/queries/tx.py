@@ -1,0 +1,1736 @@
+"""Transactional-table arcs (operators/txtable.py): every tx verb
+as a fixture-backed oracle row, the raw DML cost rows, FIM, the
+Iceberg metadata export arc, the SQL DML front-end arc, and the
+capped near-dup bound attestations."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bi_utils_spark.queries.core import load, register
+from bi_utils_spark.queries.llmtext import (
+    _jaccard_pairs_sql,
+    _pair_recall_summary,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# X110: manifest-log transactional tables — the ACID merge EXECUTES.
+# Fixture arc (per-SF scratch, rebuilt only when absent, "v1"
+# construction fingerprint in the dir name):
+#   v0 create  : orders k%5 in {2,3,4}, partitioned by status
+#   v1 append  : orders k%5 = 1
+#   v2 merge   : updates (k%10 = 1 -> cents doubled, status kept —
+#                partition-stable) + inserts (k%5 = 0, new status 'N')
+# The oracle replays the fold in pure SQL; a green row proves the
+# log-resolved snapshot (fold -> file list -> per-group reads ->
+# union) equals the declarative relational result at every version.
+# ---------------------------------------------------------------------------
+
+
+def _tx_demo_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"bi_utils_spark_tx_{tag}_v1")
+
+
+def _tx_order_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+def _tx_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir)
+    if tx.latest_version(path) >= 2:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 2), path, partition_cols=["status"]
+        )
+    if tx.latest_version(path) < 1:
+        tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+    if tx.latest_version(path) < 2:
+        src = (
+            rows.where(F.col("k") % 10 == 1)
+            .withColumn("cents", F.col("cents") * 2)
+            .unionByName(
+                rows.where(F.col("k") % 5 == 0).withColumn(
+                    "status", F.lit("N")
+                )
+            )
+        )
+        tx.merge_tx_table(spark, path, src, ["k"])
+    return path
+
+
+_TX_ROWS_SQL = """
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+    FROM orders
+"""
+
+_TX_MERGED_SQL = f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    tbl AS (SELECT * FROM rows0 WHERE k % 5 >= 1),
+    src AS (
+      SELECT k, status, cents * 2 AS cents FROM rows0 WHERE k % 10 = 1
+      UNION ALL
+      SELECT k, 'N' AS status, cents FROM rows0 WHERE k % 5 = 0
+    )
+    SELECT COALESCE(s.k, t.k) AS k,
+           COALESCE(s.status, t.status) AS status,
+           COALESCE(s.cents, t.cents) AS cents
+    FROM tbl t FULL OUTER JOIN src s ON t.k = s.k
+"""
+
+
+@register("q_tx_merge_table", _TX_MERGED_SQL)
+def q_tx_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE executed through the manifest log (X110,
+    r7): create -> append -> partition-scoped copy-on-write merge,
+    then read the resolved snapshot. Closes the r4-r6 'ACID merge
+    stays codegen-gated' gap — `merge.merge_upsert`'s reference M1
+    semantics (`utils.py:237-296`) now run against an in-repo table
+    format with a real commit log, no Delta/Iceberg jars needed."""
+    from bi_utils_spark.operators.txtable import read_table
+
+    path = _tx_demo_table(spark, sf_dir)
+    return read_table(spark, path).select("k", "status", "cents")
+
+
+@register(
+    "q_tx_timetravel",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v0 AS (SELECT * FROM rows0 WHERE k % 5 >= 2),
+    v1 AS (SELECT * FROM rows0 WHERE k % 5 >= 1),
+    src AS (
+      SELECT k, status, cents * 2 AS cents FROM rows0 WHERE k % 10 = 1
+      UNION ALL
+      SELECT k, 'N' AS status, cents FROM rows0 WHERE k % 5 = 0
+    ),
+    v2 AS (
+      SELECT COALESCE(s.k, t.k) AS k,
+             COALESCE(s.status, t.status) AS status,
+             COALESCE(s.cents, t.cents) AS cents
+      FROM v1 t FULL OUTER JOIN src s ON t.k = s.k
+    ),
+    d1 AS (
+      SELECT
+        CAST(SUM(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_added,
+        CAST(SUM(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        CAST(SUM(CASE WHEN n.k IS NOT NULL AND o.k IS NOT NULL
+                      AND (n.status <> o.status OR n.cents <> o.cents)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      FROM v1 n FULL OUTER JOIN v0 o ON n.k = o.k
+    ),
+    d2 AS (
+      SELECT
+        CAST(SUM(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_added,
+        CAST(SUM(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_removed,
+        CAST(SUM(CASE WHEN n.k IS NOT NULL AND o.k IS NOT NULL
+                      AND (n.status <> o.status OR n.cents <> o.cents)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+      FROM v2 n FULL OUTER JOIN v1 o ON n.k = o.k
+    )
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_added,
+           CAST(0 AS BIGINT) AS n_removed, CAST(0 AS BIGINT) AS n_changed
+    FROM v0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+           d1.n_added, d1.n_removed, d1.n_changed
+    FROM v1, d1
+    GROUP BY d1.n_added, d1.n_removed, d1.n_changed
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT),
+           d2.n_added, d2.n_removed, d2.n_changed
+    FROM v2, d2
+    GROUP BY d2.n_added, d2.n_removed, d2.n_changed
+    """,
+)
+def q_tx_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + change feed over the tx log (X110, r7): every
+    retained version resolves independently from the same commit
+    fold (count + cents-sum per version), and each transition's
+    row-level diff (`table_diff` = snapshot_diff over two time-travel
+    reads) is classified added/removed/changed — all replayed
+    relationally by the oracle. A green row proves both the
+    per-version snapshot isolation and the change-feed
+    classification."""
+    from bi_utils_spark.operators.txtable import read_table, table_diff
+
+    path = _tx_demo_table(spark, sf_dir)
+
+    def _stats(v: int) -> DataFrame:
+        return read_table(spark, path, version=v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    def _diff_counts(v: int) -> DataFrame:
+        d = table_diff(spark, path, ["k"], from_version=v - 1, to_version=v)
+        return d.agg(
+            F.sum((F.col("change") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("change") == "removed").cast("long")).alias(
+                "n_removed"
+            ),
+            F.sum((F.col("change") == "changed").cast("long")).alias(
+                "n_changed"
+            ),
+        )
+
+    v0 = _stats(0).select(
+        "version",
+        "n",
+        "sum_cents",
+        F.col("n").alias("n_added"),
+        F.lit(0).cast("long").alias("n_removed"),
+        F.lit(0).cast("long").alias("n_changed"),
+    )
+    parts = [v0]
+    for v in (1, 2):
+        parts.append(_stats(v).crossJoin(_diff_counts(v)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q_tx_changes",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents FROM rows0 WHERE k % 5 = 1
+    """,
+)
+def q_tx_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental change consumption (X110, r8 attestation):
+    `table_changes(after_version=0, up_to=1)` reads EXACTLY the rows
+    commit 1 appended — from exactly the files that commit added,
+    never the table (the batch pole of the change feed; the
+    streaming pole is the txtable source whose offsets are commit
+    versions). The demo arc's v1 append is the k%5==1 slice, which
+    the oracle states declaratively."""
+    from bi_utils_spark.operators.txtable import table_changes
+
+    path = _tx_demo_table(spark, sf_dir)
+    return table_changes(spark, path, after_version=0, up_to=1).select(
+        "k", "status", "cents"
+    )
+
+
+@register(
+    "q_tx_skip",
+    f"""
+    WITH merged AS ({_TX_MERGED_SQL})
+    SELECT k, status, cents FROM merged
+    WHERE cents BETWEEN 5000000 AND 9000000
+    """,
+)
+def q_tx_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping under the hard gate (X110, r8
+    attestation): `read_table(skip={cents: (lo, hi)})` drops files
+    whose footer min/max cannot intersect the range — I/O-ONLY
+    pruning, so with the row predicate applied the result is
+    byte-identical to the declarative filter over the merged
+    snapshot. (File-level proof lives in test_txtable; this row
+    proves result-invariance officially.)"""
+    from bi_utils_spark.operators.txtable import read_table
+
+    path = _tx_demo_table(spark, sf_dir)
+    lo, hi = 5_000_000, 9_000_000
+    return (
+        read_table(spark, path, skip={"cents": (lo, hi)})
+        .where(F.col("cents").between(lo, hi))
+        .select("k", "status", "cents")
+    )
+
+
+@register(
+    "q_tx_point",
+    f"""
+    WITH merged AS ({_TX_MERGED_SQL})
+    SELECT k, status, cents FROM merged WHERE k = 41
+    """,
+)
+def q_tx_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom point-lookup under the hard gate (X110, r8): build the
+    per-file bloom index over the pk (incremental — after the first
+    call the sidecar already covers every live file, so the rebuild
+    scans nothing), then `read_table(point={k: 41})` prunes files
+    whose filter PROVES the key absent. Pruning is I/O-only and the
+    probe value re-renders through the column type (int vs bigint),
+    so the filtered result equals the declarative point query.
+    k=41 is k%10==1: an UPDATED key, so the row also witnesses the
+    merge's doubled cents through the bloom-pruned path."""
+    from bi_utils_spark.operators.txtable import (
+        build_bloom_index,
+        read_table,
+    )
+
+    path = _tx_demo_table(spark, sf_dir)
+    build_bloom_index(spark, path, "k", only_new=True)
+    return (
+        read_table(spark, path, point={"k": 41})
+        .where(F.col("k") == 41)
+        .select("k", "status", "cents")
+    )
+
+
+@register(
+    "q_tx_compact",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents FROM rows0
+    """,
+)
+def q_tx_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped compaction under the hard gate (X110, r8):
+    a fragmented arc (create + two appends, status-partitioned) is
+    folded by `compact_partitions` — only over-threshold partitions
+    rewrite, the commit is a metadata swap — and the compacted
+    snapshot must equal the declarative union of everything ever
+    appended. (File-identity of healthy partitions and the no-op
+    fast path are asserted in test_txtable; this row proves row
+    content survives the rewrite officially.)"""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_compact"
+    if tx.latest_version(path) < 3:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 5 >= 2),
+                path,
+                partition_cols=["status"],
+            )
+        if tx.latest_version(path) < 1:
+            tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+        if tx.latest_version(path) < 2:
+            tx.append_table(rows.where(F.col("k") % 5 == 0), path)
+        if tx.latest_version(path) < 3:
+            tx.compact_partitions(spark, path, max_files=1)
+    return tx.read_table(spark, path).select("k", "status", "cents")
+
+
+def _tx_restore_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF restore-arc fixture (idempotent, deterministic):
+    v0 create (k%5>=2, status-partitioned) -> v1 append (k%5=1) ->
+    v2 merge (same source as the merge arc) -> v3 RESTORE to v1
+    (metadata-only re-point) -> v4 append (k%5=0, status 'Z') on top
+    of the RESTORED snapshot."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_restore"
+    if tx.latest_version(path) >= 4:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 2), path, partition_cols=["status"]
+        )
+    if tx.latest_version(path) < 1:
+        tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+    if tx.latest_version(path) < 2:
+        src = (
+            rows.where(F.col("k") % 10 == 1)
+            .withColumn("cents", F.col("cents") * 2)
+            .unionByName(
+                rows.where(F.col("k") % 5 == 0).withColumn(
+                    "status", F.lit("N")
+                )
+            )
+        )
+        tx.merge_tx_table(spark, path, src, ["k"])
+    if tx.latest_version(path) < 3:
+        tx.restore_table(spark, path, 1)
+    if tx.latest_version(path) < 4:
+        tx.append_table(
+            rows.where(F.col("k") % 5 == 0).withColumn(
+                "status", F.lit("Z")
+            ),
+            path,
+        )
+    return path
+
+
+@register(
+    "q_tx_restore",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v0 AS (SELECT * FROM rows0 WHERE k % 5 >= 2),
+    v1 AS (SELECT * FROM rows0 WHERE k % 5 >= 1),
+    src AS (
+      SELECT k, status, cents * 2 AS cents FROM rows0 WHERE k % 10 = 1
+      UNION ALL
+      SELECT k, 'N' AS status, cents FROM rows0 WHERE k % 5 = 0
+    ),
+    v2 AS (
+      SELECT COALESCE(s.k, t.k) AS k,
+             COALESCE(s.status, t.status) AS status,
+             COALESCE(s.cents, t.cents) AS cents
+      FROM v1 t FULL OUTER JOIN src s ON t.k = s.k
+    ),
+    v4 AS (
+      SELECT * FROM v1
+      UNION ALL
+      SELECT k, 'Z' AS status, cents FROM rows0 WHERE k % 5 = 0
+    )
+    SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents FROM v0
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v1
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v4
+    """,
+)
+def q_tx_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE as a commit (X110, r8): after a merge, `restore_table`
+    re-points the live set to the pre-merge version as pure metadata
+    (v3 == v1's files, nothing moved), the merge stays inspectable
+    (v2 still resolves), and a subsequent append builds on the
+    RESTORED snapshot (v4 = v1 + delta, the merge's effects gone).
+    The oracle replays all five versions relationally — commit
+    content is deterministic, so DuckDB derives each snapshot from
+    the same set algebra the log fold encodes. A green row proves
+    rollback semantics under the same hard gate as the merge and
+    time-travel rows."""
+    from bi_utils_spark.operators.txtable import read_table
+
+    path = _tx_restore_demo_table(spark, sf_dir)
+    parts = [
+        read_table(spark, path, version=v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        for v in range(5)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q_tx_zorder",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents FROM rows0
+    WHERE cents BETWEEN 5000000 AND 9000000
+    """,
+)
+def q_tx_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE ZORDER under the hard gate (r9): a
+    fragmented arc (create + three appends, status-partitioned) is
+    compacted with `compact_partitions(zorder_by=["cents"])` — the
+    r9 grouped topology range-partitions each hot partition along the
+    Morton curve with bucket bounds derived from the MANIFEST's
+    footer stats (no extra data pass), so the rewritten files carry
+    selective zone maps. The read then goes through
+    `read_table(skip=...)` + the row predicate: pruning is I/O-only,
+    so the result must equal the declarative range filter over
+    everything ever written — which the oracle states directly.
+    (File-level selectivity and the exact per-partition file counts
+    are asserted in test_txtable; this row proves result invariance
+    through the zorder'd layout officially.)"""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_zorder"
+    if tx.latest_version(path) < 4:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 4 == 0),
+                path,
+                partition_cols=["status"],
+            )
+        for m in (1, 2, 3):
+            if tx.latest_version(path) < m:
+                tx.append_table(rows.where(F.col("k") % 4 == m), path)
+        if tx.latest_version(path) < 4:
+            tx.compact_partitions(
+                spark, path, max_files=1, target_files=2,
+                zorder_by=["cents"],
+            )
+    lo, hi = 5_000_000, 9_000_000
+    return (
+        tx.read_table(spark, path, skip={"cents": (lo, hi)})
+        .where(F.col("cents").between(lo, hi))
+        .select("k", "status", "cents")
+    )
+
+
+def _tx_cdf_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF CDF-arc fixture (idempotent): v0 create (k%5>=2,
+    status-partitioned) -> v1 append (k%5=1) -> v2 merge carrying all
+    three clause kinds at once — updates (k%10=1, cents doubled),
+    inserts (k%5=0 into the new 'N' partition), and deletes
+    (k%10=6 via the delete flag)."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_cdf"
+    if tx.latest_version(path) >= 2:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 2), path, partition_cols=["status"]
+        )
+    if tx.latest_version(path) < 1:
+        tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+    if tx.latest_version(path) < 2:
+        src = (
+            rows.where(F.col("k") % 10 == 1)
+            .withColumn("cents", F.col("cents") * 2)
+            .unionByName(
+                rows.where(F.col("k") % 5 == 0).withColumn(
+                    "status", F.lit("N")
+                )
+            )
+            .withColumn("__del", F.lit(False))
+            .unionByName(
+                rows.where(F.col("k") % 10 == 6).withColumn(
+                    "__del", F.lit(True)
+                )
+            )
+        )
+        tx.merge_tx_table(spark, path, src, ["k"], delete_col="__del")
+    return path
+
+
+@register(
+    "q_tx_cdf",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
+    FROM rows0 WHERE k % 5 >= 2
+    UNION ALL
+    SELECT k, status, cents, 'insert', CAST(1 AS BIGINT)
+    FROM rows0 WHERE k % 5 = 1
+    UNION ALL
+    SELECT k, status, cents * 2, 'update_postimage', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 1
+    UNION ALL
+    SELECT k, 'N', cents, 'insert', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 5 = 0
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 6
+    """,
+)
+def q_tx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data feed over REWRITING commits (X110, r9):
+    `table_changes_cdf` replays a create -> append -> merge(+delete)
+    arc as typed change rows — per commit, the removed files are the
+    pre-image and the genuinely-new files the post-image, pk-joined
+    into insert / update_postimage / delete rows (deletes carry the
+    PRE-image payload; rows a rewrite merely MOVED emit nothing).
+    The Delta readChangeFeed analog over the manifest log; the oracle
+    states every commit's net change declaratively, so a green row
+    proves the classification AND the payload of all three change
+    kinds at once. Cost per commit is the commit's own footprint —
+    the feed's steady-state cost tracks the write rate, never the
+    table."""
+    from bi_utils_spark.operators.txtable import table_changes_cdf
+
+    path = _tx_cdf_demo_table(spark, sf_dir)
+    return table_changes_cdf(spark, path, ["k"], after_version=-1).select(
+        "k", "status", "cents", "_change_type", "_commit_version"
+    )
+
+
+def _tx_cdc_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF COMMIT-TIME change-data arc fixture (idempotent, r10):
+    v0 create (k%5>=2, status-partitioned) -> v1 enable_change_data ->
+    v2 append (k%5=1) -> v3 merge (updates k%10=1 cents doubled,
+    inserts k%5=0 into 'N', deletes k%10=6) -> v4 MOR UPDATE
+    (k%10=2, cents+7). The merge and update commits persist their
+    typed rows as _change_data files (the Delta
+    enableChangeDataFeed pattern), so the feed below reads as a pure
+    scan — NO pks passed anywhere."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_cdc"
+    if tx.latest_version(path) >= 4:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 2), path, partition_cols=["status"]
+        )
+    if tx.latest_version(path) < 1:
+        tx.enable_change_data(path)
+    if tx.latest_version(path) < 2:
+        tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+    if tx.latest_version(path) < 3:
+        src = (
+            rows.where(F.col("k") % 10 == 1)
+            .withColumn("cents", F.col("cents") * 2)
+            .unionByName(
+                rows.where(F.col("k") % 5 == 0).withColumn(
+                    "status", F.lit("N")
+                )
+            )
+            .withColumn("__del", F.lit(False))
+            .unionByName(
+                rows.where(F.col("k") % 10 == 6).withColumn(
+                    "__del", F.lit(True)
+                )
+            )
+        )
+        tx.merge_tx_table(spark, path, src, ["k"], delete_col="__del")
+    if tx.latest_version(path) < 4:
+        tx.update_table(
+            spark, path, "k % 10 = 2", {"cents": "cents + 7"}, mode="mor"
+        )
+    return path
+
+
+@register(
+    "q_tx_cdc",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
+    FROM rows0 WHERE k % 5 >= 2
+    UNION ALL
+    SELECT k, status, cents, 'insert', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 5 = 1
+    UNION ALL
+    SELECT k, status, cents * 2, 'update_postimage', CAST(3 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 1
+    UNION ALL
+    SELECT k, 'N', cents, 'insert', CAST(3 AS BIGINT)
+    FROM rows0 WHERE k % 5 = 0
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(3 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 6
+    UNION ALL
+    SELECT k, status, cents + 7, 'update_postimage', CAST(4 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 2
+    """,
+)
+def q_tx_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMIT-TIME change data (X110, r10 — the Delta
+    ``enableChangeDataFeed`` / ``_change_data`` analog): the same
+    create -> append -> merge -> row-level UPDATE arc as `q_tx_cdf`,
+    but every rewriting commit PERSISTED its typed change rows at
+    commit time, so this feed is read with NO primary keys at all —
+    `table_changes_cdf(path)` — as a pure scan of the recorded
+    change files (appends derive their inserts from the added files,
+    as before). A green row proves the writer-side classification
+    (merge join, update pre/post pairing) matches the declaratively
+    stated net change of every commit, row for row — the done
+    criterion for replacing the read-time pk-join with commit-time
+    recording. At 100 TB the feed's stream pole ships one task per
+    change file (see test_txcdc), closing the r9 single-task
+    verdict."""
+    from bi_utils_spark.operators.txtable import table_changes_cdf
+
+    path = _tx_cdc_demo_table(spark, sf_dir)
+    return table_changes_cdf(spark, path, after_version=-1).select(
+        "k", "status", "cents", "_change_type", "_commit_version"
+    )
+
+
+def _tx_ow_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF blind-rewrite feed fixture (idempotent, r10): v0 create
+    (k%3=0) -> v1 OVERWRITE (k%3<=1, cents+5) -> v2 RESTORE to v0.
+    Neither commit records change data and the feed is read with NO
+    pks — blind rewrites render join-free as delete-all+insert-all,
+    the Delta overwrite readChangeFeed shape."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_ow"
+    if tx.latest_version(path) >= 2:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(rows.where(F.col("k") % 3 == 0), path)
+    if tx.latest_version(path) < 1:
+        tx.overwrite_table(
+            rows.where(F.col("k") % 3 <= 1).withColumn(
+                "cents", F.col("cents") + 5
+            ),
+            path,
+        )
+    if tx.latest_version(path) < 2:
+        tx.restore_table(spark, path, version=0)
+    return path
+
+
+@register(
+    "q_tx_ow_cdf",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents, 'insert' AS _change_type,
+           CAST(0 AS BIGINT) AS _commit_version
+    FROM rows0 WHERE k % 3 = 0
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(1 AS BIGINT)
+    FROM rows0 WHERE k % 3 = 0
+    UNION ALL
+    SELECT k, status, cents + 5, 'insert', CAST(1 AS BIGINT)
+    FROM rows0 WHERE k % 3 <= 1
+    UNION ALL
+    SELECT k, status, cents + 5, 'delete', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 3 <= 1
+    UNION ALL
+    SELECT k, status, cents, 'insert', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 3 = 0
+    """,
+)
+def q_tx_ow_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pk-less BLIND-REWRITE change feed (r10): an overwrite and a
+    restore replay with NO primary keys and NO commit-time change
+    data — every removed live row reads back as a delete and every
+    genuinely-new row as an insert, join-free (the Delta overwrite
+    readChangeFeed rendering; a pk'd feed refines the same commits
+    into update rows). The oracle states each commit's net change
+    declaratively, so a green row pins the rendering's classification
+    AND payloads across both blind verbs, including restore's
+    re-added-file inserts."""
+    from bi_utils_spark.operators.txtable import table_changes_cdf
+
+    path = _tx_ow_demo_table(spark, sf_dir)
+    return table_changes_cdf(spark, path, after_version=-1).select(
+        "k", "status", "cents", "_change_type", "_commit_version"
+    )
+
+
+def _tx_dv_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SF deletion-vector arc fixture (idempotent): v0 create
+    (ALL order rows, status-partitioned) -> v1 MOR delete (k%7=0 —
+    sidecar masks across every partition, no file rewritten) -> v2
+    MOR delete (k%10=3 — unions onto v1's sidecars) -> v3 COW delete
+    (k%10=4 in status 'P' — file-granularity rewrite of only the hit
+    files). The final snapshot deliberately MIXES masked files, a
+    rewritten partition, and untouched files, so the read exercises
+    both reader legs plus their union."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_dv"
+    if tx.latest_version(path) >= 3:
+        return path
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(rows, path, partition_cols=["status"])
+    if tx.latest_version(path) < 1:
+        tx.delete_from_table(spark, path, F.col("k") % 7 == 0)
+    if tx.latest_version(path) < 2:
+        tx.delete_from_table(spark, path, F.col("k") % 10 == 3)
+    if tx.latest_version(path) < 3:
+        tx.delete_from_table(
+            spark,
+            path,
+            (F.col("k") % 10 == 4) & (F.col("status") == "P"),
+            mode="cow",
+        )
+    return path
+
+
+@register(
+    "q_tx_delete",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v1 AS (SELECT * FROM rows0 WHERE NOT (k % 7 = 0)),
+    v2 AS (SELECT * FROM v1 WHERE NOT (k % 10 = 3)),
+    v3 AS (SELECT * FROM v2 WHERE NOT (k % 10 = 4 AND status = 'P'))
+    SELECT 1 AS version, k, status, cents FROM v1
+    UNION ALL
+    SELECT 2 AS version, k, status, cents FROM v2
+    UNION ALL
+    SELECT 3 AS version, k, status, cents FROM v3
+    """,
+)
+def q_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE with merge-on-read deletion vectors (X110,
+    r9): two MOR deletes mask rows in per-file DV sidecars — zero
+    data files rewritten, the 100 TB delete shape — then a COW delete
+    rewrites only the files its predicate hits. Reading versions 1-3
+    proves (a) the DV anti-join read path (masked + plain legs
+    unioned) equals the declarative filter, (b) sidecar UNION
+    semantics across stacked deletes, and (c) time travel resolves
+    every intermediate DV pointer — all value-level against the
+    oracle's nested NOT-filters. Delta-protocol deletion-vector
+    analog; design per the public spec, engine re-derived on parquet
+    `_metadata.row_index`."""
+    from bi_utils_spark.operators.txtable import read_table
+
+    path = _tx_dv_demo_table(spark, sf_dir)
+    parts = [
+        read_table(spark, path, version=v).select(
+            F.lit(v).alias("version"), "k", "status", "cents"
+        )
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q_tx_dv_cdf",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status, cents, 'delete' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM rows0 WHERE k % 7 = 0
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(2 AS BIGINT)
+    FROM rows0 WHERE k % 10 = 3 AND NOT (k % 7 = 0)
+    UNION ALL
+    SELECT k, status, cents, 'delete', CAST(3 AS BIGINT)
+    FROM rows0
+    WHERE k % 10 = 4 AND status = 'P'
+      AND NOT (k % 7 = 0) AND NOT (k % 10 = 3)
+    """,
+)
+def q_tx_dv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over deletion-vector commits (X110, r9): a
+    MOR delete emits exactly its NEWLY masked rows (new sidecar minus
+    previous, diffed in executors, payloads via one LEFT SEMI join on
+    physical row addresses) — re-deleted rows never re-emit; the COW
+    delete flows through the generic pre/post join. The oracle
+    states each commit's delete set declaratively with the
+    prior-delete exclusions, so a green row proves exactly-once
+    delete emission across stacked MOR deletes AND payload fidelity
+    of masked rows."""
+    from bi_utils_spark.operators.txtable import table_changes_cdf
+
+    path = _tx_dv_demo_table(spark, sf_dir)
+    return table_changes_cdf(spark, path, ["k"], after_version=0).select(
+        "k", "status", "cents", "_change_type", "_commit_version"
+    )
+
+
+@register(
+    "q_tx_update",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v1 AS (
+      SELECT k, status,
+             CASE WHEN k % 9 = 2 THEN cents * 2 ELSE cents END AS cents
+      FROM rows0
+    ),
+    v2 AS (
+      SELECT k, status,
+             CASE WHEN status = 'O' AND k % 9 = 5 THEN cents + 7
+                  ELSE cents END AS cents
+      FROM v1
+    )
+    SELECT 1 AS version, k, status, cents FROM v1
+    UNION ALL
+    SELECT 2 AS version, k, status, cents FROM v2
+    """,
+)
+def q_tx_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (X111, r9): a merge-on-read update masks the
+    matched rows via deletion vectors and stages their post-images in
+    ONE commit — cost is the matched rows, not a rewrite of every
+    touched file — then a copy-on-write update rewrites only hit
+    files in place. Reading both versions proves the MOR read path
+    (mask + post-image union), the stacked-DV interplay, and time
+    travel through an update — value-level against the oracle's CASE
+    projections. Completes the DML verb set (INSERT/MERGE/DELETE/
+    UPDATE) on the manifest-log tier."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_upd"
+    if tx.latest_version(path) < 2:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(rows, path, partition_cols=["status"])
+        if tx.latest_version(path) < 1:
+            tx.update_table(
+                spark, path, F.col("k") % 9 == 2, {"cents": "cents * 2"}
+            )
+        if tx.latest_version(path) < 2:
+            tx.update_table(
+                spark,
+                path,
+                (F.col("status") == "O") & (F.col("k") % 9 == 5),
+                {"cents": "cents + 7"},
+                mode="cow",
+            )
+    parts = [
+        tx.read_table(spark, path, version=v).select(
+            F.lit(v).alias("version"), "k", "status", "cents"
+        )
+        for v in (1, 2)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+@register(
+    "q_tx_rename",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status,
+           CASE WHEN k % 11 = 4 THEN cents + 1 ELSE cents END AS amount
+    FROM rows0
+    """,
+)
+def q_tx_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column RENAME via column mapping (X111, r9):
+    every column carries a stable PHYSICAL name (what the parquet
+    bytes are keyed by), so renaming relabels the manifest in commit
+    time — zero files rewritten. The arc reads files written BEFORE
+    the rename (physical name 'cents'), files appended AFTER it
+    (still written as 'cents' physically, labeled 'amount'), and a
+    MOR update flowing through the new label — one result under the
+    final schema, stated declaratively by the oracle. The Delta
+    column-mapping 'name' mode analog."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_ren"
+    if tx.latest_version(path) < 3:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 3 > 0),
+                path,
+                partition_cols=["status"],
+            )
+        if tx.latest_version(path) < 1:
+            tx.rename_column(path, "cents", "amount")
+        if tx.latest_version(path) < 2:
+            tx.append_table(
+                rows.where(F.col("k") % 3 == 0).withColumnRenamed(
+                    "cents", "amount"
+                ),
+                path,
+            )
+        if tx.latest_version(path) < 3:
+            tx.update_table(
+                spark, path, F.col("k") % 11 == 4, {"amount": "amount + 1"}
+            )
+    return tx.read_table(spark, path).select("k", "status", "amount")
+
+
+@register(
+    "q_tx_clone",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v1 AS (SELECT * FROM rows0 WHERE NOT (k % 7 = 0)),
+    v2 AS (SELECT * FROM v1 WHERE NOT (k % 10 = 3)),
+    v3 AS (SELECT * FROM v2 WHERE NOT (k % 10 = 4 AND status = 'P'))
+    SELECT k, status, cents FROM v3 WHERE NOT (k % 10 = 8)
+    """,
+)
+def q_tx_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (X111, r9): the deletion-vector arc's
+    final snapshot clones in metadata time — commit 0 references the
+    source's files AND deletion-vector sidecars in place, nothing
+    copied — then the clone DIVERGES with its own MOR delete
+    (k%10=8). Reading the clone proves (a) borrowed files + borrowed
+    DVs resolve through relative paths, (b) the clone's own commits
+    compose on top, and (c) the source is untouched (its fixture
+    re-attests under q_tx_delete in the same run). The Delta CLONE
+    analog — the dev/test branch-and-discard workflow verb."""
+    from bi_utils_spark.operators import txtable as tx
+
+    src = _tx_dv_demo_table(spark, sf_dir)
+    dst = _tx_demo_dir(sf_dir) + "_dvclone"
+    if tx.latest_version(dst) < 0:
+        tx.clone_table(spark, src, dst)
+    if tx.latest_version(dst) < 1:
+        tx.delete_from_table(spark, dst, F.col("k") % 10 == 8)
+    return tx.read_table(spark, dst).select("k", "status", "cents")
+
+
+@register(
+    "q_tx_stats",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    v1 AS (SELECT * FROM rows0 WHERE NOT (k % 7 = 0)),
+    v2 AS (SELECT * FROM v1 WHERE NOT (k % 10 = 3)),
+    v3 AS (SELECT * FROM v2 WHERE NOT (k % 10 = 4 AND status = 'P'))
+    SELECT CAST(0 AS BIGINT) AS version, 'all' AS scope,
+           CAST(COUNT(*) AS BIGINT) AS num_rows,
+           CAST(MIN(cents) AS BIGINT) AS cents_min,
+           CAST(MAX(cents) AS BIGINT) AS cents_max
+    FROM rows0
+    UNION ALL
+    SELECT 1, 'all', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v1
+    UNION ALL
+    SELECT 2, 'all', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v2
+    UNION ALL
+    SELECT 3, 'all', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM v3
+    UNION ALL
+    SELECT 3, 'P', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(cents) AS BIGINT), CAST(MAX(cents) AS BIGINT)
+    FROM v3 WHERE status = 'P'
+    UNION ALL
+    SELECT 3, 'O', CAST(COUNT(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM v3 WHERE status = 'O'
+    """,
+)
+def q_tx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only statistics (X113, r9): COUNT(*) across the
+    deletion-vector arc's four versions — and a partition-scoped
+    count — answered from the manifest fold alone, ZERO data files
+    opened (the Delta metadata-only-query analog; on a 100 TB table
+    this is driver milliseconds vs a full scan). Counts stay exact
+    under merge-on-read deletes because sidecars record exact
+    cardinality; column min/max is reported only when provably exact
+    (every live file contributes a zone map and none carries a DV) —
+    version 0 qualifies, the DV'd versions honestly return NULL
+    rather than a zone-map bound presented as a value. Version 3's
+    two partition-scoped rows split exactly on that gate: the COW
+    delete rewrote every 'P' file (fresh zone maps, no DVs — exact
+    min/max again) while 'O' still carries the earlier MOR sidecars
+    (NULL). The oracle states every count declaratively, so a green
+    row proves the manifest row-count arithmetic, the DV cardinality
+    subtraction, the partition-filter scoping, and the exactness
+    gate at once."""
+    from bi_utils_spark.operators.txtable import table_stats
+
+    path = _tx_dv_demo_table(spark, sf_dir)
+    rows = []
+    for version, scope, pf in [
+        (0, "all", None),
+        (1, "all", None),
+        (2, "all", None),
+        (3, "all", None),
+        (3, "P", {"status": "P"}),
+        (3, "O", {"status": "O"}),
+    ]:
+        st = table_stats(
+            path, version=version, columns=["cents"], partition_filter=pf
+        )
+        mm = st["columns"]["cents"]
+        rows.append(
+            (
+                version,
+                scope,
+                st["num_rows"],
+                mm["min"] if mm else None,
+                mm["max"] if mm else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, scope string, num_rows bigint, "
+        "cents_min bigint, cents_max bigint",
+    )
+
+
+@register(
+    "q_tx_generated",
+    """
+    WITH rows0 AS (
+      SELECT o_orderkey AS k, o_orderdate AS d,
+             CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    upd AS (
+      SELECT k, d,
+             CASE WHEN k % 10 = 1 THEN cents * 2 ELSE cents END AS cents
+      FROM rows0
+    )
+    SELECT k, CAST(year(d) AS INTEGER) AS y, cents
+    FROM upd
+    WHERE d BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                AND TIMESTAMP '1996-12-31 23:59:59'
+    """,
+)
+def q_tx_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns with derived partition pruning (X114, r9):
+    the table is partitioned by ``y = year(d)`` which no writer ever
+    supplies — create computes it, append computes it, the MOR update
+    recomputes it on post-images — and the read filters ONLY on the
+    base timestamp ``d``. The range on ``d`` extends through the
+    monotone generated expression to a range on ``y``, which prunes
+    partitions at the MANIFEST level (a partition value is an exact
+    zone map): the 100 TB ``partition by date, filter by timestamp``
+    pattern with no user-visible denormalization, the Delta
+    generated-column pruning analog. The oracle restates table
+    contents and filter declaratively, proving compute-on-write,
+    recompute-on-update, and that pruning dropped no qualifying
+    row."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_gen"
+    if tx.latest_version(path) < 2:
+        rows = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0))
+            .cast("long")
+            .alias("cents"),
+        )
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 3 > 0),
+                path,
+                partition_cols=["y"],
+                generated={"y": "year(d)"},
+            )
+        if tx.latest_version(path) < 1:
+            tx.append_table(rows.where(F.col("k") % 3 == 0), path)
+        if tx.latest_version(path) < 2:
+            tx.update_table(
+                spark, path, F.col("k") % 10 == 1, {"cents": "cents * 2"}
+            )
+    return tx.read_table(
+        spark,
+        path,
+        where="d BETWEEN '1995-01-01 00:00:00' AND '1996-12-31 23:59:59'",
+    ).select("k", "y", "cents")
+
+
+@register(
+    "q_tx_identity",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    live12 AS (SELECT * FROM rows0 WHERE NOT k % 7 = 0),
+    b3 AS (SELECT * FROM rows0 WHERE k % 5 = 2)
+    SELECT
+      CAST((SELECT COUNT(*) FROM live12)
+           + (SELECT COUNT(*) FROM b3) AS BIGINT) AS n_rows,
+      CAST((SELECT COUNT(*) FROM live12)
+           + (SELECT COUNT(*) FROM b3) AS BIGINT) AS n_distinct,
+      CAST((SELECT COUNT(*) FROM rows0)
+           + (SELECT COUNT(*) FROM b3) AS BIGINT) AS max_id,
+      CAST((SELECT COUNT(*) FROM b3) AS BIGINT) AS n_above
+    """,
+)
+def q_tx_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY columns (X115, r9): GENERATED ALWAYS surrogate keys
+    allocated contiguously above the log's high-water mark with no
+    global sort — create takes ids 1..n0, the second append continues
+    at n0+1, a MOR delete retires rows WITHOUT freeing their ids, and
+    the third append starts above the mark regardless. Assignment
+    order across partitions is deliberately unspecified (the Delta
+    identity contract), so the oracle pins the order-free invariants:
+    every live row has an id, all distinct, the maximum equals TOTAL
+    EVER ALLOCATED (proving post-delete allocation never reuses), and
+    exactly the last batch sits above the pre-delete mark."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_ident"
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 2 == 0),
+            path,
+            identity={"id": {"start": 1, "step": 1}},
+        )
+    if tx.latest_version(path) < 1:
+        tx.append_table(rows.where(F.col("k") % 2 == 1), path)
+    if tx.latest_version(path) < 2:
+        tx.delete_from_table(spark, path, F.col("k") % 7 == 0)
+    if tx.latest_version(path) < 3:
+        tx.append_table(rows.where(F.col("k") % 5 == 2), path)
+    n_pre = rows.count()  # ids allocated before the third append
+    return tx.read_table(spark, path).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("id").cast("long").alias("n_distinct"),
+        F.max("id").cast("long").alias("max_id"),
+        F.sum(
+            F.when(F.col("id") > n_pre, 1).otherwise(0)
+        ).cast("long").alias("n_above"),
+    )
+
+
+@register(
+    "q_tx_evolve",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT CAST(k AS INTEGER) AS k, status,
+           CASE WHEN k % 3 = 0 THEN cents * 1000
+                ELSE cents % 1000000 END AS amount,
+           CASE WHEN k % 3 = 0 THEN 'n' || CAST(k AS VARCHAR)
+                ELSE NULL END AS note
+    FROM rows0
+    """,
+)
+def q_tx_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-time schema evolution (X116, r9): the arc creates an
+    INT amount column, WIDENS it to BIGINT (`widen_column_type` — one
+    JSON commit, Spark's parquet reader upcasts the narrow files'
+    physical values at scan), ADDs a string column
+    (`add_column` — old files null-fill), then appends rows that
+    need both (amounts beyond int32, notes populated). One read under
+    the final schema must see the narrow-era rows upcast, the
+    pre-ADD rows as NULL, and the new rows verbatim — the oracle
+    states all three eras declaratively. Zero files rewritten by
+    either ALTER."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_evolve"
+    if tx.latest_version(path) < 3:
+        rows = _tx_order_rows(spark, sf_dir)
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 3 > 0).select(
+                    F.col("k").cast("int").alias("k"),
+                    "status",
+                    (F.col("cents") % 1000000)
+                    .cast("int")
+                    .alias("amount"),
+                ),
+                path,
+                partition_cols=["status"],
+            )
+        if tx.latest_version(path) < 1:
+            tx.widen_column_type(path, "amount", "bigint")
+        if tx.latest_version(path) < 2:
+            tx.add_column(path, "note", "string")
+        if tx.latest_version(path) < 3:
+            tx.append_table(
+                rows.where(F.col("k") % 3 == 0).select(
+                    F.col("k").cast("int").alias("k"),
+                    "status",
+                    (F.col("cents") * 1000).alias("amount"),
+                    F.concat(
+                        F.lit("n"), F.col("k").cast("string")
+                    ).alias("note"),
+                ),
+                path,
+            )
+    return tx.read_table(spark, path).select("k", "status", "amount", "note")
+
+
+@register(
+    "q_tx_respec",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT k, status,
+           CASE WHEN k % 10 = 3 THEN cents * 2 ELSE cents END AS cents,
+           CAST(k % 5 AS INTEGER) AS bucket
+    FROM rows0
+    WHERE k % 5 = 3
+    """,
+)
+def q_tx_respec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION (X118, r9 — the Iceberg analog Delta
+    lacks): the table is created partitioned by status, respec'd to
+    bucket in ONE metadata commit (zero files rewritten), appended
+    under the new spec, then a MOR UPDATE masks rows across BOTH
+    spec eras. The read scopes to ``partition_filter={"bucket": 3}``:
+    new-spec files prune at the manifest, old-spec files survive
+    fail-open (bucket is plain data there) and the automatic
+    row-level filter scopes them — so a green row proves the respec
+    commit, mixed-spec unioned reads, manifest-prune + row-filter
+    equivalence, and deletion-vector masking across spec eras, all
+    against the oracle's declarative restatement."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_respec"
+    if tx.latest_version(path) < 3:
+        rows = _tx_order_rows(spark, sf_dir).withColumn(
+            "bucket", (F.col("k") % 5).cast("int")
+        )
+        if tx.latest_version(path) < 0:
+            tx.create_table(
+                rows.where(F.col("k") % 2 == 0),
+                path,
+                partition_cols=["status"],
+            )
+        if tx.latest_version(path) < 1:
+            tx.repartition_table(path, ["bucket"])
+        if tx.latest_version(path) < 2:
+            tx.append_table(rows.where(F.col("k") % 2 == 1), path)
+        if tx.latest_version(path) < 3:
+            tx.update_table(
+                spark, path, F.col("k") % 10 == 3, {"cents": "cents * 2"}
+            )
+    return tx.read_table(
+        spark, path, partition_filter={"bucket": 3}
+    ).select("k", "status", "cents", "bucket")
+
+
+from bi_utils_spark.operators.fim import fim_oracle_sql as _fim_sql  # noqa: E402
+
+
+@register(
+    "q_fim",
+    _fim_sql("documents", "doc_id", "text", rate=0.5),
+)
+def q_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-Middle transformation (X119, r9): a deterministic
+    half of the corpus rewrites to the PSM layout
+    ``<PRE> prefix <SUF> suffix <MID> middle`` with md5-derived cut
+    points — map-only column arithmetic that fuses into the feeding
+    scan, zero Python, zero shuffle, re-run/retry stable by
+    construction. The oracle SQL is generated from the SAME module
+    (`fim_oracle_sql`) so the two derivations cannot drift; a green
+    row proves gating, cut-point selection, and all three splice
+    segments byte-for-byte across every document."""
+    from bi_utils_spark.operators.fim import fim_transform
+
+    docs = load(spark, sf_dir, "documents")
+    return fim_transform(docs, "doc_id", "text", rate=0.5).select(
+        "doc_id", "fim_text", "fim_text_applied"
+    )
+
+
+def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest MOR DELETE wall (bench-only): each repeat resets a
+    scratch tx table via metadata-only RESTORE (+ vacuum, which also
+    reclaims the prior repeat's sidecars), then times
+    `delete_from_table` end-to-end — predicate scan with physical
+    row addresses, executor-side position packing, sidecar write,
+    commit. The registry row `q_tx_delete` times reads of the
+    pre-built fixture (its oracle proves delete CORRECTNESS); this
+    row is the delete COST."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_rawdelete"
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(rows, path, partition_cols=["status"])
+    else:
+        tx.restore_table(spark, path, 0)
+        tx.vacuum_table(path, retain_versions=1, stray_age_seconds=0.0)
+    tx.delete_from_table(spark, path, F.col("k") % 7 == 0)
+    return tx.read_table(spark, path).groupBy("status").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+    )
+
+
+def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest MERGE wall (bench-only): each repeat resets a
+    scratch tx table to its base snapshot via a metadata-only
+    RESTORE (plus a vacuum so repeat files don't accumulate), then
+    times `merge_tx_table`'s full copy-on-write path — source
+    partition discovery, touched-partition read, merge fold, stage
+    write, commit. The registry row `q_tx_merge_table` times a READ
+    of the pre-built fixture (its oracle proves merge CORRECTNESS);
+    this row is the merge COST, the split the capped near-dup
+    variants established."""
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_rawmerge"
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 1), path, partition_cols=["status"]
+        )
+    else:
+        tx.restore_table(spark, path, 0)
+        tx.vacuum_table(path, retain_versions=1, stray_age_seconds=0.0)
+    src = (
+        rows.where(F.col("k") % 10 == 1)
+        .withColumn("cents", F.col("cents") * 2)
+        .unionByName(
+            rows.where(F.col("k") % 5 == 0).withColumn("status", F.lit("N"))
+        )
+    )
+    tx.merge_tx_table(spark, path, src, ["k"])
+    return tx.read_table(spark, path).groupBy("status").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+    )
+
+
+# ===========================================================================
+# r11: the five formerly BENCH-only rows, promoted into the oracle
+# registry (r10 verdict task 3). The three capped near-dup variants
+# get bound attestations in the q_pq_topk discipline — the query runs
+# the CAPPED operator and its ground truth and pins the recall flag
+# (caps structurally cannot add pairs: they only drop candidates and
+# verification stays exact, so the zero-extras column is a hard
+# invariant, not a measurement). The two raw tx arcs get direct SQL
+# oracles — their group-by summaries are exactly the registry twins'
+# merged/deleted relations re-aggregated.
+# ===========================================================================
+
+
+@register(
+    "q_iceberg_export",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    live AS (SELECT * FROM rows0 WHERE k % 9 <> 5)
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_amount
+    FROM live GROUP BY status
+    """,
+)
+def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-format metadata export arc (r10 verdict task 1,
+    operators/iceberg.py): create partitioned -> append -> RENAME a
+    column (column mapping, the case write_symlink_manifest refuses)
+    -> merge-on-read DELETE (deletion vectors, the other refused
+    case) -> export with materialize=True -> read the table back THE
+    ICEBERG WAY (version-hint -> metadata.json -> manifest-list ->
+    manifests; partition values from the manifest, physical->logical
+    projection from the exported schema.name-mapping.default) and
+    aggregate. DuckDB recomputes the expected content from orders, so
+    a hash match pins export == log fold across rename + DVs."""
+    import shutil
+
+    from bi_utils_spark.operators import txtable as tx
+    from bi_utils_spark.operators.iceberg import (
+        export_iceberg_metadata,
+        read_iceberg_export,
+    )
+
+    path = _tx_demo_dir(sf_dir) + "_iceberg"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # full rebuild: the arc IS the fixture
+    rows = _tx_order_rows(spark, sf_dir)
+    tx.create_table(
+        rows.where(F.col("k") % 4 != 3), path, partition_cols=["status"]
+    )
+    tx.append_table(rows.where(F.col("k") % 4 == 3), path)
+    tx.rename_column(path, "cents", "amount")
+    tx.delete_from_table(spark, path, "k % 9 = 5", mode="mor")
+    export_iceberg_metadata(path, spark=spark, materialize=True)
+    export = read_iceberg_export(path)
+    phys = export["physical_of"]
+    logical = [f["name"] for f in export["schema_fields"]]
+    by_part: dict[str, list[str]] = {}
+    for f in export["files"]:
+        by_part.setdefault(f["partition"]["status"], []).append(f["path"])
+    parts = []
+    for status_v, paths in sorted(by_part.items()):
+        df = spark.read.parquet(*paths)
+        cols = [
+            F.lit(status_v).alias(c)
+            if c == "status"  # identity partition value from the manifest
+            else F.col(phys[c]).alias(c)
+            for c in logical
+        ]
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("amount").cast("long").alias("sum_amount"),
+    )
+
+
+@register(
+    "q_sql_dml_arc",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    base AS (SELECT * FROM rows0 WHERE k % 5 >= 1),
+    ins AS (SELECT k, status, cents FROM rows0
+            WHERE k % 5 = 0 AND k % 10 <> 0),
+    after_ins AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+    after_upd AS (
+      SELECT k, status,
+             CASE WHEN k % 3 = 0 THEN cents + 7 ELSE cents END AS cents
+      FROM after_ins),
+    after_del AS (SELECT * FROM after_upd WHERE NOT (k % 11 = 4)),
+    src AS (
+      SELECT k, status, cents * 2 AS cents, k % 13 = 2 AS is_del
+      FROM rows0 WHERE k % 10 = 1
+      UNION ALL
+      SELECT k, 'N' AS status, cents, k % 13 = 2 AS is_del
+      FROM rows0 WHERE k % 10 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(s.k, t.k) AS k,
+             COALESCE(s.status, t.status) AS status,
+             COALESCE(s.cents, t.cents) AS cents,
+             COALESCE(s.is_del, FALSE) AS is_del
+      FROM after_del t FULL OUTER JOIN src s ON t.k = s.k
+    ),
+    final AS (SELECT k, status, cents FROM merged WHERE NOT is_del),
+    cur AS (SELECT status, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM final GROUP BY status),
+    v0 AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM base)
+    SELECT cur.status, cur.n, cur.sum_cents, v0.n0
+    FROM cur CROSS JOIN v0
+    """,
+)
+def q_sql_dml_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string DML front-end arc (r10 verdict task 2,
+    operators/sqldml.py): the write-side completion of the
+    reference's S1/S2 script semantics (`utils.py:265-290`) — INSERT,
+    UPDATE, DELETE, MERGE (upsert + flagged delete), and a VERSION AS
+    OF read, every step driven purely through SQL STRINGS dispatched
+    to the tx verbs. DuckDB recomputes the whole chain from orders;
+    the verb-driven arc is attested separately (q_tx_merge_table et
+    al.), so a hash match here pins string-path == verb-path."""
+    from bi_utils_spark.operators import txtable as tx
+    from bi_utils_spark.operators.sqldml import tx_sql
+
+    path = _tx_demo_dir(sf_dir) + "_sqldml"
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 5 >= 1), path, partition_cols=["status"]
+        )
+    else:
+        tx.restore_table(spark, path, 0)
+        tx.vacuum_table(path, retain_versions=1, stray_age_seconds=0.0)
+    rows.createOrReplaceTempView("sqldml_rows")
+    t = {"orders_tx": path}
+    tx_sql(
+        spark,
+        "INSERT INTO orders_tx SELECT k, status, cents FROM sqldml_rows "
+        "WHERE k % 5 = 0 AND k % 10 <> 0",
+        t,
+    )
+    tx_sql(
+        spark,
+        "UPDATE orders_tx SET cents = cents + 7 WHERE k % 3 = 0",
+        t,
+    )
+    tx_sql(spark, "DELETE FROM orders_tx WHERE k % 11 = 4", t)
+    tx_sql(
+        spark,
+        """
+        MERGE INTO orders_tx AS t
+        USING (
+          SELECT k, status, cents * 2 AS cents, k % 13 = 2 AS is_del
+          FROM sqldml_rows WHERE k % 10 = 1
+          UNION ALL
+          SELECT k, 'N' AS status, cents, k % 13 = 2 AS is_del
+          FROM sqldml_rows WHERE k % 10 = 0
+        ) AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN MATCHED AND s.is_del THEN DELETE
+        """,
+        t,
+    )
+    return tx_sql(
+        spark,
+        """
+        WITH cur AS (
+          SELECT status, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM orders_tx GROUP BY status
+        ),
+        v0 AS (
+          SELECT CAST(count(*) AS BIGINT) AS n0
+          FROM orders_tx VERSION AS OF 0
+        )
+        SELECT cur.status, cur.n, cur.sum_cents, v0.n0
+        FROM cur CROSS JOIN v0
+        """,
+        t,
+    )
+
+
+@register(
+    "q_tx_merge_raw",
+    f"""
+    WITH merged AS ({_TX_MERGED_SQL})
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY status
+    """,
+)
+def q_tx_merge_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct oracle for the full copy-on-write MERGE arc the bench
+    times (restore-to-base + vacuum + merge + read): the resulting
+    per-status summary must equal the registry twin q_tx_merge_table's
+    merged relation re-aggregated — DuckDB recomputes it from orders
+    via the same full-outer fold."""
+    return raw_tx_merge(spark, sf_dir)
+
+
+@register(
+    "q_tx_delete_raw",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL})
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM rows0 WHERE k % 7 <> 0 GROUP BY status
+    """,
+)
+def q_tx_delete_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct oracle for the full DELETE arc the bench times
+    (restore-to-base + vacuum + predicate delete + read): the
+    per-status summary of survivors must equal DuckDB's k % 7 <> 0
+    filter over the same base rows."""
+    return raw_tx_delete(spark, sf_dir)
+
+
+@register(
+    "q_minhash_near_dup_capped",
+    _jaccard_pairs_sql(
+        0.6,
+        """
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(0 AS BIGINT) AS false_positives,
+           1 AS recall_ge_090
+    FROM jac
+    """,
+    ),
+)
+def q_minhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-under-cap attestation for the hot-bucket-capped MinHash
+    join (the 100 TB production config benched as
+    q_minhash_near_dup_capped): DuckDB recomputes the exact Jaccard
+    ≥ 0.6 pair set from raw text; the capped LSH join
+    (max_bucket_size=50) must report no pair outside it and find
+    ≥ 90% of it. Measured 1.0 at sf0.01/sf0.1 (the caps don't bind
+    on this corpus); the asserted floor is 0.9."""
+    from bi_utils_spark.operators.dedup import (
+        jaccard_similarity_join,
+        minhash_near_dup_join,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    exact = jaccard_similarity_join(
+        docs, "doc_id", "text", threshold=0.6, shingle_n=3
+    )
+    capped = minhash_near_dup_join(
+        docs, "doc_id", "text", threshold=0.6, num_hashes=64, num_bands=16,
+        max_bucket_size=50,
+    )
+    return _pair_recall_summary(exact, capped, 0.9, "recall_ge_090")
+
+
+@register(
+    "q_simhash_near_dup_capped",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(lower(text)) AS t FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_text_dup_pairs,
+           CAST(0 AS BIGINT) AS text_dups_missed,
+           CAST(0 AS BIGINT) AS capped_extra_pairs,
+           1 AS recall_ge_090
+    FROM norm a JOIN norm b ON a.t = b.t AND a.doc_id < b.doc_id
+    """,
+)
+def q_simhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation for the hot-chunk-capped SimHash join: (1) every
+    identical-normalized-text pair (ground truth DuckDB recomputes)
+    is still reported — identical text means identical fingerprints,
+    and the hamming-0 tier stays exact under the cap; (2) the capped
+    set adds NOTHING over the uncapped banded set (caps only drop
+    candidates, hamming verification stays exact); (3) it retains
+    ≥ 90% of the uncapped pairs (measured 1.0 at sf0.01/sf0.1)."""
+    from bi_utils_spark.operators.dedup import simhash_near_dup_join
+
+    docs = load(spark, sf_dir, "documents")
+    keys = ["id_a", "id_b"]
+    uncapped = simhash_near_dup_join(
+        docs, "doc_id", "text", max_hamming=3
+    ).select(*keys)
+    capped = simhash_near_dup_join(
+        docs, "doc_id", "text", max_hamming=3, max_chunk_bucket_size=200
+    ).select(*keys)
+    norm = docs.select("doc_id", F.trim(F.lower(F.col("text"))).alias("t"))
+    na, nb = norm.alias("na"), norm.alias("nb")
+    text_dups = na.join(
+        nb,
+        (F.col("na.t") == F.col("nb.t"))
+        & (F.col("na.doc_id") < F.col("nb.doc_id")),
+    ).select(F.col("na.doc_id").alias("id_a"), F.col("nb.doc_id").alias("id_b"))
+    n_text = text_dups.agg(F.count("*").alias("n_text_dup_pairs"))
+    missed = text_dups.join(capped, keys, "left_anti").agg(
+        F.count("*").alias("text_dups_missed")
+    )
+    extra = capped.join(uncapped, keys, "left_anti").agg(
+        F.count("*").alias("capped_extra_pairs")
+    )
+    n_un = uncapped.agg(F.count("*").alias("__n_un"))
+    found = capped.join(uncapped, keys, "left_semi").agg(
+        F.count("*").alias("__found")
+    )
+    return (
+        n_text.crossJoin(missed)
+        .crossJoin(extra)
+        .crossJoin(n_un)
+        .crossJoin(found)
+        .select(
+            "n_text_dup_pairs",
+            "text_dups_missed",
+            "capped_extra_pairs",
+            (
+                F.col("__found").cast("double")
+                >= 0.9 * F.col("__n_un").cast("double")
+            )
+            .cast("int")
+            .alias("recall_ge_090"),
+        )
+    )
+
+
+@register(
+    "q_winnow_near_dup_capped",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS capped_extra_pairs,
+           1 AS recall_ge_090
+    FROM documents
+    """,
+)
+def q_winnow_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attestation for the fingerprint-frequency-capped winnowing
+    join: dropping fingerprints that occur in > max_fp_doc_freq docs
+    can only LOWER a pair's shared count, so the capped min_shared=3
+    result is a subset of the uncapped one (capped_extra_pairs is a
+    hard 0) and must retain ≥ 90% of it (measured 1.0 at
+    sf0.01/sf0.1 — stop-gram fingerprints this cap sheds never carry
+    3+ shared prints alone on this corpus). n_docs anchors the
+    corpus cardinality cross-engine."""
+    from bi_utils_spark.operators.dedup import winnowing_near_dup_join
+
+    docs = load(spark, sf_dir, "documents")
+    keys = ["id_a", "id_b"]
+    uncapped = winnowing_near_dup_join(
+        docs, "doc_id", "text", min_shared=3
+    ).select(*keys)
+    capped = winnowing_near_dup_join(
+        docs, "doc_id", "text", min_shared=3, max_fp_doc_freq=50
+    ).select(*keys)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    extra = capped.join(uncapped, keys, "left_anti").agg(
+        F.count("*").alias("capped_extra_pairs")
+    )
+    n_un = uncapped.agg(F.count("*").alias("__n_un"))
+    found = capped.join(uncapped, keys, "left_semi").agg(
+        F.count("*").alias("__found")
+    )
+    return (
+        n_docs.crossJoin(extra)
+        .crossJoin(n_un)
+        .crossJoin(found)
+        .select(
+            "n_docs",
+            "capped_extra_pairs",
+            (
+                F.col("__found").cast("double")
+                >= 0.9 * F.col("__n_un").cast("double")
+            )
+            .cast("int")
+            .alias("recall_ge_090"),
+        )
+    )
