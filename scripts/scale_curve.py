@@ -8,10 +8,15 @@ its model (a hidden quadratic), not to pretend kNN joins are linear.
 Fanout construction (DuckDB, written once under .scale/x<FAN>/):
 
 - ``documents``: <FAN> copies, doc_id offset per copy, and the text
-  SALTED with a per-copy token after every 5th word — copies are NOT
-  near-duplicates of each other (a naive copy would give every doc
-  <FAN>-1 twins and near-dup pair counts would grow quadratically by
-  construction, measuring the dataset, not the operator).
+  SALTED with a PER-DOCUMENT-UNIQUE token after every 5th word —
+  copies are NOT near-duplicates of each other (a naive copy would
+  give every doc <FAN>-1 twins and near-dup pair counts would grow
+  quadratically by construction, measuring the dataset, not the
+  operator). The salt must be unique per document, not per copy: a
+  copy-shared token turns every cross-doc 2-gram match into a shared
+  3-shingle, inflating MinHash similarity estimates and exploding
+  LSH buckets — the first draft of this harness measured exactly
+  that (q_llm_pipeline "exponent 1.62") before the fix.
 - ``embeddings``: vec_id offset; first component perturbed per copy
   so no vector has exact twins (ties would distort top-k churn).
 - ``events``: event_id/user_id offsets per copy — <FAN>x users with
@@ -84,14 +89,16 @@ def build_fanout(fan: int) -> str:
                       ELSE regexp_replace(
                         d.text,
                         '((?:\\S+\\s+){{4}}\\S+)\\s+',
-                        '\\1 zq' || c.copy || ' ', 'g')
+                        '\\1 zq' || c.copy || 'x' || (d.doc_id % 9973)
+                          || ' ', 'g')
                  END AS text,
                  d.lang, d.source,
                  CAST(length(CASE WHEN c.copy = 0 THEN d.text
                       ELSE regexp_replace(
                         d.text,
                         '((?:\\S+\\s+){{4}}\\S+)\\s+',
-                        '\\1 zq' || c.copy || ' ', 'g') END) AS BIGINT)
+                        '\\1 zq' || c.copy || 'x' || (d.doc_id % 9973)
+                          || ' ', 'g') END) AS BIGINT)
                    AS n_chars
           FROM read_parquet('{BASE}/documents.parquet') d,
                (SELECT unnest([{copies}]) AS copy) c
