@@ -35,13 +35,19 @@ would consume: the spec-shaped metadata tree, plus row-for-row
 equality between `read_table` and a DuckDB parquet scan of the
 exported file list with the exported name mapping applied.)
 
-Each export is a standalone snapshot (one snapshot entry whose id is
-the tx version, sequence-number 1) — the commit LOG stays the source
-of truth; re-export after commits, like the symlink manifest. Field
-ids are schema-order positions at export time; within one metadata
-tree that is spec-exact, and the name mapping keys every projection
-by the stable physical name, so consumers never depend on id
-stability ACROSS exports.
+Each export adds one snapshot whose id is the tx version; successive
+exports chain (spec continuity): the new vN.metadata.json carries the
+previous metadata file in ``metadata-log``, and carries forward prior
+SNAPSHOT entries whenever the schema is unchanged — so an Iceberg
+reader of the latest tree can time-travel across exports. A schema
+change (rename/add/drop) starts a fresh snapshot history (the old
+tree stays on disk and in metadata-log for forensics) rather than
+mislabeling old snapshots with the new schema. The commit LOG stays
+the source of truth; re-export after commits, like the symlink
+manifest. Field ids are schema-order positions at export time;
+within one metadata tree that is spec-exact, and the name mapping
+keys every projection by the stable physical name, so consumers
+never depend on id stability ACROSS exports.
 
 Scale: driver-side metadata only — one manifest entry per live file,
 bytes proportional to the manifest fold the tx layer already holds;
@@ -292,7 +298,66 @@ def export_iceberg_metadata(
     meta_dir = os.path.join(path, ICEBERG_DIR, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     snapshot_id = snap.version
+    # --- vN.metadata.json (HadoopTables convention + version hint)
+    hint_path = os.path.join(meta_dir, "version-hint.text")
+    n_meta = 1
+    prev_md = None
+    prev_path = None
+    if os.path.exists(hint_path):
+        with open(hint_path) as fh:
+            try:
+                n_meta = int(fh.read().strip()) + 1
+            except ValueError:
+                n_meta = 1
+        prev_path = os.path.join(meta_dir, f"v{n_meta - 1}.metadata.json")
+        if os.path.exists(prev_path):
+            with open(prev_path) as fh:
+                prev_md = json.load(fh)
+    now_ms = int(time.time() * 1000)
+
+    # continuity with earlier exports (spec: metadata-log / snapshot
+    # history): carry forward previous snapshots whose schema equals
+    # this export's — a rename/add changes the schema, and old
+    # snapshots written under a different shape are dropped from the
+    # new tree rather than mislabeled (their own vN-1.metadata.json
+    # stays on disk and in metadata-log for forensics). Sequence
+    # numbers restart per export; content is data-only, so they are
+    # inert for readers.
     seq = 1
+    carried_snapshots: list[dict] = []
+    carried_log: list[dict] = []
+    metadata_log: list[dict] = []
+    if prev_md is not None:
+        seq = int(prev_md.get("last-sequence-number", 0)) + 1
+        prev_schema = next(
+            s["fields"]
+            for s in prev_md["schemas"]
+            if s["schema-id"] == prev_md["current-schema-id"]
+        )
+        if prev_schema == fields:
+            carried_snapshots = [
+                s
+                for s in prev_md.get("snapshots", [])
+                if s["snapshot-id"] != snapshot_id
+                and os.path.exists(
+                    s["manifest-list"].replace("file://", "")
+                )
+            ]
+            carried_log = [
+                e
+                for e in prev_md.get("snapshot-log", [])
+                if any(
+                    s["snapshot-id"] == e["snapshot-id"]
+                    for s in carried_snapshots
+                )
+            ]
+        metadata_log = list(prev_md.get("metadata-log", []))
+        metadata_log.append(
+            {
+                "metadata-file": "file://" + os.path.abspath(prev_path),
+                "timestamp-ms": prev_md.get("last-updated-ms", now_ms),
+            }
+        )
 
     # --- manifest: one entry per live file
     entries = []
@@ -381,16 +446,6 @@ def export_iceberg_metadata(
         metadata={"format-version": "2"},
     )
 
-    # --- vN.metadata.json (HadoopTables convention + version hint)
-    hint_path = os.path.join(meta_dir, "version-hint.text")
-    n_meta = 1
-    if os.path.exists(hint_path):
-        with open(hint_path) as fh:
-            try:
-                n_meta = int(fh.read().strip()) + 1
-            except ValueError:
-                n_meta = 1
-    now_ms = int(time.time() * 1000)
     metadata = {
         "format-version": 2,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(path))),
@@ -415,7 +470,8 @@ def export_iceberg_metadata(
         "refs": {
             "main": {"snapshot-id": snapshot_id, "type": "branch"}
         },
-        "snapshots": [
+        "snapshots": carried_snapshots
+        + [
             {
                 "snapshot-id": snapshot_id,
                 "timestamp-ms": now_ms,
@@ -429,10 +485,9 @@ def export_iceberg_metadata(
                 "schema-id": 0,
             }
         ],
-        "snapshot-log": [
-            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-        ],
-        "metadata-log": [],
+        "snapshot-log": carried_log
+        + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+        "metadata-log": metadata_log,
     }
     meta_path = os.path.join(meta_dir, f"v{n_meta}.metadata.json")
     tmp = meta_path + f".tmp-{commit_uuid}"

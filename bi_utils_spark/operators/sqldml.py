@@ -566,3 +566,52 @@ def tx_sql(
         f"DESCRIBE HISTORY, VACUUM. DDL (CREATE/ALTER) goes through "
         f"operators.txtable.create_table / schema-management verbs."
     )
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script into statements on ``;`` at top level —
+    literals and comments never split (the masking pass handles a
+    ``';'`` inside a string), trailing empties drop."""
+    stripped = _strip_comments(script)
+    masked, lits = _mask_literals(stripped)
+    out = []
+    for part in _split_top(masked, ";"):
+        stmt = _unmask(part, lits).strip()
+        if stmt:
+            out.append(stmt)
+    return out
+
+
+def tx_sql_script(
+    spark: SparkSession,
+    filename: str,
+    tables: dict[str, str],
+    mode: str = "mor",
+    **params,
+) -> list:
+    """Execute a ``.sql`` FILE of ``;``-separated DML statements
+    against tx tables — the write-side twin of the reference's S2
+    `execute_sql_script` (`utils.py:342-352`): the same ``{param}``
+    templating (via `sources.sql_scripts.render_sql_script`), each
+    statement dispatched through :func:`tx_sql` in order. Returns the
+    per-statement results (dicts for DML; DataFrames are EXECUTED —
+    a script is run for effect, matching the reference's contract —
+    and returned lazily for inspection).
+
+    Errors raise at the failing statement with its index; statements
+    before it have committed (scripts are not transactions — same as
+    shipping the script to a warehouse that auto-commits per
+    statement)."""
+    from bi_utils_spark.sources.sql_scripts import render_sql_script
+
+    script = render_sql_script(filename, **params)
+    results = []
+    for i, stmt in enumerate(split_statements(script)):
+        try:
+            results.append(tx_sql(spark, stmt, tables, mode=mode))
+        except Exception as e:
+            raise SqlDmlError(
+                f"tx_sql_script: statement {i + 1} failed "
+                f"({stmt[:80]!r}...): {e}"
+            ) from e
+    return results

@@ -146,7 +146,7 @@ def test_export_old_version_time_travel(spark, tmp_path):
     assert sorted(r[0] for r in _duckdb_rows(export, ["k"])) == [1, 2, 3, 4]
 
 
-def test_reexport_bumps_version_hint(spark, tmp_path):
+def test_reexport_chains_history(spark, tmp_path):
     path = _mk(spark, tmp_path)
     assert export_iceberg_metadata(path)["version_hint"] == 1
     tx.append_table(
@@ -156,8 +156,28 @@ def test_reexport_bumps_version_hint(spark, tmp_path):
     res = export_iceberg_metadata(path)
     assert res["version_hint"] == 2
     export = read_iceberg_export(path)  # hint resolves the NEW tree
-    assert export["metadata"]["current-snapshot-id"] == res["snapshot_id"]
+    md = export["metadata"]
+    assert md["current-snapshot-id"] == res["snapshot_id"]
     assert sum(f["rows"] for f in export["files"]) == 5
+    # continuity: same schema, so the first export's snapshot is
+    # carried — an Iceberg reader of the LATEST tree time-travels
+    # across exports — and metadata-log names the previous file
+    snap_ids = sorted(s["snapshot-id"] for s in md["snapshots"])
+    assert snap_ids == [0, 1]
+    assert md["last-sequence-number"] == 2
+    assert [e["snapshot-id"] for e in md["snapshot-log"]] == [0, 1]
+    assert len(md["metadata-log"]) == 1
+    assert md["metadata-log"][0]["metadata-file"].endswith(
+        "v1.metadata.json"
+    )
+    # a schema change starts a fresh snapshot history
+    tx.rename_column(path, "v", "val")
+    export_iceberg_metadata(path)
+    md3 = read_iceberg_export(path)["metadata"]
+    assert [s["snapshot-id"] for s in md3["snapshots"]] == [
+        md3["current-snapshot-id"]
+    ]
+    assert len(md3["metadata-log"]) == 2  # forensics chain intact
 
 
 def test_unpartitioned_and_metadata_shape(spark, tmp_path):

@@ -209,3 +209,29 @@ def test_mode_flows_to_verbs(spark, tbl):
     ) else True
     res = tx_sql(spark, "DELETE FROM t WHERE k = 2", {"t": tbl}, mode="mor")
     assert res["mode"] == "mor"
+
+
+def test_script_execution(spark, tbl, tmp_path):
+    from bi_utils_spark.operators.sqldml import split_statements, tx_sql_script
+
+    # splitting respects literals and comments
+    assert split_statements(
+        "DELETE FROM t WHERE s = 'a;b'; -- c;d\nUPDATE t SET v = 1;;"
+    ) == ["DELETE FROM t WHERE s = 'a;b'", "UPDATE t SET v = 1"]
+    script = tmp_path / "arc.sql"
+    script.write_text(
+        "INSERT INTO t VALUES (5, 50, '{tag}');\n"
+        "UPDATE t SET v = v + {bump} WHERE s = '{tag}';\n"
+        "DELETE FROM t WHERE k = 1;\n"
+    )
+    res = tx_sql_script(
+        spark, str(script), {"t": tbl}, tag="zz", bump=7
+    )
+    assert [r["op"] for r in res] == ["insert", "update", "delete"]
+    assert (5, 57, "zz") in _rows(spark, tbl)
+    assert not any(k == 1 for k, _, _ in _rows(spark, tbl))
+    # a failing statement names its position; prior ones committed
+    script.write_text("DELETE FROM t WHERE k = 2;\nDROP TABLE t;\n")
+    with pytest.raises(SqlDmlError, match="statement 2"):
+        tx_sql_script(spark, str(script), {"t": tbl})
+    assert not any(k == 2 for k, _, _ in _rows(spark, tbl))
