@@ -313,13 +313,13 @@ _MERGE_GUIDE = (
 def _do_merge(spark, masked, lits, tables, m) -> dict:
     from pyspark.sql import functions as F
 
-    path = _resolve(tables, m.group("tbl"), "MERGE")
-    t_alias = m.group("talias") or m.group("tbl")
-    s_alias = m.group("salias") or (
-        m.group("src") if not m.group("src").startswith("(") else None
+    path = _resolve(tables, m["tbl"], "MERGE")
+    t_alias = m["talias"] or m["tbl"]
+    s_alias = m["salias"] or (
+        m["src"] if not m["src"].startswith("(") else None
     )
-    on = m.group("on").strip()
-    clauses_raw = m.group("clauses")
+    on = m["on"].strip()
+    clauses_raw = m["clauses"]
 
     # --- ON: conjunction of alias-qualified pk equalities
     pks: list[str] = []
@@ -392,7 +392,7 @@ def _do_merge(spark, masked, lits, tables, m) -> dict:
             + _MERGE_GUIDE
         )
 
-    src = _source_df(spark, m.group("src"), lits, tables)
+    src = _source_df(spark, m["src"], lits, tables)
     dcol = None
     if delete_expr is not None:
         expr_sql = _unmask(delete_expr, lits).strip()
@@ -444,15 +444,58 @@ _RE_UPDATE = re.compile(
     r"(?:\s+WHERE\s+(?P<cond>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
-_RE_MERGE = re.compile(
+_RE_MERGE_HEAD = re.compile(
     r"^MERGE\s+INTO\s+(?P<tbl>" + _IDENT + r")"
     r"(?:\s+AS)?(?:\s+(?P<talias>" + _IDENT + r"))?"
-    r"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|" + _IDENT + r")"
-    r"(?:\s+AS)?(?:\s+(?P<salias>" + _IDENT + r"))?"
+    r"\s+USING\s+",
+    re.IGNORECASE,
+)
+_RE_MERGE_TAIL = re.compile(
+    r"^(?:\s+AS)?(?:\s+(?P<salias>" + _IDENT + r"))?"
     r"\s+ON\s+(?P<on>.+?)"
     r"\s+(?P<clauses>WHEN\s+.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _parse_merge(masked: str) -> dict | None:
+    """MERGE shape extraction: the USING source is taken by a
+    balanced-paren scan (regexes cap nesting; a subquery of a
+    subquery is perfectly legal), the rest by anchored regexes."""
+    head = _RE_MERGE_HEAD.match(masked)
+    if not head:
+        return None
+    rest = masked[head.end():]
+    if rest.startswith("("):
+        depth = 0
+        end = None
+        for i, c in enumerate(rest):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i + 1
+                    break
+        if end is None:
+            return None
+        src, rest = rest[:end], rest[end:]
+    else:
+        im = re.match(_IDENT, rest)
+        if not im:
+            return None
+        src, rest = im.group(0), rest[im.end():]
+    tail = _RE_MERGE_TAIL.match(rest)
+    if not tail:
+        return None
+    return {
+        "tbl": head.group("tbl"),
+        "talias": head.group("talias"),
+        "src": src,
+        "salias": tail.group("salias"),
+        "on": tail.group("on"),
+        "clauses": tail.group("clauses"),
+    }
 _RE_RESTORE = re.compile(
     r"^RESTORE\s+TABLE\s+(?P<tbl>" + _IDENT + r")\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
@@ -520,7 +563,7 @@ def tx_sql(
             )
         return _do_update(spark, masked, lits, tables, m, mode)
     if head == "MERGE":
-        m = _RE_MERGE.match(masked)
+        m = _parse_merge(masked)
         if not m:
             raise SqlDmlError("tx_sql: malformed MERGE. " + _MERGE_GUIDE)
         return _do_merge(spark, masked, lits, tables, m)

@@ -247,3 +247,56 @@ def test_nested_type_refused_with_guidance(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="flatten"):
         export_iceberg_metadata(path)
+
+
+def test_avro_deflate_and_empty_read(tmp_path):
+    """Pure-python codec edges: a deflate-coded OCF (which OTHER
+    writers produce — our writer emits codec null) and an empty
+    container both read back correctly."""
+    import io
+    import zlib
+
+    from bi_utils_spark.operators.avroio import (
+        _MAGIC,
+        _SYNC,
+        _write_bytes,
+        _write_long,
+        _write_str,
+        read_ocf,
+        write_datum,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    recs = [{"x": 1}, {"x": -300}]
+    # hand-build a deflate OCF the way the Java writer would
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": "deflate"}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_str(out, k)
+        _write_bytes(out, v.encode())
+    _write_long(out, 0)
+    out.write(_SYNC)
+    body = io.BytesIO()
+    for r in recs:
+        write_datum(body, schema, r)
+    comp = zlib.compress(body.getvalue())[2:-4]  # raw deflate, no hdr
+    _write_long(out, len(recs))
+    _write_long(out, len(comp))
+    out.write(comp)
+    out.write(_SYNC)
+    p = str(tmp_path / "d.avro")
+    with open(p, "wb") as fh:
+        fh.write(out.getvalue())
+    got_schema, got = read_ocf(p)
+    assert got == recs
+    # empty container round-trips
+    p2 = str(tmp_path / "e.avro")
+    write_ocf(p2, schema, [])
+    assert read_ocf(p2) == (schema, [])

@@ -235,3 +235,21 @@ def test_script_execution(spark, tbl, tmp_path):
     with pytest.raises(SqlDmlError, match="statement 2"):
         tx_sql_script(spark, str(script), {"t": tbl})
     assert not any(k == 2 for k, _, _ in _rows(spark, tbl))
+
+
+def test_merge_nested_subquery_source(spark, tbl):
+    # two levels of parens in USING — the balanced-paren scan handles
+    # what a fixed-depth regex cannot
+    tx_sql(
+        spark,
+        "MERGE INTO t USING ("
+        "  SELECT k, v, s FROM (SELECT k, v + 1 AS v, s FROM t) inner_q"
+        "  WHERE k <= 2"
+        ") AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": tbl},
+    )
+    rows = _rows(spark, tbl)
+    assert (1, 11, "a") in rows and (2, 21, "b") in rows
+    assert (3, 30, "a") in rows  # untouched
