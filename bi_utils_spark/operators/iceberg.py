@@ -114,10 +114,6 @@ _AVRO_OF = {
 }
 
 
-def _field_id(name: str, prop: str = "field-id") -> dict:
-    return {"name": name, "type": None, prop: None}  # template only
-
-
 def _manifest_entry_schema(part_fields: list[dict]) -> dict:
     """Avro schema for a v2 manifest_entry with the required data_file
     fields (optional stats omitted — legal per spec)."""
