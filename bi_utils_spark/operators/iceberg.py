@@ -212,42 +212,64 @@ def export_iceberg_metadata(
     version: int | None = None,
     spark=None,
     materialize: bool = False,
+    on_dv: str = "error",
 ) -> dict:
     """Export the snapshot at ``version`` (default latest) as an
     Iceberg-format metadata tree under ``<path>/_iceberg``.
 
-    DV'd snapshots refuse by default (an Iceberg reader of this
-    export would resurface masked rows); pass ``materialize=True``
-    with a SparkSession to run :func:`txtable.materialize_deletes`
-    first and export the clean snapshot that results (only valid when
-    exporting the LATEST version — history can't be rewritten).
+    Deletion-vector snapshots, by ``on_dv``:
+
+    - ``"error"`` (default): refuse — an Iceberg reader unaware of
+      the masks would resurface deleted rows.
+    - ``"deletes"``: translate each file's DV into Iceberg v2
+      POSITION DELETE files — parquet of (file_path, pos) with the
+      spec's reserved field-ids (2147483546/2147483545), sorted,
+      one per partition, referenced from a content=1 delete manifest
+      in the same snapshot (position deletes apply to data files
+      with data-sequence ≤ theirs; both sit at this snapshot's
+      sequence number). The MOR shape survives the export with zero
+      data rewritten — driver-side work proportional to the DELETED
+      row count, not the table.
+    - ``"materialize"`` (or the back-compat ``materialize=True``):
+      run :func:`txtable.materialize_deletes` first (needs ``spark``;
+      latest version only — history can't be rewritten) and export
+      the clean snapshot.
 
     Returns {"metadata_path", "version_hint", "snapshot_id",
-    "n_files", "n_rows", "version", "name_mapping"}.
+    "n_files", "n_rows", "n_delete_files", "n_deleted_rows",
+    "version", "name_mapping"}.
     """
+    if materialize:
+        on_dv = "materialize"
+    if on_dv not in ("error", "deletes", "materialize"):
+        raise ValueError(
+            f"export_iceberg_metadata: on_dv={on_dv!r} — expected "
+            f"'error', 'deletes', or 'materialize'"
+        )
     snap = tx._fold(path, version)
-    dvd = [rel for rel, m in snap.files.items() if m.get("dv")]
-    if dvd and materialize:
+    dvd = {rel: m for rel, m in snap.files.items() if m.get("dv")}
+    if dvd and on_dv == "materialize":
         if spark is None:
             raise ValueError(
-                "export_iceberg_metadata: materialize=True needs a "
-                "SparkSession (the rewrite is a Spark job)"
+                "export_iceberg_metadata: materializing deletes needs "
+                "a SparkSession (the rewrite is a Spark job)"
             )
         if version is not None and version != tx.latest_version(path):
             raise ValueError(
-                "export_iceberg_metadata: materialize=True only "
-                "applies to the latest version — history is immutable"
+                "export_iceberg_metadata: materialize only applies to "
+                "the latest version — history is immutable"
             )
         tx.materialize_deletes(spark, path)
         snap = tx._fold(path)
-        dvd = [rel for rel, m in snap.files.items() if m.get("dv")]
-    if dvd:
+        dvd = {rel: m for rel, m in snap.files.items() if m.get("dv")}
+    if dvd and on_dv == "error":
         raise ValueError(
             f"export_iceberg_metadata: {len(dvd)} live file(s) carry "
             "deletion vectors — an Iceberg reader of this export "
-            "would resurface the masked rows; run "
-            "materialize_deletes(spark, path) first or pass "
-            "materialize=True"
+            "would resurface the masked rows; pass on_dv='deletes' "
+            "to export them as Iceberg position-delete files, or "
+            "on_dv='materialize' (with spark=) to rewrite them away "
+            "first"
         )
 
     schema = snap.spark_schema()
@@ -416,6 +438,115 @@ def export_iceberg_metadata(
         },
     )
 
+    # --- position-delete files + delete manifest (on_dv="deletes"):
+    # each DV'd file's mask becomes rows of (file_path, pos) in a
+    # spec-shaped parquet delete file — one per partition, sorted by
+    # (file_path, pos), reserved field-ids — listed from a content=1
+    # manifest in the SAME snapshot (position deletes apply to data
+    # files with data-sequence <= theirs; both carry this snapshot's
+    # sequence number).
+    delete_entries = []
+    n_deleted = 0
+    if dvd:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        by_part: dict[tuple, list[str]] = {}
+        for rel in sorted(dvd):
+            pv = tuple(
+                dvd[rel]["partition_values"].get(p["name"])
+                for p in part_fields
+            )
+            by_part.setdefault(pv, []).append(rel)
+        pa_schema = pa.schema(
+            [
+                pa.field(
+                    "file_path",
+                    pa.string(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483546"},
+                ),
+                pa.field(
+                    "pos",
+                    pa.int64(),
+                    nullable=False,
+                    metadata={b"PARQUET:field_id": b"2147483545"},
+                ),
+            ]
+        )
+        for pv, rels in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+            paths_col: list[str] = []
+            pos_col: list[int] = []
+            for rel in rels:  # rels sorted; positions sorted per file
+                full = "file://" + os.path.abspath(os.path.join(path, rel))
+                dv_rec = tx._dv_load(path, dvd[rel]["dv"]["path"])
+                for p_ in tx._dv_decode(dv_rec):
+                    paths_col.append(full)
+                    pos_col.append(int(p_))
+            del_rel = os.path.join(
+                tx.DELETES_DIR, f"iceberg-{uuid.uuid4().hex}-deletes.parquet"
+            )
+            del_full = os.path.abspath(os.path.join(path, del_rel))
+            os.makedirs(os.path.dirname(del_full), exist_ok=True)
+            papq.write_table(
+                pa.table(
+                    {"file_path": paths_col, "pos": pos_col},
+                    schema=pa_schema,
+                ),
+                del_full,
+            )
+            n_deleted += len(pos_col)
+            delete_entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 1,  # POSITION_DELETES
+                        "file_path": "file://" + del_full,
+                        "file_format": "PARQUET",
+                        "partition": {
+                            p["name"]: _typed_pv(v, dt_of[p["name"]])
+                            for p, v in zip(part_fields, pv)
+                        },
+                        "record_count": len(pos_col),
+                        "file_size_in_bytes": os.stat(del_full).st_size,
+                    },
+                }
+            )
+    delete_manifest_row = None
+    if delete_entries:
+        dmanifest_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
+        dmanifest_len = write_ocf(
+            dmanifest_path,
+            _manifest_entry_schema(part_fields),
+            delete_entries,
+            metadata={
+                "partition-spec": json.dumps(
+                    spec_fields, separators=(",", ":")
+                ),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        delete_manifest_row = {
+            "manifest_path": "file://" + os.path.abspath(dmanifest_path),
+            "manifest_length": dmanifest_len,
+            "partition_spec_id": 0,
+            "content": 1,  # DELETES
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(delete_entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_deleted,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
     # --- manifest list
     mlist_name = f"snap-{snapshot_id}-1-{commit_uuid}.avro"
     mlist_path = os.path.join(meta_dir, mlist_name)
@@ -438,7 +569,8 @@ def export_iceberg_metadata(
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
-        ],
+        ]
+        + ([delete_manifest_row] if delete_manifest_row else []),
         metadata={"format-version": "2"},
     )
 
@@ -499,6 +631,8 @@ def export_iceberg_metadata(
         "snapshot_id": snapshot_id,
         "n_files": len(entries),
         "n_rows": n_rows,
+        "n_delete_files": len(delete_entries),
+        "n_deleted_rows": n_deleted,
         "version": snap.version,
         "name_mapping": {
             m["names"][0]: m["field-id"] for m in name_mapping
@@ -517,6 +651,7 @@ def read_iceberg_export(path: str) -> dict:
     current snapshot → manifest list → manifests → data files.
 
     Returns {"metadata", "files": [{path, rows, bytes, partition}],
+    "delete_files": [{path, rows, partition}] (content=1 manifests),
     "physical_of": {logical: physical}, "schema_fields": [...]} —
     the audit surface the q_iceberg_export oracle row and the
     external-read tests consume.
@@ -535,20 +670,23 @@ def read_iceberg_export(path: str) -> dict:
     )
     _, mlist = read_ocf(snap["manifest-list"].replace("file://", ""))
     files = []
+    delete_files = []
     for mf in mlist:
         _, recs = read_ocf(mf["manifest_path"].replace("file://", ""))
         for e in recs:
             if e["status"] == 2:  # DELETED
                 continue
             df = e["data_file"]
-            files.append(
-                {
-                    "path": df["file_path"].replace("file://", ""),
-                    "rows": df["record_count"],
-                    "bytes": df["file_size_in_bytes"],
-                    "partition": df["partition"],
-                }
-            )
+            rec = {
+                "path": df["file_path"].replace("file://", ""),
+                "rows": df["record_count"],
+                "bytes": df["file_size_in_bytes"],
+                "partition": df["partition"],
+            }
+            if mf.get("content", 0) == 1 or df.get("content", 0) == 1:
+                delete_files.append(rec)
+            else:
+                files.append(rec)
     mapping = json.loads(
         md["properties"]["schema.name-mapping.default"]
     )
@@ -560,6 +698,68 @@ def read_iceberg_export(path: str) -> dict:
     return {
         "metadata": md,
         "files": files,
+        "delete_files": delete_files,
         "physical_of": physical_of,
         "schema_fields": schema_fields,
     }
+
+
+def read_iceberg_export_df(spark, path: str):
+    """Reconstruct the exported table AS A DATAFRAME purely from the
+    Iceberg metadata tree — the read path an external engine runs,
+    with no access to the tx log: data files grouped per partition
+    tuple, identity-partition values injected from the MANIFEST,
+    physical column names projected to logical through the exported
+    name mapping, and position-delete files applied by anti-joining
+    (file_path, pos) against each row's parquet address
+    (``_metadata.file_path`` / ``row_index``).
+
+    Scale: the anti-join's delete side is the deleted-row count; the
+    data side never shuffles (broadcast when small, AQE otherwise) —
+    the same MOR read shape `txtable.read_table` runs internally, so
+    comparing the two (q_iceberg_export) pins export == log fold.
+    """
+    from pyspark.sql import functions as F
+
+    export = read_iceberg_export(path)
+    phys = export["physical_of"]
+    logical = [f["name"] for f in export["schema_fields"]]
+    has_deletes = bool(export["delete_files"])
+    by_part: dict[tuple, list[dict]] = {}
+    for f in export["files"]:
+        key = tuple(sorted(f["partition"].items()))
+        by_part.setdefault(key, []).append(f)
+    parts = []
+    for key, group in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.parquet(*[g["path"] for g in group])
+        pv = dict(key)
+        cols = [
+            (
+                F.lit(pv[c]).alias(c)
+                if c in pv  # identity value from the manifest
+                else F.col(phys[c]).alias(c)
+            )
+            for c in logical
+        ]
+        if has_deletes:
+            cols += [
+                tx._strip_uri_scheme(
+                    F.col("_metadata.file_path")
+                ).alias("__f"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ]
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if has_deletes:
+        dels = spark.read.parquet(
+            *[d["path"] for d in export["delete_files"]]
+        ).select(
+            tx._strip_uri_scheme(F.col("file_path")).alias("__f"),
+            F.col("pos").alias("__pos"),
+        )
+        out = out.join(dels, ["__f", "__pos"], "left_anti").drop(
+            "__f", "__pos"
+        )
+    return out

@@ -1385,18 +1385,21 @@ def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/iceberg.py): create partitioned -> append -> RENAME a
     column (column mapping, the case write_symlink_manifest refuses)
     -> merge-on-read DELETE (deletion vectors, the other refused
-    case) -> export with materialize=True -> read the table back THE
-    ICEBERG WAY (version-hint -> metadata.json -> manifest-list ->
-    manifests; partition values from the manifest, physical->logical
-    projection from the exported schema.name-mapping.default) and
-    aggregate. DuckDB recomputes the expected content from orders, so
-    a hash match pins export == log fold across rename + DVs."""
+    case) -> export with on_dv="deletes" (DVs become Iceberg v2
+    POSITION-DELETE files — no rewrite, no materialize) -> read the
+    table back THE ICEBERG WAY via read_iceberg_export_df
+    (version-hint -> metadata.json -> manifest-list -> manifests;
+    partition values from the manifest, physical->logical projection
+    from the exported schema.name-mapping.default, position deletes
+    anti-joined on each row's parquet address) and aggregate. DuckDB
+    recomputes the expected content from orders, so a hash match
+    pins export == log fold across rename + MOR deletes."""
     import shutil
 
     from bi_utils_spark.operators import txtable as tx
     from bi_utils_spark.operators.iceberg import (
         export_iceberg_metadata,
-        read_iceberg_export,
+        read_iceberg_export_df,
     )
 
     path = _tx_demo_dir(sf_dir) + "_iceberg"
@@ -1409,27 +1412,8 @@ def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx.append_table(rows.where(F.col("k") % 4 == 3), path)
     tx.rename_column(path, "cents", "amount")
     tx.delete_from_table(spark, path, "k % 9 = 5", mode="mor")
-    export_iceberg_metadata(path, spark=spark, materialize=True)
-    export = read_iceberg_export(path)
-    phys = export["physical_of"]
-    logical = [f["name"] for f in export["schema_fields"]]
-    by_part: dict[str, list[str]] = {}
-    for f in export["files"]:
-        by_part.setdefault(f["partition"]["status"], []).append(f["path"])
-    parts = []
-    for status_v, paths in sorted(by_part.items()):
-        df = spark.read.parquet(*paths)
-        cols = [
-            F.lit(status_v).alias(c)
-            if c == "status"  # identity partition value from the manifest
-            else F.col(phys[c]).alias(c)
-            for c in logical
-        ]
-        parts.append(df.select(*cols))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.groupBy("status").agg(
+    export_iceberg_metadata(path, on_dv="deletes")
+    return read_iceberg_export_df(spark, path).groupBy("status").agg(
         F.count("*").alias("n"),
         F.sum("amount").cast("long").alias("sum_amount"),
     )

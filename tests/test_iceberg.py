@@ -107,7 +107,7 @@ def test_rename_survives_export(spark, tmp_path):
 def test_dv_refusal_and_materialize(spark, tmp_path):
     path = _mk(spark, tmp_path)
     tx.delete_from_table(spark, path, "k = 2", mode="mor")
-    with pytest.raises(ValueError, match="materialize_deletes"):
+    with pytest.raises(ValueError, match="deletion vectors"):
         export_iceberg_metadata(path)
     res = export_iceberg_metadata(path, spark=spark, materialize=True)
     assert res["n_rows"] == 3
@@ -300,3 +300,78 @@ def test_avro_deflate_and_empty_read(tmp_path):
     p2 = str(tmp_path / "e.avro")
     write_ocf(p2, schema, [])
     assert read_ocf(p2) == (schema, [])
+
+
+def test_position_delete_export(spark, tmp_path):
+    """on_dv='deletes': DVs become Iceberg v2 position-delete files —
+    the MOR snapshot survives the export with zero data rewritten."""
+    from bi_utils_spark.operators.iceberg import read_iceberg_export_df
+
+    path = _mk(spark, tmp_path)
+    tx.rename_column(path, "v", "val")
+    tx.delete_from_table(spark, path, "k % 2 = 0", mode="mor")
+    tx.update_table(spark, path, "k = 1", {"val": "111"}, mode="mor")
+    res = export_iceberg_metadata(path, on_dv="deletes")
+    assert res["n_delete_files"] >= 1 and res["n_deleted_rows"] == 3
+    export = read_iceberg_export(path)
+    assert len(export["delete_files"]) == res["n_delete_files"]
+    # the spec's reserved field-ids on the delete parquet
+    import pyarrow.parquet as papq
+
+    sch = papq.ParquetFile(export["delete_files"][0]["path"]).schema_arrow
+    assert [
+        (f.name, f.metadata[b"PARQUET:field_id"]) for f in sch
+    ] == [("file_path", b"2147483546"), ("pos", b"2147483545")]
+    # full Iceberg-way read == log fold, rename + MOR applied
+    got = sorted(
+        tuple(r)
+        for r in read_iceberg_export_df(spark, path)
+        .select("k", "val", "s")
+        .collect()
+    )
+    assert got == _spark_rows(spark, path, ["k", "val", "s"])
+    assert got == [(1, 111, "a"), (3, 30, "a")]
+    # DuckDB applies the deletes through file_row_number — the
+    # external-engine rendition of the same anti-join
+    con = duckdb.connect()
+    dpaths = [d["path"] for d in export["delete_files"]]
+    dels = set(
+        map(tuple, con.execute(
+            f"SELECT file_path, pos FROM read_parquet({dpaths!r})"
+        ).fetchall())
+    )
+    survivors = []
+    for f in export["files"]:
+        rows = con.execute(
+            f"SELECT k, file_row_number FROM read_parquet(['{f['path']}'], "
+            f"file_row_number=true)"
+        ).fetchall()
+        for k, pos in rows:
+            if ("file://" + f["path"], pos) not in dels:
+                survivors.append(k)
+    assert sorted(survivors) == [1, 3]
+    # the JVM Avro implementation reads the delete manifest too
+    jvm = spark._jvm
+    md = export["metadata"]
+    snap = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    rd = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(snap["manifest-list"].replace("file://", "")),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    contents = []
+    while rd.hasNext():
+        contents.append(json.loads(str(rd.next()))["content"])
+    rd.close()
+    assert sorted(contents) == [0, 1]  # data + deletes manifests
+
+
+def test_on_dv_error_names_both_paths(spark, tmp_path):
+    path = _mk(spark, tmp_path)
+    tx.delete_from_table(spark, path, "k = 2", mode="mor")
+    with pytest.raises(ValueError, match="on_dv='deletes'"):
+        export_iceberg_metadata(path)
+    with pytest.raises(ValueError, match="'error', 'deletes'"):
+        export_iceberg_metadata(path, on_dv="bogus")
