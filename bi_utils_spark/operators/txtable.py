@@ -5050,15 +5050,19 @@ def write_symlink_manifest(
             f"write_symlink_manifest: {len(dvd)} live file(s) carry "
             "deletion vectors — an external engine reading the "
             "manifest cannot apply them and would resurface deleted "
-            "rows; run materialize_deletes(path) first"
+            "rows; run materialize_deletes(path) first, or use "
+            "iceberg.export_iceberg_metadata(path, on_dv='deletes') "
+            "which renders DVs as Iceberg position-delete files"
         )
     if _phys_map(snap.spark_schema()):
         raise ValueError(
             "write_symlink_manifest: the table has renamed columns "
             "(column mapping) — external engines reading the files "
-            "directly would see the PHYSICAL column names; rewrite "
-            "via compact_table after an overwrite-style schema "
-            "normalization, or read through read_table"
+            "directly would see the PHYSICAL column names; use "
+            "iceberg.export_iceberg_metadata (renames survive via "
+            "its name mapping), rewrite via compact_table after an "
+            "overwrite-style schema normalization, or read through "
+            "read_table"
         )
     root = os.path.join(path, MANIFEST_DIR)
     if os.path.isdir(root):
