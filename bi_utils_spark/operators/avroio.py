@@ -293,6 +293,15 @@ def write_ocf(path: str, schema: dict, records: list[dict],
 def read_ocf(path: str) -> tuple[dict, list]:
     """Read an OCF written by any Avro implementation (codec null);
     returns (schema, records)."""
+    _, schema, records = read_ocf_meta(path)
+    return schema, records
+
+
+def read_ocf_meta(path: str) -> tuple[dict, dict, list]:
+    """`read_ocf` + the file-level metadata map decoded to str —
+    Iceberg manifests carry their partition spec and content kind
+    there, which multi-spec readers and conformance checks need.
+    Returns (metadata, schema, records)."""
     with open(path, "rb") as fh:
         data = fh.read()
     if data[:4] != _MAGIC:
@@ -329,4 +338,7 @@ def read_ocf(path: str) -> tuple[dict, list]:
             records.append(read_datum(br, schema))
         if r.read(16) != sync:
             raise ValueError(f"{path}: sync marker mismatch")
-    return schema, records
+    meta_str = {
+        k: v.decode("utf-8", errors="replace") for k, v in meta.items()
+    }
+    return meta_str, schema, records

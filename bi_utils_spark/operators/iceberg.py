@@ -1,11 +1,13 @@
 """Apache-Iceberg-format metadata export for tx tables (r10 verdict
-task 1) — the external-engine read path that survives column renames.
+task 1) — the external-engine read path that survives column renames
+and partition evolution.
 
 `write_symlink_manifest` (txtable.py) hands engines a bare file list,
-so it must REFUSE column-mapped tables (files spell physical names)
-and DV'd snapshots (no way to express masked rows). The Iceberg table
-format (public spec, format-version 2) expresses both concepts
-natively on the READ side this export needs:
+so it must REFUSE column-mapped tables (files spell physical names),
+DV'd snapshots (no way to express masked rows), and mixed-spec live
+sets (an old-spec file's partition value lives only in the manifest).
+The Iceberg table format (public spec, format-version 2) expresses
+all three concepts natively on the READ side this export needs:
 
 - **Renames**: the Iceberg schema carries the CURRENT logical names
   with stable field-ids, and the standard ``schema.name-mapping.
@@ -15,7 +17,25 @@ natively on the READ side this export needs:
   mapping, so a rename survives the export with zero file rewrites.
 - **DVs**: refused by default, same contract as the symlink export
   (materialize first); ``materialize=True`` runs
-  `materialize_deletes` and exports the resulting clean snapshot.
+  `materialize_deletes` and exports the resulting clean snapshot;
+  ``on_dv="deletes"`` renders them as spec position-delete files.
+- **Partition evolution** (r12): after `repartition_table`
+  (txtable.py:4631) the live set spans several partition SPECS —
+  each file's manifest record carries its own partition values, and
+  old-spec files do not physically contain their (directory-encoded)
+  old partition column while they DO contain the new one as data.
+  Iceberg models this exactly: ``partition-specs`` lists every spec,
+  each manifest is written under ONE spec and stamps its
+  ``partition_spec_id``, and readers project each file through its
+  own spec. The export groups live files by the spec they were
+  written under (recovered from each manifest record's
+  partition-value key set), emits one manifest per spec, and
+  `read_iceberg_export_df` injects only that spec's columns from the
+  manifest — the rest read from file data. A partition column of a
+  RETIRED spec that was later dropped from the schema is the one
+  unexportable case (its values exist nowhere an Iceberg reader can
+  see); the export refuses it, naming `compact_table` as the
+  one-shot migration.
 
 Layout (a self-contained HadoopTables-convention tree; data files
 are referenced in place by absolute URI — Iceberg allows absolute
@@ -23,31 +43,41 @@ are referenced in place by absolute URI — Iceberg allows absolute
 
     <table>/_iceberg/metadata/v<N>.metadata.json
     <table>/_iceberg/metadata/snap-<snapshot-id>-...-m-list.avro
-    <table>/_iceberg/metadata/<commit-uuid>-m0.avro
+    <table>/_iceberg/metadata/<commit-uuid>-m<K>.avro
     <table>/_iceberg/metadata/version-hint.text
+    <table>/_iceberg/deletes/iceberg-<uuid>-deletes.parquet
+
+Position-delete parquet files live under the export's OWN tree
+(``_iceberg/deletes/``), not the table's ``deletes/`` dir — they are
+export artifacts, invisible to the tx log, so `vacuum_table`'s
+sidecar sweep never has to reason about them and repeated exports
+never leak files into the table's accounting (r11 advice).
 
 Manifests are Avro object-container files per spec, written with the
 zero-dep codec in `operators/avroio.py` and cross-verified in tests
 by the INDEPENDENT Avro Java implementation on Spark's classpath.
 (DuckDB's iceberg extension would be the third reader; it cannot be
 installed in this offline environment, so the tests verify what it
-would consume: the spec-shaped metadata tree, plus row-for-row
+would consume: the spec-shaped metadata tree — a MUST-field
+conformance checklist in test_iceberg_conformance — plus row-for-row
 equality between `read_table` and a DuckDB parquet scan of the
 exported file list with the exported name mapping applied.)
 
 Each export adds one snapshot whose id is the tx version; successive
 exports chain (spec continuity): the new vN.metadata.json carries the
 previous metadata file in ``metadata-log``, and carries forward prior
-SNAPSHOT entries whenever the schema is unchanged — so an Iceberg
-reader of the latest tree can time-travel across exports. A schema
-change (rename/add/drop) starts a fresh snapshot history (the old
-tree stays on disk and in metadata-log for forensics) rather than
-mislabeling old snapshots with the new schema. The commit LOG stays
-the source of truth; re-export after commits, like the symlink
-manifest. Field ids are schema-order positions at export time;
-within one metadata tree that is spec-exact, and the name mapping
-keys every projection by the stable physical name, so consumers
-never depend on id stability ACROSS exports.
+SNAPSHOT entries — and prior ``partition-specs`` with their spec-ids,
+so carried manifests' ``partition_spec_id`` stamps stay valid —
+whenever the schema is unchanged. A schema change (rename/add/drop)
+starts a fresh snapshot history (the old tree stays on disk and in
+metadata-log for forensics) rather than mislabeling old snapshots
+with the new schema. The commit LOG stays the source of truth;
+re-export after commits, like the symlink manifest. Field ids are
+schema-order positions at export time; within one metadata tree that
+is spec-exact, and the name mapping keys every projection by the
+stable physical name, so consumers never depend on id stability
+ACROSS exports (recorded as the ``bi_utils_spark.field-ids``
+table property so external readers see the caveat in-band).
 
 Scale: driver-side metadata only — one manifest entry per live file,
 bytes proportional to the manifest fold the tx layer already holds;
@@ -100,6 +130,30 @@ def _iceberg_type(dt) -> str:
         f"primitive mapping (nested/array columns are not exported — "
         f"flatten first or read through read_table)"
     )
+
+
+# the Spark cast target for an Iceberg primitive — used when
+# re-injecting manifest partition values with their DECLARED type
+_SPARK_OF = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+}
+
+
+def _spark_cast_of(ice_t: str) -> str:
+    if ice_t in _SPARK_OF:
+        return _SPARK_OF[ice_t]
+    if ice_t.startswith("decimal"):
+        return ice_t
+    raise ValueError(f"no Spark cast for Iceberg type {ice_t!r}")
 
 
 # Avro schema type for a partition value of the given Iceberg type
@@ -193,8 +247,11 @@ _MANIFEST_FILE_SCHEMA = {
 
 def _typed_pv(raw, dt):
     """Manifest partition values are rendered strings; Iceberg stores
-    them TYPED — coerce through the declared column type."""
-    if raw is None:
+    them TYPED — coerce through the declared column type. The Hive
+    null-partition sentinel is a genuine NULL (a null partition VALUE
+    is distinct from 'column not in this file's spec' — the latter
+    never reaches here because values are looked up per-spec)."""
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
         return None
     v = tx._coerce_pv(raw, dt)
     t = dt.typeName()
@@ -205,6 +262,38 @@ def _typed_pv(raw, dt):
             v = datetime.date.fromisoformat(v)
         return (v - datetime.date(1970, 1, 1)).days
     return v
+
+
+def _live_file_specs(snap, schema) -> dict[str, tuple]:
+    """Recover, for every live file, the ordered tuple of LOGICAL
+    partition-column names of the spec it was written under. A file's
+    manifest record keys its partition values by the PHYSICAL names of
+    the spec columns at write time (directory segments, in spec
+    order); mapping them through the schema's physical->logical table
+    recovers the spec. A key with no surviving schema column means an
+    old spec's partition column was since DROPPED — its values exist
+    only in retired manifests, which no Iceberg reader can see — so
+    the export refuses, naming the one-shot migration."""
+    logical_of_phys = {tx._phys_of(f): f.name for f in schema.fields}
+    out: dict[str, tuple] = {}
+    for rel, meta in snap.files.items():
+        cols = []
+        for key in meta["partition_values"]:
+            lg = logical_of_phys.get(key)
+            if lg is None:
+                raise ValueError(
+                    f"export_iceberg_metadata: live file {rel!r} was "
+                    f"written under a partition spec keyed by "
+                    f"{key!r}, which no schema column maps to (the "
+                    f"column was dropped after a repartition_table) — "
+                    f"its partition values are unrepresentable to an "
+                    f"external reader. Run compact_table(path) to "
+                    f"rewrite the live set under the current spec, "
+                    f"then re-export."
+                )
+            cols.append(lg)
+        out[rel] = tuple(cols)
+    return out
 
 
 def export_iceberg_metadata(
@@ -235,9 +324,13 @@ def export_iceberg_metadata(
       latest version only — history can't be rewritten) and export
       the clean snapshot.
 
+    Partition-evolved snapshots export as true multi-spec metadata:
+    one manifest per live spec, every spec in ``partition-specs``,
+    per-manifest ``partition_spec_id`` — see the module docstring.
+
     Returns {"metadata_path", "version_hint", "snapshot_id",
     "n_files", "n_rows", "n_delete_files", "n_deleted_rows",
-    "version", "name_mapping"}.
+    "n_specs", "version", "name_mapping"}.
     """
     if materialize:
         on_dv = "materialize"
@@ -291,27 +384,7 @@ def export_iceberg_metadata(
         name_mapping.append({"field-id": i, "names": names})
     id_of = {f.name: spec["id"] for f, spec in zip(schema.fields, fields)}
     dt_of = {f.name: f.dataType for f in schema.fields}
-
-    spec_fields = []
-    part_fields = []
-    for j, pcol in enumerate(snap.partition_cols):
-        ice_t = _iceberg_type(dt_of[pcol])
-        if ice_t not in _AVRO_OF:
-            raise ValueError(
-                f"export_iceberg_metadata: partition column {pcol!r} "
-                f"type {ice_t!r} is not exportable"
-            )
-        spec_fields.append(
-            {
-                "name": pcol,
-                "transform": "identity",
-                "source-id": id_of[pcol],
-                "field-id": 1000 + j,
-            }
-        )
-        part_fields.append(
-            {"name": pcol, "avro": _AVRO_OF[ice_t], "field-id": 1000 + j}
-        )
+    phys_of = {f.name: tx._phys_of(f) for f in schema.fields}
 
     meta_dir = os.path.join(path, ICEBERG_DIR, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -342,6 +415,7 @@ def export_iceberg_metadata(
     # numbers restart per export; content is data-only, so they are
     # inert for readers.
     seq = 1
+    schemas_equal = False
     carried_snapshots: list[dict] = []
     carried_log: list[dict] = []
     metadata_log: list[dict] = []
@@ -352,7 +426,8 @@ def export_iceberg_metadata(
             for s in prev_md["schemas"]
             if s["schema-id"] == prev_md["current-schema-id"]
         )
-        if prev_schema == fields:
+        schemas_equal = prev_schema == fields
+        if schemas_equal:
             carried_snapshots = [
                 s
                 for s in prev_md.get("snapshots", [])
@@ -377,87 +452,194 @@ def export_iceberg_metadata(
             }
         )
 
-    # --- manifest: one entry per live file
-    entries = []
-    n_rows = 0
-    for rel, meta in sorted(snap.files.items()):
-        full = os.path.abspath(os.path.join(path, rel))
-        rows = meta.get("rows")
-        if rows is None:  # pre-stats commit: one footer read
-            import pyarrow.parquet as pq
-
-            rows = pq.ParquetFile(full).metadata.num_rows
-        size = meta.get("bytes")
-        if size is None:
-            size = os.stat(full).st_size
-        n_rows += int(rows)
-        entries.append(
-            {
-                "status": 1,  # ADDED in this snapshot
-                "snapshot_id": snapshot_id,
-                "sequence_number": None,  # inherited from the manifest
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,  # DATA
-                    "file_path": "file://" + full,
-                    "file_format": "PARQUET",
-                    "partition": {
-                        p["name"]: _typed_pv(
-                            meta["partition_values"].get(p["name"]),
-                            dt_of[p["name"]],
-                        )
-                        for p in part_fields
-                    },
-                    "record_count": int(rows),
-                    "file_size_in_bytes": int(size),
-                },
-            }
-        )
-    commit_uuid = uuid.uuid4().hex
-    manifest_name = f"{commit_uuid}-m0.avro"
-    manifest_path = os.path.join(meta_dir, manifest_name)
-    manifest_len = write_ocf(
-        manifest_path,
-        _manifest_entry_schema(part_fields),
-        entries,
-        metadata={
-            "schema": json.dumps(
-                {
-                    "type": "struct",
-                    "schema-id": 0,
-                    "fields": fields,
-                },
-                separators=(",", ":"),
-            ),
-            "partition-spec": json.dumps(
-                spec_fields, separators=(",", ":")
-            ),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "data",
-        },
+    # --- partition specs: current + every spec a live file was
+    # written under. Spec-ids and partition field-ids carry forward
+    # from the previous export when snapshots carry (their manifests
+    # stamp spec-ids by number), and a partition column keeps ONE
+    # field-id across every spec that names it, Iceberg's own
+    # evolution discipline (field-ids start at 1000 and only grow).
+    file_spec = _live_file_specs(snap, schema)
+    current_spec = tuple(snap.partition_cols)
+    needed = [current_spec] + sorted(
+        {s for s in file_spec.values() if s != current_spec}
     )
 
-    # --- position-delete files + delete manifest (on_dv="deletes"):
+    all_specs: list[dict] = []
+    known: dict[tuple, int] = {}
+    pfid_of: dict[str, int] = {}
+    next_spec_id = 0
+    next_pfid = 1000
+    if schemas_equal:
+        for ps in prev_md.get("partition-specs", []):
+            sig = tuple(
+                (f["name"], f["transform"], f["source-id"])
+                for f in ps["fields"]
+            )
+            known[sig] = ps["spec-id"]
+            all_specs.append(ps)
+            next_spec_id = max(next_spec_id, ps["spec-id"] + 1)
+            for f in ps["fields"]:
+                pfid_of.setdefault(f["name"], f["field-id"])
+                next_pfid = max(next_pfid, f["field-id"] + 1)
+
+    def _ensure_spec(spec_cols: tuple) -> tuple[int, list[dict], list[dict]]:
+        """(spec-id, spec_fields, avro part_fields) for the given
+        ordered logical partition columns, allocating ids on first
+        sight and reusing prior allocations exactly."""
+        nonlocal next_spec_id, next_pfid
+        spec_fields = []
+        part_fields = []
+        for c in spec_cols:
+            ice_t = _iceberg_type(dt_of[c])
+            if ice_t not in _AVRO_OF:
+                raise ValueError(
+                    f"export_iceberg_metadata: partition column {c!r} "
+                    f"type {ice_t!r} is not exportable"
+                )
+            if c not in pfid_of:
+                pfid_of[c] = next_pfid
+                next_pfid += 1
+            spec_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": id_of[c],
+                    "field-id": pfid_of[c],
+                }
+            )
+            part_fields.append(
+                {"name": c, "avro": _AVRO_OF[ice_t], "field-id": pfid_of[c]}
+            )
+        sig = tuple((f["name"], "identity", f["source-id"]) for f in spec_fields)
+        if sig in known:
+            return known[sig], spec_fields, part_fields
+        sid = next_spec_id
+        next_spec_id += 1
+        known[sig] = sid
+        all_specs.append({"spec-id": sid, "fields": spec_fields})
+        return sid, spec_fields, part_fields
+
+    spec_meta = {cols: _ensure_spec(cols) for cols in needed}
+    default_spec_id = spec_meta[current_spec][0]
+    schema_json = json.dumps(
+        {"type": "struct", "schema-id": 0, "fields": fields},
+        separators=(",", ":"),
+    )
+
+    def _pv_of(meta: dict, spec_cols: tuple) -> dict:
+        """Typed partition record for one file under ITS OWN spec:
+        values keyed in the manifest by the spec columns' physical
+        names, coerced through the declared column types."""
+        return {
+            c: _typed_pv(
+                meta["partition_values"].get(phys_of[c]), dt_of[c]
+            )
+            for c in spec_cols
+        }
+
+    # --- data manifests: one per live spec
+    commit_uuid = uuid.uuid4().hex
+    manifest_rows: list[dict] = []
+    n_files = 0
+    n_rows = 0
+    m_idx = 0
+    for spec_cols in needed:
+        rels = sorted(
+            rel for rel, s in file_spec.items() if s == spec_cols
+        )
+        if not rels and spec_cols != current_spec:
+            continue
+        if not rels:
+            # current spec with no live file yet (e.g. respec'd then
+            # everything still old-spec): the spec is declared in
+            # partition-specs but needs no manifest.
+            continue
+        sid, spec_fields, part_fields = spec_meta[spec_cols]
+        entries = []
+        spec_rows = 0
+        for rel in rels:
+            meta = snap.files[rel]
+            full = os.path.abspath(os.path.join(path, rel))
+            rows = meta.get("rows")
+            if rows is None:  # pre-stats commit: one footer read
+                import pyarrow.parquet as pq
+
+                rows = pq.ParquetFile(full).metadata.num_rows
+            size = meta.get("bytes")
+            if size is None:
+                size = os.stat(full).st_size
+            spec_rows += int(rows)
+            entries.append(
+                {
+                    "status": 1,  # ADDED in this snapshot
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherited from manifest
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,  # DATA
+                        "file_path": "file://" + full,
+                        "file_format": "PARQUET",
+                        "partition": _pv_of(meta, spec_cols),
+                        "record_count": int(rows),
+                        "file_size_in_bytes": int(size),
+                    },
+                }
+            )
+        manifest_name = f"{commit_uuid}-m{m_idx}.avro"
+        m_idx += 1
+        manifest_path = os.path.join(meta_dir, manifest_name)
+        manifest_len = write_ocf(
+            manifest_path,
+            _manifest_entry_schema(part_fields),
+            entries,
+            metadata={
+                "schema": schema_json,
+                "schema-id": "0",
+                "partition-spec": json.dumps(
+                    spec_fields, separators=(",", ":")
+                ),
+                "partition-spec-id": str(sid),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        manifest_rows.append(
+            {
+                "manifest_path": "file://" + os.path.abspath(manifest_path),
+                "manifest_length": manifest_len,
+                "partition_spec_id": sid,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": spec_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+        n_files += len(entries)
+        n_rows += spec_rows
+
+    # --- position-delete files + delete manifests (on_dv="deletes"):
     # each DV'd file's mask becomes rows of (file_path, pos) in a
-    # spec-shaped parquet delete file — one per partition, sorted by
-    # (file_path, pos), reserved field-ids — listed from a content=1
-    # manifest in the SAME snapshot (position deletes apply to data
-    # files with data-sequence <= theirs; both carry this snapshot's
-    # sequence number).
-    delete_entries = []
+    # spec-shaped parquet delete file — one per (spec, partition),
+    # sorted by (file_path, pos), reserved field-ids — listed from
+    # content=1 manifests in the SAME snapshot, one per spec
+    # (position deletes apply to data files with data-sequence <=
+    # theirs; both carry this snapshot's sequence number). The files
+    # land under the export's own _iceberg/deletes/ tree: the tx log
+    # never references them, so vacuum never has to.
+    n_delete_files = 0
     n_deleted = 0
     if dvd:
         import pyarrow as pa
         import pyarrow.parquet as papq
 
-        by_part: dict[tuple, list[str]] = {}
-        for rel in sorted(dvd):
-            pv = tuple(
-                dvd[rel]["partition_values"].get(p["name"])
-                for p in part_fields
-            )
-            by_part.setdefault(pv, []).append(rel)
+        del_dir = os.path.join(path, ICEBERG_DIR, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
         pa_schema = pa.schema(
             [
                 pa.field(
@@ -474,78 +656,104 @@ def export_iceberg_metadata(
                 ),
             ]
         )
-        for pv, rels in sorted(by_part.items(), key=lambda kv: str(kv[0])):
-            paths_col: list[str] = []
-            pos_col: list[int] = []
-            for rel in rels:  # rels sorted; positions sorted per file
-                full = "file://" + os.path.abspath(os.path.join(path, rel))
-                dv_rec = tx._dv_load(path, dvd[rel]["dv"]["path"])
-                for p_ in tx._dv_decode(dv_rec):
-                    paths_col.append(full)
-                    pos_col.append(int(p_))
-            del_rel = os.path.join(
-                tx.DELETES_DIR, f"iceberg-{uuid.uuid4().hex}-deletes.parquet"
+        by_spec: dict[tuple, dict[tuple, list[str]]] = {}
+        for rel in sorted(dvd):
+            spec_cols = file_spec[rel]
+            pv = tuple(
+                dvd[rel]["partition_values"].get(phys_of[c])
+                for c in spec_cols
             )
-            del_full = os.path.abspath(os.path.join(path, del_rel))
-            os.makedirs(os.path.dirname(del_full), exist_ok=True)
-            papq.write_table(
-                pa.table(
-                    {"file_path": paths_col, "pos": pos_col},
-                    schema=pa_schema,
-                ),
-                del_full,
-            )
-            n_deleted += len(pos_col)
-            delete_entries.append(
-                {
-                    "status": 1,
-                    "snapshot_id": snapshot_id,
-                    "sequence_number": None,
-                    "file_sequence_number": None,
-                    "data_file": {
-                        "content": 1,  # POSITION_DELETES
-                        "file_path": "file://" + del_full,
-                        "file_format": "PARQUET",
-                        "partition": {
-                            p["name"]: _typed_pv(v, dt_of[p["name"]])
-                            for p, v in zip(part_fields, pv)
+            by_spec.setdefault(spec_cols, {}).setdefault(pv, []).append(rel)
+        for spec_cols, by_part in sorted(
+            by_spec.items(), key=lambda kv: str(kv[0])
+        ):
+            sid, spec_fields, part_fields = spec_meta[spec_cols]
+            delete_entries = []
+            spec_deleted = 0
+            for pv, rels in sorted(
+                by_part.items(), key=lambda kv: str(kv[0])
+            ):
+                paths_col: list[str] = []
+                pos_col: list[int] = []
+                for rel in rels:  # rels sorted; positions sorted per file
+                    full = "file://" + os.path.abspath(
+                        os.path.join(path, rel)
+                    )
+                    dv_rec = tx._dv_load(path, dvd[rel]["dv"]["path"])
+                    for p_ in tx._dv_decode(dv_rec):
+                        paths_col.append(full)
+                        pos_col.append(int(p_))
+                del_full = os.path.join(
+                    del_dir, f"iceberg-{uuid.uuid4().hex}-deletes.parquet"
+                )
+                papq.write_table(
+                    pa.table(
+                        {"file_path": paths_col, "pos": pos_col},
+                        schema=pa_schema,
+                    ),
+                    del_full,
+                )
+                spec_deleted += len(pos_col)
+                delete_entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 1,  # POSITION_DELETES
+                            "file_path": "file://" + del_full,
+                            "file_format": "PARQUET",
+                            "partition": {
+                                c: _typed_pv(v, dt_of[c])
+                                for c, v in zip(spec_cols, pv)
+                            },
+                            "record_count": len(pos_col),
+                            "file_size_in_bytes": os.stat(
+                                del_full
+                            ).st_size,
                         },
-                        "record_count": len(pos_col),
-                        "file_size_in_bytes": os.stat(del_full).st_size,
-                    },
+                    }
+                )
+            dmanifest_path = os.path.join(
+                meta_dir, f"{commit_uuid}-m{m_idx}.avro"
+            )
+            m_idx += 1
+            dmanifest_len = write_ocf(
+                dmanifest_path,
+                _manifest_entry_schema(part_fields),
+                delete_entries,
+                metadata={
+                    "schema": schema_json,
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(
+                        spec_fields, separators=(",", ":")
+                    ),
+                    "partition-spec-id": str(sid),
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+            manifest_rows.append(
+                {
+                    "manifest_path": "file://"
+                    + os.path.abspath(dmanifest_path),
+                    "manifest_length": dmanifest_len,
+                    "partition_spec_id": sid,
+                    "content": 1,  # DELETES
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(delete_entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": spec_deleted,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
                 }
             )
-    delete_manifest_row = None
-    if delete_entries:
-        dmanifest_path = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
-        dmanifest_len = write_ocf(
-            dmanifest_path,
-            _manifest_entry_schema(part_fields),
-            delete_entries,
-            metadata={
-                "partition-spec": json.dumps(
-                    spec_fields, separators=(",", ":")
-                ),
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "deletes",
-            },
-        )
-        delete_manifest_row = {
-            "manifest_path": "file://" + os.path.abspath(dmanifest_path),
-            "manifest_length": dmanifest_len,
-            "partition_spec_id": 0,
-            "content": 1,  # DELETES
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(delete_entries),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": n_deleted,
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-        }
+            n_delete_files += len(delete_entries)
+            n_deleted += spec_deleted
 
     # --- manifest list
     mlist_name = f"snap-{snapshot_id}-1-{commit_uuid}.avro"
@@ -553,24 +761,7 @@ def export_iceberg_metadata(
     write_ocf(
         mlist_path,
         _MANIFEST_FILE_SCHEMA,
-        [
-            {
-                "manifest_path": "file://" + os.path.abspath(manifest_path),
-                "manifest_length": manifest_len,
-                "partition_spec_id": 0,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": n_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        ]
-        + ([delete_manifest_row] if delete_manifest_row else []),
+        manifest_rows,
         metadata={"format-version": "2"},
     )
 
@@ -583,9 +774,11 @@ def export_iceberg_metadata(
         "last-column-id": len(fields),
         "current-schema-id": 0,
         "schemas": [{"type": "struct", "schema-id": 0, "fields": fields}],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "last-partition-id": 999 + len(spec_fields),
+        "default-spec-id": default_spec_id,
+        "partition-specs": all_specs,
+        "last-partition-id": max(
+            [999] + [f["field-id"] for ps in all_specs for f in ps["fields"]]
+        ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
@@ -593,6 +786,11 @@ def export_iceberg_metadata(
                 name_mapping, separators=(",", ":")
             ),
             "write.format.default": "parquet",
+            # in-band caveat: field ids are schema positions AT EXPORT
+            # TIME; stable within this tree, not across re-exports
+            # after a schema change (the name mapping is the stable
+            # projection key).
+            "bi_utils_spark.field-ids": "per-export",
         },
         "current-snapshot-id": snapshot_id,
         "refs": {
@@ -606,7 +804,7 @@ def export_iceberg_metadata(
                 "sequence-number": seq,
                 "summary": {
                     "operation": "append",
-                    "added-data-files": str(len(entries)),
+                    "added-data-files": str(n_files),
                     "added-records": str(n_rows),
                 },
                 "manifest-list": "file://" + os.path.abspath(mlist_path),
@@ -629,10 +827,11 @@ def export_iceberg_metadata(
         "metadata_path": meta_path,
         "version_hint": n_meta,
         "snapshot_id": snapshot_id,
-        "n_files": len(entries),
+        "n_files": n_files,
         "n_rows": n_rows,
-        "n_delete_files": len(delete_entries),
+        "n_delete_files": n_delete_files,
         "n_deleted_rows": n_deleted,
+        "n_specs": len(needed),
         "version": snap.version,
         "name_mapping": {
             m["names"][0]: m["field-id"] for m in name_mapping
@@ -650,13 +849,15 @@ def read_iceberg_export(path: str) -> dict:
     the way an Iceberg reader would: version-hint → metadata.json →
     current snapshot → manifest list → manifests → data files.
 
-    Returns {"metadata", "files": [{path, rows, bytes, partition}],
-    "delete_files": [{path, rows, partition}] (content=1 manifests),
-    "physical_of": {logical: physical}, "schema_fields": [...]} —
-    the audit surface the q_iceberg_export oracle row and the
-    external-read tests consume.
-    """
-    from bi_utils_spark.operators.avroio import read_ocf
+    Returns {"metadata", "files": [{path, rows, bytes, partition,
+    spec_cols}], "delete_files": [...same shape...] (content=1
+    manifests), "physical_of": {logical: physical}, "schema_fields":
+    [...]}. ``spec_cols`` is the ordered partition-column list of the
+    SPEC the file's manifest was written under — a multi-spec reader
+    must project each file through its own spec (a column absent from
+    ``spec_cols`` is DATA in that file; a null value for a column IN
+    ``spec_cols`` is a genuine NULL partition value)."""
+    from bi_utils_spark.operators.avroio import read_ocf_meta
 
     meta_dir = os.path.join(path, ICEBERG_DIR, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
@@ -668,11 +869,25 @@ def read_iceberg_export(path: str) -> dict:
         for s in md["snapshots"]
         if s["snapshot-id"] == md["current-snapshot-id"]
     )
-    _, mlist = read_ocf(snap["manifest-list"].replace("file://", ""))
+    _, _, mlist = read_ocf_meta(snap["manifest-list"].replace("file://", ""))
+    spec_fields_of = {
+        ps["spec-id"]: [f["name"] for f in ps["fields"]]
+        for ps in md.get("partition-specs", [])
+    }
     files = []
     delete_files = []
     for mf in mlist:
-        _, recs = read_ocf(mf["manifest_path"].replace("file://", ""))
+        m_meta, _, recs = read_ocf_meta(
+            mf["manifest_path"].replace("file://", "")
+        )
+        sid = mf.get("partition_spec_id", 0)
+        spec_cols = spec_fields_of.get(sid)
+        if spec_cols is None:
+            # pre-multi-spec manifest metadata fallback
+            spec_cols = [
+                f["name"]
+                for f in json.loads(m_meta.get("partition-spec", "[]"))
+            ]
         for e in recs:
             if e["status"] == 2:  # DELETED
                 continue
@@ -682,6 +897,7 @@ def read_iceberg_export(path: str) -> dict:
                 "rows": df["record_count"],
                 "bytes": df["file_size_in_bytes"],
                 "partition": df["partition"],
+                "spec_cols": list(spec_cols),
             }
             if mf.get("content", 0) == 1 or df.get("content", 0) == 1:
                 delete_files.append(rec)
@@ -704,39 +920,65 @@ def read_iceberg_export(path: str) -> dict:
     }
 
 
+def _pv_lit(v, ice_t: str):
+    """A manifest partition value as a TYPED Spark literal: Iceberg
+    stores dates as days-since-epoch ints (converted back), and every
+    value casts through the column's declared type so widths never
+    drift between partitions (r11 advice)."""
+    from pyspark.sql import functions as F
+
+    cast_t = _spark_cast_of(ice_t)
+    if v is None:
+        return F.lit(None).cast(cast_t)
+    if ice_t == "date":
+        import datetime
+
+        v = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+    return F.lit(v).cast(cast_t)
+
+
 def read_iceberg_export_df(spark, path: str):
     """Reconstruct the exported table AS A DATAFRAME purely from the
     Iceberg metadata tree — the read path an external engine runs,
-    with no access to the tx log: data files grouped per partition
-    tuple, identity-partition values injected from the MANIFEST,
-    physical column names projected to logical through the exported
-    name mapping, and position-delete files applied by anti-joining
-    (file_path, pos) against each row's parquet address
-    (``_metadata.file_path`` / ``row_index``).
+    with no access to the tx log: data files grouped per (spec,
+    partition tuple), identity-partition values injected from the
+    MANIFEST with their declared types — only for the columns of the
+    spec THAT FILE was written under; columns outside a file's spec
+    are plain data there — physical column names projected to logical
+    through the exported name mapping, and position-delete files
+    applied by anti-joining (file_path, pos) against each row's
+    parquet address (``_metadata.file_path`` / ``row_index``).
 
     Scale: the anti-join's delete side is the deleted-row count; the
     data side never shuffles (broadcast when small, AQE otherwise) —
     the same MOR read shape `txtable.read_table` runs internally, so
-    comparing the two (q_iceberg_export) pins export == log fold.
+    comparing the two (q_iceberg_export / q_tx_respec_export) pins
+    export == log fold.
     """
     from pyspark.sql import functions as F
 
     export = read_iceberg_export(path)
     phys = export["physical_of"]
     logical = [f["name"] for f in export["schema_fields"]]
+    ice_t = {f["name"]: f["type"] for f in export["schema_fields"]}
     has_deletes = bool(export["delete_files"])
-    by_part: dict[tuple, list[dict]] = {}
+    by_group: dict[tuple, list[dict]] = {}
     for f in export["files"]:
-        key = tuple(sorted(f["partition"].items()))
-        by_part.setdefault(key, []).append(f)
+        key = (
+            tuple(f["spec_cols"]),
+            tuple(f["partition"].get(c) for c in f["spec_cols"]),
+        )
+        by_group.setdefault(key, []).append(f)
     parts = []
-    for key, group in sorted(by_part.items(), key=lambda kv: str(kv[0])):
+    for (spec_cols, pv), group in sorted(
+        by_group.items(), key=lambda kv: str(kv[0])
+    ):
         df = spark.read.parquet(*[g["path"] for g in group])
-        pv = dict(key)
+        pv_of = dict(zip(spec_cols, pv))
         cols = [
             (
-                F.lit(pv[c]).alias(c)
-                if c in pv  # identity value from the manifest
+                _pv_lit(pv_of[c], ice_t[c]).alias(c)
+                if c in pv_of  # identity value from the manifest
                 else F.col(phys[c]).alias(c)
             )
             for c in logical

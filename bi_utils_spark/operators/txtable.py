@@ -3615,7 +3615,7 @@ def materialize_deletes(
         return None
     schema = snap.spark_schema()
     df = _read_files_live(spark, path, dvd, schema)
-    counts = _group_counts(snap, path, list(dvd), 1, None)
+    counts = _group_counts(snap, path, list(dvd), 1, None, spark=spark)
     df = _compaction_layout(
         spark, df, snap.partition_cols, counts, None, 12
     )
@@ -3691,24 +3691,77 @@ def _group_counts(
     rels: Sequence[str],
     target_files: int,
     target_bytes: int | None,
+    spark: SparkSession | None = None,
 ) -> dict[tuple, int]:
     """Per-partition output-file counts for a rewrite of ``rels``:
     ``target_files`` per partition, or ⌈partition_bytes/target_bytes⌉
     when ``target_bytes`` is set (sizes from the manifest, one
-    os.stat fallback per pre-r9 file lacking the ``bytes`` field)."""
+    os.stat fallback per pre-r9 file lacking the ``bytes`` field).
+
+    Files written under an OLDER partition spec (after
+    :func:`repartition_table`) cannot be attributed to a current-spec
+    partition from the manifest — their rows may land in ANY
+    partition of the new spec. Those files get one bounded scan of
+    the current partition columns (r12: compaction IS the documented
+    spec migration, and the plan used to miss every key an old-spec
+    file contributed, tripping `_compaction_layout`'s divergence
+    guard); bytes are apportioned by row share. Cost is a
+    column-pruned scan of exactly the files being rewritten anyway."""
+    pcols = list(snap.partition_cols)
     sizes: dict[tuple, int] = {}
-    for rel in rels:
-        meta = snap.files[rel]
-        key = tuple(
-            meta["partition_values"].get(c) for c in snap.partition_cols
-        )
-        b = meta.get("bytes")
+    stale: list[str] = []
+
+    def _bytes_of(rel: str) -> int:
+        b = snap.files[rel].get("bytes")
         if b is None:
             try:
                 b = os.stat(os.path.join(path, rel)).st_size
             except OSError:
                 b = 0
-        sizes[key] = sizes.get(key, 0) + b
+        return b
+
+    for rel in rels:
+        meta = snap.files[rel]
+        if pcols and list(meta["partition_values"]) != pcols:
+            stale.append(rel)
+            continue
+        key = tuple(meta["partition_values"].get(c) for c in pcols)
+        sizes[key] = sizes.get(key, 0) + _bytes_of(rel)
+    if stale:
+        if spark is None:
+            raise ValueError(
+                "_group_counts: mixed-spec rewrite needs a "
+                "SparkSession to derive old-spec files' partition "
+                "keys (internal: caller must pass spark)"
+            )
+        stale_bytes = sum(_bytes_of(rel) for rel in stale)
+        df = _read_files(
+            spark,
+            path,
+            {rel: snap.files[rel] for rel in stale},
+            snap.spark_schema(),
+        )
+        grouped = (
+            df.groupBy(
+                *[
+                    F.coalesce(
+                        F.col(c).cast("string"),
+                        F.lit("__HIVE_DEFAULT_PARTITION__"),
+                    ).alias(c)
+                    for c in pcols
+                ]
+            )
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        total_n = sum(int(r["__n"]) for r in grouped) or 1
+        for r in grouped:
+            key = tuple(
+                None if r[c] == "__HIVE_DEFAULT_PARTITION__" else r[c]
+                for c in pcols
+            )
+            b = int(stale_bytes * int(r["__n"]) / total_n)
+            sizes[key] = sizes.get(key, 0) + b
     if target_bytes:
         return {
             k: max(1, math.ceil(b / target_bytes))
@@ -3900,7 +3953,8 @@ def compact_table(
     schema = snap.spark_schema()
     df = read_table(spark, path, version=snap.version)
     counts = _group_counts(
-        snap, path, list(snap.files), target_files, target_bytes
+        snap, path, list(snap.files), target_files, target_bytes,
+        spark=spark,
     )
     bounds = (
         _zorder_bounds_from_manifest(snap, list(snap.files), zorder_by)
@@ -4075,7 +4129,9 @@ def compact_partitions(
     df = _read_files_live(
         spark, path, {rel: snap.files[rel] for rel in removed}, schema
     )
-    counts = _group_counts(snap, path, removed, target_files, target_bytes)
+    counts = _group_counts(
+        snap, path, removed, target_files, target_bytes, spark=spark
+    )
     bounds = (
         _zorder_bounds_from_manifest(snap, removed, zorder_by)
         if zorder_by
@@ -5063,6 +5119,24 @@ def write_symlink_manifest(
             "its name mapping), rewrite via compact_table after an "
             "overwrite-style schema normalization, or read through "
             "read_table"
+        )
+    mixed = sorted(
+        rel
+        for rel, m in snap.files.items()
+        if list(m["partition_values"]) != list(snap.partition_cols)
+    )
+    if mixed:
+        raise ValueError(
+            f"write_symlink_manifest: {len(mixed)} live file(s) were "
+            "written under an OLDER partition spec (the table was "
+            "repartition_table'd since) — a bare file list would "
+            "group them under current-spec directories they don't "
+            "belong to, and their own partition column exists only "
+            "in the manifest, unreconstructible by an external "
+            "engine. Run compact_table(path) to migrate the live set "
+            "to the current spec, or use "
+            "iceberg.export_iceberg_metadata, which exports true "
+            "multi-spec metadata"
         )
     root = os.path.join(path, MANIFEST_DIR)
     if os.path.isdir(root):
