@@ -35,21 +35,30 @@ Design choices, deliberately:
 Supported statements (keywords case-insensitive; one statement per
 call):
 
-- ``SELECT ...`` — any Spark SELECT; every occurrence of a mapped
-  table name (optionally followed by ``VERSION AS OF n`` or
-  ``TIMESTAMP AS OF 'ts'``) is bound to a snapshot temp view first.
+- ``SELECT ...`` — any Spark SELECT; each mapped table binds to a
+  snapshot temp view NAMED LIKE the table (so qualified references,
+  self-joins, and same-named columns/aliases resolve by Spark's own
+  rules; the view shadows a same-named session temp view for the
+  statement and is dropped after analysis), and ``VERSION AS OF n``
+  / ``TIMESTAMP AS OF 'ts'`` suffixed references rewrite to
+  per-version views.
 - ``INSERT INTO t [(cols)] VALUES (...), (...)`` /
   ``INSERT INTO t [(cols)] SELECT ...`` — positional, like SQL.
 - ``INSERT OVERWRITE t SELECT ...`` — full snapshot swap.
 - ``UPDATE t SET c = expr[, ...] [WHERE p]``
 - ``DELETE FROM t [WHERE p]``
 - ``MERGE INTO t [AS] a USING (src|view) [AS] b ON <pk equi-join>``
-  with clauses ``WHEN MATCHED THEN UPDATE SET *`` + ``WHEN NOT
-  MATCHED THEN INSERT *`` (the upsert pair — both required, order
-  free) and optionally ``WHEN MATCHED AND <expr> THEN DELETE``
-  (expr over source columns → `delete_col`; source columns beyond
-  the target schema are readable by that condition and projected
-  away before landing — ``*`` lands exactly the target schema).
+  with clauses (each at most once, order free; SQL-standard row
+  semantics — see `_do_merge`):
+  ``WHEN MATCHED [AND c] THEN UPDATE SET *`` or
+  ``SET col = expr[, ...]`` (partial update — unlisted columns keep
+  their target values; expressions may reference both aliases),
+  ``WHEN MATCHED [AND c] THEN DELETE`` (matched rows ONLY — a
+  flagged key absent from the target still inserts, per standard),
+  ``WHEN NOT MATCHED [AND c] THEN INSERT *`` (source columns beyond
+  the target schema are readable by every condition and projected
+  away before landing — ``*`` lands exactly the target schema),
+  ``WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE``.
 - ``RESTORE TABLE t TO VERSION AS OF n`` (or ``TIMESTAMP AS OF``)
 - ``DESCRIBE HISTORY t``
 - ``VACUUM t [RETAIN n VERSIONS]``
@@ -141,39 +150,99 @@ def _split_top(s: str, sep: str) -> list[str]:
 # time-travel binding for reads
 # ---------------------------------------------------------------------------
 
+# an AS OF-suffixed reference (the suffix is not Spark syntax, so
+# these MUST rewrite); the lookbehind keeps `x.tbl` (tbl as a column
+# of x) untouched while `tbl.x` (tbl as a qualifier) still matches
 _ASOF = (
-    r"\b(?P<name>{n})\b"
+    r"(?<![\w.])(?P<name>{n})\b"
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
-    r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>\x00\d+\x00))?"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+(?P<ts>\x00\d+\x00))"
 )
+_PLAIN = r"(?<![\w.]){n}\b"
 
 
 def _bind_reads(
     spark: SparkSession, masked: str, lits: list[str],
     tables: dict[str, str],
-) -> str:
-    """Bind every mapped table reference (with optional AS OF) to a
-    snapshot temp view; return the rewritten masked SQL."""
-    counter = [0]
+) -> tuple[str, list[str]]:
+    """Bind every mapped table reference to a snapshot temp view;
+    return (rewritten masked SQL, created view names for cleanup).
 
-    def one(name: str, path: str, s: str) -> str:
+    Plain references bind a temp view NAMED EXACTLY like the table
+    and the SQL text is left untouched — so table-qualified column
+    references (``SELECT t.x FROM t``), self-joins, and columns or
+    aliases that merely share a mapped name all resolve by Spark's
+    own scoping rules (r11 advice: per-occurrence view substitution
+    broke every qualified reference). The view shadows any
+    same-named session temp view for the statement's duration — by
+    contract the mapping says what the name means here — and is
+    dropped after analysis. AS OF references rewrite to one
+    namespaced view per (table, version) since the suffix isn't
+    Spark syntax; dotted table names (not legal temp-view names)
+    fall back to one stable substitute view for ALL plain
+    occurrences, so qualifiers keep resolving consistently."""
+    views: list[str] = []
+
+    def bind(path: str, view: str, version=None, ts=None) -> str:
+        df = tx.read_table(spark, path, version=version, timestamp=ts)
+        df.createOrReplaceTempView(view)
+        views.append(view)
+        return view
+
+    for name, path in tables.items():
+        safe = re.sub(r"\W", "_", name)
+        asof_seen: dict[tuple, str] = {}
+
         def repl(m: re.Match) -> str:
             version = int(m.group("v")) if m.group("v") else None
             ts = m.group("ts")
             ts_val = _unmask(ts, lits).strip("'") if ts else None
-            df = tx.read_table(spark, path, version=version, timestamp=ts_val)
-            view = f"__tx_sql_{name}_{counter[0]}"
-            counter[0] += 1
-            df.createOrReplaceTempView(view)
-            return view
+            key = (version, ts_val)
+            if key not in asof_seen:
+                asof_seen[key] = bind(
+                    path,
+                    f"__tx_sql_{safe}_{len(views)}",
+                    version=version,
+                    ts=ts_val,
+                )
+            return asof_seen[key]
 
-        return re.sub(
-            _ASOF.format(n=re.escape(name)), repl, s, flags=re.IGNORECASE
+        masked = re.sub(
+            _ASOF.format(n=re.escape(name)), repl, masked,
+            flags=re.IGNORECASE,
         )
+        plain = _PLAIN.format(n=re.escape(name))
+        if re.search(plain, masked, flags=re.IGNORECASE):
+            if "." in name:
+                view = bind(path, f"__tx_sql_{safe}_{len(views)}")
+                masked = re.sub(
+                    plain, view, masked, flags=re.IGNORECASE
+                )
+            else:
+                bind(path, name)
+    return masked, views
 
-    for name, path in tables.items():
-        masked = one(name, path, masked)
-    return masked
+
+def _drop_views(spark: SparkSession, views: list[str]) -> None:
+    """Drop statement-scoped temp views — safe after ``spark.sql``
+    because analysis is eager: the returned DataFrame's plan is
+    already resolved and no longer needs the catalog entry."""
+    for v in views:
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+
+
+def _run_select(
+    spark: SparkSession, masked: str, lits: list[str],
+    tables: dict[str, str],
+) -> DataFrame:
+    bound, views = _bind_reads(spark, masked, lits, tables)
+    try:
+        return spark.sql(_unmask(bound, lits))
+    finally:
+        _drop_views(spark, views)
 
 
 # ---------------------------------------------------------------------------
@@ -198,8 +267,7 @@ def _source_df(
 ) -> DataFrame:
     src = src.strip()
     if src.startswith("("):
-        inner = _bind_reads(spark, src[1:-1], lits, tables)
-        return spark.sql(_unmask(inner, lits))
+        return _run_select(spark, src[1:-1], lits, tables)
     if src in tables:
         return tx.read_table(spark, tables[src])
     return spark.sql(f"SELECT * FROM {src}")
@@ -242,8 +310,7 @@ def _do_insert(spark, masked, lits, tables, m) -> dict:
     if up.startswith("VALUES"):
         df = spark.sql(f"SELECT * FROM ( {_unmask(rest, lits)} )")
     elif up.startswith("SELECT") or up.startswith("("):
-        bound = _bind_reads(spark, rest, lits, tables)
-        df = spark.sql(_unmask(bound, lits))
+        df = _run_select(spark, rest, lits, tables)
     else:
         raise SqlDmlError(
             "tx_sql INSERT: expected VALUES (...) or SELECT ... after "
@@ -303,14 +370,155 @@ def _do_update(spark, masked, lits, tables, m, mode) -> dict:
 
 _MERGE_GUIDE = (
     "Supported MERGE shape: MERGE INTO t [AS] a USING (src|view) [AS] b "
-    "ON a.pk = b.pk [AND ...] WHEN MATCHED THEN UPDATE SET * WHEN NOT "
-    "MATCHED THEN INSERT * [WHEN MATCHED AND <expr over source> THEN "
-    "DELETE]. For partial-column updates or conditional inserts call "
-    "operators.txtable.merge_tx_table / update_table directly."
+    "ON a.pk = b.pk [AND ...] with clauses "
+    "WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = expr[, ...], "
+    "WHEN MATCHED [AND <cond>] THEN DELETE, "
+    "WHEN NOT MATCHED [AND <cond over source>] THEN INSERT *, "
+    "WHEN NOT MATCHED BY SOURCE [AND <cond over target>] THEN DELETE "
+    "(at most one of each kind; a MATCHED row satisfying the DELETE "
+    "condition deletes regardless of clause order). For shapes beyond "
+    "these call operators.txtable.merge_tx_table / update_table "
+    "directly."
 )
 
 
+def _parse_merge_clauses(clauses_raw: str) -> dict:
+    """Extract the WHEN clauses into at most one of each kind:
+    ``upd`` {cond, sets ('*' or {col: masked expr})}, ``ins`` {cond},
+    ``mdel`` {cond}, ``nmbs`` {cond}. Conditions stay MASKED."""
+    out: dict[str, dict] = {}
+
+    def put(kind: str, val: dict, cl: str) -> None:
+        if kind in out:
+            raise SqlDmlError(
+                f"tx_sql MERGE: duplicate clause kind at {cl!r} — at "
+                f"most one of each WHEN form. " + _MERGE_GUIDE
+            )
+        out[kind] = val
+
+    for cl in re.split(r"(?=\bWHEN\b)", clauses_raw, flags=re.IGNORECASE):
+        cl = cl.strip()
+        if not cl:
+            continue
+        hm = re.fullmatch(
+            r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+            r"(?P<bysrc>\s+BY\s+SOURCE)?(?:\s+BY\s+TARGET)?"
+            r"(?:\s+AND\s+(?P<cond>.+?))?"
+            r"\s+THEN\s+(?P<action>.+)",
+            cl,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not hm:
+            raise SqlDmlError(
+                f"tx_sql MERGE: unsupported clause {cl!r}. "
+                + _MERGE_GUIDE
+            )
+        is_not = bool(hm.group("not"))
+        by_src = bool(hm.group("bysrc"))
+        cond = hm.group("cond")
+        action = hm.group("action").strip()
+        a_up = action.upper()
+        if by_src and not is_not:
+            raise SqlDmlError(
+                f"tx_sql MERGE: {cl!r} — MATCHED BY SOURCE is not a "
+                f"SQL clause (did you mean NOT MATCHED BY SOURCE?). "
+                + _MERGE_GUIDE
+            )
+        if is_not and by_src:
+            if a_up != "DELETE":
+                raise SqlDmlError(
+                    "tx_sql MERGE: WHEN NOT MATCHED BY SOURCE supports "
+                    "THEN DELETE only (an UPDATE of untouched target "
+                    "rows is update_table's job). " + _MERGE_GUIDE
+                )
+            put("nmbs", {"cond": cond}, cl)
+        elif is_not:
+            if a_up != "INSERT *":
+                raise SqlDmlError(
+                    f"tx_sql MERGE: WHEN NOT MATCHED supports THEN "
+                    f"INSERT * only (column-list inserts reorder "
+                    f"positionally — spell the projection in the "
+                    f"USING source instead), got {action!r}. "
+                    + _MERGE_GUIDE
+                )
+            put("ins", {"cond": cond}, cl)
+        elif a_up == "DELETE":
+            put("mdel", {"cond": cond}, cl)
+        elif a_up.startswith("UPDATE"):
+            sm = re.fullmatch(
+                r"UPDATE\s+SET\s+(?P<sets>.+)", action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not sm:
+                raise SqlDmlError(
+                    f"tx_sql MERGE: malformed UPDATE action "
+                    f"{action!r}. " + _MERGE_GUIDE
+                )
+            sets_raw = sm.group("sets").strip()
+            if sets_raw == "*":
+                put("upd", {"cond": cond, "sets": "*"}, cl)
+            else:
+                sets: dict[str, str] = {}
+                for part in _split_top(sets_raw, ","):
+                    eq = part.find("=")
+                    col = part[:eq].strip() if eq > 0 else ""
+                    col = re.sub(
+                        r"^" + _IDENT + r"\.", "", col
+                    )  # t.c = ... targets column c
+                    if eq < 0 or not re.fullmatch(_IDENT, col):
+                        raise SqlDmlError(
+                            f"tx_sql MERGE: malformed SET clause "
+                            f"{part.strip()!r} (expected col = expr). "
+                            + _MERGE_GUIDE
+                        )
+                    if col in sets:
+                        raise SqlDmlError(
+                            f"tx_sql MERGE: column {col!r} SET twice."
+                        )
+                    sets[col] = part[eq + 1 :].strip()
+                put("upd", {"cond": cond, "sets": sets}, cl)
+        else:
+            raise SqlDmlError(
+                f"tx_sql MERGE: unsupported action {action!r}. "
+                + _MERGE_GUIDE
+            )
+    if not out:
+        raise SqlDmlError(
+            "tx_sql MERGE: at least one WHEN clause is required. "
+            + _MERGE_GUIDE
+        )
+    return out
+
+
 def _do_merge(spark, masked, lits, tables, m) -> dict:
+    """Lower a MERGE statement onto `merge_tx_table` with SQL-standard
+    per-row semantics (r11 advice + verdict task 4):
+
+    - a MATCHED source row satisfying the DELETE condition deletes
+      the target row (delete wins over update for the same row — the
+      net-effect convention, documented in the guide);
+    - otherwise a MATCHED row satisfying the UPDATE condition
+      updates (SET * replaces the row; SET c = expr rewrites listed
+      columns, others keep their TARGET values — expressions may
+      reference both aliases);
+    - a MATCHED row satisfying neither condition leaves the target
+      row UNTOUCHED;
+    - a NOT MATCHED source row inserts iff the INSERT clause exists
+      and its condition holds — in particular a delete-flagged row
+      whose key is NOT in the target INSERTS (standard MERGE: the
+      MATCHED DELETE clause only ever applies to matched rows; the
+      pre-r12 lowering silently dropped such rows);
+    - WHEN NOT MATCHED BY SOURCE THEN DELETE removes target rows no
+      source key touches (condition over target columns).
+
+    Everything lands in ONE merge commit: updates/inserts as the
+    staged source, deletes as flagged tombstone rows through
+    merge_tx_table's delete_col. The plain unconditional
+    ``UPDATE SET * + INSERT *`` pair keeps the cheap path (no target
+    join beyond the pk projection the DELETE clause needs);
+    conditional/partial shapes join source to target on the pks —
+    a column-pruned shuffle on the merge keys, the price of
+    evaluating target-side expressions."""
     from pyspark.sql import functions as F
 
     path = _resolve(tables, m["tbl"], "MERGE")
@@ -319,7 +527,6 @@ def _do_merge(spark, masked, lits, tables, m) -> dict:
         m["src"] if not m["src"].startswith("(") else None
     )
     on = m["on"].strip()
-    clauses_raw = m["clauses"]
 
     # --- ON: conjunction of alias-qualified pk equalities
     pks: list[str] = []
@@ -351,78 +558,187 @@ def _do_merge(spark, masked, lits, tables, m) -> dict:
             )
         pks.append(c1)
 
-    # --- clauses
-    upd = ins = False
-    delete_expr: str | None = None
-    for cl in re.split(r"(?=\bWHEN\b)", clauses_raw, flags=re.IGNORECASE):
-        cl = cl.strip()
-        if not cl:
-            continue
-        if re.fullmatch(
-            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", cl, re.IGNORECASE
-        ):
-            upd = True
-        elif re.fullmatch(
-            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", cl, re.IGNORECASE
-        ):
-            ins = True
-        else:
-            dm = re.fullmatch(
-                r"WHEN\s+MATCHED\s+AND\s+(?P<expr>.+?)\s+THEN\s+DELETE",
-                cl,
-                re.IGNORECASE | re.DOTALL,
-            )
-            if dm:
-                if delete_expr is not None:
-                    raise SqlDmlError(
-                        "tx_sql MERGE: at most one WHEN MATCHED AND ... "
-                        "THEN DELETE clause. " + _MERGE_GUIDE
-                    )
-                delete_expr = dm.group("expr")
-            else:
-                raise SqlDmlError(
-                    f"tx_sql MERGE: unsupported clause {cl!r}. "
-                    + _MERGE_GUIDE
-                )
-    if not (upd and ins):
-        raise SqlDmlError(
-            "tx_sql MERGE: both WHEN MATCHED THEN UPDATE SET * and WHEN "
-            "NOT MATCHED THEN INSERT * are required — merge_tx_table is "
-            "an upsert; a lone clause would silently change semantics. "
-            + _MERGE_GUIDE
-        )
+    clauses = _parse_merge_clauses(m["clauses"])
+    upd = clauses.get("upd")
+    ins = clauses.get("ins")
+    mdel = clauses.get("mdel")
+    nmbs = clauses.get("nmbs")
 
     src = _source_df(spark, m["src"], lits, tables)
-    dcol = None
-    if delete_expr is not None:
-        expr_sql = _unmask(delete_expr, lits).strip()
-        if s_alias:
-            expr_sql = re.sub(
-                r"\b" + re.escape(s_alias) + r"\.", "", expr_sql
-            )
-        if re.search(r"\b" + re.escape(t_alias) + r"\.", expr_sql):
-            raise SqlDmlError(
-                "tx_sql MERGE: the DELETE condition may reference "
-                "SOURCE columns only (it maps to merge_tx_table's "
-                "delete_col, evaluated on the source batch). "
-                + _MERGE_GUIDE
-            )
-        dcol = "__tx_sql_del"
-        src = src.withColumn(dcol, F.expr(expr_sql))
-    # UPDATE SET * / INSERT * land the TARGET schema: the DELETE
-    # condition is evaluated above against the full source relation,
-    # then extra source columns (flags, lineage) are projected away.
-    # Missing target columns are an error — * means every column.
     target_cols = [f.name for f in tx._fold(path).spark_schema().fields]
-    missing = [c for c in target_cols if c not in src.columns]
-    if missing:
-        raise SqlDmlError(
-            f"tx_sql MERGE: source is missing target column(s) "
-            f"{missing} — UPDATE SET * / INSERT * require every "
-            f"target column in the source"
+
+    def _require_full_source(star_kind: str) -> None:
+        missing = [c for c in target_cols if c not in src.columns]
+        if missing:
+            raise SqlDmlError(
+                f"tx_sql MERGE: source is missing target column(s) "
+                f"{missing} — {star_kind} requires every target "
+                f"column in the source"
+            )
+
+    def _cond(c, relation):
+        return (
+            F.expr(_unmask(c, lits).strip()) if c else F.lit(True)
         )
-    src = src.select(*target_cols, *([dcol] if dcol else []))
-    version = tx.merge_tx_table(spark, path, src, pks, delete_col=dcol)
+
+    dcol = "__tx_sql_del"
+
+    fast = (
+        upd is not None
+        and upd["cond"] is None
+        and upd["sets"] == "*"
+        and ins is not None
+        and ins["cond"] is None
+        and nmbs is None
+    )
+    if fast and mdel is not None and mdel["cond"] is not None:
+        # the cheap path evaluates the DELETE condition on the bare
+        # source; a target-column reference needs the join path
+        probe = _unmask(mdel["cond"], lits)
+        if re.search(r"(?<![\w.])" + re.escape(t_alias) + r"\.", probe):
+            fast = False
+
+    if fast:
+        _require_full_source("UPDATE SET * / INSERT *")
+        flag = None
+        if mdel is not None:
+            expr_sql = _unmask(mdel["cond"], lits).strip() if mdel["cond"] else "true"
+            if s_alias:
+                expr_sql = re.sub(
+                    r"(?<![\w.])" + re.escape(s_alias) + r"\.", "",
+                    expr_sql,
+                )
+            # SQL standard: the MATCHED DELETE clause applies to
+            # MATCHED rows only — restrict the flag to keys present
+            # in the target, so a flagged-but-new key still INSERTS
+            # (pk projection is column-pruned; the join shuffles on
+            # the merge keys the merge shuffles on anyway)
+            marker = (
+                tx.read_table(spark, path)
+                .select(*pks)
+                .distinct()
+                .withColumn("__tx_sql_m", F.lit(True))
+            )
+            flag = dcol
+            src = (
+                src.withColumn("__tx_sql_raw", F.expr(expr_sql))
+                .join(marker, pks, "left")
+                .withColumn(
+                    dcol,
+                    F.coalesce(F.col("__tx_sql_raw"), F.lit(False))
+                    & F.coalesce(F.col("__tx_sql_m"), F.lit(False)),
+                )
+                .drop("__tx_sql_raw", "__tx_sql_m")
+            )
+        src = src.select(*target_cols, *([flag] if flag else []))
+        version = tx.merge_tx_table(spark, path, src, pks, delete_col=flag)
+        return {"op": "merge", "version": version}
+
+    # --- general path: conditional / partial / by-source shapes.
+    # Build ONE effective source relation with per-row delete flags,
+    # then a single merge commit applies it.
+    if s_alias is None:
+        s_alias = "__tx_sql_src"
+    if s_alias == t_alias:
+        raise SqlDmlError(
+            f"tx_sql MERGE: target and source share the alias "
+            f"{t_alias!r} — expressions could not disambiguate."
+        )
+    tgt = tx.read_table(spark, path)
+    parts: list[DataFrame] = []
+    need_flag = mdel is not None or nmbs is not None
+
+    def _with_flag(df: DataFrame, value: bool) -> DataFrame:
+        return (
+            df.withColumn(dcol, F.lit(value)) if need_flag else df
+        )
+
+    if upd is not None or mdel is not None:
+        joined = tgt.alias(t_alias).join(
+            src.alias(s_alias),
+            [
+                F.col(f"{t_alias}.{k}") == F.col(f"{s_alias}.{k}")
+                for k in pks
+            ],
+            "inner",
+        )
+        del_c = (
+            F.coalesce(_cond(mdel["cond"], joined), F.lit(False))
+            if mdel is not None
+            else F.lit(False)
+        )
+        if mdel is not None:
+            parts.append(
+                _with_flag(
+                    joined.where(del_c).select(
+                        *[
+                            F.col(f"{t_alias}.{c}").alias(c)
+                            for c in target_cols
+                        ]
+                    ),
+                    True,
+                )
+            )
+        if upd is not None:
+            upd_rows = joined.where(
+                ~del_c & F.coalesce(_cond(upd["cond"], joined), F.lit(False))
+            )
+            if upd["sets"] == "*":
+                _require_full_source("UPDATE SET *")
+                proj = [
+                    F.col(f"{s_alias}.{c}").alias(c) for c in target_cols
+                ]
+            else:
+                sets = {
+                    c: _unmask(e, lits).strip()
+                    for c, e in upd["sets"].items()
+                }
+                unknown = [c for c in sets if c not in target_cols]
+                if unknown:
+                    raise SqlDmlError(
+                        f"tx_sql MERGE: SET column(s) {unknown} not in "
+                        f"the target schema ({target_cols})"
+                    )
+                bad_pk = [c for c in sets if c in pks]
+                if bad_pk:
+                    raise SqlDmlError(
+                        f"tx_sql MERGE: SET may not assign merge key "
+                        f"column(s) {bad_pk} — a key change is a "
+                        f"delete+insert, spell it as such."
+                    )
+                proj = [
+                    (
+                        F.expr(sets[c])
+                        if c in sets
+                        else F.col(f"{t_alias}.{c}")
+                    ).alias(c)
+                    for c in target_cols
+                ]
+            parts.append(_with_flag(upd_rows.select(*proj), False))
+    if ins is not None:
+        _require_full_source("INSERT *")
+        unmatched = (
+            src.alias(s_alias)
+            .join(tgt.select(*pks).distinct(), pks, "left_anti")
+            .where(_cond(ins["cond"], src))
+        )
+        parts.append(
+            _with_flag(unmatched.select(*target_cols), False)
+        )
+    if nmbs is not None:
+        untouched = (
+            tgt.alias(t_alias)
+            .join(src.select(*pks).distinct(), pks, "left_anti")
+            .where(_cond(nmbs["cond"], tgt))
+        )
+        parts.append(_with_flag(untouched.select(*target_cols), True))
+    effective = parts[0]
+    for p in parts[1:]:
+        effective = effective.unionByName(p)
+    version = tx.merge_tx_table(
+        spark, path, effective, pks,
+        delete_col=dcol if need_flag else None,
+    )
     return {"op": "merge", "version": version}
 
 
@@ -536,8 +852,7 @@ def tx_sql(
     head = masked.split(None, 1)[0].upper()
 
     if head in ("SELECT", "WITH"):
-        bound = _bind_reads(spark, masked, lits, tables)
-        return spark.sql(_unmask(bound, lits))
+        return _run_select(spark, masked, lits, tables)
     if head == "INSERT":
         m = _RE_INSERT.match(masked)
         if not m:

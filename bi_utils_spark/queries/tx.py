@@ -1420,6 +1420,63 @@ def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tx_respec_export",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    all_rows AS (
+      SELECT k, status, cents, CAST(k % 5 AS INTEGER) AS bucket
+      FROM rows0
+    ),
+    live AS (SELECT * FROM all_rows WHERE k % 9 <> 5)
+    SELECT status, bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM live GROUP BY status, bucket
+    """,
+)
+def q_tx_respec_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-evolved Iceberg export arc (r11 verdict task 1 —
+    the round's headline bug): create partitioned by status ->
+    repartition_table to bucket (ONE metadata commit, zero rewrites)
+    -> append under the new spec -> MOR delete masking rows in BOTH
+    spec eras -> export_iceberg_metadata(on_dv="deletes") emitting
+    TRUE MULTI-SPEC metadata (one manifest per live spec, both specs
+    in partition-specs, per-manifest partition_spec_id) -> read back
+    purely from the Iceberg tree via read_iceberg_export_df, which
+    must reconstruct each file through its OWN spec: old-spec files
+    read bucket from data and status from the manifest, new-spec
+    files the reverse. Grouping by BOTH columns pins both
+    reconstruction directions value-level; DuckDB recomputes the
+    expected relation from orders declaratively."""
+    import shutil
+
+    from bi_utils_spark.operators import txtable as tx
+    from bi_utils_spark.operators.iceberg import (
+        export_iceberg_metadata,
+        read_iceberg_export_df,
+    )
+
+    path = _tx_demo_dir(sf_dir) + "_respec_ice"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # full rebuild: the arc IS the fixture
+    rows = _tx_order_rows(spark, sf_dir).withColumn(
+        "bucket", (F.col("k") % 5).cast("int")
+    )
+    tx.create_table(
+        rows.where(F.col("k") % 2 == 0), path, partition_cols=["status"]
+    )
+    tx.repartition_table(path, ["bucket"])
+    tx.append_table(rows.where(F.col("k") % 2 == 1), path)
+    tx.delete_from_table(spark, path, "k % 9 = 5", mode="mor")
+    export_iceberg_metadata(path, on_dv="deletes")
+    return read_iceberg_export_df(spark, path).groupBy(
+        "status", "bucket"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+@register(
     "q_sql_dml_arc",
     f"""
     WITH rows0 AS ({_TX_ROWS_SQL}),
@@ -1443,7 +1500,11 @@ def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COALESCE(s.k, t.k) AS k,
              COALESCE(s.status, t.status) AS status,
              COALESCE(s.cents, t.cents) AS cents,
-             COALESCE(s.is_del, FALSE) AS is_del
+             -- standard MERGE: WHEN MATCHED AND is_del THEN DELETE
+             -- applies to MATCHED rows only; a flagged key absent
+             -- from the target still inserts (r11 advice fix)
+             (t.k IS NOT NULL AND s.k IS NOT NULL
+              AND COALESCE(s.is_del, FALSE)) AS is_del
       FROM after_del t FULL OUTER JOIN src s ON t.k = s.k
     ),
     final AS (SELECT k, status, cents FROM merged WHERE NOT is_del),
@@ -1521,6 +1582,92 @@ def q_sql_dml_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT cur.status, cur.n, cur.sum_cents, v0.n0
         FROM cur CROSS JOIN v0
+        """,
+        t,
+    )
+
+
+@register(
+    "q_sql_dml_merge2",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    base AS (SELECT * FROM rows0 WHERE k % 4 >= 1),
+    src AS (
+      SELECT k, status, cents + 13 AS cents
+      FROM rows0 WHERE k % 6 IN (0, 1)
+    ),
+    merged AS (
+      SELECT t.k, t.status,
+             CASE WHEN s.k IS NOT NULL AND NOT (t.cents % 2 = 0)
+                       AND s.k % 5 <> 0
+                  THEN t.cents + s.cents ELSE t.cents END AS cents,
+             ((s.k IS NOT NULL AND t.cents % 2 = 0)
+              OR (s.k IS NULL AND t.k % 7 = 0)) AS kill
+      FROM base t LEFT JOIN src s ON t.k = s.k
+    ),
+    kept AS (SELECT k, status, cents FROM merged WHERE NOT kill),
+    ins AS (
+      SELECT s.k, s.status, s.cents
+      FROM src s LEFT JOIN base t ON t.k = s.k
+      WHERE t.k IS NULL AND s.k % 3 = 0
+    ),
+    final AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM ins
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY status
+    """,
+)
+def q_sql_dml_merge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDENED SQL MERGE grammar (r11 verdict task 4), one
+    statement carrying all four clause kinds with SQL-standard
+    per-row semantics: a conditional DELETE whose condition reads
+    TARGET columns (t.cents % 2 = 0 — routed through the join path),
+    a conditional PARTIAL-column UPDATE (SET cents = t.cents +
+    s.cents; status keeps its target value; rows failing both
+    matched conditions stay untouched), a conditional INSERT
+    (s.k % 3 = 0 — other unmatched source rows vanish), and WHEN NOT
+    MATCHED BY SOURCE AND t.k % 7 = 0 THEN DELETE. Everything lands
+    in ONE merge commit; DuckDB restates the whole clause algebra
+    declaratively, so a hash match pins the front-end's lowering —
+    matched-only delete scoping included."""
+    from bi_utils_spark.operators import txtable as tx
+    from bi_utils_spark.operators.sqldml import tx_sql
+
+    path = _tx_demo_dir(sf_dir) + "_sqldml2"
+    rows = _tx_order_rows(spark, sf_dir)
+    if tx.latest_version(path) < 0:
+        tx.create_table(
+            rows.where(F.col("k") % 4 >= 1), path, partition_cols=["status"]
+        )
+    else:
+        tx.restore_table(spark, path, 0)
+        tx.vacuum_table(path, retain_versions=1, stray_age_seconds=0.0)
+    rows.createOrReplaceTempView("sqldml2_rows")
+    t = {"orders_tx": path}
+    tx_sql(
+        spark,
+        """
+        MERGE INTO orders_tx AS t
+        USING (
+          SELECT k, status, cents + 13 AS cents
+          FROM sqldml2_rows WHERE k % 6 IN (0, 1)
+        ) AS s ON t.k = s.k
+        WHEN MATCHED AND t.cents % 2 = 0 THEN DELETE
+        WHEN MATCHED AND s.k % 5 <> 0
+          THEN UPDATE SET cents = t.cents + s.cents
+        WHEN NOT MATCHED AND s.k % 3 = 0 THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.k % 7 = 0 THEN DELETE
+        """,
+        t,
+    )
+    return tx_sql(
+        spark,
+        """
+        SELECT status, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM orders_tx GROUP BY status
         """,
         t,
     )

@@ -176,11 +176,6 @@ def test_literal_safety_and_comments(spark, tbl):
         ("INSERT INTO t FOO", "expected VALUES"),
         ("INSERT INTO t VALUES (1)", "columns"),
         (
-            "MERGE INTO t USING t s ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET *",
-            "both WHEN MATCHED",
-        ),
-        (
             "MERGE INTO t USING t s ON t.k < s.k "
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *",
@@ -188,9 +183,30 @@ def test_literal_safety_and_comments(spark, tbl):
         ),
         (
             "MERGE INTO t USING t s ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET v = 1 "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 1",
+            "THEN DELETE only",
+        ),
+        (
+            "MERGE INTO t USING t s ON t.k = s.k "
+            "WHEN MATCHED THEN INSERT *",
+            "unsupported action",
+        ),
+        (
+            "MERGE INTO t USING t s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)",
+            "INSERT \\* only",
+        ),
+        (
+            "MERGE INTO t USING t s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND s.v > 1 THEN UPDATE SET v = 2",
+            "duplicate clause kind",
+        ),
+        (
+            "MERGE INTO t USING t s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = 9 "
             "WHEN NOT MATCHED THEN INSERT *",
-            "unsupported clause",
+            "merge key",
         ),
         ("RESTORE TABLE t TO VERSION 3", "malformed RESTORE"),
         ("", "empty statement"),
@@ -253,3 +269,169 @@ def test_merge_nested_subquery_source(spark, tbl):
     rows = _rows(spark, tbl)
     assert (1, 11, "a") in rows and (2, 21, "b") in rows
     assert (3, 30, "a") in rows  # untouched
+
+
+# ===========================================================================
+# r12: table-reference binding fixes (r11 advice) + SQL-standard MERGE
+# semantics and the widened clause grammar (r11 verdict task 4)
+# ===========================================================================
+
+
+def test_qualified_references_resolve(spark, tbl):
+    """The r11 advice repro: `SELECT t.x FROM t` used to rewrite the
+    qualifier and the FROM reference to two different temp views."""
+    got = tx_sql(
+        spark, "SELECT t.k, t.v FROM t WHERE t.s = 'a'", {"t": tbl}
+    ).collect()
+    assert sorted((r["k"], r["v"]) for r in got) == [(1, 10), (3, 30)]
+
+
+def test_self_join_and_alias_sharing_name(spark, tbl):
+    # self-join through the mapped name
+    got = tx_sql(
+        spark,
+        "SELECT a.k AS k FROM t a JOIN t b ON a.k = b.k WHERE a.s = 'b'",
+        {"t": tbl},
+    ).collect()
+    assert sorted(r["k"] for r in got) == [2, 4]
+    # an OUTPUT alias that shares the mapped name is untouched
+    got = tx_sql(
+        spark, "SELECT max(v) AS t FROM t", {"t": tbl}
+    ).collect()
+    assert got[0]["t"] == 40
+
+
+def test_binding_views_are_dropped_after_statement(spark, tbl):
+    tx_sql(spark, "SELECT * FROM t", {"t": tbl}).collect()
+    assert not any(
+        v.name == "t" or v.name.startswith("__tx_sql_")
+        for v in spark.catalog.listTables()
+    )
+
+
+def test_asof_and_plain_reference_coexist(spark, tbl):
+    tx_sql(spark, "DELETE FROM t WHERE k = 4", {"t": tbl})
+    got = tx_sql(
+        spark,
+        "SELECT (SELECT count(*) FROM t VERSION AS OF 0) AS n0, "
+        "count(*) AS n1, (SELECT count(*) FROM t VERSION AS OF 0) AS n0b "
+        "FROM t",
+        {"t": tbl},
+    ).collect()[0]
+    assert (got["n0"], got["n1"], got["n0b"]) == (4, 3, 4)
+
+
+def test_merge_delete_flag_applies_to_matched_only(spark, tbl):
+    """SQL standard (r11 advice): WHEN MATCHED AND flag THEN DELETE
+    never touches NOT-MATCHED rows — a flagged NEW key still inserts
+    via WHEN NOT MATCHED THEN INSERT *."""
+    spark.createDataFrame(
+        [(2, 21, "b", True),   # matched + flagged -> deleted
+         (3, 31, "a", False),  # matched -> updated
+         (9, 90, "z", True)],  # NOT matched + flagged -> INSERTS
+        "k int, v long, s string, del boolean",
+    ).createOrReplaceTempView("m_src")
+    tx_sql(
+        spark,
+        "MERGE INTO t USING m_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN MATCHED AND s.del THEN DELETE",
+        {"t": tbl},
+    )
+    assert _rows(spark, tbl) == [
+        (1, 10, "a"), (3, 31, "a"), (4, 40, "b"), (9, 90, "z")
+    ]
+
+
+def test_merge_partial_update_set(spark, tbl):
+    """Partial-column UPDATE SET: listed columns take the expression
+    (both aliases referencable), unlisted keep TARGET values."""
+    spark.createDataFrame(
+        [(1, 100), (3, 300), (9, 900)], "k int, bonus long"
+    ).createOrReplaceTempView("m_src2")
+    tx_sql(
+        spark,
+        "MERGE INTO t USING m_src2 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.bonus",
+        {"t": tbl},
+    )
+    # s untouched everywhere; unmatched source key 9 NOT inserted
+    # (no INSERT clause); unmatched target rows untouched
+    assert _rows(spark, tbl) == [
+        (1, 110, "a"), (2, 20, "b"), (3, 330, "a"), (4, 40, "b")
+    ]
+
+
+def test_merge_conditional_clauses(spark, tbl):
+    """WHEN MATCHED AND c THEN UPDATE + WHEN NOT MATCHED AND c THEN
+    INSERT: rows failing the matched condition stay untouched; rows
+    failing the insert condition vanish."""
+    spark.createDataFrame(
+        [(1, 11, "a"), (2, 22, "b"), (8, 80, "y"), (9, 90, "z")],
+        "k int, v long, s string",
+    ).createOrReplaceTempView("m_src3")
+    tx_sql(
+        spark,
+        "MERGE INTO t USING m_src3 s ON t.k = s.k "
+        "WHEN MATCHED AND s.v > 20 THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.s = 'z' THEN INSERT *",
+        {"t": tbl},
+    )
+    assert _rows(spark, tbl) == [
+        (1, 10, "a"),   # matched, cond false -> untouched
+        (2, 22, "b"),   # matched, cond true -> updated
+        (3, 30, "a"), (4, 40, "b"),
+        (9, 90, "z"),   # unmatched, insert cond true
+    ]
+
+
+def test_merge_not_matched_by_source_delete(spark, tbl):
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k int, v long, s string"
+    ).createOrReplaceTempView("m_src4")
+    tx_sql(
+        spark,
+        "MERGE INTO t USING m_src4 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND t.s = 'b' THEN DELETE",
+        {"t": tbl},
+    )
+    # k=4 (s='b', untouched by source) deleted; k=3 (s='a') kept
+    assert _rows(spark, tbl) == [(1, 10, "a"), (2, 20, "b"), (3, 30, "a")]
+
+
+def test_merge_delete_condition_over_target_columns(spark, tbl):
+    """A DELETE condition referencing TARGET columns routes through
+    the join path (the pre-r12 front-end refused it)."""
+    spark.createDataFrame(
+        [(1, 0, "x"), (2, 0, "x"), (9, 99, "z")],
+        "k int, v long, s string",
+    ).createOrReplaceTempView("m_src5")
+    tx_sql(
+        spark,
+        "MERGE INTO t USING m_src5 s ON t.k = s.k "
+        "WHEN MATCHED AND t.v >= 20 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"t": tbl},
+    )
+    assert _rows(spark, tbl) == [
+        (1, 0, "x"),    # matched, t.v=10 < 20 -> updated
+        (3, 30, "a"), (4, 40, "b"),  # untouched by source
+        (9, 99, "z"),   # inserted
+    ]
+
+
+def test_merge_update_only_and_delete_only(spark, tbl):
+    spark.createDataFrame(
+        [(2, True), (9, True)], "k int, del boolean"
+    ).createOrReplaceTempView("m_src6")
+    # DELETE-only merge: matched flagged key deleted, new key ignored
+    tx_sql(
+        spark,
+        "MERGE INTO t USING m_src6 s ON t.k = s.k "
+        "WHEN MATCHED AND s.del THEN DELETE",
+        {"t": tbl},
+    )
+    assert _rows(spark, tbl) == [(1, 10, "a"), (3, 30, "a"), (4, 40, "b")]
