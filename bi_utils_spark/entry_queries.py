@@ -51,6 +51,7 @@ from bi_utils_spark.queries.vectors import (  # noqa: E402
 )
 from bi_utils_spark.queries.warehouse import raw_winnow_near_dup  # noqa: E402
 from bi_utils_spark.queries.tx import (  # noqa: E402
+    raw_tx_cdf,
     raw_tx_delete,
     raw_tx_merge,
 )
@@ -58,85 +59,91 @@ from bi_utils_spark.queries.tx import (  # noqa: E402
 
 
 # ===========================================================================
-# Registration-order priority (round 11 window).
+# Registration-order priority (round 12 window).
 #
 # The driver's correctness run evaluates the first 50 queries in dict
 # order. Standing rule (VERDICT r2 #2): every query whose
 # implementation changed since its last official CORRECTNESS row is
 # promoted into the window; remaining slots re-attest the queries
-# whose official green row is OLDEST. The r11 window:
+# whose official green row is OLDEST. The r12 window:
 #
-# (1) NEW in r11: the five formerly BENCH-only rows promoted per the
-#     r10 verdict (capped minhash/simhash/winnow bound attestations;
-#     the two raw tx DML arcs with direct SQL oracles), plus the SQL
-#     DML front-end and Iceberg-export rows added this round.
-# (2) r11-changed implementation: the five queries whose operators
-#     gained BNLJ size guards (knn_join_exact, semantic pair/
-#     decontaminate, bm25, hybrid fusion) — the guard probe is a new
-#     code path in front of each plan.
-# (3) re-attestation, oldest official row first: the r5-era tier
-#     resuming at q_audio_features (exactly where r10's ledger left
-#     off), registry order, skipping names already in tier 2.
-# Demoted: the r10 tx tier (attested officially in r10) and everything
-# attested r8-r9.
+# (1) NEW in r12: q_tx_respec_export (multi-spec Iceberg export, the
+#     r11 verdict headline) and q_sql_dml_merge2 (widened SQL MERGE
+#     grammar); plus the two r11 rows whose implementation AND (for
+#     the sql arc) oracle changed this round: q_sql_dml_arc
+#     (SQL-standard matched-only delete semantics; reference binding
+#     rewrite) and q_iceberg_export (multi-spec export internals).
+# (2) r12-changed implementation: q_tx_compact and q_tx_zorder — the
+#     compaction planner (_group_counts) learned to scan old-spec
+#     files for their current-spec keys; both rows drive it.
+# (3) oldest-green sample (verdict task 8): pre-r5 rows whose last
+#     official attestation predates the rotation ledger —
+#     q_union_pages, q_alert_top1, q_flatten_lineitems, q_hash_id,
+#     q_daily_count, q_latest_event_per_user.
+# (4) re-attestation, oldest official rows first: resuming at
+#     q_boilerplate_grams (exactly where the r11 ledger note left
+#     off), registry order, skipping names green in the r11 window
+#     (q_semantic_contamination, q_semantic_decontam, q_knn_join).
+# Demoted: everything attested officially in r11.
+# Ledger note: tier 4 ends at q_series_outliers; r13 resumes at
+# q_cidr_match onward.
 # ===========================================================================
 
 _PROMOTED: list[str] = [
-    # ---- tier 1: new in r11 ----
+    # ---- tier 1: new / semantics-changed in r12 ----
+    "q_tx_respec_export",
+    "q_sql_dml_merge2",
     "q_sql_dml_arc",
     "q_iceberg_export",
-    "q_tx_merge_raw",
-    "q_tx_delete_raw",
-    "q_minhash_near_dup_capped",
-    "q_simhash_near_dup_capped",
-    "q_winnow_near_dup_capped",
-    # ---- tier 2: r11-changed implementation (BNLJ guards) ----
-    "q_knn_join",
-    "q_semantic_contamination",
-    "q_semantic_decontam",
-    "q_bm25_search",
-    "q_hybrid_search",
-    # ---- tier 3: re-attestation, oldest official rows first,
-    # resuming at q_audio_features per the r10 ledger note ----
-    "q_audio_features",
-    "q_phash_near_dup",
-    "q_emb_simhash_pairs",
-    "q_phash_dedup_clusters",
-    "q_emb_dedup_exact",
-    "q_emb_near_dup_ivf",
-    "q_ivf_topk",
-    "q_ivf_index_topk",
-    "q_ivf_batch_topk",
-    "q_pq_topk",
-    "q_forecast_revenue",
-    "q_returned_items",
-    "q_large_orders",
-    "q_promo_share",
-    "q_cube_flags",
-    "q_users_click_not_purchase",
-    "q_users_signup_and_error",
-    "q_winnow_near_dup",
-    "q_grouping_sets",
-    "q_price_variance",
-    "q_string_funcs",
-    "q_priority_with_shipment",
-    "q_hourly_rollup",
-    "q_hll_daily_users",
-    "q_repetition_stats",
-    "q_pack_conservation",
-    "q_pack_sequences",
-    "q_chunk_documents",
-    "q_snapshot_diff",
-    "q_bitext_mine",
-    "q_bitext_mine_blocked",
-    "q_stratified_sample",
-    "q_unigram_logprob",
-    "q_oov_rate",
-    "q_contamination",
-    "q_decontaminate",
-    "q_quality_tophalf",
-    "q_remove_dup_spans",
-    # (q_boilerplate_grams onward: next in line for r12)
+    # ---- tier 2: r12-changed compaction planner ----
+    "q_tx_compact",
+    "q_tx_zorder",
+    # ---- tier 3: oldest-green pre-r5 sample ----
+    "q_union_pages",
+    "q_alert_top1",
+    "q_flatten_lineitems",
+    "q_hash_id",
+    "q_daily_count",
+    "q_latest_event_per_user",
+    # ---- tier 4: re-attestation, oldest official rows first ----
+    "q_boilerplate_grams",
+    "q_dup_spans",
+    "q_importance_weights",
+    "q_importance_sample",
+    "q_nb_classifier",
+    "q_nb_classifier_eval",
+    "q_zipf_topk",
+    "q_head_coverage",
+    "q_bigram_logprob",
+    "q_mixture_sample",
+    "q_bpe_top_pairs",
+    "q_ivfpq_residual_topk",
+    "q_funnel",
+    "q_funnel_latency",
+    "q_event_transitions",
+    "q_cohort_retention",
+    "q_corpus_report",
+    "q_curriculum_order",
+    "q_encode_tokens",
+    "q_global_shuffle",
+    "q_boilerplate_lines",
+    "q_line_dedup",
+    "q_url_normalize",
+    "q_domain_stats",
+    "q_domain_blocklist",
+    "q_registered_domain_psl",
+    "q_domain_stats_psl",
+    "q_domain_cap",
+    "q_html_extract",
+    "q_outlink_domains",
+    "q_web_pipeline",
+    "q_robots_rules",
+    "q_robots_decisions",
+    "q_zorder_key",
+    "q_countmin_hh",
+    "q_countmin_bound",
+    "q_unicode_nfc",
+    "q_series_outliers",
 ]
 
 
@@ -211,6 +218,9 @@ RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_batch_topk": raw_ivf_batch_probe,
     "q_tx_merge_raw": raw_tx_merge,
     "q_tx_delete_raw": raw_tx_delete,
+    # scale-curve-only row (not benched, not oracled): the end-to-end
+    # commit-time-CDF arc, rebuilt from scratch per call
+    "q_tx_cdf_raw": raw_tx_cdf,
     "q_minhash_near_dup": raw_minhash_near_dup,
     "q_simhash_near_dup": raw_simhash_near_dup,
     "q_winnow_near_dup": raw_winnow_near_dup,

@@ -4171,6 +4171,7 @@ def maintain_table(
     bloom_cols: Sequence[str] | None = None,
     bloom_fpp: float = 0.01,
     refresh_symlink_manifest: bool = False,
+    refresh_iceberg_export: bool | str = False,
     purge_dv_rows: int | None = None,
     log_retain_versions: int | None = None,
 ) -> dict:
@@ -4213,7 +4214,26 @@ def maintain_table(
     final `expire_log` step so the commit log's file count stays
     bounded on the same cadence — pass a horizon at least as long as
     the vacuum retention, or time travel dies before its data
-    does."""
+    does.
+
+    The EXPORT refreshes (r12, the operational interop story): both
+    run AFTER compaction so external readers see the post-rewrite
+    layout, and keep the vacuum retention longer than the export
+    cadence so an exported file list always outlives its readers.
+    ``refresh_symlink_manifest=True`` rebuilds the Hive symlink
+    tree; ``refresh_iceberg_export`` re-exports the Iceberg metadata
+    tree (``True`` refuses DV'd snapshots like the direct call;
+    ``"deletes"``/``"materialize"`` pass through as its ``on_dv``).
+    An export REFUSAL (DVs on the symlink path, renamed columns,
+    a dropped old-spec partition column) must not abort the nightly
+    run — compaction/vacuum/bloom already did their work — so it is
+    caught and surfaced verbatim in the audit dict
+    (``symlink_refused`` / ``iceberg_refused``), each message naming
+    the unblocking verb (materialize_deletes / compact_table /
+    the iceberg export), and the corresponding result key stays
+    None. Note compaction itself often clears the refusal a night
+    later: it rewrites DV'd files clean and migrates old-spec files
+    to the current spec."""
     compacted = None
     raced = False
     skipped = None
@@ -4254,9 +4274,31 @@ def maintain_table(
         )
         bloom_files[col] = len(idx["files"])
     manifest = None
+    symlink_refused = None
     if refresh_symlink_manifest:
-        # last, so external readers see the post-compaction layout
-        manifest = write_symlink_manifest(path)
+        # after compaction, so external readers see the new layout; a
+        # refusal is surfaced, never fatal (the audit dict carries
+        # the actionable message, the rest of the night ran)
+        try:
+            manifest = write_symlink_manifest(path)
+        except ValueError as e:
+            symlink_refused = str(e)
+    iceberg = None
+    iceberg_refused = None
+    if refresh_iceberg_export:
+        from bi_utils_spark.operators.iceberg import export_iceberg_metadata
+
+        on_dv = (
+            refresh_iceberg_export
+            if isinstance(refresh_iceberg_export, str)
+            else "error"
+        )
+        try:
+            iceberg = export_iceberg_metadata(
+                path, spark=spark, on_dv=on_dv
+            )
+        except ValueError as e:
+            iceberg_refused = str(e)
     expired = None
     if log_retain_versions is not None:
         expired = expire_log(
@@ -4272,6 +4314,9 @@ def maintain_table(
         "files_reclaimed": len(deleted),
         "bloom_files": bloom_files,
         "symlink_manifest": manifest,
+        "symlink_refused": symlink_refused,
+        "iceberg_export": iceberg,
+        "iceberg_refused": iceberg_refused,
         "log_expired": expired,
     }
 

@@ -1323,6 +1323,50 @@ def raw_tx_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def raw_tx_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest commit-time-CDF arc wall (scale-curve row
+    q_tx_cdf_raw, r11 verdict task 5): rebuild the whole
+    enable_change_data arc from scratch per call — create -> enable ->
+    append -> three-clause merge -> MOR update — then read the feed
+    with no pks (a pure scan of the recorded change files). Both
+    scale legs time the identical end-to-end arc, so the measured
+    exponent reflects the claim that CDF cost tracks the WRITE RATE:
+    every step's work is the commit's own footprint."""
+    import shutil
+
+    from bi_utils_spark.operators import txtable as tx
+
+    path = _tx_demo_dir(sf_dir) + "_rawcdf"
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    rows = _tx_order_rows(spark, sf_dir)
+    tx.create_table(
+        rows.where(F.col("k") % 5 >= 2), path, partition_cols=["status"]
+    )
+    tx.enable_change_data(path)
+    tx.append_table(rows.where(F.col("k") % 5 == 1), path)
+    src = (
+        rows.where(F.col("k") % 10 == 1)
+        .withColumn("cents", F.col("cents") * 2)
+        .unionByName(
+            rows.where(F.col("k") % 5 == 0).withColumn("status", F.lit("N"))
+        )
+        .withColumn("__del", F.lit(False))
+        .unionByName(
+            rows.where(F.col("k") % 10 == 6).withColumn("__del", F.lit(True))
+        )
+    )
+    tx.merge_tx_table(spark, path, src, ["k"], delete_col="__del")
+    tx.update_table(
+        spark, path, "k % 10 = 2", {"cents": "cents + 7"}, mode="mor"
+    )
+    from bi_utils_spark.operators.txtable import table_changes_cdf
+
+    return table_changes_cdf(spark, path, after_version=-1).groupBy(
+        "_change_type"
+    ).agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+
+
 def raw_tx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The honest MERGE wall (bench-only): each repeat resets a
     scratch tx table to its base snapshot via a metadata-only

@@ -21,6 +21,9 @@ Fanout construction (DuckDB, written once under .scale/x<FAN>/):
   so no vector has exact twins (ties would distort top-k churn).
 - ``events``: event_id/user_id offsets per copy — <FAN>x users with
   the same per-user behavior, the shape a 10x day of traffic has.
+- ``orders`` (r12, for the tx-layer arcs): o_orderkey/o_custkey
+  offsets per copy — the tx merge/delete/CDF arcs key on orderkey,
+  so a fanout without the offset would collapse to duplicate pks.
 
 Usage::
 
@@ -61,18 +64,32 @@ DEFAULT_QUERIES = {
     "q_rfm_segments": "linear",
     "q_bpe_encode": "linear",
     "q_minhash_near_dup": "linear",
+    # r11 verdict task 5: measured points for the tx layer — the
+    # merge/MOR-delete/commit-time-CDF arcs whose 100 TB story
+    # (partition-scoped rewrites, kilobyte DV sidecars, change files
+    # proportional to the commit) was previously argued from design
+    # only. All reset/rebuild per call, so both legs time the same
+    # end-to-end arc.
+    "q_tx_merge_raw": "linear",
+    "q_tx_delete_raw": "linear",
+    "q_tx_cdf_raw": "linear",
 }
+
+# arcs that reset their scratch table INSIDE the callable: both legs
+# get best-of-2 so neither includes the one-time create of a fresh
+# scratch dir while the other does not
+SELF_RESETTING = {"q_tx_merge_raw", "q_tx_delete_raw", "q_tx_cdf_raw"}
 
 TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
-FANNED = {"documents", "embeddings", "events"}
+FANNED = {"documents", "embeddings", "events", "orders"}
 
 
 def build_fanout(fan: int) -> str:
     out_dir = os.path.join(SCALE_ROOT, f"x{fan}")
-    marker = os.path.join(out_dir, ".complete")
+    marker = os.path.join(out_dir, ".complete-v2")  # v2: +orders fanout
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
@@ -130,6 +147,18 @@ def build_fanout(fan: int) -> str:
         ) TO '{out_dir}/events.parquet' (FORMAT parquet)
         """
     )
+    con.execute(
+        f"""
+        COPY (
+          SELECT o.o_orderkey + c.copy * 1_000_000_000 AS o_orderkey,
+                 o.o_custkey + c.copy * 100_000_000 AS o_custkey,
+                 o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+                 o.o_orderpriority
+          FROM read_parquet('{BASE}/orders.parquet') o,
+               (SELECT unnest([{copies}]) AS copy) c
+        ) TO '{out_dir}/orders.parquet' (FORMAT parquet)
+        """
+    )
     for t in TABLES:
         if t in FANNED:
             continue
@@ -167,7 +196,7 @@ def main() -> None:
         fn = queries[name]
         walls = {}
         for label, d in (("base", BASE), (f"x{fan}", fan_dir)):
-            reps = 2 if label == "base" else 1
+            reps = 2 if (label == "base" or name in SELF_RESETTING) else 1
             best = math.inf
             for _ in range(reps):
                 t0 = time.monotonic()

@@ -235,3 +235,74 @@ def test_respec_back_to_original_spec(spark, tmp_path):
     got = read_iceberg_export_df(spark, path)
     want = tx.read_table(spark, path)
     assert _rows(got) == _rows(want.select(*got.columns))
+
+
+# ===========================================================================
+# r12 verdict task 7: the nightly composite carries both export
+# refreshes; refusals surface as actionable audit messages, never
+# abort the run, and compaction clears them a night later.
+# ===========================================================================
+
+
+def test_maintain_table_export_refreshes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10, "a", "x"), (2, 20, "b", "y"), (3, 30, "a", "y"),
+         (4, 40, "b", "x")],
+        "k int, v long, s string, c string",
+    )
+    tx.create_table(df, path, partition_cols=["s"])
+    tx.repartition_table(path, ["c"])          # mixed-spec live set
+    tx.append_table(
+        spark.createDataFrame([(5, 50, "a", "z")],
+                              "k int, v long, s string, c string"),
+        path,
+    )
+    tx.rename_column(path, "v", "amount")      # column mapping active
+    tx.delete_from_table(spark, path, "k = 2", mode="mor")  # DVs live
+
+    # night 1: symlink path refuses (DVs are first in its guard
+    # chain — renames and mixed-spec would each refuse too); iceberg
+    # with on_dv='deletes' handles ALL THREE natively; the rest of
+    # the night still ran.
+    audit = tx.maintain_table(
+        spark, path,
+        refresh_symlink_manifest=True,
+        refresh_iceberg_export="deletes",
+    )
+    assert audit["symlink_manifest"] is None
+    assert "deletion vectors" in audit["symlink_refused"]
+    assert "export_iceberg_metadata" in audit["symlink_refused"]
+    assert audit["iceberg_refused"] is None
+    assert audit["iceberg_export"]["n_specs"] == 2
+    assert audit["iceberg_export"]["n_deleted_rows"] == 1
+    got = read_iceberg_export_df(spark, path)
+    want = tx.read_table(spark, path)
+    assert _rows(got) == _rows(want.select(*got.columns))
+
+    # iceberg default (True) refuses the DV'd snapshot with guidance,
+    # still without aborting the composite
+    audit = tx.maintain_table(spark, path, refresh_iceberg_export=True)
+    assert audit["iceberg_export"] is None
+    assert "deletion vectors" in audit["iceberg_refused"]
+    assert "on_dv='deletes'" in audit["iceberg_refused"]
+
+    # night 2: pay the debts — materialize the DVs, migrate the spec
+    # (compact_table), and the plain exports come back clean. The
+    # rename stays: the symlink path refuses it by design (files
+    # spell physical names), the Iceberg path name-maps it.
+    tx.materialize_deletes(spark, path)
+    tx.compact_table(spark, path)
+    audit = tx.maintain_table(
+        spark, path,
+        refresh_symlink_manifest=True,
+        refresh_iceberg_export=True,
+    )
+    assert audit["iceberg_refused"] is None
+    assert audit["iceberg_export"]["n_specs"] == 1
+    assert audit["symlink_manifest"] is None  # rename still refuses
+    assert "renamed columns" in audit["symlink_refused"]
+    got = read_iceberg_export_df(spark, path)
+    assert _rows(got) == _rows(
+        tx.read_table(spark, path).select(*got.columns)
+    )

@@ -2,8 +2,10 @@
 
 Racing writer threads fire seeded-random DML/maintenance arcs —
 append, merge, delete, update (MOR and COW), compact, vacuum,
-check-constraint add/drop — at ONE table through the optimistic
-commit protocol. The WriteSerializable claim under test: whatever
+check-constraint add/drop, and (r12, verdict task 6) the schema/DDL
+verbs where optimistic rebases are most likely to hide a bug:
+add_column, rename_column, and repartition_table racing the DML —
+at ONE table through the optimistic commit protocol. The WriteSerializable claim under test: whatever
 interleaving the race produced, the final table state equals a
 SERIAL replay of the committed operations in commit (version) order.
 
@@ -58,19 +60,28 @@ MAX_RETRIES = 120
 
 
 def _df(spark, rows):
-    return spark.createDataFrame(rows, "k int, v long")
+    """Writer rows carry a deterministic partition column p = k % 3
+    so `repartition_table(["p"])` arcs compose with every other op
+    (p is a pure function of k — merges stay partition-stable)."""
+    return spark.createDataFrame(
+        [(k, v, k % 3) for k, v in rows], "k int, v long, p int"
+    )
 
 
 def _writer_ops(seed: int, wid: int):
     """≥ OPS_PER_WRITER seeded ops for one writer: mixed DML +
-    maintenance. Descriptors are plain tuples so the serial replay
-    re-executes exactly what the concurrent run committed."""
+    maintenance + DDL. Descriptors are plain tuples so the serial
+    replay re-executes exactly what the concurrent run committed
+    (stateful resolutions — which column a rename picked, which spec
+    a respec toggled to — are recovered from the live log entry at
+    replay time)."""
     rng = random.Random(seed * 1000 + wid)
     ops = []
     for i in range(OPS_PER_WRITER):
         kind = rng.choice(
             ["append", "merge", "merge", "delete", "update",
-             "compact", "vacuum", "addc", "dropc"]
+             "compact", "vacuum", "addc", "dropc",
+             "addcol", "rename", "respec"]
         )
         if kind == "append":
             keys = rng.sample(range(100), rng.randint(1, 5))
@@ -92,8 +103,20 @@ def _writer_ops(seed: int, wid: int):
         elif kind == "addc":
             ops.append(("addc", f"c_{wid}_{i}",
                         rng.choice(["v >= 0", "k >= 0", "v IS NOT NULL"])))
-        else:
+        elif kind == "dropc":
             ops.append(("dropc", wid))
+        elif kind == "addcol":
+            ops.append(("addcol", f"x_{wid}_{i}"))
+        elif kind == "rename":
+            # renames this writer's oldest surviving x_-column
+            # (stateful — the replay recovers the exact pair from the
+            # live log entry's "renamed" record)
+            ops.append(("rename", wid))
+        else:
+            # toggles the partition spec: ["p"] <-> [] — every toggle
+            # puts the OTHER era's live files into old-spec (stale)
+            # state, stressing mixed-spec reads/merges/compactions
+            ops.append(("respec",))
     return ops
 
 
@@ -136,6 +159,24 @@ def _apply_op(spark, path: str, op) -> int | None:
             return tx.drop_check_constraint(path, mine[0])
         except ValueError:
             return None  # raced with another drop of the same name
+    if kind == "addcol":
+        return tx.add_column(path, op[1], "long")
+    if kind == "rename":
+        snap = tx._fold(path)
+        mine = sorted(
+            f.name
+            for f in snap.spark_schema().fields
+            if f.name.startswith(f"x_{op[1]}_")
+        )
+        if not mine:
+            return None  # nothing of ours to rename yet
+        return tx.rename_column(path, mine[0], "y" + mine[0][1:])
+    if kind == "respec":
+        target = [] if tx._fold(path).partition_cols == ["p"] else ["p"]
+        try:
+            return tx.repartition_table(path, target)
+        except ValueError:
+            return None  # raced to the same spec: already there
     raise AssertionError(kind)
 
 
@@ -211,12 +252,33 @@ def test_racing_writers_serialize(spark, tmp_path, seed):
             gone = set(live_before) - set(live_after)
             assert len(gone) == 1
             tx.drop_check_constraint(replay, gone.pop())
+        elif op[0] == "rename":
+            # same recovery: the live entry records the exact pair
+            old, new = tx._load_entry(path, v)["renamed"]
+            tx.rename_column(replay, old, new)
+        elif op[0] == "respec":
+            # the toggle is stateful; the live entry records the spec
+            tx.repartition_table(
+                replay, tx._load_entry(path, v)["partition_cols"]
+            )
         else:
             _apply_op(spark, replay, op)
 
-    got = sorted((r["k"], r["v"]) for r in tx.read_table(spark, path).collect())
+    live_schema = tx._fold(path).spark_schema()
+    replay_schema = tx._fold(replay).spark_schema()
+    assert live_schema.fieldNames() == replay_schema.fieldNames()
+    assert [f.dataType for f in live_schema.fields] == [
+        f.dataType for f in replay_schema.fields
+    ]
+    assert tx._fold(path).partition_cols == tx._fold(replay).partition_cols
+    cols = live_schema.fieldNames()
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in tx.read_table(spark, path).collect()
+    )
     want = sorted(
-        (r["k"], r["v"]) for r in tx.read_table(spark, replay).collect()
+        tuple(r[c] for c in cols)
+        for r in tx.read_table(spark, replay).collect()
     )
     assert got == want
     assert got  # the arcs never empty the table entirely
