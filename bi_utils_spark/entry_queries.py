@@ -85,14 +85,15 @@ from bi_utils_spark.queries.tx import (  # noqa: E402
 #     off), registry order, skipping names green in the r11 window
 #     (q_semantic_contamination, q_semantic_decontam, q_knn_join).
 # Demoted: everything attested officially in r11.
-# Ledger note: tier 4 ends at q_series_outliers; r13 resumes at
-# q_cidr_match onward.
+# Ledger note: tier 4 ends at q_unicode_nfc; r13 resumes at
+# q_series_outliers onward.
 # ===========================================================================
 
 _PROMOTED: list[str] = [
     # ---- tier 1: new / semantics-changed in r12 ----
     "q_tx_respec_export",
     "q_sql_dml_merge2",
+    "q_sql_ddl_arc",
     "q_sql_dml_arc",
     "q_iceberg_export",
     # ---- tier 2: r12-changed compaction planner ----
@@ -143,7 +144,6 @@ _PROMOTED: list[str] = [
     "q_countmin_hh",
     "q_countmin_bound",
     "q_unicode_nfc",
-    "q_series_outliers",
 ]
 
 

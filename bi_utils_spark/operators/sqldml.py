@@ -62,6 +62,15 @@ call):
 - ``RESTORE TABLE t TO VERSION AS OF n`` (or ``TIMESTAMP AS OF``)
 - ``DESCRIBE HISTORY t``
 - ``VACUUM t [RETAIN n VERSIONS]``
+- DDL (r12): ``CREATE TABLE [IF NOT EXISTS] t (col type, ...)
+  [PARTITIONED BY (cols)]`` / ``CREATE TABLE t [PARTITIONED BY
+  (cols)] AS SELECT ...``; ``ALTER TABLE t`` with ``ADD COLUMN c
+  type``, ``RENAME COLUMN a TO b``, ``DROP COLUMN c``, ``ALTER
+  COLUMN c TYPE wider``, ``ADD CONSTRAINT n CHECK (expr)``, ``DROP
+  CONSTRAINT n``; ``OPTIMIZE t [ZORDER BY (cols)]`` (partition-scoped
+  `compact_partitions` on partitioned tables, `compact_table`
+  otherwise). Each dispatches to the corresponding txtable verb —
+  the metadata-time ALTERs stay metadata-time.
 
 Scale: identical to the verbs — the front-end adds only driver-side
 string work; plans, pruning, and commit protocol are untouched.
@@ -812,6 +821,170 @@ def _parse_merge(masked: str) -> dict | None:
         "on": tail.group("on"),
         "clauses": tail.group("clauses"),
     }
+_RE_CREATE = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<tbl>" + _IDENT + r")\s*",
+    re.IGNORECASE,
+)
+_RE_ALTER = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<tbl>" + _IDENT + r")\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RE_OPTIMIZE = re.compile(
+    r"^OPTIMIZE\s+(?P<tbl>" + _IDENT + r")"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<z>[^)]*?)\s*\))?$",
+    re.IGNORECASE,
+)
+
+
+def _balanced_paren(s: str) -> int | None:
+    """End index (exclusive) of the paren group ``s`` starts with."""
+    depth = 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return None
+
+
+def _do_create(spark, masked, lits, tables, m) -> dict:
+    path = _resolve(tables, m.group("tbl"), "CREATE")
+    rest = masked[m.end():].strip()
+    cols_sql = None
+    if rest.startswith("("):
+        end = _balanced_paren(rest)
+        if end is None:
+            raise SqlDmlError("tx_sql CREATE TABLE: unbalanced column list")
+        cols_sql, rest = rest[1 : end - 1], rest[end:].strip()
+    pcols = None
+    pm = re.match(
+        r"PARTITIONED\s+BY\s*\(\s*([^)]*?)\s*\)\s*", rest, re.IGNORECASE
+    )
+    if pm:
+        pcols = [c.strip() for c in pm.group(1).split(",")]
+        rest = rest[pm.end():].strip()
+    if m.group("ine") and tx.latest_version(path) >= 0:
+        return {
+            "op": "create",
+            "version": tx.latest_version(path),
+            "skipped": True,
+        }
+    am = re.match(r"AS\s+", rest, re.IGNORECASE)
+    if am:
+        if cols_sql is not None:
+            raise SqlDmlError(
+                "tx_sql CREATE TABLE: a column list and AS SELECT are "
+                "mutually exclusive — CTAS takes its schema from the "
+                "query"
+            )
+        df = _run_select(spark, rest[am.end():], lits, tables)
+    else:
+        if rest or cols_sql is None:
+            raise SqlDmlError(
+                "tx_sql CREATE TABLE: expected (col type, ...) "
+                "[PARTITIONED BY (cols)] or [PARTITIONED BY (cols)] "
+                f"AS SELECT ..., got: {rest[:60]!r}"
+            )
+        df = spark.createDataFrame([], _unmask(cols_sql, lits))
+    return {
+        "op": "create",
+        "version": tx.create_table(df, path, partition_cols=pcols),
+    }
+
+
+_ALTER_GUIDE = (
+    "Supported ALTER TABLE forms: ADD COLUMN c type | RENAME COLUMN "
+    "a TO b | DROP COLUMN c | ALTER COLUMN c TYPE wider | ADD "
+    "CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n. Partition "
+    "evolution is repartition_table (no standard SQL spelling)."
+)
+
+
+def _do_alter(spark, masked, lits, tables, m) -> dict:
+    path = _resolve(tables, m.group("tbl"), "ALTER")
+    rest = m.group("rest").strip()
+    am = re.fullmatch(
+        r"ADD\s+COLUMNS?\s+\(?\s*(?P<c>" + _IDENT + r")\s+(?P<t>[^,()]+?)\s*\)?",
+        rest, re.IGNORECASE,
+    )
+    if am:
+        return {
+            "op": "alter",
+            "version": tx.add_column(path, am.group("c"), am.group("t")),
+        }
+    rm = re.fullmatch(
+        r"RENAME\s+COLUMN\s+(?P<a>" + _IDENT + r")\s+TO\s+(?P<b>" + _IDENT + r")",
+        rest, re.IGNORECASE,
+    )
+    if rm:
+        return {
+            "op": "alter",
+            "version": tx.rename_column(path, rm.group("a"), rm.group("b")),
+        }
+    dm = re.fullmatch(
+        r"DROP\s+COLUMN\s+(?P<c>" + _IDENT + r")", rest, re.IGNORECASE
+    )
+    if dm:
+        return {"op": "alter", "version": tx.drop_column(path, dm.group("c"))}
+    wm = re.fullmatch(
+        r"ALTER\s+COLUMN\s+(?P<c>" + _IDENT + r")\s+(?:SET\s+DATA\s+)?TYPE\s+"
+        r"(?P<t>\S+)",
+        rest, re.IGNORECASE,
+    )
+    if wm:
+        return {
+            "op": "alter",
+            "version": tx.widen_column_type(path, wm.group("c"), wm.group("t")),
+        }
+    cm = re.fullmatch(
+        r"ADD\s+CONSTRAINT\s+(?P<n>" + _IDENT + r")\s+CHECK\s*"
+        r"\((?P<e>.+)\)",
+        rest, re.IGNORECASE | re.DOTALL,
+    )
+    if cm:
+        return {
+            "op": "alter",
+            "version": tx.add_check_constraint(
+                spark, path, cm.group("n"), _unmask(cm.group("e"), lits)
+            ),
+        }
+    xm = re.fullmatch(
+        r"DROP\s+CONSTRAINT\s+(?P<n>" + _IDENT + r")", rest, re.IGNORECASE
+    )
+    if xm:
+        return {
+            "op": "alter",
+            "version": tx.drop_check_constraint(path, xm.group("n")),
+        }
+    raise SqlDmlError(
+        f"tx_sql ALTER TABLE: unsupported form {rest[:60]!r}. "
+        + _ALTER_GUIDE
+    )
+
+
+def _do_optimize(spark, masked, lits, tables, m) -> dict:
+    path = _resolve(tables, m.group("tbl"), "OPTIMIZE")
+    zorder = (
+        [c.strip() for c in m.group("z").split(",")]
+        if m.group("z")
+        else None
+    )
+    if tx._fold(path).partition_cols:
+        version = tx.compact_partitions(spark, path, zorder_by=zorder)
+    else:
+        version = tx.compact_table(spark, path, zorder_by=zorder)
+    return {
+        "op": "optimize",
+        "version": (
+            version if version is not None else tx.latest_version(path)
+        ),
+        "compacted": version is not None,
+    }
+
+
 _RE_RESTORE = re.compile(
     r"^RESTORE\s+TABLE\s+(?P<tbl>" + _IDENT + r")\s+TO\s+"
     r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
@@ -918,11 +1091,34 @@ def tx_sql(
         deleted = tx.vacuum_table(path, **kw)
         return {"op": "vacuum", "version": tx.latest_version(path),
                 "files_deleted": len(deleted)}
+    if head == "CREATE":
+        m = _RE_CREATE.match(masked)
+        if not m:
+            raise SqlDmlError(
+                "tx_sql: malformed CREATE — expected CREATE TABLE "
+                "[IF NOT EXISTS] <table> (col type, ...) [PARTITIONED "
+                "BY (cols)] | ... AS SELECT ..."
+            )
+        return _do_create(spark, masked, lits, tables, m)
+    if head == "ALTER":
+        m = _RE_ALTER.match(masked)
+        if not m:
+            raise SqlDmlError("tx_sql: malformed ALTER. " + _ALTER_GUIDE)
+        return _do_alter(spark, masked, lits, tables, m)
+    if head == "OPTIMIZE":
+        m = _RE_OPTIMIZE.match(masked)
+        if not m:
+            raise SqlDmlError(
+                "tx_sql: malformed OPTIMIZE — expected OPTIMIZE "
+                "<table> [ZORDER BY (cols)]"
+            )
+        return _do_optimize(spark, masked, lits, tables, m)
     raise SqlDmlError(
         f"tx_sql: unsupported statement kind {head!r} — supported: "
-        f"SELECT/WITH, INSERT, UPDATE, DELETE, MERGE, RESTORE TABLE, "
-        f"DESCRIBE HISTORY, VACUUM. DDL (CREATE/ALTER) goes through "
-        f"operators.txtable.create_table / schema-management verbs."
+        f"SELECT/WITH, INSERT, UPDATE, DELETE, MERGE, CREATE TABLE, "
+        f"ALTER TABLE, OPTIMIZE, RESTORE TABLE, DESCRIBE HISTORY, "
+        f"VACUUM. (DROP TABLE is deliberately absent — deleting a "
+        f"table is a filesystem operation, not a commit.)"
     )
 
 

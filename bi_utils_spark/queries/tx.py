@@ -1632,6 +1632,80 @@ def q_sql_dml_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sql_ddl_arc",
+    f"""
+    WITH rows0 AS ({_TX_ROWS_SQL}),
+    base AS (
+      SELECT CAST(k AS INTEGER) AS k, status, cents,
+             CAST(NULL AS VARCHAR) AS note
+      FROM rows0 WHERE k % 3 = 0
+    ),
+    ins AS (
+      SELECT CAST(k AS INTEGER) AS k, status, cents,
+             'n' || CAST(k AS VARCHAR) AS note
+      FROM rows0 WHERE k % 3 = 1
+    ),
+    allr AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+    upd AS (
+      SELECT k, status,
+             CASE WHEN k % 10 = 1 THEN cents + 5 ELSE cents END AS amount,
+             note
+      FROM allr
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(amount) AS BIGINT) AS sum_amount,
+           CAST(count(note) AS BIGINT) AS n_notes
+    FROM upd GROUP BY status
+    """,
+)
+def q_sql_ddl_arc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string DDL arc (r12): the metadata-time schema verbs driven
+    purely through SQL — CREATE TABLE ... PARTITIONED BY AS SELECT
+    (CTAS), ALTER TABLE ADD COLUMN (old rows null-fill), INSERT under
+    the widened schema, ALTER TABLE RENAME COLUMN (column mapping —
+    zero files rewritten, the physical name stays), ALTER COLUMN TYPE
+    widening (int -> bigint, files upcast at scan), UPDATE through the
+    renamed label, and OPTIMIZE (partition-scoped compaction, result
+    invariant). DuckDB restates the surviving relation declaratively;
+    a hash match pins every ALTER's read-side semantics through the
+    string path at once."""
+    import shutil
+
+    from bi_utils_spark.operators import txtable as tx
+    from bi_utils_spark.operators.sqldml import tx_sql
+
+    path = _tx_demo_dir(sf_dir) + "_sqlddl"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # CREATE is the arc's first statement
+    rows = _tx_order_rows(spark, sf_dir)
+    rows.createOrReplaceTempView("sqlddl_rows")
+    t = {"orders_tx": path}
+    for stmt in [
+        "CREATE TABLE orders_tx PARTITIONED BY (status) AS "
+        "SELECT CAST(k AS INT) AS k, status, cents FROM sqlddl_rows "
+        "WHERE k % 3 = 0",
+        "ALTER TABLE orders_tx ADD COLUMN note string",
+        "INSERT INTO orders_tx SELECT CAST(k AS INT), status, cents, "
+        "'n' || CAST(k AS STRING) FROM sqlddl_rows WHERE k % 3 = 1",
+        "ALTER TABLE orders_tx RENAME COLUMN cents TO amount",
+        "ALTER TABLE orders_tx ALTER COLUMN k TYPE bigint",
+        "UPDATE orders_tx SET amount = amount + 5 WHERE k % 10 = 1",
+        "OPTIMIZE orders_tx",
+    ]:
+        tx_sql(spark, stmt, t)
+    return tx_sql(
+        spark,
+        """
+        SELECT status, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(amount) AS BIGINT) AS sum_amount,
+               CAST(count(note) AS BIGINT) AS n_notes
+        FROM orders_tx GROUP BY status
+        """,
+        t,
+    )
+
+
+@register(
     "q_sql_dml_merge2",
     f"""
     WITH rows0 AS ({_TX_ROWS_SQL}),

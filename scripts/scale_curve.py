@@ -150,8 +150,10 @@ def build_fanout(fan: int) -> str:
     con.execute(
         f"""
         COPY (
-          SELECT o.o_orderkey + c.copy * 1_000_000_000 AS o_orderkey,
-                 o.o_custkey + c.copy * 100_000_000 AS o_custkey,
+          SELECT o.o_orderkey + CAST(c.copy AS BIGINT) * 1_000_000_000
+                   AS o_orderkey,
+                 o.o_custkey + CAST(c.copy AS BIGINT) * 100_000_000
+                   AS o_custkey,
                  o.o_orderstatus, o.o_totalprice, o.o_orderdate,
                  o.o_orderpriority
           FROM read_parquet('{BASE}/orders.parquet') o,

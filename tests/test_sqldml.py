@@ -435,3 +435,76 @@ def test_merge_update_only_and_delete_only(spark, tbl):
         {"t": tbl},
     )
     assert _rows(spark, tbl) == [(1, 10, "a"), (3, 30, "a"), (4, 40, "b")]
+
+
+# ===========================================================================
+# r12: DDL statements — CREATE TABLE / ALTER TABLE / OPTIMIZE dispatch
+# to the metadata-time tx verbs
+# ===========================================================================
+
+
+def test_create_table_column_list(spark, tmp_path):
+    path = str(tmp_path / "c1")
+    res = tx_sql(
+        spark,
+        "CREATE TABLE c1 (k int, v long, s string) PARTITIONED BY (s)",
+        {"c1": path},
+    )
+    assert res == {"op": "create", "version": 0}
+    assert tx._fold(path).partition_cols == ["s"]
+    tx_sql(spark, "INSERT INTO c1 VALUES (1, 10, 'a')", {"c1": path})
+    assert _rows(spark, path) == [(1, 10, "a")]
+    # IF NOT EXISTS: second create is a recorded no-op
+    res = tx_sql(
+        spark, "CREATE TABLE IF NOT EXISTS c1 (k int)", {"c1": path}
+    )
+    assert res["skipped"] is True
+    with pytest.raises(FileExistsError):  # bare CREATE on existing: verb raises
+        tx_sql(spark, "CREATE TABLE c1 (k int)", {"c1": path})
+
+
+def test_create_table_as_select(spark, tbl, tmp_path):
+    path = str(tmp_path / "c2")
+    tx_sql(
+        spark,
+        "CREATE TABLE c2 PARTITIONED BY (s) AS "
+        "SELECT k, v * 2 AS v, s FROM t WHERE k <= 2",
+        {"t": tbl, "c2": path},
+    )
+    assert _rows(spark, path) == [(1, 20, "a"), (2, 40, "b")]
+    assert tx._fold(path).partition_cols == ["s"]
+
+
+def test_alter_table_forms(spark, tbl):
+    t = {"t": tbl}
+    tx_sql(spark, "ALTER TABLE t ADD COLUMN note string", t)
+    tx_sql(spark, "ALTER TABLE t RENAME COLUMN note TO memo", t)
+    tx_sql(spark, "ALTER TABLE t ALTER COLUMN k TYPE bigint", t)
+    fields = {
+        f.name: f.dataType.typeName()
+        for f in tx._fold(tbl).spark_schema().fields
+    }
+    assert fields["memo"] == "string" and fields["k"] == "long"
+    tx_sql(spark, "ALTER TABLE t DROP COLUMN memo", t)
+    assert "memo" not in tx._fold(tbl).spark_schema().fieldNames()
+    tx_sql(spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (v >= 0)", t)
+    assert "pos" in tx._fold(tbl).constraints
+    with pytest.raises(tx.CheckViolation):
+        tx_sql(spark, "INSERT INTO t VALUES (9, -1, 'z')", t)
+    tx_sql(spark, "ALTER TABLE t DROP CONSTRAINT pos", t)
+    assert "pos" not in tx._fold(tbl).constraints
+    with pytest.raises(SqlDmlError, match="Supported ALTER"):
+        tx_sql(spark, "ALTER TABLE t SET TBLPROPERTIES ('a'='b')", t)
+
+
+def test_optimize_statement(spark, tbl):
+    t = {"t": tbl}
+    for i in range(3):  # fragment the unpartitioned table
+        tx_sql(spark, f"INSERT INTO t VALUES ({10 + i}, {i}, 'f')", t)
+    before = _rows(spark, tbl)
+    res = tx_sql(spark, "OPTIMIZE t", t)
+    assert res["op"] == "optimize" and res["compacted"]
+    assert _rows(spark, tbl) == before
+    res = tx_sql(spark, "OPTIMIZE t ZORDER BY (v)", t)
+    assert res["op"] == "optimize"
+    assert _rows(spark, tbl) == before
