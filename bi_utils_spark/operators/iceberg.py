@@ -803,9 +803,22 @@ def export_iceberg_metadata(
                 "timestamp-ms": now_ms,
                 "sequence-number": seq,
                 "summary": {
-                    "operation": "append",
+                    # spec: snapshots carrying delete files are an
+                    # "overwrite" (MOR rows logically replaced), not
+                    # an append — incremental consumers key on this
+                    "operation": (
+                        "overwrite" if n_delete_files else "append"
+                    ),
                     "added-data-files": str(n_files),
                     "added-records": str(n_rows),
+                    **(
+                        {
+                            "added-delete-files": str(n_delete_files),
+                            "added-position-deletes": str(n_deleted),
+                        }
+                        if n_delete_files
+                        else {}
+                    ),
                 },
                 "manifest-list": "file://" + os.path.abspath(mlist_path),
                 "schema-id": 0,

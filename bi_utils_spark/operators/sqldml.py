@@ -55,9 +55,11 @@ call):
   their target values; expressions may reference both aliases),
   ``WHEN MATCHED [AND c] THEN DELETE`` (matched rows ONLY — a
   flagged key absent from the target still inserts, per standard),
-  ``WHEN NOT MATCHED [AND c] THEN INSERT *`` (source columns beyond
-  the target schema are readable by every condition and projected
-  away before landing — ``*`` lands exactly the target schema),
+  ``WHEN NOT MATCHED [AND c] THEN INSERT *`` or ``INSERT (cols)
+  VALUES (exprs)`` (unlisted columns fill NULL; source columns
+  beyond the target schema are readable by every condition and
+  projected away before landing — ``*`` lands exactly the target
+  schema),
   ``WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE``.
 - ``RESTORE TABLE t TO VERSION AS OF n`` (or ``TIMESTAMP AS OF``)
 - ``DESCRIBE HISTORY t``
@@ -382,7 +384,7 @@ _MERGE_GUIDE = (
     "ON a.pk = b.pk [AND ...] with clauses "
     "WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = expr[, ...], "
     "WHEN MATCHED [AND <cond>] THEN DELETE, "
-    "WHEN NOT MATCHED [AND <cond over source>] THEN INSERT *, "
+    "WHEN NOT MATCHED [AND <cond over source>] THEN INSERT * | INSERT (cols) VALUES (exprs), "
     "WHEN NOT MATCHED BY SOURCE [AND <cond over target>] THEN DELETE "
     "(at most one of each kind; a MATCHED row satisfying the DELETE "
     "condition deletes regardless of clause order). For shapes beyond "
@@ -442,15 +444,29 @@ def _parse_merge_clauses(clauses_raw: str) -> dict:
                 )
             put("nmbs", {"cond": cond}, cl)
         elif is_not:
-            if a_up != "INSERT *":
+            if a_up == "INSERT *":
+                put("ins", {"cond": cond, "cols": None, "vals": None}, cl)
+                continue
+            im = re.fullmatch(
+                r"INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*"
+                r"\((?P<vals>.+)\)",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not im:
                 raise SqlDmlError(
                     f"tx_sql MERGE: WHEN NOT MATCHED supports THEN "
-                    f"INSERT * only (column-list inserts reorder "
-                    f"positionally — spell the projection in the "
-                    f"USING source instead), got {action!r}. "
-                    + _MERGE_GUIDE
+                    f"INSERT * or INSERT (cols) VALUES (exprs), got "
+                    f"{action!r}. " + _MERGE_GUIDE
                 )
-            put("ins", {"cond": cond}, cl)
+            cols = [c.strip() for c in im.group("cols").split(",")]
+            vals = [v.strip() for v in _split_top(im.group("vals"), ",")]
+            if len(cols) != len(vals):
+                raise SqlDmlError(
+                    f"tx_sql MERGE: INSERT lists {len(cols)} columns "
+                    f"but {len(vals)} values."
+                )
+            put("ins", {"cond": cond, "cols": cols, "vals": vals}, cl)
         elif a_up == "DELETE":
             put("mdel", {"cond": cond}, cl)
         elif a_up.startswith("UPDATE"):
@@ -574,7 +590,9 @@ def _do_merge(spark, masked, lits, tables, m) -> dict:
     nmbs = clauses.get("nmbs")
 
     src = _source_df(spark, m["src"], lits, tables)
-    target_cols = [f.name for f in tx._fold(path).spark_schema().fields]
+    tgt_schema = tx._fold(path).spark_schema()
+    target_cols = [f.name for f in tgt_schema.fields]
+    dt_of = {f.name: f.dataType for f in tgt_schema.fields}
 
     def _require_full_source(star_kind: str) -> None:
         missing = [c for c in target_cols if c not in src.columns]
@@ -598,6 +616,7 @@ def _do_merge(spark, masked, lits, tables, m) -> dict:
         and upd["sets"] == "*"
         and ins is not None
         and ins["cond"] is None
+        and ins["cols"] is None
         and nmbs is None
     )
     if fast and mdel is not None and mdel["cond"] is not None:
@@ -725,15 +744,40 @@ def _do_merge(spark, masked, lits, tables, m) -> dict:
                 ]
             parts.append(_with_flag(upd_rows.select(*proj), False))
     if ins is not None:
-        _require_full_source("INSERT *")
         unmatched = (
             src.alias(s_alias)
             .join(tgt.select(*pks).distinct(), pks, "left_anti")
             .where(_cond(ins["cond"], src))
         )
-        parts.append(
-            _with_flag(unmatched.select(*target_cols), False)
-        )
+        if ins["cols"] is None:
+            _require_full_source("INSERT *")
+            proj = [F.col(c) for c in target_cols]
+        else:
+            unknown = [c for c in ins["cols"] if c not in target_cols]
+            if unknown:
+                raise SqlDmlError(
+                    f"tx_sql MERGE: INSERT column(s) {unknown} not in "
+                    f"the target schema ({target_cols})"
+                )
+            missing_pks = [k for k in pks if k not in ins["cols"]]
+            if missing_pks:
+                raise SqlDmlError(
+                    f"tx_sql MERGE: INSERT (cols) must list the merge "
+                    f"key(s) {missing_pks} — a NULL-keyed insert can "
+                    f"never be matched again."
+                )
+            val_of = dict(zip(ins["cols"], ins["vals"]))
+            # unlisted columns fill NULL at the declared type — SQL
+            # INSERT column-list semantics
+            proj = [
+                (
+                    F.expr(_unmask(val_of[c], lits))
+                    if c in val_of
+                    else F.lit(None)
+                ).cast(dt_of[c]).alias(c)
+                for c in target_cols
+            ]
+        parts.append(_with_flag(unmatched.select(*proj), False))
     if nmbs is not None:
         untouched = (
             tgt.alias(t_alias)

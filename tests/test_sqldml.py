@@ -193,8 +193,13 @@ def test_literal_safety_and_comments(spark, tbl):
         ),
         (
             "MERGE INTO t USING t s ON t.k = s.k "
-            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)",
-            "INSERT \\* only",
+            "WHEN NOT MATCHED THEN INSERT VALUES (1, 2, 'x')",
+            "INSERT",
+        ),
+        (
+            "MERGE INTO t USING t s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (v, s) VALUES (s.v, s.s)",
+            "merge key",
         ),
         (
             "MERGE INTO t USING t s ON t.k = s.k "
@@ -508,3 +513,21 @@ def test_optimize_statement(spark, tbl):
     res = tx_sql(spark, "OPTIMIZE t ZORDER BY (v)", t)
     assert res["op"] == "optimize"
     assert _rows(spark, tbl) == before
+
+
+def test_merge_insert_column_list_values(spark, tbl):
+    spark.createDataFrame(
+        [(2, 200), (8, 800)], "k int, vv long"
+    ).createOrReplaceTempView("m_src7")
+    tx_sql(
+        spark,
+        "MERGE INTO t USING m_src7 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.vv "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.vv + 1)",
+        {"t": tbl},
+    )
+    # unlisted column s fills NULL on the inserted row only
+    assert _rows(spark, tbl) == [
+        (1, 10, "a"), (2, 200, "b"), (3, 30, "a"), (4, 40, "b"),
+        (8, 801, None),
+    ]
