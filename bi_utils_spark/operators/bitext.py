@@ -73,8 +73,15 @@ def mine_bitext(
         knn = knn_join_exact
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    fwd = knn(src, tgt, k, src_id, tgt_id, vec_col)
-    bwd = knn(tgt, src, k, tgt_id, src_id, vec_col)
+    # Each kNN leg feeds THREE consumers (mass aggregate, candidate
+    # projection, rank-1 best set) / two for the backward leg. The
+    # legs are the expensive subtrees (an all-pairs scoring join in
+    # the exact form), so cut the lineage once per leg — without the
+    # cut every consumer re-executes its whole kNN join (the plan
+    # carried 5 scoring legs; with it, 2). The mixing.py lineage-diet
+    # pattern; |src|·k rows per leg, freed with the frame.
+    fwd = knn(src, tgt, k, src_id, tgt_id, vec_col).localCheckpoint(eager=False)
+    bwd = knn(tgt, src, k, tgt_id, src_id, vec_col).localCheckpoint(eager=False)
 
     # per-vector neighborhood mass AND actual neighbor count: Σ of
     # 1e-9-quantized neighbor scores (exact BIGINT — an avg of

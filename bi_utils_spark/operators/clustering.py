@@ -248,6 +248,86 @@ def kmeans_assign(
     return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
 
 
+def _assign_update_partials(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused Lloyd-update pass: assignment + per-batch (cluster, dim)
+    partial sums in ONE Arrow stage — (cluster, dim, s, n) rows with
+    s = Σ round(x·1e7) as int64 and n the member count.
+
+    Replaces the assign → posexplode(vec) → groupBy((cluster, dim))
+    chain: the old shape shipped every vector back to the JVM and
+    shuffled n·d exploded rows per iteration; this one shuffles
+    ≤ k·d rows per task (guide §2.3 "aggregate before you shuffle").
+    Bit-identical by construction: the assignment math is
+    kmeans_assign's exactly, and the update sum is integer addition
+    of the same round-half-away quantized terms (associative and
+    commutative, so batch-level partials cannot change the total —
+    int64 wrap-around matches Spark long arithmetic). Malformed rows
+    (NULL/ragged/non-finite vectors) are excluded exactly as the old
+    chain excluded them (their NULL cluster group was never read
+    back). Equality with the unfused chain is pinned in
+    tests/test_clustering.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    dim = C.shape[1] if C.size else 0
+    k = C.shape[0]
+    cap = float(_qcap(max(dim, 1)))
+    out_schema = "cluster int, dim int, s long, n long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = []
+            for v in pdf[vec_col]:
+                if v is None or len(v) != dim:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if not np.isfinite(a).all():
+                    continue
+                arrs.append(a)
+            if not arrs:
+                continue
+            V = np.array(arrs)  # m×d
+            t = (V[:, None, :] - C[None, :, :]) * _Q  # m×k×d
+            q = np.where(t >= 0, np.floor(t + 0.5), np.ceil(t - 0.5))
+            q = np.clip(q, -cap, cap).astype(np.int64)
+            d2 = (q * q).sum(axis=2, dtype=np.int64)
+            cl = d2.argmin(axis=1)
+            # update quantization: round-half-away(x·Q) with NO cap —
+            # the exact terms F.round(x·Q).cast("long") summed before
+            tv = V * _Q
+            qv = np.where(tv >= 0, np.floor(tv + 0.5), np.ceil(tv - 0.5)).astype(
+                np.int64
+            )
+            out_c, out_d, out_s, out_n = [], [], [], []
+            for c in range(k):
+                members = qv[cl == c]
+                if not len(members):
+                    continue
+                s = members.sum(axis=0, dtype=np.int64)
+                out_c.extend([c] * dim)
+                out_d.extend(range(dim))
+                out_s.extend(int(x) for x in s)
+                out_n.extend([len(members)] * dim)
+            yield pd.DataFrame(
+                {
+                    "cluster": pd.array(out_c, dtype="int32"),
+                    "dim": pd.array(out_d, dtype="int32"),
+                    "s": pd.array(out_s, dtype="int64"),
+                    "n": pd.array(out_n, dtype="int64"),
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(run, schema=out_schema)
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -271,18 +351,10 @@ def kmeans_fit(
         raise ValueError(f"unknown init {init!r} (use 'first' or 'farthest')")
     dim = len(cents[0]) if cents else 0
     for _ in range(iters):
-        assigned = kmeans_assign(df, cents, id_col, vec_col)
         sums = (
-            assigned.select(
-                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "x")
-            )
+            _assign_update_partials(df, cents, id_col, vec_col)
             .groupBy("cluster", "dim")
-            .agg(
-                F.sum(
-                    F.round(F.col("x").cast("double") * F.lit(_Q)).cast("long")
-                ).alias("s"),
-                F.count("*").alias("n"),
-            )
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         by_cluster: dict[int, dict[int, tuple[int, int]]] = {}

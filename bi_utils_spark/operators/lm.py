@@ -474,8 +474,10 @@ def bpe_train(
         )
         if step_no % checkpoint_every == 0:
             state = state.localCheckpoint(eager=False)
-    merges_df = spark.createDataFrame(
-        merges, "rank int, pair string, merged string, cnt bigint"
+    from bi_utils_spark.operators.localrel import local_df
+
+    merges_df = local_df(
+        spark, merges, "rank int, pair string, merged string, cnt bigint"
     )
     return merges_df, state
 

@@ -97,8 +97,10 @@ def pq_train(
         rows.extend(
             (s, c, [float(x) for x in C[c]]) for c in range(k)
         )
-    return df.sparkSession.createDataFrame(
-        rows, "subspace int, code int, centroid array<double>"
+    from bi_utils_spark.operators.localrel import local_df
+
+    return local_df(
+        df.sparkSession, rows, "subspace int, code int, centroid array<double>"
     )
 
 
@@ -518,11 +520,14 @@ def pq_train_residual(
                 if len(members):
                     C[c] = members.mean(axis=0)
         rows.extend((s, c, [float(x) for x in C[c]]) for c in range(k))
+    from bi_utils_spark.operators.localrel import local_df
+
     spark = df.sparkSession
-    books = spark.createDataFrame(
-        rows, "subspace int, code int, centroid array<double>"
+    books = local_df(
+        spark, rows, "subspace int, code int, centroid array<double>"
     )
-    anchor_df = spark.createDataFrame(
+    anchor_df = local_df(
+        spark,
         [(c, [float(x) for x in anchors[c]]) for c in range(anchors.shape[0])],
         "cell_id int, anchor array<double>",
     )

@@ -118,6 +118,15 @@ def test_blocked_knn_plan_has_no_nested_loop_legs(spark):
     blocked = mine_bitext(src, tgt, k=2, knn=knn_join_blocked)
     plan = blocked._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "BroadcastNestedLoopJoin" not in plan
-    exact = mine_bitext(src, tgt, k=2)
-    plan_exact = exact._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    assert "BroadcastNestedLoopJoin" in plan_exact  # what we removed
+    # r12: the exact form's scoring leg no longer plans a BNLJ either
+    # (vectorized Arrow scoring stage); what distinguishes the blocked
+    # primitive now is the shuffle volume — the exact leg ranks ALL
+    # |src|·|tgt| pairs through its rank window, the blocked one only
+    # per-partition winners. Assert the exact leg still carries the
+    # full-pair rank shuffle shape (window over MapInPandas scores).
+    from bi_utils_spark.operators.similarity import knn_join_exact
+
+    leg = knn_join_exact(src, tgt, 2, "vec_id", "vec_id", "embedding")
+    plan_exact = leg._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "MapInPandas" in plan_exact
+    assert "BroadcastNestedLoopJoin" not in plan_exact

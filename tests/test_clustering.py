@@ -239,3 +239,57 @@ def test_assign_numpy_survives_malformed_vectors(spark):
             got[vid]["cluster"],
             got[vid]["d2q"],
         )
+
+
+def test_fused_update_partials_equal_unfused_chain(spark):
+    """r12: the fused assign+partial-sum pass must aggregate to exactly
+    the rows the old assign -> posexplode -> groupBy chain produced —
+    including half-way rounding edges, negatives, and malformed rows
+    (NULL / ragged / NaN vectors contribute nothing, as before)."""
+    from pyspark.sql import functions as F
+
+    from bi_utils_spark.operators.clustering import (
+        _Q,
+        _assign_update_partials,
+    )
+
+    rows = [
+        (1, [0.1, 0.0]),
+        (2, [0.00000005, -0.00000015]),  # x*1e7 = 0.5 / -1.5 half-way edges
+        (3, [10.0, 10.1]),
+        (4, [-9.9, 10.0]),
+        (5, [0.2, 0.1]),
+        (6, None),
+        (7, [1.0]),  # ragged
+        (8, [float("nan"), 1.0]),
+        (9, [2.5e-7, -2.5e-7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+
+    fused = {
+        (r["cluster"], r["dim"]): (r["s"], r["n"])
+        for r in (
+            _assign_update_partials(df, cents, "vec_id", "embedding")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+    }
+    old = {
+        (r["cluster"], r["dim"]): (r["s"], r["n"])
+        for r in (
+            kmeans_assign(df, cents, "vec_id", "embedding")
+            .select("cluster", F.posexplode(F.col("embedding")).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("x").cast("double") * F.lit(_Q)).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        if r["cluster"] is not None
+    }
+    assert fused == old

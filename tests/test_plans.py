@@ -161,7 +161,7 @@ def test_mixture_sample_no_sort_merge_join(spark, sf01):
     assert num_exchanges(df) <= 3
 
 
-def test_knn_join_exact_broadcasts_queries(spark, sf01):
+def test_knn_join_exact_scores_map_only(spark, sf01):
     from bi_utils_spark.operators.similarity import knn_join_exact
     from pyspark.sql import functions as F
 
@@ -172,8 +172,13 @@ def test_knn_join_exact_broadcasts_queries(spark, sf01):
         k=5,
     )
     kinds = join_kinds(df)
-    # corpus side streams map-only against the broadcast query batch
-    assert kinds.get("BroadcastNestedLoopJoin", 0) == 1
+    # r12: the corpus side streams map-only against the task-shipped
+    # query batch inside ONE vectorized Arrow stage — no join node at
+    # all (the former BroadcastNestedLoopJoin's zip_with fold was
+    # interpreted per element)
+    assert kinds == {}
+    plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "MapInPandas" in plan
     # one exchange: the per-query rank shuffle
     assert num_exchanges(df) == 1
 
