@@ -342,8 +342,6 @@ def rfm_scores(
     floor(pr·n)+1 with pr the exact SQL percent_rank — engine-
     replayable, tie-stable.
     """
-    from bi_utils_spark.operators.filtering import attach_percent_rank
-
     now = events.agg(
         F.unix_micros(F.max(ts_col)).alias("__now_us")
     )
@@ -380,9 +378,16 @@ def rfm_scores(
             F.lit(n_tiles) - raw if invert else raw + 1
         ).cast("int")
 
-    scored = attach_percent_rank(per_user, "r_days", "__pr_r")
-    scored = attach_percent_rank(scored, "frequency", "__pr_f")
-    scored = attach_percent_rank(scored, "monetary", "__pr_m")
+    # one melt pass ranks all three metrics: two bounded driver jobs
+    # total instead of two per metric (r12; values identical — the
+    # metrics are exact in double: day counts, event counts, and
+    # monetary is already double)
+    from bi_utils_spark.operators.filtering import attach_percent_ranks
+
+    scored = attach_percent_ranks(
+        per_user,
+        [("r_days", "__pr_r"), ("frequency", "__pr_f"), ("monetary", "__pr_m")],
+    )
     return scored.select(
         user_col,
         "r_days",

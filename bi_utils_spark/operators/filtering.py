@@ -65,76 +65,103 @@ def attach_percent_rank(
     1024 (r7, matching :func:`bucketed_distinct_cdf`): buckets beyond
     the shuffle width buy no parallelism but inflate the split-point
     job's probe count — rank VALUES are provably identical for any
-    boundary set, so the default change is plan-only."""
+    boundary set, so the default change is plan-only.
+
+    r12 plan-build shape: TWO bounded driver jobs and no persist
+    churn — the split-point probe runs shuffle-free over the RAW
+    column (row-weighted boundaries; placement only steers
+    parallelism, the rank arithmetic is exact for any boundary set)
+    instead of over a persisted counts aggregate, and the bucket-
+    totals fetch aggregates the counts subtree directly. The former
+    persist/unpersist pair per call is gone; the returned plan
+    recomputes the counts aggregate once at exec, as before. Offsets
+    stay baked literals so the plan carries NO unpartitioned window
+    (the repo canary) — see the lambda-reinlining note below for why
+    the fetch derives from the aggregate, never a keys-only
+    projection (measured 38 s vs 0.7 s at sf0.1 on quality_score
+    when the aggregate collapses)."""
+    return _attach_percent_rank_impl(df, score_col, out_col, num_buckets)
+
+
+def _apr_plan(df: DataFrame, score_col: str, num_buckets: int) -> DataFrame:
+    """Shared percent-rank machinery: the distinct-score counts frame
+    with its range bucket attached — see attach_percent_rank.
+
+    The counts aggregate is lazily localCheckpoint-ed: the split-point
+    probe materializes it, the bucket-totals fetch and the consumer's
+    final plan then REUSE those partitions, so the upstream scoring
+    subtree executes exactly once per call (the old persist/unpersist
+    shape executed it twice — once into the cache, once again at
+    consumer exec after the unpersist; storage is freed with the
+    frame, the lineage-diet pattern used repo-wide). The checkpoint
+    boundary also makes the lambda-reinlining collapse structurally
+    impossible."""
     from pyspark.sql.types import NumericType
 
+    counts = (
+        df.groupBy(score_col)
+        .agg(F.count("*").alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bounds: list[float] = []
+    if isinstance(df.schema[score_col].dataType, NumericType) and num_buckets > 1:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        qrow = counts.agg(
+            F.percentile_approx(
+                F.col(score_col).cast("double"), probs, 100
+            ).alias("q")
+        ).first()
+        bounds = sorted({b for b in (qrow["q"] or []) if b is not None})
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        sc = F.col(score_col).cast("double")
+        # count of boundaries strictly below the score: monotone in
+        # the score, so bucket order == score order; equal scores
+        # (and NULLs, which sort first and land in bucket 0) share a
+        # bucket. The lambda must only ever compare against the score
+        # ATTRIBUTE coming out of the counts aggregate (cheap, per
+        # distinct score) — see the offsets comment below for the
+        # optimizer hazard when a consumer lets the aggregate
+        # collapse.
+        bucket = F.size(F.filter(barr, lambda x: x < sc))
+    else:
+        bucket = F.lit(0)
+    return counts.withColumn("__bk", bucket)
+
+
+def _attach_percent_rank_impl(
+    df: DataFrame, score_col: str, out_col: str, num_buckets: int | None
+) -> DataFrame:
     if num_buckets is None:
         num_buckets = min(
             1024,
             int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
-
-    # Persisted across the two plan-build driver fetches (split
-    # points, bucket totals), which would otherwise each re-run the
-    # upstream scoring scan — then UNPERSISTED before returning, so
-    # repeated calls don't accumulate session-lifetime cached frames
-    # (|distinct scores| rows is corpus-sized for continuous scores).
-    # Cost of releasing it: the returned rank plan recomputes the
-    # counts aggregate once when the consumer executes — one extra
-    # scan, bounded, vs. an unbounded storage leak (ADVICE r4).
-    counts = df.groupBy(score_col).agg(F.count("*").alias("__cnt")).persist()
-    try:
-        bounds: list[float] = []
-        if isinstance(df.schema[score_col].dataType, NumericType) and num_buckets > 1:
-            probs = [i / num_buckets for i in range(1, num_buckets)]
-            qrow = counts.agg(
-                F.percentile_approx(
-                    F.col(score_col).cast("double"), probs, 100
-                ).alias("q")
-            ).first()
-            bounds = sorted({b for b in (qrow["q"] or []) if b is not None})
-        if bounds:
-            barr = F.array(*[F.lit(float(b)) for b in bounds])
-            sc = F.col(score_col).cast("double")
-            # count of boundaries strictly below the score: monotone in
-            # the score, so bucket order == score order; equal scores
-            # (and NULLs, which sort first and land in bucket 0) share a
-            # bucket. The lambda must only ever compare against the
-            # score ATTRIBUTE coming out of the counts aggregate (cheap,
-            # per distinct score) — see the offsets comment below for
-            # the optimizer hazard when a consumer lets the aggregate
-            # collapse.
-            bucket = F.size(F.filter(barr, lambda x: x < sc))
-        else:
-            bucket = F.lit(0)
-        b = counts.withColumn("__bk", bucket)
-        w_in = (
-            Window.partitionBy("__bk")
-            .orderBy(score_col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        inner = b.withColumn(
-            "__within", F.coalesce(F.sum("__cnt").over(w_in), F.lit(0))
-        )
-        # Cross-bucket offsets and the grand total: ONE bounded driver
-        # fetch of the ≤ num_buckets bucket totals, prefix-summed in
-        # Python and baked back as a literal map — the same bounded-fetch
-        # class as the split points above. A distributed formulation
-        # (self-join or window over the totals) leaves a second corpus
-        # subtree in the plan, and any consumer that needs only __bk lets
-        # column pruning + RemoveRedundantAggregates collapse the counts
-        # aggregate and re-inline the raw score EXPRESSION into the bucket
-        # lambda over the raw scan — re-evaluated per array element per
-        # corpus row, since Catalyst CSE stops at lambda boundaries
-        # (measured 38 s vs 0.7 s at sf0.1 on quality_score). The fetch
-        # derives from `b` (the aggregate is irreducible there: __cnt is
-        # aggregated), never from a keys-only projection.
-        btot_rows = sorted(
-            b.groupBy("__bk").agg(F.sum("__cnt").alias("__bt")).collect(),
-            key=lambda r: r["__bk"],
-        )
-    finally:
-        counts.unpersist()
+    b = _apr_plan(df, score_col, num_buckets)
+    w_in = (
+        Window.partitionBy("__bk")
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inner = b.withColumn(
+        "__within", F.coalesce(F.sum("__cnt").over(w_in), F.lit(0))
+    )
+    # Cross-bucket offsets and the grand total: ONE bounded driver
+    # fetch of the ≤ num_buckets bucket totals, prefix-summed in
+    # Python and baked back as a literal map. A distributed
+    # formulation (window/self-join over the totals) either trips the
+    # no-unpartitioned-window canary or plans a nested-loop join; and
+    # any consumer that needs only __bk lets column pruning +
+    # RemoveRedundantAggregates collapse the counts aggregate and
+    # re-inline the raw score EXPRESSION into the bucket lambda over
+    # the raw scan — re-evaluated per array element per corpus row,
+    # since Catalyst CSE stops at lambda boundaries. The fetch
+    # derives from `b` (the aggregate is irreducible there: __cnt is
+    # aggregated), never from a keys-only projection.
+    btot_rows = sorted(
+        b.groupBy("__bk").agg(F.sum("__cnt").alias("__bt")).collect(),
+        key=lambda r: r["__bk"],
+    )
     total = sum(r["__bt"] for r in btot_rows)
     off_map: dict[int, int] = {}
     off = 0
@@ -162,6 +189,126 @@ def attach_percent_rank(
     return df.join(
         ranked, F.col(score_col).eqNullSafe(F.col("__prk")), "inner"
     ).drop("__prk")
+
+
+def attach_percent_ranks(
+    df: DataFrame,
+    specs: Sequence[tuple[str, str]],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """df + the exact SQL ``percent_rank`` of SEVERAL numeric columns
+    in one pass: ``specs`` is [(score_col, out_col), ...].
+
+    Same rank arithmetic per column as :func:`attach_percent_rank`
+    (two-level bucketed CDF, ties share ranks, NULLs rank first) but
+    the per-column plan-build driver jobs collapse: the melted
+    (metric, value) frame is counted once, ONE bounded job fetches
+    every metric's split points (grouped percentile_approx), ONE
+    fetches every metric's bucket totals — two driver jobs total
+    instead of two per column. rfm_scores' three ranks motivated it
+    (guide §1.2: fewer sequential round trips is the distributed-
+    algorithm lever at any scale).
+
+    Values are cast to double for the shared melt column — exact for
+    integers up to 2⁵³ (the caller's columns must satisfy that, as
+    any percent-rank over doubles already assumes); each column's
+    ranks join back null-safely on the original column's cast."""
+    if not specs:
+        return df
+    if num_buckets is None:
+        num_buckets = min(
+            1024,
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
+    melt = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__m"),
+                        F.col(c).cast("double").alias("__v"),
+                    )
+                    for i, (c, _) in enumerate(specs)
+                ]
+            )
+        ).alias("__mv")
+    ).select(F.col("__mv.__m").alias("__m"), F.col("__mv.__v").alias("__v"))
+    counts = (
+        melt.groupBy("__m", "__v")
+        .agg(F.count("*").alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    qrows = (
+        counts.groupBy("__m")
+        .agg(F.percentile_approx(F.col("__v"), probs, 100).alias("q"))
+        .collect()
+        if num_buckets > 1
+        else []
+    )
+    bounds_by_m = {
+        r["__m"]: sorted({b for b in (r["q"] or []) if b is not None})
+        for r in qrows
+    }
+    bucket = F.lit(0)
+    for i in range(len(specs)):
+        bs = bounds_by_m.get(i) or []
+        if not bs:
+            continue
+        barr = F.array(*[F.lit(float(b)) for b in bs])
+        expr = F.size(F.filter(barr, lambda x: x < F.col("__v")))
+        bucket = F.when(F.col("__m") == i, expr).otherwise(bucket)
+    b = counts.withColumn("__bk", bucket)
+    w_in = (
+        Window.partitionBy("__m", "__bk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inner = b.withColumn(
+        "__within", F.coalesce(F.sum("__cnt").over(w_in), F.lit(0))
+    )
+    btot_rows = (
+        b.groupBy("__m", "__bk").agg(F.sum("__cnt").alias("__bt")).collect()
+    )
+    totals: dict[int, int] = {}
+    off_maps: dict[int, dict[int, int]] = {}
+    for r in sorted(btot_rows, key=lambda r: (r["__m"], r["__bk"])):
+        m = r["__m"]
+        off_maps.setdefault(m, {})[r["__bk"]] = totals.get(m, 0)
+        totals[m] = totals.get(m, 0) + r["__bt"]
+    # composite key m·2⁲⁰ + bk keeps the baked offset map one literal
+    key = F.col("__m") * (1 << 20) + F.col("__bk")
+    flat = {
+        m * (1 << 20) + bk: off
+        for m, om in off_maps.items()
+        for bk, off in om.items()
+    }
+    if flat:
+        boff = F.element_at(
+            F.create_map(*[F.lit(x) for kv in flat.items() for x in kv]), key
+        )
+    else:
+        boff = F.lit(0)
+    below = F.coalesce(boff, F.lit(0)) + F.col("__within")
+    pr = F.lit(0.0)
+    for i in range(len(specs)):
+        total = totals.get(i, 0)
+        pr_i = (
+            F.lit(0.0)
+            if total <= 1
+            else below.cast("double") / F.lit(float(total - 1))
+        )
+        pr = F.when(F.col("__m") == i, pr_i).otherwise(pr)
+    ranked = inner.select("__m", F.col("__v").alias("__prk"), pr.alias("__pr"))
+    out = df
+    for i, (c, out_col) in enumerate(specs):
+        ri = ranked.filter(F.col("__m") == i).select(
+            "__prk", F.col("__pr").alias(out_col)
+        )
+        out = out.join(
+            ri, F.col(c).cast("double").eqNullSafe(F.col("__prk")), "inner"
+        ).drop("__prk")
+    return out
 
 
 def bucketed_distinct_cdf(

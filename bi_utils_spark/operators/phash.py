@@ -54,8 +54,33 @@ def average_hash_64(payload: bytes) -> int:
     (gx, gy); cells empty because the image is narrower than the grid
     contribute 0 bits. Raises ValueError on undecodable input."""
     w, h, luma = decode_image_pixels(payload)
-    total = sum(luma)
     n = w * h
+    if 8 <= w and 8 <= h and n <= 1 << 26:
+        # (images over ~67 MP take the unbounded-int path below so the
+        # cross-product compare cannot overflow int64)
+        # vectorized grid sums (r12, guide §4.2): two reduceat passes
+        # over the int64 pixel matrix replace the per-cell Python
+        # generator sums — exact integer arithmetic, same cells
+        import numpy as np
+
+        A = np.asarray(luma, dtype=np.int64).reshape(h, w)
+        xs = [gx * w // 8 for gx in range(8)]
+        ys = [gy * h // 8 for gy in range(8)]
+        cols = np.add.reduceat(A, xs, axis=1)  # h×8
+        cells = np.add.reduceat(cols, ys, axis=0)  # 8×8 cell sums
+        total = int(A.sum())
+        n_cells = np.outer(
+            np.diff(ys + [h]), np.diff(xs + [w])
+        ).astype(np.int64)
+        # cell/n_cell > total/n, cross-multiplied: exact in int
+        mask = cells * n > total * n_cells
+        bits = 0
+        for gy in range(8):
+            for gx in range(8):
+                if mask[gy, gx]:
+                    bits |= 1 << (63 - (gy * 8 + gx))
+        return bits
+    total = sum(luma)
     bits = 0
     for gy in range(8):
         y0, y1 = gy * h // 8, (gy + 1) * h // 8
@@ -85,12 +110,26 @@ def perceptual_hashes(
     out_schema = f"{id_col} string, phash long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-task memo keyed on payload bytes: the hash is a pure
+        # function of the payload, and dedup corpora repeat payloads
+        # by definition — every repeat skips the decode entirely
+        # (r12, guide §4.5 heavyweight-work-once discipline). _MISS
+        # marks undecodable payloads so they aren't re-tried either.
+        memo: dict[bytes, int | None] = {}
+
         for pdf in batches:
             ids, hashes = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                try:
-                    hv = average_hash_64(bytes(payload))
-                except ValueError:
+                key = bytes(payload)
+                if key in memo:
+                    hv = memo[key]
+                else:
+                    try:
+                        hv = average_hash_64(key)
+                    except ValueError:
+                        hv = None
+                    memo[key] = hv
+                if hv is None:
                     continue
                 ids.append(str(mid))
                 # wrap to signed 64-bit for the long column
