@@ -83,25 +83,33 @@ def attach_percent_rank(
     return _attach_percent_rank_impl(df, score_col, out_col, num_buckets)
 
 
-def _apr_plan(df: DataFrame, score_col: str, num_buckets: int) -> DataFrame:
+def _apr_plan(
+    df: DataFrame, score_col: str, num_buckets: int
+) -> tuple[DataFrame, DataFrame]:
     """Shared percent-rank machinery: the distinct-score counts frame
     with its range bucket attached — see attach_percent_rank.
 
-    The counts aggregate is lazily localCheckpoint-ed: the split-point
-    probe materializes it, the bucket-totals fetch and the consumer's
-    final plan then REUSE those partitions, so the upstream scoring
-    subtree executes exactly once per call (the old persist/unpersist
-    shape executed it twice — once into the cache, once again at
-    consumer exec after the unpersist; storage is freed with the
-    frame, the lineage-diet pattern used repo-wide). The checkpoint
-    boundary also makes the lambda-reinlining collapse structurally
-    impossible."""
+    The counts aggregate is persist()-ed so the split-point probe and
+    the bucket-totals fetch share one materialization of the upstream
+    scoring subtree; the caller unpersists it right after its last
+    driver probe (balanced persist/unpersist per call — no session
+    accumulation, the r4-ADVICE leak canary). The consumer's final
+    plan recomputes the counts aggregate once at exec. (A lazy
+    localCheckpoint would let the consumer reuse the probe's
+    partitions too, but on this Spark build checkpointed plan RDDs
+    stay strongly reachable JVM-side for the session lifetime —
+    measured: ContextCleaner never drains them even after the frames
+    are dropped and GC'd — which is the exact storage leak the canary
+    exists to catch.) The aggregate boundary also keeps the
+    lambda-reinlining collapse structurally impossible: __cnt is
+    aggregated, so the probe plans below can't be pruned into a raw
+    scan."""
     from pyspark.sql.types import NumericType
 
     counts = (
         df.groupBy(score_col)
         .agg(F.count("*").alias("__cnt"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     bounds: list[float] = []
     if isinstance(df.schema[score_col].dataType, NumericType) and num_buckets > 1:
@@ -126,7 +134,7 @@ def _apr_plan(df: DataFrame, score_col: str, num_buckets: int) -> DataFrame:
         bucket = F.size(F.filter(barr, lambda x: x < sc))
     else:
         bucket = F.lit(0)
-    return counts.withColumn("__bk", bucket)
+    return counts.withColumn("__bk", bucket), counts
 
 
 def _attach_percent_rank_impl(
@@ -137,7 +145,7 @@ def _attach_percent_rank_impl(
             1024,
             int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         )
-    b = _apr_plan(df, score_col, num_buckets)
+    b, counts = _apr_plan(df, score_col, num_buckets)
     w_in = (
         Window.partitionBy("__bk")
         .orderBy(score_col)
@@ -162,6 +170,9 @@ def _attach_percent_rank_impl(
         b.groupBy("__bk").agg(F.sum("__cnt").alias("__bt")).collect(),
         key=lambda r: r["__bk"],
     )
+    # Last driver probe done — release the shared materialization.
+    # The returned plan recomputes the counts aggregate once at exec.
+    counts.unpersist(blocking=False)
     total = sum(r["__bt"] for r in btot_rows)
     off_map: dict[int, int] = {}
     off = 0
@@ -233,10 +244,13 @@ def attach_percent_ranks(
             )
         ).alias("__mv")
     ).select(F.col("__mv.__m").alias("__m"), F.col("__mv.__v").alias("__v"))
+    # persist + balanced unpersist after the last driver probe (see
+    # _apr_plan for why not localCheckpoint: it leaks session-lifetime
+    # storage on this Spark build).
     counts = (
         melt.groupBy("__m", "__v")
         .agg(F.count("*").alias("__cnt"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     probs = [i / num_buckets for i in range(1, num_buckets)]
     qrows = (
@@ -270,6 +284,7 @@ def attach_percent_ranks(
     btot_rows = (
         b.groupBy("__m", "__bk").agg(F.sum("__cnt").alias("__bt")).collect()
     )
+    counts.unpersist(blocking=False)
     totals: dict[int, int] = {}
     off_maps: dict[int, dict[int, int]] = {}
     for r in sorted(btot_rows, key=lambda r: (r["__m"], r["__bk"])):
