@@ -20,8 +20,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from bi_utils_spark.operators.textstats import tokens
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can ORDER BY / min() the type (maps cannot)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 # ---------------------------------------------------------------------------
 # X1: exact dedup
@@ -67,9 +79,31 @@ def dedup_exact(
 
     Scale: one hash-shuffle on the 256-bit digest; map-side partial
     aggregation dedups within partitions first, so the shuffle volume
-    is ~unique rows, not input rows.
+    is ~unique rows, not input rows. (Map-typed schemas fall back to
+    a window — full shuffle — because maps are not orderable.)
     """
     hashed = df.withColumn("__content_hash", content_hash(content_cols, num_bits))
+    if all(_orderable(f.dataType) for f in df.schema.fields):
+        # min(struct(keep_order, row)) per hash: HashAggregate does
+        # map-side PARTIAL aggregation, so within-partition dups never
+        # reach the exchange — unlike a window, which shuffles and
+        # sorts every input row. Tie-break beyond keep_order_col is
+        # the full-row struct order (a deterministic total order; the
+        # window's tie pick was arbitrary).
+        return (
+            hashed.groupBy("__content_hash")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col(keep_order_col).alias("__keep_order"),
+                        F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
+                    )
+                ).alias("__min")
+            )
+            .select("__min.__row.*")
+        )
+    # Maps (and arrays/structs of maps) are not orderable, so they
+    # cannot ride a min(); keep the window formulation for those.
     w = Window.partitionBy("__content_hash").orderBy(F.asc(keep_order_col))
     return (
         hashed.withColumn("__rn", F.row_number().over(w))

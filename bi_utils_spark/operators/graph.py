@@ -49,18 +49,36 @@ def connected_components(
     symmetrized), self-loop-safe. Raises if not converged within
     ``max_iter`` rounds rather than returning silently wrong labels.
 
-    Size-tiered execution: the symmetrized edge list is materialized
-    (checkpoint) first, so its count is a free metadata read. At or
-    below ``driver_max_edges`` (default 10⁶ ≈ tens of MB — a BOUNDED
-    collect, same class as IVF centroids) the components come from a
-    driver-side union-find: near-dup edge sets are orders of
-    magnitude smaller than the corpus, and a handful of Spark rounds
-    on a few thousand edges is pure scheduling overhead — measured
-    ~10× wall on sf0.1 (6 s → 0.5 s). Above the threshold the
-    distributed hash-min loop runs; both paths compute the identical
-    labeling (min reachable id, property-tested against each other).
-    Set ``driver_max_edges=0`` to force the distributed path.
+    Size-tiered execution: a ``limit(bound+1).collect()`` probe pulls
+    the RAW edge rows in ONE job (≤ 10⁶ rows by default ≈ tens of MB —
+    a BOUNDED collect, same class as IVF centroids). When the probe
+    fits, the components come from a driver-side union-find that
+    symmetrizes and dedups implicitly — the Spark-side symmetrize/
+    distinct shuffle, the checkpoint job and the count job are skipped
+    entirely: near-dup edge sets are orders of magnitude smaller than
+    the corpus, and a handful of Spark rounds on a few thousand edges
+    is pure scheduling overhead — measured ~10× wall on sf0.1
+    (6 s → 0.5 s) plus two job round-trips saved by the single-job
+    probe. Above the threshold the probe's partial work is discarded
+    and the distributed hash-min loop runs; both paths compute the
+    identical labeling (min reachable id, property-tested against
+    each other). Set ``driver_max_edges=0`` to force the distributed
+    path.
     """
+    if driver_max_edges > 0 and (
+        edges.schema[src].dataType == edges.schema[dst].dataType
+    ):
+        probe = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .limit(driver_max_edges + 1)
+            .collect()
+        )
+        if len(probe) <= driver_max_edges:
+            return _union_find_driver(
+                edges.sparkSession,
+                probe,
+                edges.schema[src].dataType.simpleString(),
+            )
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -68,8 +86,6 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if sym.count() <= driver_max_edges:
-        return _union_find_driver(sym)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -102,16 +118,18 @@ def connected_components(
     )
 
 
-def _union_find_driver(sym: DataFrame) -> DataFrame:
-    """Exact min-label components of a (u, v) edge frame via
-    driver-side union-find with path compression — the small-graph
-    tier of :func:`connected_components`. Input is already
-    materialized (checkpointed) and bounded by ``driver_max_edges``.
-    Returns the same (node, component) schema/types as the
-    distributed path; min-id labeling matches hash-min exactly
-    (ints numerically, strings lexicographically — Python and Spark
-    agree on both orderings for these key types)."""
-    utype = dict(sym.dtypes)["u"]
+def _union_find_driver(spark, rows, utype: str) -> DataFrame:
+    """Exact min-label components of collected RAW (u, v) edge rows
+    via driver-side union-find with path compression — the
+    small-graph tier of :func:`connected_components`. Input is a
+    bounded collect (``driver_max_edges + 1`` cap by the caller's
+    probe). Symmetrization and duplicate edges are implicit in
+    union-find; self-loops and NULL endpoints are skipped to match
+    the distributed path's ``u != v`` filter (which also drops NULL
+    comparisons), so a node appearing ONLY in self-loops or against
+    NULL gets no label on either path. Min-id labeling matches
+    hash-min exactly (ints numerically, strings lexicographically —
+    Python and Spark agree on both orderings for these key types)."""
     parent: dict = {}
 
     def find(x):
@@ -122,12 +140,10 @@ def _union_find_driver(sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # one bounded collect (<= driver_max_edges rows by the caller's
-    # gate) instead of toLocalIterator, which launches one sequential
-    # job PER PARTITION — measured ~0.1 s/partition of pure job
-    # round-trip on the checkpointed frame
-    for row in sym.collect():
-        u, v = row["u"], row["v"]
+    for row in rows:
+        u, v = row[0], row[1]
+        if u is None or v is None or u == v:
+            continue
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)
@@ -139,7 +155,6 @@ def _union_find_driver(sym: DataFrame) -> DataFrame:
     # second pass: root labels are already component minima because
     # unions always attach the larger root under the smaller one
     labels = [(n, find(n)) for n in parent]
-    spark = sym.sparkSession
     from bi_utils_spark.operators.localrel import local_df
 
     return local_df(spark, labels, f"node {utype}, component {utype}")

@@ -107,6 +107,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing floor (guide §2.2): the 1 MB default folds a
+        # few-MB post-shuffle stage into 1-4 partitions, serializing
+        # every downstream Arrow/codegen stage on an idle machine. A
+        # low floor keeps parallelismFirst honest (it still targets
+        # defaultParallelism); at production shuffle sizes partitions
+        # are advisory-sized (64 MB+) and a 64k floor never binds, so
+        # this is a small-data knob only — env-overridable per scale.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
