@@ -616,9 +616,25 @@ def minhash_near_dup_join(
         ).alias(f"_m{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
+    # per_doc feeds the signature banding (2 self-join sides) AND the
+    # verify join (2 sides); the hot-bucket cap adds a bucket-count
+    # aggregation + semi-join on top. ReuseExchange only shares
+    # per_doc's INPUT exchange, so the 65-lane aggregation re-runs per
+    # consumer. With the cap in play that recompute dominates
+    # (measured 5.1 s -> 3.1 s at sf0.1 when materialized once);
+    # without it the shingle-row exchange is also shared with any
+    # sibling exact-Jaccard plan in the same query and ReuseExchange
+    # already keeps the recompute cheaper than an eager checkpoint
+    # barrier (measured 2.0 s -> 3.7 s if checkpointed). So
+    # materialize only the capped configuration — bounded at
+    # 512 B/doc + the distinct shingle set, the documented
+    # signature-table scale bound (at 100 TB write it out bucketed by
+    # id instead, per the docstring).
     per_doc = rows.groupBy("id").agg(
         *lanes, F.collect_set("sh").alias("sh_set")
     )
+    if max_bucket_size is not None:
+        per_doc = per_doc.localCheckpoint()
     sigs = per_doc.select(
         "id",
         F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash"),
@@ -825,6 +841,7 @@ def simhash_near_dup_join(
     max_hamming: int = 3,
     shingle_n: int = 1,
     max_chunk_bucket_size: int | None = None,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -851,8 +868,22 @@ def simhash_near_dup_join(
       near-boilerplate fps agree on 1/(max_hamming+1) of their
       bits). Only cross-fingerprint recall is affected — the
       hamming-0 tier stays exact. Leave None for the full guarantee.
+
+    The (id, fp) frame feeds FIVE consumers of this plan (distinct
+    fps, both id-expansion sides, both hamming-0 sides); only its
+    input exchange would be shared by ReuseExchange, so the 65-lane
+    fingerprint aggregation would re-run per consumer. It is
+    therefore materialized once (``localCheckpoint`` — 16 B/doc, the
+    same corpus-becomes-signature-table bound as MinHash). Pass
+    ``fingerprints`` (an (id, fp) frame, e.g. an already-checkpointed
+    ``simhash64_rows``) to share one materialization across several
+    joins/attestations.
     """
-    fp = simhash64_rows(df, id_col, text_col, shingle_n)
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash64_rows(df, id_col, text_col, shingle_n).localCheckpoint()
+    )
     nc = max_hamming + 1
     widths = [64 // nc + (1 if i < 64 % nc else 0) for i in range(nc)]
     offsets = [sum(widths[:i]) for i in range(nc)]

@@ -181,10 +181,13 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    banded = simhash_near_dup_join(docs, "doc_id", "text", max_hamming=3).select(
-        "id_a", "id_b"
-    )
-    fp = simhash64_rows(docs, "doc_id", "text")
+    # One fingerprint pass shared by the banded join (5 plan consumers)
+    # and the brute-force check (2 sides): 16 B/doc materialized once
+    # instead of re-running the 65-lane aggregation per consumer.
+    fp = simhash64_rows(docs, "doc_id", "text").localCheckpoint()
+    banded = simhash_near_dup_join(
+        docs, "doc_id", "text", max_hamming=3, fingerprints=fp
+    ).select("id_a", "id_b")
     a, b = fp.alias("a"), fp.alias("b")
     brute = (
         a.join(b, F.col("a.id") < F.col("b.id"))

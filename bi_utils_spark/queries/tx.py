@@ -1885,15 +1885,23 @@ def q_simhash_near_dup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     set adds NOTHING over the uncapped banded set (caps only drop
     candidates, hamming verification stays exact); (3) it retains
     ≥ 90% of the uncapped pairs (measured 1.0 at sf0.01/sf0.1)."""
-    from bi_utils_spark.operators.dedup import simhash_near_dup_join
+    from bi_utils_spark.operators.dedup import (
+        simhash64_rows,
+        simhash_near_dup_join,
+    )
 
     docs = load(spark, sf_dir, "documents")
     keys = ["id_a", "id_b"]
+    # One fingerprint pass shared by the capped AND uncapped joins
+    # (5 plan consumers each): without it the 65-lane aggregation
+    # re-runs up to 10x across the two banding plans.
+    fp = simhash64_rows(docs, "doc_id", "text").localCheckpoint()
     uncapped = simhash_near_dup_join(
-        docs, "doc_id", "text", max_hamming=3
+        docs, "doc_id", "text", max_hamming=3, fingerprints=fp
     ).select(*keys)
     capped = simhash_near_dup_join(
-        docs, "doc_id", "text", max_hamming=3, max_chunk_bucket_size=200
+        docs, "doc_id", "text", max_hamming=3, max_chunk_bucket_size=200,
+        fingerprints=fp,
     ).select(*keys)
     norm = docs.select("doc_id", F.trim(F.lower(F.col("text"))).alias("t"))
     na, nb = norm.alias("na"), norm.alias("nb")
