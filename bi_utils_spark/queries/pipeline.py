@@ -305,13 +305,29 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.bitext import mine_bitext
 
     emb = load(spark, sf_dir, "embeddings")
-    # the test table is one small file (1 input split); the quadratic
-    # scoring needs explicit fan-out to use the cluster — at real
-    # scale the corpus arrives already partitioned
-    par = spark.sparkContext.defaultParallelism
-    src = emb.filter(F.col("label") % 2 == 0).repartition(par)
-    tgt = emb.filter(F.col("label") % 2 == 1).repartition(par)
+    src, tgt = _bitext_sides(spark, emb)
     return mine_bitext(src, tgt, k=4)
+
+
+def _bitext_sides(spark: SparkSession, emb: DataFrame):
+    """The two label-parity halves, fanned out adaptively: the test
+    table is one small input split, so the quadratic scoring needs an
+    explicit repartition to use the cluster — but a fixed
+    defaultParallelism fan-out gives each task only a handful of rows
+    at test scale and per-task (Python worker + Arrow batch) overhead
+    dominates (measured 1.9 s vs 1.2 s per kNN leg at sf0.1 for 32 vs
+    8 tasks over 1 000 rows/side). Derive the width from the actual
+    row count — >=128 rows per task, clamped to the session's
+    parallelism, so at production scale it is exactly
+    defaultParallelism (the count is a parquet-metadata job, ~0.1 s).
+    Partitioning does not affect results: pair scores are
+    partition-independent and ranks tie-break deterministically."""
+    from bi_utils_spark.queries.core import adaptive_width
+
+    width = adaptive_width(spark, emb.count() // 2)
+    src = emb.filter(F.col("label") % 2 == 0).repartition(width)
+    tgt = emb.filter(F.col("label") % 2 == 1).repartition(width)
+    return src, tgt
 
 
 @register(
@@ -352,9 +368,7 @@ def q_bitext_mine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.similarity import knn_join_blocked
 
     emb = load(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
-    src = emb.filter(F.col("label") % 2 == 0).repartition(par)
-    tgt = emb.filter(F.col("label") % 2 == 1).repartition(par)
+    src, tgt = _bitext_sides(spark, emb)
     blocked = mine_bitext(src, tgt, k=4, knn=knn_join_blocked).select(
         "src_id", "tgt_id", F.col("margin").alias("__mb"), F.lit(True).alias("__b")
     )
@@ -1088,9 +1102,15 @@ def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.decontam import semantic_contamination_pairs
+    from bi_utils_spark.queries.core import adaptive_width
 
     emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    # The corpus side inherits the test table's single input split, so
+    # the per-pair cosine fold of the BNLJ would run one-core (6.4 s
+    # at sf0.1; 0.7 s fanned out). At production the corpus arrives in
+    # many splits and adaptive_width == defaultParallelism.
+    width = adaptive_width(spark, emb.count())
+    corpus = emb.filter(F.col("vec_id") % 10 != 0).repartition(width)
     bench = emb.filter(F.col("vec_id") % 10 == 0)
     return semantic_contamination_pairs(corpus, bench, threshold=0.45)
 
@@ -1108,9 +1128,12 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.decontam import semantic_decontaminate
+    from bi_utils_spark.queries.core import adaptive_width
 
     emb = load(spark, sf_dir, "embeddings")
-    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    # same single-split BNLJ shape as q_semantic_contamination
+    width = adaptive_width(spark, emb.count())
+    corpus = emb.filter(F.col("vec_id") % 10 != 0).repartition(width)
     bench = emb.filter(F.col("vec_id") % 10 == 0)
     return semantic_decontaminate(corpus, bench, threshold=0.45).select(
         "vec_id", "label"
