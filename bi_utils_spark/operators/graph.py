@@ -68,10 +68,11 @@ def connected_components(
     if driver_max_edges > 0 and (
         edges.schema[src].dataType == edges.schema[dst].dataType
     ):
-        probe = (
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            .limit(driver_max_edges + 1)
-            .collect()
+        from bi_utils_spark.operators.localrel import collect_limited
+
+        probe = collect_limited(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v")),
+            driver_max_edges + 1,
         )
         if len(probe) <= driver_max_edges:
             return _union_find_driver(

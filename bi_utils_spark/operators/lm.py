@@ -411,10 +411,60 @@ def _apply_merge(spaced, a: str, b: str) -> "F.Column":
     return F.array_join(F.aggregate(sym, acc0, step, finish), " ")
 
 
+def _bpe_train_driver(spark, rows, n_merges: int, c_type: str):
+    """Driver-side replay of the merge loop for a vocab that fits the
+    probe bound — semantics identical to the distributed loop: pair
+    counts over consecutive symbols (overlaps counted), argmax with
+    (count desc, pair-STRING asc) tie-break, exact left-to-right
+    scan-resume merge application. Symbols never contain spaces
+    (terms are whitespace-free and merges concatenate), so the string
+    pair key is bijective with the symbol pair. ``rows`` carries the
+    Spark-computed ``spaced`` state, so the initial symbols are the
+    exact _spaced_symbols output, not a Python re-implementation."""
+    v = {t: (sp.split(" ") if sp else []) for t, sp, _ in rows}
+    cs = {t: c for t, _, c in rows}
+    merges: list[tuple[int, str, str, int]] = []
+    for step_no in range(1, n_merges + 1):
+        cnt: dict[str, int] = {}
+        for t, syms in v.items():
+            c = cs[t]
+            for i in range(len(syms) - 1):
+                k = syms[i] + " " + syms[i + 1]
+                cnt[k] = cnt.get(k, 0) + c
+        if not cnt:
+            break
+        pair, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ", 1)
+        merges.append((step_no, pair, a + b, c))
+        merged = a + b
+        for t, syms in v.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            v[t] = ns
+    from bi_utils_spark.operators.localrel import local_df
+
+    merges_df = local_df(
+        spark, merges, "rank int, pair string, merged string, cnt bigint"
+    )
+    vocab_df = local_df(
+        spark,
+        [(t, " ".join(syms), cs[t]) for t, syms in v.items()],
+        f"term string, spaced string, c {c_type}",
+    )
+    return merges_df, vocab_df
+
+
 def bpe_train(
     model: DataFrame,
     n_merges: int,
     checkpoint_every: int = 8,
+    driver_max_vocab: int = 65_536,
 ):
     """Learn ``n_merges`` BPE merges from a unigram model table
     (term, c) — the full iterative tokenizer-training loop, not just
@@ -440,11 +490,34 @@ def bpe_train(
     of the n_merges sequential argmax jobs would re-run that corpus
     scan (at 100 TB, n_merges full passes instead of zero; at sf0.1
     this was the measured bulk of q_bpe_encode's wall).
+
+    Size-tiered (r12, the connected_components discipline): a
+    one-job ``collect_limited`` probe over the checkpointed state
+    pulls the (term, c) rows; when the vocab fits
+    ``driver_max_vocab`` the whole merge loop runs driver-side
+    (:func:`_bpe_train_driver`) — n_merges sequential argmax jobs
+    plus the final state job collapse into ZERO further Spark jobs.
+    Identical results by construction (equality property-tested);
+    the probe over the checkpoint is metadata-cheap when the vocab
+    is over-bound, so the distributed path pays one tiny extra job,
+    never a second corpus pass. ``driver_max_vocab=0`` forces the
+    distributed loop.
     """
     spark = model.sparkSession
     state = model.select(
         "term", _spaced_symbols("term").alias("spaced"), "c"
     ).localCheckpoint(eager=True)
+    if driver_max_vocab > 0:
+        from bi_utils_spark.operators.localrel import collect_limited
+
+        rows = collect_limited(state, driver_max_vocab + 1)
+        if len(rows) <= driver_max_vocab:
+            return _bpe_train_driver(
+                spark,
+                [(r["term"], r["spaced"], r["c"]) for r in rows],
+                n_merges,
+                state.schema["c"].dataType.simpleString(),
+            )
     merges: list[tuple[int, str, str, int]] = []
     for step_no in range(1, n_merges + 1):
         pairs = F.transform(

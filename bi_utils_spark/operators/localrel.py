@@ -40,3 +40,27 @@ def local_df(
 
     pdf = pd.DataFrame.from_records(rows, columns=st.fieldNames())
     return spark.createDataFrame(pdf, schema=st)
+
+
+def collect_limited(df: DataFrame, n: int) -> list:
+    """``df.limit(n).collect()`` in ONE job. CollectLimitExec's
+    default take() escalation (1 partition, then 4x more per round,
+    re-running the child subtree each round) is the right trade when
+    the child is a cheap scan, but a bounded PROBE over an expensive
+    subtree (a similarity join, a distinct over a merge source) pays
+    that subtree several times over — measured ~2 s of duplicated
+    task time on q_llm_pipeline's edge probe at sf0.1. Temporarily
+    raising ``spark.sql.limit.initialNumPartitions`` makes the first
+    round scan every partition, so the child runs exactly once.
+
+    Results are unchanged: when the input has <= n rows (the only
+    case callers act on), every row is returned under either
+    strategy; an over-bound probe's extra rows are discarded."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    old = spark.conf.get(key, "1")
+    spark.conf.set(key, str(2**31 - 1))
+    try:
+        return df.limit(n).collect()
+    finally:
+        spark.conf.set(key, old)

@@ -2819,12 +2819,13 @@ def merge_tx_table(
     if pcols:
         # LIMIT bound+1 caps the driver-side materialization: the
         # guard costs nothing when the source is well-behaved and
-        # cannot OOM the driver when it is not
-        touched_rows = (
-            source.select(*pcols)
-            .distinct()
-            .limit(max_source_partitions + 1)
-            .collect()
+        # cannot OOM the driver when it is not. One-job collect: the
+        # child (a distinct over the merge source) must not re-run
+        # per take() escalation round.
+        from bi_utils_spark.operators.localrel import collect_limited
+
+        touched_rows = collect_limited(
+            source.select(*pcols).distinct(), max_source_partitions + 1
         )
         if len(touched_rows) > max_source_partitions:
             raise ValueError(

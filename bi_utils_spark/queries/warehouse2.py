@@ -861,9 +861,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("doc_id") % 8).alias("i"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # 8 rows: one partition, not defaultParallelism empty slices —
+    # the model/state checkpoint and probe jobs otherwise launch 32
+    # near-empty tasks each (measured ~250 ms/task of pure wait)
     words = spark.createDataFrame(
         [(w, i) for i, w in enumerate(_BPE_WORDS)], "term string, i long"
-    )
+    ).coalesce(1)
     model = words.join(dcnt, "i").select(
         "term", (F.col("n") + (8 - F.col("i")) * 7).alias("c")
     )

@@ -459,12 +459,31 @@ def test_bpe_train_overlapping_runs_and_self_pairs(spark):
 
 
 def test_bpe_train_exhausts_and_checkpoints(spark):
-    # more merges requested than exist -> stops when no pair remains
+    # more merges requested than exist -> stops when no pair remains.
+    # driver_max_vocab=0 pins the DISTRIBUTED loop (with per-step
+    # checkpoints) — the r12 driver tier would otherwise bypass it.
     vocab = [("ab", 5), ("cd", 1)]
     exp_m, exp_v = _ref_bpe(vocab, 10)
-    got_m, got_v = _run_bpe(spark, vocab, 10, checkpoint_every=1)
+    got_m, got_v = _run_bpe(
+        spark, vocab, 10, checkpoint_every=1, driver_max_vocab=0
+    )
     assert got_m == exp_m and len(got_m) == 2
     assert got_v == {"ab": "ab", "cd": "cd"}
+
+
+def test_bpe_train_driver_tier_equals_distributed(spark):
+    # r12 size-tier: the driver-side merge loop must produce the
+    # byte-identical (merges, vocab) pair as the distributed loop,
+    # including count-tie pairs broken by pair string and self-pair
+    # runs ('aaaa')
+    vocab = [
+        ("abcd", 40), ("abce", 30), ("bcd", 25), ("acd", 15),
+        ("aaaa", 15), ("abd", 10), ("bce", 8), ("ade", 5), ("ce", 3),
+    ]
+    dist_m, dist_v = _run_bpe(spark, vocab, 6, driver_max_vocab=0)
+    drv_m, drv_v = _run_bpe(spark, vocab, 6)  # tier engages (|V| <= bound)
+    assert drv_m == dist_m
+    assert drv_v == dist_v
 
 
 def test_bpe_encode_applies_merges_in_rank_order(spark):
