@@ -44,6 +44,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bi_utils_spark.functions.litarrays import lit_double_array
+
 _Q = 1e7
 
 
@@ -76,7 +78,7 @@ def _dist2_cols(vec_col, centroids: list[list[float]]):
     out = []
     for cent in centroids:
         cap = _qcap(len(cent))
-        carr = F.array(*[F.lit(float(c)) for c in cent])
+        carr = lit_double_array(cent)
         q = F.zip_with(
             vec_col,
             carr,

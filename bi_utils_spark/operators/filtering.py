@@ -45,6 +45,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bi_utils_spark.functions.litarrays import lit_double_array
+
 
 def attach_percent_rank(
     df: DataFrame,
@@ -121,7 +123,7 @@ def _apr_plan(
         ).first()
         bounds = sorted({b for b in (qrow["q"] or []) if b is not None})
     if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        barr = lit_double_array(bounds)
         sc = F.col(score_col).cast("double")
         # count of boundaries strictly below the score: monotone in
         # the score, so bucket order == score order; equal scores
@@ -269,7 +271,7 @@ def attach_percent_ranks(
         bs = bounds_by_m.get(i) or []
         if not bs:
             continue
-        barr = F.array(*[F.lit(float(b)) for b in bs])
+        barr = lit_double_array(bs)
         expr = F.size(F.filter(barr, lambda x: x < F.col("__v")))
         bucket = F.when(F.col("__m") == i, expr).otherwise(bucket)
     b = counts.withColumn("__bk", bucket)
@@ -394,7 +396,7 @@ def bucketed_distinct_cdf(
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        barr = lit_double_array(bounds)
         sc = F.col("__v").cast("double")
         bucket = F.size(F.filter(barr, lambda x: x < sc))
     else:

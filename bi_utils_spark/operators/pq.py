@@ -34,6 +34,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bi_utils_spark.functions.litarrays import lit_double_array
+
 from bi_utils_spark.operators.similarity import _as_double, dot
 
 
@@ -163,7 +165,7 @@ def adc_score(codes: Column, lookup_flat: list[float], k: int) -> Column:
     """Codegen ADC score of a codes array against a flattened (m·k)
     query lookup table: Σ_s table[s·k + codes[s]]. Pure JVM
     expression — no Python at query time."""
-    tbl = F.array(*[F.lit(float(x)) for x in lookup_flat])
+    tbl = lit_double_array(lookup_flat)
     m = len(lookup_flat) // k
     return F.aggregate(
         F.zip_with(
@@ -213,7 +215,7 @@ def pq_topk(
     shortlist = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
         refine_factor * k
     )
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = lit_double_array(query_vec)
     exact = refine_with.select(
         F.col(id_col), dot(_as_double(F.col(vec_col)), qcol).alias("score")
     )
@@ -643,7 +645,7 @@ def ivfpq_topk_residual(
     shortlist = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
         refine_factor * k
     )
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = lit_double_array(query_vec)
     exact = df.select(
         F.col(id_col), dot(_as_double(F.col(vec_col)), qcol).alias("score")
     )
@@ -680,9 +682,9 @@ def sq8_encode(
     smaller than float32, map-only with the bounds baked as
     literals (constant dims collapse to code 0). The export format
     vector stores ingest."""
-    lo = F.array(*[F.lit(l) for l, _ in bounds])
-    span = F.array(
-        *[F.lit((h - l) if h > l else 1.0) for l, h in bounds]
+    lo = lit_double_array([l for l, _ in bounds])
+    span = lit_double_array(
+        [(h - l) if h > l else 1.0 for l, h in bounds]
     )
     codes = F.transform(
         F.col(vec_col),
@@ -705,9 +707,9 @@ def sq8_decode_col(
     bounds: list[tuple[float, float]], code_col: str = "sq8"
 ) -> "F.Column":
     """Midpoint reconstruction column: lo_i + (c+0.5)·span_i/256."""
-    lo = F.array(*[F.lit(l) for l, _ in bounds])
-    span = F.array(
-        *[F.lit((h - l) if h > l else 1.0) for l, h in bounds]
+    lo = lit_double_array([l for l, _ in bounds])
+    span = lit_double_array(
+        [(h - l) if h > l else 1.0 for l, h in bounds]
     )
     return F.transform(
         F.col(code_col),
@@ -730,7 +732,7 @@ def sq8_topk(
     search (query stays float). Map-only fold + TakeOrdered; ties
     broken by id for determinism."""
     dec = sq8_decode_col(bounds, code_col)
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     qn = sum(x * x for x in query) ** 0.5
     dot = F.aggregate(
         F.zip_with(dec, q, lambda a, b: a * b),

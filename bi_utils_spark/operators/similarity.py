@@ -26,6 +26,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bi_utils_spark.functions.litarrays import lit_double_array
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -63,7 +65,7 @@ def cosine_topk(
     construction); the plan is scan → project score → TakeOrdered(k).
     Ties break on id for determinism.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     scored = df.select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("score")
     )
@@ -115,7 +117,7 @@ def lsh_signature(
     v = _as_double(vec_col)
     bits = [
         F.when(
-            dot(v, F.array(*[F.lit(x) for x in plane])) > 0,
+            dot(v, lit_double_array(plane)) > 0,
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         for i, plane in enumerate(planes)
@@ -429,7 +431,7 @@ def ivf_topk(
     probe = [r["cell_id"] for r in ranked[:nprobe]]
 
     assigned = ivf_assign(df, centroids, id_col, vec_col)
-    qcol = F.array(*[F.lit(x) for x in qu])
+    qcol = lit_double_array(qu)
     return (
         assigned.filter(F.col("cell_id").isin(probe))
         .select(

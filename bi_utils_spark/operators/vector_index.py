@@ -38,6 +38,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bi_utils_spark.functions.litarrays import lit_double_array
+
 _MANIFEST = "_MANIFEST.json"
 
 
@@ -154,7 +156,7 @@ def ivf_index_probe(
     probe = [int(r["cell_id"]) for r in ranked[:nprobe]]
     from bi_utils_spark.operators.similarity import dot
 
-    qcol = F.array(*[F.lit(x) for x in qu])
+    qcol = lit_double_array(qu)
     vecs = spark.read.parquet(os.path.join(path, "vectors")).where(
         F.col("cell_id").isin(probe)
     )

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bi_utils_spark.functions.litarrays import lit_double_array
+
 from bi_utils_spark.queries.core import load, register
 from bi_utils_spark.queries.llmtext import (
     _jaccard_pairs_sql,
@@ -38,7 +40,7 @@ def q_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     target = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    q = F.array(*[F.lit(float(x)) for x in target])
+    q = lit_double_array(target)
     scored = emb.select(
         "vec_id", F.round(cosine(F.col("embedding"), q), 9).alias("score")
     )

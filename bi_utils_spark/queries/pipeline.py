@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bi_utils_spark.functions.litarrays import lit_double_array
+
 from bi_utils_spark.queries.core import load, load_fanout, register
 
 
@@ -486,7 +488,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     target = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    qv = F.array(*[F.lit(float(x)) for x in target])
+    qv = lit_double_array(target)
     dense = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.round(cosine(F.col("embedding"), qv), 9).alias("score"),
