@@ -1705,12 +1705,15 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("doc_id") % 8).alias("i"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # 8 rows: one partition, not defaultParallelism empty slices —
-    # the model/state checkpoint and probe jobs otherwise launch 32
-    # near-empty tasks each (measured ~250 ms/task of pure wait)
-    words = spark.createDataFrame(
-        [(w, i) for i, w in enumerate(_BPE_WORDS)], "term string, i long"
-    ).coalesce(1)
+    # Arrow-local frame: the pickled-RDD path costs a Python-worker
+    # round trip PER SLICE per consumer — coalesce(1) just serialized
+    # those 32 round trips into one task (measured 4.5 s of the 4.6 s
+    # wall); one Arrow batch removes the Python boundary entirely
+    from bi_utils_spark.operators.localrel import local_df
+
+    words = local_df(
+        spark, [(w, i) for i, w in enumerate(_BPE_WORDS)], "term string, i long"
+    )
     model = words.join(dcnt, "i").select(
         "term", (F.col("n") + (8 - F.col("i")) * 7).alias("c")
     )
