@@ -546,7 +546,10 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bi_utils_spark.operators.schema_drift import length_drift
 
     part = load(spark, sf_dir, "part")
-    declared = spark.createDataFrame(
+    from bi_utils_spark.operators.localrel import local_df
+
+    declared = local_df(
+        spark,
         [("p_name", 5), ("p_brand", 50), ("p_type", 3)],
         "column_name string, declared_max_length long",
     )

@@ -1419,7 +1419,9 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf = v.withColumn("cum", F.sum("c").over(w)).join(
         F.broadcast(tot), "flag"
     )
-    qs = spark.createDataFrame([(0.5,), (0.95,)], ["q"])
+    from bi_utils_spark.operators.localrel import local_df
+
+    qs = local_df(spark, [(0.5,), (0.95,)], "q double")
     exact = (
         cdf.join(
             F.broadcast(qs),

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bi_utils_spark.operators.localrel import local_df
 from bi_utils_spark.queries.core import load, register
 
 
@@ -297,7 +298,8 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_blocked_domains,
     )
 
-    blocklist = spark.createDataFrame(
+    blocklist = local_df(
+        spark,
         [("site.org",), ("example.co.uk",), ("93.184.216.34",)],
         "domain string",
     )
@@ -352,7 +354,7 @@ def _psl_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _psl_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(r,) for r in _PSL_RULES], "rule string")
+    return local_df(spark, [(r,) for r in _PSL_RULES], "rule string")
 
 
 @register(
@@ -614,8 +616,8 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     web = docs.select(
         "doc_id", _url_col().alias("url"), _html_col().alias("html")
     )
-    blocklist = spark.createDataFrame(
-        [("site.org",), ("93.184.216.34",)], "domain string"
+    blocklist = local_df(
+        spark, [("site.org",), ("93.184.216.34",)], "domain string"
     )
     survivors = filter_blocked_domains(web, blocklist)
     extracted = attach_html_columns(survivors).drop("html")
@@ -1124,9 +1126,7 @@ def q_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("999.1.2."), d.cast("string")))
         .alias("ip"),
     )
-    cidrs = spark.createDataFrame(
-        [(c,) for c in _IP_CIDRS], "cidr string"
-    )
+    cidrs = local_df(spark, [(c,) for c in _IP_CIDRS], "cidr string")
     return attach_cidr_match(ips, "ip", cidrs)
 
 
@@ -1709,8 +1709,6 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round trip PER SLICE per consumer — coalesce(1) just serialized
     # those 32 round trips into one task (measured 4.5 s of the 4.6 s
     # wall); one Arrow batch removes the Python boundary entirely
-    from bi_utils_spark.operators.localrel import local_df
-
     words = local_df(
         spark, [(w, i) for i, w in enumerate(_BPE_WORDS)], "term string, i long"
     )

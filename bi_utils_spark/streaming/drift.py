@@ -109,7 +109,10 @@ def _psi_against_profile(
     # complete (column, bin) grid so bins empty in the batch still
     # contribute against a non-empty baseline share
     spark = batch.sparkSession
-    grid = spark.createDataFrame(
+    from bi_utils_spark.operators.localrel import local_df
+
+    grid = local_df(
+        spark,
         [(c, b) for c in cols for b in range(-2, num_bins + 1)],
         "column string, bin int",
     )
