@@ -39,3 +39,24 @@ def lit_long_array(vals: Iterable[int]) -> Column:
     if iv:
         return F.expr("array(" + ",".join(f"{v}L" for v in iv) + ")")
     return F.array(*[F.lit(v) for v in iv])
+
+
+def lit_string_array(vals: Iterable[str]) -> Column:
+    """Literal ``array<string>`` built in one JVM call.
+
+    Values are rendered as single-quoted SQL string literals with
+    backslash/quote escaping (the default parser mode processes
+    escapes, so the parsed value is byte-identical — pinned by
+    tests/test_litarrays.py over quotes, backslashes and non-ASCII).
+    Control characters fall back to the per-element path rather than
+    betting on parser whitespace handling."""
+    sv = [str(v) for v in vals]
+    if sv and all(ord(ch) >= 32 for s in sv for ch in s):
+        quoted = (
+            "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for s in sv
+        )
+        return F.expr("array(" + ",".join(quoted) + ")")
+    if not sv:
+        return F.array().cast("array<string>")
+    return F.array(*[F.lit(v) for v in sv])

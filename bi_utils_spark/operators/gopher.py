@@ -65,7 +65,21 @@ def gopher_flags(
     ``ok_alpha_words``, ``ok_stopwords``. One map-only projection.
     """
     t = F.col(text_col)
-    words = _words(t)
+    # Stage the two split+filter arrays as named columns: every flag
+    # below references them, and withColumn-chained flag expressions
+    # would otherwise re-split the text once PER FLAG (CollapseProject
+    # keeps multiply-referenced non-trivial aliases staged — the
+    # repetition_stats pattern; guide §1.2, don't compute things
+    # twice). Same expressions, evaluated once per document.
+    df = df.select(
+        "*",
+        _words(t).alias("__gopher_words"),
+        F.filter(
+            F.split(t, r"\n", -1), lambda l: F.trim(l) != ""
+        ).alias("__gopher_lines"),
+    )
+    words = F.col("__gopher_words")
+    lines = F.col("__gopher_lines")
     n_words = F.size(words)
     total_chars = F.aggregate(
         F.transform(words, lambda w: F.length(w)),
@@ -75,15 +89,14 @@ def gopher_flags(
     mean_len = F.when(
         n_words > 0, total_chars.cast("double") / n_words
     ).otherwise(F.lit(0.0))
+    # translate counts the same '#'/'…' chars the regex did, without
+    # the regex engine (guide §4.1)
     n_symbols = (
-        F.length(t) - F.length(F.regexp_replace(t, r"[#…]", ""))
+        F.length(t) - F.length(F.translate(t, "#…", ""))
     )
     symbol_ratio = F.when(
         n_words > 0, n_symbols.cast("double") / n_words
     ).otherwise(F.lit(0.0))
-    lines = F.filter(
-        F.split(t, r"\n", -1), lambda l: F.trim(l) != ""
-    )
     n_lines = F.size(lines)
     bullet_frac = F.when(
         n_lines > 0,
@@ -109,10 +122,12 @@ def gopher_flags(
         ).cast("double")
         / n_words,
     ).otherwise(F.lit(0.0))
+    from bi_utils_spark.functions.litarrays import lit_string_array
+
     lower_words = F.transform(words, lambda w: F.lower(w))
     stop_hits = F.size(
         F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lit_string_array(GOPHER_STOPWORDS),
             lambda s: F.array_contains(lower_words, s),
         )
     )
@@ -132,7 +147,9 @@ def gopher_flags(
     for name, col in flags.items():
         out = out.withColumn(name, col)
         keep = keep & col
-    return out.withColumn("gopher_keep", keep)
+    return out.withColumn("gopher_keep", keep).drop(
+        "__gopher_words", "__gopher_lines"
+    )
 
 
 def gopher_filter(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:

@@ -203,19 +203,30 @@ def token_count(c: ColumnOrName) -> Column:
 
 def word_token_count(c: ColumnOrName) -> Column:
     """BPE-ish token count: word pieces + digits + punctuation runs
-    counted separately (a cheap proxy for subword tokenizer load)."""
-    return F.size(
-        F.regexp_extract_all(
-            F.lower(_col(c)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
-        )
+    counted separately (a cheap proxy for subword tokenizer load).
+
+    ``regexp_count`` counts the same non-overlapping matches
+    ``size(regexp_extract_all(...))`` would, without materializing the
+    match array (guide §4.1 — cheapest built-in that computes it)."""
+    return F.regexp_count(
+        F.lower(_col(c)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
     )
+
+
+# The exact character set of the Java regex [A-Za-z0-9\s] (\s without
+# UNICODE_CHARACTER_CLASS = [ \t\n\x0B\f\r]) — punct_ratio counts its
+# complement with translate (single char-set pass, no regex engine).
+_ALNUM_WS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \t\n\x0b\f\r"
+)
 
 
 def punct_ratio(c: ColumnOrName) -> Column:
     """Non-alphanumeric-non-space chars / total chars (0 for empty)."""
     c = _col(c)
     total = F.length(c)
-    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    punct = F.length(F.translate(c, _ALNUM_WS, ""))
     return F.when(total == 0, F.lit(0.0)).otherwise(
         punct.cast("double") / total.cast("double")
     )
@@ -223,8 +234,10 @@ def punct_ratio(c: ColumnOrName) -> Column:
 
 def stopword_ratio(c: ColumnOrName, stopwords: Sequence[str]) -> Column:
     """Fraction of tokens that are stopwords."""
+    from bi_utils_spark.functions.litarrays import lit_string_array
+
     toks = tokens(c)
-    sw = F.array(*[F.lit(w) for w in stopwords])
+    sw = lit_string_array(stopwords)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     n = F.size(toks)
     return F.when(n == 0, F.lit(0.0)).otherwise(
@@ -271,11 +284,12 @@ def language_scores(c: ColumnOrName) -> dict[str, Column]:
     all |languages| intersections walk. The identical
     array_distinct(tokens) subtree is collapsed to one evaluation by
     codegen subexpression elimination."""
+    from bi_utils_spark.functions.litarrays import lit_string_array
+
     toks = F.array_distinct(tokens(c))
     out = {}
     for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(w) for w in markers])
-        out[lang] = F.size(F.array_intersect(toks, arr))
+        out[lang] = F.size(F.array_intersect(toks, lit_string_array(markers)))
     return out
 
 

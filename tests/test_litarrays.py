@@ -57,3 +57,34 @@ def test_long_identity_and_type(spark):
     assert dict(df.dtypes)["a"] == "array<bigint>"
     assert list(df.first()["a"]) == vals
     assert spark.range(1).select(lit_long_array([]).alias("e")).first()["e"] == []
+
+
+def test_string_identity(spark):
+    from bi_utils_spark.functions.litarrays import lit_string_array
+
+    vals = [
+        "the", "el", "für", "が", "و", "中文", "a'b", "x\\y", "it's",
+        "back\\\\slash", "quote'in'side", "mixed '\\' both", "", " ",
+        "tab\tinside", "ünïcodé £€", "emoji 🙂",
+    ]
+    row = spark.range(1).select(
+        lit_string_array(vals).alias("fast"),
+        F.array(*[F.lit(v) for v in vals]).alias("slow"),
+    ).first()
+    assert list(row["fast"]) == list(row["slow"]) == vals
+
+
+def test_string_control_char_fallback(spark):
+    from bi_utils_spark.functions.litarrays import lit_string_array
+
+    vals = ["line\nbreak", "bell\x07", "ok"]
+    row = spark.range(1).select(lit_string_array(vals).alias("a")).first()
+    assert list(row["a"]) == vals
+
+
+def test_string_empty(spark):
+    from bi_utils_spark.functions.litarrays import lit_string_array
+
+    df = spark.range(1).select(lit_string_array([]).alias("a"))
+    assert df.first()["a"] == []
+    assert dict(df.dtypes)["a"] == "array<string>"
