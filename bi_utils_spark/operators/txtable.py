@@ -5659,16 +5659,19 @@ def _bloom_positions_df(
     if col_type:
         lit_v = lit_v.cast(col_type)
     lit_v = lit_v.cast("string")
-    exprs = []
-    for m in ms:
-        arr = F.array(
-            *[
-                F.pmod(F.xxhash64(lit_v, F.lit(i)), F.lit(m))
-                for i in range(k)
-            ]
-        )
-        exprs.append(arr.alias(f"m{m}"))
-    row = spark.range(1).select(*exprs).first()
+    # One parsed SQL projection instead of k x |ms| py4j expression
+    # calls: with ~100 distinct filter sizes the per-element F.xxhash64/
+    # F.pmod loop cost ~2.4 s of single-threaded driver plan-build per
+    # probe (measured on q_tx_point; guide §7.3 — large expression
+    # trees built in loops). Literal ints parse to the same types
+    # F.lit produces, so positions are bit-identical.
+    exprs = [
+        "array("
+        + ",".join(f"pmod(xxhash64(__v, {i}), {m})" for i in range(k))
+        + f") AS `m{m}`"
+        for m in ms
+    ]
+    row = spark.range(1).select(lit_v.alias("__v")).selectExpr(*exprs).first()
     return {m: [int(p) for p in row[f"m{m}"]] for m in ms}
 
 
