@@ -330,6 +330,65 @@ def _assign_update_partials(
     return df.select(vec_col).mapInPandas(run, schema=out_schema)
 
 
+def _kmeans_fit_driver(rows, k: int, iters: int) -> list[list[float]]:
+    """Driver-side replay of the Lloyd loop over a bounded collect —
+    the connected_components/bpe_train size-tier. Arithmetic is
+    EXACTLY the distributed path's: init = the k smallest ids'
+    vectors on the 1e-7 grid (NULL ids first, as Spark sorts them);
+    assignment = the numpy batch math of _assign_update_partials
+    (round-half-away, per-dim saturation cap, int64 square sums,
+    first-argmin); update = int64 sums of the same quantized terms
+    (associative — batch/partition boundaries cannot change them)
+    divided by member count. Malformed vectors (NULL/ragged/
+    non-finite) are skipped from assignment/update exactly as the
+    Arrow path skips them (equality property-tested)."""
+    import numpy as np
+
+    srt = sorted(
+        rows, key=lambda r: (r[0] is not None, 0 if r[0] is None else r[0])
+    )
+    cents = [_quantize(list(r[1])) for r in srt[:k]]
+    dim = len(cents[0]) if cents else 0
+    arrs = []
+    for r in rows:
+        v = r[1]
+        if v is None or len(v) != dim:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if not np.isfinite(a).all():
+            continue
+        arrs.append(a)
+    if not arrs or not cents:
+        return cents
+    V = np.array(arrs)
+    tv = V * _Q
+    qv = np.where(tv >= 0, np.floor(tv + 0.5), np.ceil(tv - 0.5)).astype(
+        np.int64
+    )
+    cap = float(_qcap(max(dim, 1)))
+    for _ in range(iters):
+        C = np.array(
+            [[float(x) for x in c] for c in cents], dtype=np.float64
+        )
+        t = (V[:, None, :] - C[None, :, :]) * _Q
+        q = np.where(t >= 0, np.floor(t + 0.5), np.ceil(t - 0.5))
+        q = np.clip(q, -cap, cap).astype(np.int64)
+        cl = (q * q).sum(axis=2, dtype=np.int64).argmin(axis=1)
+        nxt = []
+        for c, old in enumerate(cents):
+            members = qv[cl == c]
+            if len(members):
+                s = members.sum(axis=0, dtype=np.int64)
+                n = len(members)
+                nxt.append(
+                    [_round_half_away(int(si) / n) / _Q for si in s]
+                )
+            else:
+                nxt.append(old)
+        cents = nxt
+    return cents
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -337,6 +396,7 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 2,
     init: str = "first",
+    driver_max_rows: int = 65_536,
 ) -> list[list[float]]:
     """Run ``iters`` Lloyd update steps from the deterministic seed
     and return the final centroids. Each iteration: one map-only
@@ -344,7 +404,28 @@ def kmeans_fit(
     k·d rows; the k·d partial-sum table is the only driver fetch.
     ``init``: "first" (smallest-id vectors — SQL-replayable, the
     oracle form) or "farthest" (greedy k-center seeding — better
-    optima, k−1 extra scans)."""
+    optima, k−1 extra scans).
+
+    Size-tiered (r12): a one-job ``collect_limited`` probe pulls the
+    (id, vec) rows; when they fit ``driver_max_rows`` the whole loop
+    runs driver-side (:func:`_kmeans_fit_driver`) — the init job plus
+    ``iters`` sequential fit jobs collapse into one bounded collect
+    (≤ ~35 MB at the default bound for d=64 doubles, the same class
+    as the k·d partial fetch the loop already made per iteration).
+    Identical centroids by construction (equality property-tested);
+    over-bound corpora pay one truncated probe and the unchanged
+    distributed loop. ``driver_max_rows=0`` forces the distributed
+    path."""
+    if init == "first" and driver_max_rows > 0:
+        from bi_utils_spark.operators.localrel import collect_limited
+
+        probe = collect_limited(
+            df.select(id_col, vec_col), driver_max_rows + 1
+        )
+        if len(probe) <= driver_max_rows:
+            return _kmeans_fit_driver(
+                [(r[0], r[1]) for r in probe], k, iters
+            )
     if init == "farthest":
         cents = kmeans_init_farthest(df, id_col, vec_col, k)
     elif init == "first":

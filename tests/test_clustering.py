@@ -293,3 +293,39 @@ def test_fused_update_partials_equal_unfused_chain(spark):
         if r["cluster"] is not None
     }
     assert fused == old
+
+
+def test_driver_tier_equals_distributed(spark):
+    """The r12 size tier must return bit-identical centroids to the
+    distributed loop — random vectors plus the documented edge cases
+    (malformed rows, saturation-scale values, duplicate seeds)."""
+    import random
+
+    rng = random.Random(77)
+    rows = [
+        (i, [rng.uniform(-1.5, 1.5) for _ in range(8)]) for i in range(200)
+    ]
+    rows += [
+        (200, None),                                   # NULL vector
+        (201, [1.0, 2.0]),                             # ragged
+        (202, [float("nan")] * 8),                     # non-finite
+        (203, [50.0] * 8),                             # far outlier
+        (204, rows[0][1]),                             # duplicate point
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    for k, iters in [(2, 1), (5, 3)]:
+        fast = kmeans_fit(df, k=k, iters=iters)
+        slow = kmeans_fit(df, k=k, iters=iters, driver_max_rows=0)
+        assert fast == slow
+
+
+def test_driver_tier_overflow_probe_falls_through(spark):
+    """Above the bound the probe is discarded and the distributed
+    loop runs — same centroids either way."""
+    rows = [(i, [float(i % 7), float(i % 3)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert kmeans_fit(df, k=2, iters=2, driver_max_rows=10) == kmeans_fit(
+        df, k=2, iters=2
+    )
