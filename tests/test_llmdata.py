@@ -494,6 +494,7 @@ def test_dedup_operators_leave_no_cache(spark, docs):
     # measurements — settle GC first and assert no INCREASE (a
     # concurrent release must never mask-fail the check).
     import gc
+    import time
 
     spark.catalog.clearCache()
     gc.collect()
@@ -502,7 +503,20 @@ def test_dedup_operators_leave_no_cache(spark, docs):
     D.minhash_near_dup_join(docs, "doc_id", "text", threshold=0.6).count()
     D.jaccard_similarity_join(docs, "doc_id", "text", threshold=0.5, shingle_n=3).count()
     D.simhash_near_dup_join(docs, "doc_id", "text").count()
-    n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
+    # Settle AFTER the operators too: their internal localCheckpoint
+    # frames are unreferenced the moment each call returns, but the
+    # release path (py4j detach queue -> JVM GC -> ContextCleaner) is
+    # asynchronous and can lag ~10 s. A bounded retry keeps the
+    # canary's teeth — a persist() without unpersist is STRONGLY
+    # referenced and never drains, so it still fails.
+    n_cached = base + 1
+    for _ in range(40):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()  # noqa: SLF001
+        n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()  # noqa: SLF001
+        if n_cached <= base:
+            break
+        time.sleep(0.5)
     assert n_cached <= base, f"{n_cached - base} cached RDDs left behind"
 
 
