@@ -127,16 +127,17 @@ def get_spark(
         # media tier's fat binary rows are safe at any record cap
         # (verified: 1 MB payloads under an 8m cap batch at 4-8 rows
         # regardless of the record setting); the r7-era 256-row record
-        # guard existed only because that knob didn't. 2048-row record
-        # batches measured (r12, interleaved A/B at sf0.1):
-        # q_pq_topk 3.55 -> 1.77 s, q_phash_near_dup 3.18 -> 2.20 s,
-        # q_media_features 1.03 -> 0.65 s, q_jpeg_roundtrip
-        # 1.65 -> 1.15 s — vectorized numpy/codec kernels amortize per-
-        # batch overhead; 64m byte cap x cores of in-flight batches is
-        # bounded and env-overridable per deployment.
+        # guard existed only because that knob didn't. 1024-row record
+        # batches measured (r12, interleaved A/B at sf0.1, 256 -> 1024):
+        # q_pq_topk 3.55 -> 1.47 s, q_media_features 1.03 -> 0.53 s,
+        # q_jpeg_roundtrip 1.65 -> 1.04 s, q_emb_near_dup_ivf
+        # 1.98 -> 1.36 s — vectorized numpy/codec kernels amortize per-
+        # batch overhead (2048 measured equal-or-worse on a quiet box);
+        # 64m byte cap x cores of in-flight batches is bounded and
+        # env-overridable per deployment.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"),
         )
         .config(
             "spark.sql.execution.arrow.maxBytesPerBatch",
