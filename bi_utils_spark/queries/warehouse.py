@@ -365,9 +365,16 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+             -- decimal -> double through VARCHAR: DuckDB's direct
+             -- decimal cast divides int128 by 10^scale in float and
+             -- can land 1 ULP off when the unscaled value exceeds
+             -- 2^53 (observed on s2 at sf0.001); the string route is
+             -- correctly rounded, matching Spark's BigDecimal cast
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS VARCHAR) AS DOUBLE) AS s2
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
