@@ -417,11 +417,13 @@ def kmeans_fit(
     distributed loop. ``driver_max_rows=0`` forces the distributed
     path."""
     if init == "first" and driver_max_rows > 0:
-        from bi_utils_spark.operators.localrel import collect_limited
-
-        probe = collect_limited(
-            df.select(id_col, vec_col), driver_max_rows + 1
-        )
+        # Plain escalating take (r13, per r12 ADVICE): the child is a
+        # cheap scan, so re-running it per take round costs little,
+        # the first round usually satisfies the limit, and an
+        # over-bound corpus exits after probing ~1 partition instead
+        # of shipping LocalLimit'd vectors from EVERY partition
+        # through a single-partition exchange.
+        probe = df.select(id_col, vec_col).limit(driver_max_rows + 1).collect()
         if len(probe) <= driver_max_rows:
             return _kmeans_fit_driver(
                 [(r[0], r[1]) for r in probe], k, iters

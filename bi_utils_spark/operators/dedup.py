@@ -258,23 +258,40 @@ def jaccard_similarity_join(
     """
     if prefix_filter is None:
         prefix_filter = threshold >= PPJOIN_MIN_THRESHOLD
-    # Shingle identity is carried as 64→31-bit hashes (shingle_hash_rows),
-    # not strings: the corpus is tokenized once, the inverted index and
-    # the self-join shuffle 8-byte keys, and Jaccard over the distinct
+    # Shingle identity is carried as 64→31-bit hashes, not strings:
+    # the corpus is tokenized once, the inverted index and the
+    # self-join shuffle 8-byte keys, and Jaccard over the distinct
     # hash sets equals Jaccard over the string sets up to ~2⁻³¹
-    # collisions. Not persisted: the reused subtrees are identical, so
-    # Catalyst's ReuseExchange dedupes the shuffles within the query and
-    # the operator leaves no cached partitions behind (VERDICT r2 #3).
-    dist = shingle_hash_rows(df, id_col, text_col, shingle_n).dropDuplicates(
-        ["id", "sh"]
-    )
+    # collisions. r13: the per-doc distinct shingle sets come from the
+    # Arrow kernel (lshkern.per_doc_signatures — bit-identical shingle
+    # hashes, property-tested), so the old window+dropDuplicates
+    # formulation's TWO pre-join passes over token rows (the lead()
+    # window exchange and the (id, sh) dedup shuffle) are gone: the
+    # plan below the inverted-index join is map-only. Not persisted:
+    # reused subtrees recompute map-side per consumer, and the
+    # operator leaves no cached partitions behind (VERDICT r2 #3).
+    from bi_utils_spark.operators.lshkern import per_doc_signatures
+
+    # The set frame feeds two plan consumers in either branch (the
+    # self-join sides below / the doc-frequency aggregate + the work
+    # join) and the kernel output carries no exchange ReuseExchange
+    # could share, so it is materialized once (localCheckpoint — the
+    # multi-consumer discipline; sized like the corpus' distinct
+    # shingle sets, the same state the old window formulation pushed
+    # through its shared shuffle files).
+    doc_sets = per_doc_signatures(
+        df, id_col, text_col, shingle_n, want_set=True
+    ).localCheckpoint()
+    dist = doc_sets.select("id", F.explode("sh_set").alias("sh"))
     if not prefix_filter:
         # Carry the set size alongside every shingle row: pair-group keys
         # then already hold both sizes, so no post-aggregation size joins.
-        sized = dist.withColumn(
-            "sz", F.count("*").over(Window.partitionBy("id"))
+        # The size is free off the kernel's set column — no count window.
+        inv = doc_sets.select(
+            "id",
+            F.size("sh_set").alias("sz"),
+            F.explode("sh_set").alias("tok"),
         )
-        inv = sized.select("id", "sz", F.col("sh").alias("tok"))
         if max_token_doc_freq is not None:
             freq = inv.groupBy("tok").agg(F.count("*").alias("df_tok"))
             inv = (
@@ -430,8 +447,16 @@ def minhash_signatures(
         (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    rows = shingle_hash_rows(df, id_col, text_col, shingle_n)
-    return _signatures_from_rows(rows, coeffs)
+    # r13: signatures come from the Arrow kernel — one map-only pass
+    # (tokens → xxhash64 array in codegen, shingle combine + lane
+    # minima in vectorized numpy), no token-row window exchange and
+    # no 64-lane per-row aggregation. Bit-identical to the row-wise
+    # formulation (property-tested in tests/test_lshkern.py).
+    from bi_utils_spark.operators.lshkern import per_doc_signatures
+
+    return per_doc_signatures(
+        df, id_col, text_col, shingle_n, coeffs=coeffs
+    ).select("id", "minhash")
 
 
 def _signatures_from_rows(rows: DataFrame, coeffs: list[tuple[int, int]]) -> DataFrame:
@@ -581,16 +606,14 @@ def minhash_near_dup_join(
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard on the shingle sets.
 
-    One groupBy(id) produces BOTH per-doc artifacts at once — the
-    ``num_hashes`` signature lanes and the distinct shingle-hash set —
-    so signature aggregation, band-bucket candidates, and the verify
-    join all hang off a single aggregation subtree. Its input (the
-    shingle-row window exchange on id) is byte-identical wherever it
-    reappears in the plan, so ReuseExchange shuffles the tokenized
-    corpus once and no operator-internal persist is needed — the
-    operator leaves no cached partitions behind (VERDICT r2 #3). At
-    100 TB, write the per-doc frame out bucketed by id instead of
-    recomputing the aggregate per consumer.
+    One map-only Arrow-kernel pass produces BOTH per-doc artifacts at
+    once — the ``num_hashes`` signature lanes and the distinct
+    shingle-hash set (r13, lshkern.per_doc_signatures): no token row
+    ever crosses an exchange, and the corpus-scaled state the plan
+    carries is 512 B/doc of signatures plus the shingle sets. That
+    frame is materialized once (localCheckpoint) for its four plan
+    consumers; at 100 TB, write the per-doc frame out bucketed by id
+    instead.
 
     The verify join re-attaches the shingle-hash sets only for
     candidate pairs (a tiny fraction of the corpus) and computes
@@ -606,39 +629,23 @@ def minhash_near_dup_join(
         (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    rows = shingle_hash_rows(df, id_col, text_col, shingle_n)
-    lanes = [
-        F.min(
-            F.pmod(
-                F.lit(a).cast("long") * F.col("sh") + F.lit(b).cast("long"),
-                F.lit(_MERSENNE),
-            )
-        ).alias(f"_m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    # per_doc feeds the signature banding (2 self-join sides) AND the
-    # verify join (2 sides); the hot-bucket cap adds a bucket-count
-    # aggregation + semi-join on top. ReuseExchange only shares
-    # per_doc's INPUT exchange, so the 65-lane aggregation re-runs per
-    # consumer. With the cap in play that recompute dominates
-    # (measured 5.1 s -> 3.1 s at sf0.1 when materialized once);
-    # without it the shingle-row exchange is also shared with any
-    # sibling exact-Jaccard plan in the same query and ReuseExchange
-    # already keeps the recompute cheaper than an eager checkpoint
-    # barrier (measured 2.0 s -> 3.7 s if checkpointed). So
-    # materialize only the capped configuration — bounded at
-    # 512 B/doc + the distinct shingle set, the documented
-    # signature-table scale bound (at 100 TB write it out bucketed by
+    # r13: the per-doc (signature, shingle-set) frame comes from ONE
+    # map-only Arrow-kernel pass (lshkern.per_doc_signatures — bit-
+    # identical lanes and sets, property-tested): the token-row window
+    # exchange and the 65-lane per-row aggregation are gone from the
+    # plan entirely. per_doc feeds the signature banding (2 self-join
+    # sides) AND the verify join (2 sides); the kernel output has no
+    # exchange ReuseExchange could share across those consumers, so it
+    # is materialized once in BOTH configurations (localCheckpoint —
+    # bounded at 512 B/doc + the distinct shingle set, the documented
+    # signature-table scale bound; at 100 TB write it out bucketed by
     # id instead, per the docstring).
-    per_doc = rows.groupBy("id").agg(
-        *lanes, F.collect_set("sh").alias("sh_set")
-    )
-    if max_bucket_size is not None:
-        per_doc = per_doc.localCheckpoint()
-    sigs = per_doc.select(
-        "id",
-        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash"),
-    )
+    from bi_utils_spark.operators.lshkern import per_doc_signatures
+
+    per_doc = per_doc_signatures(
+        df, id_col, text_col, shingle_n, coeffs=coeffs, want_set=True
+    ).localCheckpoint()
+    sigs = per_doc.select("id", "minhash")
     cand = minhash_candidates(sigs, num_bands, max_bucket_size)
     sets = per_doc.select("id", F.col("sh_set").alias("sh"))
     a = sets.alias("sa")
@@ -802,31 +809,23 @@ def simhash64(c: Column | str, shingle_n: int = 1) -> Column:
 def simhash64_rows(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1
 ) -> DataFrame:
-    """(id, fp) SimHash fingerprints, row-wise — the fast path.
+    """(id, fp) SimHash fingerprints — the fast path.
 
-    Same layout rationale as minhash_signatures: shingle hashes come
-    as rows (one tokenize total), each shingle is re-hashed to 64 bits
-    with one xxhash64, and the per-bit ±1 votes are 64 plain sum-of-
-    bit aggregate lanes (vote_i > 0 ⟺ 2·Σbit_i > n). Zero per-shingle
-    array allocation; map-side partial aggregation ships 64 longs per
-    doc. The column-expression form (simhash64) folds a 64-wide
-    accumulator per shingle — use it only on small frames.
+    r13: computed by the Arrow kernel (lshkern.per_doc_signatures) in
+    ONE map-only pass — tokens → xxhash64 array in codegen, then the
+    shingle re-hash (bit-exact XXH64 long path) and the 64 per-bit
+    vote sums in vectorized numpy per Arrow batch. Bit-identical to
+    the former 64-lane aggregate formulation (property-tested in
+    tests/test_lshkern.py) with no exchange in the plan: the corpus
+    ships 16 B/doc fingerprints, never token rows. The
+    column-expression form (simhash64) folds a 64-wide accumulator
+    per shingle — use it only on small frames.
     """
-    rows = shingle_hash_rows(df, id_col, text_col, shingle_n)
-    h64 = F.xxhash64(F.col("sh"))
-    lanes = [
-        F.sum(F.shiftright(h64, i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
-        for i in range(64)
-    ]
-    agg = rows.groupBy("id").agg(F.count("*").alias("_n"), *lanes)
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        fp = fp.bitwiseOR(
-            F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(mask).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-    return agg.select("id", fp.alias("fp"))
+    from bi_utils_spark.operators.lshkern import per_doc_signatures
+
+    return per_doc_signatures(
+        df, id_col, text_col, shingle_n, want_fp=True
+    ).select("id", "fp")
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -508,9 +508,12 @@ def bpe_train(
         "term", _spaced_symbols("term").alias("spaced"), "c"
     ).localCheckpoint(eager=True)
     if driver_max_vocab > 0:
-        from bi_utils_spark.operators.localrel import collect_limited
-
-        rows = collect_limited(state, driver_max_vocab + 1)
+        # Plain escalating take (r13, per r12 ADVICE): the child is a
+        # scan of the eager checkpoint above — re-running a round is
+        # a cached-block read, and an over-bound vocab exits after
+        # probing ~1 partition instead of shipping LocalLimit'd rows
+        # from every partition through a single-partition exchange.
+        rows = state.limit(driver_max_vocab + 1).collect()
         if len(rows) <= driver_max_vocab:
             return _bpe_train_driver(
                 spark,

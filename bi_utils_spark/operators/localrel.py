@@ -43,24 +43,28 @@ def local_df(
 
 
 def collect_limited(df: DataFrame, n: int) -> list:
-    """``df.limit(n).collect()`` in ONE job. CollectLimitExec's
-    default take() escalation (1 partition, then 4x more per round,
-    re-running the child subtree each round) is the right trade when
-    the child is a cheap scan, but a bounded PROBE over an expensive
-    subtree (a similarity join, a distinct over a merge source) pays
-    that subtree several times over — measured ~2 s of duplicated
-    task time on q_llm_pipeline's edge probe at sf0.1. Temporarily
-    raising ``spark.sql.limit.initialNumPartitions`` makes the first
-    round scan every partition, so the child runs exactly once.
+    """Partition-bounded ``df.limit(n).collect()`` that runs the child
+    subtree exactly once. CollectLimitExec's default take() escalation
+    (1 partition, then 4x more per round, re-running the child subtree
+    each round) is the right trade when the child is a cheap scan, but
+    a bounded PROBE over an expensive subtree (a similarity join, a
+    fingerprint aggregation) pays that subtree several times over —
+    measured ~2 s of duplicated task time on q_llm_pipeline's edge
+    probe at sf0.1.
+
+    The r12 form (raising ``spark.sql.limit.initialNumPartitions`` so
+    executeTake's first round scans every partition) had a driver-
+    volume hazard: every task may return up to the full remaining
+    limit, so the driver could receive ~(#partitions × n) rows in one
+    job (r12 VERDICT #1). This form plans LocalLimit(n) per partition
+    → single-partition exchange → GlobalLimit(n) instead (the
+    ``.coalesce(1)`` on top keeps the limit non-terminal so Spark
+    cannot fall back to executeTake): the child runs once, each
+    partition ships at most n rows into ONE executor-side shuffle
+    partition, and the DRIVER receives at most n rows regardless of
+    partition count. No session conf is touched.
 
     Results are unchanged: when the input has <= n rows (the only
     case callers act on), every row is returned under either
     strategy; an over-bound probe's extra rows are discarded."""
-    spark = df.sparkSession
-    key = "spark.sql.limit.initialNumPartitions"
-    old = spark.conf.get(key, "1")
-    spark.conf.set(key, str(2**31 - 1))
-    try:
-        return df.limit(n).collect()
-    finally:
-        spark.conf.set(key, old)
+    return df.limit(n).coalesce(1).collect()

@@ -2819,13 +2819,18 @@ def merge_tx_table(
     if pcols:
         # LIMIT bound+1 caps the driver-side materialization: the
         # guard costs nothing when the source is well-behaved and
-        # cannot OOM the driver when it is not. One-job collect: the
-        # child (a distinct over the merge source) must not re-run
-        # per take() escalation round.
-        from bi_utils_spark.operators.localrel import collect_limited
-
-        touched_rows = collect_limited(
-            source.select(*pcols).distinct(), max_source_partitions + 1
+        # cannot OOM the driver when it is not. Plain escalating
+        # take(): the child's top is the distinct's EXCHANGE, so
+        # later take rounds reuse the map stage's shuffle files —
+        # escalation is nearly free here, while the r12 one-job probe
+        # forced an all-partitions first round and regressed
+        # q_tx_merge_raw 0.97→1.37 s (r12 VERDICT #1; interleaved
+        # r13 A/B confirmed the take form faster on both tx rows).
+        touched_rows = (
+            source.select(*pcols)
+            .distinct()
+            .limit(max_source_partitions + 1)
+            .collect()
         )
         if len(touched_rows) > max_source_partitions:
             raise ValueError(
